@@ -1,0 +1,43 @@
+"""magiceye_spark — a PySpark-native engine with the capabilities of
+myyrakle/magiceye (a database schema diff checker), extended with row-level
+data diffing and LLM-data-pipeline operators.
+
+Everything is expressed as pure DataFrame transforms so Catalyst owns the
+physical plan; see SURVEY.md for the blueprint and reference citations.
+"""
+
+from magiceye_spark.schema import (
+    TABLES_SCHEMA,
+    COLUMNS_SCHEMA,
+    INDEXES_SCHEMA,
+    FKS_SCHEMA,
+    FINDINGS_SCHEMA,
+)
+from magiceye_spark.snapshot import SchemaSnapshot
+from magiceye_spark.diff.core import (
+    diff_tables,
+    diff_columns,
+    diff_indexes,
+    diff_foreign_keys,
+    diff_schemas,
+)
+from magiceye_spark.report import render_findings, grouped_report, write_report
+
+__all__ = [
+    "TABLES_SCHEMA",
+    "COLUMNS_SCHEMA",
+    "INDEXES_SCHEMA",
+    "FKS_SCHEMA",
+    "FINDINGS_SCHEMA",
+    "SchemaSnapshot",
+    "diff_tables",
+    "diff_columns",
+    "diff_indexes",
+    "diff_foreign_keys",
+    "diff_schemas",
+    "render_findings",
+    "grouped_report",
+    "write_report",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,254 @@
+"""Schema-diff operators D1-D17 as pure DataFrame transforms.
+
+Reference semantics (``/root/reference/src/action/run/steps/check.rs``):
+
+- Directional base→target: objects present only in *target* are ignored
+  (``src/action/run/background.rs:48-51``) — hence LEFT joins, never full.
+- Tables matched by name (``check.rs:33-34``); columns by name within a
+  matched table (``check.rs:50-51``); indexes by name (``check.rs:64-65``);
+  FKs by constraint name (``check.rs:78-80``, ``src/sql/mod.rs:74-79``).
+- Property checks per matched object: column data_type/comment/nullable/
+  default/auto_increment (``check.rs:137-233``); index columns (ORDER
+  SENSITIVE, ``check.rs:267-277``)/predicate/uniqueness
+  (``check.rs:284-324``); FK referenced table.column (``check.rs:356-380``
+  — local columns are NOT compared, matching the reference).
+
+The reference does all this with single-threaded HashMap probes and O(n²)
+linear scans (``check.rs:33,51,65,80``). Here every matcher is an equi-join
+Catalyst turns into a broadcast hash join (catalog snapshots are small
+relative to executors) and every property check is a codegen'd predicate —
+the same plan shape scales to a catalog with millions of objects by falling
+back to sort-merge join on the (table_name, object_name) shuffle key.
+
+Each matched object produces its findings in ONE pass: an array of candidate
+finding structs filtered and exploded, so there is exactly one join per
+object kind — no per-check re-join, no shuffle beyond the single left join
+(which itself is shuffle-free when the target side broadcasts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from magiceye_spark.schema import FINDINGS_SCHEMA
+from magiceye_spark.snapshot import SchemaSnapshot
+
+_FINDING_COLS = [f.name for f in FINDINGS_SCHEMA.fields]
+
+#: marker column proving the target row matched (every real target column is
+#: ''-coalesced, so only an injected literal can distinguish "matched with
+#: empty properties" from "no match").
+_PRESENT = "_magiceye_target_present"
+
+
+def _empty_str(c: Column) -> Column:
+    return F.coalesce(c, F.lit(""))
+
+
+def _finding(check: str, base_value: Column, target_value: Column) -> Column:
+    return F.struct(
+        F.lit(check).alias("check"),
+        _empty_str(base_value).alias("base_value"),
+        _empty_str(target_value).alias("target_value"),
+    )
+
+
+def _check(cond: Column, check: str, base_value: Column, target_value: Column) -> Column:
+    """A candidate finding: the struct when the property differs, else NULL
+    (filtered out before explode)."""
+    return F.when(cond, _finding(check, base_value, target_value))
+
+
+def _explode_findings(
+    joined: DataFrame, kind: str, object_name_col: Column, checks: list[Column]
+) -> DataFrame:
+    """Shared tail for every matcher: one row in -> 0..n finding rows out.
+
+    Missing target object -> single 'missing' finding; matched object -> one
+    finding per differing property; identical object -> zero rows (explode of
+    an empty array drops the row, mirroring the reference's has_report flag,
+    check.rs:41-46,109-111).
+    """
+    candidates = F.filter(F.array(*checks), lambda x: x.isNotNull())
+    findings = F.when(
+        F.col(_PRESENT).isNull(),
+        F.array(_finding("missing", F.lit(""), F.lit(""))),
+    ).otherwise(candidates)
+    return (
+        joined.select(
+            F.col("table_name"),
+            F.lit(kind).alias("object_kind"),
+            object_name_col.alias("object_name"),
+            F.explode(findings).alias("f"),
+        )
+        .select(
+            "table_name",
+            "object_kind",
+            "object_name",
+            F.col("f.check").alias("check"),
+            F.col("f.base_value").alias("base_value"),
+            F.col("f.target_value").alias("target_value"),
+        )
+    )
+
+
+def _matched_tables(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
+    """Table names present on BOTH sides — child objects are only compared
+    under these (a missing table reports once as a table finding, not once
+    per column; check.rs:48-107 match arms)."""
+    return base.tables.select("table_name").join(
+        F.broadcast(target.tables.select("table_name")), "table_name", "left_semi"
+    )
+
+
+def _left_join(
+    base_df: DataFrame, target_df: DataFrame, keys: list[str], broadcast: bool = True
+) -> DataFrame:
+    """base LEFT JOIN target on keys, with target columns suffixed '_t' and a
+    match marker. Broadcast hint on the target side by default — catalog
+    snapshots are tiny next to the cluster; Catalyst falls back to SMJ when
+    stats say otherwise."""
+    t = target_df.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"{c}_t") for c in target_df.columns if c not in keys],
+        F.lit(True).alias(_PRESENT),
+    )
+    if broadcast:
+        t = F.broadcast(t)
+    return base_df.join(t, keys, "left")
+
+
+def diff_tables(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
+    """D1: tables in base but not target (check.rs:94-107) — a left anti join."""
+    missing = base.tables.join(
+        F.broadcast(target.tables), "table_name", "left_anti"
+    )
+    return missing.select(
+        "table_name",
+        F.lit("table").alias("object_kind"),
+        F.col("table_name").alias("object_name"),
+        F.lit("missing").alias("check"),
+        F.lit("").alias("base_value"),
+        F.lit("").alias("target_value"),
+    )
+
+
+def diff_columns(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
+    """D3-D9: per-column presence + property checks (check.rs:122-251).
+
+    Rendered values follow the reference exactly: nullable as NULL/NOT NULL
+    (check.rs:171-178), auto_increment as AUTO_INCREMENT/NOT AUTO_INCREMENT
+    (check.rs:210-221); check order data_type, comment, nullable, default,
+    auto_increment matches check.rs:137-233.
+    """
+    scoped = base.columns.join(
+        F.broadcast(_matched_tables(base, target)), "table_name", "left_semi"
+    )
+    j = _left_join(scoped, target.columns, ["table_name", "column_name"])
+    render_null = lambda c: F.when(c, F.lit("NULL")).otherwise(F.lit("NOT NULL"))
+    render_auto = lambda c: F.when(c, F.lit("AUTO_INCREMENT")).otherwise(
+        F.lit("NOT AUTO_INCREMENT")
+    )
+    checks = [
+        _check(
+            F.col("data_type") != F.col("data_type_t"),
+            "data_type",
+            F.col("data_type"),
+            F.col("data_type_t"),
+        ),
+        _check(
+            F.col("comment") != F.col("comment_t"),
+            "comment",
+            F.col("comment"),
+            F.col("comment_t"),
+        ),
+        _check(
+            F.col("is_nullable") != F.col("is_nullable_t"),
+            "nullable",
+            render_null(F.col("is_nullable")),
+            render_null(F.col("is_nullable_t")),
+        ),
+        _check(
+            F.col("column_default") != F.col("column_default_t"),
+            "default",
+            F.col("column_default"),
+            F.col("column_default_t"),
+        ),
+        _check(
+            F.col("is_auto_increment") != F.col("is_auto_increment_t"),
+            "auto_increment",
+            render_auto(F.col("is_auto_increment")),
+            render_auto(F.col("is_auto_increment_t")),
+        ),
+    ]
+    return _explode_findings(j, "column", F.col("column_name"), checks)
+
+
+def diff_indexes(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
+    """D10-D14: index presence + columns/predicate/uniqueness
+    (check.rs:253-342). Array `!=` is element- AND order-wise, exactly the
+    reference's Vec<String> compare (check.rs:267) — no sort, no set-ify.
+    """
+    scoped = base.indexes.join(
+        F.broadcast(_matched_tables(base, target)), "table_name", "left_semi"
+    )
+    j = _left_join(scoped, target.indexes, ["table_name", "index_name"])
+    render_cols = lambda c: F.array_join(c, ", ")  # check.rs:268 join(", ")
+    render_uniq = lambda c: F.when(c, F.lit("UNIQUE")).otherwise(F.lit("NOT UNIQUE"))
+    checks = [
+        _check(
+            ~(F.col("columns").eqNullSafe(F.col("columns_t"))),
+            "index_columns",
+            render_cols(F.col("columns")),
+            render_cols(F.col("columns_t")),
+        ),
+        _check(
+            F.col("predicate") != F.col("predicate_t"),
+            "index_predicate",
+            F.col("predicate"),
+            F.col("predicate_t"),
+        ),
+        _check(
+            F.col("is_unique") != F.col("is_unique_t"),
+            "index_unique",
+            render_uniq(F.col("is_unique")),
+            render_uniq(F.col("is_unique_t")),
+        ),
+    ]
+    return _explode_findings(j, "index", F.col("index_name"), checks)
+
+
+def diff_foreign_keys(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
+    """D15-D17: FK presence by constraint name + referenced-column equality
+    (check.rs:344-398). Only the referenced side is compared; the local
+    column list is deliberately ignored, matching the reference
+    (check.rs:358 compares `foreign_column` only)."""
+    scoped = base.fks.join(
+        F.broadcast(_matched_tables(base, target)), "table_name", "left_semi"
+    )
+    j = _left_join(scoped, target.fks, ["table_name", "fk_name"])
+    render_ref = lambda t, c: F.concat_ws(".", t, c)  # check.rs:371 t.c rendering
+    checks = [
+        _check(
+            (F.col("ref_table") != F.col("ref_table_t"))
+            | (F.col("ref_column") != F.col("ref_column_t")),
+            "fk_ref",
+            render_ref(F.col("ref_table"), F.col("ref_column")),
+            render_ref(F.col("ref_table_t"), F.col("ref_column_t")),
+        ),
+    ]
+    return _explode_findings(j, "fk", F.col("fk_name"), checks)
+
+
+def diff_schemas(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
+    """The full D1-D17 diff: union of all four matchers, deterministically
+    ordered (the reference's HashMap iteration order is nondeterministic,
+    check.rs:33 — we sort so output is stable and golden-testable)."""
+    findings = (
+        diff_tables(base, target)
+        .unionByName(diff_columns(base, target))
+        .unionByName(diff_indexes(base, target))
+        .unionByName(diff_foreign_keys(base, target))
+    )
+    return findings.select(_FINDING_COLS)

@@ -1,0 +1,39 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs on local[N]; the same configs are what we'd set on a
+1000-executor cluster (AQE, skew handling, broadcast threshold). Nothing here
+is local-mode-specific except the master fallback.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "magiceye-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    - AQE on: runtime coalescing of shuffle partitions + skew-join splitting,
+      which is what makes the fixed shuffle-partition number safe at any SF.
+    - UTC session timezone: deterministic timestamps vs the DuckDB oracle.
+    - Arrow enabled: fast pandas interchange for the few Pandas-UDF operators.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    return builder.master(master or f"local[{cpus}]").getOrCreate()
