@@ -1,0 +1,123 @@
+"""Row-level data diff — the mandated extension beyond the reference's
+catalog-only surface (SURVEY.md §2.4; the reference never touches user rows).
+
+Design for 100 TB:
+
+- ONE shuffle: a single full-outer join on the primary key. Both sides
+  repartition on the key; AQE handles skewed keys (skew-join splitting is on
+  in session.py). No driver-side materialization ever.
+- Column compares are null-safe ``<=>`` expressions inside whole-stage
+  codegen; the changed-column list is built with array/filter expressions,
+  not a UDF.
+- For very wide rows, :func:`diff_data_hash` compares one ``xxhash64`` per
+  row first so unchanged rows never evaluate per-column predicates — the
+  common fast path when diffing two nearly-identical 100 TB snapshots.
+- Directional mode (``how='left'``) mirrors the reference's base→target
+  semantics (src/action/run/background.rs:48-51): target-only rows ignored.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: diff_status values
+ADDED = "added"        # present only in target
+REMOVED = "removed"    # present only in base
+CHANGED = "changed"    # present in both, at least one compared column differs
+
+
+def _compare_cols(base: DataFrame, target: DataFrame, keys: list[str],
+                  compare_cols: list[str] | None) -> list[str]:
+    if compare_cols is not None:
+        return compare_cols
+    common = [c for c in base.columns if c in set(target.columns)]
+    return [c for c in common if c not in set(keys)]
+
+
+def diff_data(
+    base: DataFrame,
+    target: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+    how: str = "full",
+) -> DataFrame:
+    """Diff two schema-aligned tables by primary key.
+
+    Returns ``keys… , diff_status, changed_columns`` where changed_columns is
+    a comma-joined sorted list of differing column names ('' for added/
+    removed). Unchanged rows are dropped.
+
+    ``how='full'`` reports added+removed+changed; ``how='left'`` reports only
+    removed+changed (reference directionality).
+    """
+    if how not in ("full", "left"):
+        raise ValueError(f"how must be 'full' or 'left', got {how!r}")
+    cols = _compare_cols(base, target, keys, compare_cols)
+
+    b = base.select(*keys, *cols, F.lit(True).alias("_b_present"))
+    t = target.select(*keys, *[F.col(c).alias(f"{c}__t") for c in cols],
+                      F.lit(True).alias("_t_present"))
+    j = b.join(t, keys, how == "full" and "full_outer" or "left")
+
+    changed_arr = F.filter(
+        F.array(*[
+            F.when(~F.col(c).eqNullSafe(F.col(f"{c}__t")), F.lit(c)) for c in cols
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    status = (
+        F.when(F.col("_t_present").isNull(), F.lit(REMOVED))
+        .when(F.col("_b_present").isNull(), F.lit(ADDED))
+        .when(F.size(changed_arr) > 0, F.lit(CHANGED))
+    )
+    out = j.withColumn("diff_status", status).where(F.col("diff_status").isNotNull())
+    return out.select(
+        *keys,
+        "diff_status",
+        F.when(
+            F.col("diff_status") == CHANGED, F.array_join(F.array_sort(changed_arr), ",")
+        ).otherwise(F.lit("")).alias("changed_columns"),
+    )
+
+
+def diff_data_summary(
+    base: DataFrame, target: DataFrame, keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Aggregate diff counts per status — the 'is anything different and how
+    much' summary that runs before anyone looks at row-level output."""
+    d = diff_data(base, target, keys, compare_cols)
+    return d.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n")).orderBy("diff_status")
+
+
+def diff_data_hash(
+    base: DataFrame, target: DataFrame, keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Wide-row fast path: compare one 64-bit row hash instead of N columns.
+
+    Emits the same (keys…, diff_status) shape but ``changed_columns`` is
+    always '' — when a row hashes differently the caller re-diffs the
+    (tiny) changed subset with :func:`diff_data` for column attribution.
+    xxhash64 is computed JVM-side per row; join and filter are the only ops.
+    """
+    cols = sorted(_compare_cols(base, target, keys, compare_cols))
+    def hashed(df: DataFrame, name: str) -> DataFrame:
+        # normalize to string with a NUL separator so (1,'a')≠('1a',''),
+        # and coalesce NULL to a sentinel so NULL≠''.
+        parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
+        return df.select(*keys, F.xxhash64(*parts).alias(name))
+    b = hashed(base, "_bh").withColumn("_b_present", F.lit(True))
+    t = hashed(target, "_th").withColumn("_t_present", F.lit(True))
+    j = b.join(t, keys, "full_outer")
+    status = (
+        F.when(F.col("_t_present").isNull(), F.lit(REMOVED))
+        .when(F.col("_b_present").isNull(), F.lit(ADDED))
+        .when(F.col("_bh") != F.col("_th"), F.lit(CHANGED))
+    )
+    return (
+        j.withColumn("diff_status", status)
+        .where(F.col("diff_status").isNotNull())
+        .select(*keys, "diff_status", F.lit("").alias("changed_columns"))
+    )

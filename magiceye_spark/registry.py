@@ -1,0 +1,220 @@
+"""Central query registry: every implemented operator exposed as a named
+(spark_fn, oracle_sql) pair — the driver contract of ``__spark_entry__.py``.
+
+Each spark_fn takes (spark, sf_dir) and returns a DataFrame; oracle_sql is
+the DuckDB-equivalent ANSI SQL over the same parquet tables (None for
+genuinely non-SQL-expressible ops, which the driver checks rows-only).
+Column names/aliases match exactly between the two sides — the driver's
+value-hash sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magiceye_spark import analytics, synthcat
+from magiceye_spark.datadiff import diff_data, diff_data_summary
+from magiceye_spark.diff.core import (
+    diff_columns,
+    diff_foreign_keys,
+    diff_indexes,
+    diff_schemas,
+    diff_tables,
+)
+from magiceye_spark.report import render_findings
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, tuple[QueryFn, Optional[str]]] = {}
+
+
+def register(name: str, oracle: Optional[str]):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracles() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _snapshots(spark, sf_dir):
+    return synthcat.base_snapshot(spark, sf_dir), synthcat.target_snapshot(spark, sf_dir)
+
+
+# ---------------------------------------------------------- schema diff D1-D17
+
+@register("schema_missing_tables", synthcat.with_ctes(synthcat.SQL_MISSING_TABLES))
+def schema_missing_tables(spark, sf_dir):
+    return diff_tables(*_snapshots(spark, sf_dir))
+
+
+@register("schema_column_diffs", synthcat.with_ctes(synthcat.SQL_COLUMN_DIFFS))
+def schema_column_diffs(spark, sf_dir):
+    return diff_columns(*_snapshots(spark, sf_dir))
+
+
+@register("schema_index_diffs", synthcat.with_ctes(synthcat.SQL_INDEX_DIFFS))
+def schema_index_diffs(spark, sf_dir):
+    return diff_indexes(*_snapshots(spark, sf_dir))
+
+
+@register("schema_fk_diffs", synthcat.with_ctes(synthcat.SQL_FK_DIFFS))
+def schema_fk_diffs(spark, sf_dir):
+    return diff_foreign_keys(*_snapshots(spark, sf_dir))
+
+
+@register("schema_diff_full", synthcat.oracle_sql_full())
+def schema_diff_full(spark, sf_dir):
+    return diff_schemas(*_snapshots(spark, sf_dir))
+
+
+def _report_oracle() -> str:
+    """English rendering of every finding as SQL CASE over the full diff."""
+    from magiceye_spark.report import _KIND_LABEL, _PHRASES  # noqa: SLF001
+
+    label = "CASE object_kind " + " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _KIND_LABEL.items()
+    ) + " END"
+    phrase = "CASE \"check\" " + " ".join(
+        f"WHEN '{k}' THEN '{v[0]}'" for k, v in _PHRASES.items()
+    ) + " END"
+    qual = "CASE WHEN object_kind = 'table' THEN object_name ELSE table_name || '.' || object_name END"
+    msg = (
+        f"CASE WHEN \"check\" = 'missing' THEN {label} || ': ' || {qual} || {phrase} "
+        f"ELSE {label} || ': ' || {qual} || {phrase} || ' => ' || base_value || ' != ' || target_value END"
+    )
+    return f"SELECT table_name, {msg} AS report FROM ({synthcat.oracle_sql_full()})"
+
+
+@register("schema_diff_report", _report_oracle())
+def schema_diff_report(spark, sf_dir):
+    findings = diff_schemas(*_snapshots(spark, sf_dir))
+    return render_findings(findings, "english").select("table_name", "report")
+
+
+# ------------------------------------------------------------- data diff M4
+
+_K = "(l_orderkey * 10 + l_linenumber)"
+
+SQL_PERTURBED_LINEITEM = f"""
+WITH target AS (
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+         CASE WHEN {_K} % 83 = 0 THEN l_quantity + 5 ELSE l_quantity END AS l_quantity,
+         l_extendedprice, l_discount, l_tax,
+         CASE WHEN {_K} % 79 = 0 THEN 'X' ELSE l_returnflag END AS l_returnflag,
+         l_linestatus, l_shipdate
+  FROM lineitem WHERE {_K} % 89 <> 0
+  UNION ALL
+  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber + 1000,
+         l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM lineitem WHERE {_K} % 101 = 0
+)
+"""
+
+_CHANGED_LIST = ", ".join(
+    f"CASE WHEN b.{c} IS DISTINCT FROM t.{c} THEN '{c}' END"
+    for c in [
+        "l_discount", "l_extendedprice", "l_linestatus", "l_partkey",
+        "l_quantity", "l_returnflag", "l_shipdate", "l_suppkey", "l_tax",
+    ]
+)
+
+SQL_DATADIFF = SQL_PERTURBED_LINEITEM + f"""
+SELECT l_orderkey, l_linenumber, diff_status,
+       CASE WHEN diff_status = 'changed' THEN changed_columns ELSE '' END AS changed_columns
+FROM (
+  SELECT COALESCE(b.l_orderkey, t.l_orderkey) AS l_orderkey,
+         COALESCE(b.l_linenumber, t.l_linenumber) AS l_linenumber,
+         CASE WHEN t.l_linenumber IS NULL THEN 'removed'
+              WHEN b.l_linenumber IS NULL THEN 'added'
+              WHEN CONCAT_WS(',', {_CHANGED_LIST}) <> '' THEN 'changed'
+         END AS diff_status,
+         CONCAT_WS(',', {_CHANGED_LIST}) AS changed_columns
+  FROM lineitem b
+  FULL OUTER JOIN target t
+    ON b.l_orderkey = t.l_orderkey AND b.l_linenumber = t.l_linenumber
+)
+WHERE diff_status IS NOT NULL
+"""
+
+SQL_DATADIFF_SUMMARY = (
+    "SELECT diff_status, COUNT(*) AS n FROM (" + SQL_DATADIFF + ") GROUP BY 1 ORDER BY 1"
+)
+
+
+def _perturbed_lineitem(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    k = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    mutated = l.where(k % 89 != 0).withColumns(
+        {
+            "l_quantity": F.when(k % 83 == 0, F.col("l_quantity") + 5).otherwise(
+                F.col("l_quantity")
+            ),
+            "l_returnflag": F.when(k % 79 == 0, F.lit("X")).otherwise(
+                F.col("l_returnflag")
+            ),
+        }
+    )
+    added = l.where(k % 101 == 0).withColumn(
+        "l_linenumber", F.col("l_linenumber") + F.lit(1000)
+    )
+    return l, mutated.unionByName(added)
+
+
+@register("datadiff_lineitem", SQL_DATADIFF)
+def datadiff_lineitem(spark, sf_dir):
+    base, target = _perturbed_lineitem(spark, sf_dir)
+    return diff_data(base, target, keys=["l_orderkey", "l_linenumber"])
+
+
+@register("datadiff_lineitem_summary", SQL_DATADIFF_SUMMARY)
+def datadiff_lineitem_summary(spark, sf_dir):
+    base, target = _perturbed_lineitem(spark, sf_dir)
+    return diff_data_summary(base, target, keys=["l_orderkey", "l_linenumber"])
+
+
+# ------------------------------------------------------------- analytics
+
+@register("q1_pricing_summary", analytics.SQL_Q1)
+def q1(spark, sf_dir):
+    return analytics.q1_pricing_summary(spark, sf_dir)
+
+
+@register("q3_shipping_priority", analytics.SQL_Q3)
+def q3(spark, sf_dir):
+    return analytics.q3_shipping_priority(spark, sf_dir)
+
+
+@register("q5_local_supplier_volume", analytics.SQL_Q5)
+def q5(spark, sf_dir):
+    return analytics.q5_local_supplier_volume(spark, sf_dir)
+
+
+@register("q6_forecast_revenue", analytics.SQL_Q6)
+def q6(spark, sf_dir):
+    return analytics.q6_forecast_revenue(spark, sf_dir)
+
+
+@register("events_hourly_rollup", analytics.SQL_EVENTS_HOURLY)
+def events_hourly(spark, sf_dir):
+    return analytics.events_hourly_rollup(spark, sf_dir)
+
+
+@register("top_users_by_events", analytics.SQL_TOP_USERS)
+def top_users(spark, sf_dir):
+    return analytics.top_users_by_events(spark, sf_dir)
+
+
+@register("orders_customer_rollup", analytics.SQL_ORDERS_ROLLUP)
+def orders_rollup(spark, sf_dir):
+    return analytics.orders_customer_rollup(spark, sf_dir)

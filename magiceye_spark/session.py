@@ -28,6 +28,10 @@ def get_spark(app_name: str = "magiceye-spark", master: str | None = None) -> Sp
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet stores TIMESTAMP(NANOS); Spark's reader
+        # rejects nanos unless surfaced as long (converted at the scan,
+        # analytics._events)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

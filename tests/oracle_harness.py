@@ -1,0 +1,89 @@
+"""Local replica of the driver's correctness gate: run each registry query
+on Spark AND its DuckDB oracle over the same parquet, compare row count,
+column names, and order-insensitive values.
+
+Usage:  python tests/oracle_harness.py [sf_dir] [query ...]
+Exit 0 iff every compared query matches.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def _canon(v):
+    if v is None:
+        return "\0null"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # normalize -0.0 and represent with enough digits to catch real diffs
+        return repr(round(v + 0.0, 9))
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("\x01".join(_canon(r[i]) for i in order) for r in rows)
+
+
+def compare(spark, sf_dir: str, names=None) -> bool:
+    from magiceye_spark import registry
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = registry.queries(), registry.oracles()
+    names = names or list(qs)
+    ok = True
+    for name in names:
+        sdf = qs[name](spark, sf_dir)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name:32s} rows-only: {len(srows)} rows (no oracle)")
+            continue
+        try:
+            res = con.sql(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:32s} ORACLE SQL ERROR: {e}")
+            ok = False
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if not problems:
+            s, d = _rowset(scols, srows), _rowset(dcols, drows)
+            if s != d:
+                diff_s = [x for x in s if x not in set(d)][:3]
+                diff_d = [x for x in d if x not in set(s)][:3]
+                problems.append(f"values spark-only={diff_s} duckdb-only={diff_d}")
+        if problems:
+            ok = False
+            print(f"{name:32s} MISMATCH: {'; '.join(problems)}")
+        else:
+            print(f"{name:32s} OK ({len(srows)} rows)")
+    return ok
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, "/root/repo")
+    from magiceye_spark.session import get_spark
+
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    names = [a for a in args if "/" not in a] or None
+    spark = get_spark("oracle-harness")
+    sys.exit(0 if compare(spark, sf_dir, names) else 1)
