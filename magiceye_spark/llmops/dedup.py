@@ -1,0 +1,311 @@
+"""Deduplication operators: exact, bag-of-words, n-gram Jaccard, MinHash+LSH
+banding, SimHash — the standard pretraining-corpus dedup ladder.
+
+Scale design:
+
+- Exact/bag dedup: one hash + one groupBy shuffle on the fingerprint. At
+  100 TB the md5 key is ~uniform → no skew; AQE coalesces the tiny output.
+- MinHash+LSH: signatures are pure JVM expressions over token-hash arrays
+  (xxhash64 + affine universal hashes mod a Mersenne prime — no overflow
+  under ANSI mode, no Python). Candidate generation explodes each doc into
+  ``bands`` rows and self-joins on (band, bucket) — the classic
+  shingle→minhash→band→bucket-join plan whose cost is O(candidate pairs),
+  never O(n²). Verification reranks candidates with exact Jaccard.
+- SimHash: 64 bit-votes aggregated per document with array expressions;
+  16-bit band blocking (Hamming ≤ 3 within 64 bits guarantees one of the 4
+  bands matches exactly — pigeonhole), exact Hamming rerank.
+- The all-pairs Jaccard operator blocks on (lang, length bucket) and exists
+  as the small-scale oracle-checkable twin; LSH is the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from magiceye_spark.llmops.textstats import _tokens  # noqa: SLF001
+
+#: Mersenne prime 2^31-1: (a*h31 + b) stays < 2^62 — ANSI-overflow-safe.
+_P = (1 << 31) - 1
+
+
+# ------------------------------------------------------------------ exact
+
+def exact_duplicate_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Clusters of byte-identical (whitespace-normalized, case-folded) docs:
+    (canon_md5, n_dups, keeper_doc_id). One groupBy shuffle on the hash."""
+    canon = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(canon).alias("canon_md5"))
+        .groupBy("canon_md5")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def bag_duplicate_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Same-token-SET clusters (order-insensitive near-dup): md5 over the
+    sorted distinct token list."""
+    bag = F.array_join(F.array_sort(F.array_distinct(_tokens(F.col(text_col)))), " ")
+    return (
+        docs.select("doc_id", F.md5(bag).alias("bag_md5"))
+        .groupBy("bag_md5")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the lowest doc_id per canonical text (the actual dedup pass).
+    Window over the hash — single shuffle, no driver involvement."""
+    canon = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    w = Window.partitionBy(F.md5(canon)).orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+SQL_EXACT_CLUSTERS = """
+SELECT canon_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_doc_id
+FROM (SELECT doc_id, md5(regexp_replace(TRIM(LOWER(text)), '\\s+', ' ', 'g')) AS canon_md5 FROM documents)
+GROUP BY canon_md5 HAVING COUNT(*) > 1
+"""
+
+SQL_BAG_CLUSTERS = """
+SELECT bag_md5, COUNT(*) AS n_dups, MIN(doc_id) AS keeper_doc_id
+FROM (SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))), ' ')) AS bag_md5
+      FROM documents)
+GROUP BY bag_md5 HAVING COUNT(*) > 1
+"""
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+def jaccard_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    length_tol: int = 60,
+    text_col: str = "text",
+) -> DataFrame:
+    """All-pairs word-set Jaccard within (lang, |n_chars| ≤ tol) blocks.
+
+    The oracle-checkable small-scale twin of :func:`minhash_lsh_pairs`:
+    exact, deterministic, but O(block²) — use LSH at corpus scale.
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    base = docs.select("doc_id", "lang", "n_chars", toks.alias("toks"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= length_tol),
+    )
+    jac = F.round(
+        F.size(F.array_intersect("a.toks", "b.toks"))
+        / F.size(F.array_union("a.toks", "b.toks")),
+        4,
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def sql_jaccard_near_dups(threshold: float = 0.8, length_tol: int = 60) -> str:
+    return f"""
+WITH toksets AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(LENGTH(list_intersect(a.toks, b.toks))
+             / CAST(LENGTH(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) AS jaccard
+FROM toksets a JOIN toksets b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id AND ABS(a.n_chars - b.n_chars) <= {length_tol}
+WHERE LENGTH(list_intersect(a.toks, b.toks))
+      / CAST(LENGTH(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= {threshold}
+"""
+
+
+# ------------------------------------------------------------ MinHash LSH
+
+def _shingle_hashes(text_col: str, n: int = 3) -> Column:
+    """Distinct xxhash64 values of word n-gram shingles, reduced to 31 bits
+    so the affine rehash (a*h+b) % P cannot overflow int64 under ANSI."""
+    toks = _tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(
+        F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    )
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic affine hash params (a odd, in [1, P))."""
+    params = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_P - 2)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _P
+        params.append((a | 1, b))
+    return params
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 32, shingle_n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig array<long>[num_hashes], shingles array<long>) — each
+    signature slot is min over shingles of an independent affine hash. Pure
+    column expressions; scales as a map-only pass."""
+    hashes = _shingle_hashes(text_col, shingle_n)
+    params = _minhash_params(num_hashes)
+
+    def affine(a: int, b: int):
+        # one-arg lambda factory (pyspark HOFs count the Python signature)
+        return lambda h: (h * a + b) % _P
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("shingles"), affine(a, b))) for a, b in params]
+    )
+    return docs.select("doc_id", hashes.alias("shingles")).withColumn("sig", sig)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """shingle→minhash→band→bucket-join near-dup pairs.
+
+    Explode each doc into ``bands`` (band_id, bucket) rows; equal buckets
+    within a band are candidates; candidates are verified with exact Jaccard
+    over shingle hash sets. Cost: one explode (map-side), one self-equi-join
+    on (band_id, bucket) — the shuffle key is uniformly hash-distributed so
+    no skew — and exact verification only on candidates.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, shingle_n, text_col)
+    banded = sigs.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.xxhash64(
+                            F.slice(F.col("sig"), i * rows_per_band + 1, rows_per_band)
+                        ).alias("bucket"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "shingles", "band.band_id", "band.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id", "a.shingles", "b.shingles")
+        .toDF("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b")),
+        4,
+    )
+    return cands.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as a bit array: per token-hash bit votes (+1/-1)
+    summed with zip_with, thresholded at 0. (doc_id, bits array<int>[64],
+    band0..band3 16-bit band values for blocking)."""
+    toks = F.array_distinct(_tokens(F.col(text_col)))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("int"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int")
+                    for j in range(64)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    bits = F.transform(votes, lambda v: (v > 0).cast("int"))
+    out = docs.select("doc_id", bits.alias("bits"))
+    for band in range(4):
+        band_val = F.aggregate(
+            F.slice(F.col("bits"), band * 16 + 1, 16),
+            F.lit(0).cast("long"),
+            lambda acc, bit: acc * 2 + bit,
+        )
+        out = out.withColumn(f"band{band}", band_val)
+    return out
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming (≤3 ⇒ one of 4 bands is
+    identical — pigeonhole — so band blocking loses nothing). Returns
+    (doc_a, doc_b, hamming)."""
+    sigs = simhash_signatures(docs, text_col)
+    banded = sigs.select(
+        "doc_id",
+        "bits",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band_id"), F.col(f"band{i}").alias("bucket"))
+                for i in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "bits", "band.band_id", "band.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id", "a.bits", "b.bits")
+        .toDF("doc_a", "doc_b", "bits_a", "bits_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.aggregate(
+        F.zip_with("bits_a", "bits_b", lambda x, y: (x != y).cast("int")),
+        F.lit(0).cast("int"),
+        lambda acc, d: acc + d,
+    )
+    return cands.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

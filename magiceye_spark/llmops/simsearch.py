@@ -1,0 +1,221 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring how a 100 TB vector corpus is actually served on Spark:
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set, one map-side pass over the corpus computing dot products with
+  ``zip_with``/``aggregate`` (JVM codegen, no Python), per-query top-k via
+  window. Cost O(|corpus|·|queries|) but shuffle-free except the final
+  window on the (tiny) per-query candidate sets. The exactness oracle.
+- :func:`lsh_topk` — random-hyperplane (sign) LSH: 16-bit signatures from a
+  fixed seeded hyperplane matrix (embedded as literals → deterministic
+  everywhere), multi-band bucket join for candidates, exact cosine rerank.
+  Cost O(candidates) — the scale path; recall measured against
+  :func:`cosine_topk` in tests.
+
+Also :func:`embedding_near_dup_pairs` — corpus self-pairs with cosine ≥
+threshold (near-duplicate detection by embedding), blocked via the same LSH
+signatures at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, strictly left-to-right (same order both
+    engines → bit-identical results)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, cosine_sim,
+    rank). Self-matches excluded. Queries are broadcast — the corpus is
+    scanned once, map-side."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def sql_cosine_topk(query_ids: list[int], k: int = 10) -> str:
+    ids = ", ".join(str(i) for i in query_ids)
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (SQRT(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[])))
+                  * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine_sim
+  FROM embeddings c CROSS JOIN q
+  WHERE q.query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+# ------------------------------------------------------------------- LSH
+
+def _hyperplanes(dim: int = 64, n_planes: int = 16, seed: int = 7) -> list[list[float]]:
+    """Fixed pseudorandom hyperplanes via a seeded LCG → embedded as plan
+    literals, so signatures are identical on any cluster, any run."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(((state >> 20) % 2001 - 1000) / 1000.0)  # uniform-ish [-1, 1]
+        planes.append(row)
+    return planes
+
+
+def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign bits of the projections onto each hyperplane, as array<int>."""
+    return F.array(
+        *[
+            (dot(vec, F.array(*[F.lit(v) for v in p])) > 0).cast("int")
+            for p in planes
+        ]
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 24,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one LSH band with the
+    query (multi-probe by band), exact cosine rerank on candidates only.
+
+    Same output shape as :func:`cosine_topk`; rank may hold fewer than k
+    rows per query when buckets are sparse (that's the recall trade)."""
+    planes = _hyperplanes(dim, n_planes)
+    rows_per_band = n_planes // bands
+
+    def banded(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+        bits = signature_bits(F.col(vec_col), planes)
+        return df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(vec_alias),
+            bits.alias("bits"),
+        ).select(
+            id_alias,
+            vec_alias,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_id"),
+                            F.aggregate(
+                                F.slice(F.col("bits"), i * rows_per_band + 1, rows_per_band),
+                                F.lit(0),
+                                lambda acc, bit: acc * 2 + bit,
+                            ).alias("bucket"),
+                        )
+                        for i in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select(id_alias, vec_alias, "band.band_id", "band.bucket")
+    c = banded(corpus, "neighbor_id", "c_vec")
+    q = banded(queries, "query_id", "q_vec")
+    cands = (
+        c.join(F.broadcast(q), ["band_id", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Self-pairs with cosine ≥ threshold: (id_a, id_b, cosine_sim), a < b.
+    Exact all-pairs — the oracle twin; block via LSH bands for corpus scale
+    (compose signature_bits + a band self-join exactly like minhash_lsh)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).where(
+        F.col("cosine_sim") >= threshold
+    )
+
+
+def sql_embedding_near_dups(threshold: float = 0.95) -> str:
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+            / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+               * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= {threshold}
+"""

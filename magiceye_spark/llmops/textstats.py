@@ -1,0 +1,205 @@
+"""Text analysis operators over the ``documents`` table: token counting,
+quality scoring, language identification, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` column expressions — whole-stage codegen,
+no UDFs, trivially scale-out (embarrassingly parallel per row; zero
+shuffles). Each operator has a DuckDB-SQL twin for the driver's oracle
+check; expressions are chosen so both engines compute bit-identical results
+(integer counts, per-row rounded doubles, md5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: whitespace-delimited token pattern shared by both engines
+_WS = r"\s+"
+#: BPE-ish token estimator: letter runs | single digits | single punctuation
+#: (a crude GPT-2-style pre-tokenizer shape; counts, not splits)
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+PUNCT = r"[^A-Za-z0-9\s]"
+DIGIT = r"[0-9]"
+#: CJK unified ideographs as a literal character range (valid in both Java
+#: regex and RE2 without engine-specific escapes)
+CJK = "[一-鿿]"
+
+#: stopword profiles for the language-ID heuristic (tiny, deterministic;
+#: real pipelines plug in fastText — this is the SQL-expressible baseline)
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist", "ein"],
+    "es": ["el", "los", "y", "que", "una", "por"],
+    "fr": ["le", "les", "et", "une", "dans", "pour"],
+}
+#: deterministic tie-break order (first wins on >=)
+LANG_ORDER = ["en", "de", "es", "fr"]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.trim(F.lower(col)), _WS)
+
+
+def _r4(c: Column) -> Column:
+    return F.round(c, 4)
+
+
+def _isin(words: list[str]):
+    # single-arg lambda factory: pyspark higher-order functions derive the
+    # lambda's variable count from its Python signature, so default-arg
+    # closures would be passed a second lambda variable.
+    return lambda x: x.isin(*words)
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document statistics: counts and ratios used for quality filtering."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    out = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.regexp_count(t, F.lit(BPE_ISH)).alias("n_bpeish_tokens"),
+        _r4((n_chars - F.length(F.regexp_replace(t, _WS, ""))) / n_chars).alias("ws_ratio"),
+        _r4(F.regexp_count(t, F.lit(PUNCT)) / n_chars).alias("punct_ratio"),
+        _r4(F.regexp_count(t, F.lit(DIGIT)) / n_chars).alias("digit_ratio"),
+        _r4(
+            F.size(F.filter(toks, _isin(STOPWORDS["en"]))) / n_tokens
+        ).alias("stopword_ratio"),
+        _r4(
+            F.length(F.regexp_replace(t, _WS, "")) / n_tokens
+        ).alias("avg_token_len"),
+    )
+    return out
+
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars,
+       LENGTH(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')) AS n_tokens,
+       LENGTH(list_distinct(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}'))) AS n_uniq_tokens,
+       LENGTH(regexp_extract_all(text, '{BPE_ISH}')) AS n_bpeish_tokens,
+       ROUND((LENGTH(text) - LENGTH(regexp_replace(text, '{_WS}', '', 'g'))) / CAST(LENGTH(text) AS DOUBLE), 4) AS ws_ratio,
+       ROUND(LENGTH(regexp_extract_all(text, '{PUNCT}')) / CAST(LENGTH(text) AS DOUBLE), 4) AS punct_ratio,
+       ROUND(LENGTH(regexp_extract_all(text, '{DIGIT}')) / CAST(LENGTH(text) AS DOUBLE), 4) AS digit_ratio,
+       ROUND(LENGTH(list_filter(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}'),
+                    x -> x IN ('the','a','and','of','to','is')))
+             / CAST(LENGTH(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')) AS DOUBLE), 4) AS stopword_ratio,
+       ROUND(LENGTH(regexp_replace(text, '{_WS}', '', 'g'))
+             / CAST(LENGTH(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')) AS DOUBLE), 4) AS avg_token_len
+FROM documents
+"""
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length saturation + stopword
+    presence + punctuation sanity — the standard cheap pre-filter shape for
+    pretraining corpora (cf. C4/Gopher rules), deterministic and
+    SQL-expressible."""
+    stats = text_stats(docs, text_col)
+    score = (
+        F.least(F.col("n_tokens") / F.lit(200.0), F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (1 - F.least(F.col("punct_ratio") * F.lit(10.0), F.lit(1.0))) * 0.2
+        + F.least(F.col("n_uniq_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), F.lit(1.0)) * 0.2
+    )
+    return stats.select("doc_id", _r4(score).alias("quality_score"))
+
+
+SQL_QUALITY = f"""
+SELECT doc_id,
+       ROUND(
+         LEAST(n_tokens / 200.0, 1.0) * 0.4
+         + LEAST(stopword_ratio * 5.0, 1.0) * 0.3
+         + (1 - LEAST(punct_ratio * 10.0, 1.0)) * 0.2
+         + LEAST(n_uniq_tokens / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 1.0) * 0.2
+       , 4) AS quality_score
+FROM ({SQL_TEXT_STATS})
+"""
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword language-ID heuristic: score each language profile by
+    stopword hits (plus a CJK character count for zh) and take the argmax
+    with a fixed tie-break order. Returns (doc_id, lang_pred, lang_score)."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    scores = {
+        lang: F.size(F.filter(toks, _isin(ws))) for lang, ws in STOPWORDS.items()
+    }
+    scores["zh"] = F.regexp_count(t, F.lit(CJK))
+    order = LANG_ORDER + ["zh"]
+
+    def wins(lang: str) -> Column:
+        conds = [scores[lang] >= scores[o] for o in order if o != lang]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    pred, best = None, None
+    for lang in order[:-1]:
+        w = wins(lang)
+        pred = (F.when if pred is None else pred.when)(w, F.lit(lang))
+        best = (F.when if best is None else best.when)(w, scores[lang])
+    pred = pred.otherwise(F.lit(order[-1]))
+    best = best.otherwise(scores[order[-1]])
+    return docs.select("doc_id", pred.alias("lang_pred"), best.cast("long").alias("lang_score"))
+
+
+def _sql_lang_scores() -> str:
+    toks = f"regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')"
+    parts = [
+        f"LENGTH(list_filter({toks}, x -> x IN ({', '.join(repr(w) for w in ws)}))) AS score_{lang}"
+        for lang, ws in STOPWORDS.items()
+    ]
+    parts.append(f"LENGTH(regexp_extract_all(text, '{CJK}')) AS score_zh")
+    return f"SELECT doc_id, {', '.join(parts)} FROM documents"
+
+
+def sql_language_id() -> str:
+    order = LANG_ORDER + ["zh"]
+    whens = []
+    for lang in order[:-1]:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{o}" for o in order if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    pred = "CASE " + " ".join(whens) + f" ELSE '{order[-1]}' END"
+    score = "CASE " + " ".join(
+        w.replace(f"THEN '{lang}'", f"THEN score_{lang}")
+        for w, lang in zip(whens, order[:-1])
+    ) + f" ELSE score_{order[-1]}" + " END"
+    return (
+        f"SELECT doc_id, {pred} AS lang_pred, CAST({score} AS BIGINT) AS lang_score "
+        f"FROM ({_sql_lang_scores()})"
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical fingerprints for dedup keys: md5 of whitespace-normalized
+    lowercase text (exact-canonical) and md5 of the sorted distinct token
+    set (bag-of-words identity — catches reorderings)."""
+    t = F.col(text_col)
+    canon = F.regexp_replace(F.trim(F.lower(t)), _WS, " ")
+    bag = F.array_join(F.array_sort(F.array_distinct(_tokens(t))), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("canon_md5"),
+        F.md5(bag).alias("bag_md5"),
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       md5(regexp_replace(TRIM(LOWER(text)), '{_WS}', ' ', 'g')) AS canon_md5,
+       md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}'))), ' ')) AS bag_md5
+FROM documents
+"""

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from magiceye_spark import analytics, synthcat
+from magiceye_spark.llmops import dedup, multimodal, simsearch, textstats
 from magiceye_spark.datadiff import diff_data, diff_data_summary
 from magiceye_spark.diff.core import (
     diff_columns,
@@ -218,3 +219,102 @@ def top_users(spark, sf_dir):
 @register("orders_customer_rollup", analytics.SQL_ORDERS_ROLLUP)
 def orders_rollup(spark, sf_dir):
     return analytics.orders_customer_rollup(spark, sf_dir)
+
+
+# ------------------------------------------------------------- LLM ops M5
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@register("text_stats", textstats.SQL_TEXT_STATS)
+def text_stats_q(spark, sf_dir):
+    return textstats.text_stats(_docs(spark, sf_dir))
+
+
+@register("quality_score", textstats.SQL_QUALITY)
+def quality_q(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+@register("language_id", textstats.sql_language_id())
+def language_q(spark, sf_dir):
+    return textstats.language_id(_docs(spark, sf_dir))
+
+
+@register("doc_fingerprint", textstats.SQL_FINGERPRINT)
+def fingerprint_q(spark, sf_dir):
+    return textstats.doc_fingerprint(_docs(spark, sf_dir))
+
+
+@register("exact_dup_clusters", dedup.SQL_EXACT_CLUSTERS)
+def exact_dups_q(spark, sf_dir):
+    return dedup.exact_duplicate_clusters(_docs(spark, sf_dir))
+
+
+@register("bag_dup_clusters", dedup.SQL_BAG_CLUSTERS)
+def bag_dups_q(spark, sf_dir):
+    return dedup.bag_duplicate_clusters(_docs(spark, sf_dir))
+
+
+@register("jaccard_near_dups", dedup.sql_jaccard_near_dups(threshold=0.8))
+def jaccard_q(spark, sf_dir):
+    return dedup.jaccard_near_dups(_docs(spark, sf_dir), threshold=0.8)
+
+
+@register("minhash_lsh_near_dups", None)  # xxhash64-based: rows-only check
+def minhash_q(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=32, bands=8, threshold=0.8, shingle_n=1
+    )
+
+
+@register("simhash_near_dups", None)  # xxhash64-based: rows-only check
+def simhash_q(spark, sf_dir):
+    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
+
+
+_QUERY_VEC_IDS = list(range(8))
+
+
+@register("cosine_topk", simsearch.sql_cosine_topk(_QUERY_VEC_IDS, k=10))
+def cosine_topk_q(spark, sf_dir):
+    corpus = _embs(spark, sf_dir)
+    queries_df = corpus.where(F.col("vec_id").isin(_QUERY_VEC_IDS))
+    return simsearch.cosine_topk(corpus, queries_df, k=10)
+
+
+@register("lsh_ann_topk", None)  # approximate: recall asserted in tests
+def lsh_topk_q(spark, sf_dir):
+    corpus = _embs(spark, sf_dir)
+    queries_df = corpus.where(F.col("vec_id").isin(_QUERY_VEC_IDS))
+    return simsearch.lsh_topk(corpus, queries_df, k=10)
+
+
+@register("embedding_near_dups", simsearch.sql_embedding_near_dups(threshold=0.45))
+def emb_near_dups_q(spark, sf_dir):
+    return simsearch.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.45)
+
+
+@register("media_catalog", multimodal.SQL_MEDIA_CATALOG)
+def media_catalog_q(spark, sf_dir):
+    return multimodal.media_catalog(multimodal.synth_media(spark, sf_dir))
+
+
+@register("media_features", None)  # mapInPandas payload kernel: rows-only
+def media_features_q(spark, sf_dir):
+    return multimodal.extract_features(multimodal.synth_media(spark, sf_dir))
+
+
+@register("media_resize_plan", multimodal.SQL_RESIZE_PLAN)
+def media_resize_q(spark, sf_dir):
+    return multimodal.resize_images(multimodal.synth_media(spark, sf_dir))
+
+
+@register("media_frame_plan", multimodal.SQL_FRAME_PLAN)
+def media_frames_q(spark, sf_dir):
+    return multimodal.sample_frames(multimodal.synth_media(spark, sf_dir))

@@ -1,0 +1,183 @@
+"""Set-oriented JDBC catalog readers for PostgreSQL and MySQL.
+
+Reproduces the semantics of the reference's catalog scans
+(``/root/reference/src/sql/postgres.rs:22-199``, ``src/sql/mysql.rs:16-151``)
+with one structural fix: the reference describes tables ONE AT A TIME in a
+sequential loop — 1 + 3·N or 1 + 4·N catalog queries per side
+(``src/action/run/steps/fetching.rs:29-50``). Here each object kind is ONE
+whole-schema query (4 queries per side total, independent of table count),
+pushed down to the server via the JDBC ``query`` option; Spark ingests the
+result set in parallel and the snapshot never lands on the driver.
+
+Semantics preserved exactly:
+- PG varchar rendering ``character varying`` + length → ``varchar(N)``
+  (postgres.rs:39-44; other types verbatim).
+- NULL text properties coalesced to '' server-side (postgres.rs:54-56,
+  mysql.rs:42-44).
+- PG index columns ordered by position in ``indkey`` (postgres.rs:110-148);
+  MySQL by ``seq_in_index`` (mysql.rs:71-100); rendered as a comma-joined
+  string server-side, split into an array on ingest (postgres.rs:144).
+- MySQL ``is_auto_increment`` from ``extra LIKE '%auto_increment%'``
+  (mysql.rs:65); always false for PG (postgres.rs:85).
+- MySQL index predicate always '' (mysql.rs:98).
+- Deviation (improvement): MySQL table comments are real — the reference
+  hard-codes '' with a TODO (mysql.rs:144).
+
+Offline testing: these SQL texts are unit-tested for shape; live round-trips
+need a database, so CI covers the parquet snapshot path instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magiceye_spark.snapshot import SchemaSnapshot
+
+# --------------------------------------------------------------- postgres
+
+PG_TABLES_SQL = """
+SELECT t.table_name,
+       COALESCE(obj_description(c.oid), '') AS table_comment
+FROM information_schema.tables t
+JOIN pg_class c ON c.relname = t.table_name
+JOIN pg_namespace n ON n.oid = c.relnamespace AND n.nspname = t.table_schema
+WHERE t.table_schema = 'public' AND t.table_type = 'BASE TABLE'
+"""
+
+PG_COLUMNS_SQL = """
+SELECT c.table_name,
+       c.column_name,
+       CASE WHEN c.data_type = 'character varying'
+            THEN 'varchar(' || c.character_maximum_length || ')'
+            ELSE c.data_type END AS data_type,
+       COALESCE(c.column_default, '') AS column_default,
+       c.is_nullable = 'YES' AS is_nullable,
+       COALESCE(col_description(pc.oid, c.ordinal_position), '') AS comment,
+       false AS is_auto_increment
+FROM information_schema.columns c
+JOIN pg_class pc ON pc.relname = c.table_name
+JOIN pg_namespace n ON n.oid = pc.relnamespace AND n.nspname = c.table_schema
+WHERE c.table_schema = 'public'
+"""
+
+PG_INDEXES_SQL = """
+SELECT t.relname AS table_name,
+       i.relname AS index_name,
+       string_agg(a.attname, ',' ORDER BY array_position(ix.indkey, a.attnum)) AS columns_csv,
+       COALESCE(pg_get_expr(ix.indpred, ix.indrelid), '') AS predicate,
+       ix.indisunique AS is_unique
+FROM pg_index ix
+JOIN pg_class t ON t.oid = ix.indrelid
+JOIN pg_class i ON i.oid = ix.indexrelid
+JOIN pg_namespace n ON n.oid = t.relnamespace AND n.nspname = 'public'
+JOIN pg_attribute a ON a.attrelid = t.oid AND a.attnum = ANY(ix.indkey)
+GROUP BY t.relname, i.relname, ix.indpred, ix.indrelid, ix.indisunique
+"""
+
+PG_FKS_SQL = """
+SELECT tc.table_name,
+       tc.constraint_name AS fk_name,
+       string_agg(kcu.column_name, ',' ORDER BY kcu.ordinal_position) AS columns_csv,
+       MIN(ccu.table_name) AS ref_table,
+       MIN(ccu.column_name) AS ref_column
+FROM information_schema.table_constraints tc
+JOIN information_schema.key_column_usage kcu
+  ON tc.constraint_name = kcu.constraint_name AND tc.table_schema = kcu.table_schema
+JOIN information_schema.constraint_column_usage ccu
+  ON tc.constraint_name = ccu.constraint_name AND tc.table_schema = ccu.table_schema
+WHERE tc.constraint_type = 'FOREIGN KEY' AND tc.table_schema = 'public'
+GROUP BY tc.table_name, tc.constraint_name
+"""
+
+# ----------------------------------------------------------------- mysql
+
+MY_TABLES_SQL = """
+SELECT table_name, COALESCE(table_comment, '') AS table_comment
+FROM information_schema.tables
+WHERE table_schema = DATABASE() AND table_type = 'BASE TABLE'
+"""
+
+MY_COLUMNS_SQL = """
+SELECT table_name,
+       column_name,
+       column_type AS data_type,
+       COALESCE(column_default, '') AS column_default,
+       is_nullable = 'YES' AS is_nullable,
+       COALESCE(column_comment, '') AS comment,
+       extra LIKE '%auto_increment%' AS is_auto_increment
+FROM information_schema.columns
+WHERE table_schema = DATABASE()
+"""
+
+MY_INDEXES_SQL = """
+SELECT table_name,
+       index_name,
+       GROUP_CONCAT(column_name ORDER BY seq_in_index SEPARATOR ',') AS columns_csv,
+       '' AS predicate,
+       MIN(non_unique) = 0 AS is_unique
+FROM information_schema.statistics
+WHERE table_schema = DATABASE()
+GROUP BY table_name, index_name
+"""
+
+MY_FKS_SQL = """
+SELECT kcu.table_name,
+       kcu.constraint_name AS fk_name,
+       GROUP_CONCAT(kcu.column_name ORDER BY kcu.ordinal_position SEPARATOR ',') AS columns_csv,
+       MIN(kcu.referenced_table_name) AS ref_table,
+       MIN(kcu.referenced_column_name) AS ref_column
+FROM information_schema.key_column_usage kcu
+JOIN information_schema.referential_constraints rc
+  ON rc.constraint_name = kcu.constraint_name AND rc.constraint_schema = kcu.table_schema
+WHERE kcu.table_schema = DATABASE() AND kcu.referenced_table_name IS NOT NULL
+GROUP BY kcu.table_name, kcu.constraint_name
+"""
+
+_CATALOG_SQL = {
+    "postgresql": (PG_TABLES_SQL, PG_COLUMNS_SQL, PG_INDEXES_SQL, PG_FKS_SQL),
+    "mysql": (MY_TABLES_SQL, MY_COLUMNS_SQL, MY_INDEXES_SQL, MY_FKS_SQL),
+}
+
+
+def _read_query(spark: SparkSession, url: str, sql: str, props: dict | None) -> DataFrame:
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", sql)
+        .option("fetchsize", "10000")
+    )
+    for k, v in (props or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_catalog_snapshot(
+    spark: SparkSession,
+    url: str,
+    kind: str = "postgresql",
+    properties: dict | None = None,
+) -> SchemaSnapshot:
+    """Snapshot a live database's schema catalog as a SchemaSnapshot.
+
+    ``kind`` ∈ {postgresql, mysql}; ``url`` is a JDBC URL (credentials via
+    ``properties`` or the URL). Four server-side queries total, regardless
+    of table count — vs the reference's 1 + 3·N/4·N sequential round-trips.
+    """
+    if kind not in _CATALOG_SQL:
+        raise ValueError(f"kind must be one of {sorted(_CATALOG_SQL)}, got {kind!r}")
+    tables_sql, columns_sql, indexes_sql, fks_sql = _CATALOG_SQL[kind]
+    tables = _read_query(spark, url, tables_sql, properties)
+    columns = _read_query(spark, url, columns_sql, properties)
+    indexes = _read_query(spark, url, indexes_sql, properties).withColumn(
+        "columns", F.split(F.col("columns_csv"), ",")
+    ).drop("columns_csv")
+    fks = _read_query(spark, url, fks_sql, properties).withColumn(
+        "columns", F.split(F.col("columns_csv"), ",")
+    ).drop("columns_csv")
+    return SchemaSnapshot.from_dataframes(
+        tables=tables,
+        columns=columns,
+        indexes=indexes.select("table_name", "index_name", "columns", "predicate", "is_unique"),
+        fks=fks.select("table_name", "fk_name", "columns", "ref_table", "ref_column"),
+    )

@@ -1,0 +1,104 @@
+"""Streaming schema-drift monitor + watermarked event rollups.
+
+The reference is strictly batch (its only 'stream' is a process-internal
+progress channel, ``src/action/run.rs:44-57``); this is the §7 extension:
+watch a directory of catalog-snapshot deltas and emit diff findings
+continuously, reusing the batch diff operators inside ``foreachBatch`` —
+the canonical Spark pattern for incrementally applying a batch transform.
+
+Scale notes: each micro-batch carries only the *changed* catalog rows (a
+snapshot delta), the baseline side is a small broadcast join, and the
+windowed rollup holds state bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructField, StructType, TimestampType
+
+from magiceye_spark.schema import COLUMNS_SCHEMA
+
+#: streamed snapshot-delta record: a column-catalog row + capture timestamp
+STREAM_COLUMNS_SCHEMA = StructType(
+    list(COLUMNS_SCHEMA.fields) + [StructField("snapshot_ts", TimestampType())]
+)
+
+
+def column_drift(batch: DataFrame, baseline_columns: DataFrame) -> DataFrame:
+    """Diff a batch of streamed column records against the baseline catalog:
+    new columns, dropped-at-source markers aside, property drift. Pure
+    batch transform — reused by foreachBatch below and unit-testable alone."""
+    b = baseline_columns.select(
+        "table_name",
+        "column_name",
+        F.col("data_type").alias("data_type_base"),
+        F.col("is_nullable").alias("is_nullable_base"),
+        F.col("column_default").alias("default_base"),
+    )
+    j = batch.join(F.broadcast(b), ["table_name", "column_name"], "left")
+    drift_kind = (
+        F.when(F.col("data_type_base").isNull(), F.lit("new_column"))
+        .when(F.col("data_type") != F.col("data_type_base"), F.lit("type_drift"))
+        .when(F.col("is_nullable") != F.col("is_nullable_base"), F.lit("nullable_drift"))
+        .when(F.col("column_default") != F.col("default_base"), F.lit("default_drift"))
+    )
+    return (
+        j.withColumn("drift_kind", drift_kind)
+        .where(F.col("drift_kind").isNotNull())
+        .select(
+            "snapshot_ts",
+            "table_name",
+            "column_name",
+            "drift_kind",
+            F.coalesce("data_type_base", F.lit("")).alias("base_value"),
+            F.col("data_type").alias("observed_value"),
+        )
+    )
+
+
+def monitor_schema_drift(
+    spark: SparkSession,
+    snapshots_path: str,
+    baseline_columns: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Watch ``snapshots_path`` for parquet snapshot deltas and feed drift
+    findings to ``sink(batch_df, batch_id)`` via foreachBatch."""
+    stream = (
+        spark.readStream.schema(STREAM_COLUMNS_SCHEMA)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(snapshots_path)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(column_drift(batch_df, baseline_columns), batch_id)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", snapshots_path.rstrip("/") + "_chk"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def drift_rate_rollup(
+    drift: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window drift counts with late-data watermark: the
+    alert-feed aggregation (state bounded by the watermark horizon)."""
+    return (
+        drift.withWatermark("snapshot_ts", watermark)
+        .groupBy(F.window("snapshot_ts", window).alias("w"), F.col("drift_kind"))
+        .agg(F.count(F.lit(1)).alias("n_findings"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "drift_kind",
+            "n_findings",
+        )
+    )

@@ -1,0 +1,69 @@
+"""Streaming drift monitor: file-stream snapshot deltas diffed against a
+baseline catalog inside foreachBatch, plus the watermarked rollup."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from magiceye_spark.streaming import drift as drift_mod
+from magiceye_spark.streaming.drift import (
+    STREAM_COLUMNS_SCHEMA,
+    column_drift,
+    drift_rate_rollup,
+    monitor_schema_drift,
+)
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _baseline(spark):
+    rows = [
+        ("users", "id", "integer", "", False, "", False),
+        ("users", "email", "varchar(255)", "", False, "", False),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, data_type string, "
+        "column_default string, is_nullable boolean, comment string, "
+        "is_auto_increment boolean",
+    )
+
+
+def _delta(spark, ts):
+    rows = [
+        ("users", "id", "bigint", "", False, "", False, ts),          # type drift
+        ("users", "email", "varchar(255)", "", True, "", False, ts),  # nullable drift
+        ("users", "phone", "varchar(32)", "", True, "", False, ts),   # new column
+    ]
+    return spark.createDataFrame(rows, STREAM_COLUMNS_SCHEMA)
+
+
+def test_column_drift_batch(spark):
+    findings = column_drift(_delta(spark, T0), _baseline(spark)).collect()
+    kinds = {(r["column_name"], r["drift_kind"]) for r in findings}
+    assert kinds == {("id", "type_drift"), ("email", "nullable_drift"), ("phone", "new_column")}
+
+
+def test_streaming_end_to_end(spark, tmp_path):
+    snap_dir = str(tmp_path / "snaps")
+    _delta(spark, T0).write.parquet(snap_dir)
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.extend(batch_df.collect())
+
+    q = monitor_schema_drift(spark, snap_dir, _baseline(spark), sink)
+    q.awaitTermination(60)
+    assert {r["drift_kind"] for r in collected} == {
+        "type_drift", "nullable_drift", "new_column"
+    }
+
+
+def test_drift_rate_rollup(spark):
+    d1 = column_drift(_delta(spark, T0), _baseline(spark))
+    d2 = column_drift(_delta(spark, T0 + dt.timedelta(minutes=15)), _baseline(spark))
+    rolled = drift_rate_rollup(d1.unionByName(d2)).collect()
+    by_window = {(r["window_start"].minute, r["drift_kind"]): r["n_findings"] for r in rolled}
+    assert by_window[(0, "type_drift")] == 1
+    assert by_window[(10, "type_drift")] == 1
+    assert len(rolled) == 6  # 3 kinds × 2 windows
