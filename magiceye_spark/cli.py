@@ -1,0 +1,142 @@
+"""CLI: ``init`` writes a config, ``run`` produces a schema-diff report.
+
+Config JSON is shape-compatible with the reference's
+(``/root/reference/src/config.rs:75-100``): database_pairs with
+base/target connections, default_database_pair, current_language, and
+ignore_list — which the reference declares but never reads
+(``config.rs:99``, no consumer); here it actually filters finding kinds.
+
+Connections may be JDBC URLs (live catalogs, sources/jdbc.py) or local
+paths to parquet snapshot directories (snapshot.py) — the offline-testable
+path. The interactive TUI wizard (``src/action/init.rs``) is replaced by
+flags: a library's CLI should be scriptable.
+
+Report file naming follows the reference: ``report_YYYY-MM-DD HH:MM.json``
+in the working directory (``src/action/run/background.rs:58-66``) unless
+--out is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import sys
+
+DEFAULT_CONFIG_PATH = os.path.expanduser("~/.local/share/magiceye_spark/config.json")
+
+_VALID_CHECKS = {
+    "missing", "data_type", "comment", "nullable", "default", "auto_increment",
+    "index_columns", "index_predicate", "index_unique", "fk_ref",
+}
+
+
+def load_config(path: str = DEFAULT_CONFIG_PATH) -> dict:
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def save_config(cfg: dict, path: str = DEFAULT_CONFIG_PATH) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(cfg, fh, indent=2)
+
+
+def cmd_init(args: argparse.Namespace) -> int:
+    pair = {
+        "name": args.name,
+        "database_type": args.database_type,
+        "base_connection": args.base,
+        "target_connection": args.target,
+    }
+    path = args.config or DEFAULT_CONFIG_PATH
+    try:
+        cfg = load_config(path)
+    except FileNotFoundError:
+        cfg = {
+            "database_pairs": [],
+            "default_database_pair": "",
+            "current_language": "English",
+            "ignore_list": [],
+        }
+    cfg["database_pairs"] = [p for p in cfg["database_pairs"] if p["name"] != args.name]
+    cfg["database_pairs"].append(pair)
+    cfg["default_database_pair"] = args.name
+    if args.language:
+        cfg["current_language"] = args.language.capitalize()
+    save_config(cfg, path)
+    print(f"wrote {path} (default pair: {args.name})")
+    return 0
+
+
+def _snapshot(spark, connection: str, database_type: str):
+    from magiceye_spark.snapshot import SchemaSnapshot
+
+    if connection.startswith("jdbc:"):
+        from magiceye_spark.sources.jdbc import read_catalog_snapshot
+
+        kind = {"Postgres": "postgresql", "Mysql": "mysql"}[database_type]
+        return read_catalog_snapshot(spark, connection, kind)
+    return SchemaSnapshot.read_parquet(spark, connection)
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    cfg = load_config(args.config or DEFAULT_CONFIG_PATH)
+    pair_name = args.pair or cfg.get("default_database_pair")
+    pairs = {p["name"]: p for p in cfg.get("database_pairs", [])}
+    if pair_name not in pairs:
+        print(f"no database pair named {pair_name!r} in config", file=sys.stderr)
+        return 2
+    pair = pairs[pair_name]
+    ignore = set(cfg.get("ignore_list", []))
+    bad = ignore - _VALID_CHECKS
+    if bad:
+        print(f"unknown ignore_list entries: {sorted(bad)}", file=sys.stderr)
+        return 2
+
+    from magiceye_spark.diff.core import diff_schemas
+    from magiceye_spark.report import write_report
+    from magiceye_spark.session import get_spark
+
+    spark = get_spark("magiceye-run")
+    base = _snapshot(spark, pair["base_connection"], pair["database_type"])
+    target = _snapshot(spark, pair["target_connection"], pair["database_type"])
+    findings = diff_schemas(base, target)
+    if ignore:
+        from pyspark.sql import functions as F
+
+        findings = findings.where(~F.col("check").isin(*sorted(ignore)))
+    out = args.out or f"report_{dt.datetime.now().strftime('%Y-%m-%d %H:%M')}.json"
+    language = (args.language or cfg.get("current_language", "English")).lower()
+    doc = write_report(findings, out, language)
+    print(f"wrote {out} ({len(doc['report_table_list'])} tables with findings)")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="magiceye-spark", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_init = sub.add_parser("init", help="create/update config (non-interactive)")
+    p_init.add_argument("--name", required=True)
+    p_init.add_argument("--database-type", choices=["Postgres", "Mysql"], default="Postgres")
+    p_init.add_argument("--base", required=True, help="JDBC URL or parquet snapshot dir")
+    p_init.add_argument("--target", required=True)
+    p_init.add_argument("--language", choices=["english", "korean"])
+    p_init.add_argument("--config")
+    p_init.set_defaults(fn=cmd_init)
+
+    p_run = sub.add_parser("run", help="diff base vs target, write report JSON")
+    p_run.add_argument("--pair", help="pair name (default: config default)")
+    p_run.add_argument("--config")
+    p_run.add_argument("--out")
+    p_run.add_argument("--language", choices=["english", "korean"])
+    p_run.set_defaults(fn=cmd_run)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

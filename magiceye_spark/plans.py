@@ -1,0 +1,59 @@
+"""Physical-plan inspection utilities.
+
+The reference has no optimizer (SURVEY.md §4) — Catalyst is ours for free,
+but only if the operators stay declarative. These helpers make plan quality
+*testable*: scans must show pushed filters and pruned schemas, dimension
+joins must broadcast, Python must not appear in hot paths. Used by
+tests/test_plans.py to pin the plans, so a refactor that silently degrades
+to a shuffle join or a row-at-a-time Python eval fails CI.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """The final (post-AQE-planning) physical plan as text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of Exchange operators (AQE may later coalesce them, but each
+    is a logical shuffle boundary — the thing to minimize at 100 TB)."""
+    return len(re.findall(r"\bExchange\b", executed_plan(df)))
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", executed_plan(df)))
+
+
+def sortmerge_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"SortMergeJoin", executed_plan(df)))
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries from every parquet scan in the plan."""
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df))
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema of every file scan — the column-pruning evidence."""
+    return re.findall(r"ReadSchema: ([^\n]+)", formatted_plan(df))
+
+
+def python_eval_count(df: DataFrame) -> int:
+    """Row-at-a-time or Arrow Python evals in the plan. Zero for every
+    operator except the explicitly-Pandas multimodal kernels."""
+    return len(re.findall(r"BatchEvalPython|ArrowEvalPython|MapInPandas", executed_plan(df)))
+
+
+def wholestage_codegen_count(df: DataFrame) -> int:
+    return len(re.findall(r"WholeStageCodegen", executed_plan(df)))

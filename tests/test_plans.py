@@ -1,0 +1,61 @@
+"""Plan-quality gates: these tests pin the physical plans we want at scale —
+filter pushdown into parquet scans, column pruning, broadcast joins for
+dimension sides, no Python eval in JVM-path operators. A refactor that
+regresses any of these fails here before it ever hits a cluster."""
+
+from magiceye_spark import analytics, plans, registry
+from magiceye_spark.datadiff import diff_data
+from magiceye_spark.fixtures import mysql_base, mysql_target
+from magiceye_spark.diff.core import diff_schemas
+
+
+def test_q6_filters_reach_parquet_scan(spark, sf_dir):
+    df = analytics.q6_forecast_revenue(spark, sf_dir)
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    df = analytics.q6_forecast_revenue(spark, sf_dir)
+    (schema,) = plans.read_schemas(df)
+    # only the 4 needed columns are read, not all 11
+    assert "l_extendedprice" in schema and "l_returnflag" not in schema
+
+
+def test_q3_broadcasts_customer_dim(spark, sf_dir):
+    df = analytics.q3_shipping_priority(spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 1
+
+
+def test_q5_all_dims_broadcast_no_sortmerge(spark, sf_dir):
+    df = analytics.q5_local_supplier_volume(spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 4
+    assert plans.sortmerge_join_count(df) <= 1  # only the two fact tables may SMJ
+
+
+def test_datadiff_single_join_no_python(spark, sf_dir):
+    base = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    target = base.limit(100)
+    df = diff_data(base, target, keys=["l_orderkey", "l_linenumber"])
+    assert plans.python_eval_count(df) == 0
+    # one join → at most one shuffle per side (+1 AQE read); never more
+    assert plans.count_shuffles(df) <= 3
+
+
+def test_schema_diff_broadcasts_and_stays_jvm(spark):
+    df = diff_schemas(mysql_base(spark), mysql_target(spark))
+    assert plans.python_eval_count(df) == 0
+    assert plans.broadcast_join_count(df) >= 4
+
+
+def test_no_python_eval_in_any_oracle_query(spark, sf_dir):
+    """Every oracle-checked operator must run fully JVM-side (the Pandas
+    kernels are exactly the rows-only media queries)."""
+    qs, oracles = registry.queries(), registry.oracles()
+    offenders = []
+    for name, fn in qs.items():
+        if name not in oracles:
+            continue
+        if plans.python_eval_count(fn(spark, sf_dir)) > 0:
+            offenders.append(name)
+    assert offenders == []
