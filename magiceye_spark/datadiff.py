@@ -91,6 +91,16 @@ def diff_data_summary(
     return d.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n")).orderBy("diff_status")
 
 
+def diff_rows_set(base: DataFrame, target: DataFrame) -> DataFrame:
+    """Keyless row-level diff via multiset difference (exceptAll both ways):
+    (all columns…, diff_status ∈ {removed, added}). For tables WITHOUT a
+    primary key — duplicates count, so 3 copies vs 2 copies reports one
+    'removed'. One aggregation-style shuffle per side; no join."""
+    removed = base.exceptAll(target).withColumn("diff_status", F.lit(REMOVED))
+    added = target.exceptAll(base).withColumn("diff_status", F.lit(ADDED))
+    return removed.unionByName(added)
+
+
 def diff_data_hash(
     base: DataFrame, target: DataFrame, keys: list[str],
     compare_cols: list[str] | None = None,

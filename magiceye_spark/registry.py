@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 
 from magiceye_spark import analytics, synthcat
 from magiceye_spark.llmops import dedup, multimodal, simsearch, textstats
-from magiceye_spark.datadiff import diff_data, diff_data_summary
+from magiceye_spark.datadiff import (
+    diff_data,
+    diff_data_hash,
+    diff_data_summary,
+    diff_rows_set,
+)
 from magiceye_spark.diff.core import (
     diff_columns,
     diff_foreign_keys,
@@ -182,6 +187,44 @@ def datadiff_lineitem(spark, sf_dir):
 def datadiff_lineitem_summary(spark, sf_dir):
     base, target = _perturbed_lineitem(spark, sf_dir)
     return diff_data_summary(base, target, keys=["l_orderkey", "l_linenumber"])
+
+
+# hash fast-path emits the same (keys, status) rows with no column
+# attribution — oracle is the full diff with changed_columns blanked.
+SQL_DATADIFF_HASHMODE = SQL_PERTURBED_LINEITEM + f"""
+SELECT l_orderkey, l_linenumber, diff_status, '' AS changed_columns
+FROM (
+  SELECT COALESCE(b.l_orderkey, t.l_orderkey) AS l_orderkey,
+         COALESCE(b.l_linenumber, t.l_linenumber) AS l_linenumber,
+         CASE WHEN t.l_linenumber IS NULL THEN 'removed'
+              WHEN b.l_linenumber IS NULL THEN 'added'
+              WHEN CONCAT_WS(',', {_CHANGED_LIST}) <> '' THEN 'changed'
+         END AS diff_status
+  FROM lineitem b
+  FULL OUTER JOIN target t
+    ON b.l_orderkey = t.l_orderkey AND b.l_linenumber = t.l_linenumber
+)
+WHERE diff_status IS NOT NULL
+"""
+
+
+@register("datadiff_lineitem_hashmode", SQL_DATADIFF_HASHMODE)
+def datadiff_lineitem_hashmode(spark, sf_dir):
+    base, target = _perturbed_lineitem(spark, sf_dir)
+    return diff_data_hash(base, target, keys=["l_orderkey", "l_linenumber"])
+
+
+SQL_ROWSET_DIFF = SQL_PERTURBED_LINEITEM + """
+SELECT *, 'removed' AS diff_status FROM (SELECT * FROM lineitem EXCEPT ALL SELECT * FROM target)
+UNION ALL
+SELECT *, 'added' AS diff_status FROM (SELECT * FROM target EXCEPT ALL SELECT * FROM lineitem)
+"""
+
+
+@register("datadiff_lineitem_rowset", SQL_ROWSET_DIFF)
+def datadiff_lineitem_rowset(spark, sf_dir):
+    base, target = _perturbed_lineitem(spark, sf_dir)
+    return diff_rows_set(base, target)
 
 
 # ------------------------------------------------------------- analytics
