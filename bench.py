@@ -25,6 +25,10 @@ HEADLINE = [
     "q6_forecast_revenue",
     "events_hourly_rollup",
     "top_users_by_events",
+    "q18_large_volume_customers",
+    "events_sessionize",
+    "purchase_last_click_asof",
+    "vocab_topk",
 ]
 
 

@@ -275,3 +275,274 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join. Orders (in a quarter) that
+    have at least one lineitem shipped >90 days after the order date,
+    counted by priority. The semi join shuffles on orderkey only and never
+    widens rows — the EXISTS decorrelation Catalyst would do for SQL,
+    expressed directly."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    late = l.join(o, l.l_orderkey == o.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+    Customer and nation broadcast; the fact join shuffles once on orderkey,
+    the aggregation once on custkey."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _money(
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from one part class in a month.
+    Conditional aggregation over a broadcast part join — both sums exact
+    decimals, the final ratio one double division."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+                / F.sum(rev).cast("double"),
+                4,
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_Q14 = """
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'ECONOMY'
+                                   THEN CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))
+                                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE), 4) AS promo_revenue_pct,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity), decorrelated into an aggregate + re-join — the plan Catalyst
+    produces for the SQL form, written directly. The per-part average is an
+    exact decimal sum / count rounded once, so both engines compare
+    ``l_quantity < 0.2 * avg`` against the identical double."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    avg_q = l.groupBy("l_partkey").agg(
+        F.round(
+            F.sum(_dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(avg_q.withColumnRenamed("l_partkey", "a_partkey"),
+              F.col("l_partkey") == F.col("a_partkey"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double") / 7.0, 4).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_Q17 = """
+WITH avg_q AS (
+  SELECT l_partkey AS a_partkey,
+         ROUND(CAST(SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice, 4) AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_q ON l_partkey = a_partkey
+WHERE p_brand = 'Brand#3' AND l_quantity < 0.2 * avg_qty
+"""
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a grouped fact, then enrich. The
+    quantity rollup shuffles on orderkey; qualifying orderkeys are few, so
+    the enrichment joins broadcast the filtered aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(_money(F.sum(_dec(F.col("l_quantity")))).alias("sum_qty"))
+        .where(F.col("sum_qty") > 170)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                F.round(F.col("o_totalprice"), 2).alias("o_totalprice"), "sum_qty")
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+        .limit(100)
+    )
+
+
+SQL_Q18 = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       ROUND(o_totalprice, 2) AS o_totalprice, sum_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey,
+         ROUND(CAST(SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty
+  FROM lineitem GROUP BY 1
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE sum_qty > 170
+ORDER BY sum_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brackets over a broadcast
+    part join — the OR-of-ANDs predicate Catalyst pushes into the join."""
+    p = _t(spark, sf_dir, "part")
+    l = _t(spark, sf_dir, "lineitem")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    bracket = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    return j.where(bracket).agg(
+        _money(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_Q19 = """
+SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global average balance) + NOT
+    EXISTS → left-anti join. The scalar is a broadcast 1-row cross join;
+    the anti join shuffles on custkey only."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    n = _t(spark, sf_dir, "nation")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.round(
+            F.sum(_dec(F.col("c_acctbal"))).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_bal")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        rich.join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _money(F.sum(_dec(F.col("c_acctbal")))).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_Q22 = """
+WITH avg_bal AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(c_acctbal, 4) AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(ROUND(c_acctbal, 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS totacctbal
+FROM customer, avg_bal
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+ORDER BY n_name
+"""

@@ -1,0 +1,222 @@
+"""Event-stream batch operators: sessionization, as-of join, and JSON
+property extraction over the ``events`` table.
+
+These are the batch shapes of the operators a training-data/event pipeline
+needs beyond plain rollups (SURVEY.md §2.4). All pure DataFrame API:
+
+- :func:`sessionize` — gap-based sessionization with window functions. ONE
+  shuffle (partition by user); the running session counter and the session
+  aggregation share that partitioning, so Catalyst reuses the exchange.
+- :func:`asof_join` — generic "latest right row at-or-before each left row"
+  join via the union + last-value-ignore-nulls trick: tag both sides, sort
+  within the key partition by (ts, tag), and carry the most recent right row
+  forward. ONE shuffle on the key — no range cross-join, no per-key collect;
+  this is the formulation that survives 100 TB where a theta-join
+  (``l.ts >= r.ts``) would explode. Skewed keys split by AQE.
+- :func:`props_rollup` — typed extraction from a JSON string column
+  (``get_json_object``, JVM-side) feeding a grouped aggregate.
+
+Timestamps: the testdata stores TIMESTAMP(NANOS); everything here works on
+the micros-truncated timestamp from :func:`magiceye_spark.analytics._events`
+so Spark and the DuckDB oracle (``CAST(ts AS TIMESTAMP)``) agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from magiceye_spark.analytics import _dec, _events, _money
+
+#: DuckDB-side rendering of the events table with nanos truncated to micros
+#: (mirrors analytics._events on the Spark side).
+SQL_EVENTS_US = (
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props "
+    "FROM events"
+)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is idle
+    longer than ``gap_minutes``. Returns one row per session:
+    (user_id, session_seq, session_start, session_end, n_events, sum_value).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    is_new = F.when(
+        F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us), 1
+    ).otherwise(0)
+    run = Window.partitionBy(user_col).orderBy(ts_col, "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_session = events.withColumn("session_seq", F.sum(is_new).over(run))
+    return (
+        with_session.groupBy(user_col, "session_seq")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            _money(F.sum(_dec(F.col("value")))).alias("sum_value"),
+        )
+        .orderBy(user_col, "session_seq")
+    )
+
+
+def sql_sessionize(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH e AS ({SQL_EVENTS_US}),
+flagged AS (
+  SELECT *,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    right_carry: list[str] | None = None,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with the same
+    keys and ``right.ts <= left.ts`` (left outer: unmatched rows keep NULLs).
+
+    ``right_carry`` names the right columns to attach (prefixed ``r_``);
+    ``tie_col`` breaks ties among right rows sharing a timestamp (largest
+    wins). Implemented as union + last(ignorenulls) over a single
+    key-partitioned window — one shuffle, linear in rows.
+    """
+    right_carry = right_carry or [c for c in right.columns if c not in keys and c != ts_col]
+    l = left.withColumn("_tag", F.lit(1))
+    r = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("_tag"),
+        *[F.col(c).alias(f"r_{c}") for c in right_carry],
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    order = [F.col(ts_col).asc(), F.col("_tag").asc()]
+    if tie_col is not None:
+        order.append(F.col(f"r_{tie_col}").asc_nulls_first())
+    w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_carry
+        ],
+        F.last(F.when(F.col("_tag") == 0, F.col(ts_col)), ignorenulls=True)
+        .over(w)
+        .alias("asof_ts"),
+    )
+    return carried.where(F.col("_tag") == 1).drop(
+        "_tag", *[f"r_{c}" for c in right_carry]
+    )
+
+
+def purchases_with_last_click(events: DataFrame) -> DataFrame:
+    """As-of showcase: each purchase annotated with the user's most recent
+    click at-or-before the purchase. (purchase_id, user_id, ts,
+    asof_event_id = click id, asof_ts = click time)."""
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    # dedupe clicks sharing (user, ts) to the max event_id so the as-of
+    # match is uniquely defined on both engines
+    clicks = clicks.groupBy("user_id", "ts").agg(F.max("event_id").alias("event_id"))
+    out = asof_join(purchases, clicks, keys=["user_id"], right_carry=["event_id"])
+    return out.select(
+        "purchase_id", "user_id", "ts",
+        F.col("asof_event_id").alias("click_event_id"),
+        F.col("asof_ts").alias("click_ts"),
+    ).orderBy("purchase_id")
+
+
+SQL_PURCHASE_LAST_CLICK = f"""
+WITH e AS ({SQL_EVENTS_US}),
+clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS event_id
+  FROM e WHERE event_type = 'click' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM e WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.ts,
+       c.event_id AS click_event_id, c.ts AS click_ts
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.purchase_id
+"""
+
+
+def props_rollup(events: DataFrame) -> DataFrame:
+    """Typed JSON extraction + rollup: pull ``$.k`` out of the props JSON
+    column (JVM ``get_json_object``, no Python) and aggregate per event
+    type: (event_type, n_events, sum_k, n_k_over_50)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_k_over_50"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_PROPS_ROLLUP = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_k_over_50
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    return sessionize(_events(spark, sf_dir), gap_minutes=gap_minutes)
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return purchases_with_last_click(_events(spark, sf_dir))
+
+
+def props_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return props_rollup(_events(spark, sf_dir))

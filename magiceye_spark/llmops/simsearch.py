@@ -190,6 +190,82 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    Voronoi cells around centroids, search only the ``n_probe`` cells
+    nearest each query.
+
+    Centroid selection is a deterministic strided sample of the corpus (the
+    one tiny driver collect — n_centroids × dim floats, the same shape as a
+    fitted k-means model being broadcast). Cell assignment is an argmax over
+    centroid literals — map-side JVM expressions, zero shuffle; the probe
+    join hits only ~n_probe/n_centroids of the corpus. Same output shape as
+    :func:`cosine_topk`; recall measured in tests.
+    """
+    ids = [r[0] for r in
+           corpus.select(id_col).orderBy(id_col).limit(n_centroids * 7).collect()]
+    centroid_ids = ids[:: max(1, len(ids) // n_centroids)][:n_centroids]
+    cents = {
+        i: list(r[1])
+        for i, r in enumerate(
+            corpus.where(F.col(id_col).isin(centroid_ids))
+            .select(id_col, vec_col).orderBy(id_col).collect()
+        )
+    }
+
+    def cell_scores(vec: Column) -> list[Column]:
+        return [
+            cosine(vec, F.array(*[F.lit(v) for v in cvec]))
+            for cvec in cents.values()
+        ]
+
+    # argmax/top-n via sort of (score, index) structs — pure expressions
+    def best_cells(vec: Column, n: int) -> Column:
+        pairs = F.array(
+            *[
+                F.struct(s.alias("score"), F.lit(i).alias("cell"))
+                for i, s in enumerate(cell_scores(vec))
+            ]
+        )
+        return F.slice(F.reverse(F.array_sort(pairs)), 1, n)
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        best_cells(F.col(vec_col), 1)[0]["cell"].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.transform(best_cells(F.col(vec_col), n_probe), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

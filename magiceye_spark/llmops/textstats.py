@@ -183,6 +183,40 @@ def sql_language_id() -> str:
     )
 
 
+def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: top-k tokens by term frequency with document
+    frequency — the token-histogram shape behind BPE vocab induction and
+    stopword mining. Explode → two-level aggregate; the token groupBy gets
+    map-side partial aggregation for free, so the shuffle carries one row
+    per distinct (partition, token), not per occurrence — the property that
+    makes this viable on a 100 TB corpus."""
+    tok = F.explode(_tokens(F.col(text_col))).alias("token")
+    per_doc = docs.select("doc_id", tok).where(F.col("token") != "")
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(k)
+    )
+
+
+def sql_vocab_topk(k: int = 100) -> str:
+    return f"""
+SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+FROM (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')) AS token
+  FROM documents
+)
+WHERE token <> ''
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT {k}
+"""
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical fingerprints for dedup keys: md5 of whitespace-normalized
     lowercase text (exact-canonical) and md5 of the sorted distinct token

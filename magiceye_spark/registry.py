@@ -15,7 +15,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from magiceye_spark import analytics, synthcat
+from magiceye_spark import analytics, events_ops, synthcat
 from magiceye_spark.llmops import dedup, multimodal, simsearch, textstats
 from magiceye_spark.datadiff import (
     diff_data,
@@ -249,6 +249,41 @@ def q6(spark, sf_dir):
     return analytics.q6_forecast_revenue(spark, sf_dir)
 
 
+@register("q4_order_priority", analytics.SQL_Q4)
+def q4(spark, sf_dir):
+    return analytics.q4_order_priority(spark, sf_dir)
+
+
+@register("q10_returned_items", analytics.SQL_Q10)
+def q10(spark, sf_dir):
+    return analytics.q10_returned_items(spark, sf_dir)
+
+
+@register("q14_promo_revenue", analytics.SQL_Q14)
+def q14(spark, sf_dir):
+    return analytics.q14_promo_revenue(spark, sf_dir)
+
+
+@register("q17_small_quantity_revenue", analytics.SQL_Q17)
+def q17(spark, sf_dir):
+    return analytics.q17_small_quantity_revenue(spark, sf_dir)
+
+
+@register("q18_large_volume_customers", analytics.SQL_Q18)
+def q18(spark, sf_dir):
+    return analytics.q18_large_volume_customers(spark, sf_dir)
+
+
+@register("q19_bracket_revenue", analytics.SQL_Q19)
+def q19(spark, sf_dir):
+    return analytics.q19_bracket_revenue(spark, sf_dir)
+
+
+@register("q22_idle_balances", analytics.SQL_Q22)
+def q22(spark, sf_dir):
+    return analytics.q22_idle_balances(spark, sf_dir)
+
+
 @register("events_hourly_rollup", analytics.SQL_EVENTS_HOURLY)
 def events_hourly(spark, sf_dir):
     return analytics.events_hourly_rollup(spark, sf_dir)
@@ -262,6 +297,23 @@ def top_users(spark, sf_dir):
 @register("orders_customer_rollup", analytics.SQL_ORDERS_ROLLUP)
 def orders_rollup(spark, sf_dir):
     return analytics.orders_customer_rollup(spark, sf_dir)
+
+
+# ----------------------------------------------------------- event pipeline
+
+@register("events_sessionize", events_ops.sql_sessionize(gap_minutes=30))
+def sessionize_q(spark, sf_dir):
+    return events_ops.sessionize_events(spark, sf_dir, gap_minutes=30)
+
+
+@register("purchase_last_click_asof", events_ops.SQL_PURCHASE_LAST_CLICK)
+def asof_q(spark, sf_dir):
+    return events_ops.purchase_attribution(spark, sf_dir)
+
+
+@register("events_props_rollup", events_ops.SQL_PROPS_ROLLUP)
+def props_q(spark, sf_dir):
+    return events_ops.props_rollup_events(spark, sf_dir)
 
 
 # ------------------------------------------------------------- LLM ops M5
@@ -336,6 +388,18 @@ def lsh_topk_q(spark, sf_dir):
     corpus = _embs(spark, sf_dir)
     queries_df = corpus.where(F.col("vec_id").isin(_QUERY_VEC_IDS))
     return simsearch.lsh_topk(corpus, queries_df, k=10)
+
+
+@register("ivf_ann_topk", None)  # approximate: recall asserted in tests
+def ivf_topk_q(spark, sf_dir):
+    corpus = _embs(spark, sf_dir)
+    queries_df = corpus.where(F.col("vec_id").isin(_QUERY_VEC_IDS))
+    return simsearch.ivf_topk(corpus, queries_df, k=10)
+
+
+@register("vocab_topk", textstats.sql_vocab_topk(k=100))
+def vocab_q(spark, sf_dir):
+    return textstats.vocab_topk(_docs(spark, sf_dir), k=100)
 
 
 @register("embedding_near_dups", simsearch.sql_embedding_near_dups(threshold=0.45))

@@ -102,6 +102,24 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert recall >= 0.5, f"lsh ann recall {recall:.2f}"
 
 
+def test_ivf_topk_recall(spark, sf_dir):
+    corpus = _embs(spark, sf_dir)
+    queries = corpus.where(F.col("vec_id") < 8)
+    exact = simsearch.cosine_topk(corpus, queries, k=10).collect()
+    approx = simsearch.ivf_topk(corpus, queries, k=10).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"ivf ann recall {recall:.2f}"
+    # probing n_probe of n_centroids cells must not scan the whole corpus:
+    # every returned neighbor's cosine is exact, so precision vs the scored
+    # candidate set is 1 by construction; rank must be dense per query.
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
 def test_language_id_deterministic_argmax(spark):
     rows = [
         (1, "the cat and the dog of the house is big", "en", "s", 1),
