@@ -18,8 +18,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
+    from magiceye_spark.io import read_table
+
+    return read_table(spark, sf_dir, name, parallelize=parallelize)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,7 +48,7 @@ def _money(agg_col):
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: pricing summary by returnflag/linestatus."""
-    l = _t(spark, sf_dir, "lineitem")
+    l = _t(spark, sf_dir, "lineitem", parallelize=True)
     return (
         l.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -166,7 +170,7 @@ ORDER BY revenue DESC, n_name
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter + aggregate — the canonical pushdown test
     (filters reach the parquet scan; no shuffle except the final 1-row agg)."""
-    l = _t(spark, sf_dir, "lineitem")
+    l = _t(spark, sf_dir, "lineitem", parallelize=True)
     return (
         l.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -358,7 +362,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Conditional aggregation over a broadcast part join — both sums exact
     decimals, the final ratio one double division."""
     p = _t(spark, sf_dir, "part")
-    l = _t(spark, sf_dir, "lineitem").where(
+    l = _t(spark, sf_dir, "lineitem", parallelize=True).where(
         (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
@@ -473,7 +477,7 @@ def q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunction of conjunctive brackets over a broadcast
     part join — the OR-of-ANDs predicate Catalyst pushes into the join."""
     p = _t(spark, sf_dir, "part")
-    l = _t(spark, sf_dir, "lineitem")
+    l = _t(spark, sf_dir, "lineitem", parallelize=True)
     j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
     bracket = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))

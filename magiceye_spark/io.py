@@ -1,0 +1,69 @@
+"""Table scan layer.
+
+``read_table`` fixes the one local-bench pathology that also appears in real
+lakes: a table whose file/row-group layout yields fewer input splits than the
+cluster has cores (the driver-generated testdata is one row group per file,
+so a naive scan decodes 600 k rows in ONE task). When the scan is both
+non-trivially sized and under-split, insert a round-robin repartition up to
+the session's default parallelism — Catalyst still pushes filters and prunes
+columns below the exchange, so `PushedFilters`/`ReadSchema` are unaffected
+(pinned by tests/test_plans.py).
+
+On a real 100 TB table the split count vastly exceeds the core count, the
+condition is false, and this is a pure pass-through — no extra shuffle.
+Dimension-sized tables stay un-repartitioned so broadcast planning sees
+their true (small) size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: below this total size a table is dimension-like: never worth a shuffle
+_MIN_BYTES = 4 * 1024 * 1024
+
+
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
+) -> DataFrame:
+    """Read one testdata table. ``parallelize=True`` is for queries whose
+    expensive work (decimal partial aggregation, broadcast-join probe) runs
+    BEFORE their first shuffle — without it that pipeline executes in as few
+    tasks as the file has row groups. Queries that immediately shuffle for a
+    join/window gain nothing and would pay an extra exchange — they keep the
+    default."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return parallelize_scan(spark, df) if parallelize else df
+
+
+def write_bucketed(
+    df: DataFrame, table: str, keys: list[str], n_buckets: int = 32
+) -> None:
+    """Persist a table bucketed (and sorted) by ``keys``: subsequent equi-
+    joins and aggregations on those keys read co-located buckets and skip
+    the shuffle entirely — the right physical layout for snapshot tables
+    that get diffed repeatedly (write once, diff many times shuffle-free).
+    The no-Exchange property is pinned in tests/test_plans.py."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, *keys)
+        .sortBy(*keys)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def parallelize_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        total_bytes = sum(
+            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
+            for f in df.inputFiles()
+        )
+    except OSError:  # non-local filesystem: let Spark's own splitting stand
+        return df
+    if total_bytes >= _MIN_BYTES and df.rdd.getNumPartitions() < cores // 2:
+        return df.repartition(cores)
+    return df

@@ -237,3 +237,31 @@ SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}'))), ' ')) AS bag_md5
 FROM documents
 """
+
+#: Mersenne prime modulus — keeps acc*31 + h inside BIGINT on both engines
+_ROLL_MOD = 2147483647
+
+
+def rolling_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token sequence
+    (Rabin–Karp shape): h ← (h·31 + hash(token)) mod p. Distinguishes
+    reorderings that ``bag_md5`` collapses; computed as a pure JVM
+    ``aggregate`` expression — no UDF, embarrassingly parallel."""
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")  # noqa: E731
+    roll = F.aggregate(
+        _tokens(F.col(text_col)),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + tok_hash(t)) % _ROLL_MOD,
+    )
+    return docs.select("doc_id", roll.alias("rolling_hash"))
+
+
+SQL_ROLLING_FP = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}'),
+                          t -> CAST(CONCAT('0x', substr(md5(t), 1, 8)) AS BIGINT))),
+         (acc, h) -> (acc * 31 + h) % {_ROLL_MOD}) AS rolling_hash
+FROM documents
+"""

@@ -15,7 +15,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from magiceye_spark import analytics, events_ops, synthcat
+from magiceye_spark import analytics, events_ops, io, sketches, synthcat
 from magiceye_spark.llmops import dedup, multimodal, simsearch, textstats
 from magiceye_spark.datadiff import (
     diff_data,
@@ -159,7 +159,7 @@ SQL_DATADIFF_SUMMARY = (
 
 
 def _perturbed_lineitem(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
-    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    l = io.read_table(spark, sf_dir, "lineitem")
     k = F.col("l_orderkey") * 10 + F.col("l_linenumber")
     mutated = l.where(k % 89 != 0).withColumns(
         {
@@ -316,6 +316,41 @@ def props_q(spark, sf_dir):
     return events_ops.props_rollup_events(spark, sf_dir)
 
 
+@register("events_value_distribution", sketches.SQL_VALUE_DISTRIBUTION)
+def value_dist_q(spark, sf_dir):
+    return sketches.value_distribution_events(spark, sf_dir)
+
+
+@register("events_approx_users", None)  # HLL sketch: rows-only, tolerance in tests
+def approx_users_q(spark, sf_dir):
+    return sketches.approx_user_counts_events(spark, sf_dir)
+
+
+# directional data diff: reference semantics — target-only rows ignored
+# (src/action/run/background.rs:48-51)
+SQL_DATADIFF_DIRECTIONAL = SQL_PERTURBED_LINEITEM + f"""
+SELECT l_orderkey, l_linenumber, diff_status,
+       CASE WHEN diff_status = 'changed' THEN changed_columns ELSE '' END AS changed_columns
+FROM (
+  SELECT b.l_orderkey, b.l_linenumber,
+         CASE WHEN t.l_linenumber IS NULL THEN 'removed'
+              WHEN CONCAT_WS(',', {{changed}}) <> '' THEN 'changed'
+         END AS diff_status,
+         CONCAT_WS(',', {{changed}}) AS changed_columns
+  FROM lineitem b
+  LEFT JOIN target t
+    ON b.l_orderkey = t.l_orderkey AND b.l_linenumber = t.l_linenumber
+)
+WHERE diff_status IS NOT NULL
+""".replace("{changed}", _CHANGED_LIST)
+
+
+@register("datadiff_lineitem_directional", SQL_DATADIFF_DIRECTIONAL)
+def datadiff_directional(spark, sf_dir):
+    base, target = _perturbed_lineitem(spark, sf_dir)
+    return diff_data(base, target, keys=["l_orderkey", "l_linenumber"], how="left")
+
+
 # ------------------------------------------------------------- LLM ops M5
 
 def _docs(spark, sf_dir):
@@ -344,6 +379,11 @@ def language_q(spark, sf_dir):
 @register("doc_fingerprint", textstats.SQL_FINGERPRINT)
 def fingerprint_q(spark, sf_dir):
     return textstats.doc_fingerprint(_docs(spark, sf_dir))
+
+
+@register("doc_rolling_fingerprint", textstats.SQL_ROLLING_FP)
+def rolling_fp_q(spark, sf_dir):
+    return textstats.rolling_fingerprint(_docs(spark, sf_dir))
 
 
 @register("exact_dup_clusters", dedup.SQL_EXACT_CLUSTERS)

@@ -1,0 +1,109 @@
+"""Structured Streaming over the events table: watermarked rollups and
+session windows.
+
+Streaming twins of the batch operators in ``analytics``/``events_ops`` —
+same aggregation logic, incremental execution with state bounded by the
+watermark horizon:
+
+- :func:`stream_hourly_rollup` ≙ ``analytics.events_hourly_rollup`` (tumbling
+  window instead of ``date_trunc``; late rows beyond the watermark dropped).
+- :func:`stream_sessionize` ≙ ``events_ops.sessionize`` via Spark's native
+  ``session_window`` — per-user gap sessions maintained as streaming state,
+  emitted when the watermark passes the session close. At 100 TB/day the
+  state store only holds OPEN sessions (bounded by active users × gap), not
+  history — the property the batch window formulation can't give you.
+
+Input is a file stream (new parquet files in a directory), the usual shape
+of an events lake ingested by a loader; swap `readStream.parquet` for a
+Kafka source in production without touching the aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: micros-timestamp view of the events table (nanos truncated upstream)
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def stream_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour event counts/sums per type. Append-mode capable:
+    windows finalize once the watermark passes their end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessions as streaming state via ``session_window``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, checkpoint: str, output_mode: str = "complete"
+):
+    """Drive a streaming aggregate into an in-memory table with
+    availableNow (process-everything-then-stop) — the test/debug harness."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

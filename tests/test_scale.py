@@ -1,0 +1,60 @@
+"""Scale-mechanics tests: salted joins must be result-identical to plain
+joins, and bucketed snapshot tables must diff without any shuffle."""
+
+from pyspark.sql import functions as F
+
+from magiceye_spark import plans
+from magiceye_spark.datadiff import diff_data
+from magiceye_spark.io import write_bucketed
+from magiceye_spark.skew import salted_join
+
+
+def _sides(spark, sf_dir):
+    from magiceye_spark.registry import _perturbed_lineitem
+
+    return _perturbed_lineitem(spark, sf_dir)
+
+
+def test_salted_join_matches_plain_inner(spark, sf_dir):
+    base, target = _sides(spark, sf_dir)
+    keys = ["l_orderkey", "l_linenumber"]
+    t = target.select(keys + ["l_quantity"]).withColumnRenamed("l_quantity", "t_qty")
+    plain = base.join(t, keys).select(*keys, "l_quantity", "t_qty")
+    salted = salted_join(base, t, keys, n_salt=8).select(*keys, "l_quantity", "t_qty")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_matches_plain_left(spark, sf_dir):
+    base, target = _sides(spark, sf_dir)
+    keys = ["l_orderkey", "l_linenumber"]
+    t = target.select(keys + ["l_quantity"]).withColumnRenamed("l_quantity", "t_qty")
+    plain = base.join(t, keys, "left").select(*keys, "t_qty")
+    salted = salted_join(base, t, keys, n_salt=8, how="left").select(*keys, "t_qty")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_join_preserves_right_duplicates(spark):
+    left = spark.createDataFrame([(1, "a")] * 3, "k int, v string")
+    right = spark.createDataFrame([(1, "x"), (1, "y")], "k int, w string")
+    plain = left.join(right, ["k"])
+    salted = salted_join(left, right, ["k"], n_salt=4)
+    assert salted.count() == plain.count() == 6
+
+
+def test_bucketed_snapshots_diff_without_shuffle(spark, sf_dir):
+    base, target = _sides(spark, sf_dir)
+    keys = ["l_orderkey", "l_linenumber"]
+    try:
+        write_bucketed(base, "snap_base", keys, n_buckets=8)
+        write_bucketed(target, "snap_target", keys, n_buckets=8)
+        d = diff_data(spark.table("snap_base"), spark.table("snap_target"), keys=keys)
+        assert plans.count_shuffles(d) == 0, plans.executed_plan(d)
+        # and it still computes the same answer as the unbucketed diff
+        plain = diff_data(base, target, keys=keys)
+        assert d.exceptAll(plain).count() == 0
+        assert plain.exceptAll(d).count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS snap_base")
+        spark.sql("DROP TABLE IF EXISTS snap_target")

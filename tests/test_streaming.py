@@ -59,6 +59,63 @@ def test_streaming_end_to_end(spark, tmp_path):
     }
 
 
+def test_stream_hourly_rollup_matches_batch(spark, sf_dir, tmp_path):
+    from magiceye_spark.analytics import _events
+    from magiceye_spark.streaming import events as sev
+
+    src = str(tmp_path / "events_stream")
+    batch = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    batch.repartition(3).write.parquet(src)
+
+    stream = sev.read_event_stream(spark, src, max_files_per_trigger=2)
+    q = sev.run_to_memory(
+        sev.stream_hourly_rollup(stream), "hourly_t", str(tmp_path / "chk1")
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["hour"], r["event_type"]): r["n_events"]
+        for r in spark.table("hourly_t").collect()
+    }
+    want = {
+        (r["hour"], r["event_type"]): r["n_events"]
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n_events")).collect()
+    }
+    assert got == want
+
+
+def test_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    from magiceye_spark.analytics import _events
+    from magiceye_spark.events_ops import sessionize
+    from magiceye_spark.streaming import events as sev
+
+    src = str(tmp_path / "events_stream2")
+    batch = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    batch.repartition(3).write.parquet(src)
+
+    stream = sev.read_event_stream(spark, src, max_files_per_trigger=2)
+    q = sev.run_to_memory(
+        sev.stream_sessionize(stream, gap="30 minutes"),
+        "sessions_t",
+        str(tmp_path / "chk2"),
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.table("sessions_t").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sessionize(batch, gap_minutes=30).collect()
+    }
+    assert got == want
+
+
 def test_drift_rate_rollup(spark):
     d1 = column_drift(_delta(spark, T0), _baseline(spark))
     d2 = column_drift(_delta(spark, T0 + dt.timedelta(minutes=15)), _baseline(spark))
