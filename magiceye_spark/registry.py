@@ -396,6 +396,21 @@ def bag_dups_q(spark, sf_dir):
     return dedup.bag_duplicate_clusters(_docs(spark, sf_dir))
 
 
+SQL_DEDUP_EXACT = r"""
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY md5(regexp_replace(TRIM(LOWER(text)), '\s+', ' ', 'g'))
+    ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+@register("dedup_exact_corpus", SQL_DEDUP_EXACT)
+def dedup_exact_q(spark, sf_dir):
+    return dedup.dedup_exact(_docs(spark, sf_dir))
+
+
 @register("jaccard_near_dups", dedup.sql_jaccard_near_dups(threshold=0.8))
 def jaccard_q(spark, sf_dir):
     return dedup.jaccard_near_dups(_docs(spark, sf_dir), threshold=0.8)

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for the row-level diff family: for
+random small tables the DataFrame operators must agree with a direct
+Python-dict reference implementation, and the three modes must agree with
+each other on statuses.
+
+Kept to few, small examples — each example runs real Spark jobs.
+"""
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from magiceye_spark.datadiff import diff_data, diff_data_hash, diff_rows_set
+
+ROW = st.tuples(
+    st.integers(min_value=0, max_value=7),           # key
+    st.one_of(st.none(), st.integers(0, 3)),         # v1 (nullable)
+    st.sampled_from(["a", "b", "c"]),                # v2
+)
+TABLE = st.lists(ROW, min_size=0, max_size=12)
+SCHEMA = "k int, v1 int, v2 string"
+
+
+def _dedup_by_key(rows):
+    seen = {}
+    for r in rows:
+        seen.setdefault(r[0], r)  # first row wins per key
+    return list(seen.values())
+
+
+def _expected(base, target):
+    b = {r[0]: r for r in base}
+    t = {r[0]: r for r in target}
+    out = {}
+    for k in b:
+        if k not in t:
+            out[k] = "removed"
+        elif b[k] != t[k]:
+            out[k] = "changed"
+    for k in t:
+        if k not in b:
+            out[k] = "added"
+    return out
+
+
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+@given(base=TABLE, target=TABLE)
+@_settings
+def test_diff_data_matches_reference(spark, base, target):
+    base, target = _dedup_by_key(base), _dedup_by_key(target)
+    bdf = spark.createDataFrame(base, SCHEMA) if base else spark.createDataFrame([], SCHEMA)
+    tdf = spark.createDataFrame(target, SCHEMA) if target else spark.createDataFrame([], SCHEMA)
+    got = {r["k"]: r["diff_status"] for r in diff_data(bdf, tdf, keys=["k"]).collect()}
+    assert got == _expected(base, target)
+    # hash mode agrees on statuses
+    got_hash = {
+        r["k"]: r["diff_status"] for r in diff_data_hash(bdf, tdf, keys=["k"]).collect()
+    }
+    assert got_hash == got
+
+
+@given(base=TABLE, target=TABLE)
+@_settings
+def test_rowset_diff_matches_multiset_reference(spark, base, target):
+    bdf = spark.createDataFrame(base, SCHEMA) if base else spark.createDataFrame([], SCHEMA)
+    tdf = spark.createDataFrame(target, SCHEMA) if target else spark.createDataFrame([], SCHEMA)
+    got = Counter(
+        (tuple(r)[:-1], r["diff_status"])
+        for r in diff_rows_set(bdf, tdf).collect()
+    )
+    cb, ct = Counter(base), Counter(target)
+    want = Counter()
+    for row, n in (cb - ct).items():
+        want[(row, "removed")] = n
+    for row, n in (ct - cb).items():
+        want[(row, "added")] = n
+    assert got == want
+
+
+@given(rows=TABLE)
+@_settings
+def test_self_diff_is_empty(spark, rows):
+    rows = _dedup_by_key(rows)
+    df = spark.createDataFrame(rows, SCHEMA) if rows else spark.createDataFrame([], SCHEMA)
+    assert diff_data(df, df, keys=["k"]).count() == 0
+    assert diff_rows_set(df, df).count() == 0
