@@ -48,6 +48,35 @@ def test_schema_diff_broadcasts_and_stays_jvm(spark):
     assert plans.broadcast_join_count(df) >= 4
 
 
+def test_sessionize_shares_user_partitioning(spark, sf_dir):
+    """Window and session aggregation must reuse the user_id exchange:
+    2 shuffles total (one data shuffle + the deterministic output sort)."""
+    df = registry.queries()["events_sessionize"](spark, sf_dir)
+    assert plans.count_shuffles(df) <= 2
+    assert plans.python_eval_count(df) == 0
+
+
+def test_asof_join_single_data_shuffle(spark, sf_dir):
+    """The as-of union+window formulation must not degenerate into a
+    theta-join: no SortMergeJoin/NestedLoop at all, bounded exchanges."""
+    df = registry.queries()["purchase_last_click_asof"](spark, sf_dir)
+    assert plans.sortmerge_join_count(df) == 0
+    assert plans.count_shuffles(df) <= 3
+
+
+def test_q18_single_shuffle_then_broadcasts(spark, sf_dir):
+    df = analytics.q18_large_volume_customers(spark, sf_dir)
+    assert plans.count_shuffles(df) <= 2
+    assert plans.broadcast_join_count(df) >= 2
+    assert plans.sortmerge_join_count(df) == 0
+
+
+def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
+    df = registry.queries()["ivf_ann_topk"](spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.python_eval_count(df) == 0
+
+
 def test_no_python_eval_in_any_oracle_query(spark, sf_dir):
     """Every oracle-checked operator must run fully JVM-side (the Pandas
     kernels are exactly the rows-only media queries)."""
