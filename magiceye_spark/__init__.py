@@ -22,6 +22,15 @@ from magiceye_spark.diff.core import (
     diff_schemas,
 )
 from magiceye_spark.report import render_findings, grouped_report, write_report
+from magiceye_spark.datadiff import (
+    diff_data,
+    diff_data_hash,
+    diff_data_summary,
+    diff_rows_set,
+)
+from magiceye_spark.events_ops import asof_join, range_join_count, sessionize
+from magiceye_spark.skew import salted_join
+from magiceye_spark.io import read_table, write_bucketed
 
 __all__ = [
     "TABLES_SCHEMA",
@@ -38,6 +47,15 @@ __all__ = [
     "render_findings",
     "grouped_report",
     "write_report",
+    "diff_data",
+    "diff_data_hash",
+    "diff_data_summary",
+    "diff_rows_set",
+    "asof_join",
+    "sessionize",
+    "salted_join",
+    "read_table",
+    "write_bucketed",
 ]
 
 __version__ = "0.1.0"

@@ -182,6 +182,79 @@ ORDER BY p.purchase_id
 """
 
 
+def range_join_count(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    window_seconds: int,
+    ts_col: str = "ts",
+    count_col: str = "n_in_window",
+) -> DataFrame:
+    """For each left row, count right rows with the same keys and
+    ``right.ts ∈ [left.ts - window, left.ts]`` — a bounded range join.
+
+    A naive theta join (``r.ts BETWEEN l.ts - w AND l.ts``) degenerates to a
+    per-key nested loop; this buckets both sides into window-sized time
+    buckets and equi-joins each left row against its own and the previous
+    bucket (any right row in range lives in one of the two), then filters
+    exactly. Shuffle key (keys…, bucket) is well-distributed; cost is
+    O(matches), not O(|l|·|r| per key). Left rows with no matches keep 0.
+    Left rows must be distinct (carry a unique id column) — duplicates
+    would collapse in the per-row count aggregation.
+    """
+    win_us = window_seconds * 1_000_000
+    r = right.select(
+        *keys, F.unix_micros(F.col(ts_col)).alias("_r_us")
+    ).withColumn("_bucket", (F.col("_r_us") / win_us).cast("long"))
+    l = left.withColumn("_l_us", F.unix_micros(F.col(ts_col))).withColumn(
+        "_bucket0", (F.col("_l_us") / win_us).cast("long")
+    )
+    l_exploded = l.withColumn(
+        "_bucket", F.explode(F.array(F.col("_bucket0"), F.col("_bucket0") - 1))
+    )
+    matches = (
+        l_exploded.join(r, [*keys, "_bucket"])
+        .where(
+            (F.col("_r_us") >= F.col("_l_us") - win_us)
+            & (F.col("_r_us") <= F.col("_l_us"))
+        )
+        .groupBy(*[F.col(c) for c in l.columns if c not in ("_bucket0",)])
+        .agg(F.count(F.lit(1)).alias(count_col))
+    )
+    out = l.join(matches, [c for c in l.columns if c != "_bucket0"], "left")
+    return out.drop("_l_us", "_bucket0").withColumn(
+        count_col, F.coalesce(F.col(count_col), F.lit(0))
+    )
+
+
+def clicks_before_purchase(events: DataFrame, window_seconds: int = 300) -> DataFrame:
+    """Range-join showcase: clicks by the same user in the 5 minutes up to
+    (and including) each purchase."""
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = events.where(F.col("event_type") == "click").select("user_id", "ts")
+    return range_join_count(
+        purchases, clicks, keys=["user_id"], window_seconds=window_seconds,
+        count_col="n_clicks",
+    ).orderBy("purchase_id")
+
+
+SQL_CLICKS_BEFORE_PURCHASE = f"""
+WITH e AS ({SQL_EVENTS_US}),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM e WHERE event_type = 'purchase'
+),
+clicks AS (SELECT user_id, ts FROM e WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id, p.ts,
+       (SELECT COUNT(*) FROM clicks c
+        WHERE c.user_id = p.user_id
+          AND c.ts BETWEEN p.ts - INTERVAL 300 SECOND AND p.ts) AS n_clicks
+FROM purchases p
+ORDER BY p.purchase_id
+"""
+
+
 def props_rollup(events: DataFrame) -> DataFrame:
     """Typed JSON extraction + rollup: pull ``$.k`` out of the props JSON
     column (JVM ``get_json_object``, no Python) and aggregate per event
@@ -220,3 +293,7 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def props_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return props_rollup(_events(spark, sf_dir))
+
+
+def clicks_before_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clicks_before_purchase(_events(spark, sf_dir))

@@ -316,6 +316,11 @@ def props_q(spark, sf_dir):
     return events_ops.props_rollup_events(spark, sf_dir)
 
 
+@register("clicks_before_purchase", events_ops.SQL_CLICKS_BEFORE_PURCHASE)
+def range_join_q(spark, sf_dir):
+    return events_ops.clicks_before_purchase_events(spark, sf_dir)
+
+
 @register("events_value_distribution", sketches.SQL_VALUE_DISTRIBUTION)
 def value_dist_q(spark, sf_dir):
     return sketches.value_distribution_events(spark, sf_dir)
