@@ -535,6 +535,67 @@ def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation: order counts/totals at (segment, priority),
+    (segment), and grand-total levels in one pass — Spark computes all
+    grouping sets in a single shuffle with partial aggregation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .rollup("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money(F.sum(_dec(F.col("o_totalprice")))).alias("sum_totalprice"),
+        )
+        .select(
+            F.coalesce("c_mktsegment", F.lit("<all>")).alias("mktsegment"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("orderpriority"),
+            "n_orders",
+            "sum_totalprice",
+        )
+        .orderBy("mktsegment", "orderpriority")
+    )
+
+
+SQL_ROLLUP_HIERARCHY = """
+SELECT COALESCE(c_mktsegment, '<all>') AS mktsegment,
+       COALESCE(o_orderpriority, '<all>') AS orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice, 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+ORDER BY mktsegment, orderpriority
+"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event counts with one column per event type. The
+    explicit value list keeps the plan single-pass (no extra distinct scan
+    to discover pivot values)."""
+    e = _events(spark, sf_dir)
+    out = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    ).orderBy("user_id")
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 SQL_Q22 = """
 WITH avg_bal AS (
   SELECT ROUND(CAST(SUM(CAST(ROUND(c_acctbal, 4) AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_bal

@@ -299,6 +299,16 @@ def orders_rollup(spark, sf_dir):
     return analytics.orders_customer_rollup(spark, sf_dir)
 
 
+@register("orders_rollup_hierarchy", analytics.SQL_ROLLUP_HIERARCHY)
+def rollup_hierarchy_q(spark, sf_dir):
+    return analytics.orders_rollup_hierarchy(spark, sf_dir)
+
+
+@register("events_pivot_by_type", analytics.SQL_EVENTS_PIVOT)
+def pivot_q(spark, sf_dir):
+    return analytics.events_pivot_by_type(spark, sf_dir)
+
+
 # ----------------------------------------------------------- event pipeline
 
 @register("events_sessionize", events_ops.sql_sessionize(gap_minutes=30))
@@ -425,6 +435,15 @@ def jaccard_q(spark, sf_dir):
 def minhash_q(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), num_hashes=32, bands=8, threshold=0.8, shingle_n=1
+    )
+
+
+@register("minhash_lsh_ngram_dups", None)  # xxhash64-based: rows-only check
+def minhash_ngram_q(spark, sf_dir):
+    """3-gram shingled variant — the pretraining-dedup standard (word
+    n-grams catch local edits that whole-token sets miss)."""
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), num_hashes=32, bands=8, threshold=0.7, shingle_n=3
     )
 
 

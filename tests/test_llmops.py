@@ -102,6 +102,37 @@ def test_lsh_topk_recall(spark, sf_dir):
     assert recall >= 0.5, f"lsh ann recall {recall:.2f}"
 
 
+def test_minhash_ngram_recall_vs_exact_shingles(spark, sf_dir):
+    """3-gram MinHash-LSH must recover ≥90% of exact shingle-set
+    jaccard≥0.7 pairs."""
+    d = _docs(spark, sf_dir)
+    sh = dedup._shingle_hashes("text", 3)  # noqa: SLF001
+    base = d.select("doc_id", sh.alias("sh"))
+    a, b = base.alias("a"), base.alias("b")
+    exact = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("j"),
+        )
+        .where(F.col("j") >= 0.7)
+    )
+    exact_pairs = {(r["doc_a"], r["doc_b"]) for r in exact.collect()}
+    lsh_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(
+            d, num_hashes=32, bands=8, threshold=0.7, shingle_n=3
+        ).collect()
+    }
+    assert exact_pairs, "fixture corpus must contain shingle near-dups"
+    recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"3-gram minhash recall {recall:.2f}"
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     corpus = _embs(spark, sf_dir)
     queries = corpus.where(F.col("vec_id") < 8)
