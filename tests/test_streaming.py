@@ -116,6 +116,65 @@ def test_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_stateful_sessionize_matches_reference(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization (gap=30min, error-terminated)
+    must equal a directly-computed reference over the same events."""
+    from magiceye_spark.analytics import _events
+    from magiceye_spark.streaming import events as sev
+    from magiceye_spark.streaming.stateful import sessionize_stateful
+
+    src = str(tmp_path / "events_state")
+    batch = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    batch.coalesce(1).write.parquet(src)
+
+    stream = sev.read_event_stream(spark, src, max_files_per_trigger=16)
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["closed_by_error"])
+        for r in spark.table("stateful_sessions").collect()
+    }
+
+    # reference: fold each user's time-sorted events in plain Python
+    gap_us = 30 * 60 * 1_000_000
+    rows = sorted(
+        (
+            (
+                r["user_id"],
+                int(r["ts"].replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000),
+                r["event_type"],
+            )
+            for r in batch.collect()
+        ),
+        key=lambda x: (x[0], x[1]),
+    )
+    want = {}
+    cur = {}  # user -> (start, last, n)
+    for uid, ts_us, etype in rows:
+        if uid in cur and ts_us - cur[uid][1] > gap_us:
+            s, l, n = cur.pop(uid)
+            want[(uid, s)] = (n, 0)
+        if uid not in cur:
+            cur[uid] = (ts_us, ts_us, 0)
+        s, _, n = cur[uid]
+        cur[uid] = (s, ts_us, n + 1)
+        if etype == "error":
+            s, l, n = cur.pop(uid)
+            want[(uid, s)] = (n, 1)
+    # trailing open sessions are retained in state, not emitted
+    assert got == want
+
+
 def test_drift_rate_rollup(spark):
     d1 = column_drift(_delta(spark, T0), _baseline(spark))
     d2 = column_drift(_delta(spark, T0 + dt.timedelta(minutes=15)), _baseline(spark))
