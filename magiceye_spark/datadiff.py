@@ -101,6 +101,30 @@ def diff_rows_set(base: DataFrame, target: DataFrame) -> DataFrame:
     return removed.unionByName(added)
 
 
+def diff_dataset(
+    pairs: dict[str, tuple[DataFrame, DataFrame]],
+    keys: dict[str, list[str]],
+) -> DataFrame:
+    """Diff a whole dataset (many tables) in one call: per-table status
+    counts unioned into (table_name, diff_status, n). The table loop is
+    driver-side and catalog-sized (mirrors the reference's per-table
+    orchestration, src/action/run/background.rs:20-56, but each table's
+    diff is a distributed plan); tables with no differences contribute no
+    rows, matching the reference's has_report behavior (check.rs:41-46)."""
+    out = None
+    for name, (base, target) in sorted(pairs.items()):
+        d = (
+            diff_data(base, target, keys=keys[name])
+            .groupBy("diff_status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(name).alias("table_name"), "diff_status", "n")
+        )
+        out = d if out is None else out.unionByName(d)
+    if out is None:
+        raise ValueError("diff_dataset needs at least one table pair")
+    return out.orderBy("table_name", "diff_status")
+
+
 def diff_data_hash(
     base: DataFrame, target: DataFrame, keys: list[str],
     compare_cols: list[str] | None = None,

@@ -214,6 +214,36 @@ def datadiff_lineitem_hashmode(spark, sf_dir):
     return diff_data_hash(base, target, keys=["l_orderkey", "l_linenumber"])
 
 
+SQL_DATASET_DIFF = SQL_PERTURBED_LINEITEM + f"""
+SELECT 'lineitem' AS table_name, diff_status, COUNT(*) AS n FROM (
+  SELECT CASE WHEN t.l_linenumber IS NULL THEN 'removed'
+              WHEN b.l_linenumber IS NULL THEN 'added'
+              WHEN CONCAT_WS(',', {_CHANGED_LIST}) <> '' THEN 'changed'
+         END AS diff_status
+  FROM lineitem b
+  FULL OUTER JOIN target t
+    ON b.l_orderkey = t.l_orderkey AND b.l_linenumber = t.l_linenumber
+)
+WHERE diff_status IS NOT NULL
+GROUP BY diff_status
+ORDER BY table_name, diff_status
+"""
+
+
+@register("datadiff_dataset_summary", SQL_DATASET_DIFF)
+def dataset_diff_q(spark, sf_dir):
+    """Two-table dataset diff: orders vs itself (clean → no rows) plus the
+    perturbed lineitem pair — the whole-database row-diff entry point."""
+    from magiceye_spark.datadiff import diff_dataset
+
+    base, target = _perturbed_lineitem(spark, sf_dir)
+    orders = io.read_table(spark, sf_dir, "orders")
+    return diff_dataset(
+        {"lineitem": (base, target), "orders": (orders, orders)},
+        keys={"lineitem": ["l_orderkey", "l_linenumber"], "orders": ["o_orderkey"]},
+    )
+
+
 SQL_ROWSET_DIFF = SQL_PERTURBED_LINEITEM + """
 SELECT *, 'removed' AS diff_status FROM (SELECT * FROM lineitem EXCEPT ALL SELECT * FROM target)
 UNION ALL
