@@ -242,9 +242,14 @@ def diff_foreign_keys(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame
 
 
 def diff_schemas(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
-    """The full D1-D17 diff: union of all four matchers, deterministically
-    ordered (the reference's HashMap iteration order is nondeterministic,
-    check.rs:33 — we sort so output is stable and golden-testable)."""
+    """The full D1-D17 diff: union of all four matchers.
+
+    The findings SET is deterministic; row order is left to the engine here
+    (a global orderBy would add a range-partitioner sampling pass that
+    re-executes the whole union). Deterministic ORDER is applied where a
+    human reads it — ``report.grouped_report`` sorts tables and sorts each
+    table's findings — fixing the reference's nondeterministic HashMap
+    iteration (check.rs:33) without taxing the operator layer."""
     findings = (
         diff_tables(base, target)
         .unionByName(diff_columns(base, target))
