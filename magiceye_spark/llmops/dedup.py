@@ -240,6 +240,72 @@ def minhash_lsh_pairs(
     )
 
 
+# --------------------------------------------- near-dup clusters → keep-set
+
+def cluster_pairs(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over a near-dup pair graph by iterative
+    min-label propagation: (id, cluster) where cluster is the smallest
+    doc_id reachable through the pair edges.
+
+    Each iteration is two joins + one min-aggregation; ``localCheckpoint``
+    truncates the lineage so the plan stays flat across iterations (the
+    standard Spark iterative-algorithm discipline). Converges in
+    O(graph diameter) iterations — near-dup clusters are dense, so the
+    diameter is tiny in practice; ``max_iter`` bounds the worst case.
+    """
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    nodes = (
+        edges.select(F.col("a").alias("id"))
+        .union(edges.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    labels = nodes.withColumn("cluster", F.col("id")).localCheckpoint()
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges.a == labels.id)
+            .select(F.col("b").alias("id"), "cluster")
+            .union(
+                edges.join(labels, edges.b == labels.id)
+                .select(F.col("a").alias("id"), "cluster")
+            )
+        )
+        new_labels = (
+            labels.select("id", "cluster")
+            .union(msgs)
+            .groupBy("id")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_near(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The end-to-end near-dedup pass: from (doc_a, doc_b) near-dup pairs,
+    keep one representative (smallest id) per connected cluster plus every
+    unpaired document. Returns the deduplicated corpus with original
+    columns."""
+    clusters = cluster_pairs(pairs)
+    losers = clusters.where(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    # no broadcast hint: the loser set can be most of the corpus when
+    # duplication is heavy — let AQE pick the join strategy from real stats
+    return docs.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------- SimHash
 
 def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:

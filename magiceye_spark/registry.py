@@ -477,6 +477,17 @@ def minhash_ngram_q(spark, sf_dir):
     )
 
 
+@register("near_dedup_corpus", None)  # iterative clustering: rows-only check
+def near_dedup_q(spark, sf_dir):
+    """End-to-end near-dedup: 3-gram MinHash pairs → connected-component
+    clusters → keep smallest doc_id per cluster."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, threshold=0.7, shingle_n=3
+    )
+    return dedup.dedup_near(docs, pairs)
+
+
 @register("simhash_near_dups", None)  # xxhash64-based: rows-only check
 def simhash_q(spark, sf_dir):
     return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)

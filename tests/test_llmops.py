@@ -151,6 +151,30 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
 
 
+def test_cluster_pairs_connected_components(spark):
+    """Two chains and an isolated pair must collapse to their min ids,
+    even when connectivity is only transitive (1-2, 2-3, 3-4)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+    got = {r["id"]: r["cluster"] for r in dedup.cluster_pairs(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_near_keeps_representatives_and_singletons(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, threshold=0.7, shingle_n=3)
+    kept = dedup.dedup_near(d, pairs)
+    n_docs, n_kept = d.count(), kept.count()
+    n_losers = dedup.cluster_pairs(pairs).where("id != cluster").count()
+    assert n_kept == n_docs - n_losers
+    # every cluster representative survives
+    reps = {r["cluster"] for r in dedup.cluster_pairs(pairs).collect()}
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert reps <= kept_ids
+
+
 def test_language_id_deterministic_argmax(spark):
     rows = [
         (1, "the cat and the dog of the house is big", "en", "s", 1),
