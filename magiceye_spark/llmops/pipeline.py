@@ -1,0 +1,52 @@
+"""The composed corpus-curation pipeline: quality filter → exact dedup →
+near dedup — the standard pretraining-data funnel, chained from the
+individual operators so each stage stays independently testable.
+
+Everything is lazy DataFrame composition: Catalyst sees the WHOLE funnel as
+one plan, so column pruning flows through all stages (e.g. the final count
+never materializes text payloads) and stages share scans where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magiceye_spark.llmops import dedup, textstats
+
+
+def filter_quality(docs: DataFrame, min_score: float = 0.5) -> DataFrame:
+    """Drop documents below the composite quality score (C4/Gopher-style
+    cheap pre-filter)."""
+    scores = textstats.quality_score(docs).where(F.col("quality_score") >= min_score)
+    return docs.join(scores.select("doc_id"), "doc_id", "left_semi")
+
+
+def curate(
+    docs: DataFrame,
+    min_quality: float = 0.5,
+    minhash_threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """quality filter → exact dedup → near dedup; returns the kept corpus."""
+    q = filter_quality(docs, min_quality)
+    e = dedup.dedup_exact(q)
+    pairs = dedup.minhash_lsh_pairs(
+        e, num_hashes=32, bands=8, threshold=minhash_threshold, shingle_n=shingle_n
+    )
+    return dedup.dedup_near(e, pairs)
+
+
+def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row of funnel counts: input → after quality → after exact dedup
+    → after near dedup. The per-stage counts are what a pipeline operator
+    reports to its scheduler."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = filter_quality(docs)
+    e = dedup.dedup_exact(q)
+    pairs = dedup.minhash_lsh_pairs(e, num_hashes=32, bands=8, threshold=0.7, shingle_n=3)
+    kept = dedup.dedup_near(e, pairs)
+    row = [(docs.count(), q.count(), e.count(), kept.count())]
+    return spark.createDataFrame(
+        row, "n_input long, n_after_quality long, n_after_exact long, n_after_near long"
+    )

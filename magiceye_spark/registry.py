@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from magiceye_spark import analytics, events_ops, io, sketches, synthcat
-from magiceye_spark.llmops import dedup, multimodal, simsearch, textstats
+from magiceye_spark.llmops import dedup, multimodal, pipeline, simsearch, textstats
 from magiceye_spark.datadiff import (
     diff_data,
     diff_data_hash,
@@ -475,6 +475,23 @@ def minhash_ngram_q(spark, sf_dir):
     return dedup.minhash_lsh_pairs(
         _docs(spark, sf_dir), num_hashes=32, bands=8, threshold=0.7, shingle_n=3
     )
+
+
+SQL_QUALITY_FILTERED = f"""
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM ({textstats.SQL_QUALITY}) WHERE quality_score >= 0.5)
+"""
+
+
+@register("quality_filtered_corpus", SQL_QUALITY_FILTERED)
+def quality_filter_q(spark, sf_dir):
+    return pipeline.filter_quality(_docs(spark, sf_dir), min_score=0.5)
+
+
+@register("curation_funnel", None)  # composite funnel: rows-only check
+def curation_funnel_q(spark, sf_dir):
+    return pipeline.curation_funnel_stats(spark, sf_dir)
 
 
 @register("near_dedup_corpus", None)  # iterative clustering: rows-only check
