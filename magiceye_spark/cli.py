@@ -109,7 +109,18 @@ def cmd_run(args: argparse.Namespace) -> int:
         findings = findings.where(~F.col("check").isin(*sorted(ignore)))
     out = args.out or f"report_{dt.datetime.now().strftime('%Y-%m-%d %H:%M')}.json"
     language = (args.language or cfg.get("current_language", "English")).lower()
-    doc = write_report(findings, out, language)
+    from magiceye_spark.progress import ProgressReporter
+
+    def show(ev) -> None:  # reference's per-step progress counters, P1
+        print(
+            f"\rstages {ev.active_stages} tasks {ev.completed_tasks}/{ev.total_tasks}",
+            end="",
+            file=sys.stderr,
+        )
+
+    with ProgressReporter(spark, show):
+        doc = write_report(findings, out, language)
+    print(file=sys.stderr)
     print(f"wrote {out} ({len(doc['report_table_list'])} tables with findings)")
     return 0
 
