@@ -284,14 +284,29 @@ def q4(spark, sf_dir):
     return analytics.q4_order_priority(spark, sf_dir)
 
 
+@register("q7_nation_volume", analytics.SQL_Q7)
+def q7(spark, sf_dir):
+    return analytics.q7_nation_volume(spark, sf_dir)
+
+
 @register("q10_returned_items", analytics.SQL_Q10)
 def q10(spark, sf_dir):
     return analytics.q10_returned_items(spark, sf_dir)
 
 
+@register("q13_order_count_distribution", analytics.SQL_Q13)
+def q13(spark, sf_dir):
+    return analytics.q13_order_count_distribution(spark, sf_dir)
+
+
 @register("q14_promo_revenue", analytics.SQL_Q14)
 def q14(spark, sf_dir):
     return analytics.q14_promo_revenue(spark, sf_dir)
+
+
+@register("q15_top_supplier", analytics.SQL_Q15)
+def q15(spark, sf_dir):
+    return analytics.q15_top_supplier(spark, sf_dir)
 
 
 @register("q17_small_quantity_revenue", analytics.SQL_Q17)
