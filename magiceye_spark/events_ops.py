@@ -275,7 +275,7 @@ def props_rollup(events: DataFrame) -> DataFrame:
 SQL_PROPS_ROLLUP = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 1 END) AS n_k_over_50
 FROM events
 GROUP BY event_type
