@@ -559,6 +559,11 @@ def emb_near_dups_q(spark, sf_dir):
     return simsearch.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.45)
 
 
+@register("embedding_near_dups_lsh", None)  # banded scale path: recall in tests
+def emb_near_dups_lsh_q(spark, sf_dir):
+    return simsearch.embedding_near_dup_pairs_lsh(_embs(spark, sf_dir), threshold=0.45)
+
+
 @register("media_catalog", multimodal.SQL_MEDIA_CATALOG)
 def media_catalog_q(spark, sf_dir):
     return multimodal.media_catalog(multimodal.synth_media(spark, sf_dir))

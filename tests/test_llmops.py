@@ -151,6 +151,25 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
 
 
+def test_embedding_lsh_near_dup_recall(spark, sf_dir):
+    """LSH-blocked embedding near-dup must recover ≥90% of exact pairs, and
+    every reported pair must also appear in the exact result (cosine rerank
+    is exact, so precision is 1 by construction)."""
+    corpus = _embs(spark, sf_dir)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in simsearch.embedding_near_dup_pairs(corpus, threshold=0.45).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in simsearch.embedding_near_dup_pairs_lsh(corpus, threshold=0.45).collect()
+    }
+    assert exact, "fixture corpus must contain embedding near-dups"
+    assert lsh <= exact
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"embedding LSH recall {recall:.2f}"
+
+
 def test_cluster_pairs_connected_components(spark):
     """Two chains and an isolated pair must collapse to their min ids,
     even when connectivity is only transitive (1-2, 2-3, 3-4)."""
