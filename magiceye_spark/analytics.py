@@ -592,6 +592,63 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's revenue by year —
+    conditional-sum ratio over a multi-dim broadcast join tree."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    rev = _dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_cust), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)
+                ).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_Q8 = """
+SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+       ROUND(
+         CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                       THEN CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))
+                       ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
 def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: distribution of orders-per-customer (including
     zero-order customers via left outer join). Two aggregations: per-customer

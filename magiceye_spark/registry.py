@@ -289,6 +289,11 @@ def q7(spark, sf_dir):
     return analytics.q7_nation_volume(spark, sf_dir)
 
 
+@register("q8_market_share", analytics.SQL_Q8)
+def q8(spark, sf_dir):
+    return analytics.q8_market_share(spark, sf_dir)
+
+
 @register("q10_returned_items", analytics.SQL_Q10)
 def q10(spark, sf_dir):
     return analytics.q10_returned_items(spark, sf_dir)
@@ -384,6 +389,11 @@ def value_dist_q(spark, sf_dir):
 @register("events_approx_users", None)  # HLL sketch: rows-only, tolerance in tests
 def approx_users_q(spark, sf_dir):
     return sketches.approx_user_counts_events(spark, sf_dir)
+
+
+@register("events_approx_percentiles", None)  # GK sketch: rows-only, tolerance in tests
+def approx_pct_q(spark, sf_dir):
+    return sketches.approx_value_distribution_events(spark, sf_dir)
 
 
 # directional data diff: reference semantics — target-only rows ignored

@@ -59,9 +59,28 @@ def approx_user_counts(events: DataFrame, rsd: float = 0.05) -> DataFrame:
     )
 
 
+def approx_value_distribution(events: DataFrame, accuracy: int = 1000) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles (``percentile_approx``) —
+    the sketch path: mergeable bounded state per group instead of shuffling
+    the full value set, error ≤ 1/accuracy in rank. Rows-only driver check;
+    error vs exact pinned in tests."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.percentile_approx("value", 0.5, accuracy), 4).alias("p50_approx"),
+            F.round(F.percentile_approx("value", 0.95, accuracy), 4).alias("p95_approx"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def value_distribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_distribution(_events(spark, sf_dir))
 
 
 def approx_user_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_user_counts(_events(spark, sf_dir))
+
+
+def approx_value_distribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return approx_value_distribution(_events(spark, sf_dir))

@@ -4,7 +4,11 @@ configured relative error of the exact counts."""
 from pyspark.sql import functions as F
 
 from magiceye_spark.analytics import _events
-from magiceye_spark.sketches import approx_user_counts
+from magiceye_spark.sketches import (
+    approx_user_counts,
+    approx_value_distribution,
+    value_distribution,
+)
 
 
 def test_hll_within_tolerance(spark, sf_dir):
@@ -21,3 +25,17 @@ def test_hll_within_tolerance(spark, sf_dir):
     for k in exact:
         rel_err = abs(approx[k] - exact[k]) / exact[k]
         assert rel_err <= 0.15, f"{k}: approx={approx[k]} exact={exact[k]}"
+
+
+def test_gk_percentiles_within_tolerance(spark, sf_dir):
+    e = _events(spark, sf_dir)
+    exact = {r["event_type"]: (r["p50_value"], r["p95_value"])
+             for r in value_distribution(e).collect()}
+    approx = {r["event_type"]: (r["p50_approx"], r["p95_approx"])
+              for r in approx_value_distribution(e).collect()}
+    assert approx.keys() == exact.keys()
+    for k, (p50, p95) in exact.items():
+        a50, a95 = approx[k]
+        # value-space tolerance: GK bounds rank error, values are smooth here
+        assert abs(a50 - p50) / max(p50, 1e-9) <= 0.1, f"{k} p50 {a50} vs {p50}"
+        assert abs(a95 - p95) / max(p95, 1e-9) <= 0.1, f"{k} p95 {a95} vs {p95}"
