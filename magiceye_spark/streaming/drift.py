@@ -86,6 +86,84 @@ def monitor_schema_drift(
     return writer.start()
 
 
+def row_drift(
+    batch: DataFrame,
+    baseline: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level drift for one micro-batch of arriving rows: each row is
+    'new_row' (key absent from baseline) or 'changed' (key present, some
+    compared column differs); unchanged rows drop out. The arriving batch
+    is small → joins as the broadcast side against the (large) baseline;
+    at lake scale the baseline side stays partitioned on the key so the
+    probe is shuffle-free for it. Batch twin of datadiff.diff_data driven
+    from the target side."""
+    if compare_cols is None:
+        compare_cols = [
+            c for c in batch.columns if c in set(baseline.columns) and c not in set(keys)
+        ]
+    b = baseline.select(
+        *keys,
+        *[F.col(c).alias(f"{c}__b") for c in compare_cols],
+        F.lit(True).alias("_b_present"),
+    )
+    j = F.broadcast(batch).join(b, keys, "left")
+    changed_arr = F.filter(
+        F.array(
+            *[
+                F.when(~F.col(c).eqNullSafe(F.col(f"{c}__b")), F.lit(c))
+                for c in compare_cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    status = F.when(F.col("_b_present").isNull(), F.lit("new_row")).when(
+        F.size(changed_arr) > 0, F.lit("changed")
+    )
+    return (
+        j.withColumn("drift_status", status)
+        .where(F.col("drift_status").isNotNull())
+        .select(
+            *keys,
+            "drift_status",
+            F.when(
+                F.col("drift_status") == "changed",
+                F.array_join(F.array_sort(changed_arr), ","),
+            ).otherwise(F.lit("")).alias("changed_columns"),
+        )
+    )
+
+
+def monitor_row_drift(
+    spark: SparkSession,
+    rows_path: str,
+    baseline: DataFrame,
+    keys: list[str],
+    schema: StructType,
+    sink: Callable[[DataFrame, int], None],
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Watch ``rows_path`` for arriving row files and feed row-drift
+    findings to ``sink(batch_df, batch_id)`` — the data-plane sibling of
+    :func:`monitor_schema_drift`."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(rows_path)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(row_drift(batch_df, baseline, keys), batch_id)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", rows_path.rstrip("/") + "_chk"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def drift_rate_rollup(
     drift: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
 ) -> DataFrame:
