@@ -38,6 +38,18 @@ def read_table(
     return parallelize_scan(spark, df) if parallelize else df
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_by: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet layout: one directory per distinct
+    partition-column value. Queries filtering on those columns prune whole
+    directories at PLANNING time (PartitionFilters in the scan — pinned in
+    tests/test_plans.py), the cheapest possible data skipping at 100 TB.
+    Choose low-cardinality columns (event_type, date) — high-cardinality
+    partitioning produces a small-file explosion."""
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
 def write_bucketed(
     df: DataFrame, table: str, keys: list[str], n_buckets: int = 32
 ) -> None:

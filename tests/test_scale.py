@@ -43,6 +43,25 @@ def test_salted_join_preserves_right_duplicates(spark):
     assert salted.count() == plain.count() == 6
 
 
+def test_partitioned_layout_prunes_at_planning_time(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become a PartitionFilter (whole
+    directories skipped at planning), not a post-scan filter."""
+    import re
+
+    from magiceye_spark.analytics import _events
+    from magiceye_spark.io import write_partitioned
+
+    p = str(tmp_path / "events_part")
+    write_partitioned(_events(spark, sf_dir), p, partition_by=["event_type"])
+    df = spark.read.parquet(p).where(F.col("event_type") == "purchase")
+    plan = plans.formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan
+    # and the filter is NOT also pushed as a data filter — it's resolved
+    # entirely from the directory layout
+    assert df.count() == _events(spark, sf_dir).where("event_type = 'purchase'").count()
+
+
 def test_bucketed_snapshots_diff_without_shuffle(spark, sf_dir):
     base, target = _sides(spark, sf_dir)
     keys = ["l_orderkey", "l_linenumber"]
