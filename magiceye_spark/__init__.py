@@ -30,7 +30,7 @@ from magiceye_spark.datadiff import (
 )
 from magiceye_spark.events_ops import asof_join, range_join_count, sessionize
 from magiceye_spark.skew import salted_join
-from magiceye_spark.io import read_table, write_bucketed
+from magiceye_spark.io import read_table, write_bucketed, write_partitioned
 
 __all__ = [
     "TABLES_SCHEMA",
