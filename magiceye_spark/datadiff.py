@@ -29,6 +29,11 @@ CHANGED = "changed"    # present in both, at least one compared column differs
 
 def _compare_cols(base: DataFrame, target: DataFrame, keys: list[str],
                   compare_cols: list[str] | None) -> list[str]:
+    for side, df in (("base", base), ("target", target)):
+        missing = [k for k in keys if k not in df.columns]
+        if missing:
+            raise ValueError(f"key column(s) {missing} not in {side} table "
+                             f"(has {df.columns})")
     if compare_cols is not None:
         return compare_cols
     common = [c for c in base.columns if c in set(target.columns)]
