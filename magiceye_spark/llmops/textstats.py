@@ -183,6 +183,52 @@ def sql_language_id() -> str:
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size character windows with overlap — the
+    training-window chunking pass. (doc_id, chunk_id, chunk_text,
+    chunk_len). Pure expressions: explode(sequence) × substring, no UDF;
+    output row count is Σ⌈len/stride⌉, computed without ever collecting a
+    document to the driver."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    t = F.col(text_col)
+    n = F.length(t)
+    # chunks start at 1, 1+stride, 1+2*stride, ... while start <= len
+    n_chunks = F.ceil((F.greatest(n - F.lit(overlap), F.lit(1))) / F.lit(stride))
+    chunk_id = F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int")))
+    out = docs.select("doc_id", t.alias("_t"), chunk_id.alias("chunk_id"))
+    chunk_text = F.substring(
+        F.col("_t"), F.col("chunk_id") * stride + 1, chunk_chars
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        chunk_text.alias("chunk_text"),
+        F.length(chunk_text).alias("chunk_len"),
+    )
+
+
+def sql_chunk_documents(chunk_chars: int = 512, overlap: int = 64) -> str:
+    stride = chunk_chars - overlap
+    return f"""
+SELECT doc_id, chunk_id,
+       substr(text, chunk_id * {stride} + 1, {chunk_chars}) AS chunk_text,
+       LENGTH(substr(text, chunk_id * {stride} + 1, {chunk_chars})) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         UNNEST(generate_series(0, CAST(CEIL(GREATEST(LENGTH(text) - {overlap}, 1)
+                                             / CAST({stride} AS DOUBLE)) AS INTEGER) - 1)) AS chunk_id
+  FROM documents
+)
+"""
+
+
 def vocab_topk(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
     """Corpus vocabulary: top-k tokens by term frequency with document
     frequency — the token-histogram shape behind BPE vocab induction and

@@ -559,6 +559,11 @@ def ivf_topk_q(spark, sf_dir):
     return simsearch.ivf_topk(corpus, queries_df, k=10)
 
 
+@register("chunk_documents", textstats.sql_chunk_documents(chunk_chars=512, overlap=64))
+def chunk_q(spark, sf_dir):
+    return textstats.chunk_documents(_docs(spark, sf_dir), chunk_chars=512, overlap=64)
+
+
 @register("vocab_topk", textstats.sql_vocab_topk(k=100))
 def vocab_q(spark, sf_dir):
     return textstats.vocab_topk(_docs(spark, sf_dir), k=100)

@@ -151,6 +151,20 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
 
 
+def test_chunking_reconstructs_documents(spark, sf_dir):
+    """Dropping each chunk's leading overlap and concatenating must
+    reproduce the original text exactly — no gaps, no duplication."""
+    docs = _docs(spark, sf_dir).limit(20)
+    chunks = textstats.chunk_documents(docs, chunk_chars=128, overlap=16).collect()
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        prev = by_doc.get(r["doc_id"], "")
+        piece = r["chunk_text"] if not prev else r["chunk_text"][16:]
+        by_doc[r["doc_id"]] = prev + piece
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert by_doc == originals
+
+
 def test_embedding_lsh_near_dup_recall(spark, sf_dir):
     """LSH-blocked embedding near-dup must recover ≥90% of exact pairs, and
     every reported pair must also appear in the exact result (cosine rerank
