@@ -37,6 +37,39 @@ def curate(
     return dedup.dedup_near(e, pairs)
 
 
+def hash_split(
+    docs: DataFrame,
+    train_pct: int = 90,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/eval assignment by content-independent id hash:
+    md5(salt ∥ id) mod 100 < train_pct → 'train' else 'eval'.
+
+    Hash-based (not random) splitting is what a 100 TB pipeline needs:
+    reproducible across runs/engines/cluster layouts, stable under
+    re-partitioning, and new data lands in the same split forever. The salt
+    versions the split. md5 (not xxhash64) so the DuckDB oracle computes
+    the identical assignment."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return docs.select(
+        id_col,
+        F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("eval")).alias("split"),
+    )
+
+
+def sql_hash_split(train_pct: int = 90, salt: str = "split-v1") -> str:
+    return f"""
+SELECT doc_id,
+       CASE WHEN CAST(CONCAT('0x', substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < {train_pct}
+            THEN 'train' ELSE 'eval' END AS split
+FROM documents
+"""
+
+
 def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row of funnel counts: input → after quality → after exact dedup
     → after near dedup. The per-stage counts are what a pipeline operator

@@ -514,6 +514,11 @@ def quality_filter_q(spark, sf_dir):
     return pipeline.filter_quality(_docs(spark, sf_dir), min_score=0.5)
 
 
+@register("corpus_hash_split", pipeline.sql_hash_split(train_pct=90))
+def hash_split_q(spark, sf_dir):
+    return pipeline.hash_split(_docs(spark, sf_dir), train_pct=90)
+
+
 @register("curation_funnel", None)  # composite funnel: rows-only check
 def curation_funnel_q(spark, sf_dir):
     return pipeline.curation_funnel_stats(spark, sf_dir)
