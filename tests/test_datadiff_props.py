@@ -84,6 +84,53 @@ def test_rowset_diff_matches_multiset_reference(spark, base, target):
     assert got == want
 
 
+LEFT_ROW = st.tuples(
+    st.integers(0, 3),                    # key
+    st.integers(0, 50),                   # ts
+    st.integers(100, 104),                # left payload (unique-ish id)
+)
+RIGHT_ROW = st.tuples(
+    st.integers(0, 3),
+    st.integers(0, 50),
+    st.integers(0, 9),                    # right payload
+)
+
+
+@given(
+    left=st.lists(LEFT_ROW, min_size=1, max_size=10),
+    right=st.lists(RIGHT_ROW, min_size=0, max_size=10),
+)
+@_settings
+def test_asof_join_matches_reference(spark, left, right):
+    """asof_join must attach, per left row, the right row with the greatest
+    ts <= left.ts for the same key (NULL when none)."""
+    from magiceye_spark.events_ops import asof_join
+
+    # uniquify right per (key, ts): keep max payload — mirrors the
+    # pre-dedup the events showcase does
+    rdict = {}
+    for k, ts, v in right:
+        rdict[(k, ts)] = max(v, rdict.get((k, ts), -1))
+    right_rows = [(k, float(ts), v) for (k, ts), v in rdict.items()]
+
+    ldf = spark.createDataFrame(
+        [(k, float(ts), lid) for k, ts, lid in left], "k int, ts double, lid int"
+    )
+    rdf = spark.createDataFrame(
+        right_rows or [], "k int, ts double, rv int"
+    ) if right_rows else spark.createDataFrame([], "k int, ts double, rv int")
+
+    got = {
+        (r["k"], r["ts"], r["lid"]): r["asof_rv"]
+        for r in asof_join(ldf, rdf, keys=["k"], right_carry=["rv"]).collect()
+    }
+    want = {}
+    for k, ts, lid in left:
+        cands = [(rts, v) for (rk, rts), v in rdict.items() if rk == k and rts <= ts]
+        want[(k, float(ts), lid)] = max(cands)[1] if cands else None
+    assert got == want
+
+
 @given(rows=TABLE)
 @_settings
 def test_self_diff_is_empty(spark, rows):
