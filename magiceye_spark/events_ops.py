@@ -283,6 +283,104 @@ ORDER BY event_type
 """
 
 
+_FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def conversion_funnel(
+    events: DataFrame, steps: tuple[str, ...] = _FUNNEL_STEPS
+) -> DataFrame:
+    """Ordered conversion funnel: users counted at step i only if they did
+    step i strictly after their first occurrence of step i-1 (first-touch
+    semantics). One aggregation shuffle on user_id; the step comparison is
+    a per-user scalar expression. Returns (step_idx, step, n_users)."""
+    firsts = events.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    # reached(i): t0..ti all present and strictly increasing
+    conds = []
+    for i in range(len(steps)):
+        c = F.col("t0").isNotNull()
+        for j in range(1, i + 1):
+            c = c & F.col(f"t{j}").isNotNull() & (F.col(f"t{j}") > F.col(f"t{j-1}"))
+        conds.append(c)
+    counts = firsts.agg(
+        *[F.count(F.when(c, 1)).alias(f"n{i}") for i, c in enumerate(conds)]
+    )
+    rows = None
+    for i, s in enumerate(steps):
+        r = counts.select(
+            F.lit(i).alias("step_idx"), F.lit(s).alias("step"),
+            F.col(f"n{i}").alias("n_users"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.orderBy("step_idx")
+
+
+def sql_conversion_funnel(steps: tuple[str, ...] = _FUNNEL_STEPS) -> str:
+    firsts = ", ".join(
+        f"MIN(CASE WHEN event_type = '{s}' THEN ts END) AS t{i}"
+        for i, s in enumerate(steps)
+    )
+    selects = []
+    for i, s in enumerate(steps):
+        cond = "t0 IS NOT NULL" + "".join(
+            f" AND t{j} IS NOT NULL AND t{j} > t{j-1}" for j in range(1, i + 1)
+        )
+        selects.append(
+            f"SELECT {i} AS step_idx, '{s}' AS step, "
+            f"COUNT(CASE WHEN {cond} THEN 1 END) AS n_users FROM firsts"
+        )
+    return (
+        f"WITH e AS ({SQL_EVENTS_US}), "
+        f"firsts AS (SELECT user_id, {firsts} FROM e GROUP BY user_id) "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY step_idx"
+    )
+
+
+def cohort_retention(events: DataFrame, max_days: int = 7) -> DataFrame:
+    """Day-N retention by first-seen cohort: users grouped by their first
+    active day, counted again on each later day they were active.
+    (cohort_day, day_offset, n_users). Two shuffles: first-day per user
+    (broadcast back), then the (cohort, offset) rollup."""
+    first_day = events.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cohort_day")
+    )
+    active = events.select(
+        "user_id", F.to_date(F.col("ts")).alias("active_day")
+    ).distinct()
+    j = active.join(F.broadcast(first_day), "user_id")
+    offset = F.datediff(F.col("active_day"), F.col("cohort_day"))
+    return (
+        j.select("user_id", "cohort_day", offset.alias("day_offset"))
+        .where(F.col("day_offset") <= max_days)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def sql_cohort_retention(max_days: int = 7) -> str:
+    return f"""
+WITH e AS ({SQL_EVENTS_US}),
+first_day AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM e GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM e
+)
+SELECT cohort_day, date_diff('day', cohort_day, active_day) AS day_offset,
+       COUNT(DISTINCT user_id) AS n_users
+FROM active JOIN first_day USING (user_id)
+WHERE date_diff('day', cohort_day, active_day) <= {max_days}
+GROUP BY cohort_day, day_offset
+ORDER BY cohort_day, day_offset
+"""
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     return sessionize(_events(spark, sf_dir), gap_minutes=gap_minutes)
 

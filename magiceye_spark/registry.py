@@ -381,6 +381,16 @@ def range_join_q(spark, sf_dir):
     return events_ops.clicks_before_purchase_events(spark, sf_dir)
 
 
+@register("conversion_funnel", events_ops.sql_conversion_funnel())
+def funnel_q(spark, sf_dir):
+    return events_ops.conversion_funnel(events_ops._events(spark, sf_dir))
+
+
+@register("cohort_retention", events_ops.sql_cohort_retention(max_days=7))
+def retention_q(spark, sf_dir):
+    return events_ops.cohort_retention(events_ops._events(spark, sf_dir), max_days=7)
+
+
 @register("events_value_distribution", sketches.SQL_VALUE_DISTRIBUTION)
 def value_dist_q(spark, sf_dir):
     return sketches.value_distribution_events(spark, sf_dir)
