@@ -604,6 +604,18 @@ def media_features_q(spark, sf_dir):
     return multimodal.extract_features(multimodal.synth_media(spark, sf_dir))
 
 
+@register("media_similarity_topk", None)  # Pandas kernel feeds JVM vector ops
+def media_similarity_q(spark, sf_dir):
+    """Composition: mapInPandas feature extraction → exact cosine top-5 —
+    the 'find similar media' query, proving the Arrow kernel output plugs
+    straight into the JVM similarity operators."""
+    feats = multimodal.extract_features(multimodal.synth_media(spark, sf_dir)).select(
+        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    queries_df = feats.where(F.col("vec_id") < 4)
+    return simsearch.cosine_topk(feats, queries_df, k=5)
+
+
 @register("media_resize_plan", multimodal.SQL_RESIZE_PLAN)
 def media_resize_q(spark, sf_dir):
     return multimodal.resize_images(multimodal.synth_media(spark, sf_dir))

@@ -94,6 +94,19 @@ def stream_sessionize(
     )
 
 
+def stream_dedup(
+    events: DataFrame, watermark: str = "2 hours", id_col: str = "event_id"
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same event id within
+    the watermark horizon (``dropDuplicatesWithinWatermark``) — state holds
+    one entry per id only until the watermark passes, so at-least-once
+    sources (Kafka, file redelivery) become effectively-once with bounded
+    state. The streaming twin of ``dedup.dedup_exact``."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, checkpoint: str, output_mode: str = "complete"
 ):

@@ -218,6 +218,34 @@ def test_stateful_sessionize_matches_reference(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_stream_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
+    from magiceye_spark.analytics import _events
+    from magiceye_spark.streaming import events as sev
+
+    src = str(tmp_path / "events_dup")
+    batch = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).limit(500)
+    # deliver everything twice (two files) — at-least-once semantics
+    batch.coalesce(1).write.parquet(src)
+    batch.coalesce(1).write.mode("append").parquet(src)
+
+    stream = sev.read_event_stream(spark, src, max_files_per_trigger=16)
+    q = (
+        sev.stream_dedup(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_t")
+    assert out.count() == batch.count()
+    assert out.select("event_id").distinct().count() == batch.count()
+
+
 def test_drift_rate_rollup(spark):
     d1 = column_drift(_delta(spark, T0), _baseline(spark))
     d2 = column_drift(_delta(spark, T0 + dt.timedelta(minutes=15)), _baseline(spark))
