@@ -37,6 +37,19 @@ def curate(
     return dedup.dedup_near(e, pairs)
 
 
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    key: str = "lang",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``) — the corpus-rebalance
+    op (e.g. downsample over-represented languages). Seeded → reproducible
+    for a fixed input partitioning; for split-stability under re-layout use
+    :func:`hash_split`-style bucket filters instead."""
+    return docs.sampleBy(key, fractions, seed)
+
+
 def hash_split(
     docs: DataFrame,
     train_pct: int = 90,

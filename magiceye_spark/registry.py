@@ -524,6 +524,12 @@ def quality_filter_q(spark, sf_dir):
     return pipeline.filter_quality(_docs(spark, sf_dir), min_score=0.5)
 
 
+@register("corpus_stratified_sample", None)  # seeded RNG differs per engine: rows-only
+def stratified_q(spark, sf_dir):
+    fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    return pipeline.stratified_sample(_docs(spark, sf_dir), fractions)
+
+
 @register("corpus_hash_split", pipeline.sql_hash_split(train_pct=90))
 def hash_split_q(spark, sf_dir):
     return pipeline.hash_split(_docs(spark, sf_dir), train_pct=90)

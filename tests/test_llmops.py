@@ -151,6 +151,23 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
 
 
+def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
+    from magiceye_spark.llmops.pipeline import stratified_sample
+
+    d = _docs(spark, sf_dir)
+    fr = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
+    a = {r["doc_id"] for r in stratified_sample(d, fr).select("doc_id").collect()}
+    b = {r["doc_id"] for r in stratified_sample(d, fr).select("doc_id").collect()}
+    assert a == b  # same seed + same layout → identical sample
+    counts = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(d, fr).groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    full = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["de"] == full["de"]  # fraction 1.0 keeps everything
+    assert 0.3 * full["en"] <= counts["en"] <= 0.7 * full["en"]
+
+
 def test_chunking_reconstructs_documents(spark, sf_dir):
     """Dropping each chunk's leading overlap and concatenating must
     reproduce the original text exactly — no gaps, no duplication."""
