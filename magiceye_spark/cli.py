@@ -125,6 +125,35 @@ def cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_list(args: argparse.Namespace) -> int:
+    """List every registered query (name + oracle coverage)."""
+    from magiceye_spark import registry
+
+    oracles = registry.oracles()
+    for name in registry.queries():
+        kind = "oracle-checked" if name in oracles else "rows-only"
+        print(f"{name:36s} {kind}")
+    return 0
+
+
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Print the optimized physical plan for a registry query — the
+    plan-quality inspection loop (`.explain("formatted")`) as a command."""
+    from magiceye_spark import registry
+    from magiceye_spark.plans import formatted_plan
+    from magiceye_spark.session import get_spark
+
+    qs = registry.queries()
+    if args.query not in qs:
+        print(f"unknown query {args.query!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = get_spark("magiceye-explain")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = qs[args.query](spark, args.sf_dir)
+    print(formatted_plan(df))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="magiceye-spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -144,6 +173,14 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--out")
     p_run.add_argument("--language", choices=["english", "korean"])
     p_run.set_defaults(fn=cmd_run)
+
+    p_list = sub.add_parser("list", help="list registered queries")
+    p_list.set_defaults(fn=cmd_list)
+
+    p_explain = sub.add_parser("explain", help="print a query's physical plan")
+    p_explain.add_argument("query")
+    p_explain.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_explain.set_defaults(fn=cmd_explain)
 
     args = ap.parse_args(argv)
     return args.fn(args)

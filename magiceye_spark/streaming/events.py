@@ -94,6 +94,15 @@ def stream_sessionize(
     )
 
 
+def stream_enrich(stream: DataFrame, dim: DataFrame, keys: list[str]) -> DataFrame:
+    """Stream-static enrichment join: attach slowly-changing dimension
+    columns to each arriving event. Spark re-plans the static side per
+    micro-batch (so dimension updates between batches are picked up) and
+    broadcasts it when small — no state store involved, unlike
+    stream-stream joins."""
+    return stream.join(dim, keys, "left")
+
+
 def stream_dedup(
     events: DataFrame, watermark: str = "2 hours", id_col: str = "event_id"
 ) -> DataFrame:

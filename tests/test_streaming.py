@@ -218,6 +218,35 @@ def test_stateful_sessionize_matches_reference(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
+    from magiceye_spark.analytics import _events
+    from magiceye_spark.streaming import events as sev
+
+    src = str(tmp_path / "events_enrich")
+    batch = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).limit(300)
+    batch.coalesce(2).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(i, f"tier_{i % 3}") for i in range(150)], "user_id long, tier string"
+    )
+
+    stream = sev.read_event_stream(spark, src, max_files_per_trigger=16)
+    q = (
+        sev.stream_enrich(stream, dim, ["user_id"])
+        .writeStream.format("memory")
+        .queryName("enriched_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["event_id"], r["tier"]) for r in spark.table("enriched_t").collect()}
+    want = {(r["event_id"], r["tier"]) for r in batch.join(dim, "user_id", "left").collect()}
+    assert got == want
+
+
 def test_stream_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
     from magiceye_spark.analytics import _events
     from magiceye_spark.streaming import events as sev
