@@ -283,6 +283,47 @@ ORDER BY event_type
 """
 
 
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Window-frame battery per user event: running index (row_number),
+    seconds since previous event (lag), cumulative value sum (unbounded
+    preceding frame), and 5-event moving average (bounded frame). All sums
+    through per-row-rounded decimals so both engines agree bitwise."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last5 = w.rowsBetween(-4, 0)
+    dec_v = F.round(F.col("value"), 4).cast("decimal(18,4)")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.row_number().over(w).alias("event_seq"),
+        ((F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / 1_000_000.0)
+        .alias("secs_since_prev"),
+        F.round(F.sum(dec_v).over(cum).cast("double"), 2).alias("cum_value"),
+        F.round(
+            F.sum(dec_v).over(last5).cast("double") / F.count(F.lit(1)).over(last5), 4
+        ).alias("moving_avg_5"),
+    )
+
+
+SQL_RUNNING_STATS = f"""
+WITH e AS ({{events}})
+SELECT event_id, user_id, ts,
+       ROW_NUMBER() OVER w AS event_seq,
+       (epoch_us(ts) - LAG(epoch_us(ts)) OVER w) / 1000000.0 AS secs_since_prev,
+       ROUND(CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS cum_value,
+       ROUND(CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS moving_avg_5
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""".replace("{events}", SQL_EVENTS_US)
+
+
 _FUNNEL_STEPS = ("signup", "click", "purchase")
 
 

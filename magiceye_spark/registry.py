@@ -381,6 +381,11 @@ def range_join_q(spark, sf_dir):
     return events_ops.clicks_before_purchase_events(spark, sf_dir)
 
 
+@register("user_running_stats", events_ops.SQL_RUNNING_STATS)
+def running_stats_q(spark, sf_dir):
+    return events_ops.user_running_stats(events_ops._events(spark, sf_dir))
+
+
 @register("conversion_funnel", events_ops.sql_conversion_funnel())
 def funnel_q(spark, sf_dir):
     return events_ops.conversion_funnel(events_ops._events(spark, sf_dir))
