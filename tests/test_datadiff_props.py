@@ -138,3 +138,13 @@ def test_self_diff_is_empty(spark, rows):
     df = spark.createDataFrame(rows, SCHEMA) if rows else spark.createDataFrame([], SCHEMA)
     assert diff_data(df, df, keys=["k"]).count() == 0
     assert diff_rows_set(df, df).count() == 0
+
+
+def test_compare_cols_subset_limits_attribution(spark):
+    """Restricting compare_cols must ignore differences outside the subset."""
+    base = spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], SCHEMA)
+    target = spark.createDataFrame([(1, 99, "a"), (2, 20, "z")], SCHEMA)
+    # only compare v2: the v1 change on key 1 is invisible
+    got = {r["k"]: (r["diff_status"], r["changed_columns"])
+           for r in diff_data(base, target, keys=["k"], compare_cols=["v2"]).collect()}
+    assert got == {2: ("changed", "v2")}

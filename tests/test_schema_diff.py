@@ -80,3 +80,21 @@ def test_index_order_sensitivity(spark):
     )
     rows = _rows(diff_schemas(base, target))
     assert rows == [("t", "index", "ix", "index_columns", "a, b", "b, a")]
+
+
+def test_diff_against_empty_target_reports_all_tables_missing(spark):
+    base = mysql_base(spark)
+    empty = SchemaSnapshot.from_rows(spark)
+    got = diff_schemas(base, empty).collect()
+    # every base table reported exactly once, as a missing-table finding;
+    # no child findings leak (children of missing tables are suppressed)
+    assert {r["check"] for r in got} == {"missing"}
+    assert {r["object_kind"] for r in got} == {"table"}
+    assert len(got) == base.tables.count()
+
+
+def test_empty_base_reports_nothing(spark):
+    # directional semantics: an empty base has nothing to report, no matter
+    # how much the target contains (background.rs:48-51)
+    empty = SchemaSnapshot.from_rows(spark)
+    assert diff_schemas(empty, mysql_target(spark)).count() == 0
