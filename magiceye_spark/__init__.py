@@ -20,6 +20,7 @@ from magiceye_spark.diff.core import (
     diff_indexes,
     diff_foreign_keys,
     diff_schemas,
+    diff_timeline,
 )
 from magiceye_spark.report import render_findings, grouped_report, write_report
 from magiceye_spark.datadiff import (

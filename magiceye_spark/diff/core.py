@@ -241,6 +241,26 @@ def diff_foreign_keys(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame
     return _explode_findings(j, "fk", F.col("fk_name"), checks)
 
 
+def diff_timeline(snapshots: list[tuple[str, SchemaSnapshot]]) -> DataFrame:
+    """Catalog drift across an ordered snapshot history: diff each adjacent
+    pair and tag findings with (from_version, to_version). The version loop
+    is driver-side and catalog-sized; each pairwise diff is the same
+    distributed plan as :func:`diff_schemas`, so the union is one lazy plan
+    over all versions. Turns the one-shot checker into the drift-timeline
+    primitive the streaming monitor aggregates."""
+    if len(snapshots) < 2:
+        raise ValueError("diff_timeline needs at least two snapshots")
+    out = None
+    for (v_from, s_from), (v_to, s_to) in zip(snapshots, snapshots[1:]):
+        d = diff_schemas(s_from, s_to).select(
+            F.lit(v_from).alias("from_version"),
+            F.lit(v_to).alias("to_version"),
+            *_FINDING_COLS,
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
 def diff_schemas(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
     """The full D1-D17 diff: union of all four matchers.
 

@@ -98,3 +98,17 @@ def test_empty_base_reports_nothing(spark):
     # how much the target contains (background.rs:48-51)
     empty = SchemaSnapshot.from_rows(spark)
     assert diff_schemas(empty, mysql_target(spark)).count() == 0
+
+
+def test_diff_timeline_tags_adjacent_pairs(spark):
+    """Three-version history: v1→v2 evolves (mysql planted diffs), v2→v3 is
+    identical — the timeline must show findings only on the first step."""
+    from magiceye_spark.diff.core import diff_timeline
+
+    v1, v2 = mysql_base(spark), mysql_target(spark)
+    tl = diff_timeline([("v1", v1), ("v2", v2), ("v3", v2)])
+    rows = tl.collect()
+    steps = {(r["from_version"], r["to_version"]) for r in rows}
+    assert steps == {("v1", "v2")}  # the identical step contributes nothing
+    n_direct = diff_schemas(v1, v2).count()
+    assert len(rows) == n_direct
