@@ -505,6 +505,65 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier order (late = shipped >90 days after the order date).
+    The double EXISTS/NOT-EXISTS correlation decorrelates into one grouped
+    pass over the order's lineitems (conditional distinct counts), then a
+    semi join back — two shuffles total, no correlated re-scans."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    j = l.join(o, l.l_orderkey == o.o_orderkey).withColumn(
+        "is_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    qualifying = per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)).select(
+        F.col("l_orderkey").alias("q_orderkey")
+    )
+    culprits = (
+        j.where(F.col("is_late"))
+        .join(qualifying, F.col("l_orderkey") == F.col("q_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        culprits.join(F.broadcast(s), culprits.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+SQL_Q21 = """
+WITH j AS (
+  SELECT l_orderkey, l_suppkey,
+         l_shipdate > o_orderdate + INTERVAL 90 DAY AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM j GROUP BY l_orderkey
+),
+culprits AS (
+  SELECT DISTINCT j.l_orderkey, j.l_suppkey
+  FROM j JOIN per_order USING (l_orderkey)
+  WHERE j.is_late AND per_order.n_supp > 1 AND per_order.n_late_supp = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM culprits JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
 def q22_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar subquery (global average balance) + NOT
     EXISTS → left-anti join. The scalar is a broadcast 1-row cross join;

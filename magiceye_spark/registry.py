@@ -329,6 +329,11 @@ def q19(spark, sf_dir):
     return analytics.q19_bracket_revenue(spark, sf_dir)
 
 
+@register("q21_sole_late_supplier", analytics.SQL_Q21)
+def q21(spark, sf_dir):
+    return analytics.q21_sole_late_supplier(spark, sf_dir)
+
+
 @register("q22_idle_balances", analytics.SQL_Q22)
 def q22(spark, sf_dir):
     return analytics.q22_idle_balances(spark, sf_dir)
