@@ -121,6 +121,17 @@ def cmd_run(args: argparse.Namespace) -> int:
     with ProgressReporter(spark, show):
         doc = write_report(findings, out, language)
     print(file=sys.stderr)
+    if args.ddl_out:
+        from magiceye_spark.ddl import suggest_ddl
+
+        rows = suggest_ddl(findings).orderBy(
+            "table_name", "object_kind", "object_name", "check"
+        ).collect()
+        with open(args.ddl_out, "w", encoding="utf-8") as fh:
+            fh.write("-- candidate migration aligning target to base\n")
+            for r in rows:
+                fh.write(r["statement"] + "\n")
+        print(f"wrote {args.ddl_out} ({len(rows)} statements)")
     print(f"wrote {out} ({len(doc['report_table_list'])} tables with findings)")
     return 0
 
@@ -172,6 +183,7 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--config")
     p_run.add_argument("--out")
     p_run.add_argument("--language", choices=["english", "korean"])
+    p_run.add_argument("--ddl-out", help="also write candidate ALTER statements here")
     p_run.set_defaults(fn=cmd_run)
 
     p_list = sub.add_parser("list", help="list registered queries")
