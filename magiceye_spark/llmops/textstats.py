@@ -288,6 +288,53 @@ FROM documents
 _ROLL_MOD = 2147483647
 
 
+#: PII patterns — deliberately simple, valid in both Java regex and RE2
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{7,14}[0-9]",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII pattern counts: (doc_id, n_email, n_phone, n_ipv4,
+    has_pii). The cheap regex pre-filter a corpus pipeline runs before the
+    expensive NER pass — pure JVM regexp_count, no Python."""
+    t = F.col(text_col)
+    counts = {k: F.regexp_count(t, F.lit(p)) for k, p in PII_PATTERNS.items()}
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return docs.select(
+        "doc_id",
+        *[c.alias(f"n_{k}") for k, c in counts.items()],
+        (total > 0).alias("has_pii"),
+    )
+
+
+SQL_PII_SCAN = f"""
+SELECT doc_id,
+       LENGTH(regexp_extract_all(text, '{PII_PATTERNS["email"]}')) AS n_email,
+       LENGTH(regexp_extract_all(text, '{PII_PATTERNS["phone"]}')) AS n_phone,
+       LENGTH(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}')) AS n_ipv4,
+       (LENGTH(regexp_extract_all(text, '{PII_PATTERNS["email"]}'))
+        + LENGTH(regexp_extract_all(text, '{PII_PATTERNS["phone"]}'))
+        + LENGTH(regexp_extract_all(text, '{PII_PATTERNS["ipv4"]}'))) > 0 AS has_pii
+FROM documents
+"""
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace each PII match with a typed placeholder ([EMAIL]/[PHONE]/
+    [IP]) — the scrub pass. Same regexes as :func:`pii_scan`, chained
+    regexp_replace, still whole-stage codegen."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, PII_PATTERNS["email"], "[EMAIL]")
+    t = F.regexp_replace(t, PII_PATTERNS["phone"], "[PHONE]")
+    t = F.regexp_replace(t, PII_PATTERNS["ipv4"], "[IP]")
+    return docs.withColumn(text_col, t)
+
+
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive polynomial rolling hash over the token sequence
     (Rabin–Karp shape): h ← (h·31 + hash(token)) mod p. Distinguishes

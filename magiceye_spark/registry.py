@@ -471,6 +471,11 @@ def fingerprint_q(spark, sf_dir):
     return textstats.doc_fingerprint(_docs(spark, sf_dir))
 
 
+@register("pii_scan", textstats.SQL_PII_SCAN)
+def pii_q(spark, sf_dir):
+    return textstats.pii_scan(_docs(spark, sf_dir))
+
+
 @register("doc_rolling_fingerprint", textstats.SQL_ROLLING_FP)
 def rolling_fp_q(spark, sf_dir):
     return textstats.rolling_fingerprint(_docs(spark, sf_dir))

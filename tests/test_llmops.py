@@ -151,6 +151,27 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
 
 
+def test_pii_redaction_round_trip(spark):
+    rows = [
+        (1, "contact bob@example.com or +1 (555) 123-4567 now", "en", "s", 48),
+        (2, "server at 192.168.1.10 went down", "en", "s", 32),
+        (3, "nothing sensitive here", "en", "s", 22),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    scan = {r["doc_id"]: (r["n_email"], r["n_phone"], r["n_ipv4"], r["has_pii"])
+            for r in textstats.pii_scan(d).collect()}
+    assert scan[1][0] == 1 and scan[1][1] >= 1 and scan[1][3]
+    assert scan[2][2] == 1 and scan[2][3]
+    assert scan[3] == (0, 0, 0, False)
+    red = {r["doc_id"]: r["text"] for r in textstats.redact_pii(d).collect()}
+    assert "[EMAIL]" in red[1] and "bob@example.com" not in red[1]
+    assert "[IP]" in red[2] and "192.168.1.10" not in red[2]
+    assert red[3] == "nothing sensitive here"
+    # redacted corpus scans clean
+    clean = textstats.pii_scan(textstats.redact_pii(d))
+    assert clean.where(F.col("has_pii")).count() == 0
+
+
 def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
     from magiceye_spark.llmops.pipeline import stratified_sample
 
