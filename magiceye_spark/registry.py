@@ -406,6 +406,16 @@ def value_dist_q(spark, sf_dir):
     return sketches.value_distribution_events(spark, sf_dir)
 
 
+@register("events_value_histogram", sketches.sql_value_histogram(bin_width=25.0))
+def histogram_q(spark, sf_dir):
+    return sketches.value_histogram_events(spark, sf_dir)
+
+
+@register("events_value_k_corr", sketches.SQL_VALUE_K_CORR)
+def corr_q(spark, sf_dir):
+    return sketches.value_k_correlation_events(spark, sf_dir)
+
+
 @register("events_approx_users", None)  # HLL sketch: rows-only, tolerance in tests
 def approx_users_q(spark, sf_dir):
     return sketches.approx_user_counts_events(spark, sf_dir)

@@ -74,6 +74,90 @@ def approx_value_distribution(events: DataFrame, accuracy: int = 1000) -> DataFr
     )
 
 
+def value_histogram(events: DataFrame, bin_width: float = 25.0) -> DataFrame:
+    """Fixed-width histogram of ``value`` per event type: (event_type, bin,
+    bin_lo, n). One aggregation shuffle; the binning is a floor division."""
+    b = F.floor(F.col("value") / bin_width).cast("long")
+    return (
+        events.groupBy(F.col("event_type"), b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bin",
+            F.round(F.col("bin") * bin_width, 2).alias("bin_lo"),
+            "n",
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+def sql_value_histogram(bin_width: float = 25.0) -> str:
+    return f"""
+SELECT event_type, bin, ROUND(bin * {bin_width}, 2) AS bin_lo, n
+FROM (
+  SELECT event_type, CAST(FLOOR(value / {bin_width}) AS BIGINT) AS bin, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+ORDER BY event_type, bin
+"""
+
+
+def value_k_correlation(events: DataFrame) -> DataFrame:
+    """Pearson correlation of value vs the JSON ``k`` property per event
+    type — computed from EXACT decimal moments (Σx, Σy, Σxy, Σx², Σy², n)
+    so the result is bit-identical on any engine or partitioning, unlike a
+    naive double ``corr`` whose summation order floats. The final formula
+    runs in double on the five exact scalars."""
+    x = F.round(F.col("value"), 4).cast("decimal(18,4)")
+    y = F.get_json_object(F.col("props"), "$.k").cast("decimal(18,4)")
+    m = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(28,8)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(28,8)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(28,8)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select("event_type", F.round(corr, 6).alias("corr_value_k")).orderBy(
+        "event_type"
+    )
+
+
+SQL_VALUE_K_CORR = """
+SELECT event_type,
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_value_k
+FROM (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(json_extract_string(props, '$.k') AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(ROUND(value, 4) AS DECIMAL(18,4))
+                       * CAST(json_extract_string(props, '$.k') AS DECIMAL(18,4)) AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(ROUND(value, 4) AS DECIMAL(18,4))
+                       * CAST(ROUND(value, 4) AS DECIMAL(18,4)) AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS DECIMAL(18,4))
+                       * CAST(json_extract_string(props, '$.k') AS DECIMAL(18,4)) AS DECIMAL(28,8))) AS DOUBLE) AS syy
+  FROM events GROUP BY event_type
+)
+ORDER BY event_type
+"""
+
+
+def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_histogram(_events(spark, sf_dir))
+
+
+def value_k_correlation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_k_correlation(_events(spark, sf_dir))
+
+
 def value_distribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_distribution(_events(spark, sf_dir))
 
