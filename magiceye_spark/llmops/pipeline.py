@@ -37,6 +37,40 @@ def curate(
     return dedup.dedup_near(e, pairs)
 
 
+def corpus_composition(docs: DataFrame) -> DataFrame:
+    """Corpus composition by (source, lang): docs, characters, exact-dup
+    rate — the first report run on any new data drop. One aggregation
+    shuffle; dup rate from canonical-hash distinct counts."""
+    canon = F.md5(
+        F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    )
+    return (
+        docs.select("source", "lang", "n_chars", canon.alias("c"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.countDistinct("c").alias("n_uniq"),
+            F.round(
+                (F.count(F.lit(1)) - F.countDistinct("c")) / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+SQL_CORPUS_COMPOSITION = r"""
+SELECT source, lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       COUNT(DISTINCT md5(regexp_replace(TRIM(LOWER(text)), '\s+', ' ', 'g'))) AS n_uniq,
+       ROUND((COUNT(*) - COUNT(DISTINCT md5(regexp_replace(TRIM(LOWER(text)), '\s+', ' ', 'g'))))
+             / CAST(COUNT(*) AS DOUBLE), 4) AS dup_rate
+FROM documents
+GROUP BY source, lang
+ORDER BY source, lang
+"""
+
+
 def stratified_sample(
     docs: DataFrame,
     fractions: dict[str, float],

@@ -544,6 +544,11 @@ WHERE doc_id IN (SELECT doc_id FROM ({textstats.SQL_QUALITY}) WHERE quality_scor
 """
 
 
+@register("corpus_composition", pipeline.SQL_CORPUS_COMPOSITION)
+def composition_q(spark, sf_dir):
+    return pipeline.corpus_composition(_docs(spark, sf_dir))
+
+
 @register("quality_filtered_corpus", SQL_QUALITY_FILTERED)
 def quality_filter_q(spark, sf_dir):
     return pipeline.filter_quality(_docs(spark, sf_dir), min_score=0.5)
