@@ -1,0 +1,49 @@
+"""API misuse must fail fast with clear ValueErrors, not deep Spark
+AnalysisExceptions three stages later."""
+
+import pytest
+
+from magiceye_spark.datadiff import diff_data, diff_dataset
+from magiceye_spark.diff.core import diff_timeline
+from magiceye_spark.llmops.textstats import chunk_documents
+from magiceye_spark.skew import salted_join
+
+
+def _df(spark):
+    return spark.createDataFrame([(1, "a")], "k int, v string")
+
+
+def test_diff_data_rejects_bad_how(spark):
+    with pytest.raises(ValueError, match="how"):
+        diff_data(_df(spark), _df(spark), keys=["k"], how="full_outer")
+
+
+def test_diff_data_rejects_missing_key(spark):
+    with pytest.raises(ValueError, match="key column"):
+        diff_data(_df(spark), _df(spark), keys=["nope"])
+
+
+def test_salted_join_rejects_right_join(spark):
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(_df(spark), _df(spark), keys=["k"], how="right")
+
+
+def test_chunking_rejects_overlap_ge_chunk(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, chunk_chars=64, overlap=64)
+
+
+def test_diff_dataset_rejects_empty(spark):
+    with pytest.raises(ValueError, match="at least one"):
+        diff_dataset({}, keys={})
+
+
+def test_diff_timeline_rejects_single_snapshot(spark):
+    from magiceye_spark.fixtures import mysql_base
+
+    with pytest.raises(ValueError, match="at least two"):
+        diff_timeline([("v1", mysql_base(spark))])
