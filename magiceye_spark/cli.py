@@ -165,6 +165,31 @@ def cmd_explain(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_plans(args: argparse.Namespace) -> int:
+    """Plan-quality report: Exchange/broadcast/SMJ/Python-eval counts for
+    every registered query — the at-a-glance scale audit."""
+    from magiceye_spark import plans, registry
+    from magiceye_spark.session import get_spark
+
+    spark = get_spark("magiceye-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    names = [n for n in qs if not args.filter or args.filter in n]
+    print(f"{'query':36s} {'shuffle':>7s} {'bcast':>6s} {'smj':>4s} {'python':>7s}")
+    for name in names:
+        try:
+            df = qs[name](spark, args.sf_dir)
+            print(
+                f"{name:36s} {plans.count_shuffles(df):7d} "
+                f"{plans.broadcast_join_count(df):6d} "
+                f"{plans.sortmerge_join_count(df):4d} "
+                f"{plans.python_eval_count(df):7d}"
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:36s} ERROR {e}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="magiceye-spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -193,6 +218,11 @@ def main(argv: list[str] | None = None) -> int:
     p_explain.add_argument("query")
     p_explain.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p_explain.set_defaults(fn=cmd_explain)
+
+    p_plans = sub.add_parser("plans", help="plan-quality report for all queries")
+    p_plans.add_argument("--filter", help="substring filter on query names")
+    p_plans.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_plans.set_defaults(fn=cmd_plans)
 
     args = ap.parse_args(argv)
     return args.fn(args)
