@@ -151,6 +151,35 @@ def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
     )
 
 
+def chunk_audio(media: DataFrame, window_ms: int = 500) -> DataFrame:
+    """Audio windowing plan: fixed windows over the clip duration with the
+    sample count each window holds at the clip's sample rate (JVM sequence
+    explode; the waveform decode is the stubbed kernel). Completes the
+    per-modality preprocessing trio: image→resize, video→frames,
+    audio→windows."""
+    return (
+        media.where(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            F.col("meta.sample_rate").alias("sample_rate"),
+            F.explode(
+                F.sequence(F.lit(0), F.col("meta.duration_ms") - 1, F.lit(window_ms))
+            ).alias("start_ms"),
+            F.col("meta.duration_ms").alias("duration_ms"),
+        )
+        .select(
+            "media_id",
+            "start_ms",
+            F.least(F.col("start_ms") + window_ms, F.col("duration_ms")).alias("end_ms"),
+            (
+                (F.least(F.col("start_ms") + window_ms, F.col("duration_ms"))
+                 - F.col("start_ms"))
+                * F.col("sample_rate") / 1000
+            ).cast("long").alias("n_samples"),
+        )
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: explode frame timestamps from duration
     metadata (JVM-side sequence); actual frame decode is the stubbed kernel."""
@@ -193,6 +222,17 @@ FROM media WHERE kind = 'image'
 SQL_FRAME_PLAN = SQL_MEDIA_CTE + """
 SELECT media_id, UNNEST(generate_series(0, duration_ms - 1, 1000)) AS frame_ts_ms
 FROM media WHERE kind = 'video'
+"""
+
+SQL_AUDIO_PLAN = SQL_MEDIA_CTE + """
+SELECT media_id, start_ms,
+       LEAST(start_ms + 500, duration_ms) AS end_ms,
+       CAST((LEAST(start_ms + 500, duration_ms) - start_ms) * 16000 / 1000 AS BIGINT) AS n_samples
+FROM (
+  SELECT media_id, duration_ms,
+         UNNEST(generate_series(0, duration_ms - 1, 500)) AS start_ms
+  FROM media WHERE kind = 'audio'
+)
 """
 
 

@@ -263,6 +263,58 @@ LIMIT {k}
 """
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF:
+    tf(term, doc) · ln(N / df(term)), smooth-free, natural log rounded to
+    6 — identical math both engines. Plan: one explode + per-doc term
+    counts, a broadcast-sized df table joined back, a per-doc window for
+    the top-k. (doc_id, term, tfidf, rnk)."""
+    tok = F.explode(_tokens(F.col(text_col))).alias("term")
+    terms = docs.select("doc_id", tok).where(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_counts = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def sql_tfidf_top_terms(k: int = 3) -> str:
+    toks = f"regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')"
+    return f"""
+WITH terms AS (
+  SELECT doc_id, UNNEST({toks}) AS term FROM documents
+),
+t AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms WHERE term <> '' GROUP BY 1, 2),
+d AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms WHERE term <> '' GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT t.doc_id, t.term,
+         ROUND(t.tf * LN(n.n_docs / CAST(d.df AS DOUBLE)), 6) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY ROUND(t.tf * LN(n.n_docs / CAST(d.df AS DOUBLE)), 6) DESC,
+                                     t.term ASC) AS rnk
+  FROM t JOIN d USING (term) CROSS JOIN n
+)
+WHERE rnk <= {k}
+ORDER BY doc_id, rnk
+"""
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical fingerprints for dedup keys: md5 of whitespace-normalized
     lowercase text (exact-canonical) and md5 of the sorted distinct token

@@ -481,6 +481,11 @@ def fingerprint_q(spark, sf_dir):
     return textstats.doc_fingerprint(_docs(spark, sf_dir))
 
 
+@register("tfidf_top_terms", textstats.sql_tfidf_top_terms(k=3))
+def tfidf_q(spark, sf_dir):
+    return textstats.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 @register("pii_scan", textstats.SQL_PII_SCAN)
 def pii_q(spark, sf_dir):
     return textstats.pii_scan(_docs(spark, sf_dir))
@@ -660,3 +665,8 @@ def media_resize_q(spark, sf_dir):
 @register("media_frame_plan", multimodal.SQL_FRAME_PLAN)
 def media_frames_q(spark, sf_dir):
     return multimodal.sample_frames(multimodal.synth_media(spark, sf_dir))
+
+
+@register("media_audio_windows", multimodal.SQL_AUDIO_PLAN)
+def media_audio_q(spark, sf_dir):
+    return multimodal.chunk_audio(multimodal.synth_media(spark, sf_dir))
