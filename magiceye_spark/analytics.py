@@ -779,6 +779,41 @@ ORDER BY s_suppkey
 """
 
 
+def nation_coverage_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator surface: nations with BOTH customers and suppliers
+    (INTERSECT) and nations with customers but NO suppliers (EXCEPT),
+    tagged. Spark's intersect/exceptAll are distinct-set/multiset exact."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    n = _t(spark, sf_dir, "nation")
+    both = c.intersect(s).withColumn("coverage", F.lit("both"))
+    cust_only = c.exceptAll(s).withColumn("coverage", F.lit("customers_only"))
+    return (
+        both.unionByName(cust_only)
+        .join(F.broadcast(n), F.col("nk") == n.n_nationkey)
+        .select("n_name", "coverage")
+        .orderBy("n_name")
+    )
+
+
+SQL_NATION_COVERAGE = """
+SELECT n_name, coverage FROM (
+  SELECT nk, 'both' AS coverage FROM (
+    SELECT DISTINCT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT DISTINCT s_nationkey AS nk FROM supplier
+  )
+  UNION ALL
+  SELECT nk, 'customers_only' AS coverage FROM (
+    SELECT DISTINCT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey AS nk FROM supplier
+  )
+) t JOIN nation ON nk = n_nationkey
+ORDER BY n_name
+"""
+
+
 def orders_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation: order counts/totals at (segment, priority),
     (segment), and grand-total levels in one pass — Spark computes all

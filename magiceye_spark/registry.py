@@ -354,6 +354,11 @@ def orders_rollup(spark, sf_dir):
     return analytics.orders_customer_rollup(spark, sf_dir)
 
 
+@register("nation_coverage_setops", analytics.SQL_NATION_COVERAGE)
+def setops_q(spark, sf_dir):
+    return analytics.nation_coverage_setops(spark, sf_dir)
+
+
 @register("orders_rollup_hierarchy", analytics.SQL_ROLLUP_HIERARCHY)
 def rollup_hierarchy_q(spark, sf_dir):
     return analytics.orders_rollup_hierarchy(spark, sf_dir)
