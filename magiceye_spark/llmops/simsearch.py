@@ -47,6 +47,65 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def normalize_embeddings(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """L2-normalize the embedding column (unit vectors → cosine becomes a
+    plain dot product downstream). Zero vectors pass through unchanged.
+    Pure ``transform`` expression; rounded to 6 so both engines agree."""
+    v = F.col(vec_col)
+    n = norm(v)
+    unit = F.when(
+        n > 0, F.transform(v, lambda x: F.round(x.cast("double") / n, 6))
+    ).otherwise(F.transform(v, lambda x: x.cast("double")))
+    return corpus.select(id_col, unit.alias(vec_col))
+
+
+SQL_NORMALIZE = """
+SELECT vec_id,
+       CASE WHEN SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) > 0
+            THEN list_transform(CAST(embedding AS DOUBLE[]),
+                                x -> ROUND(x / SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                                     CAST(embedding AS DOUBLE[]))), 6))
+            ELSE CAST(embedding AS DOUBLE[]) END AS embedding
+FROM embeddings
+"""
+
+
+def embedding_norm_stats(
+    corpus: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Distribution of L2 norms and dimensionality sanity: (dim, n_vectors,
+    min_norm, max_norm, avg_norm) — the first health check on an embedding
+    drop (collapsed or exploded norms signal a broken encoder)."""
+    n = F.round(norm(F.col(vec_col)), 6)
+    return corpus.select(F.size(F.col(vec_col)).alias("dim"), n.alias("n2")).groupBy(
+        "dim"
+    ).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.min("n2"), 6).alias("min_norm"),
+        F.round(F.max("n2"), 6).alias("max_norm"),
+        F.round(
+            F.sum(F.col("n2").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_norm"),
+    ).orderBy("dim")
+
+
+SQL_NORM_STATS = """
+SELECT dim, COUNT(*) AS n_vectors,
+       ROUND(MIN(n2), 6) AS min_norm,
+       ROUND(MAX(n2), 6) AS max_norm,
+       ROUND(CAST(SUM(CAST(n2 AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_norm
+FROM (
+  SELECT LENGTH(embedding) AS dim,
+         ROUND(SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS n2
+  FROM embeddings
+)
+GROUP BY dim
+ORDER BY dim
+"""
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

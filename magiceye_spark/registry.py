@@ -630,6 +630,16 @@ def vocab_q(spark, sf_dir):
     return textstats.vocab_topk(_docs(spark, sf_dir), k=100)
 
 
+@register("embedding_normalize", simsearch.SQL_NORMALIZE)
+def normalize_q(spark, sf_dir):
+    return simsearch.normalize_embeddings(_embs(spark, sf_dir))
+
+
+@register("embedding_norm_stats", simsearch.SQL_NORM_STATS)
+def norm_stats_q(spark, sf_dir):
+    return simsearch.embedding_norm_stats(_embs(spark, sf_dir))
+
+
 @register("embedding_near_dups", simsearch.sql_embedding_near_dups(threshold=0.45))
 def emb_near_dups_q(spark, sf_dir):
     return simsearch.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.45)
