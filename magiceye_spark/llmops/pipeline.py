@@ -37,6 +37,35 @@ def curate(
     return dedup.dedup_near(e, pairs)
 
 
+def chunk_dedup_stats(docs: DataFrame, chunk_chars: int = 512, overlap: int = 64) -> DataFrame:
+    """Duplication measured at the TRAINING-WINDOW level: chunk the corpus,
+    hash each window, count repeats — near-dup documents that exact
+    doc-level dedup misses still surface as repeated windows here. One row:
+    (n_chunks, n_uniq_chunks, dup_rate)."""
+    from magiceye_spark.llmops.textstats import chunk_documents
+
+    chunks = chunk_documents(docs, chunk_chars=chunk_chars, overlap=overlap)
+    h = F.md5(F.col("chunk_text"))
+    return chunks.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("h").alias("n_uniq_chunks"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("h")) / F.count(F.lit(1)), 4
+        ).alias("dup_rate"),
+    )
+
+
+def sql_chunk_dedup_stats(chunk_chars: int = 512, overlap: int = 64) -> str:
+    from magiceye_spark.llmops.textstats import sql_chunk_documents
+
+    return f"""
+SELECT COUNT(*) AS n_chunks,
+       COUNT(DISTINCT md5(chunk_text)) AS n_uniq_chunks,
+       ROUND((COUNT(*) - COUNT(DISTINCT md5(chunk_text))) / CAST(COUNT(*) AS DOUBLE), 4) AS dup_rate
+FROM ({sql_chunk_documents(chunk_chars, overlap)})
+"""
+
+
 def corpus_composition(docs: DataFrame) -> DataFrame:
     """Corpus composition by (source, lang): docs, characters, exact-dup
     rate — the first report run on any new data drop. One aggregation

@@ -554,6 +554,11 @@ WHERE doc_id IN (SELECT doc_id FROM ({textstats.SQL_QUALITY}) WHERE quality_scor
 """
 
 
+@register("chunk_dedup_stats", pipeline.sql_chunk_dedup_stats(chunk_chars=512, overlap=64))
+def chunk_dedup_q(spark, sf_dir):
+    return pipeline.chunk_dedup_stats(_docs(spark, sf_dir))
+
+
 @register("corpus_composition", pipeline.SQL_CORPUS_COMPOSITION)
 def composition_q(spark, sf_dir):
     return pipeline.corpus_composition(_docs(spark, sf_dir))
