@@ -257,6 +257,62 @@ def datadiff_lineitem_rowset(spark, sf_dir):
     return diff_rows_set(base, target)
 
 
+SQL_DQ_LINEITEM = """
+SELECT * FROM (
+  SELECT 'not_null' AS "check", 'l_quantity' AS "column",
+         COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS violations,
+         COUNT(*) AS total,
+         COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) = 0 AS pass
+  FROM lineitem
+  UNION ALL
+  SELECT 'range', 'l_discount',
+         COUNT(CASE WHEN l_discount NOT BETWEEN 0 AND 0.1 THEN 1 END),
+         COUNT(*),
+         COUNT(CASE WHEN l_discount NOT BETWEEN 0 AND 0.1 THEN 1 END) = 0
+  FROM lineitem
+  UNION ALL
+  SELECT 'accepted_values', 'l_linestatus',
+         COUNT(CASE WHEN l_linestatus NOT IN ('O', 'F') THEN 1 END),
+         COUNT(*),
+         COUNT(CASE WHEN l_linestatus NOT IN ('O', 'F') THEN 1 END) = 0
+  FROM lineitem
+  UNION ALL
+  SELECT 'unique', 'l_orderkey,l_linenumber',
+         COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0),
+         SUM(n),
+         COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) = 0
+  FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+  UNION ALL
+  SELECT 'referential', 'l_orderkey',
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+         COUNT(*),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
+  FROM lineitem
+)
+ORDER BY "check", "column"
+"""
+
+
+@register("dq_lineitem", SQL_DQ_LINEITEM)
+def dq_q(spark, sf_dir):
+    """Data-quality audit of lineitem: nullability, value range, accepted
+    values, PK uniqueness, FK integrity — one declarative rule set."""
+    from magiceye_spark.dq import Rules, check_quality
+
+    l = io.read_table(spark, sf_dir, "lineitem")
+    o = io.read_table(spark, sf_dir, "orders")
+    rules = Rules(
+        not_null=["l_quantity"],
+        unique=[["l_orderkey", "l_linenumber"]],
+        ranges={"l_discount": (0.0, 0.1)},
+        accepted={"l_linestatus": ["O", "F"]},
+        references={"l_orderkey": (o, "o_orderkey")},
+    )
+    return check_quality(l, rules)
+
+
 # ------------------------------------------------------------- analytics
 
 @register("q1_pricing_summary", analytics.SQL_Q1)
