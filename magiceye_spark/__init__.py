@@ -31,6 +31,8 @@ from magiceye_spark.datadiff import (
 )
 from magiceye_spark.events_ops import asof_join, range_join_count, sessionize
 from magiceye_spark.skew import salted_join
+from magiceye_spark.dq import Rules, check_quality
+from magiceye_spark.ddl import suggest_ddl
 from magiceye_spark.io import read_table, write_bucketed, write_partitioned
 
 __all__ = [
