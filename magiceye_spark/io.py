@@ -34,6 +34,15 @@ def read_table(
     tasks as the file has row groups. Queries that immediately shuffle for a
     join/window gain nothing and would pay an extra exchange — they keep the
     default."""
+    # testdata events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+    # reader rejects outright. The session-factory (session.py) sets this,
+    # but callers may hand us an externally-built SparkSession (the
+    # correctness harness does) — set it at runtime so every entry point
+    # reads nanos as long; _events() converts long → timestamp downstream.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # config not recognized / not settable: fall through to read
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return parallelize_scan(spark, df) if parallelize else df
 

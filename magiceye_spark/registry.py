@@ -278,8 +278,8 @@ SELECT * FROM (
   FROM lineitem
   UNION ALL
   SELECT 'unique', 'l_orderkey,l_linenumber',
-         COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0),
-         SUM(n),
+         CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT),
+         CAST(SUM(n) AS BIGINT),
          COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) = 0
   FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
   UNION ALL

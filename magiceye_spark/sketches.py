@@ -93,7 +93,7 @@ def value_histogram(events: DataFrame, bin_width: float = 25.0) -> DataFrame:
 
 def sql_value_histogram(bin_width: float = 25.0) -> str:
     return f"""
-SELECT event_type, bin, ROUND(bin * {bin_width}, 2) AS bin_lo, n
+SELECT event_type, bin, ROUND(CAST(bin * {bin_width} AS DOUBLE), 2) AS bin_lo, n
 FROM (
   SELECT event_type, CAST(FLOOR(value / {bin_width}) AS BIGINT) AS bin, COUNT(*) AS n
   FROM events GROUP BY 1, 2

@@ -54,12 +54,20 @@ def compare(spark, sf_dir: str, names=None) -> bool:
         try:
             res = con.sql(oracles[name])
             dcols = [d[0] for d in res.description]
+            dtypes = [str(t) for t in res.types]
             drows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"{name:32s} ORACLE SQL ERROR: {e}")
             ok = False
             continue
         problems = []
+        # HUGEINT / DECIMAL survive fetchall() but turn into float64 / object
+        # under pandas conversion (which the driver's hasher may use) —
+        # require an explicit CAST in the oracle SQL instead.
+        shaky = [f"{c}:{t}" for c, t in zip(dcols, dtypes)
+                 if "HUGEINT" in t or t.startswith("DECIMAL")]
+        if shaky:
+            problems.append(f"unstable oracle column types {shaky} — add CAST")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
@@ -80,10 +88,20 @@ def compare(spark, sf_dir: str, names=None) -> bool:
 
 if __name__ == "__main__":
     sys.path.insert(0, "/root/repo")
-    from magiceye_spark.session import get_spark
+    from pyspark.sql import SparkSession
 
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a] or None
-    spark = get_spark("oracle-harness")
+    # Deliberately a VANILLA session (not session.get_spark): the driver's
+    # correctness gate builds its own config-free SparkSession, so any query
+    # that silently depends on our session factory's configs must fail here
+    # too, before the driver sees it.
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-harness")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
     sys.exit(0 if compare(spark, sf_dir, names) else 1)
