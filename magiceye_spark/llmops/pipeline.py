@@ -159,3 +159,76 @@ def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         row, "n_input long, n_after_quality long, n_after_exact long, n_after_near long"
     )
+
+
+# --------------------------------------------------- eval decontamination
+
+def _doc_ngram_hashes(docs: DataFrame, ngram_n: int, text_col: str) -> DataFrame:
+    """(doc_id, sh): md5 of each DISTINCT word n-gram per document. md5 (not
+    xxhash64) so the DuckDB oracle computes the identical key; per-doc
+    distinct happens BEFORE the join so a phrase repeated inside one doc
+    contributes one row."""
+    toks = textstats._tokens(F.col(text_col))  # noqa: SLF001
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - ngram_n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, ngram_n))))
+    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+
+
+def decontamination_overlap(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    ngram_n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C shape): flag every
+    (train doc, eval doc) pair sharing at least one word ``ngram_n``-gram.
+    Returns (doc_id, eval_doc_id, n_shared_ngrams).
+
+    Plan: per-side distinct n-gram hashes, one equi-join on the hash, one
+    pair aggregation. At 100 TB the join key is md5-uniform; hot boilerplate
+    n-grams are the skew risk — AQE skew-join splits them, and real
+    deployments additionally drop top-document-frequency n-grams before the
+    join (the standard stopgram cut)."""
+    t = _doc_ngram_hashes(train, ngram_n, text_col)
+    e = _doc_ngram_hashes(eval_docs, ngram_n, text_col).select(
+        F.col("doc_id").alias("eval_doc_id"), "sh"
+    )
+    return (
+        t.join(e, "sh")
+        .groupBy("doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    ngram_n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every training document that shares an ``ngram_n``-gram with the
+    eval set (left anti join on the overlap pairs)."""
+    contaminated = decontamination_overlap(train, eval_docs, ngram_n, text_col)
+    return train.join(
+        contaminated.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+
+
+def sql_decontamination_overlap(ngram_n: int = 8, eval_mod: int = 50) -> str:
+    toks = f"regexp_split_to_array(TRIM(LOWER(text)), '{textstats._WS}')"  # noqa: SLF001
+    sh = (
+        f"list_transform(range(1, GREATEST(LENGTH(t) - {ngram_n} + 1, 1) + 1), "
+        f"i -> md5(array_to_string(t[i:i+{ngram_n - 1}], ' ')))"
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, UNNEST({sh}) AS sh FROM toks
+  )
+)
+SELECT a.doc_id, b.doc_id AS eval_doc_id, COUNT(*) AS n_shared_ngrams
+FROM sh a JOIN sh b ON a.sh = b.sh
+WHERE a.doc_id % {eval_mod} <> 0 AND b.doc_id % {eval_mod} = 0
+GROUP BY 1, 2
+"""

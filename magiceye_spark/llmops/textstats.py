@@ -410,3 +410,73 @@ SELECT doc_id,
          (acc, h) -> (acc * 31 + h) % {_ROLL_MOD}) AS rolling_hash
 FROM documents
 """
+
+
+# ------------------------------------------------------- repetition stats
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText repetition
+    filters): duplicate n-gram fraction for n=2,3 (1 − distinct/total) and
+    the most-frequent-token share. Repetitious documents (boilerplate,
+    scraper loops, degenerate generations) poison training corpora while
+    sailing through length/stopword quality checks.
+
+    All array expressions over the token list — row-local, zero shuffles,
+    whole-stage codegen; scales as a map-only pass at any corpus size.
+    """
+    toks = _tokens(F.col(text_col))
+
+    def ngrams(n: int) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+    def dup_frac(n: int) -> Column:
+        g = ngrams(n)
+        return _r4((F.size(g) - F.size(F.array_distinct(g))) / F.size(g))
+
+    # most-frequent token share: count occurrences of each DISTINCT token
+    # with a nested array fold (row-local; token lists are document-sized)
+    top_share = _r4(
+        F.array_max(
+            F.transform(
+                F.array_distinct(toks),
+                lambda d: F.size(F.filter(toks, lambda t: t == d)),
+            )
+        )
+        / F.size(toks)
+    )
+    return docs.select(
+        "doc_id",
+        dup_frac(2).alias("dup_bigram_frac"),
+        dup_frac(3).alias("dup_trigram_frac"),
+        top_share.alias("top_token_frac"),
+    )
+
+
+def sql_repetition_stats() -> str:
+    toks = f"regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')"
+
+    def ngrams(n: int) -> str:
+        # DuckDB list slicing is 1-based inclusive: t[i:i+n-1] is the n-gram
+        return (
+            f"list_transform(range(1, GREATEST(LENGTH(t) - {n} + 1, 1) + 1), "
+            f"i -> array_to_string(t[i:i+{n - 1}], ' '))"
+        )
+
+    def dup_frac(n: int) -> str:
+        g = ngrams(n)
+        return (
+            f"ROUND((LENGTH({g}) - LENGTH(list_distinct({g})))"
+            f" / CAST(LENGTH({g}) AS DOUBLE), 4)"
+        )
+
+    return f"""
+WITH toksets AS (SELECT doc_id, {toks} AS t FROM documents)
+SELECT doc_id,
+       {dup_frac(2)} AS dup_bigram_frac,
+       {dup_frac(3)} AS dup_trigram_frac,
+       ROUND(list_max(list_transform(list_distinct(t),
+                 d -> LENGTH(list_filter(t, x -> x = d))))
+             / CAST(LENGTH(t) AS DOUBLE), 4) AS top_token_frac
+FROM toksets
+"""

@@ -636,6 +636,56 @@ def hash_split_q(spark, sf_dir):
     return pipeline.hash_split(_docs(spark, sf_dir), train_pct=90)
 
 
+@register("repetition_stats", textstats.sql_repetition_stats())
+def repetition_q(spark, sf_dir):
+    """Gopher-style intra-document repetition filters: duplicate bigram/
+    trigram fraction + most-frequent-token share."""
+    return textstats.repetition_stats(_docs(spark, sf_dir))
+
+
+#: deterministic eval-set selector for the decontamination queries: every
+#: 50th doc plays the held-out benchmark.
+_EVAL_MOD = 50
+
+
+def _train_eval(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return (
+        d.where(F.col("doc_id") % _EVAL_MOD != 0),
+        d.where(F.col("doc_id") % _EVAL_MOD == 0),
+    )
+
+
+@register(
+    "decontamination_overlap",
+    pipeline.sql_decontamination_overlap(ngram_n=4, eval_mod=_EVAL_MOD),
+)
+def decontamination_q(spark, sf_dir):
+    """Benchmark decontamination: (train doc, eval doc) pairs sharing any
+    word 4-gram, with the shared-ngram count (4: the corpus sentences
+    are short templated spans; real pipelines use 8-13)."""
+    train, ev = _train_eval(spark, sf_dir)
+    return pipeline.decontamination_overlap(train, ev, ngram_n=4)
+
+
+SQL_DECONTAMINATED = f"""
+SELECT doc_id, text, lang, source, n_chars
+FROM documents d
+WHERE d.doc_id % {_EVAL_MOD} <> 0
+  AND NOT EXISTS (
+    SELECT 1 FROM ({pipeline.sql_decontamination_overlap(ngram_n=4, eval_mod=_EVAL_MOD)}) o
+    WHERE o.doc_id = d.doc_id
+  )
+"""
+
+
+@register("decontaminated_corpus", SQL_DECONTAMINATED)
+def decontaminated_q(spark, sf_dir):
+    """The post-decontamination training corpus (anti-join on overlaps)."""
+    train, ev = _train_eval(spark, sf_dir)
+    return pipeline.decontaminate(train, ev, ngram_n=4)
+
+
 @register("curation_funnel", None)  # composite funnel: rows-only check
 def curation_funnel_q(spark, sf_dir):
     return pipeline.curation_funnel_stats(spark, sf_dir)
@@ -650,6 +700,17 @@ def near_dedup_q(spark, sf_dir):
         docs, num_hashes=32, bands=8, threshold=0.7, shingle_n=3
     )
     return dedup.dedup_near(docs, pairs)
+
+
+@register("near_dedup_fused", None)  # iterative clustering: rows-only check
+def near_dedup_fused_q(spark, sf_dir):
+    """Scale-path near-dedup: LSH-bucket connected components with O(n)
+    representative verification — no candidate-pair materialization, so the
+    cost stays linear on high-duplication corpora where the pair join is
+    O(cluster²) (BASELINE.md: 112 s → see bench note)."""
+    return dedup.dedup_near_fused(
+        _docs(spark, sf_dir), num_hashes=32, bands=8, threshold=0.7, shingle_n=3
+    )
 
 
 @register("simhash_near_dups", None)  # xxhash64-based: rows-only check

@@ -246,6 +246,36 @@ def test_dedup_near_keeps_representatives_and_singletons(spark, sf_dir):
     assert reps <= kept_ids
 
 
+def test_fused_dedup_matches_pairwise_keepset(spark, sf_dir):
+    """The fused (bucket-component + rep-verify) path must keep the same
+    corpus as the pairwise (pair-join + connected-components) path on the
+    real corpus — the fused path is an optimization, not a semantics
+    change, when bucket components equal verified-pair components."""
+    d = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, threshold=0.7, shingle_n=3)
+    kept_pairwise = {r["doc_id"] for r in dedup.dedup_near(d, pairs).select("doc_id").collect()}
+    kept_fused = {
+        r["doc_id"]
+        for r in dedup.dedup_near_fused(d, num_hashes=32, bands=8, threshold=0.7, shingle_n=3)
+        .select("doc_id").collect()
+    }
+    assert kept_fused == kept_pairwise
+
+
+def test_fused_cluster_reps_cover_verified_pairs(spark, sf_dir):
+    """Every Jaccard-verified near-dup pair must land in one fused cluster
+    (LSH-bucket components can only over-merge, never split a candidate
+    pair — both docs share a bucket by construction)."""
+    d = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(d, num_hashes=32, bands=8, threshold=0.7, shingle_n=3)
+    labels = {
+        r["doc_id"]: r["cluster"]
+        for r in dedup.minhash_cluster_reps(d, num_hashes=32, bands=8, shingle_n=3).collect()
+    }
+    for r in pairs.collect():
+        assert labels[r["doc_a"]] == labels[r["doc_b"]]
+
+
 def test_language_id_deterministic_argmax(spark):
     rows = [
         (1, "the cat and the dog of the house is big", "en", "s", 1),
@@ -283,3 +313,39 @@ def test_multimodal_parquet_roundtrip(spark, sf_dir, tmp_path):
     back = spark.read.parquet(p)
     assert back.schema == multimodal.MEDIA_SCHEMA
     assert back.count() == media.count()
+
+
+def test_repetition_stats_planted(spark):
+    rows = [
+        (1, "spam spam spam spam spam spam", "en", "s", 29),            # degenerate
+        (2, "one two three four five six seven eight", "en", "s", 39),  # clean
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    stats = {r["doc_id"]: r for r in textstats.repetition_stats(d).collect()}
+    assert stats[1]["top_token_frac"] == 1.0
+    assert stats[1]["dup_bigram_frac"] > 0.5
+    assert stats[2]["dup_bigram_frac"] == 0.0
+    assert stats[2]["dup_trigram_frac"] == 0.0
+    assert abs(stats[2]["top_token_frac"] - round(1 / 8, 4)) < 1e-9
+
+
+def test_decontamination_planted(spark):
+    from magiceye_spark.llmops import pipeline
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"intro text then {shared} and more trailing words", "en", "s", 40),
+        (2, "completely unrelated training document here okay", "en", "s", 48),
+        (50, f"benchmark question: {shared}?", "en", "s", 30),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    train = d.where("doc_id % 50 != 0")
+    ev = d.where("doc_id % 50 = 0")
+    overlap = pipeline.decontamination_overlap(train, ev, ngram_n=4).collect()
+    assert {(r["doc_id"], r["eval_doc_id"]) for r in overlap} == {(1, 50)}
+    kept = {r["doc_id"] for r in pipeline.decontaminate(train, ev, ngram_n=4).collect()}
+    assert kept == {2}
