@@ -129,3 +129,59 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------------------ kafka wiring
+
+def parse_event_json(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Decode a Kafka-shaped payload (binary ``value`` holding one JSON
+    event per record) into EVENTS_SCHEMA rows. Pure transform — identical
+    for batch replay and the live stream, so it is unit-testable without a
+    broker."""
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), EVENTS_SCHEMA).alias("e")
+    ).select("e.*")
+
+
+def read_event_stream_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = 100_000,
+) -> DataFrame:
+    """The production source: Kafka topic → parsed event stream.
+
+    ``maxOffsetsPerTrigger`` bounds per-micro-batch intake so a backlog
+    replay cannot blow executor memory — the streaming analogue of
+    ``maxFilesPerTrigger``. Requires the spark-sql-kafka connector on the
+    cluster classpath (not present in this container; the parse transform
+    is tested via :func:`parse_event_json`, the wiring is exercised against
+    a real broker)."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+    if max_offsets_per_trigger is not None:
+        raw = raw.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    return parse_event_json(raw.load())
+
+
+#: state-store configuration for large stateful streams (sessionization,
+#: dedup): RocksDB keeps state off-heap and on local disk with incremental
+#: (changelog) checkpoints — JVM-heap state OOMs once open-session state
+#: outgrows executor memory, RocksDB spills instead. Built into Spark 4.
+ROCKSDB_STATE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+}
+
+
+def enable_rocksdb_state(spark: SparkSession) -> None:
+    """Switch stateful streaming queries in this session to the RocksDB
+    state store (applies to queries started AFTER the call)."""
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)

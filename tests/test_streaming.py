@@ -283,3 +283,64 @@ def test_drift_rate_rollup(spark):
     assert by_window[(0, "type_drift")] == 1
     assert by_window[(10, "type_drift")] == 1
     assert len(rolled) == 6  # 3 kinds × 2 windows
+
+
+def test_parse_event_json_round_trip(spark, sf_dir):
+    from magiceye_spark.analytics import _events
+    from magiceye_spark.streaming import events as sev
+
+    # to_json renders timestamps at millisecond precision — truncate the
+    # fixture so the round-trip is exact (real Kafka producers emit millis)
+    batch = (
+        _events(spark, sf_dir)
+        .withColumn("ts", F.date_trunc("millisecond", F.col("ts")))
+        .limit(100)
+    )
+    kafka_shaped = batch.select(
+        F.to_json(F.struct(*batch.columns)).cast("binary").alias("value")
+    )
+    parsed = sev.parse_event_json(kafka_shaped)
+    assert parsed.schema == sev.EVENTS_SCHEMA
+    got = {tuple(r) for r in parsed.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+
+
+def test_rocksdb_state_store_sessionize(spark, sf_dir, tmp_path):
+    """The RocksDB state store must produce the same sessions as the
+    default HDFS-backed store (state backend is an execution detail)."""
+    from magiceye_spark.analytics import _events
+    from magiceye_spark.events_ops import sessionize
+    from magiceye_spark.streaming import events as sev
+
+    src = str(tmp_path / "events_rocks")
+    batch = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    batch.repartition(3).write.parquet(src)
+
+    old = {k: spark.conf.get(k, None) for k in sev.ROCKSDB_STATE_CONF}
+    sev.enable_rocksdb_state(spark)
+    try:
+        stream = sev.read_event_stream(spark, src, max_files_per_trigger=2)
+        q = sev.run_to_memory(
+            sev.stream_sessionize(stream, gap="30 minutes"),
+            "sessions_rocks",
+            str(tmp_path / "chk_rocks"),
+        )
+        q.awaitTermination(120)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.table("sessions_rocks").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sessionize(batch, gap_minutes=30).collect()
+    }
+    assert got == want
