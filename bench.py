@@ -37,14 +37,26 @@ def main() -> None:
     from magiceye_spark.session import get_spark
     from magiceye_spark import registry
 
+    from pyspark.sql import functions as F
+
     spark = get_spark("magiceye-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
 
-    # warm-up: touch the session + parquet footers so timings measure the
-    # queries, not JVM/session startup.
+    # warm-up: exercise the real execution paths once (parquet scan, shuffle
+    # agg, broadcast join, noop sink) so per-query timings measure the query,
+    # not first-use JIT/codegen/classloading of those operators.
     spark.range(1).count()
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").schema
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

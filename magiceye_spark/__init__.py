@@ -34,6 +34,7 @@ from magiceye_spark.skew import salted_join
 from magiceye_spark.dq import Rules, check_quality
 from magiceye_spark.ddl import suggest_ddl
 from magiceye_spark.io import read_table, write_bucketed, write_partitioned
+from magiceye_spark.sources.spark_catalog import snapshot_spark_catalog
 
 __all__ = [
     "TABLES_SCHEMA",
@@ -59,6 +60,7 @@ __all__ = [
     "salted_join",
     "read_table",
     "write_bucketed",
+    "snapshot_spark_catalog",
 ]
 
 __version__ = "0.1.0"

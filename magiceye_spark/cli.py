@@ -71,6 +71,9 @@ def cmd_init(args: argparse.Namespace) -> int:
 
 
 def _snapshot(spark, connection: str, database_type: str):
+    """Resolve a connection string to a snapshot: ``jdbc:…`` → live pg/mysql
+    catalog, ``spark:<database>`` → this session's Spark catalog, anything
+    else → parquet snapshot directory."""
     from magiceye_spark.snapshot import SchemaSnapshot
 
     if connection.startswith("jdbc:"):
@@ -78,6 +81,10 @@ def _snapshot(spark, connection: str, database_type: str):
 
         kind = {"Postgres": "postgresql", "Mysql": "mysql"}[database_type]
         return read_catalog_snapshot(spark, connection, kind)
+    if connection.startswith("spark:"):
+        from magiceye_spark.sources.spark_catalog import snapshot_spark_catalog
+
+        return snapshot_spark_catalog(spark, connection[len("spark:"):] or None)
     return SchemaSnapshot.read_parquet(spark, connection)
 
 

@@ -112,3 +112,36 @@ def test_diff_timeline_tags_adjacent_pairs(spark):
     assert steps == {("v1", "v2")}  # the identical step contributes nothing
     n_direct = diff_schemas(v1, v2).count()
     assert len(rows) == n_direct
+
+
+def test_spark_catalog_source_diff(spark):
+    """Snapshot two live Spark databases via the catalog API and diff them —
+    the reference's two-live-databases flow (background.rs:20-46) with Spark
+    itself as the DBMS."""
+    from magiceye_spark.diff.core import diff_schemas
+    from magiceye_spark.sources.spark_catalog import snapshot_spark_catalog
+
+    for db in ("diff_base_t", "diff_target_t"):
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for tbl in ("diff_base_t.users", "diff_target_t.users", "diff_base_t.gone"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql("CREATE TABLE diff_base_t.users (id INT, email STRING) USING parquet")
+    spark.sql("CREATE TABLE diff_target_t.users (id BIGINT, email STRING) USING parquet")
+    spark.sql("CREATE TABLE diff_base_t.gone (x INT) USING parquet")
+    try:
+        base = snapshot_spark_catalog(spark, "diff_base_t")
+        target = snapshot_spark_catalog(spark, "diff_target_t")
+        findings = {tuple(r) for r in diff_schemas(base, target).collect()}
+        assert findings == {
+            ("gone", "table", "gone", "missing", "", ""),
+            ("users", "column", "id", "data_type", "int", "bigint"),
+        }
+        # directionality: swapping sides must NOT report target-only objects
+        reverse = {tuple(r) for r in diff_schemas(target, base).collect()}
+        assert ("gone", "table", "gone", "missing", "", "") not in reverse
+        assert ("users", "column", "id", "data_type", "bigint", "int") in reverse
+    finally:
+        for tbl in ("diff_base_t.users", "diff_target_t.users", "diff_base_t.gone"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        for db in ("diff_base_t", "diff_target_t"):
+            spark.sql(f"DROP DATABASE IF EXISTS {db}")
