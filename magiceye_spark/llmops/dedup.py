@@ -308,6 +308,59 @@ def dedup_near(
 
 # --------------------------------------- fused LSH clustering (no pair join)
 
+def bucket_components(
+    banded: DataFrame, id_col: str = "doc_id", bucket_col: str = "bkey",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components of the id↔bucket BIPARTITE graph by min-label
+    propagation: (id_col, cluster) where cluster is the smallest id
+    reachable through shared buckets — WITHOUT ever materializing candidate
+    pairs.
+
+    Per iteration: one groupBy(bucket) + one groupBy(id) over the banded
+    rows — linear in corpus size regardless of duplication factor (the
+    band-bucket self-join is O(cluster²) per bucket). Iterations are
+    driver-side loops over lazy plans with ``localCheckpoint`` truncating
+    lineage each round; convergence in O(component diameter) rounds, tiny
+    for dense near-dup clusters.
+    """
+    banded = banded.select(id_col, bucket_col).localCheckpoint()
+    labels = banded.select(id_col).distinct().withColumn(
+        "cluster", F.col(id_col)
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        bucket_min = (
+            banded.join(labels, id_col)
+            .groupBy(bucket_col)
+            .agg(F.min("cluster").alias("bmin"))
+        )
+        doc_min = (
+            banded.join(bucket_min, bucket_col)
+            .groupBy(id_col)
+            .agg(F.min("bmin").alias("cand"))
+        )
+        new_labels = (
+            labels.join(doc_min, id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("cand"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), id_col)
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_cluster_reps(
     docs: DataFrame,
     num_hashes: int = 32,
@@ -316,23 +369,15 @@ def minhash_cluster_reps(
     text_col: str = "text",
     max_iter: int = 10,
 ) -> DataFrame:
-    """Near-dup clusters straight from LSH buckets — NEVER materializing
-    candidate pairs. (doc_id, cluster) where cluster is the min doc_id of the
-    bucket-connected component.
-
-    Why: on a high-duplication corpus the band-bucket self-join of
-    :func:`minhash_lsh_pairs` emits O(cluster²) rows per bucket (BASELINE.md:
-    2.96 M pairs / 112 s at sf0.1). This operator instead does min-label
-    propagation over the doc↔bucket BIPARTITE graph: per iteration one
-    groupBy(bucket) + one groupBy(doc_id) over the n·bands banded rows —
-    linear in corpus size regardless of duplication factor, the property
-    that matters at 100 TB.
+    """Near-dup clusters straight from MinHash LSH buckets — no pair join.
+    (doc_id, cluster) with cluster = min doc_id of the bucket-connected
+    component (BASELINE.md: the pair join emits 2.96 M pairs / 112 s at
+    sf0.1; this path is linear).
 
     Trade-off: components are over LSH buckets, unverified — a false-positive
     bucket collision merges clusters (use :func:`dedup_near_fused`, which
     Jaccard-verifies each member against its representative, to demote false
-    merges). Iterations are driver-side loops over lazy plans with
-    ``localCheckpoint`` truncating lineage each round.
+    merges).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, shingle_n, text_col)
@@ -349,41 +394,8 @@ def minhash_cluster_reps(
                 ]
             )
         ).alias("bkey"),
-    ).localCheckpoint()
-    labels = banded.select("doc_id").distinct().withColumn(
-        "cluster", F.col("doc_id")
-    ).localCheckpoint()
-    for _ in range(max_iter):
-        bucket_min = (
-            banded.join(labels, "doc_id")
-            .groupBy("bkey")
-            .agg(F.min("cluster").alias("bmin"))
-        )
-        doc_min = (
-            banded.join(bucket_min, "bkey")
-            .groupBy("doc_id")
-            .agg(F.min("bmin").alias("cand"))
-        )
-        new_labels = (
-            labels.join(doc_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster"), F.coalesce(F.col("cand"), F.col("cluster"))
-                ).alias("cluster"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+    )
+    return bucket_components(banded, "doc_id", "bkey", max_iter)
 
 
 def dedup_near_fused(

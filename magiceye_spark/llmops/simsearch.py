@@ -473,3 +473,73 @@ WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
             / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
                * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= {threshold}
 """
+
+
+def embedding_dedup_fused(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 64,
+    bands: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic (embedding-cosine) dedup without the pair join — the
+    SemDeDup shape: cluster via hyperplane-LSH bucket components
+    (:func:`dedup.bucket_components`), then verify each member against its
+    cluster REPRESENTATIVE's exact cosine — O(n) verifications instead of
+    O(pairs). Members below ``threshold`` vs their representative are KEPT
+    (false bucket merges cannot cause false drops). Returns the
+    deduplicated corpus.
+
+    Sizing: this is a HIGH-threshold (≥~0.9) dedup. Per band of
+    b = n_planes/bands sign bits, a true pair at cosine θ matches with
+    p = (1 − arccos(θ)/π)^b (0.95 → 0.43 at b=8; miss-all-8-bands ≈ 1.2%),
+    while unrelated vectors collide with ~2^−b per band — so b must carry
+    at least ~log₂(corpus) bits or random collisions chain every document
+    into one giant component and the rep-verify (correctly) keeps
+    everything, silently doing no dedup. At 10⁹ vectors use
+    n_planes ≈ 8 bands × 32+ bits. Rep-based verification differs from
+    transitive-closure pair dedup on CHAIN-shaped clusters (a~b~c where
+    cos(a,c) < threshold keeps c) — for clique-like semantic duplicates the
+    two coincide.
+    """
+    from magiceye_spark.llmops.dedup import bucket_components
+
+    planes = _hyperplanes(dim, n_planes)
+    rows_per_band = n_planes // bands
+    bits = signature_bits(F.col(vec_col), planes)
+    banded = corpus.select(
+        F.col(id_col).alias("_id"), bits.alias("bits")
+    ).select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(i),
+                        F.aggregate(
+                            F.slice(F.col("bits"), i * rows_per_band + 1, rows_per_band),
+                            F.lit(0),
+                            lambda acc, bit: acc * 2 + bit,
+                        ),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bkey"),
+    )
+    reps = bucket_components(banded, "_id", "bkey")
+    vecs = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    member = (
+        reps.where(F.col("_id") != F.col("cluster"))
+        .join(vecs, "_id")
+        .join(
+            vecs.select(F.col("_id").alias("cluster"), F.col("_v").alias("_v_rep")),
+            "cluster",
+        )
+    )
+    losers = member.where(
+        cosine(F.col("_v"), F.col("_v_rep")) >= threshold
+    ).select(F.col("_id").alias(id_col))
+    return corpus.join(losers, id_col, "left_anti")

@@ -512,6 +512,39 @@ def datadiff_directional(spark, sf_dir):
     return diff_data(base, target, keys=["l_orderkey", "l_linenumber"], how="left")
 
 
+_LINEITEM_COLS_SORTED = [
+    "l_discount", "l_extendedprice", "l_linenumber", "l_linestatus",
+    "l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate",
+    "l_suppkey", "l_tax",
+]
+
+_FP_EXPR = (
+    "CAST(SUM(CAST(CAST(CONCAT('0x', SUBSTR(md5(CONCAT_WS(CHR(31), "
+    + ", ".join(f"COALESCE(CAST({c} AS VARCHAR), '<NULL>')" for c in _LINEITEM_COLS_SORTED)
+    + ")), 1, 8)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)"
+)
+
+SQL_FINGERPRINT = SQL_PERTURBED_LINEITEM + f"""
+SELECT side, fingerprint, n_rows FROM (
+  SELECT 'base' AS side, {_FP_EXPR} AS fingerprint, COUNT(*) AS n_rows FROM lineitem
+  UNION ALL
+  SELECT 'target', {_FP_EXPR}, COUNT(*) FROM target
+)
+ORDER BY side
+"""
+
+
+@register("datadiff_fingerprint", SQL_FINGERPRINT)
+def datadiff_fingerprint(spark, sf_dir):
+    """Order-insensitive table checksums for both diff sides — the O(scan)
+    'did anything change?' pre-check that short-circuits a full 100 TB diff
+    when fingerprints and row counts agree."""
+    from magiceye_spark.datadiff import fingerprint_compare
+
+    base, target = _perturbed_lineitem(spark, sf_dir)
+    return fingerprint_compare(base, target)
+
+
 # ------------------------------------------------------------- LLM ops M5
 
 def _docs(spark, sf_dir):
@@ -770,6 +803,13 @@ def emb_near_dups_q(spark, sf_dir):
 @register("embedding_near_dups_lsh", None)  # banded scale path: recall in tests
 def emb_near_dups_lsh_q(spark, sf_dir):
     return simsearch.embedding_near_dup_pairs_lsh(_embs(spark, sf_dir), threshold=0.45)
+
+
+@register("embedding_dedup_fused", None)  # iterative clustering: rows-only check
+def emb_dedup_fused_q(spark, sf_dir):
+    """SemDeDup-style semantic dedup: hyperplane-LSH bucket components +
+    O(n) representative-cosine verification — no pair materialization."""
+    return simsearch.embedding_dedup_fused(_embs(spark, sf_dir), threshold=0.95)
 
 
 @register("media_catalog", multimodal.SQL_MEDIA_CATALOG)

@@ -349,3 +349,43 @@ def test_decontamination_planted(spark):
     assert {(r["doc_id"], r["eval_doc_id"]) for r in overlap} == {(1, 50)}
     kept = {r["doc_id"] for r in pipeline.decontaminate(train, ev, ngram_n=4).collect()}
     assert kept == {2}
+
+
+def test_embedding_dedup_fused_planted(spark):
+    """Three near-identical vectors collapse to one representative; the two
+    distinct vectors and sub-threshold members survive."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 62
+
+    rows = [
+        (1, unit(0.0), "a"),
+        (2, unit(0.01), "a"),      # cos≈0.99995 vs 1 — dup
+        (3, unit(0.02), "a"),      # dup
+        (4, unit(1.2), "b"),       # cos≈0.36 — distinct
+        (5, unit(-1.3), "c"),      # distinct
+    ]
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    kept = {
+        r["vec_id"]
+        for r in simsearch.embedding_dedup_fused(d, threshold=0.95).collect()
+    }
+    assert kept == {1, 4, 5}
+
+
+def test_embedding_dedup_fused_matches_pairwise_on_corpus(spark, sf_dir):
+    """At the semantic-dedup threshold the fused path must agree with the
+    pairwise (LSH pairs + connected components) path on the real corpus."""
+    d = _embs(spark, sf_dir)
+    pairs = simsearch.embedding_near_dup_pairs_lsh(d, threshold=0.95).selectExpr(
+        "id_a AS doc_a", "id_b AS doc_b"
+    )
+    kept_pairwise = {
+        r["vec_id"] for r in dedup.dedup_near(d, pairs, id_col="vec_id").collect()
+    }
+    kept_fused = {
+        r["vec_id"]
+        for r in simsearch.embedding_dedup_fused(d, threshold=0.95).collect()
+    }
+    assert kept_fused == kept_pairwise
