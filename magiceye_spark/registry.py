@@ -669,6 +669,27 @@ def hash_split_q(spark, sf_dir):
     return pipeline.hash_split(_docs(spark, sf_dir), train_pct=90)
 
 
+SQL_KEY_SKEW = """
+SELECT event_type, n_rows, share, rank FROM (
+  SELECT event_type, n_rows,
+         ROUND(n_rows / CAST((SELECT COUNT(*) FROM events) AS DOUBLE), 6) AS share,
+         ROW_NUMBER() OVER (ORDER BY n_rows DESC, event_type ASC) AS rank
+  FROM (SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type)
+)
+WHERE rank <= 10
+ORDER BY rank
+"""
+
+
+@register("events_key_skew", SQL_KEY_SKEW)
+def key_skew_q(spark, sf_dir):
+    """Shuffle-key skew diagnostics on the events stream's event_type —
+    the pre-flight check before keying a join/agg on a hot column."""
+    from magiceye_spark.skew import key_skew_stats
+
+    return key_skew_stats(events_ops._events(spark, sf_dir), ["event_type"])
+
+
 @register("repetition_stats", textstats.sql_repetition_stats())
 def repetition_q(spark, sf_dir):
     """Gopher-style intra-document repetition filters: duplicate bigram/

@@ -48,3 +48,33 @@ def salted_join(
         SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
     )
     return l.join(r, [*keys, SALT], how).drop(SALT)
+
+
+def key_skew_stats(
+    df: DataFrame, keys: list[str], top_n: int = 10
+) -> DataFrame:
+    """Shuffle-key skew diagnostics: the ``top_n`` heaviest key values with
+    their row count and share of the table — the first thing to look at
+    when a join/groupBy stage straggles. (keys…, n_rows, share, rank).
+
+    One aggregation on the key (map-side combined) plus a scalar total; the
+    top-n sort runs on the aggregated key set, not the raw rows. At 100 TB:
+    if rank-1 share is tens of percent, AQE skew-split or
+    :func:`salted_join` is warranted on that key.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    w = Window.orderBy(F.desc("n_rows"), *[F.asc(k) for k in keys])
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= top_n)
+        .orderBy("rank")
+    )
