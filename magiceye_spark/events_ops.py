@@ -436,3 +436,77 @@ def props_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def clicks_before_purchase_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks_before_purchase(_events(spark, sf_dir))
+
+
+# ------------------------------------------------------ active-user curves
+
+def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """DAU + rolling ``window_days``-day active users per day:
+    (day, dau, wau). The standard engagement curve.
+
+    A rolling COUNT DISTINCT cannot ride a window frame, so each distinct
+    (day, user) pair is fanned out to the ``window_days`` window-end days it
+    contributes to (one map-side explode of the ALREADY-distinct day-user
+    set — days × users rows, not events rows) and re-aggregated. At 100 TB
+    of raw events the expensive step is the first distinct, which is one
+    shuffle of (day, user); the fan-out multiplies only that reduced set.
+    """
+    active = (
+        events.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    )
+    dau = active.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    fanned = active.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
+        ).alias("day"),
+        "user_id",
+    )
+    wau = fanned.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(wau, "day").orderBy("day")
+
+
+def sql_active_users(window_days: int = 7) -> str:
+    return f"""
+WITH active AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM ({SQL_EVENTS_US}) e),
+dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM active GROUP BY day),
+fanned AS (SELECT day + CAST(t.i AS INTEGER) AS day, user_id
+           FROM active, range({window_days}) t(i)),
+wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM fanned GROUP BY day)
+SELECT d.day, d.dau, w.wau
+FROM dau d JOIN wau w USING (day)
+ORDER BY day
+"""
+
+
+def top_users_per_type(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k users by summed value within each event type:
+    (event_type, user_id, total_value, rank) — the grouped top-k shape.
+    One aggregation shuffle; the rank window runs on the aggregated
+    (type, user) set, partitioned by type."""
+    totals = events.groupBy("event_type", "user_id").agg(
+        _money(F.sum(_dec(F.col("value")))).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("event_type", "rank")
+    )
+
+
+def sql_top_users_per_type(k: int = 3) -> str:
+    return f"""
+WITH totals AS (
+  SELECT event_type, user_id,
+         ROUND(CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, total_value, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY total_value DESC, user_id ASC) AS rank
+  FROM totals
+) WHERE rank <= {k}
+ORDER BY event_type, rank
+"""

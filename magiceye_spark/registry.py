@@ -669,6 +669,19 @@ def hash_split_q(spark, sf_dir):
     return pipeline.hash_split(_docs(spark, sf_dir), train_pct=90)
 
 
+@register("daily_active_users", events_ops.sql_active_users(window_days=7))
+def dau_q(spark, sf_dir):
+    """DAU + rolling 7-day active users — the engagement curve; rolling
+    COUNT DISTINCT via fan-out of the distinct (day, user) set."""
+    return events_ops.active_users(events_ops._events(spark, sf_dir), window_days=7)
+
+
+@register("top_users_per_type", events_ops.sql_top_users_per_type(k=3))
+def top_users_per_type_q(spark, sf_dir):
+    """Grouped top-k: top 3 users by summed value within each event type."""
+    return events_ops.top_users_per_type(events_ops._events(spark, sf_dir), k=3)
+
+
 SQL_KEY_SKEW = """
 SELECT event_type, n_rows, share, rank FROM (
   SELECT event_type, n_rows,
