@@ -93,11 +93,19 @@ def _explode_findings(
     )
 
 
-def _matched_tables(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
-    """Table names present on BOTH sides — child objects are only compared
-    under these (a missing table reports once as a table finding, not once
-    per column; check.rs:48-107 match arms)."""
-    return base.tables.select("table_name").join(
+def _scope_to_target_tables(child: DataFrame, target: SchemaSnapshot) -> DataFrame:
+    """Restrict child objects (columns/indexes/FKs) to tables that exist on
+    the target side — a missing table reports once as a table finding, not
+    once per column (check.rs:48-107 match arms).
+
+    The reference iterates base tables and descends only on a match, i.e. it
+    scopes to base.tables ∩ target.tables. A snapshot's child objects come
+    from the same catalog scan as its table list (fetching.rs:11-60), so
+    every child table_name is already in base.tables and the semi-join
+    against target.tables alone is equivalent — one scan and zero joins
+    cheaper per matcher, which matters because this subtree is built three
+    times per diff."""
+    return child.join(
         F.broadcast(target.tables.select("table_name")), "table_name", "left_semi"
     )
 
@@ -142,9 +150,7 @@ def diff_columns(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
     (check.rs:210-221); check order data_type, comment, nullable, default,
     auto_increment matches check.rs:137-233.
     """
-    scoped = base.columns.join(
-        F.broadcast(_matched_tables(base, target)), "table_name", "left_semi"
-    )
+    scoped = _scope_to_target_tables(base.columns, target)
     j = _left_join(scoped, target.columns, ["table_name", "column_name"])
     render_null = lambda c: F.when(c, F.lit("NULL")).otherwise(F.lit("NOT NULL"))
     render_auto = lambda c: F.when(c, F.lit("AUTO_INCREMENT")).otherwise(
@@ -190,9 +196,7 @@ def diff_indexes(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
     (check.rs:253-342). Array `!=` is element- AND order-wise, exactly the
     reference's Vec<String> compare (check.rs:267) — no sort, no set-ify.
     """
-    scoped = base.indexes.join(
-        F.broadcast(_matched_tables(base, target)), "table_name", "left_semi"
-    )
+    scoped = _scope_to_target_tables(base.indexes, target)
     j = _left_join(scoped, target.indexes, ["table_name", "index_name"])
     render_cols = lambda c: F.array_join(c, ", ")  # check.rs:268 join(", ")
     render_uniq = lambda c: F.when(c, F.lit("UNIQUE")).otherwise(F.lit("NOT UNIQUE"))
@@ -224,9 +228,7 @@ def diff_foreign_keys(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame
     (check.rs:344-398). Only the referenced side is compared; the local
     column list is deliberately ignored, matching the reference
     (check.rs:358 compares `foreign_column` only)."""
-    scoped = base.fks.join(
-        F.broadcast(_matched_tables(base, target)), "table_name", "left_semi"
-    )
+    scoped = _scope_to_target_tables(base.fks, target)
     j = _left_join(scoped, target.fks, ["table_name", "fk_name"])
     render_ref = lambda t, c: F.concat_ws(".", t, c)  # check.rs:371 t.c rendering
     checks = [
