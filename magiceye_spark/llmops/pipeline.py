@@ -179,6 +179,7 @@ def decontamination_overlap(
     eval_docs: DataFrame,
     ngram_n: int = 8,
     text_col: str = "text",
+    max_ngram_df: int | None = None,
 ) -> DataFrame:
     """Benchmark decontamination (GPT-3 appendix-C shape): flag every
     (train doc, eval doc) pair sharing at least one word ``ngram_n``-gram.
@@ -186,13 +187,28 @@ def decontamination_overlap(
 
     Plan: per-side distinct n-gram hashes, one equi-join on the hash, one
     pair aggregation. At 100 TB the join key is md5-uniform; hot boilerplate
-    n-grams are the skew risk — AQE skew-join splits them, and real
-    deployments additionally drop top-document-frequency n-grams before the
-    join (the standard stopgram cut)."""
+    n-grams are the skew risk — AQE skew-join splits them, but a gram shared
+    by d documents per side still emits d² pair rows, so for short grams /
+    boilerplate-heavy corpora pass ``max_ngram_df``: grams whose corpus-wide
+    document frequency (train ∪ eval) exceeds it are dropped BEFORE the join
+    (the standard stopgram cut). The hot set is small by construction
+    (a df cap admits at most |corpus|/cap grams above it), so the cut is a
+    broadcast anti-join — map-side, no extra shuffle on the gram stream
+    beyond the one df aggregation."""
     t = _doc_ngram_hashes(train, ngram_n, text_col)
     e = _doc_ngram_hashes(eval_docs, ngram_n, text_col).select(
         F.col("doc_id").alias("eval_doc_id"), "sh"
     )
+    if max_ngram_df is not None:
+        hot = (
+            t.select("sh").unionAll(e.select("sh"))
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_ngram_df)
+            .select("sh")
+        )
+        t = t.join(F.broadcast(hot), "sh", "left_anti")
+        e = e.join(F.broadcast(hot), "sh", "left_anti")
     return (
         t.join(e, "sh")
         .groupBy("doc_id", "eval_doc_id")
@@ -214,11 +230,23 @@ def decontaminate(
     )
 
 
-def sql_decontamination_overlap(ngram_n: int = 8, eval_mod: int = 50) -> str:
+def sql_decontamination_overlap(
+    ngram_n: int = 8, eval_mod: int = 50, max_ngram_df: int | None = None
+) -> str:
     toks = f"regexp_split_to_array(TRIM(LOWER(text)), '{textstats._WS}')"  # noqa: SLF001
     sh = (
         f"list_transform(range(1, GREATEST(LENGTH(t) - {ngram_n} + 1, 1) + 1), "
         f"i -> md5(array_to_string(t[i:i+{ngram_n - 1}], ' ')))"
+    )
+    stop = (
+        f"AND a.sh NOT IN (SELECT sh FROM hot) AND b.sh NOT IN (SELECT sh FROM hot)"
+        if max_ngram_df is not None
+        else ""
+    )
+    hot_cte = (
+        f", hot AS (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) > {max_ngram_df})"
+        if max_ngram_df is not None
+        else ""
     )
     return f"""
 WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
@@ -226,9 +254,9 @@ sh AS (
   SELECT DISTINCT doc_id, sh FROM (
     SELECT doc_id, UNNEST({sh}) AS sh FROM toks
   )
-)
+){hot_cte}
 SELECT a.doc_id, b.doc_id AS eval_doc_id, COUNT(*) AS n_shared_ngrams
 FROM sh a JOIN sh b ON a.sh = b.sh
-WHERE a.doc_id % {eval_mod} <> 0 AND b.doc_id % {eval_mod} = 0
+WHERE a.doc_id % {eval_mod} <> 0 AND b.doc_id % {eval_mod} = 0 {stop}
 GROUP BY 1, 2
 """

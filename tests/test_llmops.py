@@ -351,6 +351,39 @@ def test_decontamination_planted(spark):
     assert kept == {2}
 
 
+def test_decontamination_stopgram_cut(spark):
+    """Grams over the df cap are dropped before the join: a boilerplate
+    phrase shared by every document stops linking pairs, while a
+    discriminative shared phrase still does."""
+    from magiceye_spark.llmops import pipeline
+
+    boiler = "copyright notice all rights"
+    rows = [(i, f"{boiler} doc {i} filler", "en", "s", 30) for i in (1, 2, 3, 4)]
+    rows.append((5, f"{boiler} secret leaked answer", "en", "s", 30))
+    rows.append((50, f"{boiler} secret leaked answer", "en", "s", 30))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    train = d.where("doc_id % 50 != 0")
+    ev = d.where("doc_id % 50 = 0")
+    plain = {
+        (r["doc_id"], r["eval_doc_id"])
+        for r in pipeline.decontamination_overlap(train, ev, ngram_n=2).collect()
+    }
+    # boilerplate 2-grams appear in all 6 docs -> df cap 5 removes them
+    cut = {
+        (r["doc_id"], r["eval_doc_id"])
+        for r in pipeline.decontamination_overlap(
+            train, ev, ngram_n=2, max_ngram_df=5
+        ).collect()
+    }
+    assert cut <= plain
+    assert (5, 50) in cut, "discriminative overlap must survive the cut"
+    assert (1, 50) in plain and (1, 50) not in cut, (
+        "boilerplate-only pair must be cut"
+    )
+
+
 def test_embedding_dedup_fused_planted(spark):
     """Three near-identical vectors collapse to one representative; the two
     distinct vectors and sub-threshold members survive."""
