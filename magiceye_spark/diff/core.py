@@ -93,7 +93,9 @@ def _explode_findings(
     )
 
 
-def _scope_to_target_tables(child: DataFrame, target: SchemaSnapshot) -> DataFrame:
+def _scope_to_target_tables(
+    child: DataFrame, target: SchemaSnapshot, hint_broadcast: bool = True
+) -> DataFrame:
     """Restrict child objects (columns/indexes/FKs) to tables that exist on
     the target side — a missing table reports once as a table finding, not
     once per column (check.rs:48-107 match arms).
@@ -105,9 +107,10 @@ def _scope_to_target_tables(child: DataFrame, target: SchemaSnapshot) -> DataFra
     against target.tables alone is equivalent — one scan and zero joins
     cheaper per matcher, which matters because this subtree is built three
     times per diff."""
-    return child.join(
-        F.broadcast(target.tables.select("table_name")), "table_name", "left_semi"
-    )
+    t = target.tables.select("table_name")
+    if hint_broadcast:
+        t = F.broadcast(t)
+    return child.join(t, "table_name", "left_semi")
 
 
 def _left_join(
@@ -127,11 +130,12 @@ def _left_join(
     return base_df.join(t, keys, "left")
 
 
-def diff_tables(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
+def diff_tables(
+    base: SchemaSnapshot, target: SchemaSnapshot, hint_broadcast: bool = True
+) -> DataFrame:
     """D1: tables in base but not target (check.rs:94-107) — a left anti join."""
-    missing = base.tables.join(
-        F.broadcast(target.tables), "table_name", "left_anti"
-    )
+    t = F.broadcast(target.tables) if hint_broadcast else target.tables
+    missing = base.tables.join(t, "table_name", "left_anti")
     return missing.select(
         "table_name",
         F.lit("table").alias("object_kind"),
@@ -142,7 +146,9 @@ def diff_tables(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
     )
 
 
-def diff_columns(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
+def diff_columns(
+    base: SchemaSnapshot, target: SchemaSnapshot, hint_broadcast: bool = True
+) -> DataFrame:
     """D3-D9: per-column presence + property checks (check.rs:122-251).
 
     Rendered values follow the reference exactly: nullable as NULL/NOT NULL
@@ -150,8 +156,10 @@ def diff_columns(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
     (check.rs:210-221); check order data_type, comment, nullable, default,
     auto_increment matches check.rs:137-233.
     """
-    scoped = _scope_to_target_tables(base.columns, target)
-    j = _left_join(scoped, target.columns, ["table_name", "column_name"])
+    scoped = _scope_to_target_tables(base.columns, target, hint_broadcast)
+    j = _left_join(
+        scoped, target.columns, ["table_name", "column_name"], broadcast=hint_broadcast
+    )
     render_null = lambda c: F.when(c, F.lit("NULL")).otherwise(F.lit("NOT NULL"))
     render_auto = lambda c: F.when(c, F.lit("AUTO_INCREMENT")).otherwise(
         F.lit("NOT AUTO_INCREMENT")
@@ -191,13 +199,17 @@ def diff_columns(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
     return _explode_findings(j, "column", F.col("column_name"), checks)
 
 
-def diff_indexes(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
+def diff_indexes(
+    base: SchemaSnapshot, target: SchemaSnapshot, hint_broadcast: bool = True
+) -> DataFrame:
     """D10-D14: index presence + columns/predicate/uniqueness
     (check.rs:253-342). Array `!=` is element- AND order-wise, exactly the
     reference's Vec<String> compare (check.rs:267) — no sort, no set-ify.
     """
-    scoped = _scope_to_target_tables(base.indexes, target)
-    j = _left_join(scoped, target.indexes, ["table_name", "index_name"])
+    scoped = _scope_to_target_tables(base.indexes, target, hint_broadcast)
+    j = _left_join(
+        scoped, target.indexes, ["table_name", "index_name"], broadcast=hint_broadcast
+    )
     render_cols = lambda c: F.array_join(c, ", ")  # check.rs:268 join(", ")
     render_uniq = lambda c: F.when(c, F.lit("UNIQUE")).otherwise(F.lit("NOT UNIQUE"))
     checks = [
@@ -223,13 +235,17 @@ def diff_indexes(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
     return _explode_findings(j, "index", F.col("index_name"), checks)
 
 
-def diff_foreign_keys(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
+def diff_foreign_keys(
+    base: SchemaSnapshot, target: SchemaSnapshot, hint_broadcast: bool = True
+) -> DataFrame:
     """D15-D17: FK presence by constraint name + referenced-column equality
     (check.rs:344-398). Only the referenced side is compared; the local
     column list is deliberately ignored, matching the reference
     (check.rs:358 compares `foreign_column` only)."""
-    scoped = _scope_to_target_tables(base.fks, target)
-    j = _left_join(scoped, target.fks, ["table_name", "fk_name"])
+    scoped = _scope_to_target_tables(base.fks, target, hint_broadcast)
+    j = _left_join(
+        scoped, target.fks, ["table_name", "fk_name"], broadcast=hint_broadcast
+    )
     render_ref = lambda t, c: F.concat_ws(".", t, c)  # check.rs:371 t.c rendering
     checks = [
         _check(
@@ -263,7 +279,9 @@ def diff_timeline(snapshots: list[tuple[str, SchemaSnapshot]]) -> DataFrame:
     return out
 
 
-def diff_schemas(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
+def diff_schemas(
+    base: SchemaSnapshot, target: SchemaSnapshot, hint_broadcast: bool = True
+) -> DataFrame:
     """The full D1-D17 diff: union of all four matchers.
 
     The findings SET is deterministic; row order is left to the engine here
@@ -273,9 +291,9 @@ def diff_schemas(base: SchemaSnapshot, target: SchemaSnapshot) -> DataFrame:
     table's findings — fixing the reference's nondeterministic HashMap
     iteration (check.rs:33) without taxing the operator layer."""
     findings = (
-        diff_tables(base, target)
-        .unionByName(diff_columns(base, target))
-        .unionByName(diff_indexes(base, target))
-        .unionByName(diff_foreign_keys(base, target))
+        diff_tables(base, target, hint_broadcast)
+        .unionByName(diff_columns(base, target, hint_broadcast))
+        .unionByName(diff_indexes(base, target, hint_broadcast))
+        .unionByName(diff_foreign_keys(base, target, hint_broadcast))
     )
     return findings.select(_FINDING_COLS)

@@ -66,7 +66,20 @@ def write_bucketed(
     joins and aggregations on those keys read co-located buckets and skip
     the shuffle entirely — the right physical layout for snapshot tables
     that get diffed repeatedly (write once, diff many times shuffle-free).
-    The no-Exchange property is pinned in tests/test_plans.py."""
+    The no-Exchange property is pinned in tests/test_plans.py.
+
+    Idempotent across sessions: with an in-memory metastore a managed
+    table's directory can outlive its catalog entry, and saveAsTable then
+    fails with LOCATION_ALREADY_EXISTS — drop the entry and clear a stale
+    managed location before writing."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if warehouse.startswith(("file:", "/")) and os.path.isdir(loc):
+        import shutil
+
+        shutil.rmtree(loc)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, *keys)

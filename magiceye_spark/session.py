@@ -34,6 +34,11 @@ def get_spark(app_name: str = "magiceye-spark", master: str | None = None) -> Sp
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # joins whose keys EXTEND a bucketed/partitioned layout (e.g. the
+        # schema-diff matchers on (table_name, object_name) over snapshots
+        # bucketed by table_name) may reuse that layout instead of
+        # re-shuffling both sides — subset co-partitioning
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

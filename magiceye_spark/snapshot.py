@@ -99,5 +99,38 @@ class SchemaSnapshot:
         for kind in _KINDS:
             getattr(self, kind).write.mode(mode).parquet(f"{path}/{kind}")
 
+    @classmethod
+    def read_bucketed(cls, spark: SparkSession, table_prefix: str) -> "SchemaSnapshot":
+        """Read a snapshot persisted with :meth:`write_bucketed` from the
+        session catalog (``{prefix}_tables`` … ``{prefix}_fks``).
+
+        Deliberately does NOT re-run :func:`_normalize`: the persisted rows
+        were normalized before the bucketed write, and wrapping table_name
+        in another ``coalesce`` would hide the scan's bucket partitioning
+        from the optimizer — exactly the property this path exists for
+        (shuffle-free matcher joins)."""
+        dfs = {k: spark.table(f"{table_prefix}_{k}") for k in _KINDS}
+        return cls(tables=dfs["tables"], columns=dfs["columns"],
+                   indexes=dfs["indexes"], fks=dfs["fks"])
+
+    def write_bucketed(self, table_prefix: str, n_buckets: int = 32) -> None:
+        """Persist all four sides bucketed (and sorted) by ``table_name``
+        into the session catalog as ``{prefix}_tables`` … ``{prefix}_fks``.
+
+        The scale path for catalogs too big to broadcast (millions of
+        objects): when BOTH diff sides are written this way with the same
+        bucket count, every matcher join in :mod:`magiceye_spark.diff.core`
+        clusters on table_name at WRITE time, so
+        ``diff_schemas(..., hint_broadcast=False)`` runs shuffle-free
+        end-to-end — write once, diff every subsequent snapshot against it
+        without re-shuffling either side (pinned in tests/test_plans.py).
+        """
+        from magiceye_spark import io
+
+        for kind in _KINDS:
+            io.write_bucketed(
+                getattr(self, kind), f"{table_prefix}_{kind}", ["table_name"], n_buckets
+            )
+
     def table_names(self) -> DataFrame:
         return self.tables.select("table_name")

@@ -77,6 +77,32 @@ def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
     assert plans.python_eval_count(df) == 0
 
 
+def test_bucketed_snapshot_diff_is_shuffle_free(spark):
+    """The million-object-catalog path: both snapshot sides persisted
+    bucketed by table_name must diff without ANY hash-partitioning
+    exchange — matcher joins read co-located buckets (write once, diff
+    every later snapshot shuffle-free)."""
+    from magiceye_spark.snapshot import SchemaSnapshot
+
+    mysql_base(spark).write_bucketed("bkt_base", n_buckets=4)
+    mysql_target(spark).write_bucketed("bkt_target", n_buckets=4)
+    b = SchemaSnapshot.read_bucketed(spark, "bkt_base")
+    t = SchemaSnapshot.read_bucketed(spark, "bkt_target")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try:
+        df = diff_schemas(b, t, hint_broadcast=False)
+        plan = plans.executed_plan(df)
+        assert "Exchange hashpartitioning" not in plan, plan
+        # results identical to the broadcast path
+        assert sorted(map(tuple, df.collect())) == sorted(
+            map(tuple, diff_schemas(mysql_base(spark), mysql_target(spark)).collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_no_python_eval_in_any_oracle_query(spark, sf_dir):
     """Every oracle-checked operator must run fully JVM-side (the Pandas
     kernels are exactly the rows-only media queries)."""
