@@ -45,13 +45,23 @@ EVENTS_SCHEMA = StructType(
 
 
 def read_event_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 16,
+    max_bytes_per_trigger: int | None = None,
 ) -> DataFrame:
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(path)
-    )
+    """File-source event stream. ``maxFilesPerTrigger`` caps batch size by
+    file COUNT; ``max_bytes_per_trigger`` (bytes) caps by VOLUME —
+    the right backpressure knob when file sizes vary wildly (a loader that
+    emits both 1 MB trickle files and 10 GB backfill files would otherwise
+    produce micro-batches 4 orders of magnitude apart). Spark's file source
+    rejects setting both, so a byte cap replaces the file cap here."""
+    r = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_bytes_per_trigger is not None:
+        r = r.option("maxBytesPerTrigger", str(int(max_bytes_per_trigger)))
+    else:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.parquet(path)
 
 
 def stream_hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -149,15 +159,29 @@ def read_event_stream_kafka(
     topic: str,
     starting_offsets: str = "latest",
     max_offsets_per_trigger: int | None = 100_000,
+    min_offsets_per_trigger: int | None = None,
+    max_trigger_delay: str = "15m",
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """The production source: Kafka topic → parsed event stream.
 
-    ``maxOffsetsPerTrigger`` bounds per-micro-batch intake so a backlog
-    replay cannot blow executor memory — the streaming analogue of
-    ``maxFilesPerTrigger``. Requires the spark-sql-kafka connector on the
-    cluster classpath (not present in this container; the parse transform
-    is tested via :func:`parse_event_json`, the wiring is exercised against
-    a real broker)."""
+    Rate control, both directions:
+
+    - ``maxOffsetsPerTrigger`` bounds per-micro-batch intake so a backlog
+      replay cannot blow executor memory — the streaming analogue of
+      ``maxFilesPerTrigger``.
+    - ``min_offsets_per_trigger`` holds a trigger BACK until that many
+      offsets accumulate (batched commits beat thousands of near-empty
+      micro-batches on a trickling topic); ``max_trigger_delay`` caps the
+      wait so a quiet topic still flushes. Only meaningful together.
+    - ``min_partitions`` over-splits Kafka partitions across more Spark
+      tasks than the topic has partitions — the fix when a hot topic has
+      fewer partitions than the cluster has cores.
+
+    Requires the spark-sql-kafka connector on the cluster classpath (not
+    present in this container; the parse transform is tested via
+    :func:`parse_event_json`, the wiring is exercised against a real
+    broker)."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
@@ -166,6 +190,11 @@ def read_event_stream_kafka(
     )
     if max_offsets_per_trigger is not None:
         raw = raw.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+    if min_offsets_per_trigger is not None:
+        raw = raw.option("minOffsetsPerTrigger", str(min_offsets_per_trigger))
+        raw = raw.option("maxTriggerDelay", max_trigger_delay)
+    if min_partitions is not None:
+        raw = raw.option("minPartitions", str(min_partitions))
     return parse_event_json(raw.load())
 
 
@@ -185,3 +214,31 @@ def enable_rocksdb_state(spark: SparkSession) -> None:
     state store (applies to queries started AFTER the call)."""
     for k, v in ROCKSDB_STATE_CONF.items():
         spark.conf.set(k, v)
+
+
+def state_store_metrics(query) -> list[dict]:
+    """State-store health from a running (or finished) streaming query's
+    last progress: one dict per stateful operator with the numbers that
+    predict trouble BEFORE it hits — state rows growing without bound
+    (watermark not advancing), memory used approaching executor limits
+    (switch to RocksDB), rows removed = 0 forever (eviction never firing).
+
+    Keys: operator, state_rows, rows_updated, rows_removed, memory_bytes,
+    plus any provider-specific customMetrics (RocksDB compaction/ SST
+    sizes) flattened in. Returns [] when no progress has been reported yet.
+    """
+    p = query.lastProgress
+    if not p:
+        return []
+    out = []
+    for op in p.get("stateOperators", []):
+        row = {
+            "operator": op.get("operatorName", ""),
+            "state_rows": op.get("numRowsTotal", 0),
+            "rows_updated": op.get("numRowsUpdated", 0),
+            "rows_removed": op.get("numRowsRemoved", 0),
+            "memory_bytes": op.get("memoryUsedBytes", 0),
+        }
+        row.update(op.get("customMetrics", {}))
+        out.append(row)
+    return out

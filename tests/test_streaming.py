@@ -116,6 +116,31 @@ def test_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_state_store_metrics_surface(spark, sf_dir, tmp_path):
+    """A stateful streaming aggregate must report per-operator state-store
+    metrics (row counts, memory) through state_store_metrics — the
+    bounded-state observability hook."""
+    from magiceye_spark.analytics import _events
+    from magiceye_spark.streaming import events as sev
+
+    src = str(tmp_path / "events_metrics")
+    _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).repartition(2).write.parquet(src)
+
+    stream = sev.read_event_stream(spark, src, max_files_per_trigger=2)
+    q = sev.run_to_memory(
+        sev.stream_hourly_rollup(stream), "metrics_t", str(tmp_path / "chk_m")
+    )
+    q.awaitTermination(120)
+    metrics = sev.state_store_metrics(q)
+    assert metrics, "stateful query must expose at least one state operator"
+    m = metrics[0]
+    assert m["state_rows"] > 0
+    assert m["memory_bytes"] > 0
+    assert {"operator", "rows_updated", "rows_removed"} <= set(m)
+
+
 def test_row_drift_stream_matches_batch_diff(spark, sf_dir, tmp_path):
     """Streamed row-drift findings over the perturbed lineitem must match
     the batch diff restricted to arriving keys (added→new_row, changed)."""
