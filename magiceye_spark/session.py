@@ -45,4 +45,8 @@ def get_spark(app_name: str = "magiceye-spark", master: str | None = None) -> Sp
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
-    return builder.master(master or f"local[{cpus}]").getOrCreate()
+    # SPARK_GRAFT_MASTER points the whole engine (bench.py included) at a
+    # real cluster (spark://…, yarn, k8s://…) without code changes; the
+    # local[N] fallback is the only local-mode-specific line in this file.
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
+    return builder.master(master).getOrCreate()
