@@ -260,3 +260,128 @@ FROM sh a JOIN sh b ON a.sh = b.sh
 WHERE a.doc_id % {eval_mod} <> 0 AND b.doc_id % {eval_mod} = 0 {stop}
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------- packing & source mixing
+
+def sequence_packing(
+    docs: DataFrame,
+    budget: int = 512,
+    n_shards: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining layout):
+    documents are concatenated in deterministic order and cut every
+    ``budget`` tokens; each document is assigned the training sequence its
+    FIRST token lands in. Returns (doc_id, shard, seq_id, tok_offset,
+    n_tokens, spans_boundary) — spans_boundary marks documents a chunk cut
+    crosses (the ones attention masking has to care about).
+
+    Scale shape: a GLOBAL running token sum would serialize on one
+    partition, so packing is per-shard (shard = crc32(doc_id) % n_shards,
+    the same sharding a real pipeline uses for its output files) and the
+    prefix sum is a window over each shard — n_shards-way parallel, one
+    shuffle. Sequence ids are (shard, seq_id) pairs, globally unique.
+    Shard hash is md5-derived (same recipe as :func:`hash_split`) so the
+    DuckDB oracle computes the identical assignment."""
+    toks = textstats._tokens(F.col(text_col))  # noqa: SLF001
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % n_shards
+    )
+    base = docs.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.size(toks).alias("n_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("cum_before")
+    return (
+        base.select("doc_id", "shard", "n_tokens", start)
+        .select(
+            "doc_id",
+            "shard",
+            F.floor(F.col("cum_before") / budget).cast("long").alias("seq_id"),
+            (F.col("cum_before") % budget).alias("tok_offset"),
+            "n_tokens",
+            (
+                (F.col("cum_before") % budget) + F.col("n_tokens") > budget
+            ).alias("spans_boundary"),
+        )
+        .orderBy("shard", "seq_id", "doc_id")
+    )
+
+
+def sql_sequence_packing(budget: int = 512, n_shards: int = 32) -> str:
+    toks = f"regexp_split_to_array(TRIM(LOWER(text)), '{textstats._WS}')"  # noqa: SLF001
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % {n_shards} AS shard,
+         LENGTH({toks}) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM base
+)
+SELECT doc_id, shard, CAST(FLOOR(cum_before / {budget}) AS BIGINT) AS seq_id,
+       CAST(cum_before % {budget} AS BIGINT) AS tok_offset, n_tokens,
+       cum_before % {budget} + n_tokens > {budget} AS spans_boundary
+FROM cum
+ORDER BY shard, seq_id, doc_id
+"""
+
+
+def source_mixing_weights(
+    docs: DataFrame, target_shares: dict[str, float]
+) -> DataFrame:
+    """Per-source sampling weights to reshape the corpus toward a target
+    mixture: (source, n_docs, natural_share, target_share, weight) with
+    weight = target/natural — multiply into per-document sampling
+    probabilities (or epoch counts) to hit the prescribed mix. Sources
+    absent from ``target_shares`` get target 0 (dropped from training).
+    One aggregation on a low-cardinality key; the weight table is
+    dimension-sized and meant to be broadcast back onto documents."""
+    from pyspark.sql.window import Window
+
+    tgt = F.create_map(
+        *[F.lit(x) for kv in target_shares.items() for x in kv]
+    )
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = Window.partitionBy()
+    natural = (F.col("n_docs") / F.sum("n_docs").over(total)).alias("natural_share")
+    return (
+        counts.select(
+            "source",
+            "n_docs",
+            F.round(natural, 6).alias("natural_share"),
+            F.coalesce(tgt[F.col("source")], F.lit(0.0)).alias("target_share"),
+        )
+        .withColumn(
+            "weight",
+            F.round(F.col("target_share") / F.col("natural_share"), 6),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_source_mixing_weights(target_shares: dict[str, float]) -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {v}" for s, v in target_shares.items()
+    )
+    return f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+SELECT source, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (), 6) AS natural_share,
+       CAST(CASE source {cases} ELSE 0.0 END AS DOUBLE) AS target_share,
+       ROUND(CAST(CASE source {cases} ELSE 0.0 END AS DOUBLE)
+             / (CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER ()), 6) AS weight
+FROM counts
+ORDER BY source
+"""

@@ -669,6 +669,25 @@ def hash_split_q(spark, sf_dir):
     return pipeline.hash_split(_docs(spark, sf_dir), train_pct=90)
 
 
+@register("sequence_packing", pipeline.sql_sequence_packing(budget=512, n_shards=32))
+def sequence_packing_q(spark, sf_dir):
+    """Concat-and-chunk token packing into 512-token training sequences,
+    sharded 32 ways so the prefix sum parallelizes."""
+    return pipeline.sequence_packing(_docs(spark, sf_dir), budget=512, n_shards=32)
+
+
+#: target mixture for the mixing-weights query: upweight even sources,
+#: drop src9 — arbitrary but fixed so the oracle is deterministic.
+_TARGET_MIX = {f"src{i}": (0.075 if i % 2 == 0 else 0.03) for i in range(20) if i != 9}
+
+
+@register("source_mixing_weights", pipeline.sql_source_mixing_weights(_TARGET_MIX))
+def mixing_weights_q(spark, sf_dir):
+    """Per-source sampling weights toward a prescribed training mixture
+    (weight = target share / natural share; absent sources weight 0)."""
+    return pipeline.source_mixing_weights(_docs(spark, sf_dir), _TARGET_MIX)
+
+
 @register("daily_active_users", events_ops.sql_active_users(window_days=7))
 def dau_q(spark, sf_dir):
     """DAU + rolling 7-day active users — the engagement curve; rolling

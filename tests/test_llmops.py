@@ -172,6 +172,49 @@ def test_pii_redaction_round_trip(spark):
     assert clean.where(F.col("has_pii")).count() == 0
 
 
+def test_sequence_packing_planted(spark):
+    """Concat-and-chunk semantics in one shard: offsets accumulate, a doc
+    whose tokens cross a 10-token cut is flagged, seq_id advances when the
+    prefix sum passes the budget."""
+    from magiceye_spark.llmops import pipeline
+
+    rows = [
+        (1, "a b c d", "en", "s", 7),        # 4 toks, offset 0
+        (2, "e f g h i", "en", "s", 9),      # 5 toks, offset 4
+        (3, "j k l m", "en", "s", 7),        # 4 toks, offset 9 -> crosses 10
+        (4, "n o", "en", "s", 3),            # 2 toks, offset 13 -> seq 1
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r["doc_id"]: (r["seq_id"], r["tok_offset"], r["spans_boundary"])
+        for r in pipeline.sequence_packing(d, budget=10, n_shards=1).collect()
+    }
+    assert got == {
+        1: (0, 0, False),
+        2: (0, 4, False),
+        3: (0, 9, True),
+        4: (1, 3, False),
+    }
+
+
+def test_source_mixing_weights_planted(spark):
+    """weight = target/natural; sources absent from the target mix get 0."""
+    from magiceye_spark.llmops import pipeline
+
+    rows = [(i, "t", "en", "keep" if i < 6 else "drop", 1) for i in range(8)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r["source"]: (r["natural_share"], r["target_share"], r["weight"])
+        for r in pipeline.source_mixing_weights(d, {"keep": 1.0}).collect()
+    }
+    assert got["keep"] == (0.75, 1.0, round(1.0 / 0.75, 6))
+    assert got["drop"] == (0.25, 0.0, 0.0)
+
+
 def test_stratified_sample_deterministic_and_proportional(spark, sf_dir):
     from magiceye_spark.llmops.pipeline import stratified_sample
 
