@@ -15,7 +15,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from magiceye_spark import analytics, events_ops, io, sketches, synthcat
+from magiceye_spark import analytics, events_ops, io, profile, sketches, synthcat
 from magiceye_spark.llmops import dedup, multimodal, pipeline, simsearch, textstats
 from magiceye_spark.datadiff import (
     diff_data,
@@ -293,6 +293,22 @@ SELECT * FROM (
 )
 ORDER BY "check", "column"
 """
+
+
+_PROFILE_COLS = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
+_PROFILE_NUMERIC = {"l_orderkey", "l_quantity"}
+
+
+@register(
+    "profile_lineitem",
+    profile.sql_profile_table("lineitem", _PROFILE_COLS, _PROFILE_NUMERIC),
+)
+def profile_lineitem_q(spark, sf_dir):
+    """Per-column profile of lineitem (null rate, distinct, min/max, avg)
+    — one aggregation pass, pivoted to a row per column."""
+    return profile.profile_table(
+        io.read_table(spark, sf_dir, "lineitem"), _PROFILE_COLS
+    )
 
 
 @register("dq_lineitem", SQL_DQ_LINEITEM)

@@ -148,3 +148,30 @@ def test_compare_cols_subset_limits_attribution(spark):
     got = {r["k"]: (r["diff_status"], r["changed_columns"])
            for r in diff_data(base, target, keys=["k"], compare_cols=["v2"]).collect()}
     assert got == {2: ("changed", "v2")}
+
+
+def test_profile_table_and_drift(spark):
+    """Profile stats on a planted table; drift flags exactly the moved
+    columns; approx mode agrees on everything but n_distinct tolerance."""
+    from magiceye_spark.profile import profile_drift, profile_table
+
+    rows = [(1, 10.0, "a"), (2, 20.0, "a"), (3, None, "b"), (4, 40.0, None)]
+    d = spark.createDataFrame(rows, "id long, v double, s string")
+    p = {r["column"]: r for r in profile_table(d).collect()}
+    assert p["v"]["n_nulls"] == 1 and p["v"]["null_rate"] == 0.25
+    assert p["v"]["n_distinct"] == 3 and p["v"]["avg"] == round(70 / 3, 4)
+    assert p["s"]["avg"] is None and p["s"]["min"] == "a" and p["s"]["max"] == "b"
+    assert p["id"]["min"] == "1" and p["id"]["max"] == "4"
+
+    # drift: bump v on one row, leave id/s untouched
+    rows2 = [(1, 10.0, "a"), (2, 99.0, "a"), (3, None, "b"), (4, 40.0, None)]
+    d2 = spark.createDataFrame(rows2, "id long, v double, s string")
+    moved = {
+        r["column"] for r in profile_drift(profile_table(d), profile_table(d2)).collect()
+    }
+    assert moved == {"v"}
+
+    # approx mode: same shape, n_distinct within HLL tolerance
+    pa = {r["column"]: r for r in profile_table(d, approx=True).collect()}
+    assert pa["v"]["n_nulls"] == 1
+    assert abs(pa["v"]["n_distinct"] - 3) <= 1
