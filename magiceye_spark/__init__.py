@@ -32,6 +32,7 @@ from magiceye_spark.datadiff import (
 from magiceye_spark.events_ops import asof_join, range_join_count, sessionize
 from magiceye_spark.skew import salted_join
 from magiceye_spark.dq import Rules, check_quality
+from magiceye_spark.profile import profile_table, profile_drift
 from magiceye_spark.ddl import suggest_ddl
 from magiceye_spark.io import read_table, write_bucketed, write_partitioned
 from magiceye_spark.sources.spark_catalog import snapshot_spark_catalog
@@ -58,6 +59,8 @@ __all__ = [
     "asof_join",
     "sessionize",
     "salted_join",
+    "profile_table",
+    "profile_drift",
     "read_table",
     "write_bucketed",
     "snapshot_spark_catalog",
