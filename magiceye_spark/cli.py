@@ -197,6 +197,26 @@ def cmd_plans(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_profile(args: argparse.Namespace) -> int:
+    """Per-column profile of a parquet table (null rate, distinct, min/max,
+    avg); --approx swaps exact distincts for HLL sketches at scale."""
+    from magiceye_spark.profile import profile_table
+    from magiceye_spark.session import get_spark
+
+    spark = get_spark("magiceye-profile")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.path)
+    cols = args.columns.split(",") if args.columns else None
+    for r in profile_table(df, cols, approx=args.approx).collect():
+        print(
+            f"{r['column']:24s} rows={r['n_rows']} nulls={r['n_nulls']}"
+            f" ({r['null_rate']:.2%}) distinct={r['n_distinct']}"
+            f" min={r['min']} max={r['max']}"
+            + (f" avg={r['avg']}" if r["avg"] is not None else "")
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="magiceye-spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -230,6 +250,13 @@ def main(argv: list[str] | None = None) -> int:
     p_plans.add_argument("--filter", help="substring filter on query names")
     p_plans.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p_plans.set_defaults(fn=cmd_plans)
+
+    p_profile = sub.add_parser("profile", help="per-column profile of a parquet table")
+    p_profile.add_argument("path", help="parquet file/dir to profile")
+    p_profile.add_argument("--columns", help="comma-separated subset (default: all)")
+    p_profile.add_argument("--approx", action="store_true",
+                           help="HLL distinct counts (the 100 TB path)")
+    p_profile.set_defaults(fn=cmd_profile)
 
     args = ap.parse_args(argv)
     return args.fn(args)
