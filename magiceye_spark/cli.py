@@ -197,6 +197,94 @@ def cmd_plans(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_datadiff(args: argparse.Namespace) -> int:
+    """Row-level diff of two parquet tables (the §2.4 extension as a
+    command). Row-level output goes to parquet via --out — never collected
+    to the driver, so the same invocation works on a 100 TB pair; stdout
+    gets only the per-status counts (a handful of rows)."""
+    from magiceye_spark import datadiff
+    from magiceye_spark.session import get_spark
+
+    spark = get_spark("magiceye-datadiff")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = spark.read.parquet(args.base)
+    target = spark.read.parquet(args.target)
+    cols = args.columns.split(",") if args.columns else None
+
+    if args.mode == "fingerprint":
+        rows = datadiff.fingerprint_compare(base, target, cols).collect()
+        for r in rows:
+            print(f"{r['side']:6s} fingerprint={r['fingerprint']} rows={r['n_rows']}")
+        same = len({(r["fingerprint"], r["n_rows"]) for r in rows}) == 1
+        print("identical" if same else "DIFFERENT")
+        return 0 if same else 1
+
+    keys = args.keys.split(",") if args.keys else None
+    if args.mode == "rowset":
+        d = datadiff.diff_rows_set(base, target)
+    else:
+        if not keys:
+            print("--keys is required for keyed modes", file=sys.stderr)
+            return 2
+        d = {
+            "full": lambda: datadiff.diff_data(base, target, keys, cols),
+            "left": lambda: datadiff.diff_data(base, target, keys, cols, how="left"),
+            "hash": lambda: datadiff.diff_data_hash(base, target, keys, cols),
+        }[args.mode]()
+    if args.out:
+        d.write.mode("overwrite").parquet(args.out)
+        print(f"wrote {args.out}")
+    from pyspark.sql import functions as F
+
+    counts = d.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n")).orderBy("diff_status").collect()
+    for r in counts:
+        print(f"{r['diff_status']:8s} {r['n']}")
+    if not counts:
+        print("identical")
+    return 0
+
+
+def cmd_dq(args: argparse.Namespace) -> int:
+    """Data-quality gate over one parquet table. Rules come from a JSON
+    file: {"not_null": [col…], "unique": [[col…]…], "ranges": {col: [lo,
+    hi]}, "accepted": {col: [val…]}, "references": {col: "path:ref_col"}}.
+    Exit 1 when any rule fails — the CI-gate contract."""
+    from magiceye_spark.dq import Rules, check_quality
+    from magiceye_spark.session import get_spark
+
+    with open(args.rules, encoding="utf-8") as fh:
+        spec = json.load(fh)
+    unknown = set(spec) - {"not_null", "unique", "ranges", "accepted", "references"}
+    if unknown:
+        print(f"unknown rule kinds: {sorted(unknown)}", file=sys.stderr)
+        return 2
+
+    spark = get_spark("magiceye-dq")
+    spark.sparkContext.setLogLevel("ERROR")
+    refs = {}
+    for col, ref in spec.get("references", {}).items():
+        path, _, ref_col = ref.rpartition(":")
+        if not path:
+            print(f"references[{col!r}] must be 'path:ref_col'", file=sys.stderr)
+            return 2
+        refs[col] = (spark.read.parquet(path), ref_col)
+    rules = Rules(
+        not_null=spec.get("not_null", []),
+        unique=[list(k) for k in spec.get("unique", [])],
+        ranges={c: (lo, hi) for c, (lo, hi) in spec.get("ranges", {}).items()},
+        accepted=spec.get("accepted", {}),
+        references=refs,
+    )
+    rows = check_quality(spark.read.parquet(args.path), rules).collect()
+    failed = 0
+    for r in rows:
+        mark = "PASS" if r["pass"] else "FAIL"
+        failed += not r["pass"]
+        print(f"{mark} {r['check']:16s} {r['column']:24s} "
+              f"{r['violations']}/{r['total']} violations")
+    return 1 if failed else 0
+
+
 def cmd_profile(args: argparse.Namespace) -> int:
     """Per-column profile of a parquet table (null rate, distinct, min/max,
     avg); --approx swaps exact distincts for HLL sketches at scale."""
@@ -250,6 +338,23 @@ def main(argv: list[str] | None = None) -> int:
     p_plans.add_argument("--filter", help="substring filter on query names")
     p_plans.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p_plans.set_defaults(fn=cmd_plans)
+
+    p_dd = sub.add_parser("datadiff", help="row-level diff of two parquet tables")
+    p_dd.add_argument("base", help="base parquet file/dir")
+    p_dd.add_argument("target", help="target parquet file/dir")
+    p_dd.add_argument("--keys", help="comma-separated primary-key columns")
+    p_dd.add_argument("--columns", help="comma-separated compare columns (default: all shared non-key)")
+    p_dd.add_argument("--mode", choices=["full", "left", "hash", "rowset", "fingerprint"],
+                      default="full",
+                      help="full/left: per-column attribution; hash: wide-row fast path; "
+                           "rowset: keyless multiset diff; fingerprint: checksum pre-check")
+    p_dd.add_argument("--out", help="write row-level diff as parquet here (never collected)")
+    p_dd.set_defaults(fn=cmd_datadiff)
+
+    p_dq = sub.add_parser("dq", help="data-quality gate over a parquet table (exit 1 on failure)")
+    p_dq.add_argument("path", help="parquet file/dir to check")
+    p_dq.add_argument("--rules", required=True, help="rules JSON file")
+    p_dq.set_defaults(fn=cmd_dq)
 
     p_profile = sub.add_parser("profile", help="per-column profile of a parquet table")
     p_profile.add_argument("path", help="parquet file/dir to profile")
