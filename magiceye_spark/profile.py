@@ -75,8 +75,12 @@ def profile_table(
     )
 
 
-def sql_profile_table(table: str, columns: list[str], numeric: set[str]) -> str:
-    """DuckDB oracle: one SELECT per column, unioned — same stats, exact."""
+def sql_profile_table(
+    table: str, columns: list[str], numeric: set[str], order_by: bool = True
+) -> str:
+    """DuckDB oracle: one SELECT per column, unioned — same stats, exact.
+    ``order_by=False`` yields a CTE-composable body (see
+    :func:`sql_profile_drift`)."""
     parts = []
     for c in columns:
         avg = f"ROUND(AVG({c}), 4)" if c in numeric else "CAST(NULL AS DOUBLE)"
@@ -88,7 +92,37 @@ SELECT '{c}' AS "column", COUNT(*) AS n_rows,
        CAST(MIN({c}) AS VARCHAR) AS min, CAST(MAX({c}) AS VARCHAR) AS max,
        {avg} AS avg
 FROM {table}""")
-    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+    body = " UNION ALL ".join(parts)
+    return body + ' ORDER BY "column"' if order_by else body
+
+
+def sql_profile_drift(
+    base_table: str,
+    target_table: str,
+    columns: list[str],
+    numeric: set[str],
+    tol: float = 0.01,
+) -> str:
+    """DuckDB oracle for :func:`profile_drift` over two tables/CTEs —
+    profiles both sides and applies the identical moved-column predicate.
+    Emitted WITHOUT a leading WITH so callers can prepend their own CTEs
+    (prefix ``", bp AS …"`` composes after an existing WITH clause)."""
+    bp = sql_profile_table(base_table, columns, numeric, order_by=False)
+    tp = sql_profile_table(target_table, columns, numeric, order_by=False)
+    return f"""bp AS ({bp}), tp AS ({tp})
+SELECT bp."column", bp.n_rows, bp.n_nulls, bp.null_rate, bp.n_distinct,
+       bp."min", bp."max", bp."avg",
+       tp.n_rows AS n_rows_t, tp.n_nulls AS n_nulls_t,
+       tp.null_rate AS null_rate_t, tp.n_distinct AS n_distinct_t,
+       tp."min" AS min_t, tp."max" AS max_t, tp."avg" AS avg_t
+FROM bp JOIN tp ON bp."column" = tp."column"
+WHERE ABS(bp.null_rate - tp.null_rate) > {tol}
+   OR (bp."avg" IS NOT NULL AND tp."avg" IS NOT NULL
+       AND ABS(bp."avg" - tp."avg") > {tol} * GREATEST(ABS(bp."avg"), 1e-9))
+   OR bp."min" IS DISTINCT FROM tp."min"
+   OR bp."max" IS DISTINCT FROM tp."max"
+   OR bp.n_distinct <> tp.n_distinct
+ORDER BY bp."column"\n"""
 
 
 def profile_drift(

@@ -311,6 +311,22 @@ def profile_lineitem_q(spark, sf_dir):
     )
 
 
+SQL_PROFILE_DRIFT = SQL_PERTURBED_LINEITEM + ", " + profile.sql_profile_drift(
+    "lineitem", "target", _PROFILE_COLS, _PROFILE_NUMERIC
+)
+
+
+@register("profile_drift_lineitem", SQL_PROFILE_DRIFT)
+def profile_drift_q(spark, sf_dir):
+    """Columns whose profile moved between lineitem and its perturbed twin
+    — the catalog-sized pre-check that tells you WHICH columns to row-diff
+    (two aggregation passes + a per-column-row join, no row-level work)."""
+    base, target = _perturbed_lineitem(spark, sf_dir)
+    bp = profile.profile_table(base, _PROFILE_COLS)
+    tp = profile.profile_table(target, _PROFILE_COLS)
+    return profile.profile_drift(bp, tp)
+
+
 @register("dq_lineitem", SQL_DQ_LINEITEM)
 def dq_q(spark, sf_dir):
     """Data-quality audit of lineitem: nullability, value range, accepted
