@@ -297,6 +297,47 @@ def _refine_centroids(
     return cents
 
 
+def _ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    kmeans_iters: int,
+    id_col: str,
+    vec_col: str,
+) -> dict[int, list[float]]:
+    """Deterministic strided-sample seeding + distributed Lloyd refinement
+    — the coarse quantizer shared by :func:`ivf_topk` and
+    :func:`ivf_pq_topk`. The only driver collect is n_centroids × dim
+    floats (the fitted model being broadcast)."""
+    ids = [r[0] for r in
+           corpus.select(id_col).orderBy(id_col).limit(n_centroids * 7).collect()]
+    centroid_ids = ids[:: max(1, len(ids) // n_centroids)][:n_centroids]
+    cents = {
+        i: list(r[1])
+        for i, r in enumerate(
+            corpus.where(F.col(id_col).isin(centroid_ids))
+            .select(id_col, vec_col).orderBy(id_col).collect()
+        )
+    }
+    if kmeans_iters > 0:
+        cents = _refine_centroids(corpus, cents, kmeans_iters, vec_col)
+    return cents
+
+
+def _best_cells(vec: Column, cents: dict[int, list[float]], n: int) -> Column:
+    """Top-n (score, cell) structs by cosine to each centroid — argmax/top-n
+    via sort of structs, pure JVM expressions, zero shuffle."""
+    pairs = F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(v) for v in cvec])).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+            for i, cvec in cents.items()
+        ]
+    )
+    return F.slice(F.reverse(F.array_sort(pairs)), 1, n)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -329,34 +370,10 @@ def ivf_topk(
     (whole-stage codegen, no shuffle); defaults balance that against the
     recall curve.
     """
-    ids = [r[0] for r in
-           corpus.select(id_col).orderBy(id_col).limit(n_centroids * 7).collect()]
-    centroid_ids = ids[:: max(1, len(ids) // n_centroids)][:n_centroids]
-    cents = {
-        i: list(r[1])
-        for i, r in enumerate(
-            corpus.where(F.col(id_col).isin(centroid_ids))
-            .select(id_col, vec_col).orderBy(id_col).collect()
-        )
-    }
-    if kmeans_iters > 0:
-        cents = _refine_centroids(corpus, cents, kmeans_iters, vec_col)
+    cents = _ivf_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
 
-    def cell_scores(vec: Column) -> list[Column]:
-        return [
-            cosine(vec, F.array(*[F.lit(v) for v in cvec]))
-            for cvec in cents.values()
-        ]
-
-    # argmax/top-n via sort of (score, index) structs — pure expressions
     def best_cells(vec: Column, n: int) -> Column:
-        pairs = F.array(
-            *[
-                F.struct(s.alias("score"), F.lit(i).alias("cell"))
-                for i, s in enumerate(cell_scores(vec))
-            ]
-        )
-        return F.slice(F.reverse(F.array_sort(pairs)), 1, n)
+        return _best_cells(vec, cents, n)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -373,6 +390,207 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(q), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _train_pq_codebooks(
+    residuals: list[list[float]], m: int, n_codes: int, iters: int = 8
+) -> list[list[list[float]]]:
+    """Per-subspace k-means codebooks trained driver-side on a sample of
+    residual vectors (numpy, deterministic strided init, fixed iteration
+    count — identical on any cluster). Returns ``m`` codebooks of
+    ``n_codes`` × (dim/m) floats — the tiny model that gets embedded as
+    plan literals, exactly like the IVF centroids."""
+    import numpy as np
+
+    r = np.asarray(residuals, dtype=np.float64)
+    sub_d = r.shape[1] // m
+    books = []
+    for mi in range(m):
+        x = r[:, mi * sub_d:(mi + 1) * sub_d]
+        cb = x[:: max(1, len(x) // n_codes)][:n_codes].copy()
+        if len(cb) < n_codes:  # degenerate sample: pad by repetition
+            cb = np.resize(cb, (n_codes, sub_d))
+        for _ in range(iters):
+            d = ((x[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for j in range(n_codes):
+                members = x[assign == j]
+                if len(members):
+                    cb[j] = members.mean(axis=0)
+        books.append([[float(v) for v in row] for row in cb])
+    return books
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    m_subvectors: int = 8,
+    n_codes: int = 16,
+    kmeans_iters: int = 2,
+    rerank: int | None = None,
+    train_sample: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k: IVF coarse cells + product-quantized
+    residuals scored by asymmetric distance computation (ADC), then an
+    exact rerank of the survivors.
+
+    The memory story at 100 TB: after encoding, the searchable index is
+    (id, cell, m_subvectors × log2(n_codes)-bit codes) — 8 bytes of code
+    per vector at the defaults vs 256 bytes of float32, a 32× compression.
+    The ADC candidate scan touches ONLY that compact table; full vectors
+    are read again just for the ``rerank`` finalists per query, via a
+    broadcast join of the (tiny) candidate list against the vector table.
+
+    All per-row math is JVM expressions (no UDF): cell assignment is the
+    shared :func:`_best_cells` argmax; encoding picks each subvector's
+    nearest codebook entry by argmin-over-literals; query-side lookup
+    tables are dot products against codebook literals, and the ADC score is
+    ``dot(q̂, centroid) + Σ_m LUT[m][code_m]`` — an O(m) sum per candidate
+    regardless of dimension. Codebooks are trained on a deterministic
+    ``train_sample``-vector strided sample (driver-side numpy k-means on
+    residuals — the one non-Spark step, sized like the model it produces).
+
+    Same output shape as :func:`cosine_topk` (exact cosine on reranked
+    rows); recall vs brute force is measured in tests.
+    """
+    rerank = rerank if rerank is not None else 10 * k
+    cents = _ivf_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+    import numpy as np
+
+    cent_mat = np.asarray([cents[i] for i in sorted(cents)], dtype=np.float64)
+    cent_norm = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    dim = cent_mat.shape[1]
+    if dim % m_subvectors:
+        raise ValueError(f"dim {dim} not divisible by m_subvectors {m_subvectors}")
+    sub_d = dim // m_subvectors
+
+    # ---- train codebooks on residuals of a deterministic corpus sample
+    sample = [
+        list(r[1])
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    ]
+    s = np.asarray(sample, dtype=np.float64)
+    s_norm = s / np.linalg.norm(s, axis=1, keepdims=True)
+    s_cells = (s_norm @ cent_norm.T).argmax(axis=1)
+    books = _train_pq_codebooks(
+        (s_norm - cent_norm[s_cells]).tolist(), m_subvectors, n_codes
+    )
+
+    # the fitted model as TWO literal arrays (centroids, m×n_codes×sub_d
+    # codebooks) walked with higher-order functions — keeps the expression
+    # tree small (plan optimize/codegen cost is per-node; an unrolled
+    # per-code tree compiles 10× slower for identical row-level work)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in cent_norm]
+    )
+    books_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in row]) for row in book])
+            for book in books
+        ]
+    )
+
+    def normalized(vec: Column) -> Column:
+        n = norm(vec)
+        return F.transform(vec, lambda x: x.cast("double") / n)
+
+    def sq_dist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def argmin_idx(dists: Column) -> Column:
+        # first index of the min — doubles compare bit-exact against
+        # themselves, so array_position is safe and ties break low/deterministic
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    # ---- encode: (neighbor_id, cell, codes[m]) — the compact index table
+    nv = normalized(F.col(vec_col))
+    enc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _best_cells(F.col(vec_col), cents, 1)[0]["cell"].alias("cell"),
+        nv.alias("_nv"),
+    ).withColumn(
+        "_res", F.zip_with("_nv", F.get(cent_lit, F.col("cell")), lambda a, b: a - b)
+    )
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m_subvectors - 1)),
+        lambda mi: argmin_idx(
+            F.transform(
+                F.get(books_lit, mi),
+                lambda row: sq_dist(
+                    F.slice(F.col("_res"), mi * sub_d + 1, sub_d), row
+                ),
+            )
+        ),
+    )
+    enc = enc.select("neighbor_id", "cell", codes.alias("codes"))
+
+    # ---- query side: probe cells + per-subspace LUTs (broadcast-sized)
+    nq = normalized(F.col(vec_col))
+    probes = _best_cells(F.col(vec_col), cents, n_probe)
+    lut = F.transform(
+        F.sequence(F.lit(0), F.lit(m_subvectors - 1)),
+        lambda mi: F.transform(
+            F.get(books_lit, mi),
+            lambda row: F.aggregate(
+                F.zip_with(
+                    F.slice(nq, mi * sub_d + 1, sub_d), row, lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        ),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        lut.alias("_lut"),
+        F.explode(probes).alias("_p"),
+    ).select(
+        "query_id",
+        "_lut",
+        F.col("_p")["cell"].alias("cell"),
+        F.col("_p")["score"].alias("_cell_dot"),
+    )
+
+    # ---- ADC scan over codes only; keep `rerank` finalists per query
+    adc = F.col("_cell_dot") + sum(
+        F.get(F.get("_lut", mi), F.get("codes", mi)) for mi in range(m_subvectors)
+    )
+    cand = (
+        enc.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("_adc"))
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("_adc"), F.asc("neighbor_id"))
+    finalists = cand.withColumn("_r", F.row_number().over(w_adc)).where(
+        F.col("_r") <= rerank
+    ).select("query_id", "neighbor_id")
+
+    # ---- exact rerank: tiny finalist list × vector table, broadcast join
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cv.join(F.broadcast(finalists.join(qv, "query_id")), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",

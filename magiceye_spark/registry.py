@@ -878,6 +878,15 @@ def ivf_topk_q(spark, sf_dir):
     return simsearch.ivf_topk(corpus, queries_df, k=10)
 
 
+@register("ivf_pq_ann_topk", None)  # approximate: recall asserted in tests
+def ivf_pq_topk_q(spark, sf_dir):
+    """IVF-PQ: codes-only ADC candidate scan (32× smaller index than raw
+    float32 vectors) + exact rerank — the memory-bound-corpus ANN path."""
+    corpus = _embs(spark, sf_dir)
+    queries_df = corpus.where(F.col("vec_id").isin(_QUERY_VEC_IDS))
+    return simsearch.ivf_pq_topk(corpus, queries_df, k=10)
+
+
 @register("chunk_documents", textstats.sql_chunk_documents(chunk_chars=512, overlap=64))
 def chunk_q(spark, sf_dir):
     return textstats.chunk_documents(_docs(spark, sf_dir), chunk_chars=512, overlap=64)

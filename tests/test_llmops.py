@@ -133,6 +133,26 @@ def test_minhash_ngram_recall_vs_exact_shingles(spark, sf_dir):
     assert recall >= 0.9, f"3-gram minhash recall {recall:.2f}"
 
 
+def test_ivf_pq_topk_recall(spark, sf_dir):
+    """IVF-PQ (codes-only ADC scan + exact rerank) must hold the same
+    recall floor as plain IVF — the rerank step restores what 8-byte codes
+    lose, as long as the true neighbors survive into the finalist set."""
+    corpus = _embs(spark, sf_dir)
+    queries = corpus.where(F.col("vec_id") < 8)
+    exact = simsearch.cosine_topk(corpus, queries, k=10).collect()
+    approx = simsearch.ivf_pq_topk(corpus, queries, k=10).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"ivf-pq ann recall {recall:.2f}"
+    # reranked cosine values are exact: every hit must match brute force
+    exact_sim = {(r["query_id"], r["neighbor_id"]): r["cosine_sim"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sim:
+            assert abs(r["cosine_sim"] - exact_sim[key]) < 1e-9
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     corpus = _embs(spark, sf_dir)
     queries = corpus.where(F.col("vec_id") < 8)
