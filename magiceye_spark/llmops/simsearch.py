@@ -249,78 +249,44 @@ def lsh_topk(
     )
 
 
-def _refine_centroids(
-    corpus: DataFrame,
-    cents: dict[int, list[float]],
-    iters: int,
-    vec_col: str,
-) -> dict[int, list[float]]:
-    """Lloyd iterations (spherical k-means) over the seeded centroids, all
-    distributed: assign each vector to its max-cosine centroid (map-side
-    argmax over literals), average member vectors element-wise via
-    posexplode + two aggregations, collect only the n_centroids × dim means
-    (the same driver payload as the model itself). Cosine assignment is
-    scale-invariant, so the unnormalized mean serves directly as the next
-    centroid. Empty cells keep their previous centroid."""
-    for _ in range(iters):
-        pairs = F.array(
-            *[
-                F.struct(
-                    cosine(F.col(vec_col), F.array(*[F.lit(v) for v in cvec])).alias(
-                        "score"
-                    ),
-                    F.lit(i).alias("cell"),
-                )
-                for i, cvec in cents.items()
-            ]
-        )
-        # two-step select: a generator (posexplode) in the same projection as
-        # the struct-extract argmax makes Spark re-resolve the struct with
-        # positional field names — compute the cell first, explode second
-        argmax = F.reverse(F.array_sort(pairs))[0]["cell"]
-        assigned = corpus.select(
-            argmax.alias("cell"), F.col(vec_col).alias("_v")
-        ).select("cell", F.posexplode("_v").alias("pos", "x"))
-        means = (
-            assigned.groupBy("cell", "pos")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .groupBy("cell")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("centroid")
-            )
-        )
-        new = {r["cell"]: list(r["centroid"]) for r in means.collect()}
-        cents = {i: new.get(i, cvec) for i, cvec in cents.items()}
-    return cents
-
-
 def _ivf_centroids(
     corpus: DataFrame,
     n_centroids: int,
     kmeans_iters: int,
     id_col: str,
     vec_col: str,
+    fit_sample: int = 4096,
 ) -> dict[int, list[float]]:
-    """Deterministic strided-sample seeding + distributed Lloyd refinement
-    — the coarse quantizer shared by :func:`ivf_topk` and
-    :func:`ivf_pq_topk`. The only driver collect is n_centroids × dim
-    floats (the fitted model being broadcast)."""
-    ids = [r[0] for r in
-           corpus.select(id_col).orderBy(id_col).limit(n_centroids * 7).collect()]
-    centroid_ids = ids[:: max(1, len(ids) // n_centroids)][:n_centroids]
-    cents = {
-        i: list(r[1])
-        for i, r in enumerate(
-            corpus.where(F.col(id_col).isin(centroid_ids))
-            .select(id_col, vec_col).orderBy(id_col).collect()
-        )
-    }
-    if kmeans_iters > 0:
-        cents = _refine_centroids(corpus, cents, kmeans_iters, vec_col)
-    return cents
+    """Coarse quantizer shared by :func:`ivf_topk` and :func:`ivf_pq_topk`:
+    spherical k-means fitted on a bounded deterministic sample.
+
+    The sample is the ``fit_sample`` lowest-id vectors — orderBy+limit
+    compiles to TakeOrdered (per-partition top-n merged on the driver), so
+    fitting touches one scan and collects a bounded payload NO MATTER the
+    corpus size. Lloyd then runs driver-side in numpy — at 100 TB you train
+    the quantizer on a sample and assign the full corpus map-side (the
+    assign scan is the one unavoidable full pass, and it happens inside the
+    search plan anyway); iterating Lloyd distributed over the whole corpus
+    would cost 2 full scans per iteration for <0.02 recall (measured: the
+    sweep in BASELINE.md — cell count, not fit quality, is the knob).
+
+    Assignment is max-cosine (scale-invariant), update is the plain member
+    mean, empty cells keep their previous centroid — deterministic for a
+    fixed corpus on any cluster layout."""
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(fit_sample).collect()
+    x = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    cents = x[:: max(1, len(x) // n_centroids)][:n_centroids].copy()
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    for _ in range(kmeans_iters):
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = (xn @ cn.T).argmax(axis=1)
+        for i in range(len(cents)):
+            members = x[assign == i]
+            if len(members):
+                cents[i] = members.mean(axis=0)
+    return {i: [float(v) for v in c] for i, c in enumerate(cents)}
 
 
 def _best_cells(vec: Column, cents: dict[int, list[float]], n: int) -> Column:
@@ -344,7 +310,7 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 32,
     n_probe: int = 8,
-    kmeans_iters: int = 2,
+    kmeans_iters: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -352,23 +318,21 @@ def ivf_topk(
     Voronoi cells around centroids, search only the ``n_probe`` cells
     nearest each query.
 
-    Centroid seeding is a deterministic strided sample of the corpus (the
-    one tiny driver collect — n_centroids × dim floats, the same shape as a
-    fitted k-means model being broadcast), refined by ``kmeans_iters``
-    distributed Lloyd iterations (:func:`_refine_centroids`). Cell
-    assignment is an argmax over centroid literals — map-side JVM
-    expressions, zero shuffle; the probe join hits only
-    ~n_probe/n_centroids of the corpus. Same output shape as
+    Centroids come from :func:`_ivf_centroids` — spherical k-means fitted
+    driver-side on a bounded TakeOrdered sample (one scan, bounded collect
+    at any corpus size). Cell assignment is an argmax over centroid
+    literals — map-side JVM expressions, zero shuffle; the probe join hits
+    only ~n_probe/n_centroids of the corpus. Same output shape as
     :func:`cosine_topk`; recall measured in tests.
 
     Sizing: at a fixed scan fraction n_probe/n_centroids, FINER cells win —
-    measured on the sf0.01 corpus (32 queries, k=10, 2 Lloyd iters): 16/4 →
-    0.54 recall, 32/8 → 0.66, 64/16 → 0.76. Seeding strategy (strided vs
-    k-means++ vs k-center over a 256-candidate sample) moved recall < 0.02
-    after refinement — Lloyd washes the seeds out, so cell count is the
-    knob to turn. Cost per corpus row is n_centroids · dim multiply-adds
-    (whole-stage codegen, no shuffle); defaults balance that against the
-    recall curve.
+    measured on the sf0.01 corpus (32 queries, k=10): 16/4 → 0.54 recall,
+    32/8 → 0.66, 64/16 → 0.76 (distributed-Lloyd fit; the sample-fit
+    quantizer measures 0.67 at 32/8 with 8 iterations). Seeding strategy
+    moved recall < 0.02 after refinement — Lloyd washes the seeds out, so
+    cell count is the knob to turn. Cost per corpus row is
+    n_centroids · dim multiply-adds (whole-stage codegen, no shuffle);
+    defaults balance that against the recall curve.
     """
     cents = _ivf_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
 
@@ -441,7 +405,7 @@ def ivf_pq_topk(
     n_probe: int = 8,
     m_subvectors: int = 8,
     n_codes: int = 16,
-    kmeans_iters: int = 2,
+    kmeans_iters: int = 8,
     rerank: int | None = None,
     train_sample: int = 512,
     id_col: str = "vec_id",
