@@ -197,18 +197,29 @@ def cmd_plans(args: argparse.Namespace) -> int:
     return 0
 
 
+def _read_table(spark, path: str, fmt: str):
+    """Read one data table for the datadiff/dq/profile commands. CSV gets
+    header+inferSchema (ergonomics over speed — schema inference is an
+    extra pass; at scale, convert to parquet first and diff that)."""
+    if fmt == "csv":
+        return spark.read.option("header", "true").option(
+            "inferSchema", "true"
+        ).csv(path)
+    return getattr(spark.read, fmt)(path)
+
+
 def cmd_datadiff(args: argparse.Namespace) -> int:
-    """Row-level diff of two parquet tables (the §2.4 extension as a
-    command). Row-level output goes to parquet via --out — never collected
-    to the driver, so the same invocation works on a 100 TB pair; stdout
-    gets only the per-status counts (a handful of rows)."""
+    """Row-level diff of two tables (the §2.4 extension as a command).
+    Row-level output goes to parquet via --out — never collected to the
+    driver, so the same invocation works on a 100 TB pair; stdout gets
+    only the per-status counts (a handful of rows)."""
     from magiceye_spark import datadiff
     from magiceye_spark.session import get_spark
 
     spark = get_spark("magiceye-datadiff")
     spark.sparkContext.setLogLevel("ERROR")
-    base = spark.read.parquet(args.base)
-    target = spark.read.parquet(args.target)
+    base = _read_table(spark, args.base, args.format)
+    target = _read_table(spark, args.target, args.format)
     cols = args.columns.split(",") if args.columns else None
 
     if args.mode == "fingerprint":
@@ -267,7 +278,7 @@ def cmd_dq(args: argparse.Namespace) -> int:
         if not path:
             print(f"references[{col!r}] must be 'path:ref_col'", file=sys.stderr)
             return 2
-        refs[col] = (spark.read.parquet(path), ref_col)
+        refs[col] = (_read_table(spark, path, args.format), ref_col)
     rules = Rules(
         not_null=spec.get("not_null", []),
         unique=[list(k) for k in spec.get("unique", [])],
@@ -275,7 +286,7 @@ def cmd_dq(args: argparse.Namespace) -> int:
         accepted=spec.get("accepted", {}),
         references=refs,
     )
-    rows = check_quality(spark.read.parquet(args.path), rules).collect()
+    rows = check_quality(_read_table(spark, args.path, args.format), rules).collect()
     failed = 0
     for r in rows:
         mark = "PASS" if r["pass"] else "FAIL"
@@ -293,7 +304,7 @@ def cmd_profile(args: argparse.Namespace) -> int:
 
     spark = get_spark("magiceye-profile")
     spark.sparkContext.setLogLevel("ERROR")
-    df = spark.read.parquet(args.path)
+    df = _read_table(spark, args.path, args.format)
     cols = args.columns.split(",") if args.columns else None
     for r in profile_table(df, cols, approx=args.approx).collect():
         print(
@@ -349,11 +360,15 @@ def main(argv: list[str] | None = None) -> int:
                       help="full/left: per-column attribution; hash: wide-row fast path; "
                            "rowset: keyless multiset diff; fingerprint: checksum pre-check")
     p_dd.add_argument("--out", help="write row-level diff as parquet here (never collected)")
+    p_dd.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
+                      default="parquet", help="input table format")
     p_dd.set_defaults(fn=cmd_datadiff)
 
     p_dq = sub.add_parser("dq", help="data-quality gate over a parquet table (exit 1 on failure)")
     p_dq.add_argument("path", help="parquet file/dir to check")
     p_dq.add_argument("--rules", required=True, help="rules JSON file")
+    p_dq.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
+                      default="parquet", help="input table format")
     p_dq.set_defaults(fn=cmd_dq)
 
     p_profile = sub.add_parser("profile", help="per-column profile of a parquet table")
@@ -361,6 +376,8 @@ def main(argv: list[str] | None = None) -> int:
     p_profile.add_argument("--columns", help="comma-separated subset (default: all)")
     p_profile.add_argument("--approx", action="store_true",
                            help="HLL distinct counts (the 100 TB path)")
+    p_profile.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
+                           default="parquet", help="input table format")
     p_profile.set_defaults(fn=cmd_profile)
 
     args = ap.parse_args(argv)

@@ -53,6 +53,20 @@ def test_cli_datadiff_keyed_mode_requires_keys(spark, tmp_path):
     assert cli.main(["datadiff", str(a), str(a)]) == 2
 
 
+def test_cli_datadiff_csv_format(spark, tmp_path, capsys):
+    base = tmp_path / "base_csv"
+    target = tmp_path / "target_csv"
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(str(base))
+    df.where("id = 1").coalesce(1).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(str(target))
+    rc = cli.main(["datadiff", str(base), str(target), "--keys", "id",
+                   "--format", "csv"])
+    assert rc == 0
+    assert "removed  1" in capsys.readouterr().out
+
+
 def test_cli_dq_gate(spark, tmp_path, capsys):
     tbl = tmp_path / "tbl"
     ref = tmp_path / "ref"
