@@ -77,6 +77,25 @@ def test_ivf_probe_join_broadcasts_queries(spark, sf_dir):
     assert plans.python_eval_count(df) == 0
 
 
+def test_ivf_pq_all_joins_broadcast_no_python(spark, sf_dir):
+    """The ADC scan and both rerank joins must broadcast the small side
+    (probe set / finalist list) — a sort-merge join anywhere here would
+    shuffle the full corpus; all math stays in JVM expressions."""
+    df = registry.queries()["ivf_pq_ann_topk"](spark, sf_dir)
+    assert plans.broadcast_join_count(df) >= 3
+    assert plans.sortmerge_join_count(df) == 0
+    assert plans.python_eval_count(df) == 0
+
+
+def test_profile_single_pass_no_join(spark, sf_dir):
+    """The per-column profile is ONE wide aggregation pivoted by explode —
+    no join, no Python, bounded exchanges regardless of column count."""
+    df = registry.queries()["profile_lineitem"](spark, sf_dir)
+    assert plans.sortmerge_join_count(df) == 0
+    assert plans.python_eval_count(df) == 0
+    assert plans.count_shuffles(df) <= 3  # distinct-expand agg + final sort
+
+
 def test_bucketed_snapshot_diff_is_shuffle_free(spark):
     """The million-object-catalog path: both snapshot sides persisted
     bucketed by table_name must diff without ANY hash-partitioning
