@@ -34,7 +34,12 @@ from magiceye_spark.skew import salted_join
 from magiceye_spark.dq import Rules, check_quality
 from magiceye_spark.profile import profile_table, profile_drift
 from magiceye_spark.ddl import suggest_ddl
-from magiceye_spark.io import read_table, write_bucketed, write_partitioned
+from magiceye_spark.io import (
+    compact_table,
+    read_table,
+    write_bucketed,
+    write_partitioned,
+)
 from magiceye_spark.sources.spark_catalog import snapshot_spark_catalog
 
 __all__ = [
@@ -62,6 +67,7 @@ __all__ = [
     "profile_table",
     "profile_drift",
     "read_table",
+    "compact_table",
     "write_bucketed",
     "snapshot_spark_catalog",
 ]

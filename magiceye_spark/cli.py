@@ -296,6 +296,26 @@ def cmd_dq(args: argparse.Namespace) -> int:
     return 1 if failed else 0
 
 
+def cmd_compact(args: argparse.Namespace) -> int:
+    """Compact a table into ~target-MB files (optionally range-clustered
+    on --sort-by so later range filters skip whole files)."""
+    from magiceye_spark.io import compact_table
+    from magiceye_spark.session import get_spark
+
+    spark = get_spark("magiceye-compact")
+    spark.sparkContext.setLogLevel("ERROR")
+    n = compact_table(
+        spark,
+        args.path,
+        args.out,
+        target_mb=args.target_mb,
+        sort_by=args.sort_by.split(",") if args.sort_by else None,
+        fmt=args.format,
+    )
+    print(f"wrote {args.out} ({n} file{'s' if n != 1 else ''})")
+    return 0
+
+
 def cmd_profile(args: argparse.Namespace) -> int:
     """Per-column profile of a parquet table (null rate, distinct, min/max,
     avg); --approx swaps exact distincts for HLL sketches at scale."""
@@ -370,6 +390,15 @@ def main(argv: list[str] | None = None) -> int:
     p_dq.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
                       default="parquet", help="input table format")
     p_dq.set_defaults(fn=cmd_dq)
+
+    p_compact = sub.add_parser("compact", help="rewrite a table into ~target-MB files")
+    p_compact.add_argument("path", help="input table file/dir")
+    p_compact.add_argument("out", help="output directory")
+    p_compact.add_argument("--target-mb", type=int, default=512)
+    p_compact.add_argument("--sort-by", help="comma-separated range-cluster columns")
+    p_compact.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
+                           default="parquet", help="input/output table format")
+    p_compact.set_defaults(fn=cmd_compact)
 
     p_profile = sub.add_parser("profile", help="per-column profile of a parquet table")
     p_profile.add_argument("path", help="parquet file/dir to profile")

@@ -89,6 +89,47 @@ def write_bucketed(
     )
 
 
+def compact_table(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_mb: int = 512,
+    sort_by: list[str] | None = None,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a table into ≈``target_mb``-sized files; returns the file
+    count written.
+
+    Small-file proliferation is the chronic lake disease (every streaming
+    micro-batch and every over-parallel writer leaves hundreds of KB-sized
+    files; at 100 TB the NameNode/listing and per-file open costs dominate
+    scans). Sizing uses one ``getContentSummary`` call against the input's
+    FileSystem — no listing loop, works on any Hadoop-supported scheme.
+
+    Without ``sort_by``: round-robin ``repartition(n)`` — even output
+    sizes, one shuffle. With ``sort_by``: ``repartitionByRange`` +
+    ``sortWithinPartitions`` — same shuffle count, but files carry
+    non-overlapping min/max column stats, so later range filters skip
+    whole files (poor-man's clustering; the right default for time-keyed
+    tables).
+    """
+    import math
+
+    df = getattr(spark.read, fmt)(in_path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(hpath).getLength()
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    out = (
+        df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+        if sort_by
+        else df.repartition(n)
+    )
+    getattr(out.write.mode("overwrite"), fmt)(out_path)
+    return n
+
+
 def parallelize_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     cores = spark.sparkContext.defaultParallelism
     try:

@@ -67,6 +67,50 @@ def test_cli_datadiff_csv_format(spark, tmp_path, capsys):
     assert "removed  1" in capsys.readouterr().out
 
 
+def test_cli_compact_small_files(spark, tmp_path, capsys):
+    """12 shard files in, 1 right-sized file out, identical contents."""
+    src = tmp_path / "shards"
+    dst = tmp_path / "compacted"
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    df.repartition(12).write.mode("overwrite").parquet(str(src))
+    assert len(list(src.glob("part-*.parquet"))) == 12
+    rc = cli.main(["compact", str(src), str(dst), "--target-mb", "512"])
+    assert rc == 0
+    assert "1 file" in capsys.readouterr().out
+    assert len(list(dst.glob("part-*.parquet"))) == 1
+    got = {r["k"] for r in spark.read.parquet(str(dst)).collect()}
+    assert got == set(range(1000))
+
+
+def test_cli_compact_sort_by_clusters_ranges(spark, tmp_path):
+    """Range-clustered compaction: re-reading with a range filter must
+    produce the same rows, and per-file k-ranges must not overlap."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "shards2"
+    dst = tmp_path / "clustered"
+    # incompressible-ish payload so the input exceeds 1 MB → n > 1
+    spark.range(0, 60000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("pad")
+    ).repartition(8).write.mode("overwrite").parquet(str(src))
+    from magiceye_spark.io import compact_table
+
+    n = compact_table(spark, str(src), str(dst), target_mb=1, sort_by=["k"])
+    files = sorted(dst.glob("part-*.parquet"))
+    assert len(files) == n
+    assert n > 1, "fixture must be large enough to split"
+    import duckdb
+
+    spans = [
+        duckdb.sql(f"SELECT MIN(k), MAX(k) FROM '{f}'").fetchone()
+        for f in files
+    ]
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo  # non-overlapping min/max → file-skipping filters
+    assert spark.read.parquet(str(dst)).count() == 60000
+
+
 def test_cli_dq_gate(spark, tmp_path, capsys):
     tbl = tmp_path / "tbl"
     ref = tmp_path / "ref"
