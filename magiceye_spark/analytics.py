@@ -215,6 +215,75 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hourly_partials(events: DataFrame) -> DataFrame:
+    """Hour-grain PARTIAL aggregates designed for lossless re-aggregation:
+    counts and unrounded decimal sums (sums of sums are exact) plus a
+    mergeable HLL sketch of user_id (``hll_sketch_agg``) — the one stat a
+    plain COUNT DISTINCT would make non-re-aggregable. This is the
+    materialized-rollup building block: persist this table once, derive
+    every coarser grain from it without touching raw events again."""
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(_dec(F.col("value"))).alias("sum_value_partial"),
+        F.hll_sketch_agg("user_id").alias("users_sketch"),
+    )
+
+
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup derived from HOURLY PARTIALS, not from raw events:
+    (day, event_type, n_events, sum_value). At scale the hourly table is
+    ~events/3600 rows, so the daily pass reads 24 rows per day instead of
+    every raw event — and because the partials re-aggregate losslessly
+    (sum of counts, sum of unrounded decimal sums), the result is
+    bit-identical to aggregating raw, which is exactly what the DuckDB
+    oracle checks."""
+    h = hourly_partials(_events(spark, sf_dir))
+    return (
+        h.groupBy(
+            F.date_trunc("day", F.col("hour")).alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            _money(F.sum("sum_value_partial")).alias("sum_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_ROLLUP_CASCADE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per day and event_type WITHOUT rescanning raw data:
+    union the hourly HLL sketches (``hll_union_agg``) and estimate. The
+    sketch column is KB-sized mergeable state — the only way a distinct
+    count survives a rollup cascade; re-aggregating COUNT DISTINCT numbers
+    would overcount every user active in multiple hours. Estimate error vs
+    the exact distinct is pinned in tests."""
+    h = hourly_partials(_events(spark, sf_dir))
+    return (
+        h.groupBy(
+            F.date_trunc("day", F.col("hour")).alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("users_sketch")).alias(
+                "approx_users"
+            )
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 SQL_EVENTS_HOURLY = """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events,

@@ -432,6 +432,18 @@ def events_hourly(spark, sf_dir):
     return analytics.events_hourly_rollup(spark, sf_dir)
 
 
+@register("events_rollup_cascade", analytics.SQL_ROLLUP_CASCADE)
+def rollup_cascade_q(spark, sf_dir):
+    """Daily totals derived from hourly PARTIALS (lossless re-aggregation;
+    oracle aggregates raw directly — results must be bit-identical)."""
+    return analytics.events_rollup_cascade(spark, sf_dir)
+
+
+@register("events_sketch_rollup", None)  # HLL estimates: tolerance in tests
+def sketch_rollup_q(spark, sf_dir):
+    return analytics.events_sketch_rollup(spark, sf_dir)
+
+
 @register("top_users_by_events", analytics.SQL_TOP_USERS)
 def top_users(spark, sf_dir):
     return analytics.top_users_by_events(spark, sf_dir)

@@ -39,3 +39,25 @@ def test_gk_percentiles_within_tolerance(spark, sf_dir):
         # value-space tolerance: GK bounds rank error, values are smooth here
         assert abs(a50 - p50) / max(p50, 1e-9) <= 0.1, f"{k} p50 {a50} vs {p50}"
         assert abs(a95 - p95) / max(p95, 1e-9) <= 0.1, f"{k} p95 {a95} vs {p95}"
+
+
+def test_sketch_rollup_matches_exact_daily_distincts(spark, sf_dir):
+    """Daily distinct users derived by unioning hourly HLL sketches must
+    sit within HLL tolerance of the exact daily COUNT DISTINCT — the
+    re-aggregability property a naive sum-of-hourly-distincts lacks."""
+    from magiceye_spark.analytics import events_sketch_rollup
+
+    e = _events(spark, sf_dir)
+    exact = {
+        (r["day"], r["event_type"]): r["n"]
+        for r in e.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    approx = {
+        (r["day"], r["event_type"]): r["approx_users"]
+        for r in events_sketch_rollup(spark, sf_dir).collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n <= 0.15, f"{k}: {approx[k]} vs {n}"
