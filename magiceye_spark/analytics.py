@@ -27,12 +27,18 @@ def _t(
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) — read as long (see
-    session.py nanosAsLong) and truncate to microseconds with integer
-    division (double division would lose precision at 1e18 nanos)."""
+    """Normalize events.ts to TIMESTAMP regardless of how the parquet was
+    written. Known encodings across testdata generations: TIMESTAMP(NANOS)
+    read as long (session.py nanosAsLong — truncate with integer division;
+    double division would lose precision at 1e18 nanos), and plain
+    timestamp[us] which Spark reads as TIMESTAMP_NTZ (cast to TIMESTAMP —
+    value-preserving because the session TZ is pinned UTC in session.py)."""
     e = _t(spark, sf_dir, "events")
-    if dict(e.dtypes)["ts"] == "bigint":
+    dtype = dict(e.dtypes)["ts"]
+    if dtype == "bigint":
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dtype == "timestamp_ntz":
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
     return e
 
 
