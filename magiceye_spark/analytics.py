@@ -238,17 +238,37 @@ def hourly_partials(events: DataFrame) -> DataFrame:
     )
 
 
-def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily rollup derived from HOURLY PARTIALS, not from raw events:
-    (day, event_type, n_events, sum_value). At scale the hourly table is
-    ~events/3600 rows, so the daily pass reads 24 rows per day instead of
-    every raw event — and because the partials re-aggregate losslessly
-    (sum of counts, sum of unrounded decimal sums), the result is
-    bit-identical to aggregating raw, which is exactly what the DuckDB
-    oracle checks."""
-    h = hourly_partials(_events(spark, sf_dir))
+def materialize_rollups(events: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist the hourly partials to parquet, partitioned by calendar day.
+
+    This is the at-scale entry point for the rollup cascade: write once per
+    ingest batch, then derive every coarser grain (``daily_from_partials``,
+    ``sketch_rollup_from_partials``) from the partials table — ~events/3600
+    rows — without rescanning raw events. Day-partitioning means an
+    incremental refresh overwrites only the touched days (dynamic partition
+    overwrite) and a date-ranged rollup prunes at the directory level."""
+    (
+        hourly_partials(events)
+        .withColumn("day", F.to_date(F.col("hour")))
+        .write.mode(mode)
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def read_partials(spark: SparkSession, path: str) -> DataFrame:
+    """Read a partials table written by :func:`materialize_rollups`,
+    dropping the partition column so the frame matches ``hourly_partials``
+    output exactly."""
+    return spark.read.parquet(path).drop("day")
+
+
+def daily_from_partials(partials: DataFrame) -> DataFrame:
+    """(day, event_type, n_events, sum_value) from hourly partials. Lossless
+    re-aggregation: sum of counts, sum of unrounded decimal sums — the
+    result is bit-identical to aggregating raw events."""
     return (
-        h.groupBy(
+        partials.groupBy(
             F.date_trunc("day", F.col("hour")).alias("day"), F.col("event_type")
         )
         .agg(
@@ -257,6 +277,19 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup derived from HOURLY PARTIALS: (day, event_type,
+    n_events, sum_value). This registered query rebuilds the partials from
+    raw events each call (nothing is persisted here); the point of the
+    cascade shape is that when the hourly table IS materialized — see
+    ``materialize_rollups`` — the daily pass reads ~24 rows per day instead
+    of every raw event, and because the partials re-aggregate losslessly
+    (sum of counts, sum of unrounded decimal sums), the result is
+    bit-identical to aggregating raw, which is exactly what the DuckDB
+    oracle checks."""
+    return daily_from_partials(hourly_partials(_events(spark, sf_dir)))
 
 
 SQL_ROLLUP_CASCADE = """
@@ -270,15 +303,23 @@ ORDER BY 1, 2
 
 
 def events_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per day and event_type WITHOUT rescanning raw data:
-    union the hourly HLL sketches (``hll_union_agg``) and estimate. The
+    """Distinct users per day and event_type by unioning the hourly HLL
+    sketches (``hll_union_agg``) and estimating. As registered this
+    rebuilds the hourly sketches from raw events each call; with the
+    partials materialized (``materialize_rollups``) the daily estimate
+    never rescans raw data — the sketch union is what makes that legal. The
     sketch column is KB-sized mergeable state — the only way a distinct
     count survives a rollup cascade; re-aggregating COUNT DISTINCT numbers
     would overcount every user active in multiple hours. Estimate error vs
     the exact distinct is pinned in tests."""
-    h = hourly_partials(_events(spark, sf_dir))
+    return sketch_rollup_from_partials(hourly_partials(_events(spark, sf_dir)))
+
+
+def sketch_rollup_from_partials(partials: DataFrame) -> DataFrame:
+    """(day, event_type, approx_users) by unioning hourly HLL sketches —
+    the derive-from-partials half of :func:`events_sketch_rollup`."""
     return (
-        h.groupBy(
+        partials.groupBy(
             F.date_trunc("day", F.col("hour")).alias("day"), F.col("event_type")
         )
         .agg(

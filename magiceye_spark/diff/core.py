@@ -166,31 +166,31 @@ def diff_columns(
     )
     checks = [
         _check(
-            F.col("data_type") != F.col("data_type_t"),
+            ~F.col("data_type").eqNullSafe(F.col("data_type_t")),
             "data_type",
             F.col("data_type"),
             F.col("data_type_t"),
         ),
         _check(
-            F.col("comment") != F.col("comment_t"),
+            ~F.col("comment").eqNullSafe(F.col("comment_t")),
             "comment",
             F.col("comment"),
             F.col("comment_t"),
         ),
         _check(
-            F.col("is_nullable") != F.col("is_nullable_t"),
+            ~F.col("is_nullable").eqNullSafe(F.col("is_nullable_t")),
             "nullable",
             render_null(F.col("is_nullable")),
             render_null(F.col("is_nullable_t")),
         ),
         _check(
-            F.col("column_default") != F.col("column_default_t"),
+            ~F.col("column_default").eqNullSafe(F.col("column_default_t")),
             "default",
             F.col("column_default"),
             F.col("column_default_t"),
         ),
         _check(
-            F.col("is_auto_increment") != F.col("is_auto_increment_t"),
+            ~F.col("is_auto_increment").eqNullSafe(F.col("is_auto_increment_t")),
             "auto_increment",
             render_auto(F.col("is_auto_increment")),
             render_auto(F.col("is_auto_increment_t")),
@@ -220,13 +220,13 @@ def diff_indexes(
             render_cols(F.col("columns_t")),
         ),
         _check(
-            F.col("predicate") != F.col("predicate_t"),
+            ~F.col("predicate").eqNullSafe(F.col("predicate_t")),
             "index_predicate",
             F.col("predicate"),
             F.col("predicate_t"),
         ),
         _check(
-            F.col("is_unique") != F.col("is_unique_t"),
+            ~F.col("is_unique").eqNullSafe(F.col("is_unique_t")),
             "index_unique",
             render_uniq(F.col("is_unique")),
             render_uniq(F.col("is_unique_t")),
@@ -249,8 +249,8 @@ def diff_foreign_keys(
     render_ref = lambda t, c: F.concat_ws(".", t, c)  # check.rs:371 t.c rendering
     checks = [
         _check(
-            (F.col("ref_table") != F.col("ref_table_t"))
-            | (F.col("ref_column") != F.col("ref_column_t")),
+            ~F.col("ref_table").eqNullSafe(F.col("ref_table_t"))
+            | ~F.col("ref_column").eqNullSafe(F.col("ref_column_t")),
             "fk_ref",
             render_ref(F.col("ref_table"), F.col("ref_column")),
             render_ref(F.col("ref_table_t"), F.col("ref_column_t")),

@@ -45,9 +45,16 @@ def compare(spark, sf_dir: str, names=None) -> bool:
     names = names or list(qs)
     ok = True
     for name in names:
-        sdf = qs[name](spark, sf_dir)
-        scols = sdf.columns
-        srows = [tuple(r) for r in sdf.collect()]
+        # Like the driver: a broken query is recorded and the sweep continues,
+        # so one failure can't hide the status of everything behind it.
+        try:
+            sdf = qs[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:32s} SPARK ERROR: {type(e).__name__}: {str(e)[:160]}")
+            ok = False
+            continue
         if name not in oracles:
             print(f"{name:32s} rows-only: {len(srows)} rows (no oracle)")
             continue

@@ -145,3 +145,37 @@ def test_spark_catalog_source_diff(spark):
             spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         for db in ("diff_base_t", "diff_target_t"):
             spark.sql(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_null_properties_still_produce_findings(spark):
+    """A raw (un-normalized) snapshot can carry SQL NULL properties — e.g. a
+    user building SchemaSnapshot(...) straight from their own DataFrames.
+    `a != b` is NULL when either side is NULL, which would silently DROP a
+    real difference; the property checks must be null-safe."""
+    from magiceye_spark.schema import COLUMNS_SCHEMA, FKS_SCHEMA, INDEXES_SCHEMA, TABLES_SCHEMA
+
+    def snap(default, comment, predicate, ref_col):
+        return SchemaSnapshot(
+            tables=spark.createDataFrame([("t", "")], TABLES_SCHEMA),
+            columns=spark.createDataFrame(
+                [("t", "c", "int", default, True, comment, False)], COLUMNS_SCHEMA
+            ),
+            indexes=spark.createDataFrame(
+                [("t", "ix", ["c"], predicate, False)], INDEXES_SCHEMA
+            ),
+            fks=spark.createDataFrame([("t", "fk", ["c"], "p", ref_col)], FKS_SCHEMA),
+        )
+
+    base = snap("now()", None, "c > 0", None)
+    target = snap(None, "a comment", None, "id")
+    checks = {r["check"]: (r["base_value"], r["target_value"])
+              for r in diff_schemas(base, target).collect()}
+    assert checks == {
+        "default": ("now()", ""),
+        "comment": ("", "a comment"),
+        "index_predicate": ("c > 0", ""),
+        "fk_ref": ("p", "p.id"),  # concat_ws skips the NULL ref_column
+    }
+    # and NULL == NULL is NOT a difference
+    both_null = snap(None, None, None, None)
+    assert diff_schemas(both_null, both_null).count() == 0

@@ -60,4 +60,32 @@ def test_sketch_rollup_matches_exact_daily_distincts(spark, sf_dir):
     }
     assert approx.keys() == exact.keys()
     for k, n in exact.items():
-        assert abs(approx[k] - n) / n <= 0.15, f"{k}: {approx[k]} vs {n}"
+        assert abs(approx[k] - n) / max(n, 1) <= 0.15, f"{k}: {approx[k]} vs {n}"
+
+
+def test_materialized_rollup_roundtrip(spark, sf_dir, tmp_path):
+    """materialize_rollups → read_partials → derive must equal the direct
+    queries: the count/sum cascade bit-identical, the HLL estimate exact-
+    equal (the sketch bytes round-trip through parquet unchanged)."""
+    from magiceye_spark.analytics import (
+        _events,
+        daily_from_partials,
+        events_rollup_cascade,
+        events_sketch_rollup,
+        materialize_rollups,
+        read_partials,
+    )
+
+    path = str(tmp_path / "partials")
+    materialize_rollups(_events(spark, sf_dir), path)
+    partials = read_partials(spark, path)
+
+    direct = [tuple(r) for r in events_rollup_cascade(spark, sf_dir).collect()]
+    derived = [tuple(r) for r in daily_from_partials(partials).collect()]
+    assert derived == direct
+
+    from magiceye_spark.analytics import sketch_rollup_from_partials
+
+    direct_sk = [tuple(r) for r in events_sketch_rollup(spark, sf_dir).collect()]
+    derived_sk = [tuple(r) for r in sketch_rollup_from_partials(partials).collect()]
+    assert derived_sk == direct_sk
