@@ -23,8 +23,10 @@ Semantics preserved exactly:
 - Deviation (improvement): MySQL table comments are real — the reference
   hard-codes '' with a TODO (mysql.rs:144).
 
-Offline testing: these SQL texts are unit-tested for shape; live round-trips
-need a database, so CI covers the parquet snapshot path instead.
+Testing: the PG/MySQL SQL texts are unit-tested for shape (live PG/MySQL is
+unavailable in CI); the shared JDBC ingestion path and the generic
+DatabaseMetaData reader below ARE tested live, against embedded Apache Derby
+(on Spark's classpath) — see tests/test_jdbc_live.py.
 """
 
 from __future__ import annotations
@@ -180,4 +182,136 @@ def read_catalog_snapshot(
         columns=columns,
         indexes=indexes.select("table_name", "index_name", "columns", "predicate", "is_unique"),
         fks=fks.select("table_name", "fk_name", "columns", "ref_table", "ref_column"),
+    )
+
+
+# ------------------------------------------------- generic (DatabaseMetaData)
+
+
+def _rs_rows(rs, cols: list[str]) -> list[tuple]:
+    """Drain a java.sql.ResultSet into python tuples of the named columns."""
+    out = []
+    while rs.next():
+        out.append(tuple(rs.getString(c) for c in cols))
+    rs.close()
+    return out
+
+
+def read_catalog_snapshot_generic(
+    spark: SparkSession,
+    url: str,
+    schema: str | None = None,
+    properties: dict | None = None,
+) -> SchemaSnapshot:
+    """Catalog snapshot for ANY JDBC database via ``java.sql.DatabaseMetaData``.
+
+    The dialect-specific :func:`read_catalog_snapshot` is richer for
+    PostgreSQL/MySQL (comments, partial-index predicates); this fallback
+    covers every other JDBC source (Derby, H2, Oracle, SQL Server, ...)
+    with the four standard metadata calls — getTables / getColumns /
+    getIndexInfo / getImportedKeys. It runs on the driver, which is the
+    right place: catalogs are KB-sized and the reference's own scans are
+    sequential driver-side loops (fetching.rs:29-50); the heavy, distributed
+    work is the diff that follows, not the fetch.
+
+    Identifier case is normalized to lowercase (Derby/H2/Oracle report
+    uppercase, PG lowercase — a case-only difference is not a schema diff).
+    VARCHAR lengths render as ``varchar(N)`` matching the reference's PG
+    normalization (postgres.rs:39-44).
+    """
+    jvm = spark._jvm
+    gateway = spark.sparkContext._gateway
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        md = conn.getMetaData()
+        types = gateway.new_array(jvm.java.lang.String, 1)
+        types[0] = "TABLE"
+        t_rows = _rs_rows(
+            md.getTables(None, schema, "%", types), ["TABLE_NAME", "REMARKS"]
+        )
+        tables = [(t.lower(), r or "") for t, r in t_rows]
+
+        columns = []
+        c_rs = md.getColumns(None, schema, "%", "%")
+        while c_rs.next():
+            type_name = (c_rs.getString("TYPE_NAME") or "").lower()
+            if type_name == "varchar":
+                type_name = f"varchar({c_rs.getInt('COLUMN_SIZE')})"
+            columns.append(
+                (
+                    c_rs.getString("TABLE_NAME").lower(),
+                    c_rs.getString("COLUMN_NAME").lower(),
+                    type_name,
+                    c_rs.getString("COLUMN_DEF") or "",
+                    c_rs.getInt("NULLABLE") == 1,  # columnNullable
+                    c_rs.getString("REMARKS") or "",
+                    (c_rs.getString("IS_AUTOINCREMENT") or "").upper() == "YES",
+                )
+            )
+        c_rs.close()
+
+        table_names = [t for t, _ in t_rows]
+        indexes, fks = [], []
+        for t in table_names:
+            # (index_name, position, column) accumulated per table, ordered
+            ix_cols: dict[str, list[tuple[int, str]]] = {}
+            ix_meta: dict[str, tuple[str, bool]] = {}
+            ix_rs = md.getIndexInfo(None, schema, t, False, False)
+            while ix_rs.next():
+                name = ix_rs.getString("INDEX_NAME")
+                col = ix_rs.getString("COLUMN_NAME")
+                if name is None or col is None:  # table statistics row
+                    continue
+                ix_cols.setdefault(name, []).append(
+                    (ix_rs.getInt("ORDINAL_POSITION"), col.lower())
+                )
+                ix_meta[name] = (
+                    ix_rs.getString("FILTER_CONDITION") or "",
+                    not ix_rs.getBoolean("NON_UNIQUE"),
+                )
+            ix_rs.close()
+            for name, poscols in ix_cols.items():
+                pred, uniq = ix_meta[name]
+                indexes.append(
+                    (
+                        t.lower(),
+                        name.lower(),
+                        [c for _, c in sorted(poscols)],
+                        pred,
+                        uniq,
+                    )
+                )
+
+            fk_cols: dict[str, list[tuple[int, str]]] = {}
+            fk_ref: dict[str, tuple[str, str]] = {}
+            fk_rs = md.getImportedKeys(None, schema, t)
+            while fk_rs.next():
+                name = fk_rs.getString("FK_NAME")
+                fk_cols.setdefault(name, []).append(
+                    (fk_rs.getInt("KEY_SEQ"), fk_rs.getString("FKCOLUMN_NAME").lower())
+                )
+                fk_ref[name] = (
+                    fk_rs.getString("PKTABLE_NAME").lower(),
+                    fk_rs.getString("PKCOLUMN_NAME").lower(),
+                )
+            fk_rs.close()
+            for name, poscols in fk_cols.items():
+                ref_t, ref_c = fk_ref[name]
+                fks.append(
+                    (
+                        t.lower(),
+                        name.lower(),
+                        [c for _, c in sorted(poscols)],
+                        ref_t,
+                        ref_c,
+                    )
+                )
+    finally:
+        conn.close()
+
+    return SchemaSnapshot.from_rows(
+        spark, tables=tables, columns=columns, indexes=indexes, fks=fks
     )
