@@ -103,3 +103,34 @@ def check_quality(df: DataFrame, rules: Rules) -> DataFrame:
     if out is None:
         raise ValueError("Rules is empty — nothing to check")
     return out.orderBy("check", "column")
+
+
+def referential_audit(
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]]
+) -> DataFrame:
+    """Whole-schema FK conformance: one row per declared relation
+    ``(relation, n_child_rows, n_orphans, pass)``.
+
+    ``relations`` entries are ``(name, child_df, child_col, parent_df,
+    parent_col)``. Each relation costs one anti-join (shuffle on the key —
+    AQE handles skew) plus a count; parents are reduced to distinct keys
+    first so the join carries keys, not payloads. Output is
+    relation-count-sized. The cross-table complement to per-table
+    ``check_quality``."""
+    out = None
+    for name, child, child_col, parent, parent_col in relations:
+        keys = child.select(F.col(child_col).alias("_k"))
+        orphans = keys.join(
+            parent.select(F.col(parent_col).alias("_k")).distinct(), "_k", "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = keys.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        row = total.crossJoin(orphans).select(
+            F.lit(name).alias("relation"),
+            "n_child_rows",
+            "n_orphans",
+            (F.col("n_orphans") == 0).alias("pass"),
+        )
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("no relations declared")
+    return out.orderBy("relation")

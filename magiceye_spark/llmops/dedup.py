@@ -503,3 +503,99 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, text_col: str = "te
     return cands.select("doc_a", "doc_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+# ------------------------------------------- cross-source / boilerplate
+
+def cross_source_overlap(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Inter-source contamination matrix: for each unordered source pair,
+    how many documents share CONTENT (bag-of-words canonical form — word
+    order and repetition ignored, the mirror/re-crawl signature) across the
+    two sources. The first question a corpus audit asks before mixing
+    sources ("is source B just a mirror of A?") — and the shape dedup
+    planning starts from.
+
+    Plan: canonicalize+hash map-side, distinct per (source, hash) — one
+    shuffle on the hash — then a self-equi-join ON the hash (hash-partitioned
+    both sides, no broadcast needed at scale) and a small pair-count agg.
+    Output cardinality is |sources|², catalog-sized.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    canon = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    sh = docs.select(F.col("source"), canon.alias("h")).distinct()
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+SQL_CROSS_SOURCE_OVERLAP = """
+WITH sh AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))), ' ')) AS h
+  FROM documents)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared_texts
+FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def boilerplate_ngrams(
+    docs: DataFrame, n: int = 3, min_doc_frac: float = 0.05, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide boilerplate detector: word n-grams appearing in at least
+    ``min_doc_frac`` of documents, with document frequency and share. These
+    are the template/navigation/footer grams a cleaning pass strips and the
+    stopgram set decontamination cuts (see ``pipeline.sql_decontamination_
+    overlap(max_ngram_df=...)``).
+
+    Plan: explode distinct per-doc grams (map-side), count per gram (one
+    shuffle), filter by the df cut; the corpus size N is a scalar broadcast
+    (crossJoin of a 1-row aggregate — the scalar idiom, not a data join).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    per_doc = docs.select(F.col("doc_id"), F.explode(grams).alias("gram"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        per_doc.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("doc_freq") >= F.col("n_docs") * F.lit(min_doc_frac))
+        .select(
+            "gram",
+            "doc_freq",
+            F.round(F.col("doc_freq") / F.col("n_docs"), 4).alias("doc_frac"),
+        )
+        .orderBy(F.desc("doc_freq"), "gram")
+    )
+
+
+def sql_boilerplate_ngrams(n: int = 3, min_doc_frac: float = 0.05) -> str:
+    toks = "regexp_split_to_array(TRIM(LOWER(text)), '\\s+')"
+    grams = (
+        f"list_distinct(list_transform(range(1, GREATEST(LENGTH({toks}) - {n} + 1, 1) + 1), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, UNNEST({grams}) AS gram FROM documents),
+df AS (
+  SELECT gram, COUNT(*) AS doc_freq FROM per_doc GROUP BY gram),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT gram, doc_freq,
+       ROUND(doc_freq / CAST(n_docs AS DOUBLE), 4) AS doc_frac
+FROM df, n
+WHERE doc_freq >= n_docs * {min_doc_frac}
+ORDER BY doc_freq DESC, gram
+"""

@@ -733,3 +733,52 @@ def embedding_dedup_fused(
         cosine(F.col("_v"), F.col("_v_rep")) >= threshold
     ).select(F.col("_id").alias(id_col))
     return corpus.join(losers, id_col, "left_anti")
+
+
+# ------------------------------------------------------------ clustering
+
+def embedding_kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    kmeans_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster assignment (id, cluster, score) for every vector: spherical
+    k-means centroids fitted driver-side on the bounded deterministic sample
+    (:func:`_ivf_centroids` — same fit the IVF index uses), then a map-only
+    argmax-cosine assignment pass over the full corpus.
+
+    The corpus-side plan is one scan with zero shuffles: centroids compile
+    into the expression as literals, so at 100 TB this is exactly as
+    parallel as the input layout. The semantic clustering primitive under
+    SemDeDup-style pruning and topical mixing audits.
+    """
+    cents = _ivf_centroids(corpus, k, kmeans_iters, id_col, vec_col)
+    best = _best_cells(F.col(vec_col), cents, 1)[0]
+    return corpus.select(
+        F.col(id_col),
+        best["cell"].alias("cluster"),
+        F.round(best["score"], 4).alias("score"),
+    )
+
+
+def embedding_cluster_sizes(
+    corpus: DataFrame,
+    k: int = 8,
+    kmeans_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster cardinality + mean assignment cosine — the balance/coherence
+    summary read before trusting a clustering. One small groupBy over the
+    map-only assignment."""
+    return (
+        embedding_kmeans(corpus, k, kmeans_iters, id_col, vec_col)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("score"), 4).alias("mean_cosine"),
+        )
+        .orderBy("cluster")
+    )

@@ -480,3 +480,117 @@ SELECT doc_id,
              / CAST(LENGTH(t) AS DOUBLE), 4) AS top_token_frac
 FROM toksets
 """
+
+
+def gopher_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/MassiveText-style hard quality rules as boolean flags plus the
+    conjunction verdict: word-count bounds, mean word length bounds, symbol
+    ratio, and stopword presence (Rae et al. 2021 §A1.1, here with thresholds
+    scaled to the synthetic corpus). Unlike ``quality_score`` (a soft
+    ranking), these are the REJECT rules a curation pipeline applies first.
+
+    Row-local column expressions only — map-only at any corpus scale.
+    """
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_words = F.size(toks)
+    mean_word_len = F.length(F.regexp_replace(t, _WS, "")) / F.greatest(
+        n_words, F.lit(1)
+    )
+    symbol_ratio = F.regexp_count(t, F.lit(PUNCT)) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+    n_stop = F.size(F.filter(toks, _isin(STOPWORDS["en"])))
+    flags = {
+        "flag_word_count": (n_words >= 5) & (n_words <= 100_000),
+        "flag_mean_word_len": (mean_word_len >= F.lit(2.0))
+        & (mean_word_len <= F.lit(12.0)),
+        "flag_symbol_ratio": symbol_ratio <= F.lit(0.2),
+        "flag_stopwords": n_stop >= 1,
+    }
+    out = docs.select("doc_id", *[c.alias(n) for n, c in flags.items()])
+    return out.withColumn(
+        "passes_gopher",
+        F.col("flag_word_count")
+        & F.col("flag_mean_word_len")
+        & F.col("flag_symbol_ratio")
+        & F.col("flag_stopwords"),
+    )
+
+
+SQL_GOPHER_FLAGS = f"""
+WITH s AS (
+  SELECT doc_id,
+         LENGTH(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')) AS n_words,
+         LENGTH(regexp_replace(text, '{_WS}', '', 'g'))
+           / CAST(GREATEST(LENGTH(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')), 1) AS DOUBLE) AS mean_word_len,
+         LENGTH(regexp_extract_all(text, '{PUNCT}'))
+           / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) AS symbol_ratio,
+         LENGTH(list_filter(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}'),
+                x -> x IN ('the','a','and','of','to','is'))) AS n_stop
+  FROM documents)
+SELECT doc_id,
+       n_words >= 5 AND n_words <= 100000 AS flag_word_count,
+       mean_word_len >= 2.0 AND mean_word_len <= 12.0 AS flag_mean_word_len,
+       symbol_ratio <= 0.2 AS flag_symbol_ratio,
+       n_stop >= 1 AS flag_stopwords,
+       (n_words >= 5 AND n_words <= 100000)
+         AND (mean_word_len >= 2.0 AND mean_word_len <= 12.0)
+         AND symbol_ratio <= 0.2 AND n_stop >= 1 AS passes_gopher
+FROM s
+"""
+
+
+def length_buckets(docs: DataFrame, text_col: str = "text", budget: int = 512) -> DataFrame:
+    """Token-length histogram by power-of-two bucket with the packing
+    efficiency a fixed ``budget``-token context would achieve packing each
+    bucket alone (``bucket_tokens / (ceil(docs·len/budget)·budget)``). The
+    pre-flight report for sequence packing: where the corpus mass sits and
+    how much padding a naive per-bucket packer would burn.
+
+    One map-side bucket assignment + one small groupBy — a single shuffle
+    whose cardinality is ~log2(max_len) rows.
+    """
+    n_tokens = F.size(_tokens(F.col(text_col)))
+    b = F.pow(F.lit(2.0), F.floor(F.log2(F.greatest(n_tokens, F.lit(1))))).cast("long")
+    per_doc = docs.select(n_tokens.alias("n_tokens"), b.alias("bucket"))
+    return (
+        per_doc.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+        .withColumn(
+            "packing_efficiency",
+            F.round(
+                F.col("total_tokens")
+                / (
+                    F.ceil(F.col("total_tokens") / F.lit(float(budget)))
+                    * F.lit(float(budget))
+                ),
+                4,
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+def sql_length_buckets(budget: int = 512) -> str:
+    return f"""
+WITH d AS (
+  SELECT LENGTH(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')) AS n_tokens
+  FROM documents),
+b AS (
+  SELECT n_tokens,
+         CAST(POW(2.0, FLOOR(LOG2(GREATEST(n_tokens, 1)))) AS BIGINT) AS bucket
+  FROM d)
+SELECT bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(n_tokens), 4) AS avg_tokens,
+       ROUND(SUM(n_tokens) / (CEIL(SUM(n_tokens) / {float(budget)}) * {float(budget)}), 4) AS packing_efficiency
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""

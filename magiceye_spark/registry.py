@@ -1057,3 +1057,110 @@ def media_frames_q(spark, sf_dir):
 @register("media_audio_windows", multimodal.SQL_AUDIO_PLAN)
 def media_audio_q(spark, sf_dir):
     return multimodal.chunk_audio(multimodal.synth_media(spark, sf_dir))
+
+
+# ------------------------------------------------- round-3 additions
+# (register past the pinned _DRIVER_WINDOW: driver evidence comes from the
+# window's family representatives; these get pytest oracle parity.)
+
+
+@register("gopher_quality_flags", textstats.SQL_GOPHER_FLAGS)
+def gopher_flags_q(spark, sf_dir):
+    """Gopher/MassiveText hard REJECT rules as per-document boolean flags
+    (word count, mean word length, symbol ratio, stopword presence)."""
+    return textstats.gopher_quality_flags(_docs(spark, sf_dir))
+
+
+@register("corpus_length_buckets", textstats.sql_length_buckets(budget=512))
+def length_buckets_q(spark, sf_dir):
+    """Token-length histogram by power-of-two bucket with per-bucket packing
+    efficiency at a 512-token budget — the sequence-packing pre-flight."""
+    return textstats.length_buckets(_docs(spark, sf_dir), budget=512)
+
+
+@register("cross_source_overlap", dedup.SQL_CROSS_SOURCE_OVERLAP)
+def cross_source_q(spark, sf_dir):
+    """Inter-source contamination matrix: canonical texts shared by each
+    source pair."""
+    return dedup.cross_source_overlap(_docs(spark, sf_dir))
+
+
+@register("boilerplate_ngrams", dedup.sql_boilerplate_ngrams(n=2, min_doc_frac=0.02))
+def boilerplate_q(spark, sf_dir):
+    """Corpus-wide boilerplate 2-grams: document frequency >= 2% of docs."""
+    return dedup.boilerplate_ngrams(_docs(spark, sf_dir), n=2, min_doc_frac=0.02)
+
+
+@register("embedding_kmeans", None)  # float argmax ties are engine-specific: rows-only
+def embedding_kmeans_q(spark, sf_dir):
+    """Spherical k-means assignment for every vector (driver-side fit on the
+    bounded IVF sample, map-only assignment). Balance/coherence pinned in
+    tests."""
+    return simsearch.embedding_kmeans(_embs(spark, sf_dir), k=8)
+
+
+@register("embedding_cluster_sizes", None)  # derived from the same assignment
+def embedding_cluster_sizes_q(spark, sf_dir):
+    """Cluster cardinality + mean assignment cosine for the k-means above."""
+    return simsearch.embedding_cluster_sizes(_embs(spark, sf_dir), k=8)
+
+
+SQL_FK_AUDIT = """
+SELECT 'customer.c_nationkey->nation' AS relation,
+       COUNT(*) AS n_child_rows,
+       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey) THEN 1 END) AS n_orphans,
+       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey) THEN 1 END) = 0 AS pass
+FROM customer c
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders', COUNT(*),
+       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) THEN 1 END),
+       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) THEN 1 END) = 0
+FROM lineitem l
+UNION ALL
+SELECT 'lineitem.l_partkey->part', COUNT(*),
+       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey) THEN 1 END),
+       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey) THEN 1 END) = 0
+FROM lineitem l
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
+       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey) THEN 1 END),
+       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey) THEN 1 END) = 0
+FROM lineitem l
+UNION ALL
+SELECT 'nation.n_regionkey->region', COUNT(*),
+       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey) THEN 1 END),
+       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey) THEN 1 END) = 0
+FROM nation n
+UNION ALL
+SELECT 'orders.o_custkey->customer', COUNT(*),
+       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) THEN 1 END),
+       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) THEN 1 END) = 0
+FROM orders o
+UNION ALL
+SELECT 'supplier.s_nationkey->nation', COUNT(*),
+       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey) THEN 1 END),
+       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey) THEN 1 END) = 0
+FROM supplier s
+ORDER BY relation
+"""
+
+
+@register("fk_integrity_audit", SQL_FK_AUDIT)
+def fk_audit_q(spark, sf_dir):
+    """Whole-star-schema FK conformance: every declared relation audited for
+    orphan keys in one union of anti-join counts (the cross-table
+    complement to dq_lineitem's single-table rules)."""
+    from magiceye_spark.dq import referential_audit
+
+    t = lambda n: io.read_table(spark, sf_dir, n)
+    return referential_audit(
+        [
+            ("customer.c_nationkey->nation", t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
+            ("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
+            ("lineitem.l_partkey->part", t("lineitem"), "l_partkey", t("part"), "p_partkey"),
+            ("lineitem.l_suppkey->supplier", t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"),
+            ("nation.n_regionkey->region", t("nation"), "n_regionkey", t("region"), "r_regionkey"),
+            ("orders.o_custkey->customer", t("orders"), "o_custkey", t("customer"), "c_custkey"),
+            ("supplier.s_nationkey->nation", t("supplier"), "s_nationkey", t("nation"), "n_nationkey"),
+        ]
+    )
