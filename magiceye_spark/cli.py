@@ -6,9 +6,11 @@ base/target connections, default_database_pair, current_language, and
 ignore_list — which the reference declares but never reads
 (``config.rs:99``, no consumer); here it actually filters finding kinds.
 
-Connections may be JDBC URLs (live catalogs, sources/jdbc.py) or local
-paths to parquet snapshot directories (snapshot.py) — the offline-testable
-path. The interactive TUI wizard (``src/action/init.rs``) is replaced by
+Connections may be JDBC URLs (live catalogs, sources/jdbc.py — dialect
+scans when database_type is Postgres/Mysql, the generic DatabaseMetaData
+reader for any other type, with ``jdbc:...#SCHEMA`` selecting a schema),
+``spark:<database>`` for this session's Spark catalog, or local paths to
+parquet snapshot directories (snapshot.py) — the offline-testable path. The interactive TUI wizard (``src/action/init.rs``) is replaced by
 flags: a library's CLI should be scriptable.
 
 Report file naming follows the reference: ``report_YYYY-MM-DD HH:MM.json``
@@ -77,10 +79,17 @@ def _snapshot(spark, connection: str, database_type: str):
     from magiceye_spark.snapshot import SchemaSnapshot
 
     if connection.startswith("jdbc:"):
-        from magiceye_spark.sources.jdbc import read_catalog_snapshot
+        kind = {"Postgres": "postgresql", "Mysql": "mysql"}.get(database_type)
+        if kind is not None:
+            from magiceye_spark.sources.jdbc import read_catalog_snapshot
 
-        kind = {"Postgres": "postgresql", "Mysql": "mysql"}[database_type]
-        return read_catalog_snapshot(spark, connection, kind)
+            return read_catalog_snapshot(spark, connection, kind)
+        # any other database_type: generic DatabaseMetaData reader.
+        # ``jdbc:...#SCHEMA`` selects one schema (e.g. Derby's APP).
+        from magiceye_spark.sources.jdbc import read_catalog_snapshot_generic
+
+        url, _, schema = connection.partition("#")
+        return read_catalog_snapshot_generic(spark, url, schema=schema or None)
     if connection.startswith("spark:"):
         from magiceye_spark.sources.spark_catalog import snapshot_spark_catalog
 

@@ -135,3 +135,46 @@ def test_cli_dq_gate(spark, tmp_path, capsys):
     ok_rules = tmp_path / "ok_rules.json"
     ok_rules.write_text(json.dumps({"unique": [["id"]]}))
     assert cli.main(["dq", str(tbl), "--rules", str(ok_rules)]) == 0
+
+
+def test_cli_run_generic_jdbc_pair(spark, tmp_path, capsys):
+    """The reference's `run` flow (config pair -> connect -> snapshot ->
+    diff -> report file) against two LIVE embedded Derby databases through
+    the generic JDBC route (database_type not Postgres/Mysql)."""
+    jvm = spark._jvm
+    for url, ddl in [
+        ("jdbc:derby:memory:cli_base;create=true",
+         "CREATE TABLE t1 (id INT NOT NULL, name VARCHAR(40))"),
+        ("jdbc:derby:memory:cli_target;create=true",
+         "CREATE TABLE t1 (id INT NOT NULL, name VARCHAR(80))"),
+    ]:
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        st = conn.createStatement()
+        st.execute(ddl)
+        st.close()
+        conn.close()
+
+    cfg = {
+        "database_pairs": [
+            {
+                "name": "derbypair",
+                "database_type": "Derby",
+                "base_connection": "jdbc:derby:memory:cli_base#APP",
+                "target_connection": "jdbc:derby:memory:cli_target#APP",
+            }
+        ],
+        "default_database_pair": "derbypair",
+        "current_language": "English",
+    }
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    out = tmp_path / "report.json"
+
+    rc = cli.main(["run", "--config", str(cfg_path), "--out", str(out)])
+    assert rc == 0
+    doc = json.loads(out.read_text())
+    reports = {
+        t["table_name"]: t["report_list"] for t in doc["report_table_list"]
+    }
+    assert "t1" in reports
+    assert any("varchar(40)" in r and "varchar(80)" in r for r in reports["t1"])
