@@ -515,19 +515,36 @@ def cross_source_overlap(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sources ("is source B just a mirror of A?") — and the shape dedup
     planning starts from.
 
-    Plan: canonicalize+hash map-side, distinct per (source, hash) — one
-    shuffle on the hash — then a self-equi-join ON the hash (hash-partitioned
-    both sides, no broadcast needed at scale) and a small pair-count agg.
-    Output cardinality is |sources|², catalog-sized.
+    Plan: canonicalize+hash map-side, then ONE corpus-sized shuffle —
+    groupBy(hash) with a map-side-partial ``collect_set(source)`` — and the
+    source pairs explode row-locally from each set (≤|sources|² per hash,
+    bounded), leaving only a pair-count agg over catalog-sized data. No
+    self-join: the naive hash self-join costs two more corpus-sized
+    exchanges for the same answer.
     """
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     canon = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
-    sh = docs.select(F.col("source"), canon.alias("h")).distinct()
-    a, b = sh.alias("a"), sh.alias("b")
+    sets = (
+        docs.select(canon.alias("h"), F.col("source"))
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("sources"))
+        .where(F.size("sources") >= 2)
+    )
+    # unordered pairs (sources[i], sources[j]) for i<j, row-local
+    pairs = F.flatten(
+        F.transform(
+            F.col("sources"),
+            lambda a, i: F.transform(
+                F.slice(F.col("sources"), i + 2, F.size(F.col("sources"))),
+                lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        sets.select(F.explode(pairs).alias("p"))
         .groupBy(
-            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_shared_texts"))
         .orderBy("source_a", "source_b")

@@ -133,3 +133,36 @@ def test_no_python_eval_in_any_oracle_query(spark, sf_dir):
         if plans.python_eval_count(fn(spark, sf_dir)) > 0:
             offenders.append(name)
     assert offenders == []
+
+
+def test_gopher_and_kmeans_are_map_only(spark, sf_dir):
+    """Row-local operators must stay shuffle-free and JVM-side: the Gopher
+    flags over documents, and the k-means assignment pass (centroids are
+    literals in the expression — the corpus side never exchanges)."""
+    from magiceye_spark.llmops.simsearch import embedding_kmeans
+    from magiceye_spark.llmops.textstats import gopher_quality_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    flags = gopher_quality_flags(docs)
+    assert plans.count_shuffles(flags) == 0
+    assert plans.python_eval_count(flags) == 0
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign = embedding_kmeans(embs, k=8)
+    assert plans.count_shuffles(assign) == 0
+    assert plans.python_eval_count(assign) == 0
+
+
+def test_cross_source_overlap_single_corpus_shuffle(spark, sf_dir):
+    """The pair matrix must not self-join the corpus: one hash shuffle for
+    the collect_set groupBy + one for the catalog-sized pair count (and the
+    final orderBy's range exchange) — nothing else."""
+    from magiceye_spark.llmops.dedup import cross_source_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = cross_source_overlap(docs)
+    plan = plans.formatted_plan(df)
+    assert plan.count("Arguments: hashpartitioning") <= 2, plan
+    assert plans.sortmerge_join_count(df) == 0
+    assert plans.broadcast_join_count(df) == 0
+    assert plans.python_eval_count(df) == 0
