@@ -204,3 +204,91 @@ def fingerprint_compare(
         F.lit("target").alias("side"), "fingerprint", "n_rows"
     )
     return b.unionByName(t).orderBy("side")
+
+
+def partition_fingerprints(
+    df: DataFrame, partition_col, cols: list[str] | None = None
+) -> DataFrame:
+    """Per-partition order-insensitive checksum: (partition, fingerprint,
+    n_rows). Same md5-prefix-sum construction as :func:`table_fingerprint`,
+    grouped by a partition expression (typically the physical partition
+    column, e.g. the ingest day) — one map-side hash per row and one
+    partition-count-sized aggregate."""
+    pcol = F.col(partition_col) if isinstance(partition_col, str) else partition_col
+    cols = sorted(cols or [c for c in df.columns])
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols]
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 8), 16, 10
+    ).cast("long")
+    return df.groupBy(pcol.alias("partition")).agg(
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def changed_partitions(
+    base: DataFrame,
+    target: DataFrame,
+    partition_col,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Partitions whose content differs between the two snapshots:
+    (partition, status) with status ∈ base_only/target_only/changed.
+    Catalog-sized full-outer join of the two per-partition fingerprint
+    tables — the at-scale incremental-diff planner: at 100 TB you compare
+    KB of fingerprints, then row-diff ONLY the changed partitions (the
+    partition filter prunes every untouched directory at the scan)."""
+    b = partition_fingerprints(base, partition_col, cols).select(
+        "partition",
+        F.col("fingerprint").alias("fp_b"),
+        F.col("n_rows").alias("rows_b"),
+    )
+    t = partition_fingerprints(target, partition_col, cols).select(
+        "partition",
+        F.col("fingerprint").alias("fp_t"),
+        F.col("n_rows").alias("rows_t"),
+    )
+    j = b.join(t, "partition", "full_outer")
+    status = (
+        F.when(F.col("fp_t").isNull(), F.lit("base_only"))
+        .when(F.col("fp_b").isNull(), F.lit("target_only"))
+        .when(
+            ~F.col("fp_b").eqNullSafe(F.col("fp_t"))
+            | ~F.col("rows_b").eqNullSafe(F.col("rows_t")),
+            F.lit("changed"),
+        )
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select("partition", "status")
+        .orderBy("partition")
+    )
+
+
+def diff_data_incremental(
+    base: DataFrame,
+    target: DataFrame,
+    keys: list[str],
+    partition_col: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row diff restricted to partitions whose fingerprints differ.
+
+    Two phases in one lazy plan: the catalog-sized :func:`changed_partitions`
+    set, broadcast back as a semi-join filter on BOTH sides, then the
+    standard keyed :func:`diff_data` over the surviving rows. On a
+    partitioned lake the semi-join filter collapses to partition pruning
+    (dynamic partition pruning broadcasts the same set), so a day-partitioned
+    100 TB table with one changed day reads ~1/365th of the data; identical
+    output to a full :func:`diff_data` by construction — which is exactly
+    what the oracle twin checks."""
+    changed = changed_partitions(base, target, partition_col, compare_cols)
+    keep = F.broadcast(changed.select("partition"))
+    b = base.join(
+        keep, base[partition_col] == F.col("partition"), "left_semi"
+    )
+    t = target.join(
+        keep, target[partition_col] == F.col("partition"), "left_semi"
+    )
+    return diff_data(b, t, keys, compare_cols)

@@ -1164,3 +1164,119 @@ def fk_audit_q(spark, sf_dir):
             ("supplier.s_nationkey->nation", t("supplier"), "s_nationkey", t("nation"), "n_nationkey"),
         ]
     )
+
+
+_PART_MONTH_SQL = "CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)"
+
+# The testdata's (l_orderkey, l_linenumber) is NOT unique; a full-outer join
+# on duplicate keys emits per-key cross-product artifacts whose membership
+# depends on which copies survive a filter — ill-defined for an incremental
+# diff. The incremental queries therefore diff a DEDUPLICATED snapshot (one
+# deterministic row per key), same rule on both engines.
+_UNIQ_ORDER = "l_partkey, l_suppkey, l_extendedprice, l_quantity, l_shipdate"
+SQL_UNIQUE_LINEITEM = f"""
+WITH lineitem_u AS (
+  SELECT * EXCLUDE (rn) FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY l_orderkey, l_linenumber ORDER BY {_UNIQ_ORDER}) AS rn
+    FROM lineitem)
+  WHERE rn = 1),
+"""
+SQL_PERTURBED_UNIQUE = SQL_UNIQUE_LINEITEM + SQL_PERTURBED_LINEITEM.replace(
+    "WITH target AS (", "target AS ("
+).replace("FROM lineitem ", "FROM lineitem_u ").replace(
+    "FROM lineitem\n", "FROM lineitem_u\n"
+)
+
+SQL_CHANGED_PARTITIONS = SQL_PERTURBED_UNIQUE + f"""
+, bf AS (
+  SELECT {_PART_MONTH_SQL} AS "partition", {_FP_EXPR} AS fp, COUNT(*) AS n
+  FROM lineitem_u GROUP BY 1),
+tf AS (
+  SELECT {_PART_MONTH_SQL} AS "partition", {_FP_EXPR} AS fp, COUNT(*) AS n
+  FROM target GROUP BY 1)
+SELECT COALESCE(bf."partition", tf."partition") AS "partition",
+       CASE WHEN tf."partition" IS NULL THEN 'base_only'
+            WHEN bf."partition" IS NULL THEN 'target_only'
+            WHEN bf.fp IS DISTINCT FROM tf.fp OR bf.n IS DISTINCT FROM tf.n
+            THEN 'changed' END AS status
+FROM bf FULL OUTER JOIN tf ON bf."partition" = tf."partition"
+WHERE (CASE WHEN tf."partition" IS NULL THEN 'base_only'
+            WHEN bf."partition" IS NULL THEN 'target_only'
+            WHEN bf.fp IS DISTINCT FROM tf.fp OR bf.n IS DISTINCT FROM tf.n
+            THEN 'changed' END) IS NOT NULL
+ORDER BY "partition"
+"""
+
+_DATADIFF_KEYS = ["l_orderkey", "l_linenumber"]
+_DATADIFF_COLS = [
+    "l_discount", "l_extendedprice", "l_linestatus", "l_partkey",
+    "l_quantity", "l_returnflag", "l_shipdate", "l_suppkey", "l_tax",
+]
+
+
+def _perturbed_with_month(spark, sf_dir):
+    """Deduplicated (one deterministic row per PK) perturbed pair with the
+    ingest-month partition column added to both sides."""
+    from pyspark.sql.window import Window
+
+    l = io.read_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity", "l_shipdate"
+    )
+    lu = l.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    k = F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    mutated = lu.where(k % 89 != 0).withColumns(
+        {
+            "l_quantity": F.when(k % 83 == 0, F.col("l_quantity") + 5).otherwise(
+                F.col("l_quantity")
+            ),
+            "l_returnflag": F.when(k % 79 == 0, F.lit("X")).otherwise(
+                F.col("l_returnflag")
+            ),
+        }
+    )
+    added = lu.where(k % 101 == 0).withColumn(
+        "l_linenumber", F.col("l_linenumber") + F.lit(1000)
+    )
+    month = F.date_trunc("month", F.col("l_shipdate"))
+    return (
+        lu.withColumn("part_month", month),
+        mutated.unionByName(added).withColumn("part_month", month),
+    )
+
+
+@register("datadiff_changed_partitions", SQL_CHANGED_PARTITIONS)
+def changed_partitions_q(spark, sf_dir):
+    """Partition-level fingerprint compare: which ingest months differ
+    between the snapshots. KB-sized output regardless of table size — the
+    incremental-diff planner (compare fingerprints, row-diff only what
+    moved)."""
+    from magiceye_spark.datadiff import changed_partitions
+
+    base, target = _perturbed_with_month(spark, sf_dir)
+    return changed_partitions(
+        base, target, "part_month", cols=_LINEITEM_COLS_SORTED
+    )
+
+
+# full-diff SQL over the deduplicated pair (same SELECT as SQL_DATADIFF,
+# base side reads lineitem_u)
+_SQL_DATADIFF_BODY = SQL_DATADIFF[len(SQL_PERTURBED_LINEITEM):]
+SQL_DATADIFF_ON_UNIQUE = SQL_PERTURBED_UNIQUE + _SQL_DATADIFF_BODY.replace(
+    "FROM lineitem b", "FROM lineitem_u b"
+)
+
+
+@register("datadiff_incremental", SQL_DATADIFF_ON_UNIQUE)
+def datadiff_incremental_q(spark, sf_dir):
+    """Row diff restricted to changed partitions. The oracle is the FULL
+    diff's SQL on purpose: an unchanged partition contributes no diff rows,
+    so the incremental result must be bit-identical to the full diff —
+    partition pruning is a pure optimization, and this query proves it."""
+    from magiceye_spark.datadiff import diff_data_incremental
+
+    base, target = _perturbed_with_month(spark, sf_dir)
+    return diff_data_incremental(
+        base, target, _DATADIFF_KEYS, "part_month", compare_cols=_DATADIFF_COLS
+    )

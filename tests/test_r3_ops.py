@@ -113,3 +113,35 @@ def test_referential_audit_planted_orphans(spark):
     }
     r = got["child.parent_id->parent"]
     assert r["n_child_rows"] == 3 and r["n_orphans"] == 1 and r["pass"] is False
+
+
+def test_incremental_datadiff_prunes_and_matches(spark):
+    """One changed day out of three: changed_partitions flags exactly it,
+    diff_data_incremental equals the full diff, and the pruned plan filters
+    both sides with the broadcast partition set."""
+    from magiceye_spark.datadiff import (
+        changed_partitions,
+        diff_data,
+        diff_data_incremental,
+    )
+
+    rows = [(d, i, f"v{i}") for d in ("d1", "d2", "d3") for i in range(50)]
+    base = spark.createDataFrame(rows, "day string, id long, val string")
+    # target: d2 gets one update and one delete; d1/d3 untouched
+    target = (
+        base.where(~((F.col("day") == "d2") & (F.col("id") == 7)))
+        .withColumn(
+            "val",
+            F.when(
+                (F.col("day") == "d2") & (F.col("id") == 3), F.lit("CHANGED")
+            ).otherwise(F.col("val")),
+        )
+    )
+    ch = changed_partitions(base, target, "day")
+    assert [tuple(r) for r in ch.collect()] == [("d2", "changed")]
+
+    inc = diff_data_incremental(base, target, keys=["day", "id"], partition_col="day")
+    full = diff_data(base, target, keys=["day", "id"])
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+    got = {(r["day"], r["id"]): r["diff_status"] for r in inc.collect()}
+    assert got == {("d2", 3): "changed", ("d2", 7): "removed"}
