@@ -616,3 +616,71 @@ FROM df, n
 WHERE doc_freq >= n_docs * {min_doc_frac}
 ORDER BY doc_freq DESC, gram
 """
+
+
+# ------------------------------------------------- edit-distance near-dup
+
+def edit_distance_near_dups(
+    docs: DataFrame,
+    max_dist: int = 8,
+    prefix_len: int = 80,
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-level near-duplicates: pairs whose ``prefix_len``-char
+    canonical prefixes are within Levenshtein distance ``max_dist``.
+    Catches the edit-noise duplicates token-set methods miss (typo farms,
+    template fills, OCR variants) — the complement to Jaccard/MinHash.
+
+    Blocking before verifying: candidates must share their FIRST WORD — an
+    equi-join key, so the pair space is per-block O(b²), never corpus².
+    Before the quadratic Levenshtein, the free lower bound
+    ``|len(a) − len(b)| ≤ lev(a, b)`` prunes length-mismatched candidates.
+    Levenshtein then runs JVM-side on CANDIDATE pairs only. An edit
+    anywhere past the first word stays in-block; first-word blocking is the
+    documented recall tradeoff, exactly like the LSH band count.
+    """
+    t = F.trim(F.lower(F.col(text_col)))
+    side = docs.select(
+        F.col("doc_id"),
+        F.substring(t, 1, prefix_len).alias("prefix"),
+        F.element_at(F.split(t, r"\s+"), 1).alias("block_word"),
+    )
+    a = side.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("prefix").alias("prefix_a"),
+        "block_word",
+    )
+    b = side.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("prefix").alias("prefix_b"),
+        "block_word",
+    )
+    return (
+        a.join(b, "block_word")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            F.abs(F.length("prefix_a") - F.length("prefix_b")) <= max_dist
+        )
+        .withColumn("edit_dist", F.levenshtein("prefix_a", "prefix_b"))
+        .where(F.col("edit_dist") <= max_dist)
+        .select("doc_a", "doc_b", "edit_dist")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def sql_edit_distance_near_dups(max_dist: int = 8, prefix_len: int = 80) -> str:
+    side = f"""
+  SELECT doc_id,
+         substr(TRIM(LOWER(text)), 1, {prefix_len}) AS prefix,
+         regexp_split_to_array(TRIM(LOWER(text)), '\\s+')[1] AS block_word
+  FROM documents"""
+    return f"""
+WITH side AS ({side})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.prefix, b.prefix) AS edit_dist
+FROM side a JOIN side b
+  ON a.block_word = b.block_word AND a.doc_id < b.doc_id
+WHERE ABS(LENGTH(a.prefix) - LENGTH(b.prefix)) <= {max_dist}
+  AND levenshtein(a.prefix, b.prefix) <= {max_dist}
+ORDER BY doc_a, doc_b
+"""

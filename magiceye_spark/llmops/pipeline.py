@@ -385,3 +385,73 @@ SELECT source, n_docs,
 FROM counts
 ORDER BY source
 """
+
+
+def resample_to_mix(
+    docs: DataFrame,
+    target_shares: dict[str, float],
+    salt: str = "mix-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted subsample that reshapes the corpus toward a
+    target source mixture: keep a document iff its content-independent hash
+    coin ``md5(salt ∥ id) / 2^32`` falls below the source's sampling rate
+    ``min(weight, 1) = min(target/natural, 1)``.
+
+    Hash-thresholding (not RNG sampling) for the same reason as
+    :func:`hash_split`: the kept set is reproducible across runs, engines,
+    and cluster layouts, and re-running after appending data never flips
+    previously-kept documents. Up-weighted sources (weight > 1) are kept
+    whole — epoch repetition is the trainer's job, not the corpus writer's.
+
+    Plan: the weight table is source-count-sized and broadcasts onto the
+    corpus; the keep decision is map-side. One aggregation + one broadcast
+    join at any corpus size."""
+    # unrounded rate (source_mixing_weights rounds for display; a rounded
+    # rate could flip borderline coins vs an engine computing it exactly)
+    from pyspark.sql.window import Window
+
+    tgt = F.create_map(*[F.lit(x) for kv in target_shares.items() for x in kv])
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    natural = F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy())
+    weights = counts.select(
+        "source",
+        F.least(
+            F.coalesce(tgt[F.col("source")], F.lit(0.0)) / natural, F.lit(1.0)
+        ).alias("rate"),
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**32))
+    )
+    return (
+        docs.join(F.broadcast(weights), "source")
+        .where(coin < F.col("rate"))
+        .select(*docs.columns)
+    )
+
+
+def sql_resample_to_mix(target_shares: dict[str, float], salt: str = "mix-v1") -> str:
+    tgt = " ".join(
+        f"WHEN '{s}' THEN {p!r}" for s, p in sorted(target_shares.items())
+    )
+    return f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+weights AS (
+  SELECT source,
+         LEAST((CASE source {tgt} ELSE 0.0 END)
+               / (n_docs / CAST((SELECT SUM(n_docs) FROM counts) AS DOUBLE)),
+               1.0) AS rate
+  FROM counts)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d JOIN weights w USING (source)
+WHERE CAST(CONCAT('0x', substr(md5('{salt}' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      / CAST(4294967296 AS DOUBLE) < w.rate
+"""

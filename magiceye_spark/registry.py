@@ -1280,3 +1280,27 @@ def datadiff_incremental_q(spark, sf_dir):
     return diff_data_incremental(
         base, target, _DATADIFF_KEYS, "part_month", compare_cols=_DATADIFF_COLS
     )
+
+
+_TARGET_MIX_R3 = {"src0": 0.2, "src1": 0.2, "src2": 0.1, "src3": 0.1}
+
+
+@register("corpus_resampled_mix", pipeline.sql_resample_to_mix(_TARGET_MIX_R3))
+def resample_mix_q(spark, sf_dir):
+    """Deterministic hash-thresholded subsample reshaping the corpus toward
+    a target source mixture (sources not in the target are dropped;
+    up-weighted sources kept whole)."""
+    return pipeline.resample_to_mix(_docs(spark, sf_dir), _TARGET_MIX_R3)
+
+
+@register(
+    "edit_distance_near_dups",
+    dedup.sql_edit_distance_near_dups(max_dist=30, prefix_len=80),
+)
+def edit_distance_q(spark, sf_dir):
+    """Character-level near-dup pairs: same (first word, token count) block,
+    80-char prefix Levenshtein <= 30 — the edit-noise complement to the
+    token-set Jaccard/MinHash family."""
+    return dedup.edit_distance_near_dups(
+        _docs(spark, sf_dir), max_dist=30, prefix_len=80
+    )

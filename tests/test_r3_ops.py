@@ -145,3 +145,40 @@ def test_incremental_datadiff_prunes_and_matches(spark):
     assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
     got = {(r["day"], r["id"]): r["diff_status"] for r in inc.collect()}
     assert got == {("d2", 3): "changed", ("d2", 7): "removed"}
+
+
+def test_edit_distance_near_dups_planted(spark):
+    from magiceye_spark.llmops.dedup import edit_distance_near_dups
+
+    docs = _docs(
+        spark,
+        [
+            (1, "hello world this is a test document", "s"),
+            (2, "hello world this is a text document", "s"),  # 1 edit
+            (3, "hello completely different content here now", "s"),  # same block, far
+            (4, "goodbye world this is a test document", "s"),  # different first word
+        ],
+    )
+    got = [tuple(r) for r in edit_distance_near_dups(docs, max_dist=3).collect()]
+    assert got == [(1, 2, 1)]
+
+
+def test_resample_to_mix_deterministic_and_shaped(spark, sf_dir):
+    from magiceye_spark.llmops.pipeline import resample_to_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mix = {"src0": 0.5, "src1": 0.5}
+    out = resample_to_mix(docs, mix)
+    rows = out.collect()
+    # only targeted sources survive
+    assert {r["source"] for r in rows} <= {"src0", "src1"}
+    # deterministic: identical kept set across runs
+    again = resample_to_mix(docs, mix).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again)
+    # equal targets over equal-sized sources -> weight > 1 -> kept whole
+    n_src0 = docs.where(F.col("source") == "src0").count()
+    assert sum(1 for r in rows if r["source"] == "src0") == n_src0
+    # a fractional rate actually downsamples
+    skew = {"src0": 0.02, "src1": 0.98}
+    kept = resample_to_mix(docs, skew).where(F.col("source") == "src0").count()
+    assert 0 < kept < n_src0
