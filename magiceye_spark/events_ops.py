@@ -510,3 +510,88 @@ SELECT event_type, user_id, total_value, rank FROM (
 ) WHERE rank <= {k}
 ORDER BY event_type, rank
 """
+
+
+def ohlc_daily(events: DataFrame) -> DataFrame:
+    """OHLC downsampling: per (day, event_type), the open/high/low/close of
+    ``value`` with (ts, event_id) as the deterministic event order — the
+    standard timeseries compaction that turns an event stream into bars.
+
+    ONE aggregation shuffle: open/close are ``min_by``/``max_by`` over the
+    composite order struct (no window, no second pass), high/low plain
+    min/max — all map-side-partial, so the reduce state per group is a few
+    scalars at any scale."""
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
+SQL_OHLC_DAILY = """
+WITH e AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type, ts,
+         event_id, value
+  FROM events),
+r AS (
+  SELECT day, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY day, event_type ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY day, event_type ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e)
+SELECT day, event_type,
+       MIN(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MIN(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n_events
+FROM r
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
+def latest_per_user_day(events: DataFrame) -> DataFrame:
+    """CDC-style compaction: the LATEST event per (user, day) by
+    (ts, event_id) — the "last record wins" downsample that turns an event
+    log into a daily snapshot table. One shuffle on the compaction key; at
+    scale this is the pattern that keeps a 100 TB log queryable as an
+    n_users×n_days table."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(
+        F.col("user_id"), F.date_trunc("day", F.col("ts"))
+    ).orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "user_id",
+            "event_id",
+            "event_type",
+            "value",
+        )
+        .orderBy("day", "user_id")
+    )
+
+
+SQL_LATEST_PER_USER_DAY = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, user_id, event_id,
+       event_type, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, date_trunc('day', ts)
+    ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+ORDER BY day, user_id
+"""

@@ -1304,3 +1304,16 @@ def edit_distance_q(spark, sf_dir):
     return dedup.edit_distance_near_dups(
         _docs(spark, sf_dir), max_dist=30, prefix_len=80
     )
+
+
+@register("events_ohlc_daily", events_ops.SQL_OHLC_DAILY)
+def ohlc_q(spark, sf_dir):
+    """OHLC bars per (day, event_type) in one aggregation shuffle (min_by/
+    max_by over the composite event order — no window pass)."""
+    return events_ops.ohlc_daily(events_ops._events(spark, sf_dir))
+
+
+@register("events_latest_per_user_day", events_ops.SQL_LATEST_PER_USER_DAY)
+def latest_q(spark, sf_dir):
+    """CDC-style 'last record wins' compaction to a (user, day) snapshot."""
+    return events_ops.latest_per_user_day(events_ops._events(spark, sf_dir))

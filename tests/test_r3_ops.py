@@ -182,3 +182,25 @@ def test_resample_to_mix_deterministic_and_shaped(spark, sf_dir):
     skew = {"src0": 0.02, "src1": 0.98}
     kept = resample_to_mix(docs, skew).where(F.col("source") == "src0").count()
     assert 0 < kept < n_src0
+
+
+def test_ohlc_and_latest_planted(spark):
+    from datetime import datetime
+
+    from magiceye_spark.events_ops import latest_per_user_day, ohlc_daily
+
+    rows = [
+        (1, datetime(2026, 1, 1, 9), 7, "trade", 10.0),
+        (2, datetime(2026, 1, 1, 12), 7, "trade", 99.0),   # high
+        (3, datetime(2026, 1, 1, 15), 8, "trade", 1.0),    # low
+        (4, datetime(2026, 1, 1, 17), 8, "trade", 42.0),   # close
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    (bar,) = ohlc_daily(e).collect()
+    assert (bar["open"], bar["high"], bar["low"], bar["close"], bar["n_events"]) == (
+        10.0, 99.0, 1.0, 42.0, 4,
+    )
+    latest = {(r["user_id"]): r["event_id"] for r in latest_per_user_day(e).collect()}
+    assert latest == {7: 2, 8: 4}
