@@ -62,7 +62,7 @@ _DRIVER_WINDOW = [
     # row-level data diff family
     "datadiff_lineitem",
     "datadiff_lineitem_summary",
-    "datadiff_lineitem_hashmode",
+    "datadiff_incremental",
     "datadiff_dataset_summary",
     "datadiff_lineitem_rowset",
     "datadiff_lineitem_directional",
