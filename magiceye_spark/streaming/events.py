@@ -12,6 +12,8 @@ watermark horizon:
   emitted when the watermark passes the session close. At 100 TB/day the
   state store only holds OPEN sessions (bounded by active users × gap), not
   history — the property the batch window formulation can't give you.
+- :func:`stream_ohlc_daily` ≙ ``events_ops.ohlc_daily`` — min_by/max_by are
+  mergeable, so each open bar is a handful of scalars of state.
 
 Input is a file stream (new parquet files in a directory), the usual shape
 of an events lake ingested by a loader; swap `readStream.parquet` for a
@@ -242,3 +244,34 @@ def state_store_metrics(query) -> list[dict]:
         row.update(op.get("customMetrics", {}))
         out.append(row)
     return out
+
+
+def stream_ohlc_daily(events: DataFrame, watermark: str = "25 hours") -> DataFrame:
+    """Streaming OHLC bars: per (1-day tumbling window, event_type), open/
+    high/low/close of ``value`` with (ts, event_id) as the event order —
+    the streaming twin of ``events_ops.ohlc_daily``.
+
+    min_by/max_by over the order struct are mergeable aggregates, so the
+    state per open window is a handful of scalars (no event buffering) and
+    the bar finalizes in append mode once the watermark passes the day."""
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(
+            F.min_by("value", ordk).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", ordk).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("day"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )

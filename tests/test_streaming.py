@@ -369,3 +369,32 @@ def test_rocksdb_state_store_sessionize(spark, sf_dir, tmp_path):
         for r in sessionize(batch, gap_minutes=30).collect()
     }
     assert got == want
+
+
+def test_stream_ohlc_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming daily OHLC bars must equal the batch ohlc_daily over the
+    same events once the stream drains."""
+    from magiceye_spark.analytics import _events
+    from magiceye_spark.events_ops import ohlc_daily
+    from magiceye_spark.streaming import events as sev
+
+    src = str(tmp_path / "events_ohlc_stream")
+    batch = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    batch.repartition(3).write.parquet(src)
+
+    stream = sev.read_event_stream(spark, src, max_files_per_trigger=2)
+    q = sev.run_to_memory(
+        sev.stream_ohlc_daily(stream), "ohlc_t", str(tmp_path / "chk_ohlc")
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["day"], r["event_type"]): (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in spark.table("ohlc_t").collect()
+    }
+    want = {
+        (r["day"], r["event_type"]): (r["open"], r["high"], r["low"], r["close"], r["n_events"])
+        for r in ohlc_daily(batch).collect()
+    }
+    assert got == want
