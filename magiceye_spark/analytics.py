@@ -1006,3 +1006,64 @@ WHERE c_acctbal > avg_bal
 GROUP BY n_name
 ORDER BY n_name
 """
+
+
+def events_anomalous_days(spark: SparkSession, sf_dir: str, z_cut: float = 2.0) -> DataFrame:
+    """Days whose event volume deviates from their event_type's mean by more
+    than ``z_cut`` sample standard deviations: (event_type, day, n_events,
+    z). The rollup-level anomaly screen (outage days, bot spikes) a
+    monitoring pipeline runs on the partials table.
+
+    The moments are computed EXPLICITLY from integer counts (Σn, Σn², days)
+    rather than a stddev built-in, so the doubles go through the identical
+    IEEE operations on any engine — the same determinism trick as
+    ``value_k_corr``. Two small shuffles: the daily rollup, then a
+    per-event_type aggregate of day-count rows (catalog-sized)."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_days")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_days")) / (
+        F.col("n_days") - 1
+    )
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(mom), "event_type")
+        .where(F.col("n_days") > 1)
+        .withColumn("z", F.round(z, 4))
+        .where(F.abs(F.col("z")) > z_cut)
+        .select("event_type", "day", "n_events", "z")
+        .orderBy("event_type", "day")
+    )
+
+
+def sql_events_anomalous_days(z_cut: float = 2.0) -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2),
+mom AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         SUM(n_events) AS s1, SUM(n_events * n_events) AS s2
+  FROM daily GROUP BY event_type)
+SELECT event_type, day, n_events,
+       ROUND((n_events - s1 / CAST(n_days AS DOUBLE))
+             / SQRT((s2 - s1 * s1 / CAST(n_days AS DOUBLE))
+                    / (n_days - 1)), 4) AS z
+FROM daily JOIN mom USING (event_type)
+WHERE n_days > 1
+  AND ABS((n_events - s1 / CAST(n_days AS DOUBLE))
+          / SQRT((s2 - s1 * s1 / CAST(n_days AS DOUBLE))
+                 / (n_days - 1))) > {z_cut}
+ORDER BY event_type, day
+"""

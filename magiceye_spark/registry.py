@@ -1317,3 +1317,10 @@ def ohlc_q(spark, sf_dir):
 def latest_q(spark, sf_dir):
     """CDC-style 'last record wins' compaction to a (user, day) snapshot."""
     return events_ops.latest_per_user_day(events_ops._events(spark, sf_dir))
+
+
+@register("events_anomalous_days", analytics.sql_events_anomalous_days(z_cut=1.5))
+def anomalous_days_q(spark, sf_dir):
+    """Volume-anomaly screen: days beyond 1.5 sample-stddevs of their
+    event_type's daily mean, z computed from exact integer moments."""
+    return analytics.events_anomalous_days(spark, sf_dir, z_cut=1.5)
