@@ -204,3 +204,28 @@ def test_ohlc_and_latest_planted(spark):
     )
     latest = {(r["user_id"]): r["event_id"] for r in latest_per_user_day(e).collect()}
     assert latest == {7: 2, 8: 4}
+
+
+def test_anomalous_days_planted(spark, tmp_path):
+    """29 quiet days + one 10x spike day: exactly the spike crosses z>1.5."""
+    from datetime import datetime, timedelta
+
+    from magiceye_spark.analytics import events_anomalous_days
+
+    rows = []
+    eid = 0
+    for d in range(30):
+        n = 100 if d != 17 else 1000
+        day = datetime(2026, 3, 1) + timedelta(days=d)
+        for i in range(n):
+            rows.append((eid, day + timedelta(seconds=i), i % 7, "click", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    got = events_anomalous_days(spark, str(tmp_path), z_cut=1.5).collect()
+    assert len(got) == 1
+    assert got[0]["day"] == datetime(2026, 3, 18) and got[0]["n_events"] == 1000
+    assert got[0]["z"] > 5
