@@ -595,3 +595,44 @@ FROM (
 WHERE rn = 1
 ORDER BY day, user_id
 """
+
+
+def purchase_latency_stats(events: DataFrame) -> DataFrame:
+    """Funnel timing: distribution of click→purchase latency per purchase
+    DAY — (day, n_purchases, n_attributed, avg_latency_s, p50_latency_s).
+    Builds on the as-of join (each purchase's most recent click at-or-before
+    it); the latency aggregate costs one extra day-keyed shuffle over the
+    purchase-count-sized as-of output. The "how long does conversion take"
+    readout every funnel report pairs with the conversion rate."""
+    pc = purchases_with_last_click(events)
+    lat = F.col("ts").cast("double") - F.col("click_ts").cast("double")
+    return (
+        pc.select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            lat.alias("latency_s"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("latency_s").alias("n_attributed"),
+            F.round(F.avg("latency_s"), 2).alias("avg_latency_s"),
+            F.round(F.expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY latency_s)"), 2).alias(
+                "p50_latency_s"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_PURCHASE_LATENCY = f"""
+WITH att AS ({SQL_PURCHASE_LAST_CLICK.replace("ORDER BY p.purchase_id", "")})
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) AS n_purchases,
+       COUNT(click_ts) AS n_attributed,
+       ROUND(AVG(epoch(ts) - epoch(click_ts)), 2) AS avg_latency_s,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (
+             ORDER BY epoch(ts) - epoch(click_ts)), 2) AS p50_latency_s
+FROM att
+GROUP BY 1
+ORDER BY 1
+"""

@@ -1324,3 +1324,10 @@ def anomalous_days_q(spark, sf_dir):
     """Volume-anomaly screen: days beyond 1.5 sample-stddevs of their
     event_type's daily mean, z computed from exact integer moments."""
     return analytics.events_anomalous_days(spark, sf_dir, z_cut=1.5)
+
+
+@register("purchase_latency_stats", events_ops.SQL_PURCHASE_LATENCY)
+def purchase_latency_q(spark, sf_dir):
+    """Click->purchase latency distribution per day, built on the as-of
+    join's purchase-count-sized output."""
+    return events_ops.purchase_latency_stats(events_ops._events(spark, sf_dir))
