@@ -246,11 +246,15 @@ def materialize_rollups(events: DataFrame, path: str, mode: str = "overwrite") -
     ``sketch_rollup_from_partials``) from the partials table — ~events/3600
     rows — without rescanning raw events. Day-partitioning means an
     incremental refresh overwrites only the touched days (dynamic partition
-    overwrite) and a date-ranged rollup prunes at the directory level."""
+    overwrite — set per-write below so it holds regardless of the session's
+    ``spark.sql.sources.partitionOverwriteMode``; without it a plain
+    overwrite would STATICALLY delete every existing day) and a date-ranged
+    rollup prunes at the directory level."""
     (
         hourly_partials(events)
         .withColumn("day", F.to_date(F.col("hour")))
         .write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("day")
         .parquet(path)
     )
@@ -1036,12 +1040,15 @@ def events_anomalous_days(spark: SparkSession, sf_dir: str, z_cut: float = 2.0) 
         F.col("n_days") - 1
     )
     z = (F.col("n_events") - mean) / F.sqrt(var)
+    # Filter on the UNROUNDED z (the oracle SQL does the same) and round only
+    # in the projection; var > 0 guards the all-days-equal group, where Spark
+    # yields NULL but IEEE float division can yield NaN (> z_cut in DuckDB).
     return (
         daily.join(F.broadcast(mom), "event_type")
         .where(F.col("n_days") > 1)
-        .withColumn("z", F.round(z, 4))
-        .where(F.abs(F.col("z")) > z_cut)
-        .select("event_type", "day", "n_events", "z")
+        .where(var > 0)
+        .where(F.abs(z) > z_cut)
+        .select("event_type", "day", "n_events", F.round(z, 4).alias("z"))
         .orderBy("event_type", "day")
     )
 
@@ -1062,6 +1069,7 @@ SELECT event_type, day, n_events,
                     / (n_days - 1)), 4) AS z
 FROM daily JOIN mom USING (event_type)
 WHERE n_days > 1
+  AND (s2 - s1 * s1 / CAST(n_days AS DOUBLE)) / (n_days - 1) > 0
   AND ABS((n_events - s1 / CAST(n_days AS DOUBLE))
           / SQRT((s2 - s1 * s1 / CAST(n_days AS DOUBLE))
                  / (n_days - 1))) > {z_cut}

@@ -282,8 +282,16 @@ def diff_data_incremental(
     (dynamic partition pruning broadcasts the same set), so a day-partitioned
     100 TB table with one changed day reads ~1/365th of the data; identical
     output to a full :func:`diff_data` by construction — which is exactly
-    what the oracle twin checks."""
-    changed = changed_partitions(base, target, partition_col, compare_cols)
+    what the oracle twin checks.
+
+    The fingerprint covers keys AND compare columns: fingerprinting only the
+    compared payload would prune a partition where rows merely exchange key
+    values (the compare-tuple multiset and row count are unchanged, but the
+    keyed diff is not empty)."""
+    fp_cols = (
+        sorted(set(keys) | set(compare_cols)) if compare_cols is not None else None
+    )
+    changed = changed_partitions(base, target, partition_col, fp_cols)
     keep = F.broadcast(changed.select("partition"))
     b = base.join(
         keep, base[partition_col] == F.col("partition"), "left_semi"

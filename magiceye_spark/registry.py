@@ -1173,7 +1173,13 @@ _PART_MONTH_SQL = "CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)"
 # depends on which copies survive a filter — ill-defined for an incremental
 # diff. The incremental queries therefore diff a DEDUPLICATED snapshot (one
 # deterministic row per key), same rule on both engines.
-_UNIQ_ORDER = "l_partkey, l_suppkey, l_extendedprice, l_quantity, l_shipdate"
+# Order by ALL nine non-key columns so the surviving row is a total order on
+# both engines — 5 columns left duplicate-key rows that tie on those but
+# differ in l_discount/l_tax/l_returnflag/l_linestatus engine-nondeterministic.
+_UNIQ_ORDER = (
+    "l_partkey, l_suppkey, l_extendedprice, l_quantity, l_shipdate, "
+    "l_discount, l_tax, l_returnflag, l_linestatus"
+)
 SQL_UNIQUE_LINEITEM = f"""
 WITH lineitem_u AS (
   SELECT * EXCLUDE (rn) FROM (
@@ -1222,7 +1228,8 @@ def _perturbed_with_month(spark, sf_dir):
 
     l = io.read_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
-        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity", "l_shipdate"
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity",
+        "l_shipdate", "l_discount", "l_tax", "l_returnflag", "l_linestatus"
     )
     lu = l.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
     k = F.col("l_orderkey") * 10 + F.col("l_linenumber")

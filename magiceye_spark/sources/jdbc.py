@@ -233,10 +233,16 @@ def read_catalog_snapshot_generic(
             md.getTables(None, schema, "%", types), ["TABLE_NAME", "REMARKS"]
         )
         tables = [(t.lower(), r or "") for t, r in t_rows]
+        # With schema=None getColumns(None, None, '%', '%') sweeps system
+        # schemas too, while getTables filtered to type TABLE — restrict the
+        # column scan to the fetched table set so the snapshot is consistent.
+        fetched = {t for t, _ in t_rows}
 
         columns = []
         c_rs = md.getColumns(None, schema, "%", "%")
         while c_rs.next():
+            if c_rs.getString("TABLE_NAME") not in fetched:
+                continue
             type_name = (c_rs.getString("TYPE_NAME") or "").lower()
             if type_name == "varchar":
                 type_name = f"varchar({c_rs.getInt('COLUMN_SIZE')})"
@@ -288,8 +294,16 @@ def read_catalog_snapshot_generic(
             fk_cols: dict[str, list[tuple[int, str]]] = {}
             fk_ref: dict[str, tuple[str, str]] = {}
             fk_rs = md.getImportedKeys(None, schema, t)
+            # FK_NAME is legally NULL for unnamed constraints on several JDBC
+            # sources; rows arrive ordered with KEY_SEQ restarting at 1 per
+            # constraint, so synthesize a stable per-table name at each restart.
+            anon_n = 0
             while fk_rs.next():
                 name = fk_rs.getString("FK_NAME")
+                if name is None:
+                    if fk_rs.getInt("KEY_SEQ") == 1:
+                        anon_n += 1
+                    name = f"fk_{t.lower()}_unnamed_{anon_n}"
                 fk_cols.setdefault(name, []).append(
                     (fk_rs.getInt("KEY_SEQ"), fk_rs.getString("FKCOLUMN_NAME").lower())
                 )
