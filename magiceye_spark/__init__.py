@@ -26,8 +26,11 @@ from magiceye_spark.report import render_findings, grouped_report, write_report
 from magiceye_spark.datadiff import (
     diff_data,
     diff_data_hash,
+    diff_data_incremental,
     diff_data_summary,
     diff_rows_set,
+    read_fingerprints,
+    write_fingerprints,
 )
 from magiceye_spark.events_ops import asof_join, range_join_count, sessionize
 from magiceye_spark.skew import salted_join
@@ -59,8 +62,11 @@ __all__ = [
     "write_report",
     "diff_data",
     "diff_data_hash",
+    "diff_data_incremental",
     "diff_data_summary",
     "diff_rows_set",
+    "read_fingerprints",
+    "write_fingerprints",
     "asof_join",
     "sessionize",
     "salted_join",

@@ -226,24 +226,38 @@ def partition_fingerprints(
     )
 
 
-def changed_partitions(
-    base: DataFrame,
-    target: DataFrame,
-    partition_col,
-    cols: list[str] | None = None,
+def write_fingerprints(
+    df: DataFrame, partition_col, path: str,
+    cols: list[str] | None = None, mode: str = "overwrite",
+) -> None:
+    """Persist the per-partition fingerprint table as a snapshot artifact.
+
+    Written at ingest/publish time (the data was just scanned anyway), this
+    KB-sized table is what makes :func:`diff_data_incremental` actually
+    incremental at 100 TB: the next diff compares two stored fingerprint
+    tables instead of re-scanning both snapshots, then reads ONLY changed
+    partitions. For a keyed diff pass ``cols=sorted(set(keys)|set(compare))``
+    so the fingerprint matches what the diff will compare."""
+    partition_fingerprints(df, partition_col, cols).write.mode(mode).parquet(path)
+
+
+def read_fingerprints(spark, path: str) -> DataFrame:
+    """Read a fingerprint table written by :func:`write_fingerprints`."""
+    return spark.read.parquet(path)
+
+
+def compare_fingerprint_tables(
+    base_fp: DataFrame, target_fp: DataFrame
 ) -> DataFrame:
-    """Partitions whose content differs between the two snapshots:
-    (partition, status) with status ∈ base_only/target_only/changed.
-    Catalog-sized full-outer join of the two per-partition fingerprint
-    tables — the at-scale incremental-diff planner: at 100 TB you compare
-    KB of fingerprints, then row-diff ONLY the changed partitions (the
-    partition filter prunes every untouched directory at the scan)."""
-    b = partition_fingerprints(base, partition_col, cols).select(
+    """Changed-partition set from two (partition, fingerprint, n_rows)
+    tables: (partition, status) with status ∈ base_only/target_only/changed.
+    Catalog-sized full-outer join — KB of work no matter the data size."""
+    b = base_fp.select(
         "partition",
         F.col("fingerprint").alias("fp_b"),
         F.col("n_rows").alias("rows_b"),
     )
-    t = partition_fingerprints(target, partition_col, cols).select(
+    t = target_fp.select(
         "partition",
         F.col("fingerprint").alias("fp_t"),
         F.col("n_rows").alias("rows_t"),
@@ -266,23 +280,52 @@ def changed_partitions(
     )
 
 
+def changed_partitions(
+    base: DataFrame,
+    target: DataFrame,
+    partition_col,
+    cols: list[str] | None = None,
+) -> DataFrame:
+    """Partitions whose content differs between the two snapshots:
+    (partition, status) with status ∈ base_only/target_only/changed.
+    Catalog-sized full-outer join of the two per-partition fingerprint
+    tables — the at-scale incremental-diff planner: at 100 TB you compare
+    KB of fingerprints, then row-diff ONLY the changed partitions (the
+    partition filter prunes every untouched directory at the scan)."""
+    return compare_fingerprint_tables(
+        partition_fingerprints(base, partition_col, cols),
+        partition_fingerprints(target, partition_col, cols),
+    )
+
+
 def diff_data_incremental(
     base: DataFrame,
     target: DataFrame,
     keys: list[str],
     partition_col: str,
     compare_cols: list[str] | None = None,
+    base_fingerprints: DataFrame | None = None,
+    target_fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Row diff restricted to partitions whose fingerprints differ.
 
-    Two phases in one lazy plan: the catalog-sized :func:`changed_partitions`
-    set, broadcast back as a semi-join filter on BOTH sides, then the
-    standard keyed :func:`diff_data` over the surviving rows. On a
-    partitioned lake the semi-join filter collapses to partition pruning
-    (dynamic partition pruning broadcasts the same set), so a day-partitioned
-    100 TB table with one changed day reads ~1/365th of the data; identical
-    output to a full :func:`diff_data` by construction — which is exactly
-    what the oracle twin checks.
+    Without stored fingerprints: two phases in one lazy plan — the
+    catalog-sized :func:`changed_partitions` set, broadcast back as a
+    semi-join filter on BOTH sides, then the standard keyed
+    :func:`diff_data` over the surviving rows. This still SCANS both sides
+    once to compute fingerprints; it saves only the join work.
+
+    With ``base_fingerprints``/``target_fingerprints`` (tables persisted by
+    :func:`write_fingerprints` at publish time), the changed-partition set
+    comes from comparing the two KB-sized stored tables — neither snapshot
+    is scanned to decide what changed. The set is collected (it is
+    catalog-sized by construction) and applied as a LITERAL ``IN`` filter on
+    the partition column, so on a hive-partitioned lake the scan shows
+    PartitionFilters and untouched directories are never opened — a
+    day-partitioned 100 TB table with one changed day reads ~1/365th of the
+    data. Identical output to a full :func:`diff_data` by construction —
+    which is exactly what the oracle twin checks. A side whose fingerprint
+    table is not supplied falls back to computing fingerprints from its data.
 
     The fingerprint covers keys AND compare columns: fingerprinting only the
     compared payload would prune a partition where rows merely exchange key
@@ -291,6 +334,25 @@ def diff_data_incremental(
     fp_cols = (
         sorted(set(keys) | set(compare_cols)) if compare_cols is not None else None
     )
+    if base_fingerprints is not None or target_fingerprints is not None:
+        b_fp = (
+            base_fingerprints
+            if base_fingerprints is not None
+            else partition_fingerprints(base, partition_col, fp_cols)
+        )
+        t_fp = (
+            target_fingerprints
+            if target_fingerprints is not None
+            else partition_fingerprints(target, partition_col, fp_cols)
+        )
+        changed = compare_fingerprint_tables(b_fp, t_fp)
+        vals = [r["partition"] for r in changed.select("partition").collect()]
+        if not vals:
+            empty = F.lit(False)
+            return diff_data(base.where(empty), target.where(empty), keys, compare_cols)
+        b = base.where(F.col(partition_col).isin(vals))
+        t = target.where(F.col(partition_col).isin(vals))
+        return diff_data(b, t, keys, compare_cols)
     changed = changed_partitions(base, target, partition_col, fp_cols)
     keep = F.broadcast(changed.select("partition"))
     b = base.join(

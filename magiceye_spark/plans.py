@@ -44,6 +44,13 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return re.findall(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df))
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters entries from every file scan — the evidence that a
+    filter on a hive-partition column prunes directories at planning time
+    instead of reading and discarding rows."""
+    return re.findall(r"PartitionFilters: \[([^\]]*)\]", formatted_plan(df))
+
+
 def read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema of every file scan — the column-pruning evidence."""
     return re.findall(r"ReadSchema: ([^\n]+)", formatted_plan(df))

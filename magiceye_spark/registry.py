@@ -1338,3 +1338,43 @@ def purchase_latency_q(spark, sf_dir):
     """Click->purchase latency distribution per day, built on the as-of
     join's purchase-count-sized output."""
     return events_ops.purchase_latency_stats(events_ops._events(spark, sf_dir))
+
+
+@register("datadiff_incremental_pruned", SQL_DATADIFF_ON_UNIQUE)
+def datadiff_incremental_pruned_q(spark, sf_dir):
+    """TRULY incremental diff: both snapshots live as month-partitioned
+    parquet with per-partition fingerprint tables persisted at publish time
+    (datadiff.write_fingerprints). The diff compares the two KB-sized stored
+    fingerprint tables — neither snapshot is scanned to decide what changed —
+    then reads ONLY changed partitions via a literal partition filter
+    (PartitionFilters in the scan, pinned in tests/test_r4_ops.py). The
+    oracle is the FULL diff's SQL on purpose: pruning must be invisible in
+    the result."""
+    import hashlib
+    import os
+    import tempfile
+
+    from magiceye_spark.datadiff import (
+        diff_data_incremental,
+        read_fingerprints,
+        write_fingerprints,
+    )
+
+    base, target = _perturbed_with_month(spark, sf_dir)
+    # DATE partition values round-trip hive directory names unambiguously
+    base = base.withColumn("part_month", F.to_date("part_month"))
+    target = target.withColumn("part_month", F.to_date("part_month"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"magiceye_incr_{tag}")
+    fp_cols = sorted(set(_DATADIFF_KEYS) | set(_DATADIFF_COLS))
+    io.write_partitioned(base, f"{root}/base", ["part_month"])
+    write_fingerprints(base, "part_month", f"{root}/base_fp", cols=fp_cols)
+    io.write_partitioned(target, f"{root}/target", ["part_month"])
+    write_fingerprints(target, "part_month", f"{root}/target_fp", cols=fp_cols)
+    b = spark.read.parquet(f"{root}/base")
+    t = spark.read.parquet(f"{root}/target")
+    return diff_data_incremental(
+        b, t, _DATADIFF_KEYS, "part_month", compare_cols=_DATADIFF_COLS,
+        base_fingerprints=read_fingerprints(spark, f"{root}/base_fp"),
+        target_fingerprints=read_fingerprints(spark, f"{root}/target_fp"),
+    )

@@ -1,0 +1,93 @@
+"""Round-4 operator tests: persisted-fingerprint incremental datadiff
+(partition pruning at the scan), plus regressions for the advisor findings
+it closes (key-swap partitions must not be pruned)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from magiceye_spark import plans
+from magiceye_spark.datadiff import (
+    diff_data,
+    diff_data_incremental,
+    read_fingerprints,
+    write_fingerprints,
+)
+from magiceye_spark.io import write_partitioned
+
+
+def _planted(spark, n=600, months=6):
+    """n rows over `months` int partitions; target mutates ONLY month 3."""
+    base = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % months).alias("m"),
+        (F.col("id") * 7).alias("v"),
+    )
+    target = base.withColumn(
+        "v", F.when(F.col("m") == 3, F.col("v") + 1).otherwise(F.col("v"))
+    )
+    return base, target
+
+
+@pytest.fixture(scope="module")
+def pruned_setup(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("incr"))
+    base, target = _planted(spark)
+    write_partitioned(base, f"{root}/base", ["m"])
+    write_fingerprints(base, "m", f"{root}/base_fp", cols=["id", "v"])
+    write_partitioned(target, f"{root}/target", ["m"])
+    write_fingerprints(target, "m", f"{root}/target_fp", cols=["id", "v"])
+    b = spark.read.parquet(f"{root}/base")
+    t = spark.read.parquet(f"{root}/target")
+    out = diff_data_incremental(
+        b, t, ["id"], "m", compare_cols=["v"],
+        base_fingerprints=read_fingerprints(spark, f"{root}/base_fp"),
+        target_fingerprints=read_fingerprints(spark, f"{root}/target_fp"),
+    )
+    return b, t, out
+
+
+def test_incremental_pruned_scan_shows_partition_filters(pruned_setup):
+    """The changed-partition set must reach the scan as a PartitionFilter —
+    planning-time directory pruning, not read-and-discard."""
+    _, _, out = pruned_setup
+    pf = [f for f in plans.partition_filters(out) if f.strip()]
+    assert len(pf) >= 2, f"expected partition filters on both scans, got {pf}"
+    assert all("m#" in f for f in pf), pf
+
+
+def test_incremental_pruned_matches_full_diff(pruned_setup):
+    b, t, out = pruned_setup
+    full = diff_data(b, t, ["id"], compare_cols=["v"])
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, full.collect()))
+    # and it actually found the month-3 rows
+    assert out.count() == 100
+
+
+def test_incremental_no_changes_yields_empty(spark, tmp_path):
+    base, _ = _planted(spark, n=60)
+    p = str(tmp_path)
+    write_partitioned(base, f"{p}/b", ["m"])
+    write_fingerprints(base, "m", f"{p}/fp", cols=["id", "v"])
+    b = spark.read.parquet(f"{p}/b")
+    out = diff_data_incremental(
+        b, b, ["id"], "m", compare_cols=["v"],
+        base_fingerprints=read_fingerprints(spark, f"{p}/fp"),
+        target_fingerprints=read_fingerprints(spark, f"{p}/fp"),
+    )
+    assert out.count() == 0
+
+
+def test_key_swap_partition_not_pruned(spark):
+    """ADVICE regression: two rows swapping KEY values leave the compare-col
+    multiset and row count unchanged — the fingerprint must still differ
+    (keys are fingerprinted too), so the keyed diff reports the change."""
+    base = spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "b"), (3, 1, "c")], "id int, m int, v string"
+    )
+    # rows 1 and 2 swap ids within partition m=0
+    target = spark.createDataFrame(
+        [(2, 0, "a"), (1, 0, "b"), (3, 1, "c")], "id int, m int, v string"
+    )
+    out = diff_data_incremental(base, target, ["id"], "m", compare_cols=["v"])
+    got = {(r.id, r.diff_status) for r in out.collect()}
+    assert got == {(1, "changed"), (2, "changed")}
