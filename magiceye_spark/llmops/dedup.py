@@ -625,38 +625,71 @@ def edit_distance_near_dups(
     max_dist: int = 8,
     prefix_len: int = 80,
     text_col: str = "text",
+    block_cap: int = 1000,
 ) -> DataFrame:
     """Character-level near-duplicates: pairs whose ``prefix_len``-char
     canonical prefixes are within Levenshtein distance ``max_dist``.
     Catches the edit-noise duplicates token-set methods miss (typo farms,
     template fills, OCR variants) — the complement to Jaccard/MinHash.
 
-    Blocking before verifying: candidates must share their FIRST WORD — an
-    equi-join key, so the pair space is per-block O(b²), never corpus².
-    Before the quadratic Levenshtein, the free lower bound
-    ``|len(a) − len(b)| ≤ lev(a, b)`` prunes length-mismatched candidates.
-    Levenshtein then runs JVM-side on CANDIDATE pairs only. An edit
-    anywhere past the first word stays in-block; first-word blocking is the
-    documented recall tradeoff, exactly like the LSH band count.
+    Blocking before verifying: candidates must share their FIRST WORD and
+    land in the same-or-adjacent PREFIX-LENGTH BUCKET of width
+    ``max_dist + 1``. The free lower bound ``|len(a) − len(b)| ≤ lev(a, b)``
+    already rejects pairs more than ``max_dist`` apart in length, and such
+    pairs are always in the same or adjacent buckets — so length-bucket
+    blocking with adjacent-bucket probing (the right side is replicated to
+    buckets k−1, k, k+1) is LOSSLESS: the result is identical to first-word
+    blocking alone, while a first-word block spanning many lengths splits
+    into independent join groups. First-word blocking itself remains the
+    documented recall tradeoff, exactly like the LSH band count. Levenshtein
+    runs JVM-side on CANDIDATE pairs only.
+
+    Hot-block skew guard: a templated corpus can still put thousands of
+    same-length docs in ONE (word, bucket) block, and all its O(b²) pairs
+    would land on a single task. Blocks larger than ``block_cap`` are
+    SALTED: the left side gets a deterministic salt in [0, ceil(b/cap)),
+    the right side is replicated to every salt of the block it probes, so
+    the same pair set is produced (each unordered pair joins exactly once)
+    but the quadratic work spreads across ceil(b/cap) tasks. Replication
+    touches only oversized blocks; the block-size table is catalog-sized
+    and broadcast.
     """
+    w = max_dist + 1
     t = F.trim(F.lower(F.col(text_col)))
     side = docs.select(
         F.col("doc_id"),
         F.substring(t, 1, prefix_len).alias("prefix"),
         F.element_at(F.split(t, r"\s+"), 1).alias("block_word"),
+        F.floor(F.length(F.substring(t, 1, prefix_len)) / w).alias("lb"),
     )
-    a = side.select(
+    bkeys = ["block_word", "lb"]
+    sizes = side.groupBy(*bkeys).agg(
+        F.ceil(F.count(F.lit(1)) / block_cap).cast("int").alias("n_salt")
+    )
+    a = side.join(F.broadcast(sizes), bkeys).select(
         F.col("doc_id").alias("doc_a"),
         F.col("prefix").alias("prefix_a"),
-        "block_word",
+        *bkeys,
+        F.pmod(F.xxhash64("doc_id"), F.col("n_salt")).cast("int").alias("salt"),
     )
-    b = side.select(
+    # right side probes its own and both neighbouring buckets, replicated to
+    # every salt of the PROBED block (n_salt looked up post-explode)
+    probed = side.select(
         F.col("doc_id").alias("doc_b"),
         F.col("prefix").alias("prefix_b"),
         "block_word",
+        F.explode(
+            F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
+        ).alias("lb"),
+    ).join(F.broadcast(sizes), bkeys)
+    b = probed.select(
+        "doc_b",
+        "prefix_b",
+        *bkeys,
+        F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)).alias("salt"),
     )
     return (
-        a.join(b, "block_word")
+        a.join(b, [*bkeys, "salt"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .where(
             F.abs(F.length("prefix_a") - F.length("prefix_b")) <= max_dist
@@ -669,6 +702,8 @@ def edit_distance_near_dups(
 
 
 def sql_edit_distance_near_dups(max_dist: int = 8, prefix_len: int = 80) -> str:
+    # the length-bucket + salt blocking is lossless, so the oracle is the
+    # plain first-word-block formulation
     side = f"""
   SELECT doc_id,
          substr(TRIM(LOWER(text)), 1, {prefix_len}) AS prefix,

@@ -1305,9 +1305,10 @@ def resample_mix_q(spark, sf_dir):
     dedup.sql_edit_distance_near_dups(max_dist=30, prefix_len=80),
 )
 def edit_distance_q(spark, sf_dir):
-    """Character-level near-dup pairs: same (first word, token count) block,
-    80-char prefix Levenshtein <= 30 — the edit-noise complement to the
-    token-set Jaccard/MinHash family."""
+    """Character-level near-dup pairs: same first-word block, split into
+    prefix-length buckets with adjacent-bucket probing (lossless) and salted
+    above a size cap (skew guard), 80-char prefix Levenshtein <= 30 — the
+    edit-noise complement to the token-set Jaccard/MinHash family."""
     return dedup.edit_distance_near_dups(
         _docs(spark, sf_dir), max_dist=30, prefix_len=80
     )

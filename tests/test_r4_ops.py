@@ -77,6 +77,44 @@ def test_incremental_no_changes_yields_empty(spark, tmp_path):
     assert out.count() == 0
 
 
+def test_edit_distance_salted_hot_block_parity(spark):
+    """A planted hot block (all docs share first word + token count) must
+    produce the IDENTICAL pair set whether or not block salting kicks in —
+    salting redistributes the O(b²) work, never the result."""
+    from magiceye_spark.llmops.dedup import edit_distance_near_dups
+
+    rows = [
+        (i, f"tmpl doc {i:03d} common tail words here", "s") for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    salted = edit_distance_near_dups(docs, max_dist=8, block_cap=10)
+    unsalted = edit_distance_near_dups(docs, max_dist=8, block_cap=10**9)
+    s_rows = sorted(map(tuple, salted.collect()))
+    u_rows = sorted(map(tuple, unsalted.collect()))
+    assert s_rows == u_rows
+    assert len(s_rows) == 60 * 59 // 2  # every pair within distance 8
+
+
+def test_edit_distance_length_buckets_lossless(spark):
+    """Length-bucket blocking with adjacent probing must be invisible in the
+    result: pairs straddling a bucket boundary (length diff ≤ max_dist but
+    different buckets) are still found."""
+    from magiceye_spark.llmops.dedup import edit_distance_near_dups
+
+    # max_dist=8 → bucket width 9; prefixes of length 8 and 10 land in
+    # buckets 0 and 1 — adjacent, still compared
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha bc", "s"),       # 8 chars → bucket 0
+            (2, "alpha bcde", "s"),     # 10 chars → bucket 1, dist 2
+            (3, "alpha " + "x" * 30, "s"),  # bucket 4: out of reach
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = sorted(map(tuple, edit_distance_near_dups(docs, max_dist=8).collect()))
+    assert got == [(1, 2, 2)]
+
+
 def test_key_swap_partition_not_pruned(spark):
     """ADVICE regression: two rows swapping KEY values leave the compare-col
     multiset and row count unchanged — the fingerprint must still differ
