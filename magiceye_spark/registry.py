@@ -59,9 +59,10 @@ _DRIVER_WINDOW = [
     "schema_fk_diffs",
     "schema_diff_full",
     "schema_diff_report",
-    # row-level data diff family
+    # row-level data diff family (summary seat ceded to ivf_ann_exact in r4
+    # so the ANN machinery gets a deterministic driver row; the summary stays
+    # registered and oracle-checked in pytest's sweep)
     "datadiff_lineitem",
-    "datadiff_lineitem_summary",
     "datadiff_incremental",
     "datadiff_dataset_summary",
     "datadiff_lineitem_rowset",
@@ -112,6 +113,7 @@ _DRIVER_WINDOW = [
     # similarity search
     "cosine_topk",
     "embedding_near_dups",
+    "ivf_ann_exact",
     # multimodal
     "media_catalog",
 ]
@@ -983,6 +985,21 @@ def ivf_pq_topk_q(spark, sf_dir):
     corpus = _embs(spark, sf_dir)
     queries_df = corpus.where(F.col("vec_id").isin(_QUERY_VEC_IDS))
     return simsearch.ivf_pq_topk(corpus, queries_df, k=10)
+
+
+@register("ivf_ann_exact", simsearch.sql_cosine_topk(_QUERY_VEC_IDS, k=10))
+def ivf_ann_exact_q(spark, sf_dir):
+    """IVF in exhaustive mode (n_probe = n_centroids): every cell is probed,
+    so the full IVF machinery — quantizer fit, map-side cell assignment,
+    banded probe join, windowed rerank — must reproduce brute-force cosine
+    top-k EXACTLY, independent of centroid quality. The deterministic,
+    oracle-checkable driver row for the ANN family; recall of the
+    approximate modes stays pinned in pytest."""
+    corpus = _embs(spark, sf_dir)
+    queries_df = corpus.where(F.col("vec_id").isin(_QUERY_VEC_IDS))
+    return simsearch.ivf_topk(
+        corpus, queries_df, k=10, n_centroids=16, n_probe=16, kmeans_iters=2
+    )
 
 
 @register("chunk_documents", textstats.sql_chunk_documents(chunk_chars=512, overlap=64))
