@@ -106,31 +106,78 @@ def check_quality(df: DataFrame, rules: Rules) -> DataFrame:
 
 
 def referential_audit(
-    relations: list[tuple[str, DataFrame, str, DataFrame, str]]
+    relations: list[tuple[str, DataFrame, str, DataFrame, str]],
+    assume_unique_parents: bool = False,
 ) -> DataFrame:
     """Whole-schema FK conformance: one row per declared relation
     ``(relation, n_child_rows, n_orphans, pass)``.
 
     ``relations`` entries are ``(name, child_df, child_col, parent_df,
-    parent_col)``. Each relation costs one anti-join (shuffle on the key —
-    AQE handles skew) plus a count; parents are reduced to distinct keys
-    first so the join carries keys, not payloads. Output is
-    relation-count-sized. The cross-table complement to per-table
-    ``check_quality``."""
-    out = None
-    for name, child, child_col, parent, parent_col in relations:
-        keys = child.select(F.col(child_col).alias("_k"))
-        orphans = keys.join(
-            parent.select(F.col(parent_col).alias("_k")).distinct(), "_k", "left_anti"
-        ).agg(F.count(F.lit(1)).alias("n_orphans"))
-        total = keys.agg(F.count(F.lit(1)).alias("n_child_rows"))
-        row = total.crossJoin(orphans).select(
-            F.lit(name).alias("relation"),
-            "n_child_rows",
-            "n_orphans",
-            (F.col("n_orphans") == 0).alias("pass"),
-        )
-        out = row if out is None else out.unionByName(row)
-    if out is None:
+    parent_col)``. Relations are GROUPED BY CHILD (plan-semantic identity,
+    so two ``read_table`` calls for the same table share a group): a child
+    with k declared FKs is scanned ONCE, feeding k chained existence joins
+    against the parents' distinct key sets, and all k orphan counts plus the
+    row count come out of one aggregate — at 100 TB that reads the fact
+    table once instead of 2k times. Parent key sets are distinct-reduced
+    (keys only, no payloads) and broadcast when small (AQE downgrades to a
+    shuffle join for warehouse-sized parents); a NULL child key matches
+    nothing and counts as an orphan, identical to the anti-join semantics
+    this replaces. Output is relation-count-sized. The cross-table
+    complement to per-table ``check_quality``.
+
+    ``assume_unique_parents=True`` skips the per-parent distinct: when the
+    referenced columns are declared primary/unique keys (the normal FK
+    case), the dedup shuffle per parent buys nothing — the audit's only
+    remaining exchanges are the one-row aggregates."""
+    if not relations:
         raise ValueError("no relations declared")
+
+    def _plan_key(df: DataFrame):
+        try:
+            return df._jdf.queryExecution().analyzed().semanticHash()
+        except Exception:
+            return id(df)
+
+    groups: dict = {}
+    for name, child, child_col, parent, parent_col in relations:
+        key = _plan_key(child)
+        groups.setdefault(key, (child, []))[1].append((name, child_col, parent, parent_col))
+
+    out = None
+    for child, rels in groups.values():
+        j = child.select(*sorted({ccol for _, ccol, _, _ in rels}))
+        for i, (_, ccol, parent, pcol) in enumerate(rels):
+            pk = parent.select(F.col(pcol).alias(f"_pk{i}"))
+            if not assume_unique_parents:
+                pk = pk.distinct()
+            j = j.join(F.broadcast(pk), F.col(ccol) == F.col(f"_pk{i}"), "left")
+        agg = j.agg(
+            F.count(F.lit(1)).alias("n_child_rows"),
+            *[
+                F.count(F.when(F.col(f"_pk{i}").isNull(), 1)).alias(f"_o{i}")
+                for i in range(len(rels))
+            ],
+        )
+        # unpivot the one-row aggregate into one row per relation — a single
+        # plan branch, so the child scan provably runs once
+        rows = agg.select(
+            "n_child_rows",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("relation"),
+                            F.col(f"_o{i}").alias("n_orphans"),
+                        )
+                        for i, (name, _, _, _) in enumerate(rels)
+                    ]
+                )
+            ).alias("_r"),
+        ).select(
+            F.col("_r.relation").alias("relation"),
+            "n_child_rows",
+            F.col("_r.n_orphans").alias("n_orphans"),
+            (F.col("_r.n_orphans") == 0).alias("pass"),
+        )
+        out = rows if out is None else out.unionByName(rows)
     return out.orderBy("relation")

@@ -1164,14 +1164,17 @@ ORDER BY relation
 
 @register("fk_integrity_audit", SQL_FK_AUDIT)
 def fk_audit_q(spark, sf_dir):
-    """Whole-star-schema FK conformance: every declared relation audited for
-    orphan keys in one union of anti-join counts (the cross-table
-    complement to dq_lineitem's single-table rules)."""
+    """Whole-star-schema FK conformance: relations grouped by child, so each
+    child table is scanned once feeding its broadcast existence checks, all
+    orphan counts from one aggregate per child (the cross-table complement
+    to dq_lineitem's single-table rules). Parents are the declared PKs —
+    unique, so the dedup shuffle per parent is skipped."""
     from magiceye_spark.dq import referential_audit
 
     t = lambda n: io.read_table(spark, sf_dir, n)
     return referential_audit(
-        [
+        assume_unique_parents=True,
+        relations=[
             ("customer.c_nationkey->nation", t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
             ("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
             ("lineitem.l_partkey->part", t("lineitem"), "l_partkey", t("part"), "p_partkey"),
@@ -1179,7 +1182,7 @@ def fk_audit_q(spark, sf_dir):
             ("nation.n_regionkey->region", t("nation"), "n_regionkey", t("region"), "r_regionkey"),
             ("orders.o_custkey->customer", t("orders"), "o_custkey", t("customer"), "c_custkey"),
             ("supplier.s_nationkey->nation", t("supplier"), "s_nationkey", t("nation"), "n_nationkey"),
-        ]
+        ],
     )
 
 

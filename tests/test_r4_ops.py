@@ -115,6 +115,38 @@ def test_edit_distance_length_buckets_lossless(spark):
     assert got == [(1, 2, 2)]
 
 
+def test_referential_audit_single_scan_per_child(spark, sf_dir):
+    """A child with k declared FKs must group into ONE plan branch: at most
+    one single-row-aggregate exchange per child group (5 groups here), no
+    per-relation anti-join shuffles, no Python."""
+    from magiceye_spark import plans, registry
+
+    df = registry.queries()["fk_integrity_audit"](spark, sf_dir)
+    assert plans.count_shuffles(df) <= 6
+    assert plans.python_eval_count(df) == 0
+
+
+def test_referential_audit_duplicate_parent_keys_safe(spark):
+    """Default mode (assume_unique_parents=False) must not inflate child
+    rows when the referenced column has duplicates; NULL child keys count
+    as orphans (anti-join semantics)."""
+    from magiceye_spark.dq import referential_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, parent_id long"
+    )
+    parent = spark.createDataFrame([(10,), (10,), (20,)], "pid long")
+    rows = referential_audit(
+        [
+            ("child.parent_id->parent", child, "parent_id", parent, "pid"),
+            ("child.id->parent", child, "id", parent, "pid"),
+        ]
+    ).collect()
+    got = {r["relation"]: (r["n_child_rows"], r["n_orphans"], r["pass"]) for r in rows}
+    assert got["child.parent_id->parent"] == (4, 2, False)  # 99 and NULL
+    assert got["child.id->parent"] == (4, 4, False)
+
+
 def test_key_swap_partition_not_pruned(spark):
     """ADVICE regression: two rows swapping KEY values leave the compare-col
     multiset and row count unchanged — the fingerprint must still differ
