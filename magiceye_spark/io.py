@@ -24,6 +24,16 @@ from pyspark.sql import DataFrame, SparkSession
 #: below this total size a table is dimension-like: never worth a shuffle
 _MIN_BYTES = 4 * 1024 * 1024
 
+_UNITS = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+
+
+def _parse_bytes(raw: str) -> int:
+    """Spark size strings: '134217728', '134217728b', '128m', '128MB'."""
+    s = raw.strip().lower().removesuffix("b")
+    if s and s[-1] in _UNITS:
+        return int(s[:-1]) * _UNITS[s[-1]]
+    return int(s)
+
 
 def read_table(
     spark: SparkSession, sf_dir: str, name: str, parallelize: bool = False
@@ -43,8 +53,9 @@ def read_table(
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass  # config not recognized / not settable: fall through to read
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return parallelize_scan(spark, df) if parallelize else df
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    return parallelize_scan(spark, df, path) if parallelize else df
 
 
 def write_partitioned(
@@ -130,15 +141,39 @@ def compact_table(
     return n
 
 
-def parallelize_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
-    cores = spark.sparkContext.defaultParallelism
-    try:
-        total_bytes = sum(
-            os.path.getsize(f[len("file:"):] if f.startswith("file:") else f)
-            for f in df.inputFiles()
-        )
-    except OSError:  # non-local filesystem: let Spark's own splitting stand
+def parallelize_scan(
+    spark: SparkSession, df: DataFrame, path: str | None = None
+) -> DataFrame:
+    """Insert a round-robin repartition when a LOCAL table would scan in
+    fewer splits than the session has cores (see module docstring).
+
+    Explicitly gated on a local-filesystem ``path``: remote schemes
+    (s3://, hdfs://, ...) pass through untouched — on a real lake the split
+    count exceeds the core count anyway, and neither a driver-side listing
+    (``inputFiles()`` materializes a million-file index on the driver) nor
+    an RDD conversion belongs in the read path. Sizing walks the local
+    directory with ``os.scandir`` and estimates Spark's split count from
+    ``spark.sql.files.maxPartitionBytes`` — no JVM round-trip at all."""
+    if path is None:
         return df
-    if total_bytes >= _MIN_BYTES and df.rdd.getNumPartitions() < cores // 2:
+    local = path.removeprefix("file:")
+    if "://" in local or not os.path.exists(local):
+        return df
+    sizes = []
+    if os.path.isdir(local):
+        for entry in os.scandir(local):
+            if entry.is_file() and not entry.name.startswith(("_", ".")):
+                sizes.append(entry.stat().st_size)
+    else:
+        sizes.append(os.path.getsize(local))
+    total_bytes = sum(sizes)
+    try:
+        raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        mpb = _parse_bytes(raw)
+    except Exception:
+        mpb = 134217728
+    cores = spark.sparkContext.defaultParallelism
+    est_splits = sum(-(-s // mpb) for s in sizes)
+    if total_bytes >= _MIN_BYTES and est_splits < cores // 2:
         return df.repartition(cores)
     return df

@@ -23,10 +23,15 @@ Semantics preserved exactly:
 - Deviation (improvement): MySQL table comments are real — the reference
   hard-codes '' with a TODO (mysql.rs:144).
 
-Testing: the PG/MySQL SQL texts are unit-tested for shape (live PG/MySQL is
-unavailable in CI); the shared JDBC ingestion path and the generic
-DatabaseMetaData reader below ARE tested live, against embedded Apache Derby
-(on Spark's classpath) — see tests/test_jdbc_live.py.
+Testing: the PostgreSQL SQL texts are verified against a LIVE PostgreSQL 15
+server (tests/test_pg_live.py): the reference's own example DDL
+(examples/postgres/{base,target}.sql) is loaded into two live databases,
+the four texts run verbatim, and the resulting snapshots must match the
+hand-encoded fixture exactly and reproduce the golden diff findings. The
+shared JDBC ingestion path and the generic DatabaseMetaData reader are
+live-tested against embedded Apache Derby (tests/test_jdbc_live.py). The
+MySQL texts remain shape-tested only (no MySQL server in any round's
+environment so far) — reviewed line-by-line against mysql.rs:16-151.
 """
 
 from __future__ import annotations
