@@ -1399,3 +1399,18 @@ def datadiff_incremental_pruned_q(spark, sf_dir):
         base_fingerprints=read_fingerprints(spark, f"{root}/base_fp"),
         target_fingerprints=read_fingerprints(spark, f"{root}/target_fp"),
     )
+
+
+@register("schema_drift_timeline", synthcat.oracle_sql_timeline())
+def schema_drift_timeline_q(spark, sf_dir):
+    """Catalog drift across a 3-version snapshot history (base -> perturbed
+    -> reverted): diff_timeline tags each adjacent pair's findings with
+    (from_version, to_version). The revert leg runs the diff in the reverse
+    direction, pinning the matcher's directional asymmetry
+    (background.rs:51) under the timeline wrapper."""
+    from magiceye_spark.diff.core import diff_timeline
+
+    b = synthcat.base_snapshot(spark, sf_dir)
+    t = synthcat.target_snapshot(spark, sf_dir)
+    b2 = synthcat.base_snapshot(spark, sf_dir)
+    return diff_timeline([("v1", b), ("v2", t), ("v3", b2)])

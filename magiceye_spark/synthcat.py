@@ -76,14 +76,18 @@ def base_snapshot(spark: SparkSession, sf_dir: str) -> SchemaSnapshot:
 def target_snapshot(spark: SparkSession, sf_dir: str) -> SchemaSnapshot:
     part = _part(spark, sf_dir)
     p = F.col("p_partkey")
+    # a real catalog scan never yields child objects for absent tables
+    # (fetching.rs:11-60, the invariant _scope_to_target_tables relies on),
+    # so the dropped tables' columns/indexes/fks are dropped too
+    present = ~(p % 50).isin(*MISSING_TABLE_IDS)
     tables = (
-        part.where(~(p % 50).isin(*MISSING_TABLE_IDS))
+        part.where(present)
         .select(_tbl(p).alias("table_name"))
         .distinct()
         .withColumn("table_comment", F.lit(""))
     )
     nullable = F.col("p_size") % 2 == 0
-    columns = part.where(p % 97 != 0).select(
+    columns = part.where(present & (p % 97 != 0)).select(
         _tbl(p).alias("table_name"),
         F.concat(F.lit("col_"), p.cast("string")).alias("column_name"),
         F.when(p % 13 == 0, F.upper("p_type")).otherwise(F.col("p_type")).alias("data_type"),
@@ -95,7 +99,7 @@ def target_snapshot(spark: SparkSession, sf_dir: str) -> SchemaSnapshot:
         F.lit(False).alias("is_auto_increment"),
     )
     unique = F.col("p_size") % 3 == 0
-    indexes = part.where((p % 10 == 0) & (p % 70 != 0)).select(
+    indexes = part.where(present & (p % 10 == 0) & (p % 70 != 0)).select(
         _tbl(p).alias("table_name"),
         F.concat(F.lit("idx_"), p.cast("string")).alias("index_name"),
         F.when(p % 30 == 0, F.array(F.col("p_name"), F.col("p_brand"))).otherwise(
@@ -104,7 +108,7 @@ def target_snapshot(spark: SparkSession, sf_dir: str) -> SchemaSnapshot:
         F.when(p % 110 == 0, F.lit("p_size > 10")).otherwise(F.lit("")).alias("predicate"),
         F.when(p % 130 == 0, ~unique).otherwise(unique).alias("is_unique"),
     )
-    fks = part.where((p % 20 == 0) & (p % 60 != 0)).select(
+    fks = part.where(present & (p % 20 == 0) & (p % 60 != 0)).select(
         _tbl(p).alias("table_name"),
         F.concat(F.lit("fk_"), p.cast("string")).alias("fk_name"),
         F.array(F.concat(F.lit("col_"), p.cast("string"))).alias("columns"),
@@ -146,7 +150,7 @@ target_columns AS (
          CASE WHEN p_partkey % 41 = 0 THEN '' ELSE p_brand END AS column_default,
          CASE WHEN p_partkey % 31 = 0 THEN NOT (p_size % 2 = 0) ELSE p_size % 2 = 0 END AS is_nullable,
          CASE WHEN p_partkey % 53 = 0 THEN p_name || ' v2' ELSE p_name END AS comment
-  FROM part WHERE p_partkey % 97 <> 0
+  FROM part WHERE p_partkey % 97 <> 0 AND p_partkey % 50 NOT IN (7, 23, 41)
 ),
 base_indexes AS (
   SELECT 'tbl_' || CAST(p_partkey % 50 AS VARCHAR) AS table_name,
@@ -164,6 +168,7 @@ target_indexes AS (
          CASE WHEN p_partkey % 110 = 0 THEN 'p_size > 10' ELSE '' END AS predicate,
          CASE WHEN p_partkey % 130 = 0 THEN NOT (p_size % 3 = 0) ELSE p_size % 3 = 0 END AS is_unique
   FROM part WHERE p_partkey % 10 = 0 AND p_partkey % 70 <> 0
+    AND p_partkey % 50 NOT IN (7, 23, 41)
 ),
 base_fks AS (
   SELECT 'tbl_' || CAST(p_partkey % 50 AS VARCHAR) AS table_name,
@@ -178,6 +183,7 @@ target_fks AS (
          CASE WHEN p_partkey % 140 = 0 THEN 'elsewhere' ELSE p_brand END AS ref_table,
          p_type AS ref_column
   FROM part WHERE p_partkey % 20 = 0 AND p_partkey % 60 <> 0
+    AND p_partkey % 50 NOT IN (7, 23, 41)
 )
 """
 
@@ -279,3 +285,33 @@ def oracle_sql_full() -> str:
 
 def with_ctes(body: str) -> str:
     return ORACLE_CTES + body
+
+
+def _swap_roles(sql: str) -> str:
+    """Reverse-direction diff SQL: swap base_*/target_* CTE references for
+    the four object kinds (``matched`` is an INTERSECT — symmetric — and
+    the ``base_value`` output alias is deliberately untouched)."""
+    out = sql
+    for kind in ("tables", "columns", "indexes", "fks"):
+        out = (
+            out.replace(f"base_{kind}", "__swap__")
+            .replace(f"target_{kind}", f"base_{kind}")
+            .replace("__swap__", f"target_{kind}")
+        )
+    return out
+
+
+def oracle_sql_timeline() -> str:
+    """Oracle for a 3-version drift timeline v1=base → v2=target → v3=base
+    (a revert): the forward findings tagged (v1, v2) plus the role-swapped
+    reverse findings tagged (v2, v3)."""
+    bodies = (SQL_MISSING_TABLES, SQL_COLUMN_DIFFS, SQL_INDEX_DIFFS, SQL_FK_DIFFS)
+    fwd = " UNION ALL ".join(f"SELECT {_F6} FROM ({q})" for q in bodies)
+    rev = " UNION ALL ".join(
+        f"SELECT {_F6} FROM ({_swap_roles(q)})" for q in bodies
+    )
+    return ORACLE_CTES + f"""
+SELECT 'v1' AS from_version, 'v2' AS to_version, {_F6} FROM ({fwd})
+UNION ALL
+SELECT 'v2' AS from_version, 'v3' AS to_version, {_F6} FROM ({rev})
+"""
