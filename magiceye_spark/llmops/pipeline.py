@@ -113,6 +113,59 @@ def stratified_sample(
     return docs.sampleBy(key, fractions, seed)
 
 
+def stratified_quota_sample(
+    docs: DataFrame,
+    quotas: dict[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "quota-v1",
+) -> DataFrame:
+    """EXACT per-stratum sample counts: rank each stratum by a salted,
+    content-independent md5 of the id and keep the first ``quotas[s]`` rows
+    — (id, stratum) output. The exact-count complement to the probabilistic
+    :func:`resample_to_mix` (hash-Bernoulli hits quotas only in
+    expectation; dataset cards usually promise exact counts).
+
+    Deterministic across runs, engines, and cluster layouts: the winners
+    are a pure function of (salt, id), and because ranking follows the hash
+    order, growing a stratum only displaces rows at the rank boundary —
+    re-sampling after ingest keeps almost all previous picks. Strata absent
+    from ``quotas`` are dropped. One hash-partition shuffle on the strata
+    column; each stratum ranks within its own task, so this is the right
+    tool when quotas × strata are warehouse-sane (per-language/per-source
+    curation). For a single colossal stratum prefer :func:`resample_to_mix`
+    (map-only) — the same tradeoff the docstring there documents in
+    reverse. md5 (not xxhash64) so the DuckDB oracle computes the identical
+    ranking."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(id_col))
+    quota = F.create_map(
+        *[F.lit(x) for kv in quotas.items() for x in kv]
+    )[F.col(strata_col)]
+    return (
+        docs.select(id_col, strata_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= F.coalesce(quota, F.lit(0)))
+        .select(id_col, strata_col)
+    )
+
+
+def sql_stratified_quota_sample(
+    quotas: dict[str, int], salt: str = "quota-v1"
+) -> str:
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in quotas.items())
+    return f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source, ROW_NUMBER() OVER (
+    PARTITION BY source
+    ORDER BY md5('{salt}' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+WHERE rk <= CASE source {cases} ELSE 0 END
+"""
+
+
 def hash_split(
     docs: DataFrame,
     train_pct: int = 90,

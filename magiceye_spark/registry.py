@@ -1414,3 +1414,20 @@ def schema_drift_timeline_q(spark, sf_dir):
     t = synthcat.target_snapshot(spark, sf_dir)
     b2 = synthcat.base_snapshot(spark, sf_dir)
     return diff_timeline([("v1", b), ("v2", t), ("v3", b2)])
+
+
+# driver testdata has 25 docs per source at sf0.01 — quotas below that
+# exercise the actual rank cutoff, src2's sits above it (cap path)
+_QUOTAS_R4 = {"src0": 15, "src1": 10, "src2": 40}
+
+
+@register(
+    "corpus_stratified_quota",
+    pipeline.sql_stratified_quota_sample(_QUOTAS_R4),
+)
+def stratified_quota_q(spark, sf_dir):
+    """EXACT per-source sample counts via salted-md5 rank within each
+    stratum — the exact-count complement to the probabilistic
+    corpus_resampled_mix (same winners on any engine/layout; growing a
+    stratum only displaces rows at the rank boundary)."""
+    return pipeline.stratified_quota_sample(_docs(spark, sf_dir), _QUOTAS_R4)

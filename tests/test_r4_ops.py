@@ -147,6 +147,25 @@ def test_referential_audit_duplicate_parent_keys_safe(spark):
     assert got["child.id->parent"] == (4, 4, False)
 
 
+def test_stratified_quota_sample_exact_and_stable(spark, sf_dir):
+    """Quotas are hit exactly (capped by stratum size), strata without a
+    quota are dropped, and the winner set is invariant to repartitioning."""
+    from magiceye_spark.llmops.pipeline import stratified_quota_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sizes = {r["source"]: r["n"] for r in
+             docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    quotas = {"src0": 7, "src1": 10**6, "src9_absent": 5}
+    out = stratified_quota_sample(docs, quotas)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["src0"] == 7
+    assert got["src1"] == sizes["src1"]  # quota above size → whole stratum
+    assert set(got) == {"src0", "src1"}
+    again = stratified_quota_sample(docs.repartition(13), quotas)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
 def test_key_swap_partition_not_pruned(spark):
     """ADVICE regression: two rows swapping KEY values leave the compare-col
     multiset and row count unchanged — the fingerprint must still differ
