@@ -1053,6 +1053,68 @@ def events_anomalous_days(spark: SparkSession, sf_dir: str, z_cut: float = 2.0) 
     )
 
 
+def events_robust_outliers(
+    spark: SparkSession, sf_dir: str, k: float = 3.5
+) -> DataFrame:
+    """Median/MAD outlier fence per event_type: (event_type, n, med, mad,
+    n_outliers) where an outlier is ``|v − median| > k · MAD``. The
+    heavy-tail-safe complement to :func:`events_anomalous_days`'s
+    mean/stddev z-screen — one pathological whale moves a mean fence but
+    not a median one.
+
+    Engine determinism: medians are exact percentiles (linear interpolation
+    of two order statistics — no float summation anywhere, so DuckDB
+    computes bit-identical values), counts are integers; med/mad rounded
+    only in the projection. Three grouped passes over the fact table (med →
+    MAD → fence counts) with the KB-sized intermediate broadcast back; at
+    100 TB swap the exact percentile for ``approx_percentile`` and keep the
+    same shape."""
+    e = _events(spark, sf_dir).select(
+        "event_type", F.col("value").cast("double").alias("v")
+    )
+    med = e.groupBy("event_type").agg(F.expr("percentile(v, 0.5)").alias("med"))
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.expr("percentile(abs(v - med), 0.5)").alias("mad"),
+        )
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("v").alias("n"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.count(
+                F.when(F.abs(F.col("v") - F.col("med")) > k * F.col("mad"), 1)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sql_events_robust_outliers(k: float = 3.5) -> str:
+    return f"""
+WITH e AS (SELECT event_type, CAST(value AS DOUBLE) AS v FROM events),
+med AS (
+  SELECT event_type, percentile_cont(0.5) WITHIN GROUP (ORDER BY v) AS med
+  FROM e GROUP BY event_type),
+mad AS (
+  SELECT e.event_type, MIN(med) AS med,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY ABS(v - med)) AS mad
+  FROM e JOIN med USING (event_type) GROUP BY e.event_type)
+SELECT e.event_type, COUNT(v) AS n,
+       ROUND(MIN(med), 6) AS med, ROUND(MIN(mad), 6) AS mad,
+       COUNT(CASE WHEN ABS(v - med) > {k} * mad THEN 1 END) AS n_outliers
+FROM e JOIN mad USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
 def sql_events_anomalous_days(z_cut: float = 2.0) -> str:
     return f"""
 WITH daily AS (

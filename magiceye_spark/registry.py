@@ -1431,3 +1431,11 @@ def stratified_quota_q(spark, sf_dir):
     corpus_resampled_mix (same winners on any engine/layout; growing a
     stratum only displaces rows at the rank boundary)."""
     return pipeline.stratified_quota_sample(_docs(spark, sf_dir), _QUOTAS_R4)
+
+
+@register("events_robust_outliers", analytics.sql_events_robust_outliers(k=3.5))
+def robust_outliers_q(spark, sf_dir):
+    """Median/MAD outlier fence per event_type — the heavy-tail-safe
+    complement to the mean/stddev z-screen; exact order-statistic medians
+    keep both engines bit-identical (no float summation anywhere)."""
+    return analytics.events_robust_outliers(spark, sf_dir, k=3.5)
