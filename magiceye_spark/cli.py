@@ -239,9 +239,42 @@ def cmd_datadiff(args: argparse.Namespace) -> int:
         print("identical" if same else "DIFFERENT")
         return 0 if same else 1
 
+    if args.mode == "write-fingerprints":
+        if not args.partition_col or not args.out:
+            print("--partition-col and --out are required for write-fingerprints",
+                  file=sys.stderr)
+            return 2
+        # cover keys + compare columns, matching what incremental mode
+        # fingerprints on its side — a mismatched column set degrades safely
+        # (every partition looks changed: correct output, no pruning)
+        wkeys = args.keys.split(",") if args.keys else []
+        # with --columns: keys ∪ columns; without: None (all columns, which
+        # already include the keys)
+        fp_cols = sorted({*wkeys, *cols}) if cols else None
+        datadiff.write_fingerprints(base, args.partition_col, args.out, fp_cols)
+        print(f"wrote {args.out}")
+        return 0
+
     keys = args.keys.split(",") if args.keys else None
     if args.mode == "rowset":
         d = datadiff.diff_rows_set(base, target)
+    elif args.mode == "incremental":
+        if not keys or not args.partition_col:
+            print("--keys and --partition-col are required for incremental mode",
+                  file=sys.stderr)
+            return 2
+        bfp = (
+            datadiff.read_fingerprints(spark, args.base_fingerprints)
+            if args.base_fingerprints else None
+        )
+        tfp = (
+            datadiff.read_fingerprints(spark, args.target_fingerprints)
+            if args.target_fingerprints else None
+        )
+        d = datadiff.diff_data_incremental(
+            base, target, keys, args.partition_col, cols,
+            base_fingerprints=bfp, target_fingerprints=tfp,
+        )
     else:
         if not keys:
             print("--keys is required for keyed modes", file=sys.stderr)
@@ -384,10 +417,22 @@ def main(argv: list[str] | None = None) -> int:
     p_dd.add_argument("target", help="target parquet file/dir")
     p_dd.add_argument("--keys", help="comma-separated primary-key columns")
     p_dd.add_argument("--columns", help="comma-separated compare columns (default: all shared non-key)")
-    p_dd.add_argument("--mode", choices=["full", "left", "hash", "rowset", "fingerprint"],
+    p_dd.add_argument("--mode",
+                      choices=["full", "left", "hash", "rowset", "fingerprint",
+                               "incremental", "write-fingerprints"],
                       default="full",
                       help="full/left: per-column attribution; hash: wide-row fast path; "
-                           "rowset: keyless multiset diff; fingerprint: checksum pre-check")
+                           "rowset: keyless multiset diff; fingerprint: checksum pre-check; "
+                           "incremental: diff only changed partitions (stored fingerprint "
+                           "tables via --base-fingerprints/--target-fingerprints skip the "
+                           "deciding scans entirely); write-fingerprints: persist BASE's "
+                           "per-partition fingerprint table to --out (target arg ignored)")
+    p_dd.add_argument("--partition-col",
+                      help="partition column for incremental/write-fingerprints modes")
+    p_dd.add_argument("--base-fingerprints",
+                      help="stored fingerprint table for the base side (incremental mode)")
+    p_dd.add_argument("--target-fingerprints",
+                      help="stored fingerprint table for the target side (incremental mode)")
     p_dd.add_argument("--out", help="write row-level diff as parquet here (never collected)")
     p_dd.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
                       default="parquet", help="input table format")

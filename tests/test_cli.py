@@ -53,6 +53,39 @@ def test_cli_datadiff_keyed_mode_requires_keys(spark, tmp_path):
     assert cli.main(["datadiff", str(a), str(a)]) == 2
 
 
+def test_cli_incremental_with_stored_fingerprints(spark, tmp_path, capsys):
+    """Publish-time fingerprints → incremental diff: write both sides'
+    fingerprint tables via the CLI, then diff with them — counts must match
+    the plain full diff."""
+    base = tmp_path / "ibase"
+    target = tmp_path / "itarget"
+    rows_b = [(i, i % 3, i * 10) for i in range(30)]
+    rows_t = [(i, i % 3, i * 10 + (5 if i % 3 == 1 else 0)) for i in range(30)]
+    _write(spark, base, rows_b, "id int, p int, v int")
+    _write(spark, target, rows_t, "id int, p int, v int")
+    bfp, tfp = tmp_path / "bfp", tmp_path / "tfp"
+    assert cli.main(["datadiff", str(base), str(base), "--mode", "write-fingerprints",
+                     "--partition-col", "p", "--keys", "id", "--columns", "v",
+                     "--out", str(bfp)]) == 0
+    assert cli.main(["datadiff", str(target), str(target), "--mode", "write-fingerprints",
+                     "--partition-col", "p", "--keys", "id", "--columns", "v",
+                     "--out", str(tfp)]) == 0
+    capsys.readouterr()
+    rc = cli.main(["datadiff", str(base), str(target), "--mode", "incremental",
+                   "--keys", "id", "--columns", "v", "--partition-col", "p",
+                   "--base-fingerprints", str(bfp),
+                   "--target-fingerprints", str(tfp)])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "changed  10" in printed  # the i%3==1 rows
+
+    # missing required args → exit 2
+    assert cli.main(["datadiff", str(base), str(target), "--mode", "incremental",
+                     "--keys", "id"]) == 2
+    assert cli.main(["datadiff", str(base), str(target),
+                     "--mode", "write-fingerprints"]) == 2
+
+
 def test_cli_datadiff_csv_format(spark, tmp_path, capsys):
     base = tmp_path / "base_csv"
     target = tmp_path / "target_csv"
