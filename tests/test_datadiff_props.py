@@ -140,6 +140,45 @@ def test_self_diff_is_empty(spark, rows):
     assert diff_rows_set(df, df).count() == 0
 
 
+@given(base=TABLE, target=TABLE)
+@_settings
+def test_incremental_equals_full_on_random_tables(spark, base, target):
+    """Partition pruning (lazy AND stored-fingerprint mode) must be
+    invisible: diff_data_incremental == diff_data on random tables with a
+    key-derived partition column — including the key-swap shapes the r4
+    advisor fix covers (fingerprints include keys)."""
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.datadiff import (
+        diff_data_incremental,
+        partition_fingerprints,
+    )
+
+    base, target = _dedup_by_key(base), _dedup_by_key(target)
+    bdf = spark.createDataFrame(base, SCHEMA) if base else spark.createDataFrame([], SCHEMA)
+    tdf = spark.createDataFrame(target, SCHEMA) if target else spark.createDataFrame([], SCHEMA)
+    bdf = bdf.withColumn("p", F.col("k") % 3)
+    tdf = tdf.withColumn("p", F.col("k") % 3)
+    expected = _expected(base, target)
+    lazy = {
+        r["k"]: r["diff_status"]
+        for r in diff_data_incremental(
+            bdf, tdf, ["k"], "p", compare_cols=["v1", "v2"]
+        ).collect()
+    }
+    assert lazy == expected
+    fp_cols = ["k", "v1", "v2"]
+    stored = {
+        r["k"]: r["diff_status"]
+        for r in diff_data_incremental(
+            bdf, tdf, ["k"], "p", compare_cols=["v1", "v2"],
+            base_fingerprints=partition_fingerprints(bdf, "p", fp_cols),
+            target_fingerprints=partition_fingerprints(tdf, "p", fp_cols),
+        ).collect()
+    }
+    assert stored == expected
+
+
 def test_compare_cols_subset_limits_attribution(spark):
     """Restricting compare_cols must ignore differences outside the subset."""
     base = spark.createDataFrame([(1, 10, "a"), (2, 20, "b")], SCHEMA)
