@@ -15,7 +15,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from magiceye_spark import analytics, events_ops, io, profile, sketches, synthcat
+from magiceye_spark import analytics, events_ops, io, partsupp, profile, sketches, synthcat
 from magiceye_spark.llmops import dedup, multimodal, pipeline, simsearch, textstats
 from magiceye_spark.datadiff import (
     diff_data,
@@ -1439,3 +1439,42 @@ def robust_outliers_q(spark, sf_dir):
     complement to the mean/stddev z-screen; exact order-statistic medians
     keep both engines bit-identical (no float summation anywhere)."""
     return analytics.events_robust_outliers(spark, sf_dir, k=3.5)
+
+
+# ---------------------------------------------- partsupp-derived TPC-H shapes
+# (partsupp is DERIVED deterministically from part × supplier count — the
+# same precedent as the synthetic catalogs; derivation mirrored in the CTE)
+
+@register("q9_product_profit", partsupp.SQL_Q9)
+def q9_q(spark, sf_dir):
+    """TPC-H Q9 shape over the derived partsupp: profit by (nation, order
+    year) — the composite-key lineitem⋈partsupp join Q9 exists to test."""
+    return partsupp.q9_product_profit(spark, sf_dir)
+
+
+@register("q11_stock_value", partsupp.sql_q11())
+def q11_q(spark, sf_dir):
+    """TPC-H Q11 shape: parts above a fraction-of-total stock value
+    threshold (scalar subquery); integer-cents arithmetic, engine-exact."""
+    return partsupp.q11_stock_value(spark, sf_dir)
+
+
+@register("q16_supplier_counts", partsupp.SQL_Q16)
+def q16_q(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type, size)
+    with part and supplier exclusions."""
+    return partsupp.q16_supplier_counts(spark, sf_dir)
+
+
+@register("q2_min_cost_supplier", partsupp.sql_q2())
+def q2_q(spark, sf_dir):
+    """TPC-H Q2 shape: region suppliers offering the per-part minimum
+    derived supply cost (correlated min as a min-aggregate join)."""
+    return partsupp.q2_min_cost_supplier(spark, sf_dir)
+
+
+@register("q20_excess_stock", partsupp.sql_q20())
+def q20_q(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers holding >half the year's shipped quantity
+    of 'red' parts (nested semi-joins)."""
+    return partsupp.q20_excess_stock(spark, sf_dir)
