@@ -859,6 +859,90 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+#: deterministic shipping attributes for Q12 — the testdata lacks
+#: l_shipmode/l_commitdate/l_receiptdate, so they are DERIVED from
+#: (l_orderkey, l_linenumber, l_shipdate) by pure integer arithmetic,
+#: following the derived-partsupp precedent (partsupp.py): the identical
+#: derivation is emitted as a SQL CTE for the DuckDB oracle, so the query
+#: remains oracle-checked over shipped inputs only.
+_SHIPMODES = ["REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB"]
+
+
+def derived_shipping(l: DataFrame) -> DataFrame:
+    """lineitem + (l_shipmode, l_commitdate, l_receiptdate), all derived:
+    mode = modes[(3·okey + lineno) mod 7]; commitdate = shipdate +
+    ((5·okey + 11·lineno) mod 61 − 30) days (can precede or follow ship);
+    receiptdate = shipdate + ((7·okey + 13·lineno) mod 28 + 1) days.
+    Map-side expressions only — no shuffle, no data generation."""
+    okey, lineno = F.col("l_orderkey"), F.col("l_linenumber").cast("bigint")
+    mode_idx = (okey * 3 + lineno) % 7
+    commit_off = ((okey * 5 + lineno * 11) % 61 - 30).cast("int")
+    receipt_off = ((okey * 7 + lineno * 13) % 28 + 1).cast("int")
+    ship_d = F.col("l_shipdate").cast("date")
+    return l.select(
+        "*",
+        F.element_at(F.array(*[F.lit(m) for m in _SHIPMODES]), (mode_idx + 1).cast("int")).alias("l_shipmode"),
+        F.date_add(ship_d, commit_off).alias("l_commitdate"),
+        F.date_add(ship_d, receipt_off).alias("l_receiptdate"),
+    )
+
+
+#: the identical derivation as a DuckDB CTE over lineitem
+SHIPPING_CTE = """
+WITH lineitem_s AS (
+  SELECT *,
+         ['REG AIR','AIR','RAIL','SHIP','TRUCK','MAIL','FOB']
+           [CAST((l_orderkey * 3 + l_linenumber) % 7 AS INT) + 1] AS l_shipmode,
+         CAST(l_shipdate AS DATE)
+           + CAST((l_orderkey * 5 + l_linenumber * 11) % 61 - 30 AS INT) AS l_commitdate,
+         CAST(l_shipdate AS DATE)
+           + CAST((l_orderkey * 7 + l_linenumber * 13) % 28 + 1 AS INT) AS l_receiptdate
+  FROM lineitem
+)
+"""
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str, year: int = 1996) -> DataFrame:
+    """TPC-H Q12 shape: for late deliveries (committed before received,
+    shipped before committed) received in ``year`` via MAIL or SHIP, count
+    critical- vs non-critical-priority orders per ship mode. One
+    orderkey-equi-join (lineitem side pre-filtered on the scan), then a
+    7-group aggregation — the canonical Q12 plan. Ship attributes derived
+    per :func:`derived_shipping`; pure counts, engine-exact."""
+    l = derived_shipping(_t(spark, sf_dir, "lineitem")).where(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
+        & (F.year("l_receiptdate") == year)
+    )
+    o = _t(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_shipmode")
+    )
+
+
+def sql_q12(year: int = 1996) -> str:
+    return SHIPPING_CTE + f"""
+SELECT l_shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem_s JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipmode IN ('MAIL','SHIP')
+  AND l_commitdate < l_receiptdate
+  AND CAST(l_shipdate AS DATE) < l_commitdate
+  AND YEAR(l_receiptdate) = {year}
+GROUP BY l_shipmode
+ORDER BY l_shipmode
+"""
+
+
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with maximum revenue in a quarter — the
     scalar-max-over-aggregate pattern (the revenue view joined to its own

@@ -475,6 +475,16 @@ def q10(spark, sf_dir):
     return analytics.q10_returned_items(spark, sf_dir)
 
 
+@register("q12_shipmode_priority", analytics.sql_q12())
+def q12(spark, sf_dir):
+    """TPC-H Q12 over DERIVED ship attributes (analytics.derived_shipping):
+    the testdata lacks shipmode/commitdate/receiptdate, so they're pure
+    integer-arithmetic functions of (orderkey, linenumber, shipdate), with
+    the identical derivation as the oracle CTE — the derived-partsupp
+    precedent. Completes the expressible TPC-H set at 22/22."""
+    return analytics.q12_shipmode_priority(spark, sf_dir)
+
+
 @register("q13_order_count_distribution", analytics.SQL_Q13)
 def q13(spark, sf_dir):
     return analytics.q13_order_count_distribution(spark, sf_dir)

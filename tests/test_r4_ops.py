@@ -180,3 +180,32 @@ def test_key_swap_partition_not_pruned(spark):
     out = diff_data_incremental(base, target, ["id"], "m", compare_cols=["v"])
     got = {(r.id, r.diff_status) for r in out.collect()}
     assert got == {(1, "changed"), (2, "changed")}
+
+
+def test_q12_derived_shipping_no_shuffle_and_consistent(spark, sf_dir):
+    """Q12 over derived ship attributes: the derivation itself is map-side
+    (zero exchanges over the lineitem scan), mode distribution covers all 7
+    modes, and high+low counts equal the filtered join cardinality."""
+    from magiceye_spark.analytics import derived_shipping, q12_shipmode_priority
+    from magiceye_spark.io import read_table
+
+    l = derived_shipping(read_table(spark, sf_dir, "lineitem"))
+    assert plans.count_shuffles(l) == 0
+    assert l.select("l_shipmode").distinct().count() == 7
+    # receipt strictly after ship by construction (1..28 days)
+    bad = l.where(F.col("l_receiptdate") <= F.col("l_shipdate").cast("date")).count()
+    assert bad == 0
+
+    out = q12_shipmode_priority(spark, sf_dir).collect()
+    assert [r.l_shipmode for r in out] == sorted(r.l_shipmode for r in out)
+    assert set(r.l_shipmode for r in out) <= {"MAIL", "SHIP"}
+    total = sum(r.high_line_count + r.low_line_count for r in out)
+    expected = (
+        l.where(
+            F.col("l_shipmode").isin("MAIL", "SHIP")
+            & (F.col("l_commitdate") < F.col("l_receiptdate"))
+            & (F.col("l_shipdate").cast("date") < F.col("l_commitdate"))
+            & (F.year("l_receiptdate") == 1996)
+        ).count()
+    )
+    assert total == expected
