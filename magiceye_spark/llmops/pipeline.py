@@ -199,6 +199,75 @@ FROM documents
 """
 
 
+def leakage_pairs(pairs: DataFrame, splits: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Join any near-dup pair table (doc_a, doc_b, …) against a split
+    assignment (id, split) and keep pairs that STRADDLE the boundary —
+    an eval document with a training near-twin is benchmark leakage the
+    decontamination n-gram check can miss (paraphrase-level overlap).
+
+    Pair-generator-agnostic: feed :func:`magiceye_spark.llmops.dedup.
+    minhash_lsh_pairs` (the 100 TB path) or the exact Jaccard twin.
+    Two doc_id equi-joins on a pair table that LSH already shrank —
+    no new shuffle beyond the pair generator's own."""
+    sa = splits.select(F.col(id_col).alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col(id_col).alias("doc_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    train_pct: int = 90,
+    threshold: float = 0.8,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """End-to-end split-leakage audit over the documents corpus: exact
+    Jaccard near-dup pairs (the oracle-checkable small-scale twin —
+    swap in minhash_lsh_pairs at corpus scale) × the deterministic
+    hash split, keeping cross-boundary pairs."""
+    from magiceye_spark.llmops import dedup
+
+    pairs = dedup.jaccard_near_dups(docs, threshold=threshold)
+    splits = hash_split(docs, train_pct=train_pct, salt=salt)
+    return leakage_pairs(pairs, splits)
+
+
+def sql_split_leakage(
+    train_pct: int = 90, threshold: float = 0.8, salt: str = "split-v1", length_tol: int = 60
+) -> str:
+    return f"""
+WITH toksets AS (
+  SELECT doc_id, lang, n_chars,
+         list_distinct(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND(LENGTH(list_intersect(a.toks, b.toks))
+               / CAST(LENGTH(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) AS jaccard
+  FROM toksets a JOIN toksets b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id AND ABS(a.n_chars - b.n_chars) <= {length_tol}
+  WHERE LENGTH(list_intersect(a.toks, b.toks))
+        / CAST(LENGTH(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= {threshold}
+),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN CAST(CONCAT('0x', substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < {train_pct}
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents
+)
+SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b, p.jaccard
+FROM pairs p
+JOIN splits sa ON p.doc_a = sa.doc_id
+JOIN splits sb ON p.doc_b = sb.doc_id
+WHERE sa.split <> sb.split
+"""
+
+
 def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row of funnel counts: input → after quality → after exact dedup
     → after near dedup. The per-stage counts are what a pipeline operator

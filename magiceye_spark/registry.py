@@ -811,6 +811,17 @@ def hash_split_q(spark, sf_dir):
     return pipeline.hash_split(_docs(spark, sf_dir), train_pct=90)
 
 
+@register("split_leakage_audit", pipeline.sql_split_leakage(train_pct=90, threshold=0.8))
+def split_leakage_q(spark, sf_dir):
+    """Near-dup pairs that straddle the train/eval hash-split boundary —
+    paraphrase-level benchmark leakage the n-gram decontamination check
+    misses. Pair generator here is the exact Jaccard oracle twin
+    (dedup.jaccard_near_dups); at corpus scale feed minhash_lsh_pairs into
+    pipeline.leakage_pairs — the audit join itself adds no shuffle beyond
+    the pair table's own."""
+    return pipeline.split_leakage_audit(_docs(spark, sf_dir), train_pct=90, threshold=0.8)
+
+
 @register("sequence_packing", pipeline.sql_sequence_packing(budget=512, n_shards=32))
 def sequence_packing_q(spark, sf_dir):
     """Concat-and-chunk token packing into 512-token training sequences,

@@ -485,3 +485,56 @@ def test_embedding_dedup_fused_matches_pairwise_on_corpus(spark, sf_dir):
         for r in simsearch.embedding_dedup_fused(d, threshold=0.95).collect()
     }
     assert kept_fused == kept_pairwise
+
+
+def test_split_leakage_audit_planted(spark):
+    """Cross-boundary near-dup pairs are flagged; same-split pairs are not.
+    leakage_pairs is pair-generator-agnostic: the exact-Jaccard feed and a
+    caller-supplied pair table (the LSH path's contract) agree."""
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.llmops import dedup
+    from magiceye_spark.llmops.pipeline import (
+        hash_split,
+        leakage_pairs,
+        split_leakage_audit,
+    )
+
+    d = _planted(spark)
+    splits = hash_split(d, train_pct=90)
+    by_id = {r["doc_id"]: r["split"] for r in splits.collect()}
+    out = split_leakage_audit(d, train_pct=90, threshold=0.8).collect()
+    for r in out:  # every reported pair genuinely straddles
+        assert by_id[r["doc_a"]] != by_id[r["doc_b"]]
+        assert r["split_a"] == by_id[r["doc_a"]]
+        assert r["jaccard"] >= 0.8
+    # generic feed: identical result when the pair table is supplied
+    pairs = dedup.jaccard_near_dups(d, threshold=0.8)
+    via_generic = leakage_pairs(pairs, splits).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, via_generic))
+    # force a straddle with a 2-doc corpus split by construction:
+    # doc ids chosen so md5-bucket lands one in train, one in eval
+    buckets = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            spark.createDataFrame(
+                [(i, "x", "en", "s", 1) for i in range(40)],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ),
+            train_pct=50,
+        ).collect()
+    }
+    tr = next(i for i, s in buckets.items() if s == "train")
+    ev = next(i for i, s in buckets.items() if s == "eval")
+    two = spark.createDataFrame(
+        [
+            (tr, "alpha beta gamma delta epsilon", "en", "s", 30),
+            (ev, "alpha beta gamma delta epsilon", "en", "s", 30),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    flagged = split_leakage_audit(two, train_pct=50, threshold=0.8).collect()
+    assert len(flagged) == 1 and {flagged[0]["split_a"], flagged[0]["split_b"]} == {
+        "train",
+        "eval",
+    }
