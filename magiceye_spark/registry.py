@@ -60,14 +60,14 @@ _DRIVER_WINDOW = [
     "schema_diff_full",
     "schema_diff_report",
     # row-level data diff family (summary seat ceded to ivf_ann_exact in r4
-    # so the ANN machinery gets a deterministic driver row; the summary stays
-    # registered and oracle-checked in pytest's sweep)
+    # so the ANN machinery gets a deterministic driver row; the fingerprint
+    # seat ceded to split_leakage_audit late-r4 — both stay registered and
+    # oracle-checked in pytest's sweep)
     "datadiff_lineitem",
     "datadiff_incremental",
     "datadiff_dataset_summary",
     "datadiff_lineitem_rowset",
     "datadiff_lineitem_directional",
-    "datadiff_fingerprint",
     # profiling / data quality
     "profile_lineitem",
     "profile_drift_lineitem",
@@ -110,6 +110,7 @@ _DRIVER_WINDOW = [
     # pipeline curation
     "corpus_hash_split",
     "decontamination_overlap",
+    "split_leakage_audit",
     # similarity search
     "cosine_topk",
     "embedding_near_dups",
