@@ -1,0 +1,186 @@
+"""Multi-dimensional data layout: Z-order (Morton-curve) clustering.
+
+At 100 TB the dominant query cost is the scan, and the dominant scan
+lever after partition pruning is ROW-GROUP pruning — parquet min/max
+statistics skipping whole row groups. A table sorted on one column prunes
+predicates on that column only; a table written along a Z-order curve
+interleaves the bits of several columns so that files/row groups are
+simultaneously narrow in ALL of them, and predicates on any subset prune.
+This is the same layout optimization Delta Lake's OPTIMIZE ZORDER BY and
+Iceberg's sort-order rewrite apply; here it is expressed with plain
+DataFrame ops so it works on any parquet lake:
+
+1. one tiny stats job computes per-column min/max (a single partial agg);
+2. each column is bucketized to ``bits``-bit integers MAP-SIDE by pure
+   integer arithmetic (no window, no sort, no shuffle);
+3. bits are interleaved into the Morton code with shift/or chains that
+   stay inside whole-stage codegen;
+4. ``repartitionByRange`` on the code (one range shuffle — the same cost
+   any global sort pays) + ``sortWithinPartitions`` → write.
+
+The curve math is engine-exact integer arithmetic, so `zorder_histogram`
+is oracle-checked against DuckDB computing the identical interleave.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_int(col: Column, dtype: str) -> Column:
+    """Normalize a column to a non-negative BIGINT domain value."""
+    if dtype in ("date", "timestamp", "timestamp_ntz"):
+        return F.datediff(col.cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    return col.cast("bigint")
+
+
+def _bucket_shift(cmin: int, cmax: int, bits: int) -> int:
+    """Right-shift that maps [0, cmax-cmin] into [0, 2**bits): the domain
+    rounded up to a power of two. Pure bit arithmetic — no division, no
+    doubles — so the bucket id is bit-identical on every engine at any
+    domain size (floor-division via doubles loses bits past 2^53)."""
+    top = max(int(cmax) - int(cmin), 1)  # largest shifted value
+    return max(0, top.bit_length() - bits)
+
+
+def interleave_bits(cols: Sequence[Column], bits: int = 16) -> Column:
+    """Morton code: bit j of column c lands at position j*k + c (k = number
+    of columns). A chain of shift/and/or expressions — all JVM-side,
+    whole-stage-codegen friendly; 2-col × 16-bit = 32 terms."""
+    k = len(cols)
+    terms = []
+    for c_idx, col in enumerate(cols):
+        for j in range(bits):
+            terms.append(
+                F.shiftleft(
+                    F.shiftright(col, j).bitwiseAND(F.lit(1)), j * k + c_idx
+                )
+            )
+    return functools.reduce(lambda a, b: a.bitwiseOR(b), terms).alias("zvalue")
+
+
+def zorder_code(
+    df: DataFrame, cols: Sequence[str], stats: dict[str, tuple[int, int]], bits: int = 16
+) -> Column:
+    """The Z-value column for ``cols`` given precomputed per-column
+    (min, max) stats. Map-side only."""
+    dtypes = dict(df.dtypes)
+    bucketed = []
+    for c in cols:
+        v = _to_int(F.col(c), dtypes[c])
+        cmin, cmax = stats[c]
+        shift = _bucket_shift(cmin, cmax, bits)
+        bucketed.append(F.shiftright(v - F.lit(int(cmin)), shift))
+    return interleave_bits(bucketed, bits)
+
+
+def column_stats(df: DataFrame, cols: Sequence[str]) -> dict[str, tuple[int, int]]:
+    """One partial-aggregate job for all mins/maxes (KB-sized result)."""
+    dtypes = dict(df.dtypes)
+    aggs = []
+    for c in cols:
+        v = _to_int(F.col(c), dtypes[c])
+        aggs += [F.min(v).alias(f"_min_{c}"), F.max(v).alias(f"_max_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    return {c: (row[f"_min_{c}"], row[f"_max_{c}"]) for c in cols}
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: Sequence[str],
+    path: str,
+    n_files: int = 32,
+    bits: int = 16,
+) -> dict[str, tuple[int, int]]:
+    """Rewrite ``df`` clustered along the Z-order curve of ``cols``:
+    range-partition by Morton code (one shuffle, the cost of any global
+    sort) and sort within partitions so parquet row-group min/max stats
+    are tight in EVERY curve dimension. Returns the stats used (persist
+    them to bucketize future appends identically)."""
+    stats = column_stats(df, cols)
+    z = zorder_code(df, cols, stats, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return stats
+
+
+def file_span_profile(spark, path: str, cols: Sequence[str]) -> DataFrame:
+    """Per-file (min, max, span) of each layout column — the observable a
+    layout rewrite moves: tight per-file spans ⇒ row-group/file pruning
+    for predicates on those columns. Reads only the columns profiled."""
+    df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+    aggs = []
+    for c in cols:
+        v = _to_int(F.col(c), dtypes[c])
+        aggs += [
+            (F.max(v) - F.min(v)).alias(f"span_{c}"),
+        ]
+    return (
+        df.withColumn("_file", F.input_file_name())
+        .groupBy("_file")
+        .agg(*aggs)
+    )
+
+
+def sql_zorder_histogram(bits: int = 8, top_bits: int = 6) -> str:
+    """DuckDB twin of :func:`zorder_histogram` — the identical integer
+    bucketize + interleave, aggregated by the curve's top bits."""
+    k = 2
+    terms_a = " | ".join(f"(((ba >> {j}) & 1) << {j * k})" for j in range(bits))
+    terms_b = " | ".join(f"(((bb >> {j}) & 1) << {j * k + 1})" for j in range(bits))
+    shift = 2 * bits - top_bits
+    # bit_length(x) == LENGTH(FORMAT('{{:b}}', x)) — exact integer math,
+    # mirroring layout._bucket_shift (no doubles anywhere)
+    return f"""
+WITH ints AS (
+  SELECT CAST(l_partkey AS BIGINT) AS a,
+         CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS b
+  FROM lineitem
+),
+stats AS (
+  SELECT MIN(a) AS amin, MAX(a) AS amax, MIN(b) AS bmin, MAX(b) AS bmax FROM ints
+),
+shifts AS (
+  SELECT amin, bmin,
+         GREATEST(LENGTH(FORMAT('{{:b}}', GREATEST(amax - amin, 1))) - {bits}, 0) AS sa,
+         GREATEST(LENGTH(FORMAT('{{:b}}', GREATEST(bmax - bmin, 1))) - {bits}, 0) AS sb
+  FROM stats
+),
+bucketed AS (
+  SELECT (a - amin) >> sa AS ba, (b - bmin) >> sb AS bb FROM ints, shifts
+),
+z AS (SELECT ({terms_a}) | ({terms_b}) AS zvalue FROM bucketed)
+SELECT CAST(zvalue >> {shift} AS BIGINT) AS z_prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
+def zorder_histogram(
+    spark, sf_dir: str, bits: int = 8, top_bits: int = 6
+) -> DataFrame:
+    """Row counts per top-``top_bits`` Z-curve prefix of lineitem
+    (l_partkey × l_shipdate) — the balance diagnostic a layout job reads
+    before choosing file counts (a skewed curve prefix means a skewed
+    rewrite task). Deterministic integer math, oracle-checked."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    stats = column_stats(l, ["l_partkey", "l_shipdate"])
+    z = zorder_code(l, ["l_partkey", "l_shipdate"], stats, bits)
+    shift = 2 * bits - top_bits
+    return (
+        l.select(z)
+        .groupBy(F.shiftright("zvalue", shift).cast("bigint").alias("z_prefix"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("z_prefix")
+    )

@@ -1500,3 +1500,16 @@ def q20_q(spark, sf_dir):
     """TPC-H Q20 shape: suppliers holding >half the year's shipped quantity
     of 'red' parts (nested semi-joins)."""
     return partsupp.q20_excess_stock(spark, sf_dir)
+
+
+from magiceye_spark import layout as _layout  # noqa: E402
+
+
+@register("zorder_curve_histogram", _layout.sql_zorder_histogram(bits=8, top_bits=6))
+def zorder_histogram_q(spark, sf_dir):
+    """Row counts per top-6-bit Z-curve prefix of lineitem
+    (l_partkey × l_shipdate): the balance diagnostic a layout-rewrite job
+    (layout.zorder_write — Delta OPTIMIZE ZORDER BY's shape on plain
+    parquet) reads before sizing output files. Bucketize is pure bit
+    shifts, interleave is shift/or chains — engine-exact, oracle-checked."""
+    return _layout.zorder_histogram(spark, sf_dir, bits=8, top_bits=6)
