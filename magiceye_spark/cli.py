@@ -358,6 +358,32 @@ def cmd_compact(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_zorder(args: argparse.Namespace) -> int:
+    """Rewrite a parquet table clustered along the Z-order curve of the
+    given columns, then print the per-file span profile so the operator
+    can see the pruning win immediately."""
+    from pyspark.sql import functions as F
+
+    from magiceye_spark import layout
+    from magiceye_spark.session import get_spark
+
+    spark = get_spark("magiceye-zorder")
+    spark.sparkContext.setLogLevel("ERROR")
+    cols = args.cols.split(",")
+    df = spark.read.parquet(args.path)
+    stats = layout.zorder_write(df, cols, args.out, n_files=args.n_files, bits=args.bits)
+    print(f"wrote {args.out} (curve stats: {stats})")
+    prof = layout.file_span_profile(spark, args.out, cols)
+    spans = prof.agg(
+        *[F.avg(f"span_{c}").alias(c) for c in cols]
+    ).collect()[0]
+    for c in cols:
+        total = stats[c][1] - stats[c][0]
+        frac = (spans[c] / total) if total else 0.0
+        print(f"  {c}: mean per-file span {spans[c]:.0f} / domain {total} ({frac:.1%})")
+    return 0
+
+
 def cmd_profile(args: argparse.Namespace) -> int:
     """Per-column profile of a parquet table (null rate, distinct, min/max,
     avg); --approx swaps exact distincts for HLL sketches at scale."""
@@ -453,6 +479,14 @@ def main(argv: list[str] | None = None) -> int:
     p_compact.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
                            default="parquet", help="input/output table format")
     p_compact.set_defaults(fn=cmd_compact)
+
+    p_zorder = sub.add_parser("zorder", help="rewrite a table Z-ordered on columns")
+    p_zorder.add_argument("path", help="input parquet file/dir")
+    p_zorder.add_argument("out", help="output directory")
+    p_zorder.add_argument("--cols", required=True, help="comma-separated curve columns")
+    p_zorder.add_argument("--n-files", type=int, default=32)
+    p_zorder.add_argument("--bits", type=int, default=16)
+    p_zorder.set_defaults(fn=cmd_zorder)
 
     p_profile = sub.add_parser("profile", help="per-column profile of a parquet table")
     p_profile.add_argument("path", help="parquet file/dir to profile")

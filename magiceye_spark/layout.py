@@ -39,12 +39,16 @@ def _to_int(col: Column, dtype: str) -> Column:
 
 
 def _bucket_shift(cmin: int, cmax: int, bits: int) -> int:
-    """Right-shift that maps [0, cmax-cmin] into [0, 2**bits): the domain
-    rounded up to a power of two. Pure bit arithmetic — no division, no
-    doubles — so the bucket id is bit-identical on every engine at any
-    domain size (floor-division via doubles loses bits past 2^53)."""
-    top = max(int(cmax) - int(cmin), 1)  # largest shifted value
-    return max(0, top.bit_length() - bits)
+    """Signed shift that maps [0, cmax-cmin] onto EXACTLY ``bits`` bits:
+    positive → shift right (large domain compressed), negative → shift
+    LEFT (small domain scaled up). Using the full width for every column
+    matters — with lopsided bit usage the interleave degenerates toward a
+    plain sort on the wider column and the narrow column stops
+    clustering. Pure bit arithmetic — no division, no doubles — so the
+    bucket id is bit-identical on every engine at any domain size
+    (floor-division via doubles loses bits past 2^53)."""
+    top = max(int(cmax) - int(cmin), 1)  # largest value to be shifted
+    return top.bit_length() - bits
 
 
 def interleave_bits(cols: Sequence[Column], bits: int = 16) -> Column:
@@ -74,7 +78,10 @@ def zorder_code(
         v = _to_int(F.col(c), dtypes[c])
         cmin, cmax = stats[c]
         shift = _bucket_shift(cmin, cmax, bits)
-        bucketed.append(F.shiftright(v - F.lit(int(cmin)), shift))
+        shifted = v - F.lit(int(cmin))
+        bucketed.append(
+            F.shiftright(shifted, shift) if shift >= 0 else F.shiftleft(shifted, -shift)
+        )
     return interleave_bits(bucketed, bits)
 
 
@@ -153,12 +160,14 @@ stats AS (
 ),
 shifts AS (
   SELECT amin, bmin,
-         GREATEST(LENGTH(FORMAT('{{:b}}', GREATEST(amax - amin, 1))) - {bits}, 0) AS sa,
-         GREATEST(LENGTH(FORMAT('{{:b}}', GREATEST(bmax - bmin, 1))) - {bits}, 0) AS sb
+         LENGTH(FORMAT('{{:b}}', GREATEST(amax - amin, 1))) - {bits} AS sa,
+         LENGTH(FORMAT('{{:b}}', GREATEST(bmax - bmin, 1))) - {bits} AS sb
   FROM stats
 ),
 bucketed AS (
-  SELECT (a - amin) >> sa AS ba, (b - bmin) >> sb AS bb FROM ints, shifts
+  SELECT CASE WHEN sa >= 0 THEN (a - amin) >> sa ELSE (a - amin) << (-sa) END AS ba,
+         CASE WHEN sb >= 0 THEN (b - bmin) >> sb ELSE (b - bmin) << (-sb) END AS bb
+  FROM ints, shifts
 ),
 z AS (SELECT ({terms_a}) | ({terms_b}) AS zvalue FROM bucketed)
 SELECT CAST(zvalue >> {shift} AS BIGINT) AS z_prefix,

@@ -211,3 +211,24 @@ def test_cli_run_generic_jdbc_pair(spark, tmp_path, capsys):
     }
     assert "t1" in reports
     assert any("varchar(40)" in r and "varchar(80)" in r for r in reports["t1"])
+
+
+def test_cli_zorder_rewrite(spark, tmp_path, capsys):
+    """CLI z-order rewrite: files written, contents preserved, span
+    summary printed for both curve columns."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "zsrc"
+    dst = tmp_path / "zdst"
+    spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    ).repartition(4).write.mode("overwrite").parquet(str(src))
+    rc = cli.main(
+        ["zorder", str(src), str(dst), "--cols", "x,y", "--n-files", "4", "--bits", "6"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "x: mean per-file span" in out and "y: mean per-file span" in out
+    back = spark.read.parquet(str(dst))
+    assert back.count() == 4096
+    assert back.select(F.countDistinct("x", "y")).collect()[0][0] == 4096

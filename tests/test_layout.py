@@ -34,6 +34,17 @@ def test_zorder_write_preserves_and_tightens(spark, sf_dir, tmp_path):
     # files must be at least 2× tighter on the span product (typically ≫)
     assert z_m < 0.5 * naive_m, (naive_m, z_m)
 
+    # BALANCED interleave: every column is scaled to the same bit width,
+    # so BOTH dimensions tighten individually (a lopsided interleave
+    # degenerates to a sort on the wider column — 100% span on the other)
+    prof = layout.file_span_profile(spark, zpath, ["l_partkey", "l_shipdate"])
+    means = prof.agg(
+        F.avg("span_l_partkey").alias("p"), F.avg("span_l_shipdate").alias("d")
+    ).collect()[0]
+    for c, mean_span in (("l_partkey", means["p"]), ("l_shipdate", means["d"])):
+        domain = stats[c][1] - stats[c][0]
+        assert mean_span < 0.8 * domain, (c, mean_span, domain)
+
     # returned stats bucketize future appends identically
     z1 = layout.zorder_code(l, ["l_partkey", "l_shipdate"], stats, bits=16)
     z2 = layout.zorder_code(
