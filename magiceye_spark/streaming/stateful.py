@@ -89,6 +89,125 @@ def _fold_user_events(
     yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
 
 
+QUOTA_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("day", LongType()),
+        StructField("event_id", LongType()),
+        StructField("admit_idx", LongType()),
+    ]
+)
+
+
+def _make_quota_processor(cap: int):
+    """Build the StatefulProcessor class lazily so importing this module
+    never requires the transformWithState surface (Spark ≥4.0)."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _QuotaProcessor(StatefulProcessor):
+        """Per-(user, day) admission counter: ValueState holds the count
+        of events already admitted; rows past ``cap`` are dropped. State
+        is one long per active key — the 100 TB/day ingestion-control
+        shape — and the per-key grouping means a hot user never blocks
+        other keys' tasks."""
+
+        def init(self, handle) -> None:
+            self._n = handle.getValueState("n", "n LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = self._n.get()[0] if self._n.exists() else 0
+            user_id, day = key
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts_us", "event_id"])
+                for eid in pdf["event_id"]:
+                    if n < cap:
+                        n += 1
+                        out.append((int(user_id), int(day), int(eid), n))
+            self._n.update((n,))
+            yield pd.DataFrame(out, columns=[f.name for f in QUOTA_SCHEMA.fields])
+
+        def close(self) -> None:
+            pass
+
+    return _QuotaProcessor()
+
+
+def _transform_with_state_available() -> bool:
+    """transformWithStateInPandas ships a protobuf-based Python state
+    server; without the protobuf package the driver worker crashes at
+    init. Detect up front so callers get the working fallback instead of
+    a mid-query STREAM_FAILED."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _fold_quota(cap: int):
+    def fold(key, pdfs, state: GroupState):
+        (n,) = state.get if state.exists else (0,)
+        user_id, day = key
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for eid in pdf["event_id"]:
+                if n < cap:
+                    n += 1
+                    out.append((int(user_id), int(day), int(eid), n))
+        state.update((n,))
+        yield pd.DataFrame(out, columns=[f.name for f in QUOTA_SCHEMA.fields])
+
+    return fold
+
+
+def quota_admit(
+    events: DataFrame, cap: int = 5, use_transform_with_state: bool | None = None
+) -> DataFrame:
+    """Streaming per-(user, day) admission control: admit the first
+    ``cap`` events per user per day, drop the rest — the ingestion-gate
+    shape whose state is ONE long per active key at any corpus size.
+
+    Two engines, same semantics: the Spark 4
+    ``transformWithStateInPandas`` API (StatefulProcessor + typed
+    ValueState; requires the RocksDB state store and the protobuf
+    package its Python state server imports) and an
+    ``applyInPandasWithState`` fallback for environments without
+    protobuf. ``use_transform_with_state=None`` auto-detects.
+
+    The batch twin is ``row_number() OVER (PARTITION BY user_id, day
+    ORDER BY ts, event_id) <= cap`` — pinned equal in tests when the
+    stream arrives time-ordered; under out-of-order arrival the stream
+    admits by arrival order, which is what an ingestion gate means."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        "user_id",
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    if use_transform_with_state is None:
+        use_transform_with_state = _transform_with_state_available()
+    grouped = prepared.groupBy("user_id", "day")
+    if use_transform_with_state:
+        return grouped.transformWithStateInPandas(
+            _make_quota_processor(cap),
+            outputStructType=QUOTA_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    return grouped.applyInPandasWithState(
+        _fold_quota(cap),
+        outputStructType=QUOTA_SCHEMA,
+        stateStructType="n LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_stateful(events: DataFrame) -> DataFrame:
     """events (streaming, cols ts/user_id/event_type/value) → closed
     sessions. Gap 30 min; an 'error' event force-closes its session."""

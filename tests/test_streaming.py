@@ -398,3 +398,57 @@ def test_stream_ohlc_matches_batch(spark, sf_dir, tmp_path):
         for r in ohlc_daily(batch).collect()
     }
     assert got == want
+
+
+def test_quota_admit_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming admission gate (transformWithStateInPandas when protobuf
+    is present, applyInPandasWithState fallback otherwise — identical
+    semantics): with a time-ordered single-batch arrival, the admitted
+    set equals the batch row_number() twin; every (user, day) admits at
+    most cap events."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from magiceye_spark.analytics import _events
+    from magiceye_spark.streaming import events as sev
+    from magiceye_spark.streaming.stateful import quota_admit
+
+    cap = 5
+    src = str(tmp_path / "events_quota")
+    batch = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    batch.coalesce(1).write.parquet(src)
+
+    old = {k: spark.conf.get(k, None) for k in sev.ROCKSDB_STATE_CONF}
+    sev.enable_rocksdb_state(spark)
+    try:
+        stream = sev.read_event_stream(spark, src, max_files_per_trigger=16)
+        q = (
+            quota_admit(stream, cap=cap)
+            .writeStream.format("memory")
+            .queryName("quota_admitted")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "chk_quota"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    got = {(r["user_id"], r["event_id"]): r["admit_idx"]
+           for r in spark.table("quota_admitted").collect()}
+    w = Window.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy(
+        "ts", "event_id"
+    )
+    want_df = (
+        batch.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= cap)
+    )
+    want = {(r["user_id"], r["event_id"]): r["rk"] for r in want_df.collect()}
+    assert got == want
+    assert max(got.values()) <= cap and len(got) > 0
