@@ -512,6 +512,55 @@ ORDER BY event_type, rank
 """
 
 
+def top_users_per_type_scalable(
+    events: DataFrame, k: int = 3, n_salts: int = 32
+) -> DataFrame:
+    """`top_users_per_type` without the per-type rank window: identical
+    output, different physical shape for the regime where one event type
+    has billions of users. The window variant sorts ALL of a type's
+    (user, total) rows in ONE task (Window partitionBy event_type);
+    here a salted two-phase top-k distributes that sort:
+
+      1. totals per (type, user) — the same first shuffle;
+      2. per (type, salt) local top-k: sort_array(collect_list(struct))
+         sliced to k — each salt's sort is k·|salt share| and runs in
+         parallel across ``n_salts`` tasks per type;
+      3. per type merge of n_salts·k candidates — KB-sized input.
+
+    Ordering struct is (-total_value, user_id) so ascending array sort
+    gives value-desc, user-asc — exactly the window's ORDER BY, so the
+    DuckDB oracle (sql_top_users_per_type) is shared verbatim. No Window
+    operator appears in the plan (pinned in tests)."""
+    totals = events.groupBy("event_type", "user_id").agg(
+        _money(F.sum(_dec(F.col("value")))).alias("total_value")
+    )
+    ordered = F.struct(
+        (-F.col("total_value")).alias("nv"),
+        F.col("user_id").alias("uid"),
+        F.col("total_value").alias("tv"),
+    )
+    salted = (
+        totals.withColumn("_salt", F.pmod(F.xxhash64("user_id"), F.lit(n_salts)))
+        .groupBy("event_type", "_salt")
+        .agg(F.slice(F.sort_array(F.collect_list(ordered)), 1, k).alias("cand"))
+    )
+    merged = salted.groupBy("event_type").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("cand"))), 1, k).alias("topk")
+    )
+    return (
+        merged.select(
+            "event_type", F.posexplode("topk").alias("pos", "entry")
+        )
+        .select(
+            "event_type",
+            F.col("entry.uid").alias("user_id"),
+            F.col("entry.tv").alias("total_value"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
+        .orderBy("event_type", "rank")
+    )
+
+
 def ohlc_daily(events: DataFrame) -> DataFrame:
     """OHLC downsampling: per (day, event_type), the open/high/low/close of
     ``value`` with (ts, event_id) as the deterministic event order — the

@@ -823,6 +823,17 @@ def split_leakage_q(spark, sf_dir):
     return pipeline.split_leakage_audit(_docs(spark, sf_dir), train_pct=90, threshold=0.8)
 
 
+@register("top_users_per_type_scalable", events_ops.sql_top_users_per_type(k=3))
+def top_users_per_type_scalable_q(spark, sf_dir):
+    """Salted two-phase grouped top-k: same output and same oracle SQL as
+    top_users_per_type, but no per-type rank window — the single-task
+    per-type sort that dies when one type has 10^9 users is replaced by
+    n_salts parallel local top-ks plus a KB-sized merge."""
+    return events_ops.top_users_per_type_scalable(
+        events_ops._events(spark, sf_dir), k=3
+    )
+
+
 @register("sequence_packing", pipeline.sql_sequence_packing(budget=512, n_shards=32))
 def sequence_packing_q(spark, sf_dir):
     """Concat-and-chunk token packing into 512-token training sequences,

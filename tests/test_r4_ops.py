@@ -209,3 +209,22 @@ def test_q12_derived_shipping_no_shuffle_and_consistent(spark, sf_dir):
         ).count()
     )
     assert total == expected
+
+
+def test_top_k_two_phase_matches_window_and_has_no_window_op(spark, sf_dir):
+    """The salted two-phase grouped top-k returns exactly the window
+    variant's rows, and its physical plan contains NO Window operator
+    (the single-task per-type sort it exists to eliminate)."""
+    from magiceye_spark.events_ops import (
+        _events,
+        top_users_per_type,
+        top_users_per_type_scalable,
+    )
+
+    ev = _events(spark, sf_dir)
+    want = [tuple(r) for r in top_users_per_type(ev, k=3).collect()]
+    for n_salts in (1, 32):
+        got_df = top_users_per_type_scalable(ev, k=3, n_salts=n_salts)
+        got = [tuple(r) for r in got_df.collect()]
+        assert got == want, n_salts
+    assert "Window" not in plans.executed_plan(got_df)
