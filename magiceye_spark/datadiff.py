@@ -309,11 +309,12 @@ def diff_data_incremental(
 ) -> DataFrame:
     """Row diff restricted to partitions whose fingerprints differ.
 
-    Without stored fingerprints: two phases in one lazy plan — the
-    catalog-sized :func:`changed_partitions` set, broadcast back as a
-    semi-join filter on BOTH sides, then the standard keyed
-    :func:`diff_data` over the surviving rows. This still SCANS both sides
-    once to compute fingerprints; it saves only the join work.
+    Without stored fingerprints: the catalog-sized
+    :func:`changed_partitions` set is computed (one fingerprint scan per
+    side), collected, and applied as a literal ``IN`` filter, then the
+    standard keyed :func:`diff_data` runs over the surviving rows. This
+    still SCANS both sides once to compute fingerprints; it saves the
+    join work and the unchanged-partition scan of the diff itself.
 
     With ``base_fingerprints``/``target_fingerprints`` (tables persisted by
     :func:`write_fingerprints` at publish time), the changed-partition set
@@ -334,31 +335,26 @@ def diff_data_incremental(
     fp_cols = (
         sorted(set(keys) | set(compare_cols)) if compare_cols is not None else None
     )
-    if base_fingerprints is not None or target_fingerprints is not None:
-        b_fp = (
-            base_fingerprints
-            if base_fingerprints is not None
-            else partition_fingerprints(base, partition_col, fp_cols)
-        )
-        t_fp = (
-            target_fingerprints
-            if target_fingerprints is not None
-            else partition_fingerprints(target, partition_col, fp_cols)
-        )
-        changed = compare_fingerprint_tables(b_fp, t_fp)
-        vals = [r["partition"] for r in changed.select("partition").collect()]
-        if not vals:
-            empty = F.lit(False)
-            return diff_data(base.where(empty), target.where(empty), keys, compare_cols)
-        b = base.where(F.col(partition_col).isin(vals))
-        t = target.where(F.col(partition_col).isin(vals))
-        return diff_data(b, t, keys, compare_cols)
-    changed = changed_partitions(base, target, partition_col, fp_cols)
-    keep = F.broadcast(changed.select("partition"))
-    b = base.join(
-        keep, base[partition_col] == F.col("partition"), "left_semi"
+    b_fp = (
+        base_fingerprints
+        if base_fingerprints is not None
+        else partition_fingerprints(base, partition_col, fp_cols)
     )
-    t = target.join(
-        keep, target[partition_col] == F.col("partition"), "left_semi"
+    t_fp = (
+        target_fingerprints
+        if target_fingerprints is not None
+        else partition_fingerprints(target, partition_col, fp_cols)
     )
+    changed = compare_fingerprint_tables(b_fp, t_fp)
+    # The changed set is catalog-sized by construction: collect it and
+    # filter by LITERAL IN. This both enables PartitionFilters at the scan
+    # AND runs each computed-fingerprint job exactly once — leaving the
+    # fingerprint subtree lazy under a semi-join would re-execute it per
+    # side (each snapshot scanned twice).
+    vals = [r["partition"] for r in changed.select("partition").collect()]
+    if not vals:
+        empty = F.lit(False)
+        return diff_data(base.where(empty), target.where(empty), keys, compare_cols)
+    b = base.where(F.col(partition_col).isin(vals))
+    t = target.where(F.col(partition_col).isin(vals))
     return diff_data(b, t, keys, compare_cols)
