@@ -104,15 +104,25 @@ def asof_join(
     ts_col: str = "ts",
     right_carry: list[str] | None = None,
     tie_col: str | None = None,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with the same
-    keys and ``right.ts <= left.ts`` (left outer: unmatched rows keep NULLs).
+    """For each left row, attach the nearest right row with the same keys:
+    ``direction='backward'`` (default) the most recent with ``right.ts <=
+    left.ts``, ``direction='forward'`` the earliest with ``right.ts >=
+    left.ts`` — pandas ``merge_asof`` semantics at Spark scale (left
+    outer: unmatched rows keep NULLs). ``tolerance_seconds`` bounds the
+    match distance; a match farther away is nulled out, not substituted.
 
     ``right_carry`` names the right columns to attach (prefixed ``r_``);
     ``tie_col`` breaks ties among right rows sharing a timestamp (largest
     wins). Implemented as union + last(ignorenulls) over a single
-    key-partitioned window — one shuffle, linear in rows.
+    key-partitioned window — one shuffle, linear in rows, either
+    direction (forward just flips the window's sort order; no second
+    formulation, no theta join).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     right_carry = right_carry or [c for c in right.columns if c not in keys and c != ts_col]
     l = left.withColumn("_tag", F.lit(1))
     r = right.select(
@@ -122,7 +132,8 @@ def asof_join(
         *[F.col(c).alias(f"r_{c}") for c in right_carry],
     )
     u = l.unionByName(r, allowMissingColumns=True)
-    order = [F.col(ts_col).asc(), F.col("_tag").asc()]
+    ts_ord = F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    order = [ts_ord, F.col("_tag").asc()]
     if tie_col is not None:
         order.append(F.col(f"r_{tie_col}").asc_nulls_first())
     w = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
@@ -138,9 +149,28 @@ def asof_join(
         .over(w)
         .alias("asof_ts"),
     )
-    return carried.where(F.col("_tag") == 1).drop(
+    out = carried.where(F.col("_tag") == 1).drop(
         "_tag", *[f"r_{c}" for c in right_carry]
     )
+    if tolerance_seconds is not None:
+        is_ts = dict(out.dtypes)[ts_col].startswith("timestamp")
+        to_us = (lambda c: F.unix_micros(c)) if is_ts else (lambda c: c)
+        gap = (
+            to_us(F.col(ts_col)) - to_us(F.col("asof_ts"))
+            if direction == "backward"
+            else to_us(F.col("asof_ts")) - to_us(F.col(ts_col))
+        )
+        unit = 1_000_000 if is_ts else 1  # non-timestamp ts_col: same unit as the column
+        ok = gap <= F.lit(int(tolerance_seconds * unit))
+        out = out.select(
+            *[c for c in out.columns if not c.startswith("asof_")],
+            *[
+                F.when(ok, F.col(c)).alias(c)
+                for c in out.columns
+                if c.startswith("asof_")
+            ],
+        )
+    return out
 
 
 def purchases_with_last_click(events: DataFrame) -> DataFrame:
@@ -428,6 +458,59 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
 
 def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return purchases_with_last_click(_events(spark, sf_dir))
+
+
+def purchases_with_next_error(events: DataFrame, tolerance_hours: int = 1) -> DataFrame:
+    """Forward as-of with tolerance: each purchase annotated with the
+    user's FIRST error at-or-after it, but only within
+    ``tolerance_hours`` — incident attribution (did this purchase hit an
+    error shortly after?). Exercises asof_join(direction='forward',
+    tolerance_seconds=...) — one keyed window shuffle, no theta join."""
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    out = asof_join(
+        purchases,
+        errors,
+        keys=["user_id"],
+        right_carry=["event_id"],
+        direction="forward",
+        tolerance_seconds=tolerance_hours * 3600,
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        F.col("asof_event_id").alias("error_event_id"),
+        F.col("asof_ts").alias("error_ts"),
+    ).orderBy("purchase_id")
+
+
+def sql_purchase_next_error(tolerance_hours: int = 1) -> str:
+    return f"""
+WITH e AS ({SQL_EVENTS_US}),
+errors AS (
+  SELECT user_id, ts, MAX(event_id) AS event_id
+  FROM e WHERE event_type = 'error' GROUP BY user_id, ts
+),
+purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts
+  FROM e WHERE event_type = 'purchase'
+)
+SELECT p.purchase_id, p.user_id, p.ts,
+       CASE WHEN x.ts <= p.ts + INTERVAL {tolerance_hours} HOUR
+            THEN x.event_id END AS error_event_id,
+       CASE WHEN x.ts <= p.ts + INTERVAL {tolerance_hours} HOUR
+            THEN x.ts END AS error_ts
+FROM purchases p
+ASOF LEFT JOIN errors x ON p.user_id = x.user_id AND p.ts <= x.ts
+ORDER BY p.purchase_id
+"""
 
 
 def props_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:

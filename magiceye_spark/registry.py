@@ -580,6 +580,16 @@ def asof_q(spark, sf_dir):
     return events_ops.purchase_attribution(spark, sf_dir)
 
 
+@register("purchase_next_error_asof", events_ops.sql_purchase_next_error(tolerance_hours=1))
+def asof_forward_q(spark, sf_dir):
+    """Forward as-of with tolerance (pandas merge_asof parity at Spark
+    scale): first error at-or-after each purchase, nulled past 1 h. Same
+    union + last(ignorenulls) single-shuffle formulation as the backward
+    as-of — forward only flips the window sort; DuckDB native forward
+    ASOF JOIN is the oracle."""
+    return events_ops.purchases_with_next_error(events_ops._events(spark, sf_dir))
+
+
 @register("events_props_rollup", events_ops.SQL_PROPS_ROLLUP)
 def props_q(spark, sf_dir):
     return events_ops.props_rollup_events(spark, sf_dir)

@@ -214,3 +214,46 @@ def test_profile_table_and_drift(spark):
     pa = {r["column"]: r for r in profile_table(d, approx=True).collect()}
     assert pa["v"]["n_nulls"] == 1
     assert abs(pa["v"]["n_distinct"] - 3) <= 1
+
+
+@given(
+    left=st.lists(LEFT_ROW, min_size=1, max_size=10),
+    right=st.lists(RIGHT_ROW, min_size=0, max_size=10),
+    tol=st.one_of(st.none(), st.integers(0, 20)),
+)
+@_settings
+def test_asof_join_forward_tolerance_matches_reference(spark, left, right, tol):
+    """direction='forward' must attach the right row with the SMALLEST
+    ts >= left.ts per key; tolerance_seconds nulls matches farther than
+    tol (in the ts column's own units for non-timestamp columns)."""
+    from magiceye_spark.events_ops import asof_join
+
+    rdict = {}
+    for k, ts, v in right:
+        rdict[(k, ts)] = max(v, rdict.get((k, ts), -1))
+    right_rows = [(k, float(ts), v) for (k, ts), v in rdict.items()]
+
+    ldf = spark.createDataFrame(
+        [(k, float(ts), lid) for k, ts, lid in left], "k int, ts double, lid int"
+    )
+    rdf = (
+        spark.createDataFrame(right_rows, "k int, ts double, rv int")
+        if right_rows
+        else spark.createDataFrame([], "k int, ts double, rv int")
+    )
+    got = {
+        (r["k"], r["ts"], r["lid"]): r["asof_rv"]
+        for r in asof_join(
+            ldf, rdf, keys=["k"], right_carry=["rv"],
+            direction="forward", tolerance_seconds=tol,
+        ).collect()
+    }
+    want = {}
+    for k, ts, lid in left:
+        cands = [
+            (rts, v)
+            for (rk, rts), v in rdict.items()
+            if rk == k and rts >= ts and (tol is None or rts - ts <= tol)
+        ]
+        want[(k, float(ts), lid)] = min(cands)[1] if cands else None
+    assert got == want
