@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 _NUMERIC = {"int", "bigint", "smallint", "tinyint", "float", "double", "decimal"}
 
@@ -156,3 +157,99 @@ def profile_drift(
         | (F.col("n_distinct") != F.col("n_distinct_t"))
     )
     return j.where(null_moved | avg_moved | bounds_moved).orderBy("column")
+
+
+def psi_histogram_drift(
+    base: DataFrame, target: DataFrame, col: str, n_bins: int = 10
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the distribution-level drift metric :func:`profile_drift`'s
+    summary stats can't see (same mean/min/max, different shape).
+
+    Equi-width bins over the COMBINED min/max (one tiny agg broadcast to
+    both sides), Laplace-smoothed proportions, per-bin
+    ``(p−q)·ln(p/q)`` terms. One histogram aggregation per side — two
+    scans total, KB-sized result; at 100 TB this is the cheap daily
+    monitor that decides whether to run the expensive row diff.
+    Bin assignment and log terms are identical IEEE-double expressions on
+    Spark and DuckDB, and the per-bin output avoids cross-row summation —
+    fully oracle-checkable. PSI > 0.2 is the conventional alert level.
+    """
+    v = F.col(col).cast("double")
+    both = base.select(v.alias("_v")).unionAll(target.select(v.alias("_v")))
+    stats = both.agg(F.min("_v").alias("_mn"), F.max("_v").alias("_mx"))
+
+    def hist(df: DataFrame, side: str) -> DataFrame:
+        b = (
+            df.select(v.alias("_v"))
+            .crossJoin(F.broadcast(stats))
+            .select(
+                F.least(
+                    F.floor((F.col("_v") - F.col("_mn")) * n_bins
+                            / (F.col("_mx") - F.col("_mn"))).cast("int"),
+                    F.lit(n_bins - 1),
+                ).alias("bin")
+            )
+        )
+        return b.groupBy("bin").agg(F.count(F.lit(1)).alias(f"n_{side}"))
+
+    hb, ht = hist(base, "base"), hist(target, "target")
+    bins = (
+        base.sparkSession.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+        .join(hb, "bin", "left")
+        .join(ht, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_target", F.lit(0)).alias("n_target"),
+        )
+    )
+    tb = F.sum("n_base").over(Window.partitionBy())
+    tt = F.sum("n_target").over(Window.partitionBy())
+    p = (F.col("n_base") + 0.5) / (tb + 0.5 * n_bins)
+    q = (F.col("n_target") + 0.5) / (tt + 0.5 * n_bins)
+    return (
+        bins.select(
+            "bin",
+            "n_base",
+            "n_target",
+            F.round(p, 6).alias("p_base"),
+            F.round(q, 6).alias("p_target"),
+            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+def sql_psi_histogram_drift(
+    base_where: str, target_where: str, col: str, n_bins: int = 10
+) -> str:
+    """DuckDB twin: identical binning/smoothing/log expressions over two
+    WHERE-filtered views of the events table."""
+    return f"""
+WITH v AS (SELECT CAST({col} AS DOUBLE) AS _v,
+                  CASE WHEN {base_where} THEN 'b'
+                       WHEN {target_where} THEN 't' END AS side
+           FROM events),
+stats AS (SELECT MIN(_v) AS mn, MAX(_v) AS mx FROM v WHERE side IS NOT NULL),
+binned AS (
+  SELECT side,
+         LEAST(CAST(FLOOR((_v - mn) * {n_bins} / (mx - mn)) AS INT), {n_bins - 1}) AS bin
+  FROM v, stats WHERE side IS NOT NULL),
+h AS (
+  SELECT bin,
+         COUNT(*) FILTER (side = 'b') AS n_base,
+         COUNT(*) FILTER (side = 't') AS n_target
+  FROM binned GROUP BY bin),
+bins AS (
+  SELECT i.range AS bin, COALESCE(n_base, 0) AS n_base, COALESCE(n_target, 0) AS n_target
+  FROM range({n_bins}) i LEFT JOIN h ON h.bin = i.range),
+tot AS (SELECT SUM(n_base) AS tb, SUM(n_target) AS tt FROM bins)
+SELECT CAST(bin AS INT) AS bin, n_base, n_target,
+       ROUND((n_base + 0.5) / (tb + 0.5 * {n_bins}), 6) AS p_base,
+       ROUND((n_target + 0.5) / (tt + 0.5 * {n_bins}), 6) AS p_target,
+       ROUND(((n_base + 0.5) / (tb + 0.5 * {n_bins}) - (n_target + 0.5) / (tt + 0.5 * {n_bins}))
+             * LN(((n_base + 0.5) / (tb + 0.5 * {n_bins})) / ((n_target + 0.5) / (tt + 0.5 * {n_bins}))), 6) AS psi_term
+FROM bins, tot
+ORDER BY bin
+"""

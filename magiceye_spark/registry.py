@@ -590,6 +590,23 @@ def asof_forward_q(spark, sf_dir):
     return events_ops.purchases_with_next_error(events_ops._events(spark, sf_dir))
 
 
+@register(
+    "events_value_psi_drift",
+    profile.sql_psi_histogram_drift(
+        "ts < TIMESTAMP '2024-01-16'", "ts >= TIMESTAMP '2024-01-16'", "value"
+    ),
+)
+def psi_drift_q(spark, sf_dir):
+    """Population Stability Index of the events.value distribution,
+    first half of the month vs the rest — the distribution-level drift
+    monitor summary stats can't see. Two histogram scans, KB result."""
+    ev = events_ops._events(spark, sf_dir)
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return profile.psi_histogram_drift(
+        ev.where(F.col("ts") < cut), ev.where(F.col("ts") >= cut), "value"
+    )
+
+
 @register("events_props_rollup", events_ops.SQL_PROPS_ROLLUP)
 def props_q(spark, sf_dir):
     return events_ops.props_rollup_events(spark, sf_dir)

@@ -257,3 +257,25 @@ def test_asof_join_forward_tolerance_matches_reference(spark, left, right, tol):
         ]
         want[(k, float(ts), lid)] = min(cands)[1] if cands else None
     assert got == want
+
+
+def test_psi_histogram_drift_planted(spark):
+    """PSI ≈ 0 when both sides draw the same distribution; a planted
+    location shift pushes total PSI past the conventional 0.2 alert."""
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.profile import psi_histogram_drift
+
+    base = spark.range(2000).select((F.col("id") % 100).cast("double").alias("value"))
+    same = psi_histogram_drift(base, base, "value")
+    rows = same.collect()
+    assert [r["bin"] for r in rows] == list(range(10))
+    assert abs(sum(r["psi_term"] for r in rows)) < 1e-9
+    # shift: second half of the domain only
+    shifted = spark.range(2000).select(
+        (50 + F.col("id") % 50).cast("double").alias("value")
+    )
+    drift = psi_histogram_drift(base, shifted, "value").collect()
+    assert sum(r["psi_term"] for r in drift) > 0.2
+    # empty target bins still appear (Laplace-smoothed, no log(0))
+    assert all(r["psi_term"] is not None for r in drift)
