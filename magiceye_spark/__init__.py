@@ -35,7 +35,8 @@ from magiceye_spark.datadiff import (
 from magiceye_spark.events_ops import asof_join, range_join_count, sessionize
 from magiceye_spark.skew import salted_join
 from magiceye_spark.dq import Rules, check_quality
-from magiceye_spark.profile import profile_table, profile_drift
+from magiceye_spark.profile import profile_table, profile_drift, psi_histogram_drift
+from magiceye_spark.layout import zorder_write, zorder_code, file_span_profile
 from magiceye_spark.ddl import suggest_ddl
 from magiceye_spark.io import (
     compact_table,
@@ -72,6 +73,10 @@ __all__ = [
     "salted_join",
     "profile_table",
     "profile_drift",
+    "psi_histogram_drift",
+    "zorder_write",
+    "zorder_code",
+    "file_span_profile",
     "read_table",
     "compact_table",
     "write_bucketed",
