@@ -28,6 +28,7 @@ from magiceye_spark.datadiff import (
     diff_data_hash,
     diff_data_incremental,
     diff_data_summary,
+    diff_triage,
     diff_rows_set,
     read_fingerprints,
     write_fingerprints,
@@ -65,6 +66,7 @@ __all__ = [
     "diff_data_hash",
     "diff_data_incremental",
     "diff_data_summary",
+    "diff_triage",
     "diff_rows_set",
     "read_fingerprints",
     "write_fingerprints",

@@ -358,3 +358,61 @@ def diff_data_incremental(
     b = base.where(F.col(partition_col).isin(vals))
     t = target.where(F.col(partition_col).isin(vals))
     return diff_data(b, t, keys, compare_cols)
+
+
+def diff_triage(
+    base: DataFrame,
+    target: DataFrame,
+    keys: list[str],
+    partition_col: str | None = None,
+    compare_cols: list[str] | None = None,
+    base_fingerprints: DataFrame | None = None,
+    target_fingerprints: DataFrame | None = None,
+) -> dict:
+    """The measured 100 TB diff protocol as one call — escalate only as
+    far as the data demands (BASELINE.md: fingerprint 7.3 s / hash 10.2 s
+    / full attribution 20.0 s at sf1):
+
+    1. whole-table fingerprint compare (scan + scalar agg, no join, or
+       free if stored fingerprint tables are supplied) — equal means DONE;
+    2. with ``partition_col``: changed-partition set from per-partition
+       fingerprints, diff restricted to those partitions;
+    3. otherwise the full keyed :func:`diff_data`.
+
+    Returns ``{"identical": bool, "level": "fingerprint" | "partition" |
+    "row", "changed_partitions": list | None, "diff": DataFrame | None}``
+    — ``diff`` is lazy; nothing beyond the fingerprint jobs has executed
+    when this returns."""
+    fp_cols = (
+        sorted(set(keys) | set(compare_cols)) if compare_cols is not None else None
+    )
+    if base_fingerprints is not None and target_fingerprints is not None:
+        changed = compare_fingerprint_tables(base_fingerprints, target_fingerprints)
+        vals = [r["partition"] for r in changed.select("partition").collect()]
+        if not vals:
+            return {"identical": True, "level": "fingerprint",
+                    "changed_partitions": [], "diff": None}
+        if partition_col is None:
+            raise ValueError("stored fingerprint tables require partition_col")
+        b = base.where(F.col(partition_col).isin(vals))
+        t = target.where(F.col(partition_col).isin(vals))
+        return {"identical": False, "level": "partition",
+                "changed_partitions": sorted(vals),
+                "diff": diff_data(b, t, keys, compare_cols)}
+    fb, ft = (
+        table_fingerprint(base, fp_cols).collect()[0],
+        table_fingerprint(target, fp_cols).collect()[0],
+    )
+    if (fb["fingerprint"], fb["n_rows"]) == (ft["fingerprint"], ft["n_rows"]):
+        return {"identical": True, "level": "fingerprint",
+                "changed_partitions": None, "diff": None}
+    if partition_col is not None:
+        changed = changed_partitions(base, target, partition_col, fp_cols)
+        vals = [r["partition"] for r in changed.select("partition").collect()]
+        b = base.where(F.col(partition_col).isin(vals))
+        t = target.where(F.col(partition_col).isin(vals))
+        return {"identical": False, "level": "partition",
+                "changed_partitions": sorted(vals),
+                "diff": diff_data(b, t, keys, compare_cols)}
+    return {"identical": False, "level": "row", "changed_partitions": None,
+            "diff": diff_data(base, target, keys, compare_cols)}

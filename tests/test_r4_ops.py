@@ -228,3 +228,38 @@ def test_top_k_two_phase_matches_window_and_has_no_window_op(spark, sf_dir):
         got = [tuple(r) for r in got_df.collect()]
         assert got == want, n_salts
     assert "Window" not in plans.executed_plan(got_df)
+
+
+def test_diff_triage_escalation_levels(spark, tmp_path):
+    """Identical inputs stop at the fingerprint level (no diff built);
+    a partitioned change escalates to partition level and the restricted
+    diff equals the full diff; no partition_col escalates to row level."""
+    from magiceye_spark.datadiff import diff_triage
+
+    base, target = _planted(spark)
+    same = diff_triage(base, base, ["id"], partition_col="m", compare_cols=["v"])
+    assert same["identical"] and same["level"] == "fingerprint" and same["diff"] is None
+
+    part = diff_triage(base, target, ["id"], partition_col="m", compare_cols=["v"])
+    assert not part["identical"] and part["level"] == "partition"
+    assert part["changed_partitions"] == [3]
+    full = diff_data(base, target, ["id"], compare_cols=["v"])
+    assert sorted(map(tuple, part["diff"].collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    row = diff_triage(base, target, ["id"], compare_cols=["v"])
+    assert row["level"] == "row"
+    assert sorted(map(tuple, row["diff"].collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+    # stored-fingerprint mode: no-change short-circuit without scanning
+    from magiceye_spark.datadiff import partition_fingerprints
+
+    fp = partition_fingerprints(base, "m", ["id", "v"])
+    stored = diff_triage(
+        base, base, ["id"], partition_col="m", compare_cols=["v"],
+        base_fingerprints=fp, target_fingerprints=fp,
+    )
+    assert stored["identical"] and stored["changed_partitions"] == []
