@@ -180,3 +180,72 @@ def drift_rate_rollup(
             "n_findings",
         )
     )
+
+
+def value_psi_drift(
+    batch: DataFrame,
+    baseline_bins: list[tuple[int, int]],
+    col: str,
+    mn: float,
+    mx: float,
+) -> DataFrame:
+    """PSI of one micro-batch's ``col`` distribution against a FROZEN
+    baseline histogram (``baseline_bins`` = [(bin, n), …] with the bin
+    edges implied by ``mn``/``mx`` and the bin count): one row
+    (n_rows, psi). The baseline is fitted once at deploy time
+    (:func:`magiceye_spark.profile.psi_histogram_drift` machinery);
+    per batch this is a map-side bin assignment + one tiny aggregate —
+    the distribution monitor that runs on every micro-batch at stream
+    rates. Same Laplace smoothing as the batch twin."""
+    import math
+
+    n_bins = len(baseline_bins)
+    tb = sum(n for _, n in baseline_bins)
+    p = {b: (n + 0.5) / (tb + 0.5 * n_bins) for b, n in baseline_bins}
+    v = F.col(col).cast("double")
+    binned = batch.select(
+        F.least(
+            F.floor((v - F.lit(mn)) * n_bins / F.lit(mx - mn)).cast("int"),
+            F.lit(n_bins - 1),
+        ).alias("bin")
+    ).where(F.col("bin") >= 0)
+    counts = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+    # KB-sized: close the PSI sum driver-side so the output is one row
+    got = {r["bin"]: r["n"] for r in counts.collect()}
+    tt = sum(got.values())
+    psi = 0.0
+    for b in range(n_bins):
+        q = (got.get(b, 0) + 0.5) / (tt + 0.5 * n_bins) if tt else p[b]
+        psi += (p[b] - q) * math.log(p[b] / q)
+    spark = batch.sparkSession
+    return spark.createDataFrame([(tt, round(psi, 6))], "n_rows long, psi double")
+
+
+def monitor_value_psi(
+    spark: SparkSession,
+    rows_path: str,
+    baseline_bins: list[tuple[int, int]],
+    col: str,
+    mn: float,
+    mx: float,
+    schema: StructType,
+    sink: Callable[[DataFrame, int], None],
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Watch ``rows_path`` and feed per-micro-batch PSI rows to ``sink`` —
+    the distribution-drift sibling of :func:`monitor_row_drift`."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(rows_path)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sink(value_psi_drift(batch_df, baseline_bins, col, mn, mx), batch_id)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", rows_path.rstrip("/") + "_psi_chk"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -452,3 +452,40 @@ def test_quota_admit_matches_batch(spark, sf_dir, tmp_path):
     want = {(r["user_id"], r["event_id"]): r["rk"] for r in want_df.collect()}
     assert got == want
     assert max(got.values()) <= cap and len(got) > 0
+
+
+def test_monitor_value_psi_stream(spark, tmp_path):
+    """Per-micro-batch PSI vs a frozen baseline: a batch drawn from the
+    baseline distribution scores ~0; a shifted batch alarms (>0.2); and
+    the streamed value equals the batch value_psi_drift on the same
+    rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from magiceye_spark.streaming.drift import monitor_value_psi, value_psi_drift
+
+    # frozen baseline: uniform over [0, 100) in 10 bins of 200 each
+    baseline_bins = [(b, 200) for b in range(10)]
+    mn, mx = 0.0, 100.0
+    schema = StructType([StructField("value", DoubleType())])
+
+    src = str(tmp_path / "vals")
+    same = spark.range(2000).select((F.col("id") % 100).cast("double").alias("value"))
+    shifted = spark.range(2000).select(
+        (50 + F.col("id") % 50).cast("double").alias("value")
+    )
+    same.coalesce(1).write.mode("append").parquet(src)
+
+    got = {}
+    q = monitor_value_psi(
+        spark, src, baseline_bins, "value", mn, mx, schema,
+        sink=lambda df, bid: got.update({bid: df.collect()[0]}),
+    )
+    q.awaitTermination(120)
+    (first,) = got.values()
+    assert first["n_rows"] == 2000 and abs(first["psi"]) < 1e-6
+
+    batch_same = value_psi_drift(same, baseline_bins, "value", mn, mx).collect()[0]
+    assert batch_same["psi"] == first["psi"]
+    batch_shift = value_psi_drift(shifted, baseline_bins, "value", mn, mx).collect()[0]
+    assert batch_shift["psi"] > 0.2
