@@ -577,3 +577,55 @@ FROM documents d JOIN weights w USING (source)
 WHERE CAST(CONCAT('0x', substr(md5('{salt}' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       / CAST(4294967296 AS DOUBLE) < w.rate
 """
+
+
+def hash_split_multi(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """N-way deterministic split by the same content-independent md5
+    bucket as :func:`hash_split`: fractions like {'train': .9, 'val': .05,
+    'test': .05} map to contiguous bucket ranges of [0, 100). Same
+    100 TB properties — reproducible across engines/layouts, new data
+    lands in its split forever, salt versions the split. Fractions must
+    sum to 1 (±1e-9); ranges are cut at integer percent boundaries via
+    cumulative rounding so every bucket belongs to exactly one split."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    cuts: list[tuple[str, int]] = []  # (name, exclusive upper bucket)
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        cuts.append((name, round(acc * 100)))
+    if cuts[-1][1] != 100:
+        raise ValueError(f"fraction resolution is 1%: cumulative cuts {cuts}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    expr = None
+    for name, hi in reversed(cuts):
+        expr = F.when(bucket < hi, F.lit(name)) if expr is None else F.when(
+            bucket < hi, F.lit(name)
+        ).otherwise(expr)
+    # reversed+otherwise chain: the first (smallest hi) wins for low buckets
+    return docs.select(id_col, expr.alias("split"))
+
+
+def sql_hash_split_multi(fractions: dict[str, float], salt: str = "split-v1") -> str:
+    cuts, acc = [], 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        cuts.append((name, round(acc * 100)))
+    whens = " ".join(
+        f"WHEN b < {hi} THEN '{name}'" for name, hi in cuts
+    )
+    return f"""
+SELECT doc_id, CASE {whens} END AS split FROM (
+  SELECT doc_id,
+         CAST(CONCAT('0x', substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+  FROM documents)
+"""

@@ -839,6 +839,17 @@ def hash_split_q(spark, sf_dir):
     return pipeline.hash_split(_docs(spark, sf_dir), train_pct=90)
 
 
+_SPLIT3 = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+@register("corpus_hash_split3", pipeline.sql_hash_split_multi(_SPLIT3))
+def hash_split3_q(spark, sf_dir):
+    """N-way deterministic split (train/val/test from one md5 bucket):
+    same engine/layout-independent bucket as corpus_hash_split, cut at
+    cumulative integer-percent boundaries."""
+    return pipeline.hash_split_multi(_docs(spark, sf_dir), _SPLIT3)
+
+
 @register("split_leakage_audit", pipeline.sql_split_leakage(train_pct=90, threshold=0.8))
 def split_leakage_q(spark, sf_dir):
     """Near-dup pairs that straddle the train/eval hash-split boundary —

@@ -538,3 +538,25 @@ def test_split_leakage_audit_planted(spark):
         "train",
         "eval",
     }
+
+
+def test_hash_split_multi_consistent_with_binary(spark, sf_dir):
+    """{'train': .9, 'eval': .1} multi-split must equal the binary
+    hash_split exactly (same bucket, same boundary); fractions must sum
+    to 1; every doc gets exactly one split."""
+    import pytest as _pytest
+
+    from magiceye_spark.llmops.pipeline import hash_split, hash_split_multi
+
+    docs = _docs(spark, sf_dir)
+    two = {(r["doc_id"], r["split"]) for r in
+           hash_split_multi(docs, {"train": 0.9, "eval": 0.1}).collect()}
+    binary = {(r["doc_id"], r["split"]) for r in hash_split(docs, 90).collect()}
+    assert two == binary
+    three = hash_split_multi(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    counts = {r["split"]: r["n"] for r in
+              three.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= {"train", "val", "test"} and counts["train"] > 0
+    assert sum(counts.values()) == docs.count()
+    with _pytest.raises(ValueError):
+        hash_split_multi(docs, {"a": 0.5, "b": 0.4})
