@@ -78,3 +78,38 @@ def test_zorder_histogram_plan_is_two_stage(spark, sf_dir):
     # → exchange → final agg → sort: ≤2 shuffles, no Python eval
     assert plans.count_shuffles(df) <= 2
     assert plans.python_eval_count(df) == 0
+
+
+def test_zorder_code_property_random_domains(spark):
+    """Across random domains and bit widths: z-values stay within
+    [0, 2^(2·bits)), equal bucket pairs collide, distinct bucket pairs
+    don't (the interleave is a bijection on bucket space)."""
+    import random
+
+    rnd = random.Random(7)
+    for _ in range(8):
+        bits = rnd.randint(1, 6)
+        cmin = rnd.randint(-1000, 1000)
+        span = rnd.randint(1, 10**6)
+        cmax = cmin + span
+        vals = sorted({rnd.randint(cmin, cmax) for _ in range(80)})
+        rows = [(a, b) for a in vals[:10] for b in vals[:10]]
+        df = spark.createDataFrame(rows, "a long, b long")
+        stats = {"a": (cmin, cmax), "b": (cmin, cmax)}
+        z = layout.zorder_code(df, ["a", "b"], stats, bits=bits)
+        got = df.select("a", "b", z).collect()
+        shift = layout._bucket_shift(cmin, cmax, bits)
+
+        def bucket(v):
+            x = v - cmin
+            return x >> shift if shift >= 0 else x << (-shift)
+
+        seen = {}
+        for r in got:
+            assert 0 <= r["zvalue"] < 1 << (2 * bits), (bits, cmin, cmax, r)
+            key = (bucket(r["a"]), bucket(r["b"]))
+            if key in seen:
+                assert seen[key] == r["zvalue"]
+            seen[key] = r["zvalue"]
+        # distinct bucket pairs → distinct z-values
+        assert len(set(seen.values())) == len(seen)
