@@ -166,3 +166,28 @@ def test_cross_source_overlap_single_corpus_shuffle(spark, sf_dir):
     assert plans.sortmerge_join_count(df) == 0
     assert plans.broadcast_join_count(df) == 0
     assert plans.python_eval_count(df) == 0
+
+
+def test_bucketed_datadiff_is_shuffle_free(spark):
+    """Two snapshots written bucketed+sorted on the PK must row-diff with
+    ZERO hash-partitioning exchanges — write once, diff every later
+    snapshot shuffle-free (the daily-diff layout at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.io import write_bucketed
+
+    base = spark.range(500).select(
+        F.col("id"), (F.col("id") * 3).alias("v"), (F.col("id") % 7).alias("w")
+    )
+    target = base.withColumn(
+        "v", F.when(F.col("id") % 50 == 0, F.col("v") + 1).otherwise(F.col("v"))
+    )
+    write_bucketed(base, "dd_bkt_base", ["id"], n_buckets=4)
+    write_bucketed(target, "dd_bkt_target", ["id"], n_buckets=4)
+    b = spark.table("dd_bkt_base")
+    t = spark.table("dd_bkt_target")
+    out = diff_data(b, t, ["id"])
+    plan = plans.executed_plan(out)
+    assert "hashpartitioning" not in plan.lower(), plan
+    got = {(r["id"], r["diff_status"]) for r in out.collect()}
+    assert got == {(i, "changed") for i in range(0, 500, 50)}
