@@ -106,18 +106,16 @@ def jaccard_near_dups(
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= length_tol),
     )
-    jac = F.round(
-        F.size(F.array_intersect("a.toks", "b.toks"))
-        / F.size(F.array_union("a.toks", "b.toks")),
-        4,
+    # filter on the UNROUNDED ratio (matching the SQL twin's WHERE) and
+    # round only in the projection — filtering the rounded value diverges
+    # from the oracle for ratios within 5e-5 below the threshold
+    raw = F.size(F.array_intersect("a.toks", "b.toks")) / F.size(
+        F.array_union("a.toks", "b.toks")
     )
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
+    return pairs.where(raw >= threshold).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(raw, 4).alias("jaccard"),
     )
 
 
@@ -230,13 +228,13 @@ def minhash_lsh_pairs(
         .toDF("doc_a", "doc_b", "sh_a", "sh_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        4,
+    # unrounded filter, rounded projection — keeps the candidate rerank
+    # consistent with jaccard_near_dups at threshold boundaries
+    raw = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
     )
-    return cands.select("doc_a", "doc_b", jac.alias("jaccard")).where(
-        F.col("jaccard") >= threshold
+    return cands.where(raw >= threshold).select(
+        "doc_a", "doc_b", F.round(raw, 4).alias("jaccard")
     )
 
 
