@@ -193,3 +193,48 @@ def zorder_histogram(
         .agg(F.count(F.lit(1)).alias("n_rows"))
         .orderBy("z_prefix")
     )
+
+
+def build_zonemap(spark, path: str, cols: Sequence[str]) -> DataFrame:
+    """Per-file zone map: (file, <col>_min, <col>_max per column) — the
+    vanilla-parquet equivalent of Delta/Iceberg file statistics, built
+    with one column-pruned scan and persisted KB-sized. Pair with
+    :func:`zorder_write` (tight per-file spans in every curve dimension)
+    and :func:`pruned_read` to skip files at PLANNING time — vanilla
+    Spark only skips parquet row groups inside tasks; this skips whole
+    files before tasks are even scheduled."""
+    df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+    aggs = []
+    for c in cols:
+        v = _to_int(F.col(c), dtypes[c])
+        aggs += [F.min(v).alias(f"{c}_min"), F.max(v).alias(f"{c}_max")]
+    return (
+        df.withColumn("file", F.input_file_name())
+        .groupBy("file")
+        .agg(*aggs)
+    )
+
+
+def pruned_read(
+    spark,
+    zonemap: DataFrame,
+    predicates: dict[str, tuple[int, int]],
+) -> DataFrame:
+    """Read ONLY the files whose zone-map interval intersects every
+    ``col: (lo, hi)`` predicate box (bounds in the zone map's integer
+    domain — days since epoch for date/timestamp columns). Returns the
+    union of surviving files as a DataFrame; apply the exact row filter
+    on top (zone pruning is conservative, never wrong). The zonemap is
+    catalog-sized, so the intersection runs driver-side — the same
+    planning-time file skipping a lakehouse table format does from its
+    transaction log."""
+    cond = None
+    for c, (lo, hi) in predicates.items():
+        k = (F.col(f"{c}_max") >= F.lit(int(lo))) & (F.col(f"{c}_min") <= F.lit(int(hi)))
+        cond = k if cond is None else (cond & k)
+    files = [r["file"] for r in zonemap.where(cond).select("file").collect()]
+    if not files:
+        empty = spark.read.parquet(*[r["file"] for r in zonemap.select("file").limit(1).collect()])
+        return empty.where(F.lit(False))
+    return spark.read.parquet(*files)

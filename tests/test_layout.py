@@ -113,3 +113,33 @@ def test_zorder_code_property_random_domains(spark):
             seen[key] = r["zvalue"]
         # distinct bucket pairs → distinct z-values
         assert len(set(seen.values())) == len(seen)
+
+
+def test_zonemap_pruned_read_correct_and_skips_files(spark, sf_dir, tmp_path):
+    """pruned_read over a z-ordered table: identical rows to the full
+    scan under the same predicate, while reading strictly fewer files;
+    an impossible box reads zero rows."""
+    import datetime
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    zpath = str(tmp_path / "zmap")
+    layout.zorder_write(l, ["l_partkey", "l_shipdate"], zpath, n_files=16)
+    zonemap = layout.build_zonemap(spark, zpath, ["l_partkey", "l_shipdate"])
+
+    d_lo = (datetime.date(1996, 3, 1) - datetime.date(1970, 1, 1)).days
+    d_hi = (datetime.date(1996, 8, 1) - datetime.date(1970, 1, 1)).days
+    box = {"l_partkey": (50, 75), "l_shipdate": (d_lo, d_hi)}
+    pred = (
+        F.col("l_partkey").between(50, 75)
+        & (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-08-02").cast("timestamp"))
+    )
+    pruned = layout.pruned_read(spark, zonemap, box).where(pred)
+    full = spark.read.parquet(zpath).where(pred)
+    assert sorted(map(tuple, pruned.collect())) == sorted(map(tuple, full.collect()))
+    assert len(pruned.inputFiles()) < len(spark.read.parquet(zpath).inputFiles())
+
+    nothing = layout.pruned_read(
+        spark, zonemap, {"l_partkey": (10**9, 10**9 + 1)}
+    )
+    assert nothing.count() == 0
