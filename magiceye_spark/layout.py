@@ -238,3 +238,60 @@ def pruned_read(
         empty = spark.read.parquet(*[r["file"] for r in zonemap.select("file").limit(1).collect()])
         return empty.where(F.lit(False))
     return spark.read.parquet(*files)
+
+
+def quantile_cuts(
+    df: DataFrame, cols: Sequence[str], bits: int = 8, rel_err: float = 0.001
+) -> dict[str, list[float]]:
+    """Per-column quantile cut points (2**bits − 1 interior cuts) from the
+    Greenwald-Khanna sketch (``approxQuantile`` — one pass, bounded driver
+    result). The skew-robust alternative to min/max stats: an equi-width
+    curve collapses when a column is power-law (most buckets empty, one
+    bucket holds everything); quantile buckets hold ~equal row counts by
+    construction, so the curve — and the file sizes of the rewrite —
+    stay balanced under any marginal distribution."""
+    nb = 1 << bits
+    qs = [i / nb for i in range(1, nb)]
+    dtypes = dict(df.dtypes)
+    tmp = df.select(
+        *[_to_int(F.col(c), dtypes[c]).cast("double").alias(c) for c in cols]
+    )
+    return {c: tmp.approxQuantile(c, qs, rel_err) for c in cols}
+
+
+def zorder_code_quantile(
+    df: DataFrame, cols: Sequence[str], cuts: dict[str, list[float]], bits: int = 8
+) -> Column:
+    """Z-value with QUANTILE buckets: bucket(v) = #cuts ≤ v, computed as a
+    size(filter(literal_array)) expression — per-row O(2**bits) JVM ops,
+    no join, no UDF. Same Morton interleave as the equi-width path."""
+    dtypes = dict(df.dtypes)
+    bucketed = []
+    for c in cols:
+        v = _to_int(F.col(c), dtypes[c]).cast("double")
+        arr = F.array(*[F.lit(float(x)) for x in cuts[c]])
+        bucketed.append(F.size(F.filter(arr, lambda x: x <= v)).cast("bigint"))
+    return interleave_bits(bucketed, bits)
+
+
+def zorder_write_quantile(
+    df: DataFrame,
+    cols: Sequence[str],
+    path: str,
+    n_files: int = 32,
+    bits: int = 8,
+) -> dict[str, list[float]]:
+    """:func:`zorder_write` with quantile buckets — use when a curve
+    column is skewed. Returns the cut points (persist them to bucketize
+    future appends identically)."""
+    cuts = quantile_cuts(df, cols, bits)
+    z = zorder_code_quantile(df, cols, cuts, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return cuts

@@ -143,3 +143,36 @@ def test_zonemap_pruned_read_correct_and_skips_files(spark, sf_dir, tmp_path):
         spark, zonemap, {"l_partkey": (10**9, 10**9 + 1)}
     )
     assert nothing.count() == 0
+
+
+def test_quantile_zorder_balances_skewed_column(spark, tmp_path):
+    """On a power-law column the equi-width curve collapses (most rows in
+    one bucket ⇒ lopsided files); quantile buckets keep file sizes
+    balanced and contents identical."""
+    # power-law-ish: v = 2^(id mod 20), plus a uniform second column
+    df = spark.range(20000).select(
+        F.pow(F.lit(2.0), (F.col("id") % 20).cast("double")).cast("long").alias("v"),
+        (F.col("id") % 97).alias("u"),
+        F.col("id"),
+    )
+    eq, qt = str(tmp_path / "eq"), str(tmp_path / "qt")
+    layout.zorder_write(df, ["v", "u"], eq, n_files=8, bits=8)
+    cuts = layout.zorder_write_quantile(df, ["v", "u"], qt, n_files=8, bits=8)
+    assert len(cuts["v"]) == 255
+
+    def sizes(path):
+        return [
+            r["n"]
+            for r in spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+
+    eq_sizes, qt_sizes = sizes(eq), sizes(qt)
+    assert sum(qt_sizes) == 20000
+    # balance: quantile max-file share must beat equi-width's
+    assert max(qt_sizes) / 20000 < max(eq_sizes) / 20000 or max(eq_sizes) == max(qt_sizes)
+    assert max(qt_sizes) < 2 * (20000 / 8)  # no file more than 2× the fair share
+    got = sorted(r["id"] for r in spark.read.parquet(qt).collect())
+    assert got == list(range(20000))
