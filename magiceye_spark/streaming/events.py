@@ -275,3 +275,45 @@ def stream_ohlc_daily(events: DataFrame, watermark: str = "25 hours") -> DataFra
             "n_events",
         )
     )
+
+
+def stream_stream_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join: each purchase matched to the same
+    user's clicks in the preceding ``within`` window — both sides arrive
+    as unbounded streams, so Spark buffers each side in state until the
+    other side's watermark proves no more matches can arrive. The
+    watermark + the time-bound join condition are what make the state
+    BOUNDED (state evicts rows older than watermark + interval); without
+    the interval bound this join is rejected by the engine at any scale.
+    Inner join: purchases with no prior click drop out (the outer
+    variant needs both-side watermarks too, which this already sets).
+
+    Batch twin: the inner interval join of events_ops.range_join_count /
+    asof machinery — equality pinned in tests."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")),
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+    )

@@ -489,3 +489,57 @@ def test_monitor_value_psi_stream(spark, tmp_path):
     assert batch_same["psi"] == first["psi"]
     batch_shift = value_psi_drift(shifted, baseline_bins, "value", mn, mx).collect()[0]
     assert batch_shift["psi"] > 0.2
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (clicks × purchases, both unbounded):
+    with availableNow over the full history, the matched pairs equal the
+    batch interval join exactly."""
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.analytics import _events
+    from magiceye_spark.streaming import events as sev
+    from magiceye_spark.streaming.events import stream_stream_attribution
+
+    batch = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = str(tmp_path / "events_ss")
+    batch.coalesce(2).write.parquet(src)
+
+    stream = sev.read_event_stream(spark, src, max_files_per_trigger=16)
+    clicks_s = stream.where(F.col("event_type") == "click")
+    purch_s = stream.where(F.col("event_type") == "purchase")
+    q = (
+        stream_stream_attribution(clicks_s, purch_s, within="1 hour")
+        .writeStream.format("memory")
+        .queryName("ss_attrib")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk_ss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("ss_attrib").collect()
+    }
+
+    c = batch.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = batch.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
