@@ -295,3 +295,59 @@ def zorder_write_quantile(
         .parquet(path)
     )
     return cuts
+
+
+def sql_zorder_histogram_k(
+    col_exprs: Sequence[str], bits: int = 6, top_bits: int = 6
+) -> str:
+    """k-column DuckDB twin of the curve histogram: same shift-based
+    buckets and interleave for any column count (bit j of column c lands
+    at position j·k + c)."""
+    k = len(col_exprs)
+    names = [f"c{i}" for i in range(k)]
+    ints = ", ".join(f"CAST({e} AS BIGINT) AS {n}" for e, n in zip(col_exprs, names))
+    stats = ", ".join(
+        f"MIN({n}) AS {n}_mn, MAX({n}) AS {n}_mx" for n in names
+    )
+    shifts = ", ".join(
+        f"LENGTH(FORMAT('{{:b}}', GREATEST({n}_mx - {n}_mn, 1))) - {bits} AS {n}_s"
+        for n in names
+    )
+    buckets = ", ".join(
+        f"CASE WHEN {n}_s >= 0 THEN ({n} - {n}_mn) >> {n}_s "
+        f"ELSE ({n} - {n}_mn) << (-{n}_s) END AS b_{n}"
+        for n in names
+    )
+    terms = " | ".join(
+        f"(((b_{n} >> {j}) & 1) << {j * k + i})"
+        for i, n in enumerate(names)
+        for j in range(bits)
+    )
+    shift = k * bits - top_bits
+    return f"""
+WITH ints AS (SELECT {ints} FROM lineitem),
+stats AS (SELECT {stats} FROM ints),
+shifts AS (SELECT *, {shifts} FROM stats),
+bucketed AS (SELECT {buckets} FROM ints, shifts),
+z AS (SELECT {terms} AS zvalue FROM bucketed)
+SELECT CAST(zvalue >> {shift} AS BIGINT) AS z_prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM z GROUP BY 1 ORDER BY 1
+"""
+
+
+def zorder_histogram_k(
+    spark, sf_dir: str, cols: Sequence[str], bits: int = 6, top_bits: int = 6
+) -> DataFrame:
+    """k-column curve-prefix histogram over lineitem — same balance
+    diagnostic as :func:`zorder_histogram`, any column count."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    stats = column_stats(l, list(cols))
+    z = zorder_code(l, list(cols), stats, bits)
+    shift = len(cols) * bits - top_bits
+    return (
+        l.select(z)
+        .groupBy(F.shiftright("zvalue", shift).cast("bigint").alias("z_prefix"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("z_prefix")
+    )

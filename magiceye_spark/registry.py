@@ -1562,3 +1562,25 @@ def zorder_histogram_q(spark, sf_dir):
     parquet) reads before sizing output files. Bucketize is pure bit
     shifts, interleave is shift/or chains — engine-exact, oracle-checked."""
     return _layout.zorder_histogram(spark, sf_dir, bits=8, top_bits=6)
+
+
+@register(
+    "zorder_curve3_histogram",
+    _layout.sql_zorder_histogram_k(
+        [
+            "l_partkey",
+            "l_suppkey",
+            "CAST(l_shipdate AS DATE) - DATE '1970-01-01'",
+        ],
+        bits=6,
+        top_bits=6,
+    ),
+)
+def zorder3_histogram_q(spark, sf_dir):
+    """3-column Morton curve (partkey × suppkey × ship-day) prefix
+    histogram — the interleave generalizes to any column count (bit j of
+    column c at position j·k+c); oracle computes the identical integer
+    math."""
+    return _layout.zorder_histogram_k(
+        spark, sf_dir, ["l_partkey", "l_suppkey", "l_shipdate"], bits=6, top_bits=6
+    )
