@@ -31,10 +31,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_CURVE_DTYPES = ("tinyint", "smallint", "int", "bigint", "float", "double",
+                 "decimal", "date", "timestamp", "timestamp_ntz")
+
+
 def _to_int(col: Column, dtype: str) -> Column:
-    """Normalize a column to a non-negative BIGINT domain value."""
+    """Normalize a column to a non-negative BIGINT domain value. Only
+    numeric/temporal columns have a meaningful linear order for the
+    curve — reject anything else loudly instead of CAST-to-NULL silently
+    collapsing the whole dimension to one bucket."""
     if dtype in ("date", "timestamp", "timestamp_ntz"):
         return F.datediff(col.cast("date"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    if not dtype.startswith(_CURVE_DTYPES):
+        raise ValueError(
+            f"z-order curve columns must be numeric or date/timestamp, got {dtype!r}"
+            " — hash or dictionary-encode string keys first"
+        )
     return col.cast("bigint")
 
 

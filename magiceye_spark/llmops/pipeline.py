@@ -602,6 +602,11 @@ def hash_split_multi(
         cuts.append((name, round(acc * 100)))
     if cuts[-1][1] != 100:
         raise ValueError(f"fraction resolution is 1%: cumulative cuts {cuts}")
+    uppers = [hi for _, hi in cuts]
+    if uppers != sorted(set(uppers)) or uppers[0] <= 0:
+        raise ValueError(
+            f"a fraction rounded to an empty 1% range — cumulative cuts {cuts}"
+        )
     bucket = (
         F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
         .cast("long") % 100

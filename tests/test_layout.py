@@ -176,3 +176,11 @@ def test_quantile_zorder_balances_skewed_column(spark, tmp_path):
     assert max(qt_sizes) < 2 * (20000 / 8)  # no file more than 2× the fair share
     got = sorted(r["id"] for r in spark.read.parquet(qt).collect())
     assert got == list(range(20000))
+
+
+def test_zorder_rejects_string_curve_column(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "x")], "a long, s string")
+    with pytest.raises(ValueError, match="numeric or date"):
+        layout.column_stats(df, ["s"])

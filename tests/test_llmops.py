@@ -560,3 +560,13 @@ def test_hash_split_multi_consistent_with_binary(spark, sf_dir):
     assert sum(counts.values()) == docs.count()
     with _pytest.raises(ValueError):
         hash_split_multi(docs, {"a": 0.5, "b": 0.4})
+
+
+def test_hash_split_multi_rejects_empty_percent_range(spark, sf_dir):
+    import pytest as _pytest
+
+    from magiceye_spark.llmops.pipeline import hash_split_multi
+
+    docs = _docs(spark, sf_dir)
+    with _pytest.raises(ValueError, match="empty 1% range"):
+        hash_split_multi(docs, {"a": 0.004, "b": 0.996})
