@@ -177,19 +177,18 @@ def psi_histogram_drift(
     """
     v = F.col(col).cast("double")
     both = base.select(v.alias("_v")).unionAll(target.select(v.alias("_v")))
-    stats = both.agg(F.min("_v").alias("_mn"), F.max("_v").alias("_mx"))
+    # collect the 2-value stats row ONCE and bin against literals — left
+    # lazy under each side's histogram, the stats subtree (a scan of BOTH
+    # sides) would re-execute per side: 3× the scan cost at 100 TB
+    srow = both.agg(F.min("_v").alias("_mn"), F.max("_v").alias("_mx")).collect()[0]
+    mn, mx = float(srow["_mn"]), float(srow["_mx"])
 
     def hist(df: DataFrame, side: str) -> DataFrame:
-        b = (
-            df.select(v.alias("_v"))
-            .crossJoin(F.broadcast(stats))
-            .select(
-                F.least(
-                    F.floor((F.col("_v") - F.col("_mn")) * n_bins
-                            / (F.col("_mx") - F.col("_mn"))).cast("int"),
-                    F.lit(n_bins - 1),
-                ).alias("bin")
-            )
+        b = df.select(
+            F.least(
+                F.floor((v - F.lit(mn)) * n_bins / F.lit(mx - mn)).cast("int"),
+                F.lit(n_bins - 1),
+            ).alias("bin")
         )
         return b.groupBy("bin").agg(F.count(F.lit(1)).alias(f"n_{side}"))
 
