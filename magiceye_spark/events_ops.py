@@ -313,6 +313,43 @@ ORDER BY event_type
 """
 
 
+def props_key_stats(events: DataFrame, props_col: str = "props") -> DataFrame:
+    """Semi-structured column profiler: which JSON keys exist in the
+    ``props`` payload, in what fraction of rows, and how many distinct
+    values each takes — the schema-inference report run before promoting
+    a JSON blob column to typed columns. JVM-side ``json_object_keys`` +
+    explode + one aggregation; no Python, no sampling (exact over the
+    full table — swap the distinct for approx_count_distinct at 100 TB)."""
+    total = events.count()
+    entries = events.select(
+        F.explode(F.from_json(F.col(props_col), "map<string,string>")).alias(
+            "key", "_v"
+        )
+    )
+    return (
+        entries.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.count(F.lit(1)) / F.lit(total), 4).alias("frac_rows"),
+            F.countDistinct("_v").alias("n_distinct"),
+        )
+        .orderBy("key")
+    )
+
+
+SQL_PROPS_KEY_STATS = """
+WITH keys AS (
+  SELECT UNNEST(json_keys(props)) AS key, props FROM events
+)
+SELECT key, COUNT(*) AS n_rows,
+       ROUND(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM events), 4) AS frac_rows,
+       COUNT(DISTINCT json_extract_string(props, '$.' || key)) AS n_distinct
+FROM keys
+GROUP BY key
+ORDER BY key
+"""
+
+
 def user_running_stats(events: DataFrame) -> DataFrame:
     """Window-frame battery per user event: running index (row_number),
     seconds since previous event (lag), cumulative value sum (unbounded

@@ -580,6 +580,14 @@ def asof_q(spark, sf_dir):
     return events_ops.purchase_attribution(spark, sf_dir)
 
 
+@register("events_props_key_stats", events_ops.SQL_PROPS_KEY_STATS)
+def props_key_stats_q(spark, sf_dir):
+    """Semi-structured profiler: JSON keys in props, row fraction, and
+    distinct-value counts — the report run before promoting a blob column
+    to typed columns. JVM from_json map explode, one aggregation."""
+    return events_ops.props_key_stats(events_ops._events(spark, sf_dir))
+
+
 @register("purchase_next_error_asof", events_ops.sql_purchase_next_error(tolerance_hours=1))
 def asof_forward_q(spark, sf_dir):
     """Forward as-of with tolerance (pandas merge_asof parity at Spark

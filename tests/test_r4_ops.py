@@ -263,3 +263,24 @@ def test_diff_triage_escalation_levels(spark, tmp_path):
         base_fingerprints=fp, target_fingerprints=fp,
     )
     assert stored["identical"] and stored["changed_partitions"] == []
+
+
+def test_props_key_stats_planted_multikey(spark):
+    """Multi-key / missing-key / nested payloads profile correctly:
+    per-key row fraction and distinct-value counts."""
+    from magiceye_spark.events_ops import props_key_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"a": 1, "b": "x"}'),
+            (2, '{"a": 2}'),
+            (3, '{"b": "x", "c": {"d": 5}}'),
+            (4, None),
+        ],
+        "event_id long, props string",
+    )
+    got = {r["key"]: (r["n_rows"], r["frac_rows"], r["n_distinct"])
+           for r in props_key_stats(df).collect()}
+    assert got["a"] == (2, 0.5, 2)
+    assert got["b"] == (2, 0.5, 1)   # same value both times
+    assert got["c"][0] == 1          # nested object counts as one value
