@@ -256,6 +256,40 @@ def cmd_datadiff(args: argparse.Namespace) -> int:
         return 0
 
     keys = args.keys.split(",") if args.keys else None
+    if args.mode == "triage":
+        if not keys:
+            print("--keys is required for triage mode", file=sys.stderr)
+            return 2
+        bfp = (
+            datadiff.read_fingerprints(spark, args.base_fingerprints)
+            if args.base_fingerprints else None
+        )
+        tfp = (
+            datadiff.read_fingerprints(spark, args.target_fingerprints)
+            if args.target_fingerprints else None
+        )
+        res = datadiff.diff_triage(
+            base, target, keys, args.partition_col, cols,
+            base_fingerprints=bfp, target_fingerprints=tfp,
+        )
+        print(f"level    {res['level']}")
+        if res["changed_partitions"] is not None:
+            print(f"changed_partitions {res['changed_partitions']}")
+        if res["identical"]:
+            print("identical")
+            return 0
+        d = res["diff"]
+        if args.out:
+            d.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+        from pyspark.sql import functions as F
+
+        for r in (
+            d.groupBy("diff_status").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("diff_status").collect()
+        ):
+            print(f"{r['diff_status']:8s} {r['n']}")
+        return 1
     if args.mode == "rowset":
         d = datadiff.diff_rows_set(base, target)
     elif args.mode == "incremental":
@@ -445,14 +479,16 @@ def main(argv: list[str] | None = None) -> int:
     p_dd.add_argument("--columns", help="comma-separated compare columns (default: all shared non-key)")
     p_dd.add_argument("--mode",
                       choices=["full", "left", "hash", "rowset", "fingerprint",
-                               "incremental", "write-fingerprints"],
+                               "incremental", "write-fingerprints", "triage"],
                       default="full",
                       help="full/left: per-column attribution; hash: wide-row fast path; "
                            "rowset: keyless multiset diff; fingerprint: checksum pre-check; "
                            "incremental: diff only changed partitions (stored fingerprint "
                            "tables via --base-fingerprints/--target-fingerprints skip the "
                            "deciding scans entirely); write-fingerprints: persist BASE's "
-                           "per-partition fingerprint table to --out (target arg ignored)")
+                           "per-partition fingerprint table to --out (target arg ignored); "
+                           "triage: escalate fingerprint -> partition -> row as the data "
+                           "demands (exit 0 iff identical)")
     p_dd.add_argument("--partition-col",
                       help="partition column for incremental/write-fingerprints modes")
     p_dd.add_argument("--base-fingerprints",

@@ -232,3 +232,28 @@ def test_cli_zorder_rewrite(spark, tmp_path, capsys):
     back = spark.read.parquet(str(dst))
     assert back.count() == 4096
     assert back.select(F.countDistinct("x", "y")).collect()[0][0] == 4096
+
+
+def test_cli_datadiff_triage_modes(spark, tmp_path, capsys):
+    """Triage CLI: identical tables exit 0 at the fingerprint level; a
+    partitioned change exits 1 at the partition level with counts."""
+    from pyspark.sql import functions as F
+
+    b = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).alias("m"), (F.col("id") * 3).alias("v")
+    )
+    t = b.withColumn("v", F.when(F.col("m") == 2, F.col("v") + 1).otherwise(F.col("v")))
+    pb, pt = str(tmp_path / "b"), str(tmp_path / "t")
+    b.write.parquet(pb)
+    t.write.parquet(pt)
+
+    rc = cli.main(["datadiff", pb, pb, "--keys", "id", "--mode", "triage",
+                   "--partition-col", "m"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "identical" in out and "level    fingerprint" in out
+
+    rc = cli.main(["datadiff", pb, pt, "--keys", "id", "--mode", "triage",
+                   "--partition-col", "m", "--columns", "v"])
+    out = capsys.readouterr().out
+    assert rc == 1 and "level    partition" in out and "changed_partitions [2]" in out
+    assert "changed  25" in out
