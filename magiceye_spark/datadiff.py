@@ -40,6 +40,17 @@ def _compare_cols(base: DataFrame, target: DataFrame, keys: list[str],
     return [c for c in common if c not in set(keys)]
 
 
+def _canon(df: DataFrame, c: str):
+    """Comparison-safe view of a column: MapType has no ordering in Spark
+    (``<=>`` rejects it, and casting to string depends on entry order), so
+    maps are canonicalized to key-sorted entry arrays — content-equal maps
+    compare equal regardless of construction order. Other types pass
+    through."""
+    if dict(df.dtypes).get(c, "").startswith("map<"):
+        return F.sort_array(F.map_entries(F.col(c)))
+    return F.col(c)
+
+
 def diff_data(
     base: DataFrame,
     target: DataFrame,
@@ -60,8 +71,9 @@ def diff_data(
         raise ValueError(f"how must be 'full' or 'left', got {how!r}")
     cols = _compare_cols(base, target, keys, compare_cols)
 
-    b = base.select(*keys, *cols, F.lit(True).alias("_b_present"))
-    t = target.select(*keys, *[F.col(c).alias(f"{c}__t") for c in cols],
+    b = base.select(*keys, *[_canon(base, c).alias(c) for c in cols],
+                    F.lit(True).alias("_b_present"))
+    t = target.select(*keys, *[_canon(target, c).alias(f"{c}__t") for c in cols],
                       F.lit(True).alias("_t_present"))
     j = b.join(t, keys, how == "full" and "full_outer" or "left")
 
@@ -144,8 +156,9 @@ def diff_data_hash(
     cols = sorted(_compare_cols(base, target, keys, compare_cols))
     def hashed(df: DataFrame, name: str) -> DataFrame:
         # normalize to string with a NUL separator so (1,'a')≠('1a',''),
-        # and coalesce NULL to a sentinel so NULL≠''.
-        parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in cols]
+        # and coalesce NULL to a sentinel so NULL≠''; maps canonicalized
+        # to key-sorted entries first (string form is order-dependent).
+        parts = [F.coalesce(_canon(df, c).cast("string"), F.lit("\x00null")) for c in cols]
         return df.select(*keys, F.xxhash64(*parts).alias(name))
     b = hashed(base, "_bh").withColumn("_b_present", F.lit(True))
     t = hashed(target, "_th").withColumn("_t_present", F.lit(True))
@@ -180,7 +193,7 @@ def table_fingerprint(
     """
     cols = sorted(cols or df.columns)
     parts = [
-        F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols
+        F.coalesce(_canon(df, c).cast("string"), F.lit("<NULL>")) for c in cols
     ]
     h = F.conv(
         F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 8), 16, 10
@@ -216,7 +229,7 @@ def partition_fingerprints(
     partition-count-sized aggregate."""
     pcol = F.col(partition_col) if isinstance(partition_col, str) else partition_col
     cols = sorted(cols or [c for c in df.columns])
-    parts = [F.coalesce(F.col(c).cast("string"), F.lit("<NULL>")) for c in cols]
+    parts = [F.coalesce(_canon(df, c).cast("string"), F.lit("<NULL>")) for c in cols]
     h = F.conv(
         F.substring(F.md5(F.concat_ws("\x1f", *parts)), 1, 8), 16, 10
     ).cast("long")
