@@ -39,6 +39,11 @@ def get_spark(app_name: str = "magiceye-spark", master: str | None = None) -> Sp
         # bucketed by table_name) may reuse that layout instead of
         # re-shuffling both sides — subset co-partitioning
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+        # runtime bloom-filter join pruning is default-ON in Spark 4
+        # (fires only past its 10 GB application-side scan threshold, i.e.
+        # on a real lake). Do NOT enable the sibling
+        # runtimeFilter.semiJoinReduction flag: on this Spark 4.1.2 build
+        # it hangs even a plain parquet count (reproduced in isolation).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
