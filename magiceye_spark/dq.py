@@ -52,19 +52,29 @@ def check_quality(df: DataFrame, rules: Rules) -> DataFrame:
 
     if aggs:
         row = df.agg(total.alias("_total"), *[a.alias(f"_v{i}") for i, a in enumerate(aggs)])
-        parts = []
-        for i, (kind, col) in enumerate(labels):
-            parts.append(
-                row.select(
+        # ONE row → explode into one output row per rule. A per-rule
+        # select + union would repeat the aggregate subtree (and its full
+        # scan) once per rule in the plan — k scans for k scalar rules.
+        entries = F.array(
+            *[
+                F.struct(
                     F.lit(kind).alias("check"),
                     F.lit(col).alias("column"),
                     F.col(f"_v{i}").alias("violations"),
-                    F.col("_total").alias("total"),
-                    (F.col(f"_v{i}") == 0).alias("pass"),
                 )
+                for i, (kind, col) in enumerate(labels)
+            ]
+        )
+        out = (
+            row.select("_total", F.explode(entries).alias("e"))
+            .select(
+                "e.check",
+                "e.column",
+                "e.violations",
+                F.col("_total").alias("total"),
+                (F.col("e.violations") == 0).alias("pass"),
             )
-        for p in parts:
-            out = p if out is None else out.unionByName(p)
+        )
 
     for key in rules.unique:
         dup = (
