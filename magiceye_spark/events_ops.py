@@ -417,14 +417,23 @@ def conversion_funnel(
     counts = firsts.agg(
         *[F.count(F.when(c, 1)).alias(f"n{i}") for i, c in enumerate(conds)]
     )
-    rows = None
-    for i, s in enumerate(steps):
-        r = counts.select(
-            F.lit(i).alias("step_idx"), F.lit(s).alias("step"),
-            F.col(f"n{i}").alias("n_users"),
-        )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows.orderBy("step_idx")
+    # explode the single counts row — a per-step select + union would
+    # repeat the user-agg subtree (a full events scan) once per step
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("step_idx"),
+                F.lit(s).alias("step"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return (
+        counts.select(F.explode(entries).alias("e"))
+        .select("e.step_idx", "e.step", "e.n_users")
+        .orderBy("step_idx")
+    )
 
 
 def sql_conversion_funnel(steps: tuple[str, ...] = _FUNNEL_STEPS) -> str:
