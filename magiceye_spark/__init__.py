@@ -28,6 +28,7 @@ from magiceye_spark.datadiff import (
     diff_data_hash,
     diff_data_incremental,
     diff_data_summary,
+    build_scd2,
     diff_triage,
     diff_rows_set,
     read_fingerprints,
@@ -66,6 +67,7 @@ __all__ = [
     "diff_data_hash",
     "diff_data_incremental",
     "diff_data_summary",
+    "build_scd2",
     "diff_triage",
     "diff_rows_set",
     "read_fingerprints",

@@ -429,3 +429,84 @@ def diff_triage(
                 "diff": diff_data(b, t, keys, compare_cols)}
     return {"identical": False, "level": "row", "changed_partitions": None,
             "diff": diff_data(base, target, keys, compare_cols)}
+
+
+def build_scd2(
+    snapshots: list[tuple[int, DataFrame]],
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from a series of FULL
+    snapshots: one row per (key, unchanged-run) with
+    ``valid_from``/``valid_to`` version bounds and an ``is_current``
+    flag. The history a warehouse derives when upstream only publishes
+    periodic full dumps:
+
+    - a payload change at version v closes the previous interval at v
+      and opens a new one;
+    - a key ABSENT from version v closes its interval at v (deletion);
+      re-appearing later opens a fresh interval (re-insert);
+    - the interval containing the newest version has
+      ``valid_to = NULL`` and ``is_current = true``.
+
+    Shape: one union of the tagged snapshots, ONE key-ordered window
+    pass to mark run starts (any payload column null-safe-differs from
+    its lag, OR version gap), then a (key, run) aggregation — two
+    shuffles total regardless of version count, never a per-version
+    join. Columns are canonicalized like :func:`diff_data` (maps
+    key-sorted), and the compare is exact per column, so the DuckDB
+    twin (IS DISTINCT FROM on lags) is bit-identical."""
+    if not snapshots:
+        raise ValueError("build_scd2 needs at least one (version, df) snapshot")
+    from pyspark.sql.window import Window
+
+    versions = [v for v, _ in snapshots]
+    if len(set(versions)) != len(versions):
+        raise ValueError(f"duplicate snapshot versions: {versions}")
+    latest = max(versions)
+    first_df = snapshots[0][1]
+    cols = sorted(_compare_cols(first_df, first_df, keys, compare_cols))
+
+    tagged = None
+    for v, df in snapshots:
+        t = df.select(
+            *keys,
+            *[_canon(df, c).alias(c) for c in cols],
+            F.lit(int(v)).alias("_v"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+
+    w = Window.partitionBy(*keys).orderBy("_v")
+    col_changed = None
+    for c in cols:
+        d = ~F.lag(c).over(w).eqNullSafe(F.col(c))
+        col_changed = d if col_changed is None else (col_changed | d)
+    marked = tagged.select(
+        "*",
+        (
+            F.lag("_v").over(w).isNull()
+            | (F.lag("_v").over(w) != F.col("_v") - 1)
+            | col_changed
+        ).cast("int").alias("_start"),
+    ).withColumn("_seg", F.sum("_start").over(
+        Window.partitionBy(*keys).orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ))
+    return (
+        marked.groupBy(*keys, "_seg")
+        .agg(
+            *[F.first(c).alias(c) for c in cols],
+            F.min("_v").alias("valid_from"),
+            (F.max("_v") + 1).alias("_to_excl"),
+            F.max("_v").alias("_last"),
+        )
+        .select(
+            *keys,
+            *cols,
+            "valid_from",
+            F.when(F.col("_last") == latest, F.lit(None).cast("long"))
+            .otherwise(F.col("_to_excl")).alias("valid_to"),
+            (F.col("_last") == latest).alias("is_current"),
+        )
+        .orderBy(*keys, "valid_from")
+    )

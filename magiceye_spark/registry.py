@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from magiceye_spark import analytics, events_ops, io, partsupp, profile, sketches, synthcat
 from magiceye_spark.llmops import dedup, multimodal, pipeline, simsearch, textstats
 from magiceye_spark.datadiff import (
+    build_scd2,
     diff_data,
     diff_data_hash,
     diff_data_summary,
@@ -1592,3 +1593,60 @@ def zorder3_histogram_q(spark, sf_dir):
     return _layout.zorder_histogram_k(
         spark, sf_dir, ["l_partkey", "l_suppkey", "l_shipdate"], bits=6, top_bits=6
     )
+
+
+SQL_SCD2_HISTORY = """
+WITH v1 AS (
+  SELECT o_orderkey AS id, ROUND(o_totalprice, 2) AS val
+  FROM orders WHERE o_orderkey < 500
+),
+v2 AS (SELECT id, CASE WHEN id % 7 = 0 THEN ROUND(val + 1, 2) ELSE val END AS val FROM v1),
+v3 AS (SELECT id, CASE WHEN id % 3 = 0 THEN ROUND(val + 2, 2) ELSE val END AS val
+       FROM v2 WHERE id % 5 <> 0),
+tagged AS (
+  SELECT id, val, 1 AS v FROM v1
+  UNION ALL SELECT id, val, 2 FROM v2
+  UNION ALL SELECT id, val, 3 FROM v3
+),
+marked AS (
+  SELECT id, val, v,
+         CASE WHEN LAG(v) OVER w IS NULL OR LAG(v) OVER w <> v - 1
+                OR val IS DISTINCT FROM LAG(val) OVER w THEN 1 ELSE 0 END AS s
+  FROM tagged WINDOW w AS (PARTITION BY id ORDER BY v)
+),
+seg AS (
+  SELECT *, SUM(s) OVER (PARTITION BY id ORDER BY v
+                         ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM marked
+)
+SELECT id, MIN_BY(val, v) AS val,
+       CAST(MIN(v) AS BIGINT) AS valid_from,
+       CAST(CASE WHEN MAX(v) = 3 THEN NULL ELSE MAX(v) + 1 END AS BIGINT) AS valid_to,
+       MAX(v) = 3 AS is_current
+FROM seg GROUP BY id, seg_id
+ORDER BY id, valid_from
+"""
+
+
+@register("scd2_history", SQL_SCD2_HISTORY)
+def scd2_history_q(spark, sf_dir):
+    """SCD2 history built from 3 derived snapshot versions of orders
+    (v2 bumps every 7th key, v3 deletes every 5th and bumps every 3rd) —
+    change/delete/current semantics over datadiff.build_scd2's
+    two-shuffle union+window+group plan; oracle is the identical window
+    SQL (IS DISTINCT FROM lags, run-id segmentation)."""
+    o = io.read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    v1 = o.select(
+        F.col("o_orderkey").alias("id"), F.round("o_totalprice", 2).alias("val")
+    )
+    v2 = v1.select(
+        "id",
+        F.when(F.col("id") % 7 == 0, F.round(F.col("val") + 1, 2))
+        .otherwise(F.col("val")).alias("val"),
+    )
+    v3 = v2.where(F.col("id") % 5 != 0).select(
+        "id",
+        F.when(F.col("id") % 3 == 0, F.round(F.col("val") + 2, 2))
+        .otherwise(F.col("val")).alias("val"),
+    )
+    return build_scd2([(1, v1), (2, v2), (3, v3)], ["id"])

@@ -325,3 +325,29 @@ def test_diff_data_complex_types_and_map_canon(spark):
     fp = table_fingerprint(a_perm).collect()[0]["fingerprint"]
     fb = table_fingerprint(b).collect()[0]["fingerprint"]
     assert fa == fp and fa != fb
+
+
+def test_build_scd2_change_delete_reinsert(spark):
+    """SCD2 from 4 snapshot versions: payload change opens a new interval,
+    deletion closes at the missing version, re-insert opens fresh, and
+    only the newest-version runs are current."""
+    from magiceye_spark.datadiff import build_scd2
+
+    def snap(rows):
+        return spark.createDataFrame(rows, "id long, v string")
+
+    s1 = snap([(1, "a"), (2, "x"), (3, "m")])
+    s2 = snap([(1, "a"), (2, "y"), (3, "m")])          # 2 changes x->y
+    s3 = snap([(1, "a"), (2, "y")])                    # 3 deleted
+    s4 = snap([(1, "b"), (2, "y"), (3, "m2")])         # 1 changes, 3 re-inserted
+    out = build_scd2([(1, s1), (2, s2), (3, s3), (4, s4)], ["id"])
+    got = {(r["id"], r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+           for r in out.collect()}
+    assert got == {
+        (1, "a", 1, 4, False),
+        (1, "b", 4, None, True),
+        (2, "x", 1, 2, False),
+        (2, "y", 2, None, True),
+        (3, "m", 1, 3, False),
+        (3, "m2", 4, None, True),
+    }
