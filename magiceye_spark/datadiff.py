@@ -510,3 +510,17 @@ def build_scd2(
         )
         .orderBy(*keys, "valid_from")
     )
+
+
+def scd2_snapshot_at(history: DataFrame, version: int, keys: list[str]) -> DataFrame:
+    """Reconstruct the FULL snapshot as of ``version`` from a
+    :func:`build_scd2` history: rows whose interval covers the version.
+    A map-side filter over the (compact) history table — the time-travel
+    read that makes keeping history cheaper than keeping N snapshots.
+    Inverse-of-build round-trip is pinned in tests."""
+    covered = (F.col("valid_from") <= version) & (
+        F.col("valid_to").isNull() | (F.col("valid_to") > version)
+    )
+    payload = [c for c in history.columns
+               if c not in (*keys, "valid_from", "valid_to", "is_current")]
+    return history.where(covered).select(*keys, *payload)
