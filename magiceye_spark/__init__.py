@@ -29,6 +29,7 @@ from magiceye_spark.datadiff import (
     diff_data_incremental,
     diff_data_summary,
     build_scd2,
+    scd2_apply_snapshot,
     scd2_snapshot_at,
     diff_triage,
     diff_rows_set,
@@ -69,6 +70,7 @@ __all__ = [
     "diff_data_incremental",
     "diff_data_summary",
     "build_scd2",
+    "scd2_apply_snapshot",
     "scd2_snapshot_at",
     "diff_triage",
     "diff_rows_set",

@@ -524,3 +524,67 @@ def scd2_snapshot_at(history: DataFrame, version: int, keys: list[str]) -> DataF
     payload = [c for c in history.columns
                if c not in (*keys, "valid_from", "valid_to", "is_current")]
     return history.where(covered).select(*keys, *payload)
+
+
+def scd2_apply_snapshot(
+    history: DataFrame,
+    version: int,
+    snap: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incrementally merge snapshot ``version`` into an existing
+    :func:`build_scd2` history — the daily-maintenance path: ONE keyed
+    join of the CURRENT rows (a fraction of the history) against the new
+    snapshot, never a rebuild over all versions. Provably equal to
+    rebuilding from the full series (pinned in tests).
+
+    Current rows splitting:
+    - payload unchanged → stay current;
+    - changed → close at ``version``, open a new current interval;
+    - key absent from the snapshot → close at ``version`` (delete);
+    - snapshot key with no current row (new or re-inserted) → open.
+    Closed historical rows pass through untouched."""
+    cols = sorted(_compare_cols(snap, snap, keys, compare_cols))
+    closed_hist = history.where(~F.col("is_current"))
+    cur = history.where(F.col("is_current")).select(
+        *keys, *[_canon(history, c).alias(c) for c in cols], "valid_from"
+    )
+    new = snap.select(
+        *keys,
+        *[_canon(snap, c).alias(f"{c}__n") for c in cols],
+        F.lit(True).alias("_in_new"),
+    )
+    j = cur.withColumn("_in_cur", F.lit(True)).join(new, keys, "full_outer")
+
+    same = None
+    for c in cols:
+        e = F.col(c).eqNullSafe(F.col(f"{c}__n"))
+        same = e if same is None else (same & e)
+
+    unchanged = j.where(
+        F.col("_in_cur").isNotNull() & F.col("_in_new").isNotNull() & same
+    ).select(
+        *keys, *cols, "valid_from",
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed_now = j.where(
+        F.col("_in_cur").isNotNull() & (F.col("_in_new").isNull() | ~same)
+    ).select(
+        *keys, *cols, "valid_from",
+        F.lit(int(version)).cast("long").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = j.where(
+        F.col("_in_new").isNotNull() & (F.col("_in_cur").isNull() | ~same)
+    ).select(
+        *keys,
+        *[F.col(f"{c}__n").alias(c) for c in cols],
+        F.lit(int(version)).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed_hist.select(
+        *keys, *cols, "valid_from", "valid_to", "is_current"
+    ).unionByName(unchanged).unionByName(closed_now).unionByName(opened)

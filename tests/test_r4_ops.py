@@ -373,3 +373,25 @@ def test_scd2_round_trip_reconstructs_every_version(spark):
         got = sorted(map(tuple, scd2_snapshot_at(hist, v, ["id"]).collect()))
         want = sorted(map(tuple, original.collect()))
         assert got == want, v
+
+
+def test_scd2_incremental_equals_rebuild(spark):
+    """Applying snapshots one at a time with scd2_apply_snapshot yields
+    the SAME history as build_scd2 over the full series — change, delete,
+    and re-insert included."""
+    from magiceye_spark.datadiff import build_scd2, scd2_apply_snapshot
+
+    def snap(rows):
+        return spark.createDataFrame(rows, "id long, v string")
+
+    snaps = [
+        (1, snap([(1, "a"), (2, "x"), (3, "m")])),
+        (2, snap([(1, "a"), (2, "y"), (3, "m")])),
+        (3, snap([(1, "a"), (2, "y")])),
+        (4, snap([(1, "b"), (2, "y"), (3, "m2")])),
+    ]
+    full = build_scd2(snaps, ["id"])
+    inc = build_scd2(snaps[:1], ["id"])
+    for v, s in snaps[1:]:
+        inc = scd2_apply_snapshot(inc, v, s, ["id"])
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
