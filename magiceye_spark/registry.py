@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from magiceye_spark import analytics, events_ops, io, partsupp, profile, sketches, synthcat
-from magiceye_spark.llmops import dedup, multimodal, pipeline, simsearch, textstats
+from magiceye_spark.llmops import dedup, multimodal, pipeline, retrieval, simsearch, textstats
 from magiceye_spark.datadiff import (
     build_scd2,
     diff_data,
@@ -1650,3 +1650,32 @@ def scd2_history_q(spark, sf_dir):
         .otherwise(F.col("val")).alias("val"),
     )
     return build_scd2([(1, v1), (2, v2), (3, v3)], ["id"])
+
+
+@register("bm25_topk", retrieval.sql_bm25_topk())
+def bm25_topk_q(spark, sf_dir):
+    """Okapi BM25 top-20 retrieval for a 3-term query over documents —
+    targeted corpus carving (eval-set construction, domain up-sampling).
+    Map-side array-filter term frequencies (no token explode), |terms|-row
+    broadcast df table, 1-row broadcast corpus stats, TakeOrdered top-k;
+    ties broken on doc_id over the rounded score so the cutoff is
+    engine-deterministic."""
+    return retrieval.bm25_topk(io.read_table(spark, sf_dir, "documents"))
+
+
+@register("duplicate_spans", retrieval.sql_duplicate_spans())
+def duplicate_spans_q(spark, sf_dir):
+    """Maximal duplicated 8-gram token spans per document (substring-level
+    dedup, Lee et al. arXiv:2107.06499). Gram counting + hit join key on
+    md5(gram) (compact fixed-width shuffle keys; the oracle has the same
+    md5); island merge is one doc_id window over hit positions only."""
+    return retrieval.duplicate_spans(io.read_table(spark, sf_dir, "documents"))
+
+
+@register("duplicate_span_coverage", retrieval.sql_duplicate_span_coverage())
+def duplicate_span_coverage_q(spark, sf_dir):
+    """Per-document duplicated-token coverage (fraction of tokens inside a
+    corpus-duplicated 8-gram span) — the curation metric a span-cleaning
+    pass filters on. Left join back to all docs: zero-coverage docs report
+    0.0 rather than disappearing."""
+    return retrieval.duplicate_span_coverage(io.read_table(spark, sf_dir, "documents"))
