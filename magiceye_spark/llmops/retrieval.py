@@ -276,6 +276,73 @@ def duplicate_span_coverage(
     )
 
 
+def span_cleaned_corpus(
+    docs: DataFrame, n: int = 8, min_count: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """The REMOVE step of substring-level dedup (Lee et al.): rebuild each
+    document with its duplicated spans dropped. Completes the pipeline
+    `duplicate_spans` detects for — what actually ships to training.
+
+    Plan: spans collapse to ONE small struct-array per doc (collect_list
+    after the span groupBy), join back on doc_id, and the token drop is a
+    map-side higher-order `filter` with an indexed lambda testing span
+    membership — no token explode, no range join. Docs with no spans pass
+    through untouched via the null guard (left join)."""
+    spans = duplicate_spans(docs, n=n, min_count=min_count, text_col=text_col)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("spans")
+    )
+    base = docs.select("doc_id", _tokens(F.col(text_col)).alias("toks"))
+    kept = F.when(F.col("spans").isNull(), F.col("toks")).otherwise(
+        F.filter(
+            F.col("toks"),
+            lambda x, i: ~F.exists(
+                F.col("spans"), lambda sp: (sp.s <= i) & (i <= sp.e)
+            ),
+        )
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .withColumn("kept", kept)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("kept")).alias("cleaned_text"),
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.size("kept")).cast("long").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_span_cleaned_corpus(n: int = 8, min_count: int = 2) -> str:
+    spans = sql_duplicate_spans(n, min_count).strip()
+    return f"""
+WITH spans AS ({spans}),
+per_doc AS (
+  SELECT doc_id, list({{'s': span_start, 'e': span_end}}) AS spans
+  FROM spans GROUP BY doc_id),
+base AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+  FROM documents),
+k AS (
+  SELECT base.doc_id, toks,
+         CASE WHEN spans IS NULL THEN toks
+              ELSE list_filter(toks, (x, i) ->
+                     LENGTH(list_filter(spans,
+                            sp -> sp.s <= i - 1 AND i - 1 <= sp.e)) = 0)
+         END AS kept
+  FROM base LEFT JOIN per_doc ON base.doc_id = per_doc.doc_id)
+SELECT doc_id,
+       -- DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
+       COALESCE(array_to_string(kept, ' '), '') AS cleaned_text,
+       LENGTH(toks) AS n_tokens,
+       LENGTH(toks) - LENGTH(kept) AS n_removed
+FROM k ORDER BY doc_id
+"""
+
+
 def sql_duplicate_span_coverage(n: int = 8, min_count: int = 2) -> str:
     spans = sql_duplicate_spans(n, min_count).strip().rstrip()
     # reuse the span SQL as a subquery; DuckDB allows ORDER BY in a subquery

@@ -1679,3 +1679,13 @@ def duplicate_span_coverage_q(spark, sf_dir):
     pass filters on. Left join back to all docs: zero-coverage docs report
     0.0 rather than disappearing."""
     return retrieval.duplicate_span_coverage(io.read_table(spark, sf_dir, "documents"))
+
+
+@register("span_cleaned_corpus", retrieval.sql_span_cleaned_corpus())
+def span_cleaned_corpus_q(spark, sf_dir):
+    """REMOVE step of substring-level dedup: each document rebuilt with
+    its duplicated 8-gram spans dropped (Lee et al. arXiv:2107.06499).
+    Spans collapse to one small struct-array per doc; the token drop is a
+    map-side indexed higher-order filter — no token explode, no range
+    join; clean docs pass through via the left-join null guard."""
+    return retrieval.span_cleaned_corpus(io.read_table(spark, sf_dir, "documents"))

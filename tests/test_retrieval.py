@@ -106,3 +106,17 @@ def test_bm25_k_limits_and_tie_break(spark):
     docs = _docs(spark, ["spark a", "spark a", "spark a"])
     top = retrieval.bm25_topk(docs, terms=["spark"], k=2).collect()
     assert [r.doc_id for r in top] == [0, 1]
+
+
+def test_span_cleaned_corpus_drops_exactly_the_spans(spark, span_docs):
+    out = {r.doc_id: r for r in retrieval.span_cleaned_corpus(span_docs, n=3).collect()}
+    # doc 0: tokens x1..x5 are one dup span -> only the unique tail remains
+    assert out[0].cleaned_text == "u1 u2"
+    assert out[0].n_removed == 5 and out[0].n_tokens == 7
+    # doc 3 had no duplicated grams: untouched
+    assert out[3].cleaned_text == "unique tokens only here now"
+    assert out[3].n_removed == 0
+    # doc 2: both same-doc repeats removed, gap token survives
+    assert out[2].cleaned_text == "z1"
+    # every doc present
+    assert len(out) == span_docs.count()
