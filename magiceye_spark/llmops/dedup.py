@@ -562,6 +562,60 @@ ORDER BY 1, 2
 """
 
 
+def approx_source_overlap(
+    docs: DataFrame, text_col: str = "text", lg_k: int = 14
+) -> DataFrame:
+    """Sketch-tier twin of :func:`cross_source_overlap`: approximate
+    distinct shared-content counts for every unordered source pair via
+    mergeable HLL sketches and inclusion–exclusion
+    (|A∩B| ≈ est(A) + est(B) − est(A∪B)).
+
+    Why this shape at 100 TB: the exact matrix shuffles every (hash,
+    source-set) group; THIS plan shuffles only per-source HLL partial
+    states (KB each, merged map-side by ``hll_sketch_agg``), then does all
+    pairwise work on the k-row sketch table — pair cost is k², data cost
+    is one scan. The estimate error is the HLL rsd (~1.04/√2^lg_k ≈ 0.8%
+    at the default lg_k=14); a tolerance pin vs the exact matrix lives in
+    pytest, and the driver checks rows-only (no oracle: DuckDB's HLL is a
+    different sketch).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    canon = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    sk = (
+        docs.select(F.col("source"), canon.alias("h"))
+        .groupBy("source")
+        .agg(F.hll_sketch_agg("h", F.lit(lg_k)).alias("sk"))
+        .withColumn("est", F.hll_sketch_estimate("sk"))
+    )
+    a = sk.select(
+        F.col("source").alias("source_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("est").alias("approx_a"),
+    )
+    b = sk.select(
+        F.col("source").alias("source_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("est").alias("approx_b"),
+    )
+    union_est = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .withColumn("approx_union", union_est)
+        .select(
+            "source_a",
+            "source_b",
+            "approx_a",
+            "approx_b",
+            "approx_union",
+            F.greatest(
+                F.col("approx_a") + F.col("approx_b") - F.col("approx_union"),
+                F.lit(0),
+            ).alias("approx_shared_texts"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def boilerplate_ngrams(
     docs: DataFrame, n: int = 3, min_doc_frac: float = 0.05, text_col: str = "text"
 ) -> DataFrame:

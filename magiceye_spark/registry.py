@@ -1689,3 +1689,13 @@ def span_cleaned_corpus_q(spark, sf_dir):
     map-side indexed higher-order filter — no token explode, no range
     join; clean docs pass through via the left-join null guard."""
     return retrieval.span_cleaned_corpus(io.read_table(spark, sf_dir, "documents"))
+
+
+@register("approx_source_overlap", None)
+def approx_source_overlap_q(spark, sf_dir):
+    """Sketch-tier cross-source contamination matrix: per-source HLL
+    sketches (ONE corpus shuffle of KB mergeable states) + pairwise
+    hll_union inclusion-exclusion on the k-row sketch table. Rows-only for
+    the driver (DuckDB's HLL is a different sketch); the tolerance pin vs
+    the exact matrix lives in pytest."""
+    return dedup.approx_source_overlap(io.read_table(spark, sf_dir, "documents"))

@@ -570,3 +570,28 @@ def test_hash_split_multi_rejects_empty_percent_range(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     with _pytest.raises(ValueError, match="empty 1% range"):
         hash_split_multi(docs, {"a": 0.004, "b": 0.996})
+
+
+def test_approx_source_overlap_tracks_exact_matrix(spark, sf_dir):
+    """HLL inclusion-exclusion estimates stay within sketch tolerance of
+    the exact shared-content matrix, and cover ALL unordered pairs (the
+    exact matrix only emits pairs with >=1 shared hash)."""
+    from magiceye_spark.llmops.dedup import approx_source_overlap, cross_source_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r.source_a, r.source_b): r.n_shared_texts
+        for r in cross_source_overlap(docs).collect()
+    }
+    approx = {
+        (r.source_a, r.source_b): r.approx_shared_texts
+        for r in approx_source_overlap(docs).collect()
+    }
+    n_sources = docs.select("source").distinct().count()
+    assert len(approx) == n_sources * (n_sources - 1) // 2
+    for pair, n in exact.items():
+        assert abs(approx[pair] - n) <= max(2.0, 0.05 * n), (pair, n, approx[pair])
+    # pairs with no exact overlap must estimate ~0
+    for pair, est in approx.items():
+        if pair not in exact:
+            assert est <= 2.0, (pair, est)
