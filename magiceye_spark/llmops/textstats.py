@@ -594,3 +594,86 @@ FROM b
 GROUP BY bucket
 ORDER BY bucket
 """
+
+
+# ------------------------------------------------- per-source report card
+
+def source_report_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per source: the corpus-audit dashboard a mixing decision
+    reads — volume, length profile, language share, duplicate exposure,
+    and token-entropy (the information-density proxy: low entropy =
+    repetitious/templated text even when repetition n-gram filters pass).
+
+    Plan: per-doc signals (tokens, entropy, lang flag) are row-local array
+    expressions; the duplicate flag is ONE window over the bag-canonical
+    hash (count per hash, shuffle on the hash); the rollup is one
+    source-keyed agg with map-side partials. Entropy folds over the SORTED
+    distinct token list so Spark and the oracle sum in the same IEEE order.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    counts = F.transform(
+        F.array_sort(F.array_distinct(toks)),
+        lambda d: F.size(F.filter(toks, lambda t: t == d)),
+    )
+    entropy = -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + (c / n) * F.log(c / n),
+    )
+    bag = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    from pyspark.sql.window import Window
+
+    per_doc = docs.select(
+        "source",
+        F.col("n_chars"),
+        n.alias("n_tokens"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        entropy.alias("entropy"),
+        bag.alias("h"),
+    ).withColumn(
+        "is_dup", (F.count(F.lit(1)).over(Window.partitionBy("h")) > 1).cast("int")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("is_en"), 4).alias("en_frac"),
+            F.round(F.avg("is_dup"), 4).alias("dup_doc_frac"),
+            F.round(F.avg("entropy"), 4).alias("avg_token_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_source_report_card() -> str:
+    toks = f"regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')"
+    cnt = f"LENGTH(list_filter(toks, x -> x = d))"
+    p = f"({cnt} / CAST(LENGTH(toks) AS DOUBLE))"
+    return f"""
+WITH base AS (
+  SELECT source, n_chars, lang, {toks} AS toks FROM documents),
+per_doc AS (
+  SELECT source, n_chars,
+         LENGTH(toks) AS n_tokens,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+         -(list_sum(list_transform(list_sort(list_distinct(toks)),
+                                   d -> {p} * LN({p})))) AS entropy,
+         md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS h
+  FROM base),
+flagged AS (
+  SELECT *, CASE WHEN COUNT(*) OVER (PARTITION BY h) > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM per_doc)
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       ROUND(AVG(n_tokens), 4) AS avg_tokens,
+       ROUND(AVG(is_en), 4) AS en_frac,
+       ROUND(AVG(is_dup), 4) AS dup_doc_frac,
+       ROUND(AVG(entropy), 4) AS avg_token_entropy
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""

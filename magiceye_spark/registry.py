@@ -1699,3 +1699,13 @@ def approx_source_overlap_q(spark, sf_dir):
     the driver (DuckDB's HLL is a different sketch); the tolerance pin vs
     the exact matrix lives in pytest."""
     return dedup.approx_source_overlap(io.read_table(spark, sf_dir, "documents"))
+
+
+@register("source_report_card", textstats.sql_source_report_card())
+def source_report_card_q(spark, sf_dir):
+    """Per-source corpus audit dashboard: volume, length profile, language
+    share, duplicate exposure, token entropy (information-density proxy).
+    Row-local array expressions + one bag-hash window + one source-keyed
+    agg; the entropy fold runs over the SORTED distinct token list so both
+    engines sum in the same IEEE order."""
+    return textstats.source_report_card(io.read_table(spark, sf_dir, "documents"))

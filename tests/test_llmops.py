@@ -2,6 +2,7 @@
 found, approximate methods reach known recall against their exact twins,
 multimodal plumbing round-trips."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from magiceye_spark.llmops import dedup, multimodal, simsearch, textstats
@@ -595,3 +596,27 @@ def test_approx_source_overlap_tracks_exact_matrix(spark, sf_dir):
     for pair, est in approx.items():
         if pair not in exact:
             assert est <= 2.0, (pair, est)
+
+
+def test_source_report_card_entropy_semantics(spark):
+    """Token entropy: 0 for a single repeated token, ln(k) for k uniform
+    tokens; dup_doc_frac flags bag-identical docs across sources."""
+    import math
+
+    from magiceye_spark.llmops.textstats import source_report_card
+
+    docs = spark.createDataFrame(
+        [
+            (0, "aa aa aa aa", "en", "s0", 11),      # entropy 0
+            (1, "a b c d", "en", "s1", 7),            # entropy ln(4)
+            (2, "x y z w", "de", "s2", 7),            # bag-dup with doc 3
+            (3, "w z y x", "en", "s3", 7),            # bag-dup with doc 2
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    card = {r.source: r for r in source_report_card(docs).collect()}
+    assert card["s0"].avg_token_entropy == pytest.approx(0.0, abs=1e-6)
+    assert card["s1"].avg_token_entropy == pytest.approx(math.log(4), abs=1e-4)
+    assert card["s2"].dup_doc_frac == 1.0 and card["s3"].dup_doc_frac == 1.0
+    assert card["s0"].dup_doc_frac == 0.0
+    assert card["s2"].en_frac == 0.0 and card["s1"].en_frac == 1.0
