@@ -136,6 +136,71 @@ WHERE LENGTH(list_intersect(a.toks, b.toks))
 """
 
 
+def containment_near_dups(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """ASYMMETRIC containment near-dup: directional pairs where
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥ threshold — doc A is
+    mostly contained in doc B. Catches the subset copies symmetric Jaccard
+    misses (a quote embedded in a longer article, a page plus boilerplate,
+    truncated re-crawls): containment(A→B) can be 1.0 while
+    Jaccard(A, B) is arbitrarily small.
+
+    Word n-gram shingles (n=3), not unigram sets — unigram containment
+    saturates on any small shared vocabulary. Blocking is per-lang
+    all-pairs: the oracle-checkable small-scale twin (same status as
+    :func:`jaccard_near_dups`). At corpus scale generate candidates with
+    the shingle inverted index + df-pruning (the decontamination plan,
+    `pipeline.decontamination_overlap`) — LSH's recall guarantee is for
+    Jaccard, not containment, so the index path is the right scale path.
+    Filters on the UNROUNDED ratio; rounds only in the projection.
+    """
+    toks = _tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    base = docs.select("doc_id", "lang", sh.alias("sh"))
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    )
+    raw = F.size(F.array_intersect("a.sh", "b.sh")) / F.size("a.sh")
+    return (
+        pairs.where(raw >= threshold)
+        .select(
+            F.col("a.doc_id").alias("contained_doc"),
+            F.col("b.doc_id").alias("container_doc"),
+            F.round(raw, 4).alias("containment"),
+        )
+        .orderBy("contained_doc", "container_doc")
+    )
+
+
+def sql_containment_near_dups(threshold: float = 0.8, n: int = 3) -> str:
+    toks = "regexp_split_to_array(TRIM(LOWER(text)), '\\s+')"
+    sh = (
+        f"list_distinct(list_transform(range(1, GREATEST(LENGTH({toks}) - {n}, 0) + 2), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
+    )
+    return f"""
+WITH shingled AS (
+  SELECT doc_id, lang, {sh} AS sh FROM documents)
+SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+       ROUND(LENGTH(list_intersect(a.sh, b.sh))
+             / CAST(LENGTH(a.sh) AS DOUBLE), 4) AS containment
+FROM shingled a JOIN shingled b
+  ON a.lang = b.lang AND a.doc_id <> b.doc_id
+WHERE LENGTH(list_intersect(a.sh, b.sh)) / CAST(LENGTH(a.sh) AS DOUBLE) >= {threshold}
+ORDER BY contained_doc, container_doc
+"""
+
+
 # ------------------------------------------------------------ MinHash LSH
 
 def _shingle_hashes(text_col: str, n: int = 3) -> Column:

@@ -1709,3 +1709,12 @@ def source_report_card_q(spark, sf_dir):
     agg; the entropy fold runs over the SORTED distinct token list so both
     engines sum in the same IEEE order."""
     return textstats.source_report_card(io.read_table(spark, sf_dir, "documents"))
+
+
+@register("containment_near_dups", dedup.sql_containment_near_dups())
+def containment_near_dups_q(spark, sf_dir):
+    """Asymmetric shingle containment (|A∩B|/|A| over 3-gram shingles):
+    directional subset-copy pairs symmetric Jaccard misses. Per-lang
+    all-pairs — the oracle-checkable small-scale twin; the scale path is
+    the shingle inverted index with df-pruning (decontamination plan)."""
+    return dedup.containment_near_dups(io.read_table(spark, sf_dir, "documents"))

@@ -620,3 +620,27 @@ def test_source_report_card_entropy_semantics(spark):
     assert card["s2"].dup_doc_frac == 1.0 and card["s3"].dup_doc_frac == 1.0
     assert card["s0"].dup_doc_frac == 0.0
     assert card["s2"].en_frac == 0.0 and card["s1"].en_frac == 1.0
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment(A->B)=1.0
+    even though Jaccard(A,B) is far below any near-dup threshold."""
+    from magiceye_spark.llmops.dedup import containment_near_dups, jaccard_near_dups
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (0, quote, "en", "s", len(quote)),
+            (1, f"{filler} {quote} {filler}", "en", "s", 600),
+            (2, "totally unrelated content here now", "en", "s", 34),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    pairs = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in containment_near_dups(docs, threshold=0.8).collect()
+    }
+    assert pairs == {(0, 1): 1.0}
+    # symmetric Jaccard misses it entirely (length block aside, ratio tiny)
+    assert jaccard_near_dups(docs, threshold=0.3, length_tol=10**6).count() == 0
