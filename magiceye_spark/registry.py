@@ -62,12 +62,14 @@ _DRIVER_WINDOW = [
     "schema_diff_report",
     # row-level data diff family (summary seat ceded to ivf_ann_exact in r4
     # so the ANN machinery gets a deterministic driver row; the fingerprint
-    # seat ceded to split_leakage_audit late-r4 — both stay registered and
-    # oracle-checked in pytest's sweep)
+    # seat ceded to split_leakage_audit late-r4; the dataset_summary and
+    # rowset seats ceded to bm25_topk and duplicate_spans later in r4 so
+    # the retrieval and substring-dedup families get driver rows — all
+    # evicted queries stay registered and oracle-checked in pytest's sweep)
     "datadiff_lineitem",
     "datadiff_incremental",
-    "datadiff_dataset_summary",
-    "datadiff_lineitem_rowset",
+    "bm25_topk",
+    "duplicate_spans",
     "datadiff_lineitem_directional",
     # profiling / data quality
     "profile_lineitem",
