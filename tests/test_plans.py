@@ -191,3 +191,51 @@ def test_bucketed_datadiff_is_shuffle_free(spark):
     assert "hashpartitioning" not in plan.lower(), plan
     got = {(r["id"], r["diff_status"]) for r in out.collect()}
     assert got == {(i, "changed") for i in range(0, 500, 50)}
+
+
+def test_duplicate_spans_bounded_shuffles_no_python(spark, sf_dir):
+    """Substring dedup: gram-count agg + hit join + ONE doc window + output
+    sort — nothing O(n^2), nothing Python. The gram shuffle keys are
+    fixed-width md5, not raw gram strings."""
+    from magiceye_spark.llmops.retrieval import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = duplicate_spans(docs)
+    assert plans.python_eval_count(df) == 0
+    assert plans.count_shuffles(df) <= 5
+    assert "md5" in plans.formatted_plan(df)
+
+
+def test_bm25_broadcasts_stats_and_df_no_token_explode(spark, sf_dir):
+    """BM25: the only explode is the |terms|-wide tf-pair array (map-side);
+    df table and corpus stats join broadcast; no sort-merge join anywhere."""
+    from magiceye_spark.llmops.retrieval import bm25_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = bm25_topk(docs)
+    assert plans.python_eval_count(df) == 0
+    assert plans.broadcast_join_count(df) >= 2
+    assert plans.sortmerge_join_count(df) == 0
+
+
+def test_span_cleaned_corpus_no_range_join(spark, sf_dir):
+    """The remove step must not expand tokens: no Python, no sort-merge or
+    nested-loop range join — spans ride along as one struct-array per doc."""
+    from magiceye_spark.llmops.retrieval import span_cleaned_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = span_cleaned_corpus(docs)
+    assert plans.python_eval_count(df) == 0
+    assert "BroadcastNestedLoopJoin" not in plans.formatted_plan(df)
+
+
+def test_approx_source_overlap_single_corpus_shuffle(spark, sf_dir):
+    """Sketch path: ONE corpus-sized shuffle (the per-source hll partials);
+    the pairwise stage runs on the k-row sketch table via broadcast."""
+    from magiceye_spark.llmops.dedup import approx_source_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = approx_source_overlap(docs)
+    assert plans.python_eval_count(df) == 0
+    assert plans.broadcast_join_count(df) >= 1
+    assert plans.sortmerge_join_count(df) == 0
