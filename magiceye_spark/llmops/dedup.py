@@ -201,6 +201,96 @@ ORDER BY contained_doc, container_doc
 """
 
 
+def containment_near_dups_indexed(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_df: int | None = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """The SCALE path for asymmetric containment: shingle INVERTED INDEX
+    instead of all-pairs. Each doc explodes into distinct (doc, shingle)
+    postings; the equi-join on the shingle IS the candidate generator, and
+    grouping candidates counts |A∩B| exactly — so with ``max_df=None``
+    this is provably identical to :func:`containment_near_dups` without
+    the O(block²) join (and without needing a lang block at all: cross-
+    lang subset copies are found too).
+
+    ``max_df`` is the skew guard: a shingle in f docs contributes f² join
+    rows, so corpus-frequent (boilerplate) shingles are cut BEFORE the
+    join via a broadcast anti-join on the posting-list length — the
+    decontamination stopgram move. Containment against the full shingle
+    set then loses at most the cut shingles from the numerator: results
+    are a deterministic lower bound, identical in both engines (the
+    oracle applies the same cut). Postings carry the doc's shingle-set
+    size along map-side, so no extra size join is needed.
+    """
+    toks = _tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+    base = docs.select("doc_id", sh.alias("sh"))
+    posts = base.select(
+        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("g")
+    )
+    if max_df is not None:
+        hot = (
+            posts.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("g")
+        )
+        posts = posts.join(F.broadcast(hot), "g", "left_anti")
+    a = posts.select(
+        F.col("g"), F.col("doc_id").alias("contained_doc"), F.col("sz").alias("sz_a")
+    )
+    b = posts.select(F.col("g"), F.col("doc_id").alias("container_doc"))
+    raw = F.col("n_shared") / F.col("sz_a")
+    return (
+        a.join(b, "g")
+        .where(F.col("contained_doc") != F.col("container_doc"))
+        .groupBy("contained_doc", "container_doc", "sz_a")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(raw >= threshold)
+        .select(
+            "contained_doc",
+            "container_doc",
+            F.round(raw, 4).alias("containment"),
+        )
+        .orderBy("contained_doc", "container_doc")
+    )
+
+
+def sql_containment_near_dups_indexed(
+    threshold: float = 0.8, n: int = 3, max_df: int | None = 100
+) -> str:
+    toks = "regexp_split_to_array(TRIM(LOWER(text)), '\\s+')"
+    sh = (
+        f"list_distinct(list_transform(range(1, GREATEST(LENGTH({toks}) - {n}, 0) + 2), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
+    )
+    cut = (
+        f"cut AS (SELECT g FROM posts GROUP BY g HAVING COUNT(*) > {max_df}),\n"
+        "kept AS (SELECT posts.* FROM posts ANTI JOIN cut USING (g))"
+        if max_df is not None
+        else "kept AS (SELECT * FROM posts)"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {sh} AS sh FROM documents),
+posts AS (
+  SELECT doc_id, LENGTH(sh) AS sz, UNNEST(sh) AS g FROM base),
+{cut}
+SELECT a.doc_id AS contained_doc, b.doc_id AS container_doc,
+       ROUND(COUNT(*) / CAST(ANY_VALUE(a.sz) AS DOUBLE), 4) AS containment
+FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id <> b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(*) / CAST(ANY_VALUE(a.sz) AS DOUBLE) >= {threshold}
+ORDER BY contained_doc, container_doc
+"""
+
+
 # ------------------------------------------------------------ MinHash LSH
 
 def _shingle_hashes(text_col: str, n: int = 3) -> Column:

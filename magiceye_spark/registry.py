@@ -1720,3 +1720,14 @@ def containment_near_dups_q(spark, sf_dir):
     all-pairs — the oracle-checkable small-scale twin; the scale path is
     the shingle inverted index with df-pruning (decontamination plan)."""
     return dedup.containment_near_dups(io.read_table(spark, sf_dir, "documents"))
+
+
+@register("containment_near_dups_indexed", dedup.sql_containment_near_dups_indexed())
+def containment_near_dups_indexed_q(spark, sf_dir):
+    """Inverted-index containment (the scale path): distinct (doc,
+    shingle) postings equi-joined on the shingle — candidate generation
+    and exact |A∩B| counting in one grouped join, no all-pairs block.
+    Corpus-frequent shingles are cut before the join (broadcast anti-join
+    at df>100, the stopgram move) so no posting list can explode the
+    join; the oracle applies the identical cut."""
+    return dedup.containment_near_dups_indexed(io.read_table(spark, sf_dir, "documents"))

@@ -644,3 +644,30 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert pairs == {(0, 1): 1.0}
     # symmetric Jaccard misses it entirely (length block aside, ratio tiny)
     assert jaccard_near_dups(docs, threshold=0.3, length_tol=10**6).count() == 0
+
+
+def test_containment_indexed_equals_allpairs_twin(spark, sf_dir):
+    """With max_df=None the inverted-index path is provably identical to
+    the all-pairs twin on same-lang pairs (the twin lang-blocks; the
+    index also finds cross-lang pairs, so compare on the twin's scope)."""
+    from magiceye_spark.llmops.dedup import (
+        containment_near_dups,
+        containment_near_dups_indexed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    twin = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in containment_near_dups(docs).collect()
+    }
+    indexed = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in containment_near_dups_indexed(docs, max_df=None).collect()
+    }
+    lang = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    same_lang = {
+        p: c for p, c in indexed.items() if lang[p[0]] == lang[p[1]]
+    }
+    assert same_lang == twin
+    # the index is a superset generator: every twin pair must be found
+    assert set(twin) <= set(indexed)
