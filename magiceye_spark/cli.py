@@ -438,6 +438,71 @@ def cmd_profile(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus_report(args: argparse.Namespace) -> int:
+    """Per-source corpus report card (volume, length, language share, dup
+    exposure, token entropy); --out also writes the full card to parquet."""
+    from magiceye_spark.llmops.textstats import source_report_card
+    from magiceye_spark.session import get_spark
+
+    spark = get_spark("magiceye-corpus-report")
+    spark.sparkContext.setLogLevel("ERROR")
+    card = source_report_card(_read_table(spark, args.path, args.format))
+    if args.out:
+        card.write.mode("overwrite").parquet(args.out)
+    for r in card.collect():
+        print(
+            f"{r['source']:16s} docs={r['n_docs']} avg_chars={r['avg_chars']}"
+            f" avg_tokens={r['avg_tokens']} en={r['en_frac']:.2%}"
+            f" dup={r['dup_doc_frac']:.2%} entropy={r['avg_token_entropy']}"
+        )
+    return 0
+
+
+def cmd_corpus_clean(args: argparse.Namespace) -> int:
+    """Substring-level dedup cleaning pass: drop duplicated n-gram spans
+    (Lee et al.) and write the cleaned corpus; prints removal totals."""
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.llmops.retrieval import span_cleaned_corpus
+    from magiceye_spark.session import get_spark
+
+    spark = get_spark("magiceye-corpus-clean")
+    spark.sparkContext.setLogLevel("ERROR")
+    cleaned = span_cleaned_corpus(
+        _read_table(spark, args.path, args.format),
+        n=args.ngram,
+        min_count=args.min_count,
+    )
+    cleaned.write.mode("overwrite").parquet(args.out)
+    stats = spark.read.parquet(args.out).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("n_removed").alias("removed"),
+    ).first()
+    frac = (stats["removed"] or 0) / max(stats["tokens"], 1)
+    print(f"cleaned {stats['docs']} docs -> {args.out}: "
+          f"removed {stats['removed']}/{stats['tokens']} tokens ({frac:.2%})")
+    return 0
+
+
+def cmd_search(args: argparse.Namespace) -> int:
+    """BM25 top-k retrieval over a document table for a comma-separated
+    term list — eval-set carving / corpus inspection from the shell."""
+    from magiceye_spark.llmops.retrieval import bm25_topk
+    from magiceye_spark.session import get_spark
+
+    spark = get_spark("magiceye-search")
+    spark.sparkContext.setLogLevel("ERROR")
+    hits = bm25_topk(
+        _read_table(spark, args.path, args.format),
+        terms=[t.strip() for t in args.terms.split(",") if t.strip()],
+        k=args.k,
+    )
+    for r in hits.collect():
+        print(f"{r['doc_id']:>12d}  {r['bm25']:.4f}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="magiceye-spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -532,6 +597,33 @@ def main(argv: list[str] | None = None) -> int:
     p_profile.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
                            default="parquet", help="input table format")
     p_profile.set_defaults(fn=cmd_profile)
+
+    p_creport = sub.add_parser("corpus-report",
+                               help="per-source corpus report card")
+    p_creport.add_argument("path", help="documents table (doc_id,text,lang,source,n_chars)")
+    p_creport.add_argument("--out", help="also write the card to this parquet path")
+    p_creport.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
+                           default="parquet", help="input table format")
+    p_creport.set_defaults(fn=cmd_corpus_report)
+
+    p_cclean = sub.add_parser("corpus-clean",
+                              help="drop duplicated n-gram spans, write cleaned corpus")
+    p_cclean.add_argument("path", help="documents table")
+    p_cclean.add_argument("--out", required=True, help="output parquet path")
+    p_cclean.add_argument("--ngram", type=int, default=8, help="span gram size")
+    p_cclean.add_argument("--min-count", type=int, default=2, dest="min_count",
+                          help="corpus-wide occurrences for a gram to count as duplicated")
+    p_cclean.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
+                          default="parquet", help="input table format")
+    p_cclean.set_defaults(fn=cmd_corpus_clean)
+
+    p_search = sub.add_parser("search", help="BM25 top-k retrieval over documents")
+    p_search.add_argument("path", help="documents table")
+    p_search.add_argument("--terms", required=True, help="comma-separated query terms")
+    p_search.add_argument("-k", type=int, default=20, help="results to return")
+    p_search.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
+                          default="parquet", help="input table format")
+    p_search.set_defaults(fn=cmd_search)
 
     args = ap.parse_args(argv)
     return args.fn(args)

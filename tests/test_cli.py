@@ -257,3 +257,40 @@ def test_cli_datadiff_triage_modes(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 1 and "level    partition" in out and "changed_partitions [2]" in out
     assert "changed  25" in out
+
+
+def test_cli_corpus_report_clean_search(spark, tmp_path, capsys):
+    docs = tmp_path / "docs"
+    filler = " ".join(f"u{i}" for i in range(12))
+    dup_run = "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"
+    _write(
+        spark, docs,
+        [
+            (0, f"spark query engine {filler}", "en", "s0", 60),
+            (1, f"{dup_run} alpha beta", "en", "s0", 70),
+            (2, f"{dup_run} gamma delta", "de", "s1", 70),
+            (3, "totally different text here", "en", "s1", 27),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    # report card prints one line per source; --out writes parquet
+    card_out = tmp_path / "card"
+    assert cli.main(["corpus-report", str(docs), "--out", str(card_out)]) == 0
+    out = capsys.readouterr().out
+    assert "s0" in out and "s1" in out
+    assert spark.read.parquet(str(card_out)).count() == 2
+
+    # clean: the shared 10-token run (8-gram dup) is removed from both docs
+    cleaned = tmp_path / "cleaned"
+    assert cli.main(["corpus-clean", str(docs), "--out", str(cleaned),
+                     "--ngram", "8"]) == 0
+    got = {r.doc_id: r for r in spark.read.parquet(str(cleaned)).collect()}
+    assert got[1].cleaned_text == "alpha beta" and got[1].n_removed == 10
+    assert got[2].cleaned_text == "gamma delta"
+    assert got[0].n_removed == 0
+    assert "removed 20/" in capsys.readouterr().out
+
+    # search: only doc 0 contains the term
+    assert cli.main(["search", str(docs), "--terms", "spark,engine", "-k", "2"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1 and out[0].split()[0] == "0"
