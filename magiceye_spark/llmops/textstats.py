@@ -269,10 +269,23 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> Data
     6 — identical math both engines. Plan: one explode + per-doc term
     counts, a broadcast-sized df table joined back, a per-doc window for
     the top-k. (doc_id, term, tfidf, rnk)."""
-    tok = F.explode(_tokens(F.col(text_col))).alias("term")
-    terms = docs.select("doc_id", tok).where(F.col("term") != "")
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_counts = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    pairs = F.transform(
+        F.array_sort(F.array_distinct(toks)),
+        lambda d: F.struct(
+            d.alias("term"),
+            F.size(F.filter(toks, lambda t: t == d)).alias("tf"),
+        ),
+    )
+    # tf computed ROW-LOCALLY (array fold over the distinct tokens, the
+    # repetition_stats idiom) — kills the (doc_id, term) token shuffle;
+    # rows leaving the map side are already per-doc-distinct, so df is a
+    # plain COUNT (no 2-phase countDistinct). 7 → 5 exchanges, and the
+    # shuffled volume drops from every token to distinct terms per doc.
+    tf = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf")
+    )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df_counts), "term")
