@@ -583,15 +583,25 @@ def active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     active = (
         events.select(F.to_date("ts").alias("day"), "user_id").distinct()
     )
-    dau = active.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    # fan out WITH the offset so dau and wau come from ONE aggregation:
+    # offset-0 rows are unique per (day, user) — the set was distinct — so
+    # dau is a plain conditional count; only wau needs the distinct. Days
+    # that exist only as window tails (no offset-0 activity) are exactly
+    # the days the old dau⋈wau inner join dropped: filter dau > 0.
     fanned = active.select(
-        F.explode(
-            F.sequence(F.col("day"), F.date_add(F.col("day"), window_days - 1))
-        ).alias("day"),
+        F.explode(F.sequence(F.lit(0), F.lit(window_days - 1))).alias("off"),
+        "day",
         "user_id",
+    ).select(F.date_add(F.col("day"), F.col("off")).alias("day"), "off", "user_id")
+    return (
+        fanned.groupBy("day")
+        .agg(
+            F.count(F.when(F.col("off") == 0, 1)).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .where(F.col("dau") > 0)
+        .orderBy("day")
     )
-    wau = fanned.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
-    return dau.join(wau, "day").orderBy("day")
 
 
 def sql_active_users(window_days: int = 7) -> str:
