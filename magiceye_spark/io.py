@@ -177,3 +177,49 @@ def parallelize_scan(
     if total_bytes >= _MIN_BYTES and est_splits < cores // 2:
         return df.repartition(cores)
     return df
+
+
+def assign_global_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str = "global_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Contiguous 0-based global IDs in ``order_cols`` order WITHOUT a
+    single-task global sort — the stable-sample-ID / shard-offset op a
+    training pipeline needs at corpus scale.
+
+    The naive ``row_number() OVER (ORDER BY …)`` range-partitions into ONE
+    partition: every row flows through a single task. This is the classic
+    two-phase formulation instead: range-partition on the order columns
+    (parallel), rank WITHIN each partition, then add per-partition offsets
+    (a partition-count-sized prefix sum joined back broadcast). IDs are
+    identical to the naive formulation for any UNIQUE total order —
+    required of ``order_cols``; ties would make both formulations
+    nondeterministic anyway.
+
+    The partition id is materialized once and the frame persisted so the
+    offset table and the rank pass see the SAME partitioning even if the
+    two jobs would otherwise re-execute the exchange.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    part = df.repartitionByRange(
+        *( [num_partitions] if num_partitions else [] ), *order_cols
+    ).withColumn("_pid", F.spark_partition_id())
+    part.persist()
+    sizes = part.groupBy("_pid").count()
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = sizes.select(
+        "_pid", F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        part.withColumn("_rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(id_col, (F.col("_off") + F.col("_rn") - 1).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )

@@ -1731,3 +1731,26 @@ def containment_near_dups_indexed_q(spark, sf_dir):
     at df>100, the stopgram move) so no posting list can explode the
     join; the oracle applies the identical cut."""
     return dedup.containment_near_dups_indexed(io.read_table(spark, sf_dir, "documents"))
+
+
+SQL_GLOBAL_IDS = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("corpus_global_ids", SQL_GLOBAL_IDS)
+def corpus_global_ids_q(spark, sf_dir):
+    """Contiguous global IDs in doc_id order WITHOUT the single-task
+    global sort: range partition (parallel) + within-partition rank +
+    broadcast per-partition offsets. Provably identical to the naive
+    ROW_NUMBER over a unique total order — which is exactly what the
+    oracle runs."""
+    docs = io.read_table(spark, sf_dir, "documents")
+    return (
+        io.assign_global_ids(docs, ["doc_id"])
+        .select("doc_id", "global_id")
+        .orderBy("doc_id")
+    )
