@@ -611,6 +611,24 @@ ORDER BY bucket
 
 # ------------------------------------------------- per-source report card
 
+def token_entropy(text_col: str = "text") -> Column:
+    """Row-local token-entropy column: −Σ p·ln p over the doc's token
+    distribution. Folds over the SORTED distinct token list so every
+    engine sums in the same IEEE order. The information-density proxy —
+    low entropy flags templated/repetitious text."""
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    counts = F.transform(
+        F.array_sort(F.array_distinct(toks)),
+        lambda d: F.size(F.filter(toks, lambda t: t == d)),
+    )
+    return -F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + (c / n) * F.log(c / n),
+    )
+
+
 def source_report_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One row per source: the corpus-audit dashboard a mixing decision
     reads — volume, length profile, language share, duplicate exposure,
@@ -625,15 +643,7 @@ def source_report_card(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     toks = _tokens(F.col(text_col))
     n = F.size(toks)
-    counts = F.transform(
-        F.array_sort(F.array_distinct(toks)),
-        lambda d: F.size(F.filter(toks, lambda t: t == d)),
-    )
-    entropy = -F.aggregate(
-        counts,
-        F.lit(0.0),
-        lambda acc, c: acc + (c / n) * F.log(c / n),
-    )
+    entropy = token_entropy(text_col)
     bag = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
     from pyspark.sql.window import Window
 

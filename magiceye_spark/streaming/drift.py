@@ -249,3 +249,72 @@ def monitor_value_psi(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def corpus_quality_snapshot(batch: DataFrame, text_col: str = "text") -> DataFrame:
+    """One quality row for a document micro-batch: volume, mean token
+    count, English share, within-batch exact-dup fraction, mean token
+    entropy. Row-local signals + one tiny aggregate — runs at stream
+    rates; the batch twin of the per-source report card collapsed to the
+    batch grain."""
+    from magiceye_spark.llmops.textstats import _tokens, token_entropy  # noqa: SLF001
+
+    toks = _tokens(F.col(text_col))
+    canon = F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
+    return batch.select(
+        F.size(toks).alias("n_tokens"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+        token_entropy(text_col).alias("entropy"),
+        canon.alias("c"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("is_en"), 4).alias("en_frac"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("c")) / F.count(F.lit(1)), 4
+        ).alias("dup_frac"),
+        F.round(F.avg("entropy"), 4).alias("avg_token_entropy"),
+    )
+
+
+def monitor_corpus_quality(
+    spark: SparkSession,
+    docs_path: str,
+    baseline: dict,
+    schema: StructType,
+    sink: Callable[[DataFrame, int], None],
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Per-micro-batch corpus-quality monitor for a streaming ingest of
+    documents: each batch's :func:`corpus_quality_snapshot` is extended
+    with deltas against a FROZEN baseline snapshot (fit once on the
+    accepted corpus) and fed to ``sink`` — the content-quality sibling of
+    :func:`monitor_value_psi` (drop in ingest quality, language mix
+    shift, or a duplicate flood shows up within one batch).
+
+    ``baseline``: dict with keys avg_tokens / en_frac / dup_frac /
+    avg_token_entropy (e.g. ``corpus_quality_snapshot(corpus).first().
+    asDict()``)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "16")
+        .parquet(docs_path)
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        snap = corpus_quality_snapshot(batch_df)
+        out = snap.select(
+            "*",
+            *[
+                F.round(F.col(k) - F.lit(float(baseline[k])), 4).alias(f"delta_{k}")
+                for k in ("avg_tokens", "en_frac", "dup_frac", "avg_token_entropy")
+            ],
+        )
+        sink(out, batch_id)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", docs_path.rstrip("/") + "_quality_chk"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

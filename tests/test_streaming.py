@@ -543,3 +543,41 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_monitor_corpus_quality_stream(spark, sf_dir, tmp_path):
+    """Streaming corpus-quality snapshots equal the batch twin on the same
+    files, and deltas vs a frozen baseline carry the planted degradation's
+    sign (duplicate flood -> dup_frac up, entropy down)."""
+    from magiceye_spark.streaming.drift import (
+        corpus_quality_snapshot,
+        monitor_corpus_quality,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    baseline = corpus_quality_snapshot(docs).first().asDict()
+
+    # planted bad batch: one doc repeated (dup flood) with low entropy
+    bad = spark.createDataFrame(
+        [(10_000 + i, "spam spam spam spam spam spam", "de", "srcX", 29)
+         for i in range(50)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "stream_docs")
+    bad.coalesce(1).write.mode("overwrite").parquet(path)
+
+    got = []
+    q = monitor_corpus_quality(
+        spark, path, baseline, bad.schema,
+        sink=lambda df, bid: got.append(df.collect()[0].asDict()),
+    )
+    q.awaitTermination(120)
+    assert got, "no micro-batch arrived"
+    snap = got[0]
+    twin = corpus_quality_snapshot(spark.read.parquet(path)).first().asDict()
+    for k in ("n_docs", "avg_tokens", "en_frac", "dup_frac", "avg_token_entropy"):
+        assert snap[k] == twin[k], k
+    assert snap["dup_frac"] > 0.9
+    assert snap["delta_dup_frac"] > 0.5
+    assert snap["delta_avg_token_entropy"] < 0
+    assert snap["delta_en_frac"] < 0
