@@ -634,3 +634,86 @@ SELECT doc_id, CASE {whens} END AS split FROM (
          CAST(CONCAT('0x', substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
   FROM documents)
 """
+
+
+# ------------------------------------------------ contrastive negatives
+
+def negative_samples(
+    rows: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k_neg: int = 4,
+    step: int = 7919,
+) -> DataFrame:
+    """Deterministic hash-ring negative sampling for contrastive/triplet
+    dataset construction: each anchor draws ``k_neg`` pseudo-random
+    partners at ring offsets j·``step`` (mod N) on the corpus's global-ID
+    ring, then pairs whose labels collide are dropped (they would be
+    false negatives). Deterministic across runs, engines, and layouts —
+    the property `sampleBy`-style randomness can't give a training-data
+    lineage audit.
+
+    Plan: global IDs via the two-phase range-partition rank
+    (:func:`magiceye_spark.io.assign_global_ids` — no single-task sort),
+    the scalar N broadcast, a k_neg-wide map-side explode, and ONE
+    self-join on the ring id. Output: (anchor_id, negative_id, j) sorted.
+    ``step`` must not share factors with N in a degenerate way; offsets
+    ``(gid + j·step) % N`` never hit the anchor itself for j·step % N ≠ 0
+    — j = 0 is not emitted.
+    """
+    from magiceye_spark.io import assign_global_ids
+
+    ids = assign_global_ids(
+        rows.select(id_col, label_col), [id_col], id_col="gid"
+    )
+    n = ids.agg(F.count(F.lit(1)).alias("n"))
+    fanned = (
+        ids.crossJoin(F.broadcast(n))
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(label_col).alias("anchor_label"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(k_neg)),
+                    lambda j: F.struct(
+                        j.alias("j"),
+                        ((F.col("gid") + j * step) % F.col("n")).alias("ngid"),
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("anchor_id", "anchor_label", F.col("e.j").cast("long").alias("j"), F.col("e.ngid").alias("ngid"))
+    )
+    cand = ids.select(
+        F.col("gid").alias("ngid"),
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("neg_label"),
+    )
+    return (
+        fanned.join(cand, "ngid")
+        .where(
+            (F.col("anchor_label") != F.col("neg_label"))
+            & (F.col("anchor_id") != F.col("negative_id"))
+        )
+        .select("anchor_id", "negative_id", "j")
+        .orderBy("anchor_id", "j")
+    )
+
+
+def sql_negative_samples(k_neg: int = 4, step: int = 7919) -> str:
+    return f"""
+WITH ids AS (
+  SELECT vec_id, label,
+         ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS gid
+  FROM embeddings),
+n AS (SELECT COUNT(*) AS n FROM ids),
+fanned AS (
+  SELECT i.vec_id AS anchor_id, i.label AS anchor_label,
+         t.j, (i.gid + t.j * {step}) % n.n AS ngid
+  FROM ids i CROSS JOIN n
+       CROSS JOIN (SELECT UNNEST(range(1, {k_neg} + 1)) AS j) t)
+SELECT f.anchor_id, c.vec_id AS negative_id, CAST(f.j AS BIGINT) AS j
+FROM fanned f JOIN ids c ON f.ngid = c.gid
+WHERE f.anchor_label <> c.label AND f.anchor_id <> c.vec_id
+ORDER BY anchor_id, j
+"""

@@ -1754,3 +1754,14 @@ def corpus_global_ids_q(spark, sf_dir):
         .select("doc_id", "global_id")
         .orderBy("doc_id")
     )
+
+
+@register("contrastive_negatives", pipeline.sql_negative_samples())
+def contrastive_negatives_q(spark, sf_dir):
+    """Deterministic hash-ring negative sampling over embeddings: each
+    anchor draws 4 ring-offset partners on the global-ID ring (two-phase
+    rank, no single-task sort), label collisions dropped. Reproducible
+    across runs/engines/layouts — auditable training-data lineage, unlike
+    RNG sampling."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pipeline.negative_samples(emb)

@@ -671,3 +671,21 @@ def test_containment_indexed_equals_allpairs_twin(spark, sf_dir):
     assert same_lang == twin
     # the index is a superset generator: every twin pair must be found
     assert set(twin) <= set(indexed)
+
+
+def test_negative_samples_deterministic_and_label_safe(spark, sf_dir):
+    """Hash-ring negatives: run-to-run identical, never a same-label or
+    self pair, and near-complete coverage (only label collisions drop)."""
+    from magiceye_spark.llmops.pipeline import negative_samples
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {(r.anchor_id, r.negative_id, r.j) for r in negative_samples(emb).collect()}
+    b = {(r.anchor_id, r.negative_id, r.j) for r in negative_samples(emb).collect()}
+    assert a == b and a
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for anchor, neg, _ in a:
+        assert anchor != neg
+        assert labels[anchor] != labels[neg]
+    # with 10 uniform labels, ~10% of draws collide and drop: expect >80%
+    n = emb.count()
+    assert len(a) > 0.8 * n * 4
