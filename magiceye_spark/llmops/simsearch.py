@@ -782,3 +782,68 @@ def embedding_cluster_sizes(
         )
         .orderBy("cluster")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the k
+    most-similar vectors with a DIFFERENT label — the pairs that teach a
+    metric model the most (easy random negatives via
+    ``pipeline.negative_samples`` are the complement). Output:
+    (anchor_id, negative_id, cosine_sim, rank).
+
+    This is the exact all-pairs twin (corpus broadcast against itself with
+    a label-inequality filter, the `cosine_topk` shape) — oracle-checkable
+    and right at catalog/eval scale. At corpus scale mine through the ANN
+    index instead: probe the anchor's IVF cells (`ivf_topk`) with the
+    label filter applied at rerank, which prunes the candidate set to
+    probed cells exactly as for retrieval.
+    """
+    a = corpus.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col(label_col).alias("a_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+    )
+    scored = c.join(
+        F.broadcast(a), F.col("a_label") != F.col("c_label")
+    ).select(
+        "anchor_id",
+        "negative_id",
+        F.round(cosine(F.col("a_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("anchor_id", "rank")
+    )
+
+
+def sql_hard_negatives(k: int = 4) -> str:
+    dot = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
+    na = "SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    nc = "SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))"
+    return f"""
+WITH scored AS (
+  SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+         ROUND({dot} / ({na} * {nc}), 6) AS cosine_sim
+  FROM embeddings a JOIN embeddings c ON a.label <> c.label)
+SELECT anchor_id, negative_id, cosine_sim, CAST(rank AS INTEGER) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine_sim DESC, negative_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+ORDER BY anchor_id, rank
+"""

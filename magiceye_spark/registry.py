@@ -1765,3 +1765,13 @@ def contrastive_negatives_q(spark, sf_dir):
     RNG sampling."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return pipeline.negative_samples(emb)
+
+
+@register("hard_negatives_topk", simsearch.sql_hard_negatives())
+def hard_negatives_q(spark, sf_dir):
+    """Hard-negative mining: per anchor, the 4 most-similar DIFFERENT-label
+    embeddings (the pairs that teach a metric model most). Exact all-pairs
+    twin of the ANN-backed scale path (probe IVF cells, label filter at
+    rerank); easy-negative complement is contrastive_negatives."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return simsearch.hard_negatives(emb)

@@ -689,3 +689,27 @@ def test_negative_samples_deterministic_and_label_safe(spark, sf_dir):
     # with 10 uniform labels, ~10% of draws collide and drop: expect >80%
     n = emb.count()
     assert len(a) > 0.8 * n * 4
+
+
+def test_hard_negatives_planted_geometry(spark):
+    """A planted near-duplicate with a different label must be the top
+    hard negative; same-label vectors never appear."""
+    from magiceye_spark.llmops.simsearch import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], "a"),
+        (1, [0.999, 0.04, 0.0], "b"),   # near-dup of 0, different label
+        (2, [0.98, 0.2, 0.0], "a"),     # near 0 but SAME label -> excluded
+        (3, [0.0, 1.0, 0.0], "b"),
+        (4, [0.0, 0.0, 1.0], "c"),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    out = hard_negatives(emb, k=2).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert by_anchor[0][0].negative_id == 1  # the cross-label near-dup
+    labels = {r[0]: r[2] for r in rows}
+    for anchor, negs in by_anchor.items():
+        for r in negs:
+            assert labels[r.negative_id] != labels[anchor]
