@@ -700,3 +700,77 @@ FROM flagged
 GROUP BY source
 ORDER BY source
 """
+
+
+# ------------------------------------------- bigram LM quality (CCNet-ish)
+
+def bigram_logprob(docs: DataFrame, alpha: float = 0.5, text_col: str = "text") -> DataFrame:
+    """Perplexity-proxy quality score without an external LM: each doc's
+    mean bigram log-likelihood under the CORPUS's own add-α-smoothed
+    bigram model — the relational core of CCNet-style perplexity
+    filtering (docs whose word transitions are unlike the corpus score
+    very negative: gibberish, wrong-language fragments, shredded text).
+
+    score(d) = (1/m) Σ ln( (B(w₁,w₂) + α) / (U(w₁) + α·V) )
+
+    Plan: ONE exploded bigram stream feeds both count tables; scoring
+    joins the stream against bigram counts (shuffle on the bigram key)
+    and unigram counts (broadcast at catalog vocab, shuffle join at web
+    vocab — Spark picks by stats), then one per-doc mean. V is a scalar
+    broadcast. Output: (doc_id, n_bigrams, avg_logprob).
+    """
+    toks = _tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    )
+    stream = (
+        docs.where(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .where(F.col("w2").isNotNull())
+    )
+    bi = stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bn"))
+    uni = stream.groupBy("w1").agg(F.count(F.lit(1)).alias("un"))
+    v = stream.agg(F.countDistinct("w1").alias("v"))
+    lp = F.log(
+        (F.col("bn") + alpha) / (F.col("un") + alpha * F.col("v"))
+    )
+    return (
+        stream.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(lp), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_bigram_logprob(alpha: float = 0.5) -> str:
+    toks = f"regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS toks FROM documents
+  WHERE LENGTH({toks}) >= 2),
+stream AS (
+  SELECT doc_id,
+         UNNEST(toks[1:LENGTH(toks) - 1]) AS w1,
+         UNNEST(toks[2:LENGTH(toks)]) AS w2
+  FROM base),
+bi AS (SELECT w1, w2, COUNT(*) AS bn FROM stream GROUP BY w1, w2),
+uni AS (SELECT w1, COUNT(*) AS un FROM stream GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w1) AS v FROM stream)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(AVG(LN((bn + {alpha}) / (un + {alpha} * v))), 4) AS avg_logprob
+FROM stream JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+GROUP BY doc_id
+ORDER BY doc_id
+"""

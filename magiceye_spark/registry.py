@@ -1775,3 +1775,13 @@ def hard_negatives_q(spark, sf_dir):
     rerank); easy-negative complement is contrastive_negatives."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return simsearch.hard_negatives(emb)
+
+
+@register("bigram_logprob_quality", textstats.sql_bigram_logprob())
+def bigram_logprob_q(spark, sf_dir):
+    """CCNet-style perplexity-proxy filter without an external LM: mean
+    add-α bigram log-likelihood of each doc under the corpus's own bigram
+    model. One exploded bigram stream feeds both count tables; scoring is
+    a bigram-keyed join + per-doc mean. Very negative = transitions
+    unlike the corpus (gibberish, wrong-language, shredded text)."""
+    return textstats.bigram_logprob(textstats._docs(spark, sf_dir))

@@ -713,3 +713,24 @@ def test_hard_negatives_planted_geometry(spark):
     for anchor, negs in by_anchor.items():
         for r in negs:
             assert labels[r.negative_id] != labels[anchor]
+
+
+def test_bigram_logprob_flags_shredded_text(spark):
+    """Docs made of corpus-typical transitions score higher than a doc of
+    never-seen transitions (shredded/gibberish), and a doc repeating the
+    corpus's dominant bigram scores highest."""
+    from magiceye_spark.llmops.textstats import bigram_logprob
+
+    normal = "the cat sat on the mat"
+    rows = [(i, normal) for i in range(20)] + [
+        (100, "mat the on sat cat the"),  # same words, shredded transitions
+        (101, "zq xv qj wk bn pm"),        # alien vocabulary
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.avg_logprob for r in bigram_logprob(docs).collect()}
+    # in-distribution docs beat BOTH failure modes; identical docs tie.
+    # (shredded vs alien ordering is corpus-dependent: unseen vocabulary
+    # gets the uniform smoothing floor ~ln(1/V), while common-word weird
+    # transitions are punished by their large unigram denominators.)
+    assert out[0] > out[100] and out[0] > out[101]
+    assert out[0] == out[19]
