@@ -1785,3 +1785,14 @@ def bigram_logprob_q(spark, sf_dir):
     a bigram-keyed join + per-doc mean. Very negative = transitions
     unlike the corpus (gibberish, wrong-language, shredded text)."""
     return textstats.bigram_logprob(textstats._docs(spark, sf_dir))
+
+
+@register("winnow_overlap_pairs", dedup.sql_winnow_overlap_pairs())
+def winnow_overlap_pairs_q(spark, sf_dir):
+    """Winnowing copy detection (Schleimer et al. SIGMOD'03 / MOSS): doc
+    pairs sharing >=3 window-minimum gram fingerprints. Any shared
+    n+window-1 token run is guaranteed a shared fingerprint at
+    ~2/(window+1) the posting density of full shingle indexing — the
+    cheap copy-detection index. Hashes are md5 hex strings so both
+    engines select identical minima."""
+    return dedup.winnow_overlap_pairs(io.read_table(spark, sf_dir, "documents"))

@@ -734,3 +734,29 @@ def test_bigram_logprob_flags_shredded_text(spark):
     # transitions are punished by their large unigram denominators.)
     assert out[0] > out[100] and out[0] > out[101]
     assert out[0] == out[19]
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Schleimer guarantee: any shared run of n+window-1 tokens yields a
+    shared fingerprint; density is far below the full gram count."""
+    from magiceye_spark.llmops.dedup import winnow_fingerprints, winnow_overlap_pairs
+
+    shared = " ".join(f"s{i}" for i in range(7))  # n+window-1 = 7 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, f"a1 a2 a3 {shared} a4 a5 a6 a7 a8"),
+            (1, f"b1 b2 {shared} b3 b4 b5 b6 b7 b8 b9"),
+            (2, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[0] & by_doc[1], "guaranteed shared fingerprint missing"
+    assert not (by_doc[0] & by_doc[2]) and not (by_doc[1] & by_doc[2])
+    # density: far fewer fingerprints than grams (16 grams in doc 2)
+    assert len(by_doc[2]) < 16 / 2
+    pairs = winnow_overlap_pairs(docs, min_shared=1).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(0, 1)]
