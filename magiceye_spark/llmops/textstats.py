@@ -774,3 +774,76 @@ FROM stream JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def source_similarity_matrix(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pairwise cosine similarity between sources' unigram COUNT vectors —
+    the outlier-source detector (a source whose token distribution is
+    unlike every other needs review before mixing; near-1.0 pairs suggest
+    mirrors). Sparse formulation: token-count join on shared tokens plus
+    per-source norms — no dense vocab grid, no smoothing parameter.
+
+    Plan: one (source, token) count agg over the corpus, a norms rollup,
+    and the pair dot-products via a token-keyed self-join of the
+    CATALOG-sized count table. Σ over shared tokens only — exact for
+    cosine. Dot products fold per (a, b) with integer products (engine-
+    exact); only the final ratio is floating point.
+    """
+    toks = _tokens(F.col(text_col))
+    counts = (
+        docs.select("source", F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    norms = counts.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).alias("sq")
+    )
+    a = counts.select(
+        F.col("source").alias("source_a"), "w", F.col("c").alias("ca")
+    )
+    b = counts.select(
+        F.col("source").alias("source_b"), "w", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    na = norms.select(F.col("source").alias("source_a"), F.col("sq").alias("sqa"))
+    nb = norms.select(F.col("source").alias("source_b"), F.col("sq").alias("sqb"))
+    return (
+        dots.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("dot") / (F.sqrt("sqa") * F.sqrt("sqb")), 6
+            ).alias("cosine_sim"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+SQL_SOURCE_SIMILARITY = f"""
+WITH counts AS (
+  SELECT source, w, COUNT(*) AS c FROM (
+    SELECT source, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')) AS w
+    FROM documents)
+  WHERE w <> ''
+  GROUP BY source, w),
+norms AS (SELECT source, CAST(SUM(c * c) AS BIGINT) AS sq FROM counts GROUP BY source),
+dots AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+  FROM counts a JOIN counts b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b,
+       ROUND(dot / (SQRT(na.sq) * SQRT(nb.sq)), 6) AS cosine_sim
+FROM dots
+JOIN norms na ON na.source = dots.source_a
+JOIN norms nb ON nb.source = dots.source_b
+ORDER BY source_a, source_b
+"""

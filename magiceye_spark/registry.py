@@ -1796,3 +1796,25 @@ def winnow_overlap_pairs_q(spark, sf_dir):
     cheap copy-detection index. Hashes are md5 hex strings so both
     engines select identical minima."""
     return dedup.winnow_overlap_pairs(io.read_table(spark, sf_dir, "documents"))
+
+
+@register("join_size_estimate", None)
+def join_size_estimate_q(spark, sf_dir):
+    """Pre-flight join cardinality estimate from per-side HLL key sketches
+    (one scan per side, KB of state) — the decision input before
+    committing a multi-TB shuffle. Rows-only (sketch estimates); 5%
+    tolerance vs the exact join pinned in pytest."""
+    orders = io.read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    li = io.read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return sketches.estimate_join_size(li, orders, ["l_orderkey"])
+
+
+@register("source_similarity_matrix", textstats.SQL_SOURCE_SIMILARITY)
+def source_similarity_matrix_q(spark, sf_dir):
+    """Pairwise cosine between sources' unigram count vectors — outlier
+    sources (low everywhere) and mirrors (near 1.0) before mixing.
+    Sparse: token-keyed self-join of the catalog-sized count table +
+    broadcast norms; integer dot products, float only at the ratio."""
+    return textstats.source_similarity_matrix(textstats._docs(spark, sf_dir))

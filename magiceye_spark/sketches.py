@@ -168,3 +168,49 @@ def approx_user_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def approx_value_distribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return approx_value_distribution(_events(spark, sf_dir))
+
+
+def estimate_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    lg_k: int = 14,
+) -> DataFrame:
+    """Pre-flight equi-join cardinality estimate WITHOUT running the join:
+    per-side row counts, per-side distinct-key HLL estimates, a matching-
+    key estimate via inclusion–exclusion on merged sketches, and the
+    predicted output rows under a uniform fan-out model
+    (rows_l/d_l · rows_r/d_r · d_match). One scan per side producing a
+    KB sketch + two scalars; the decision input before committing a
+    multi-TB shuffle (broadcast vs SMJ, salting, or don't run it at all).
+    Tolerance vs the exact join is pinned in pytest; rows-only surface
+    (sketch estimates have no DuckDB twin).
+    """
+    def side(df: DataFrame, name: str) -> DataFrame:
+        k = F.concat_ws("\x00", *[F.col(c).cast("string") for c in keys])
+        return df.agg(
+            F.count(F.lit(1)).alias(f"rows_{name}"),
+            F.hll_sketch_agg(k, F.lit(lg_k)).alias(f"sk_{name}"),
+        )
+
+    l, r = side(left, "l"), side(right, "r")
+    est_l = F.hll_sketch_estimate("sk_l")
+    est_r = F.hll_sketch_estimate("sk_r")
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_l", "sk_r"))
+    d_match = F.greatest(est_l + est_r - est_union, F.lit(0.0))
+    return (
+        l.crossJoin(r)
+        .select(
+            "rows_l",
+            "rows_r",
+            F.round(est_l, 1).alias("distinct_l"),
+            F.round(est_r, 1).alias("distinct_r"),
+            F.round(d_match, 1).alias("distinct_match"),
+            F.round(
+                (F.col("rows_l") / F.greatest(est_l, F.lit(1.0)))
+                * (F.col("rows_r") / F.greatest(est_r, F.lit(1.0)))
+                * d_match,
+                1,
+            ).alias("est_join_rows"),
+        )
+    )

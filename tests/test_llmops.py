@@ -760,3 +760,21 @@ def test_winnowing_guarantee_and_density(spark):
     assert len(by_doc[2]) < 16 / 2
     pairs = winnow_overlap_pairs(docs, min_shared=1).collect()
     assert [(p.doc_a, p.doc_b) for p in pairs] == [(0, 1)]
+
+
+def test_source_similarity_matrix_geometry(spark):
+    """Identical-token sources hit 1.0; disjoint-vocab sources emit no
+    pair row (no shared tokens); all pairs are unordered a<b."""
+    from magiceye_spark.llmops.textstats import source_similarity_matrix
+
+    docs = spark.createDataFrame(
+        [
+            (0, "x y z x", "en", "sA", 7),
+            (1, "x y z x", "en", "sB", 7),   # identical distribution to sA
+            (2, "p q r s", "en", "sC", 7),   # disjoint vocab
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {(r.source_a, r.source_b): r.cosine_sim
+           for r in source_similarity_matrix(docs).collect()}
+    assert out == {("sA", "sB"): 1.0}

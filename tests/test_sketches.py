@@ -89,3 +89,25 @@ def test_materialized_rollup_roundtrip(spark, sf_dir, tmp_path):
     direct_sk = [tuple(r) for r in events_sketch_rollup(spark, sf_dir).collect()]
     derived_sk = [tuple(r) for r in sketch_rollup_from_partials(partials).collect()]
     assert derived_sk == direct_sk
+
+
+def test_estimate_join_size_tracks_exact(spark, sf_dir):
+    """HLL join-size estimate within 5% of the exact join cardinality on
+    a real FK join, and exact-ish on a planted uniform fan-out."""
+    from magiceye_spark.sketches import estimate_join_size
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    est = estimate_join_size(
+        lineitem.select("l_orderkey"), orders.select("o_orderkey").withColumnRenamed("o_orderkey", "l_orderkey"),
+        ["l_orderkey"],
+    ).first()
+    exact = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).count()
+    assert abs(est.est_join_rows - exact) <= 0.05 * exact, (est.est_join_rows, exact)
+
+    # planted: 100 keys x fan-out 3 on the left, 2 on the right = 600 rows
+    from pyspark.sql import functions as F
+    left = spark.range(300).select((F.col("id") % 100).alias("k"))
+    right = spark.range(200).select((F.col("id") % 100).alias("k"))
+    est2 = estimate_join_size(left, right, ["k"]).first()
+    assert abs(est2.est_join_rows - 600) <= 0.05 * 600
