@@ -58,3 +58,49 @@ def test_duplicate_spans_matches_bruteforce(spark, corpus, n):
     }
     want = _ref_spans(corpus, n, 2)
     assert got == want
+
+
+import math
+
+from magiceye_spark.llmops.retrieval import bm25_topk
+
+QDOC = st.lists(st.sampled_from(["q1", "q2", "w", "x", "y"]), min_size=0, max_size=10).map(" ".join)
+QCORPUS = st.lists(QDOC, min_size=1, max_size=8)
+
+
+def _ref_bm25(texts, terms, k1=1.2, b=0.75):
+    """Independent BM25: plain dicts and floats, no shared structure.
+    Tokenization mirrors the engine pair's split-on-\\s+ semantics, where
+    an empty/whitespace-only doc yields the single token '' (dl = 1)."""
+    toks = [t.strip().lower().split() or [""] for t in texts]
+    dls = [len(x) for x in toks]
+    n = len(texts)
+    avgdl = sum(dls) / n
+    out = {}
+    for term in terms:
+        df = sum(1 for x in toks if term in x)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for i, x in enumerate(toks):
+            tf = x.count(term)
+            if tf:
+                out[i] = out.get(i, 0.0) + idf * tf * (k1 + 1) / (
+                    tf + k1 * (1 - b + b * dls[i] / avgdl)
+                )
+    return {i: round(s, 4) for i, s in out.items()}
+
+
+@given(corpus=QCORPUS)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_bm25_matches_reference(spark, corpus):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id: long, text: string"
+    )
+    got = {r.doc_id: r.bm25 for r in bm25_topk(docs, terms=["q1", "q2"], k=100).collect()}
+    want = _ref_bm25(corpus, ["q1", "q2"])
+    assert got == want
