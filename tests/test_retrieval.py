@@ -120,3 +120,27 @@ def test_span_cleaned_corpus_drops_exactly_the_spans(spark, span_docs):
     assert out[2].cleaned_text == "z1"
     # every doc present
     assert len(out) == span_docs.count()
+
+
+def test_new_ops_handle_empty_and_degenerate_corpora(spark):
+    """Empty corpus and no-hit queries return empty results with the
+    declared schemas, not errors."""
+    from magiceye_spark.llmops.dedup import (
+        containment_near_dups_indexed,
+        winnow_overlap_pairs,
+    )
+    from magiceye_spark.llmops.textstats import bigram_logprob
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert retrieval.duplicate_spans(empty).count() == 0
+    assert retrieval.bm25_topk(empty).count() == 0
+    assert retrieval.span_cleaned_corpus(empty).count() == 0
+    assert winnow_overlap_pairs(empty).count() == 0
+    assert containment_near_dups_indexed(empty).count() == 0
+    assert bigram_logprob(empty).count() == 0
+
+    # no query term present anywhere -> empty, not error
+    docs = _docs(spark, ["alpha beta", "gamma delta"])
+    assert retrieval.bm25_topk(docs, terms=["zz"]).count() == 0
