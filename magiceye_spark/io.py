@@ -200,7 +200,11 @@ def assign_global_ids(
 
     The partition id is materialized once and the frame persisted so the
     offset table and the rank pass see the SAME partitioning even if the
-    two jobs would otherwise re-execute the exchange.
+    two jobs would otherwise re-execute the exchange. The cache entry
+    lives until the result is garbage-collected or the session ends;
+    callers assigning IDs to MANY tables in one session should
+    ``spark.catalog.clearCache()`` between batches (the result itself
+    never needs the cache again once materialized to a sink).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window

@@ -187,7 +187,14 @@ def estimate_join_size(
     (sketch estimates have no DuckDB twin).
     """
     def side(df: DataFrame, name: str) -> DataFrame:
-        k = F.concat_ws("\x00", *[F.col(c).cast("string") for c in keys])
+        # rows with a NULL key can never match in an equi-join — drop them
+        # BEFORE counting/sketching so the estimate models what the join
+        # does (concat_ws would otherwise skip nulls and both collide
+        # ('a', NULL) with ('a',) and count NULLs as joinable)
+        df = df.na.drop(subset=keys)
+        # xxhash64 over the key tuple: no string-encoding ambiguity for
+        # multi-column keys, 64-bit collisions negligible for an estimate
+        k = F.xxhash64(*[F.col(c) for c in keys])
         return df.agg(
             F.count(F.lit(1)).alias(f"rows_{name}"),
             F.hll_sketch_agg(k, F.lit(lg_k)).alias(f"sk_{name}"),
