@@ -479,7 +479,7 @@ def cmd_corpus_clean(args: argparse.Namespace) -> int:
         F.sum("n_tokens").alias("tokens"),
         F.sum("n_removed").alias("removed"),
     ).first()
-    frac = (stats["removed"] or 0) / max(stats["tokens"], 1)
+    frac = (stats["removed"] or 0) / max(stats["tokens"] or 0, 1)
     print(f"cleaned {stats['docs']} docs -> {args.out}: "
           f"removed {stats['removed']}/{stats['tokens']} tokens ({frac:.2%})")
     return 0

@@ -66,6 +66,8 @@ def bm25_topk(
     engine-deterministic.
     """
     terms = DEFAULT_TERMS if terms is None else terms
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
     base = (
         docs.select("doc_id", _tokens(F.col(text_col)).alias("toks"))
         .withColumn("dl", F.size("toks"))
