@@ -191,3 +191,41 @@ def referential_audit(
         )
         out = rows if out is None else out.unionByName(rows)
     return out.orderBy("relation")
+
+
+def k_anonymity_audit(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity check on a quasi-identifier column set: one summary row
+    (k, n_groups, n_risky_groups, n_risky_rows, risky_row_frac) where a
+    group smaller than ``k`` re-identifies its members — the
+    data-governance gate run before sharing or training on user-adjacent
+    tables. One aggregation over the quasi columns plus a catalog-sized
+    rollup; at 100 TB the group-by is the only corpus-sized shuffle."""
+    groups = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("n"))
+    total = df.count()
+    return groups.agg(
+        F.lit(k).alias("k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n") < k, 1).otherwise(0)).cast("long").alias("n_risky_groups"),
+        F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)).cast("long").alias("n_risky_rows"),
+        F.round(
+            F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0)) / F.lit(float(total)),
+            6,
+        ).alias("risky_row_frac"),
+    )
+
+
+def sql_k_anonymity(table: str, quasi_cols: list[str], k: int = 5) -> str:
+    cols = ", ".join(quasi_cols)
+    return f"""
+WITH g AS (SELECT {cols}, COUNT(*) AS n FROM {table} GROUP BY {cols}),
+t AS (SELECT COUNT(*) AS total FROM {table})
+SELECT {k} AS k,
+       COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN n < {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+       CAST(SUM(CASE WHEN n < {k} THEN n ELSE 0 END) AS BIGINT) AS n_risky_rows,
+       ROUND(SUM(CASE WHEN n < {k} THEN n ELSE 0 END) / CAST(total AS DOUBLE), 6) AS risky_row_frac
+FROM g, t
+GROUP BY total
+"""

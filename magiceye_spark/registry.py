@@ -15,7 +15,7 @@ from typing import Callable, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from magiceye_spark import analytics, events_ops, io, partsupp, profile, sketches, synthcat
+from magiceye_spark import analytics, dq, events_ops, io, partsupp, profile, sketches, synthcat
 from magiceye_spark.llmops import dedup, multimodal, pipeline, retrieval, simsearch, textstats
 from magiceye_spark.datadiff import (
     build_scd2,
@@ -1818,3 +1818,19 @@ def source_similarity_matrix_q(spark, sf_dir):
     Sparse: token-keyed self-join of the catalog-sized count table +
     broadcast norms; integer dot products, float only at the ratio."""
     return textstats.source_similarity_matrix(textstats._docs(spark, sf_dir))
+
+
+@register(
+    "k_anonymity_customers",
+    dq.sql_k_anonymity("customer", ["c_nationkey", "c_mktsegment"], k=5),
+)
+def k_anonymity_q(spark, sf_dir):
+    """k-anonymity gate on customer quasi-identifiers (nation, market
+    segment): groups smaller than k=5 re-identify their members — the
+    governance check before sharing or training on user-adjacent tables.
+    One quasi-column groupBy (the only corpus-sized shuffle) + a
+    catalog-sized rollup."""
+    from magiceye_spark.dq import k_anonymity_audit
+
+    cust = io.read_table(spark, sf_dir, "customer")
+    return k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment"], k=5)

@@ -104,3 +104,44 @@ def test_bm25_matches_reference(spark, corpus):
     got = {r.doc_id: r.bm25 for r in bm25_topk(docs, terms=["q1", "q2"], k=100).collect()}
     want = _ref_bm25(corpus, ["q1", "q2"])
     assert got == want
+
+
+from itertools import permutations
+
+from magiceye_spark.llmops.dedup import containment_near_dups_indexed
+
+
+def _ref_containment(texts, threshold, n):
+    """Brute force: shingle sets via Python slicing, all ordered pairs."""
+    def sh(t):
+        toks = t.strip().lower().split() or [""]
+        hi = max(len(toks) - n, 0)
+        return {" ".join(toks[i : i + n]) for i in range(hi + 1)}
+
+    sets = [sh(t) for t in texts]
+    out = {}
+    for a, b in permutations(range(len(texts)), 2):
+        ratio = len(sets[a] & sets[b]) / len(sets[a])
+        if ratio >= threshold:
+            out[(a, b)] = round(ratio, 4)
+    return out
+
+
+@given(corpus=st.lists(DOC, min_size=2, max_size=7))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_containment_indexed_matches_bruteforce(spark, corpus):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id: long, text: string"
+    )
+    got = {
+        (r.contained_doc, r.container_doc): r.containment
+        for r in containment_near_dups_indexed(
+            docs, threshold=0.6, n=2, max_df=None
+        ).collect()
+    }
+    want = _ref_containment(corpus, 0.6, 2)
+    assert got == want

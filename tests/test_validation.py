@@ -47,3 +47,20 @@ def test_diff_timeline_rejects_single_snapshot(spark):
 
     with pytest.raises(ValueError, match="at least two"):
         diff_timeline([("v1", mysql_base(spark))])
+
+
+def test_k_anonymity_audit_planted(spark):
+    """Planted: two quasi groups of 10 and one singleton -> the singleton
+    is the only risky group; frac = 1/21."""
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.dq import k_anonymity_audit
+
+    df = spark.range(21).select(
+        F.when(F.col("id") < 10, "a").when(F.col("id") < 20, "b").otherwise("c").alias("seg"),
+        F.lit(1).alias("region"),
+    )
+    row = k_anonymity_audit(df, ["seg", "region"], k=5).first()
+    assert row.n_groups == 3
+    assert row.n_risky_groups == 1 and row.n_risky_rows == 1
+    assert abs(row.risky_row_frac - 1 / 21) < 1e-6
