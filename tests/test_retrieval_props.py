@@ -145,3 +145,42 @@ def test_containment_indexed_matches_bruteforce(spark, corpus):
     }
     want = _ref_containment(corpus, 0.6, 2)
     assert got == want
+
+
+import hashlib
+
+from magiceye_spark.llmops.dedup import winnow_fingerprints
+
+
+def _ref_winnow(texts, n, window):
+    """Brute force winnowing: md5-hex grams, min per window, per-doc set."""
+    out = {}
+    for i, t in enumerate(texts):
+        toks = t.strip().lower().split() or [""]
+        if len(toks) < n + window - 1:
+            continue
+        grams = [
+            hashlib.md5(" ".join(toks[j : j + n]).encode()).hexdigest()
+            for j in range(len(toks) - n + 1)
+        ]
+        fps = {
+            min(grams[j : j + window]) for j in range(len(grams) - window + 1)
+        }
+        out[i] = fps
+    return out
+
+
+@given(corpus=st.lists(DOC, min_size=1, max_size=6), w=st.integers(min_value=2, max_value=4))
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+def test_winnow_fingerprints_match_bruteforce(spark, corpus, w):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id: long, text: string"
+    )
+    got = {}
+    for r in winnow_fingerprints(docs, n=2, window=w).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    assert got == _ref_winnow(corpus, 2, w)
