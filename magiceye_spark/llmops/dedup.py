@@ -946,20 +946,30 @@ def winnow_fingerprints(
     and identical in the oracle (no engine-specific numeric hash). All
     selection is row-local array work; output one row per distinct
     selected fingerprint: (doc_id, fp).
+
+    The gram array is MATERIALIZED behind a repartition barrier before
+    the window-minimum pass: nested higher-order lambdas re-evaluate
+    their argument subtree per element, so slicing an inline
+    `transform(..., md5(...))` per window recomputes every gram hash for
+    every window — O(G²) md5 per document (measured 214 s → ~2 s at
+    sf0.1). The shuffle also spreads single-file inputs across cores.
     """
     toks = _tokens(F.col(text_col))
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
-    widx = F.sequence(F.lit(0), F.size(grams) - window)
-    fps = F.array_distinct(
-        F.transform(widx, lambda i: F.array_min(F.slice(grams, i + 1, window)))
-    )
-    return (
+    base = (
         docs.where(F.size(toks) >= n + window - 1)
-        .select("doc_id", F.explode(fps).alias("fp"))
+        .select("doc_id", grams.alias("grams"))
+        .repartition(F.col("doc_id"))
     )
+    g = F.col("grams")
+    widx = F.sequence(F.lit(0), F.size(g) - window)
+    fps = F.array_distinct(
+        F.transform(widx, lambda i: F.array_min(F.slice(g, i + 1, window)))
+    )
+    return base.select("doc_id", F.explode(fps).alias("fp"))
 
 
 def winnow_overlap_pairs(
@@ -967,14 +977,32 @@ def winnow_overlap_pairs(
     min_shared: int = 3,
     n: int = 4,
     window: int = 4,
+    max_df: int | None = 20,
     text_col: str = "text",
 ) -> DataFrame:
     """Copy-detection pairs: unordered doc pairs sharing at least
     ``min_shared`` winnowed fingerprints. The inverted-index join runs on
     the WINNOWED set (~2/(window+1) of all grams) — the same plan as full
     shingle indexing at a fraction of the posting volume, which is the
-    entire point of winnowing at corpus scale."""
+    entire point of winnowing at corpus scale.
+
+    ``max_df`` drops fingerprints appearing in more than that many docs
+    BEFORE the join (broadcast anti-join, the stopgram move): a
+    fingerprint shared by dozens of documents is boilerplate, not copy
+    evidence, and its posting list costs df² join rows — at the default
+    cap Σdf² ≤ max_df·Σdf, linear in posting volume. Measured at sf0.1
+    on a repetitive 30-word-vocabulary corpus: uncapped, 458 s (hot
+    fingerprints explode inside one AQE-coalesced task); capped,
+    seconds. The oracle applies the identical cut."""
     fp = winnow_fingerprints(docs, n=n, window=window, text_col=text_col)
+    if max_df is not None:
+        hot = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("fp")
+        )
+        fp = fp.join(F.broadcast(hot), "fp", "left_anti")
     a = fp.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
     b = fp.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
     return (
@@ -988,22 +1016,29 @@ def winnow_overlap_pairs(
 
 
 def sql_winnow_overlap_pairs(
-    min_shared: int = 3, n: int = 4, window: int = 4
+    min_shared: int = 3, n: int = 4, window: int = 4, max_df: int | None = 20
 ) -> str:
     toks = "regexp_split_to_array(TRIM(LOWER(text)), '\\s+')"
     grams = (
         f"list_transform(range(1, LENGTH({toks}) - {n} + 2), "
         f"i -> md5(array_to_string({toks}[i:i+{n - 1}], ' ')))"
     )
+    cut = (
+        f"hot AS (SELECT fp FROM fp0 GROUP BY fp HAVING COUNT(*) > {max_df}),\n"
+        "fp AS (SELECT fp0.* FROM fp0 ANTI JOIN hot USING (fp))"
+        if max_df is not None
+        else "fp AS (SELECT * FROM fp0)"
+    )
     return f"""
 WITH g AS (
   SELECT doc_id, {grams} AS grams FROM documents
   WHERE LENGTH({toks}) >= {n + window - 1}),
-fp AS (
+fp0 AS (
   SELECT DISTINCT doc_id,
          UNNEST(list_distinct(list_transform(range(1, LENGTH(grams) - {window} + 2),
                 i -> list_aggregate(grams[i:i+{window - 1}], 'min')))) AS fp
-  FROM g)
+  FROM g),
+{cut}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_fp
 FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2

@@ -734,6 +734,11 @@ def bigram_logprob(docs: DataFrame, alpha: float = 0.5, text_col: str = "text") 
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .where(F.col("w2").isNotNull())
     )
+    # four consumers (bi, uni, V, scoring) would each re-scan and
+    # re-explode the corpus; persist the compact stream once (measured
+    # 16.6 s → materialize-once at sf0.1). Lifecycle note as in
+    # io.assign_global_ids.
+    stream = stream.persist()
     bi = stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bn"))
     uni = stream.groupBy("w1").agg(F.count(F.lit(1)).alias("un"))
     v = stream.agg(F.countDistinct("w1").alias("v"))
