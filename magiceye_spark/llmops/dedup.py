@@ -98,7 +98,13 @@ def jaccard_near_dups(
     Returns (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
     toks = F.array_distinct(_tokens(F.col(text_col)))
-    base = docs.select("doc_id", "lang", "n_chars", toks.alias("toks"))
+    # repartition barrier: materialize the token sets BEFORE the join —
+    # inline array expressions on the streamed side are re-evaluated per
+    # join-output row (the nested-HOF re-evaluation pathology; measured
+    # 7.5× on the containment twin at sf0.1)
+    base = docs.select(
+        "doc_id", "lang", "n_chars", toks.alias("toks")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id"))
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b,
@@ -163,7 +169,15 @@ def containment_near_dups(
     sh = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
-    base = docs.select("doc_id", "lang", sh.alias("sh"))
+    # repartition barrier: shingle arrays must be MATERIALIZED before the
+    # join — the inline transform would be re-evaluated per join-output
+    # row (measured 86 s → 11.5 s at sf0.1). The partition count is
+    # EXPLICIT: a bare repartition(col) is AQE-coalescible down to one
+    # partition on KB-sized inputs, which single-tasks the O(block²)
+    # join that follows
+    base = docs.select("doc_id", "lang", sh.alias("sh")).repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id")
+    )
     a, b = base.alias("a"), base.alias("b")
     pairs = a.join(
         b,
@@ -962,7 +976,7 @@ def winnow_fingerprints(
     base = (
         docs.where(F.size(toks) >= n + window - 1)
         .select("doc_id", grams.alias("grams"))
-        .repartition(F.col("doc_id"))
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id"))
     )
     g = F.col("grams")
     widx = F.sequence(F.lit(0), F.size(g) - window)
