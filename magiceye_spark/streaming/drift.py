@@ -257,15 +257,18 @@ def corpus_quality_snapshot(batch: DataFrame, text_col: str = "text") -> DataFra
     entropy. Row-local signals + one tiny aggregate — runs at stream
     rates; the batch twin of the per-source report card collapsed to the
     batch grain."""
-    from magiceye_spark.llmops.textstats import _tokens, token_entropy  # noqa: SLF001
+    from magiceye_spark.llmops.textstats import _tokens, entropy_from_tokens  # noqa: SLF001
 
-    toks = _tokens(F.col(text_col))
     canon = F.md5(F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " "))
-    return batch.select(
+    base = batch.select(
+        "lang", canon.alias("c"), _tokens(F.col(text_col)).alias("toks")
+    ).repartition(batch.sparkSession.sparkContext.defaultParallelism)
+    toks = F.col("toks")
+    return base.select(
         F.size(toks).alias("n_tokens"),
         (F.col("lang") == "en").cast("int").alias("is_en"),
-        token_entropy(text_col).alias("entropy"),
-        canon.alias("c"),
+        entropy_from_tokens(toks).alias("entropy"),
+        "c",
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
