@@ -434,10 +434,15 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     scraper loops, degenerate generations) poison training corpora while
     sailing through length/stopword quality checks.
 
-    All array expressions over the token list — row-local, zero shuffles,
-    whole-stage codegen; scales as a map-only pass at any corpus size.
+    All array expressions over the token list — row-local; the token
+    array is materialized behind an explicit-count repartition barrier
+    because the top-token fold's nested filter re-evaluates an inline
+    split per distinct token (the nested-HOF re-evaluation pathology).
     """
-    toks = _tokens(F.col(text_col))
+    base = docs.select(
+        "doc_id", _tokens(F.col(text_col)).alias("toks")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    toks = F.col("toks")
 
     def ngrams(n: int) -> Column:
         idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
@@ -458,7 +463,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         / F.size(toks)
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         dup_frac(2).alias("dup_bigram_frac"),
         dup_frac(3).alias("dup_trigram_frac"),
