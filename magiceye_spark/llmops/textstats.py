@@ -269,7 +269,18 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> Data
     6 — identical math both engines. Plan: one explode + per-doc term
     counts, a broadcast-sized df table joined back, a per-doc window for
     the top-k. (doc_id, term, tfidf, rnk)."""
-    toks = F.filter(_tokens(F.col(text_col)), lambda t: t != F.lit(""))
+    # tf computed ROW-LOCALLY (array fold over the distinct tokens) —
+    # kills the (doc_id, term) token shuffle; rows leaving the map side
+    # are already per-doc-distinct, so df is a plain COUNT (no 2-phase
+    # countDistinct). 7 → 5 exchanges, and the shuffled volume drops from
+    # every token to distinct terms per doc. Tokens are materialized
+    # behind the explicit-count barrier first: the nested tf filter would
+    # re-evaluate an inline split per distinct token.
+    base = docs.select(
+        "doc_id",
+        F.filter(_tokens(F.col(text_col)), lambda t: t != F.lit("")).alias("toks"),
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    toks = F.col("toks")
     pairs = F.transform(
         F.array_sort(F.array_distinct(toks)),
         lambda d: F.struct(
@@ -277,12 +288,7 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> Data
             F.size(F.filter(toks, lambda t: t == d)).alias("tf"),
         ),
     )
-    # tf computed ROW-LOCALLY (array fold over the distinct tokens, the
-    # repetition_stats idiom) — kills the (doc_id, term) token shuffle;
-    # rows leaving the map side are already per-doc-distinct, so df is a
-    # plain COUNT (no 2-phase countDistinct). 7 → 5 exchanges, and the
-    # shuffled volume drops from every token to distinct terms per doc.
-    tf = docs.select("doc_id", F.explode(pairs).alias("p")).select(
+    tf = base.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.term").alias("term"), F.col("p.tf").alias("tf")
     )
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
