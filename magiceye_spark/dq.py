@@ -229,3 +229,46 @@ SELECT {k} AS k,
 FROM g, t
 GROUP BY total
 """
+
+
+def l_diversity_audit(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 2
+) -> DataFrame:
+    """l-diversity companion to :func:`k_anonymity_audit`: a quasi-identifier
+    group where the SENSITIVE column takes fewer than ``l`` distinct values
+    leaks that attribute even when the group is k-anonymous (everyone in
+    the group shares it). One summary row: (l, n_groups, n_leaky_groups,
+    n_leaky_rows, leaky_row_frac). Same single corpus-sized groupBy."""
+    groups = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(sensitive_col).alias("n_sens"),
+    )
+    total = df.count()
+    return groups.agg(
+        F.lit(l).alias("l"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n_sens") < l, 1).otherwise(0)).cast("long").alias("n_leaky_groups"),
+        F.sum(F.when(F.col("n_sens") < l, F.col("n")).otherwise(0)).cast("long").alias("n_leaky_rows"),
+        F.round(
+            F.sum(F.when(F.col("n_sens") < l, F.col("n")).otherwise(0)) / F.lit(float(total)),
+            6,
+        ).alias("leaky_row_frac"),
+    )
+
+
+def sql_l_diversity(
+    table: str, quasi_cols: list[str], sensitive_col: str, l: int = 2
+) -> str:
+    cols = ", ".join(quasi_cols)
+    return f"""
+WITH g AS (SELECT {cols}, COUNT(*) AS n, COUNT(DISTINCT {sensitive_col}) AS n_sens
+           FROM {table} GROUP BY {cols}),
+t AS (SELECT COUNT(*) AS total FROM {table})
+SELECT {l} AS l,
+       COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN n_sens < {l} THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_groups,
+       CAST(SUM(CASE WHEN n_sens < {l} THEN n ELSE 0 END) AS BIGINT) AS n_leaky_rows,
+       ROUND(SUM(CASE WHEN n_sens < {l} THEN n ELSE 0 END) / CAST(total AS DOUBLE), 6) AS leaky_row_frac
+FROM g, t
+GROUP BY total
+"""

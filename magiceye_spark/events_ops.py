@@ -824,3 +824,56 @@ FROM att
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def user_value_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
+    """Per-user exponentially-weighted moving average of ``value`` in event
+    order — the classic time-decayed feature (recent behavior weighted
+    over history) computed in CLOSED FORM: with events v_1..v_n,
+    EWMA = (1−α)^(n−1)·v_1 + Σ_{i≥2} α(1−α)^(n−i)·v_i
+    (pandas ewm(adjust=False) semantics). One user-keyed shuffle; the
+    weights are per-row pow() expressions over row_number and the group
+    size — no recursion, no UDF, no per-user iteration.
+
+    Output: (user_id, n_events, last_value, ewma). Ties on ts break on
+    event_id so both engines weight the same ordering."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wall = Window.partitionBy("user_id")
+    rn = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(wall)
+    weight = F.when(
+        F.col("_rn") == 1, F.pow(F.lit(1 - alpha), F.col("_n") - 1)
+    ).otherwise(
+        F.lit(alpha) * F.pow(F.lit(1 - alpha), F.col("_n") - F.col("_rn"))
+    )
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .withColumn("_rn", rn)
+        .withColumn("_n", n)
+        .withColumn("_w", weight)
+        .groupBy("user_id")
+        .agg(
+            F.max("_n").cast("long").alias("n_events"),
+            F.round(F.max_by("value", F.col("_rn")), 4).alias("last_value"),
+            F.round(F.sum(F.col("_w") * F.col("value")), 4).alias("ewma"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def sql_user_value_ewma(alpha: float = 0.3) -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM ({SQL_EVENTS_US}) ev)
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       ROUND(MAX_BY(value, rn), 4) AS last_value,
+       ROUND(SUM(CASE WHEN rn = 1 THEN POW({1 - alpha}, n - 1)
+                      ELSE {alpha} * POW({1 - alpha}, n - rn) END * value), 4) AS ewma
+FROM e
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -1834,3 +1834,26 @@ def k_anonymity_q(spark, sf_dir):
 
     cust = io.read_table(spark, sf_dir, "customer")
     return k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+@register("user_value_ewma", events_ops.sql_user_value_ewma())
+def user_value_ewma_q(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event values in
+    closed form (pandas ewm(adjust=False) semantics): per-row pow weights
+    over row_number and group size — one user-keyed shuffle, no
+    recursion, no UDF. The canonical time-decayed feature."""
+    return events_ops.user_value_ewma(events_ops._events(spark, sf_dir))
+
+
+@register(
+    "l_diversity_customers",
+    dq.sql_l_diversity("customer", ["c_nationkey"], "c_mktsegment", l=3),
+)
+def l_diversity_q(spark, sf_dir):
+    """l-diversity gate: nations where fewer than 3 market segments are
+    represented leak the segment attribute even under k-anonymity. One
+    quasi groupBy with a distinct-count, catalog rollup."""
+    from magiceye_spark.dq import l_diversity_audit
+
+    cust = io.read_table(spark, sf_dir, "customer")
+    return l_diversity_audit(cust, ["c_nationkey"], "c_mktsegment", l=3)

@@ -395,3 +395,34 @@ def test_scd2_incremental_equals_rebuild(spark):
     for v, s in snaps[1:]:
         inc = scd2_apply_snapshot(inc, v, s, ["id"])
     assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_user_value_ewma_matches_pandas(spark):
+    """Closed-form EWMA == pandas ewm(adjust=False) on a planted series."""
+    import pandas as pd
+
+    from magiceye_spark.events_ops import user_value_ewma
+
+    vals = [10.0, 20.0, 5.0, 40.0, 1.0]
+    rows = [
+        (i, f"2024-01-01 00:0{i}:00", 7, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = user_value_ewma(df, alpha=0.3).first()
+    want = pd.Series(vals).ewm(alpha=0.3, adjust=False).mean().iloc[-1]
+    assert got.ewma == pytest.approx(round(want, 4), abs=1e-4)
+    assert got.last_value == 1.0 and got.n_events == 5
+
+
+def test_l_diversity_audit_planted(spark):
+    """Planted: one nation with a single segment leaks; one with 3 passes."""
+    from magiceye_spark.dq import l_diversity_audit
+
+    rows = [(1, "A")] * 5 + [(2, "A"), (2, "B"), (2, "C")]
+    df = spark.createDataFrame(rows, "nation int, seg string")
+    out = l_diversity_audit(df, ["nation"], "seg", l=3).first()
+    assert out.n_groups == 2
+    assert out.n_leaky_groups == 1 and out.n_leaky_rows == 5
