@@ -1857,3 +1857,12 @@ def l_diversity_q(spark, sf_dir):
 
     cust = io.read_table(spark, sf_dir, "customer")
     return l_diversity_audit(cust, ["c_nationkey"], "c_mktsegment", l=3)
+
+
+@register("events_winsorized_stats", sketches.sql_winsorized_value_stats())
+def events_winsorized_q(spark, sf_dir):
+    """Heavy-tail-robust moments per event type: values clipped at the
+    exact interpolated [p05, p95] before mean/std — the summary extreme
+    values can't move (complement to the median/MAD fence). Percentile
+    bounds broadcast back onto one grouped pass."""
+    return sketches.winsorized_value_stats(events_ops._events(spark, sf_dir))

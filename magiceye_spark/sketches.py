@@ -221,3 +221,52 @@ def estimate_join_size(
             ).alias("est_join_rows"),
         )
     )
+
+
+def winsorized_value_stats(
+    events: DataFrame, lo: float = 0.05, hi: float = 0.95
+) -> DataFrame:
+    """Winsorized moments per event type: clip ``value`` at the exact
+    interpolated [lo, hi] percentiles, then mean/stddev of the clipped
+    column next to the raw mean — the heavy-tail-robust summary (a few
+    extreme values can't move the clipped moments). Two passes over one
+    grouped frame: percentile bounds, then conditional aggregation; exact
+    interpolated percentiles are bit-identical to DuckDB quantile_cont."""
+    bounds = events.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {lo})").alias("p_lo"),
+        F.expr(f"percentile(value, {hi})").alias("p_hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        events.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("raw_mean"),
+            F.round(F.avg(clipped), 4).alias("wins_mean"),
+            F.round(F.stddev_samp(clipped), 4).alias("wins_std"),
+            F.round(F.min("p_lo"), 4).alias("p_lo"),
+            F.round(F.min("p_hi"), 4).alias("p_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sql_winsorized_value_stats(lo: float = 0.05, hi: float = 0.95) -> str:
+    return f"""
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, {lo}) AS p_lo,
+         quantile_cont(value, {hi}) AS p_hi
+  FROM events GROUP BY event_type)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       ROUND(AVG(value), 4) AS raw_mean,
+       ROUND(AVG(LEAST(GREATEST(value, p_lo), p_hi)), 4) AS wins_mean,
+       ROUND(STDDEV_SAMP(LEAST(GREATEST(value, p_lo), p_hi)), 4) AS wins_std,
+       ROUND(MIN(p_lo), 4) AS p_lo,
+       ROUND(MIN(p_hi), 4) AS p_hi
+FROM events e JOIN b ON e.event_type = b.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
