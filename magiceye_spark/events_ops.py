@@ -877,3 +877,127 @@ FROM e
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transitions between event types per user stream:
+    (prev_type, next_type, n, p) where p is row-normalized over prev_type.
+    The session-flow fingerprint — which steps actually follow which. One
+    user-keyed window (lag) + one pair aggregation."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 4).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
+def sql_event_transition_matrix() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM ({SQL_EVENTS_US}) ev),
+c AS (
+  SELECT prev_type, next_type, COUNT(*) AS n
+  FROM e WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT prev_type, next_type, n,
+       ROUND(n / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE), 4) AS p
+FROM c
+ORDER BY prev_type, next_type
+"""
+
+
+def user_interarrival_stats(events: DataFrame) -> DataFrame:
+    """Per-user inter-arrival gap statistics in seconds: mean, std, and
+    the coefficient of variation (CV ≈ 1 Poisson, >1 bursty, <1 regular)
+    — the burstiness screen for bots and schedulers. Gaps are integer
+    microsecond diffs (engine-exact); only the final ratios are doubles.
+    Users with fewer than 3 events emit no row (std needs 2 gaps)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    gaps = events.select("user_id", gap_us.alias("gap")).where(
+        F.col("gap").isNotNull()
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg(F.col("gap") / 1e6), 4).alias("mean_gap_s"),
+            F.round(F.stddev_samp(F.col("gap") / 1e6), 4).alias("std_gap_s"),
+            F.round(
+                F.stddev_samp(F.col("gap") / 1e6) / F.avg(F.col("gap") / 1e6), 4
+            ).alias("cv"),
+        )
+        .where(F.col("n_gaps") >= 2)
+        .orderBy("user_id")
+    )
+
+
+def sql_user_interarrival_stats() -> str:
+    return f"""
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM ({SQL_EVENTS_US}) ev),
+s AS (
+  SELECT user_id, COUNT(*) AS n_gaps,
+         ROUND(AVG(gap / 1e6), 4) AS mean_gap_s,
+         ROUND(STDDEV_SAMP(gap / 1e6), 4) AS std_gap_s,
+         ROUND(STDDEV_SAMP(gap / 1e6) / AVG(gap / 1e6), 4) AS cv
+  FROM g WHERE gap IS NOT NULL
+  GROUP BY user_id)
+SELECT * FROM s WHERE n_gaps >= 2 ORDER BY user_id
+"""
+
+
+def dow_hour_matrix(events: DataFrame) -> DataFrame:
+    """Traffic heatmap: event counts by (day-of-week, hour-of-day) with
+    share of total — the load-profile rollup behind capacity planning and
+    anomaly baselines. One aggregation; the share is a broadcast scalar
+    division. dow: 1=Sunday..7=Saturday (both engines' DAYOFWEEK)."""
+    base = events.select(
+        F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+    )
+    total = base.count()
+    return (
+        base.groupBy("dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("dow").cast("long").alias("dow"),
+            F.col("hour").cast("long").alias("hour"),
+            "n",
+            F.round(F.col("n") / F.lit(float(total)), 6).alias("share"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+def sql_dow_hour_matrix() -> str:
+    return f"""
+WITH e AS (SELECT CAST(DAYOFWEEK(ts) + 1 AS BIGINT) AS dow,
+                  CAST(HOUR(ts) AS BIGINT) AS hour
+           FROM ({SQL_EVENTS_US}) ev),
+t AS (SELECT COUNT(*) AS total FROM e)
+SELECT dow, hour, COUNT(*) AS n,
+       ROUND(COUNT(*) / CAST(MIN(total) AS DOUBLE), 6) AS share
+FROM e CROSS JOIN t
+GROUP BY dow, hour
+ORDER BY dow, hour
+"""

@@ -1866,3 +1866,26 @@ def events_winsorized_q(spark, sf_dir):
     values can't move (complement to the median/MAD fence). Percentile
     bounds broadcast back onto one grouped pass."""
     return sketches.winsorized_value_stats(events_ops._events(spark, sf_dir))
+
+
+@register("event_transition_matrix", events_ops.sql_event_transition_matrix())
+def event_transition_matrix_q(spark, sf_dir):
+    """First-order Markov transitions between event types per user stream
+    with row-normalized probabilities — which steps actually follow
+    which. One user-keyed lag window + one pair aggregation."""
+    return events_ops.event_transition_matrix(events_ops._events(spark, sf_dir))
+
+
+@register("user_interarrival_stats", events_ops.sql_user_interarrival_stats())
+def user_interarrival_stats_q(spark, sf_dir):
+    """Per-user inter-arrival statistics (mean/std/CV of gaps in seconds)
+    — the burstiness screen for bots and schedulers. Integer microsecond
+    gap diffs; doubles only at the final ratios."""
+    return events_ops.user_interarrival_stats(events_ops._events(spark, sf_dir))
+
+
+@register("events_dow_hour_matrix", events_ops.sql_dow_hour_matrix())
+def events_dow_hour_matrix_q(spark, sf_dir):
+    """Traffic heatmap by (day-of-week, hour) with share of total — the
+    load profile behind capacity planning and anomaly baselines."""
+    return events_ops.dow_hour_matrix(events_ops._events(spark, sf_dir))

@@ -426,3 +426,41 @@ def test_l_diversity_audit_planted(spark):
     out = l_diversity_audit(df, ["nation"], "seg", l=3).first()
     assert out.n_groups == 2
     assert out.n_leaky_groups == 1 and out.n_leaky_rows == 5
+
+
+def test_transition_matrix_planted(spark):
+    """Planted stream click->view->click->purchase: transition counts and
+    row-normalized probabilities are exact."""
+    from magiceye_spark.events_ops import event_transition_matrix
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0, "{}"),
+        (2, "2024-01-01 00:01:00", 1, "view", 0.0, "{}"),
+        (3, "2024-01-01 00:02:00", 1, "click", 0.0, "{}"),
+        (4, "2024-01-01 00:03:00", 1, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.prev_type, r.next_type): (r.n, r.p)
+           for r in event_transition_matrix(df).collect()}
+    assert out == {
+        ("click", "view"): (1, 0.5),
+        ("click", "purchase"): (1, 0.5),
+        ("view", "click"): (1, 1.0),
+    }
+
+
+def test_interarrival_cv_planted(spark):
+    """Regular 60s cadence -> std 0, cv 0; users with <3 events drop."""
+    from magiceye_spark.events_ops import user_interarrival_stats
+
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "click", 0.0, "{}") for i in range(4)
+    ] + [(10, "2024-01-01 01:00:00", 2, "click", 0.0, "{}")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.user_id: r for r in user_interarrival_stats(df).collect()}
+    assert list(out) == [1]
+    assert out[1].mean_gap_s == 60.0 and out[1].std_gap_s == 0.0 and out[1].cv == 0.0
