@@ -1221,3 +1221,207 @@ WHERE n_days > 1
                  / (n_days - 1))) > {z_cut}
 ORDER BY event_type, day
 """
+
+
+def customer_rfm(spark: SparkSession, sf_dir: str, n_tiles: int = 4) -> DataFrame:
+    """RFM segmentation over orders: per customer, recency (days since
+    last order relative to the corpus max date), frequency (order count),
+    monetary (exact-decimal total spend) — each quartile-coded with NTILE
+    into 1..n (1 = best: most recent / most frequent / highest spend) and
+    concatenated into the classic 'rfm' segment code. NTILE ties are
+    broken on custkey so both engines cut identically.
+
+    One orders aggregation + three catalog-sized window passes over the
+    per-customer rollup (customer-count rows, not order rows)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        _money(F.sum(_dec(F.col("o_totalprice")))).alias("monetary"),
+    )
+    max_date = per_cust.agg(F.max("last_order").alias("max_date"))
+    scored = per_cust.crossJoin(F.broadcast(max_date)).select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(F.col("max_date"), F.col("last_order")).cast("long").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("custkey").asc())
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(n_tiles).over(w_r).cast("long").alias("r_tile"),
+        F.ntile(n_tiles).over(w_f).cast("long").alias("f_tile"),
+        F.ntile(n_tiles).over(w_m).cast("long").alias("m_tile"),
+    ).withColumn(
+        "rfm", F.concat_ws("", "r_tile", "f_tile", "m_tile")
+    ).orderBy("custkey")
+
+
+def sql_customer_rfm(n_tiles: int = 4) -> str:
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS frequency,
+         ROUND(CAST(SUM(CAST(ROUND(o_totalprice, 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS monetary
+  FROM orders GROUP BY o_custkey),
+m AS (SELECT MAX(last_order) AS max_date FROM per_cust),
+scored AS (
+  SELECT custkey,
+         CAST(DATEDIFF('day', last_order, max_date) AS BIGINT) AS recency_days,
+         frequency, monetary
+  FROM per_cust CROSS JOIN m)
+SELECT custkey, recency_days, frequency, monetary,
+       CAST(NTILE({n_tiles}) OVER (ORDER BY recency_days ASC, custkey ASC) AS BIGINT) AS r_tile,
+       CAST(NTILE({n_tiles}) OVER (ORDER BY frequency DESC, custkey ASC) AS BIGINT) AS f_tile,
+       CAST(NTILE({n_tiles}) OVER (ORDER BY monetary DESC, custkey ASC) AS BIGINT) AS m_tile,
+       CONCAT(
+         CAST(NTILE({n_tiles}) OVER (ORDER BY recency_days ASC, custkey ASC) AS VARCHAR),
+         CAST(NTILE({n_tiles}) OVER (ORDER BY frequency DESC, custkey ASC) AS VARCHAR),
+         CAST(NTILE({n_tiles}) OVER (ORDER BY monetary DESC, custkey ASC) AS VARCHAR)
+       ) AS rfm
+FROM scored
+ORDER BY custkey
+"""
+
+
+def parts_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC inventory analysis: parts ranked by exact-decimal revenue,
+    classified A (top 80% of cumulative revenue share), B (to 95%), C
+    (tail). The cumulative share uses the EXACT decimal running sum over
+    (revenue DESC, partkey) so the class boundaries are engine-identical;
+    doubles appear only in the reported share."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = l.groupBy("l_partkey").agg(
+        F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_dec")
+    )
+    w = Window.orderBy(F.col("rev_dec").desc(), F.col("l_partkey").asc())
+    tot = rev.agg(F.sum("rev_dec").alias("total"))
+    classed = (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("rev_dec").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn(
+            # exact decimal sums; ONE IEEE double division so the class
+            # boundary is bit-identical across engines (decimal-division
+            # scale rules differ between Spark and DuckDB)
+            "share_raw", F.col("cum").cast("double") / F.col("total").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("rev_dec"),
+            F.when(F.col("share_raw") <= 0.80, "A")
+            .when(F.col("share_raw") <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    # carry the EXACT decimal into the rollup — rounding per-part revenue
+    # to cents first and re-summing diverges between engines wherever a
+    # part lands on a half-cent (ROUND half-up vs half-even on doubles)
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        _money(F.sum("rev_dec")).alias("class_revenue"),
+    ).orderBy("abc_class")
+
+
+def sql_parts_abc_classes() -> str:
+    return """
+WITH rev AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS rev_dec
+  FROM lineitem GROUP BY l_partkey),
+t AS (SELECT SUM(rev_dec) AS total FROM rev),
+c AS (
+  SELECT partkey, rev_dec,
+         CAST(SUM(rev_dec) OVER (ORDER BY rev_dec DESC, partkey ASC
+                                 ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           / CAST(total AS DOUBLE) AS cum_share_raw
+  FROM rev CROSS JOIN t)
+SELECT CASE WHEN cum_share_raw <= 0.80 THEN 'A'
+            WHEN cum_share_raw <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class,
+       COUNT(*) AS n_parts,
+       ROUND(CAST(SUM(rev_dec) AS DOUBLE), 2) AS class_revenue
+FROM c
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def basket_pair_lift(spark: SparkSession, sf_dir: str, min_pair_orders: int = 3) -> DataFrame:
+    """Market-basket analysis: part pairs co-purchased in the same order,
+    with support counts and LIFT = P(a,b) / (P(a)·P(b)). The
+    cross_source_overlap plan — ONE order-grouped collect_set, pairs
+    exploded row-locally from each order's (small) part set, pair counts
+    aggregated; per-part order counts join back broadcast. No self-join
+    of the lineitem table."""
+    l = _t(spark, sf_dir, "lineitem")
+    sets = (
+        l.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+    )
+    n_orders = sets.count()
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda a, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda b: F.struct(a.alias("part_a"), b.alias("part_b")),
+            ),
+        )
+    )
+    pair_counts = (
+        sets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .where(F.col("n_both") >= min_pair_orders)
+    )
+    part_counts = (
+        l.select("l_orderkey", "l_partkey").distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    ca = part_counts.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_a"))
+    cb = part_counts.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_b"))
+    return (
+        pair_counts.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                (F.col("n_both") * F.lit(float(n_orders)))
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+def sql_basket_pair_lift(min_pair_orders: int = 3) -> str:
+    return f"""
+WITH po AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+  FROM po a JOIN po b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_pair_orders}),
+pc AS (SELECT l_partkey, COUNT(*) AS n_orders_part FROM po GROUP BY 1)
+SELECT part_a, part_b, n_both,
+       ROUND(n_both * CAST(n.n_orders AS DOUBLE) / (ca.n_orders_part * cb.n_orders_part), 4) AS lift
+FROM pairs
+JOIN pc ca ON ca.l_partkey = pairs.part_a
+JOIN pc cb ON cb.l_partkey = pairs.part_b
+CROSS JOIN n
+ORDER BY part_a, part_b
+"""

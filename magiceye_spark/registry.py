@@ -1889,3 +1889,27 @@ def events_dow_hour_matrix_q(spark, sf_dir):
     """Traffic heatmap by (day-of-week, hour) with share of total — the
     load profile behind capacity planning and anomaly baselines."""
     return events_ops.dow_hour_matrix(events_ops._events(spark, sf_dir))
+
+
+@register("customer_rfm", analytics.sql_customer_rfm())
+def customer_rfm_q(spark, sf_dir):
+    """RFM segmentation: recency/frequency/monetary quartile codes per
+    customer (NTILE with custkey tie-breaks so both engines cut
+    identically). One orders agg + three catalog-sized window passes."""
+    return analytics.customer_rfm(spark, sf_dir)
+
+
+@register("parts_abc_classes", analytics.sql_parts_abc_classes())
+def parts_abc_q(spark, sf_dir):
+    """Pareto/ABC inventory classes by cumulative revenue share (A to
+    80%, B to 95%, C tail). Exact decimal running sums; ONE double
+    division at the boundary so the cut is engine-identical."""
+    return analytics.parts_abc_classes(spark, sf_dir)
+
+
+@register("basket_pair_lift", analytics.sql_basket_pair_lift())
+def basket_pair_lift_q(spark, sf_dir):
+    """Market-basket pair lift: co-purchased part pairs with support and
+    lift. ONE order-grouped collect_set with row-local pair explosion —
+    no lineitem self-join; per-part order counts broadcast back."""
+    return analytics.basket_pair_lift(spark, sf_dir)

@@ -464,3 +464,43 @@ def test_interarrival_cv_planted(spark):
     out = {r.user_id: r for r in user_interarrival_stats(df).collect()}
     assert list(out) == [1]
     assert out[1].mean_gap_s == 60.0 and out[1].std_gap_s == 0.0 and out[1].cv == 0.0
+
+
+def test_rfm_tiles_deterministic_and_complete(spark, sf_dir):
+    """Every customer with orders gets a 3-digit RFM code; quartile sizes
+    differ by at most 1 (NTILE contract)."""
+    from collections import Counter
+
+    from magiceye_spark import analytics
+
+    rows = analytics.customer_rfm(spark, sf_dir).collect()
+    assert all(len(r.rfm) == 3 and r.rfm.isdigit() for r in rows)
+    for field in ("r_tile", "f_tile", "m_tile"):
+        sizes = Counter(getattr(r, field) for r in rows)
+        assert set(sizes) == {1, 2, 3, 4}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_basket_lift_planted(spark, tmp_path):
+    """Two parts always bought together in a 4-order corpus: lift = n/1?
+    With 4 orders, pair in 2, each part in 2: lift = 2*4/(2*2) = 2.0."""
+    import os
+
+    from magiceye_spark import analytics
+
+    li = [
+        (1, 1, 100), (1, 2, 101),
+        (2, 1, 100), (2, 2, 101),
+        (3, 1, 102), (4, 1, 103),
+    ]
+    df = spark.createDataFrame(
+        [(o, ln, p, 1.0, 100.0, 0.0) for o, ln, p in li],
+        "l_orderkey long, l_linenumber long, l_partkey long, l_quantity double, l_extendedprice double, l_discount double",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    out = analytics.basket_pair_lift(spark, d, min_pair_orders=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.part_a, r.part_b, r.n_both, r.lift) == (100, 101, 2, 2.0)
