@@ -1425,3 +1425,95 @@ JOIN pc cb ON cb.l_partkey = pairs.part_b
 CROSS JOIN n
 ORDER BY part_a, part_b
 """
+
+
+def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the revenue-concentration
+    scalar behind 'whales vs long tail' decisions:
+    G = Σ(2i − n − 1)·x_i / (n·Σx) over spend sorted ascending.
+
+    Spend totals are EXACT decimals; ranks come from one window over the
+    customer-count rollup (tie-broken on custkey); the weighted sum uses
+    decimal×integer products so only the final ratio is floating point —
+    engine-identical. Output: one row (n_customers, total_spend, gini)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(_dec(F.col("o_totalprice"))).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
+    ranked = (
+        per_cust.withColumn("i", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _money(F.sum("spend")).alias("total_spend"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("spend")).cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.sum("spend").cast("double")),
+            6,
+        ).alias("gini"),
+    )
+
+
+def sql_customer_spend_gini() -> str:
+    return """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice, 4) AS DECIMAL(18,4))) AS spend
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT spend,
+         ROW_NUMBER() OVER (ORDER BY spend ASC, o_custkey ASC) AS i,
+         COUNT(*) OVER () AS n
+  FROM per_cust)
+SELECT COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(spend) AS DOUBLE), 2) AS total_spend,
+       ROUND(CAST(SUM((2 * i - n - 1) * spend) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(spend) AS DOUBLE)), 6) AS gini
+FROM ranked
+"""
+
+
+def orders_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order split into NEW (customer's first-ever order month)
+    vs RETURNING — the growth-vs-retention curve. The first-order month
+    comes from one customer-keyed window; the monthly rollup is a
+    conditional aggregation. Output per month: n_orders, n_new,
+    n_returning, new_frac."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    flagged = o.select(
+        month.alias("month"),
+        (month == F.min(month).over(w)).cast("int").alias("is_new"),
+    )
+    return (
+        flagged.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("is_new").cast("long").alias("n_new"),
+            (F.count(F.lit(1)) - F.sum("is_new")).cast("long").alias("n_returning"),
+            F.round(F.sum("is_new") / F.count(F.lit(1)), 4).alias("new_frac"),
+        )
+        .orderBy("month")
+    )
+
+
+def sql_orders_new_vs_returning() -> str:
+    return """
+WITH f AS (
+  SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+         CASE WHEN DATE_TRUNC('month', o_orderdate) =
+                   MIN(DATE_TRUNC('month', o_orderdate)) OVER (PARTITION BY o_custkey)
+              THEN 1 ELSE 0 END AS is_new
+  FROM orders)
+SELECT month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(is_new) AS BIGINT) AS n_new,
+       CAST(COUNT(*) - SUM(is_new) AS BIGINT) AS n_returning,
+       ROUND(SUM(is_new) / CAST(COUNT(*) AS DOUBLE), 4) AS new_frac
+FROM f
+GROUP BY month
+ORDER BY month
+"""

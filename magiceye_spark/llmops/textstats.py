@@ -878,3 +878,70 @@ JOIN norms na ON na.source = dots.source_a
 JOIN norms nb ON nb.source = dots.source_b
 ORDER BY source_a, source_b
 """
+
+
+def vocab_zipf_slope(docs: DataFrame, top_n: int = 1000, text_col: str = "text") -> DataFrame:
+    """Zipf diagnostic: the log-log slope of the rank-frequency curve over
+    the top-N vocabulary (natural text ≈ −1; far shallower = synthetic or
+    templated vocabulary, far steeper = degenerate repetition). Exact
+    integer term counts; ranks from one window (count DESC, term ASC);
+    the OLS slope runs on ln(rank)/ln(freq) doubles over at most top_n
+    catalog-sized rows. Output: one row (n_terms, slope, intercept)."""
+    from pyspark.sql.window import Window
+
+    toks = F.explode(_tokens(F.col(text_col))).alias("term")
+    counts = (
+        docs.select(toks)
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_n
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n_terms").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return agg.select(
+        "n_terms",
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+    )
+
+
+def sql_vocab_zipf_slope(top_n: int = 1000) -> str:
+    toks = f"regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')"
+    return f"""
+WITH counts AS (
+  SELECT term, COUNT(*) AS freq
+  FROM (SELECT UNNEST({toks}) AS term FROM documents)
+  WHERE term <> ''
+  GROUP BY term),
+ranked AS (
+  SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS DOUBLE)) AS x,
+         LN(CAST(freq AS DOUBLE)) AS y,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank
+  FROM counts
+  QUALIFY rank <= {top_n}),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+         COUNT(*) AS n_terms
+  FROM ranked)
+SELECT n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) AS intercept
+FROM s
+"""

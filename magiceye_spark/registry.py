@@ -1913,3 +1913,28 @@ def basket_pair_lift_q(spark, sf_dir):
     lift. ONE order-grouped collect_set with row-local pair explosion —
     no lineitem self-join; per-part order counts broadcast back."""
     return analytics.basket_pair_lift(spark, sf_dir)
+
+
+@register("customer_spend_gini", analytics.sql_customer_spend_gini())
+def customer_spend_gini_q(spark, sf_dir):
+    """Gini coefficient of customer spend (revenue concentration): exact
+    decimal totals, one window over the customer rollup, decimal×integer
+    weighted sum — floating point only at the final ratio."""
+    return analytics.customer_spend_gini(spark, sf_dir)
+
+
+@register("orders_new_vs_returning", analytics.sql_orders_new_vs_returning())
+def orders_new_vs_returning_q(spark, sf_dir):
+    """Monthly growth-vs-retention split: orders in the customer's
+    first-ever month are NEW, the rest RETURNING. One customer-keyed
+    window + a conditional monthly rollup."""
+    return analytics.orders_new_vs_returning(spark, sf_dir)
+
+
+@register("vocab_zipf_slope", textstats.sql_vocab_zipf_slope())
+def vocab_zipf_slope_q(spark, sf_dir):
+    """Zipf rank-frequency slope of the corpus vocabulary (natural text
+    ~ -1; shallower = templated vocab, steeper = degenerate repetition).
+    Exact term counts; OLS on ln(rank)/ln(freq) over at most top-N
+    catalog-sized rows."""
+    return textstats.vocab_zipf_slope(textstats._docs(spark, sf_dir))

@@ -504,3 +504,23 @@ def test_basket_lift_planted(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert (r.part_a, r.part_b, r.n_both, r.lift) == (100, 101, 2, 2.0)
+
+
+def test_gini_extremes(spark, tmp_path):
+    """Equal spends -> gini ~0; one whale owning ~everything -> gini -> 1."""
+    import os
+
+    from magiceye_spark import analytics
+
+    def gini_of(prices):
+        rows = [(i, i, p, "1995-01-01") for i, p in enumerate(prices)]
+        df = spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate string"
+        ).withColumn("o_orderdate", F.to_timestamp("o_orderdate"))
+        d = str(tmp_path / f"g{len(prices)}_{int(prices[0])}")
+        os.makedirs(d, exist_ok=True)
+        df.write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        return analytics.customer_spend_gini(spark, d).first().gini
+
+    assert gini_of([100.0] * 10) == 0.0
+    assert gini_of([0.01] * 9 + [10_000.0]) > 0.85
