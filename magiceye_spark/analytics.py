@@ -1517,3 +1517,102 @@ FROM f
 GROUP BY month
 ORDER BY month
 """
+
+
+def daily_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest over the event stream: predict each
+    day's count per event type with the SAME-WEEKDAY-LAST-WEEK value
+    (lag 7 on the daily series) and score MAE / MAPE / bias per type —
+    the baseline every real forecaster must beat, and the backtest
+    machinery (lag-as-prediction → error rollup) any model would reuse.
+    Integer errors; doubles only in the final ratios."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.col("event_type"), F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    scored = daily.withColumn("pred", F.lag("n", 7).over(w)).where(
+        F.col("pred").isNotNull()
+    )
+    err = F.col("n") - F.col("pred")
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(F.abs(err)), 4).alias("mae"),
+            F.round(F.avg(F.abs(err) / F.col("n")), 4).alias("mape"),
+            F.round(F.avg(err), 4).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sql_daily_forecast_backtest() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT event_type, n,
+         LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS pred
+  FROM daily)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       ROUND(AVG(ABS(n - pred)), 4) AS mae,
+       ROUND(AVG(ABS(n - pred) / CAST(n AS DOUBLE)), 4) AS mape,
+       ROUND(AVG(n - pred), 4) AS bias
+FROM scored WHERE pred IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier performance rollup joined with the supplier dimension:
+    exact-decimal revenue, line count, distinct parts, average discount,
+    and return rate (share of 'R' return-flag lines) — the vendor-review
+    table. One lineitem aggregation + a broadcast dimension join."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    per_supp = l.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        _money(
+            F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        ).alias("revenue"),
+        F.round(F.avg(_dec(F.col("l_discount")).cast("double")), 4).alias("avg_discount"),
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("return_rate"),
+    )
+    return (
+        per_supp.join(F.broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier"),
+            "n_lines",
+            "n_parts",
+            "revenue",
+            "avg_discount",
+            "return_rate",
+        )
+        .orderBy("suppkey")
+    )
+
+
+def sql_supplier_scorecard() -> str:
+    return """
+WITH per_supp AS (
+  SELECT l_suppkey AS suppkey,
+         COUNT(*) AS n_lines,
+         COUNT(DISTINCT l_partkey) AS n_parts,
+         ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+         ROUND(AVG(CAST(CAST(ROUND(l_discount, 4) AS DECIMAL(18,4)) AS DOUBLE)), 4) AS avg_discount,
+         ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS return_rate
+  FROM lineitem GROUP BY l_suppkey)
+SELECT suppkey, s.s_name AS supplier, n_lines, n_parts, revenue, avg_discount, return_rate
+FROM per_supp JOIN supplier s ON s.s_suppkey = per_supp.suppkey
+ORDER BY suppkey
+"""

@@ -1938,3 +1938,20 @@ def vocab_zipf_slope_q(spark, sf_dir):
     Exact term counts; OLS on ln(rank)/ln(freq) over at most top-N
     catalog-sized rows."""
     return textstats.vocab_zipf_slope(textstats._docs(spark, sf_dir))
+
+
+@register("daily_forecast_backtest", analytics.sql_daily_forecast_backtest())
+def daily_forecast_backtest_q(spark, sf_dir):
+    """Seasonal-naive backtest: predict each day's count with the
+    same-weekday-last-week value (lag 7) and score MAE/MAPE/bias per
+    event type — the baseline any forecaster must beat, via the
+    lag-as-prediction backtest shape."""
+    return analytics.daily_forecast_backtest(spark, sf_dir)
+
+
+@register("supplier_scorecard", analytics.sql_supplier_scorecard())
+def supplier_scorecard_q(spark, sf_dir):
+    """Vendor review table: per-supplier revenue, line/part counts,
+    average discount, and return rate, joined broadcast with the
+    supplier dimension."""
+    return analytics.supplier_scorecard(spark, sf_dir)
