@@ -1001,3 +1001,103 @@ FROM e CROSS JOIN t
 GROUP BY dow, hour
 ORDER BY dow, hour
 """
+
+
+def attributed_daily_revenue(events: DataFrame) -> DataFrame:
+    """Position-based (40/20/40) multi-touch attribution: every click is
+    assigned to the user's NEXT purchase; within each purchase's click
+    path the first click earns 0.4, the last 0.4, interior clicks split
+    0.2 (single-click paths earn 1.0, two-click paths 0.5/0.5). Output:
+    attributed purchase value per CLICK DAY — where the credit lands on
+    the calendar, the marketing-spend view.
+
+    Plan: one user-keyed window assigns each click its next purchase
+    (first purchase at-or-after the click — the forward as-of), one
+    (user, purchase) window ranks the path, and the rollup groups by
+    click day. Weighted-value sums are doubles; the 1e-9 association
+    error is far inside the cent rounding."""
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    purchase_id = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    tagged = events.select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).withColumn(
+        "next_purchase_id",
+        F.first(purchase_id, ignorenulls=True).over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ),
+    ).withColumn(
+        "next_purchase_value",
+        F.first(purchase_val, ignorenulls=True).over(
+            Window.partitionBy("user_id")
+            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ),
+    )
+    clicks = tagged.where(
+        (F.col("event_type") == "click") & F.col("next_purchase_id").isNotNull()
+    )
+    wp = Window.partitionBy("user_id", "next_purchase_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wp_all = Window.partitionBy("user_id", "next_purchase_id")
+    ranked = clicks.withColumn("pos", F.row_number().over(wp)).withColumn(
+        "k", F.count(F.lit(1)).over(wp_all)
+    )
+    weight = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("pos") == 1, F.lit(0.4) + F.when(F.col("k") == 2, 0.1).otherwise(0.0))
+        .when(F.col("pos") == F.col("k"), F.lit(0.4) + F.when(F.col("k") == 2, 0.1).otherwise(0.0))
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    return (
+        ranked.groupBy(F.to_date("ts").alias("click_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.round(F.sum(weight * F.col("next_purchase_value")), 2).alias(
+                "attributed_value"
+            ),
+        )
+        .orderBy("click_day")
+    )
+
+
+def sql_attributed_daily_revenue() -> str:
+    return f"""
+WITH e AS ({SQL_EVENTS_US}),
+clicks AS (
+  SELECT c.user_id, c.ts, c.event_id,
+         p.event_id AS next_purchase_id,
+         p.value AS next_purchase_value
+  FROM e c
+  JOIN LATERAL (
+    SELECT p.event_id, p.value
+    FROM e p
+    WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+      AND (p.ts > c.ts OR (p.ts = c.ts AND p.event_id >= c.event_id))
+    ORDER BY p.ts, p.event_id
+    LIMIT 1
+  ) p ON TRUE
+  WHERE c.event_type = 'click'),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id, next_purchase_id
+                            ORDER BY ts, event_id) AS pos,
+         COUNT(*) OVER (PARTITION BY user_id, next_purchase_id) AS k
+  FROM clicks)
+SELECT CAST(ts AS DATE) AS click_day,
+       COUNT(*) AS n_clicks,
+       ROUND(SUM(CASE WHEN k = 1 THEN 1.0
+                      WHEN pos = 1 OR pos = k THEN 0.4 + CASE WHEN k = 2 THEN 0.1 ELSE 0.0 END
+                      ELSE 0.2 / (k - 2) END * next_purchase_value), 2) AS attributed_value
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+"""

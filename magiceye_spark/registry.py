@@ -1955,3 +1955,12 @@ def supplier_scorecard_q(spark, sf_dir):
     average discount, and return rate, joined broadcast with the
     supplier dimension."""
     return analytics.supplier_scorecard(spark, sf_dir)
+
+
+@register("attributed_daily_revenue", events_ops.sql_attributed_daily_revenue())
+def attributed_daily_revenue_q(spark, sf_dir):
+    """Position-based (40/20/40) multi-touch attribution: clicks credited
+    against the user's next purchase, weighted first/last/interior, and
+    rolled up to attributed value per click day — forward as-of via one
+    user-keyed window, path ranking via one (user, purchase) window."""
+    return events_ops.attributed_daily_revenue(events_ops._events(spark, sf_dir))

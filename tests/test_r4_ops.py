@@ -524,3 +524,22 @@ def test_gini_extremes(spark, tmp_path):
 
     assert gini_of([100.0] * 10) == 0.0
     assert gini_of([0.01] * 9 + [10_000.0]) > 0.85
+
+
+def test_attribution_weights_sum_to_purchase_value(spark):
+    """Planted path click,click,click -> purchase(100): weights
+    0.4/0.2/0.4 land on the click days; totals conserve the purchase."""
+    from magiceye_spark.events_ops import attributed_daily_revenue
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 0.0, "{}"),
+        (2, "2024-01-02 10:00:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-03 10:00:00", 1, "click", 0.0, "{}"),
+        (4, "2024-01-04 10:00:00", 1, "purchase", 100.0, "{}"),
+        (5, "2024-01-05 10:00:00", 2, "click", 0.0, "{}"),   # no purchase after
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {str(r.click_day): r.attributed_value for r in attributed_daily_revenue(df).collect()}
+    assert out == {"2024-01-01": 40.0, "2024-01-02": 20.0, "2024-01-03": 40.0}
