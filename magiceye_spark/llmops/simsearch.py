@@ -847,3 +847,117 @@ SELECT anchor_id, negative_id, cosine_sim, CAST(rank AS INTEGER) AS rank FROM (
 ) WHERE rank <= {k}
 ORDER BY anchor_id, rank
 """
+
+
+def _label_centroids(emb: DataFrame) -> DataFrame:
+    """(label, dim, c): per-label mean embedding by DIMENSION on the
+    (row, dim) relational grain, each coordinate ROUNDED to 6 — the
+    rounding makes every downstream dot product bit-identical across
+    engines (per-dim averages are the only float sums whose association
+    order differs)."""
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
+
+
+def label_compactness(emb: DataFrame) -> DataFrame:
+    """Embedding-quality audit, intra-class view: per label, the mean
+    cosine of members to their OWN label centroid — low compactness means
+    the label is incoherent (mislabeled data, or an encoder that can't
+    separate it). All relational: centroids on the (label, dim) grain,
+    member·centroid dots via one (label, dim) join + per-member rollup."""
+    cent = _label_centroids(emb)
+    dims = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    per_member = (
+        dims.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("v") * F.col("c")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("nv"),
+            F.sum(F.col("c") * F.col("c")).alias("nc"),
+        )
+        .select(
+            "label",
+            (F.col("dot") / (F.sqrt("nv") * F.sqrt("nc"))).alias("cos"),
+        )
+    )
+    return (
+        per_member.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("cos"), 4).alias("avg_cos_to_centroid"),
+        )
+        .orderBy("label")
+    )
+
+
+def sql_label_compactness() -> str:
+    dims = (
+        "SELECT vec_id, label, UNNEST(range(1, LENGTH(embedding) + 1)) - 1 AS dim, "
+        "UNNEST(CAST(embedding AS DOUBLE[])) AS v FROM embeddings"
+    )
+    return f"""
+WITH dims AS ({dims}),
+cent AS (
+  SELECT label, dim, ROUND(AVG(v), 6) AS c FROM dims GROUP BY label, dim),
+per_member AS (
+  SELECT d.vec_id, d.label,
+         SUM(d.v * c.c) / (SQRT(SUM(d.v * d.v)) * SQRT(SUM(c.c * c.c))) AS cos
+  FROM dims d JOIN cent c ON c.label = d.label AND c.dim = d.dim
+  GROUP BY d.vec_id, d.label)
+SELECT label, COUNT(*) AS n, ROUND(AVG(cos), 4) AS avg_cos_to_centroid
+FROM per_member
+GROUP BY label
+ORDER BY label
+"""
+
+
+def label_centroid_similarity(emb: DataFrame) -> DataFrame:
+    """Embedding-quality audit, inter-class view: cosine similarity
+    between label centroids for every unordered pair — near-1.0 pairs are
+    the labels an ANN index (or a classifier) will confuse. The pairwise
+    stage runs on the k×d centroid table only."""
+    cent = _label_centroids(emb)
+    a = cent.select(
+        F.col("label").alias("label_a"), "dim", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "dim", F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, "dim")
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.round(
+                F.sum(F.col("ca") * F.col("cb"))
+                / (
+                    F.sqrt(F.sum(F.col("ca") * F.col("ca")))
+                    * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+                ),
+                4,
+            ).alias("centroid_cos")
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+def sql_label_centroid_similarity() -> str:
+    dims = (
+        "SELECT label, UNNEST(range(1, LENGTH(embedding) + 1)) - 1 AS dim, "
+        "UNNEST(CAST(embedding AS DOUBLE[])) AS v FROM embeddings"
+    )
+    return f"""
+WITH dims AS ({dims}),
+cent AS (
+  SELECT label, dim, ROUND(AVG(v), 6) AS c FROM dims GROUP BY label, dim)
+SELECT a.label AS label_a, b.label AS label_b,
+       ROUND(SUM(a.c * b.c) / (SQRT(SUM(a.c * a.c)) * SQRT(SUM(b.c * b.c))), 4) AS centroid_cos
+FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -1964,3 +1964,24 @@ def attributed_daily_revenue_q(spark, sf_dir):
     rolled up to attributed value per click day — forward as-of via one
     user-keyed window, path ranking via one (user, purchase) window."""
     return events_ops.attributed_daily_revenue(events_ops._events(spark, sf_dir))
+
+
+@register("label_compactness", simsearch.sql_label_compactness())
+def label_compactness_q(spark, sf_dir):
+    """Embedding-quality audit: mean member-to-own-centroid cosine per
+    label (low = incoherent label / weak encoder). Fully relational on
+    the (row, dim) grain; centroid coordinates rounded to 6 on both
+    engines so every downstream dot is bit-identical."""
+    return simsearch.label_compactness(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+
+
+@register("label_centroid_similarity", simsearch.sql_label_centroid_similarity())
+def label_centroid_similarity_q(spark, sf_dir):
+    """Inter-class confusion map: pairwise cosine between label centroids
+    — the labels retrieval/classification will mix up. Pairwise stage on
+    the k×d centroid table only."""
+    return simsearch.label_centroid_similarity(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )

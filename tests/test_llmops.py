@@ -778,3 +778,26 @@ def test_source_similarity_matrix_geometry(spark):
     out = {(r.source_a, r.source_b): r.cosine_sim
            for r in source_similarity_matrix(docs).collect()}
     assert out == {("sA", "sB"): 1.0}
+
+
+def test_label_audits_planted_geometry(spark):
+    """Tight cluster vs scattered label: compactness separates them;
+    near-parallel centroids show ~1.0 pair similarity."""
+    rows = [
+        # label a: tight around e1
+        (0, [1.0, 0.01, 0.0], "a"), (1, [1.0, -0.01, 0.0], "a"),
+        # label b: same direction as a (confusable)
+        (2, [0.99, 0.05, 0.0], "b"), (3, [0.98, -0.05, 0.0], "b"),
+        # label c: scattered orthogonally
+        (4, [0.0, 1.0, 0.0], "c"), (5, [0.0, 0.0, 1.0], "c"),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    from magiceye_spark.llmops.simsearch import label_centroid_similarity, label_compactness
+
+    comp = {r.label: r.avg_cos_to_centroid for r in label_compactness(emb).collect()}
+    assert comp["a"] > 0.999 and comp["b"] > 0.99
+    assert comp["c"] < 0.9  # scattered
+    sim = {(r.label_a, r.label_b): r.centroid_cos
+           for r in label_centroid_similarity(emb).collect()}
+    assert sim[("a", "b")] > 0.99   # confusable pair
+    assert sim[("a", "c")] < 0.6
