@@ -1101,3 +1101,77 @@ FROM ranked
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def session_type_cooccurrence(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Which behaviors co-occur within a session: unordered event-type
+    pairs counted over sessionized streams, with the share of sessions
+    containing both. The cross_source_overlap plan on session grain — one
+    session assignment (shared user window), one collect_set, row-local
+    pair explosion; no self-join."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col("ts"))
+    is_new = F.when(
+        F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us), 1
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = events.withColumn("session_seq", F.sum(is_new).over(run))
+    sets = (
+        sess.groupBy("user_id", "session_seq")
+        .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
+    )
+    n_sessions = sets.count()
+    pairs = F.flatten(
+        F.transform(
+            F.col("types"),
+            lambda a, i: F.transform(
+                F.slice(F.col("types"), i + 2, F.size(F.col("types"))),
+                lambda b: F.struct(a.alias("type_a"), b.alias("type_b")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .select(
+            "type_a",
+            "type_b",
+            "n_sessions",
+            F.round(F.col("n_sessions") / F.lit(float(n_sessions)), 4).alias(
+                "session_share"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def sql_session_type_cooccurrence(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH e AS ({SQL_EVENTS_US}),
+flagged AS (
+  SELECT *, CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {gap_us}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged),
+sets AS (
+  SELECT user_id, session_seq FROM numbered GROUP BY user_id, session_seq),
+n AS (SELECT COUNT(*) AS n_sessions FROM sets),
+st AS (
+  SELECT DISTINCT user_id, session_seq, event_type FROM numbered)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_sessions,
+       ROUND(COUNT(*) / CAST(MIN(n.n_sessions) AS DOUBLE), 4) AS session_share
+FROM st a
+JOIN st b ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+         AND a.event_type < b.event_type
+CROSS JOIN n
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -717,3 +717,61 @@ FROM fanned f JOIN ids c ON f.ngid = c.gid
 WHERE f.anchor_label <> c.label AND f.anchor_id <> c.vec_id
 ORDER BY anchor_id, j
 """
+
+
+def token_budget_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-token accounting: given per-source mixing weights and a
+    total token budget, how many tokens each source contributes and how
+    many EPOCHS over its natural supply that implies (>1 = repetition,
+    the overfitting red flag the LLaMA-style mixture tables track).
+    Sources without a weight get 0. One corpus aggregation; the plan
+    arithmetic runs on the catalog-sized rollup."""
+    toks = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    natural = docs.groupBy("source").agg(
+        F.sum(toks).cast("long").alias("natural_tokens")
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    return (
+        natural.withColumn(
+            "weight", F.coalesce(wmap[F.col("source")], F.lit(0.0))
+        )
+        .select(
+            "source",
+            "natural_tokens",
+            F.round("weight", 4).alias("weight"),
+            F.round(F.col("weight") * budget_tokens, 0)
+            .cast("long")
+            .alias("budget_tokens"),
+            F.round(
+                (F.col("weight") * budget_tokens) / F.col("natural_tokens"), 4
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_token_budget_plan(weights: dict[str, float], budget_tokens: int) -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in sorted(weights.items())
+    )
+    return f"""
+WITH nat AS (
+  SELECT source,
+         CAST(SUM(LENGTH(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))) AS BIGINT) AS natural_tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT *, CASE {cases} ELSE 0.0 END AS weight_raw FROM nat)
+SELECT source, natural_tokens,
+       CAST(ROUND(weight_raw, 4) AS DOUBLE) AS weight,
+       CAST(ROUND(weight_raw * {budget_tokens}, 0) AS BIGINT) AS budget_tokens,
+       ROUND(weight_raw * {budget_tokens} / CAST(natural_tokens AS DOUBLE), 4) AS epochs
+FROM w
+ORDER BY source
+"""

@@ -1985,3 +1985,29 @@ def label_centroid_similarity_q(spark, sf_dir):
     return simsearch.label_centroid_similarity(
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     )
+
+
+@register(
+    "session_type_cooccurrence", events_ops.sql_session_type_cooccurrence()
+)
+def session_type_cooccurrence_q(spark, sf_dir):
+    """Behavior pairs co-occurring within sessions with session share —
+    collect_set + row-local pair explosion on session grain, no
+    self-join (the oracle's self-join is the small-scale twin)."""
+    return events_ops.session_type_cooccurrence(events_ops._events(spark, sf_dir))
+
+
+_MIX_WEIGHTS = {f"src{i}": (0.1 if i < 5 else 0.05) for i in range(10)}
+
+
+@register(
+    "token_budget_plan",
+    pipeline.sql_token_budget_plan(_MIX_WEIGHTS, 10_000_000),
+)
+def token_budget_plan_q(spark, sf_dir):
+    """Mixture accounting: per-source token contribution and implied
+    EPOCHS over natural supply at a 10M-token budget (epochs > 1 = the
+    repetition red flag LLaMA-style mixture tables track)."""
+    return pipeline.token_budget_plan(
+        io.read_table(spark, sf_dir, "documents"), _MIX_WEIGHTS, 10_000_000
+    )
