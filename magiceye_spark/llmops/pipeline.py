@@ -775,3 +775,83 @@ SELECT source, natural_tokens,
 FROM w
 ORDER BY source
 """
+
+
+def corpus_version_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Corpus versioning report: per source, how many docs were ADDED,
+    REMOVED, CHANGED (same doc_id, different canonical text), or
+    UNCHANGED between two corpus versions — the datadiff shape on the
+    documents table, the first audit after every ingest/cleaning run.
+    One full-outer join on doc_id comparing canonical md5s."""
+    canon = F.md5(F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "))
+    o = old.select(
+        "doc_id", F.col("source").alias("src_o"), canon.alias("h_o")
+    )
+    n = new.select(
+        "doc_id", F.col("source").alias("src_n"), canon.alias("h_n")
+    )
+    joined = o.join(n, "doc_id", "full_outer").select(
+        F.coalesce("src_n", "src_o").alias("source"),
+        F.when(F.col("h_o").isNull(), "added")
+        .when(F.col("h_n").isNull(), "removed")
+        .when(F.col("h_o") != F.col("h_n"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return (
+        joined.groupBy("source")
+        .pivot("status", ["added", "removed", "changed", "unchanged"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "source",
+            F.col("added").cast("long").alias("n_added"),
+            F.col("removed").cast("long").alias("n_removed"),
+            F.col("changed").cast("long").alias("n_changed"),
+            F.col("unchanged").cast("long").alias("n_unchanged"),
+        )
+        .orderBy("source")
+    )
+
+
+#: derived old/new corpus versions for the registered twin: old drops every
+#: 7th doc, new drops every 5th and appends a token to every 3rd — the
+#: identical derivation runs in the oracle CTEs.
+def _corpus_versions(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    old = docs.where(F.col("doc_id") % 7 != 0)
+    new = docs.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" changed"))
+        ).otherwise(F.col("text")),
+    )
+    return old, new
+
+
+def sql_corpus_version_diff() -> str:
+    canon = "md5(regexp_replace(TRIM(LOWER(text)), '\\s+', ' ', 'g'))"
+    return f"""
+WITH old AS (
+  SELECT doc_id, source, {canon} AS h FROM documents WHERE doc_id % 7 <> 0),
+new AS (
+  SELECT doc_id, source,
+         md5(regexp_replace(TRIM(LOWER(
+           CASE WHEN doc_id % 3 = 0 THEN text || ' changed' ELSE text END
+         )), '\\s+', ' ', 'g')) AS h
+  FROM documents WHERE doc_id % 5 <> 0),
+j AS (
+  SELECT COALESCE(new.source, old.source) AS source,
+         CASE WHEN old.h IS NULL THEN 'added'
+              WHEN new.h IS NULL THEN 'removed'
+              WHEN old.h <> new.h THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM old FULL OUTER JOIN new USING (doc_id))
+SELECT source,
+       CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM j
+GROUP BY source
+ORDER BY source
+"""

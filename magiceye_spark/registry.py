@@ -2011,3 +2011,14 @@ def token_budget_plan_q(spark, sf_dir):
     return pipeline.token_budget_plan(
         io.read_table(spark, sf_dir, "documents"), _MIX_WEIGHTS, 10_000_000
     )
+
+
+@register("corpus_version_diff", pipeline.sql_corpus_version_diff())
+def corpus_version_diff_q(spark, sf_dir):
+    """Corpus versioning audit over two derived versions (old drops every
+    7th doc; new drops every 5th and edits every 3rd): per-source
+    added/removed/changed/unchanged counts from ONE full-outer join on
+    doc_id comparing canonical md5s — the datadiff shape on documents."""
+    docs = io.read_table(spark, sf_dir, "documents")
+    old, new = pipeline._corpus_versions(docs)
+    return pipeline.corpus_version_diff(old, new)
