@@ -272,3 +272,75 @@ SELECT {l} AS l,
 FROM g, t
 GROUP BY total
 """
+
+
+def iqr_outlier_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Tukey-fence outlier profile across numeric columns in ONE pass:
+    melt the columns into (column, value) rows, take exact interpolated
+    quartiles per column, broadcast the fences back, and count values
+    outside [q1 − 1.5·IQR, q3 + 1.5·IQR]. The per-column DQ screen that
+    catches unit mix-ups and sensor spikes; exact percentiles are
+    bit-identical to DuckDB quantile_cont."""
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("e")
+    ).select("e.column", "e.v")
+    fences = melted.groupBy("column").agg(
+        F.expr("percentile(v, 0.25)").alias("q1"),
+        F.expr("percentile(v, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        melted.join(F.broadcast(fences), "column")
+        .groupBy("column")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("q1"), 4).alias("q1"),
+            F.round(F.min("q3"), 4).alias("q3"),
+            F.sum(((F.col("v") < lo) | (F.col("v") > hi)).cast("int"))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(
+                F.sum(((F.col("v") < lo) | (F.col("v") > hi)).cast("int"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("outlier_frac"),
+        )
+        .orderBy("column")
+    )
+
+
+def sql_iqr_outlier_profile(table: str, cols: list[str]) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS DOUBLE) AS v FROM {table}"
+        for c in cols
+    )
+    return f"""
+WITH m AS ({union}),
+f AS (
+  SELECT col_name, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+  FROM m GROUP BY col_name)
+SELECT m.col_name AS "column",
+       COUNT(*) AS n,
+       ROUND(MIN(f.q1), 4) AS q1,
+       ROUND(MIN(f.q3), 4) AS q3,
+       CAST(SUM(CASE WHEN m.v < f.q1 - 1.5 * (f.q3 - f.q1)
+                       OR m.v > f.q3 + 1.5 * (f.q3 - f.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(SUM(CASE WHEN m.v < f.q1 - 1.5 * (f.q3 - f.q1)
+                        OR m.v > f.q3 + 1.5 * (f.q3 - f.q1)
+                      THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_frac
+FROM m JOIN f ON f.col_name = m.col_name
+GROUP BY m.col_name
+ORDER BY m.col_name
+"""

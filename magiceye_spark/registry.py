@@ -2022,3 +2022,16 @@ def corpus_version_diff_q(spark, sf_dir):
     docs = io.read_table(spark, sf_dir, "documents")
     old, new = pipeline._corpus_versions(docs)
     return pipeline.corpus_version_diff(old, new)
+
+
+_IQR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
+
+
+@register("lineitem_iqr_profile", dq.sql_iqr_outlier_profile("lineitem", _IQR_COLS))
+def lineitem_iqr_profile_q(spark, sf_dir):
+    """Tukey-fence outlier screen across lineitem's numeric columns in
+    ONE melted pass: exact quartiles per column, fences broadcast back,
+    outliers counted — the unit-mix-up/sensor-spike detector."""
+    return dq.iqr_outlier_profile(
+        io.read_table(spark, sf_dir, "lineitem"), _IQR_COLS
+    )
