@@ -1616,3 +1616,59 @@ SELECT suppkey, s.s_name AS supplier, n_lines, n_parts, revenue, avg_discount, r
 FROM per_supp JOIN supplier s ON s.s_suppkey = per_supp.suppkey
 ORDER BY suppkey
 """
+
+
+def events_daily_percentile_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p95 of event value per type — the latency/value SLO trend
+    chart's data. Exact interpolated percentiles per (type, day) group;
+    the full value set shuffles once per group, fine at daily grain."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+SQL_DAILY_PERCENTILE_TREND = """
+SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of lines per order: (n_lines, n_orders, share) — the
+    basket-size histogram feeding packing and pricing decisions. Two
+    cheap aggregations (order rollup, then histogram)."""
+    l = _t(spark, sf_dir, "lineitem")
+    sizes = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    total = sizes.count()
+    return (
+        sizes.groupBy("n_lines")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "n_lines",
+            "n_orders",
+            F.round(F.col("n_orders") / F.lit(float(total)), 6).alias("share"),
+        )
+        .orderBy("n_lines")
+    )
+
+
+SQL_ORDER_SIZE_HISTOGRAM = """
+WITH sizes AS (SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey),
+t AS (SELECT COUNT(*) AS total FROM sizes)
+SELECT n_lines, COUNT(*) AS n_orders,
+       ROUND(COUNT(*) / CAST(MIN(total) AS DOUBLE), 6) AS share
+FROM sizes CROSS JOIN t
+GROUP BY n_lines
+ORDER BY n_lines
+"""

@@ -625,9 +625,51 @@ def main(argv: list[str] | None = None) -> int:
                           default="parquet", help="input table format")
     p_search.set_defaults(fn=cmd_search)
 
+    p_anon = sub.add_parser("anonymity",
+                            help="k-anonymity / l-diversity gate (exit 1 on failure)")
+    p_anon.add_argument("path", help="table to audit")
+    p_anon.add_argument("--quasi", required=True, help="comma-separated quasi-identifier columns")
+    p_anon.add_argument("-k", type=int, default=5, help="k-anonymity threshold")
+    p_anon.add_argument("--sensitive", help="sensitive column for l-diversity (optional)")
+    p_anon.add_argument("--l-min", type=int, default=2, dest="l_min", help="l-diversity threshold")
+    p_anon.add_argument("--max-risky-frac", type=float, default=0.0, dest="max_risky_frac",
+                        help="maximum tolerated risky/leaky row fraction")
+    p_anon.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
+                        default="parquet", help="input table format")
+    p_anon.set_defaults(fn=cmd_anonymity)
+
+
     args = ap.parse_args(argv)
     return args.fn(args)
 
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def cmd_anonymity(args: argparse.Namespace) -> int:
+    """Privacy gate: k-anonymity (and optional l-diversity) over a quasi-
+    identifier set; exit 1 when the risky-row fraction exceeds the cap —
+    the shell form of the governance check run before sharing a table."""
+    from magiceye_spark.dq import k_anonymity_audit, l_diversity_audit
+    from magiceye_spark.session import get_spark
+
+    spark = get_spark("magiceye-anonymity")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = _read_table(spark, args.path, args.format)
+    quasi = [c.strip() for c in args.quasi.split(",") if c.strip()]
+    row = k_anonymity_audit(df, quasi, k=args.k).first()
+    print(
+        f"k={args.k} groups={row['n_groups']} risky_groups={row['n_risky_groups']}"
+        f" risky_rows={row['n_risky_rows']} risky_frac={row['risky_row_frac']:.4%}"
+    )
+    ok = row["risky_row_frac"] <= args.max_risky_frac
+    if args.sensitive:
+        lrow = l_diversity_audit(df, quasi, args.sensitive, l=args.l_min).first()
+        print(
+            f"l={args.l_min} sensitive={args.sensitive}"
+            f" leaky_groups={lrow['n_leaky_groups']} leaky_rows={lrow['n_leaky_rows']}"
+            f" leaky_frac={lrow['leaky_row_frac']:.4%}"
+        )
+        ok = ok and lrow["leaky_row_frac"] <= args.max_risky_frac
+    return 0 if ok else 1

@@ -2035,3 +2035,17 @@ def lineitem_iqr_profile_q(spark, sf_dir):
     return dq.iqr_outlier_profile(
         io.read_table(spark, sf_dir, "lineitem"), _IQR_COLS
     )
+
+
+@register("events_daily_percentile_trend", analytics.SQL_DAILY_PERCENTILE_TREND)
+def events_daily_percentile_trend_q(spark, sf_dir):
+    """Daily p50/p95 value trend per event type — SLO-chart data from
+    exact interpolated percentiles at (type, day) grain."""
+    return analytics.events_daily_percentile_trend(spark, sf_dir)
+
+
+@register("order_size_histogram", analytics.SQL_ORDER_SIZE_HISTOGRAM)
+def order_size_histogram_q(spark, sf_dir):
+    """Lines-per-order histogram with share — the basket-size
+    distribution; two cheap aggregations."""
+    return analytics.order_size_histogram(spark, sf_dir)

@@ -294,3 +294,29 @@ def test_cli_corpus_report_clean_search(spark, tmp_path, capsys):
     assert cli.main(["search", str(docs), "--terms", "spark,engine", "-k", "2"]) == 0
     out = capsys.readouterr().out.strip().splitlines()
     assert len(out) == 1 and out[0].split()[0] == "0"
+
+
+def test_cli_anonymity_gate(spark, tmp_path, capsys):
+    """Gate passes on large uniform groups, fails on singleton groups and
+    on l-diversity leaks."""
+    ok_tbl = tmp_path / "ok"
+    _write(spark, ok_tbl,
+           [(i, "segA" if i % 2 == 0 else "segB", i % 2) for i in range(20)],
+           "id int, seg string, region int")
+    assert cli.main(["anonymity", str(ok_tbl), "--quasi", "region", "-k", "5"]) == 0
+
+    bad_tbl = tmp_path / "bad"
+    _write(spark, bad_tbl,
+           [(i, "segA", i) for i in range(6)],  # every quasi group is a singleton
+           "id int, seg string, region int")
+    assert cli.main(["anonymity", str(bad_tbl), "--quasi", "region", "-k", "5"]) == 1
+
+    # l-diversity: region groups are big enough, but each has ONE segment
+    leak_tbl = tmp_path / "leak"
+    _write(spark, leak_tbl,
+           [(i, "segA" if i < 10 else "segB", 0 if i < 10 else 1) for i in range(20)],
+           "id int, seg string, region int")
+    assert cli.main(["anonymity", str(leak_tbl), "--quasi", "region", "-k", "5"]) == 0
+    assert cli.main(["anonymity", str(leak_tbl), "--quasi", "region", "-k", "5",
+                     "--sensitive", "seg"]) == 1
+    capsys.readouterr()
