@@ -945,3 +945,147 @@ SELECT n_terms,
        ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) AS intercept
 FROM s
 """
+
+
+def token_pmi_pairs(
+    docs: DataFrame, min_pair_docs: int = 5, top_k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Collocation mining: top token pairs by pointwise mutual information
+    over document-level co-occurrence — PMI = ln(N·n_ab / (n_a·n_b)).
+    High-PMI pairs are the multi-word expressions a tokenizer or phrase
+    index should treat as units. Doc-distinct tokens explode into
+    row-local pairs (the collect_set idiom — no self-join); counts are
+    exact integers, floats only at the final log. Ranked output is
+    tie-broken on the pair so both engines cut identically."""
+    from pyspark.sql.window import Window
+
+    toks = F.array_sort(F.array_distinct(_tokens(F.col(text_col))))
+    base = docs.select(F.filter(toks, lambda t: t != F.lit("")).alias("toks"))
+    n_docs = base.count()
+    pairs = F.flatten(
+        F.transform(
+            F.col("toks"),
+            lambda a, i: F.transform(
+                F.slice(F.col("toks"), i + 2, F.size(F.col("toks"))),
+                lambda b: F.struct(a.alias("tok_a"), b.alias("tok_b")),
+            ),
+        )
+    )
+    pair_counts = (
+        base.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_docs)
+    )
+    tok_counts = (
+        base.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    ca = tok_counts.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
+    cb = tok_counts.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * n_docs)
+        / (F.col("n_a").cast("double") * F.col("n_b"))
+    )
+    # rank over the UNROUNDED pmi (matching the SQL twin) — ordering by
+    # the rounded value diverges when distinct count triples land within
+    # 5e-5 of each other
+    w = Window.orderBy(F.desc("_praw"), F.asc("tok_a"), F.asc("tok_b"))
+    return (
+        pair_counts.join(F.broadcast(ca), "tok_a")
+        .join(F.broadcast(cb), "tok_b")
+        .select("tok_a", "tok_b", "n_ab", pmi.alias("_praw"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select("tok_a", "tok_b", "n_ab", F.round("_praw", 4).alias("pmi"), "rank")
+        .orderBy("rank")
+    )
+
+
+def sql_token_pmi_pairs(min_pair_docs: int = 5, top_k: int = 50) -> str:
+    toks = f"list_sort(list_distinct(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')))"
+    return f"""
+WITH d AS (
+  SELECT ROW_NUMBER() OVER () AS rid, list_filter({toks}, t -> t <> '') AS toks
+  FROM documents),
+n AS (SELECT COUNT(*) AS n_docs FROM d),
+tok AS (SELECT rid, UNNEST(toks) AS tok FROM d),
+tc AS (SELECT tok, COUNT(*) AS n_tok FROM tok GROUP BY tok),
+pc AS (
+  SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS n_ab
+  FROM tok a JOIN tok b ON a.rid = b.rid AND a.tok < b.tok
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {min_pair_docs}),
+scored AS (
+  SELECT tok_a, tok_b, n_ab,
+         ROUND(LN(n_ab * CAST(n.n_docs AS DOUBLE) / (ca.n_tok * CAST(cb.n_tok AS DOUBLE))), 4) AS pmi,
+         LN(n_ab * CAST(n.n_docs AS DOUBLE) / (ca.n_tok * CAST(cb.n_tok AS DOUBLE))) AS pmi_raw
+  FROM pc
+  JOIN tc ca ON ca.tok = pc.tok_a
+  JOIN tc cb ON cb.tok = pc.tok_b
+  CROSS JOIN n)
+SELECT tok_a, tok_b, n_ab, pmi,
+       CAST(ROW_NUMBER() OVER (ORDER BY pmi_raw DESC, tok_a ASC, tok_b ASC) AS BIGINT) AS rank
+FROM scored
+QUALIFY rank <= {top_k}
+ORDER BY rank
+"""
+
+
+def bigram_continuations(
+    docs: DataFrame, k: int = 3, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Language-model-as-table: for each word, its top-k most likely next
+    words with conditional probability — the autocomplete/suggest table
+    and the inspectable form of the bigram LM the perplexity filter uses.
+    One exploded bigram stream, one (w1, w2) count, one per-w1 rank
+    window; probabilities row-normalized over KEPT rows' parent totals."""
+    from pyspark.sql.window import Window
+
+    toks = _tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    )
+    stream = (
+        docs.where(F.size(toks) >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    counts = stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("w1")
+    rankw = Window.partitionBy("w1").orderBy(F.desc("n"), F.asc("w2"))
+    return (
+        counts.withColumn("p", F.round(F.col("n") / F.sum("n").over(tot), 4))
+        .withColumn("rank", F.row_number().over(rankw).cast("long"))
+        .where((F.col("rank") <= k) & (F.col("n") >= min_count))
+        .select("w1", "w2", "n", "p", "rank")
+        .orderBy("w1", "rank")
+    )
+
+
+def sql_bigram_continuations(k: int = 3, min_count: int = 5) -> str:
+    toks = f"regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')"
+    return f"""
+WITH base AS (
+  SELECT {toks} AS toks FROM documents WHERE LENGTH({toks}) >= 2),
+stream AS (
+  SELECT UNNEST(toks[1:LENGTH(toks) - 1]) AS w1,
+         UNNEST(toks[2:LENGTH(toks)]) AS w2
+  FROM base),
+c AS (SELECT w1, w2, COUNT(*) AS n FROM stream GROUP BY w1, w2),
+r AS (
+  SELECT w1, w2, n,
+         ROUND(n / CAST(SUM(n) OVER (PARTITION BY w1) AS DOUBLE), 4) AS p,
+         CAST(ROW_NUMBER() OVER (PARTITION BY w1 ORDER BY n DESC, w2 ASC) AS BIGINT) AS rank
+  FROM c)
+SELECT w1, w2, n, p, rank
+FROM r
+WHERE rank <= {k} AND n >= {min_count}
+ORDER BY w1, rank
+"""

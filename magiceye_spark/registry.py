@@ -2049,3 +2049,21 @@ def order_size_histogram_q(spark, sf_dir):
     """Lines-per-order histogram with share — the basket-size
     distribution; two cheap aggregations."""
     return analytics.order_size_histogram(spark, sf_dir)
+
+
+@register("token_pmi_pairs", textstats.sql_token_pmi_pairs())
+def token_pmi_pairs_q(spark, sf_dir):
+    """Collocation mining: top-50 token pairs by document-level PMI —
+    the multi-word expressions a tokenizer/phrase index should fuse.
+    Doc-distinct pair explosion (no self-join), exact integer counts,
+    float only at the log; ranked over the unrounded PMI with pair
+    tie-breaks."""
+    return textstats.token_pmi_pairs(textstats._docs(spark, sf_dir))
+
+
+@register("bigram_continuations", textstats.sql_bigram_continuations())
+def bigram_continuations_q(spark, sf_dir):
+    """LM-as-table: per word, the top-3 next words with conditional
+    probability — the autocomplete table and the inspectable form of
+    the bigram model behind the perplexity filter."""
+    return textstats.bigram_continuations(textstats._docs(spark, sf_dir))
