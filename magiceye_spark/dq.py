@@ -344,3 +344,63 @@ FROM m JOIN f ON f.col_name = m.col_name
 GROUP BY m.col_name
 ORDER BY m.col_name
 """
+
+
+def order_total_reconciliation(
+    orders: DataFrame, lineitem: DataFrame, tolerance: float = 0.01
+) -> DataFrame:
+    """Cross-table reconciliation: recompute each order's total from its
+    lines (Σ extendedprice·(1−discount)·(1+tax), exact decimals) and
+    compare against the stored header total — the books-balance audit
+    between a header table and its detail table. One row:
+    orders checked / headers with no lines / matches within tolerance /
+    match rate / max and mean absolute discrepancy. (On the synthetic
+    testdata headers don't reconcile — which is exactly what the audit
+    is for.)"""
+    line_total = lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
+                4,
+            ).cast("decimal(18,4)")
+        ).alias("computed")
+    )
+    joined = orders.select(
+        "o_orderkey", F.round(F.col("o_totalprice"), 4).cast("decimal(18,4)").alias("stored")
+    ).join(line_total, orders.o_orderkey == line_total.l_orderkey, "left")
+    diff = F.abs((F.col("stored") - F.col("computed")).cast("double"))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("computed").isNull().cast("int")).cast("long").alias("n_missing_lines"),
+        F.sum((diff < tolerance).cast("int")).cast("long").alias("n_reconciled"),
+        F.round(
+            F.sum((diff < tolerance).cast("int"))
+            / F.sum(F.col("computed").isNotNull().cast("int")),
+            6,
+        ).alias("reconciled_rate"),
+        F.round(F.max(diff), 4).alias("max_abs_diff"),
+        F.round(F.avg(diff), 4).alias("avg_abs_diff"),
+    )
+
+
+def sql_order_total_reconciliation(tolerance: float = 0.01) -> str:
+    return f"""
+WITH lt AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS DECIMAL(18,4))) AS computed
+  FROM lineitem GROUP BY l_orderkey),
+j AS (
+  SELECT CAST(ROUND(o.o_totalprice, 4) AS DECIMAL(18,4)) AS stored, lt.computed,
+         ABS(CAST(CAST(ROUND(o.o_totalprice, 4) AS DECIMAL(18,4)) - lt.computed AS DOUBLE)) AS d
+  FROM orders o LEFT JOIN lt ON lt.l_orderkey = o.o_orderkey)
+SELECT COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN computed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_lines,
+       CAST(SUM(CASE WHEN d < {tolerance} THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+       ROUND(SUM(CASE WHEN d < {tolerance} THEN 1 ELSE 0 END)
+             / CAST(SUM(CASE WHEN computed IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE), 6) AS reconciled_rate,
+       ROUND(MAX(d), 4) AS max_abs_diff,
+       ROUND(AVG(d), 4) AS avg_abs_diff
+FROM j
+"""

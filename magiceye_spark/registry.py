@@ -2067,3 +2067,15 @@ def bigram_continuations_q(spark, sf_dir):
     probability — the autocomplete table and the inspectable form of
     the bigram model behind the perplexity filter."""
     return textstats.bigram_continuations(textstats._docs(spark, sf_dir))
+
+
+@register("order_total_reconciliation", dq.sql_order_total_reconciliation())
+def order_total_reconciliation_q(spark, sf_dir):
+    """Header-vs-detail reconciliation: recompute order totals from lines
+    with exact decimals and profile the discrepancy against the stored
+    header — the books-balance audit (the synthetic headers do NOT
+    reconcile, which is what the audit reports)."""
+    return dq.order_total_reconciliation(
+        io.read_table(spark, sf_dir, "orders"),
+        io.read_table(spark, sf_dir, "lineitem"),
+    )

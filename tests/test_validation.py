@@ -64,3 +64,20 @@ def test_k_anonymity_audit_planted(spark):
     assert row.n_groups == 3
     assert row.n_risky_groups == 1 and row.n_risky_rows == 1
     assert abs(row.risky_row_frac - 1 / 21) < 1e-6
+
+
+def test_order_reconciliation_planted(spark):
+    """Planted: one order balances, one is off by 10, one has no lines."""
+    from magiceye_spark.dq import order_total_reconciliation
+
+    orders = spark.createDataFrame(
+        [(1, 110.0), (2, 100.0), (3, 50.0)], "o_orderkey long, o_totalprice double"
+    )
+    lines = spark.createDataFrame(
+        [(1, 100.0, 0.0, 0.1), (2, 100.0, 0.1, 0.0)],
+        "l_orderkey long, l_extendedprice double, l_discount double, l_tax double",
+    )
+    row = order_total_reconciliation(orders, lines).first()
+    assert row.n_orders == 3 and row.n_missing_lines == 1
+    assert row.n_reconciled == 1  # order 1: 100*1.1 == 110
+    assert row.max_abs_diff == 10.0  # order 2: stored 100 vs computed 90
