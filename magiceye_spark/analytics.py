@@ -1672,3 +1672,90 @@ FROM sizes CROSS JOIN t
 GROUP BY n_lines
 ORDER BY n_lines
 """
+
+
+def quarterly_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarterly revenue with year-over-year growth: exact-decimal revenue
+    per quarter, YoY = rev / lag(rev, 4) − 1 over the quarter series —
+    the finance rollup. One orders aggregation + one catalog-sized lag
+    window; growth is ONE double division per row."""
+    o = _t(spark, sf_dir, "orders")
+    q = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+    ).agg(F.sum(_dec(F.col("o_totalprice"))).alias("rev_dec"))
+    w = Window.orderBy("yr", "qtr")
+    prev = F.lag("rev_dec", 4).over(w)
+    return q.select(
+        F.col("yr").cast("long").alias("yr"),
+        F.col("qtr").cast("long").alias("qtr"),
+        _money(F.col("rev_dec")).alias("revenue"),
+        F.round(
+            (F.col("rev_dec").cast("double") / prev.cast("double")) - 1.0, 4
+        ).alias("yoy_growth"),
+    ).orderBy("yr", "qtr")
+
+
+SQL_QUARTERLY_REVENUE_YOY = """
+WITH q AS (
+  SELECT YEAR(o_orderdate) AS yr, QUARTER(o_orderdate) AS qtr,
+         SUM(CAST(ROUND(o_totalprice, 4) AS DECIMAL(18,4))) AS rev_dec
+  FROM orders GROUP BY 1, 2)
+SELECT CAST(yr AS BIGINT) AS yr, CAST(qtr AS BIGINT) AS qtr,
+       ROUND(CAST(rev_dec AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(rev_dec AS DOUBLE)
+             / CAST(LAG(rev_dec, 4) OVER (ORDER BY yr, qtr) AS DOUBLE) - 1.0, 4) AS yoy_growth
+FROM q
+ORDER BY yr, qtr
+"""
+
+
+def error_rate_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPC p-chart over the event stream: hourly error share vs binomial
+    3σ control limits around the overall rate
+    (UCL/LCL = p̄ ± 3·√(p̄(1−p̄)/n)) — the alert rule that adapts its
+    threshold to each hour's sample size instead of a fixed cut. One
+    hourly aggregation + a broadcast scalar; flags computed per row."""
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int")).alias("n_err"),
+    )
+    overall = hourly.agg(
+        (F.sum("n_err") / F.sum("n")).alias("p_bar")
+    )
+    p = F.col("n_err") / F.col("n")
+    sigma = F.sqrt(F.col("p_bar") * (1 - F.col("p_bar")) / F.col("n"))
+    return (
+        hourly.crossJoin(F.broadcast(overall))
+        .select(
+            F.col("hour").cast("timestamp").alias("hour"),
+            "n",
+            F.col("n_err").cast("long").alias("n_err"),
+            F.round(p, 6).alias("p"),
+            F.round(F.col("p_bar") + 3 * sigma, 6).alias("ucl"),
+            F.round(F.greatest(F.col("p_bar") - 3 * sigma, F.lit(0.0)), 6).alias("lcl"),
+            (
+                (p > F.col("p_bar") + 3 * sigma)
+                | (p < F.greatest(F.col("p_bar") - 3 * sigma, F.lit(0.0)))
+            ).alias("out_of_control"),
+        )
+        .orderBy("hour")
+    )
+
+
+SQL_ERROR_RATE_CONTROL_CHART = """
+WITH hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS hour, COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+  FROM events GROUP BY 1),
+o AS (SELECT SUM(n_err) / CAST(SUM(n) AS DOUBLE) AS p_bar FROM hourly)
+SELECT CAST(hour AS TIMESTAMP) AS hour, n, CAST(n_err AS BIGINT) AS n_err,
+       ROUND(n_err / CAST(n AS DOUBLE), 6) AS p,
+       ROUND(p_bar + 3 * SQRT(p_bar * (1 - p_bar) / n), 6) AS ucl,
+       ROUND(GREATEST(p_bar - 3 * SQRT(p_bar * (1 - p_bar) / n), 0.0), 6) AS lcl,
+       (n_err / CAST(n AS DOUBLE) > p_bar + 3 * SQRT(p_bar * (1 - p_bar) / n)
+        OR n_err / CAST(n AS DOUBLE) < GREATEST(p_bar - 3 * SQRT(p_bar * (1 - p_bar) / n), 0.0)) AS out_of_control
+FROM hourly CROSS JOIN o
+ORDER BY hour
+"""

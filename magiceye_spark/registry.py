@@ -2079,3 +2079,18 @@ def order_total_reconciliation_q(spark, sf_dir):
         io.read_table(spark, sf_dir, "orders"),
         io.read_table(spark, sf_dir, "lineitem"),
     )
+
+
+@register("quarterly_revenue_yoy", analytics.SQL_QUARTERLY_REVENUE_YOY)
+def quarterly_revenue_yoy_q(spark, sf_dir):
+    """Quarterly revenue with YoY growth — exact-decimal quarter sums,
+    lag-4 window, one double division per row."""
+    return analytics.quarterly_revenue_yoy(spark, sf_dir)
+
+
+@register("error_rate_control_chart", analytics.SQL_ERROR_RATE_CONTROL_CHART)
+def error_rate_control_chart_q(spark, sf_dir):
+    """SPC p-chart: hourly error share vs binomial 3-sigma limits around
+    the overall rate — sample-size-aware alerting, one hourly agg plus a
+    broadcast scalar."""
+    return analytics.error_rate_control_chart(spark, sf_dir)
