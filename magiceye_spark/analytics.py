@@ -1759,3 +1759,71 @@ SELECT CAST(hour AS TIMESTAMP) AS hour, n, CAST(n_err AS BIGINT) AS n_err,
 FROM hourly CROSS JOIN o
 ORDER BY hour
 """
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str, max_months: int = 12) -> DataFrame:
+    """Cohort LTV curves: customers grouped by FIRST-ORDER month, tracking
+    cumulative revenue per customer over months since acquisition — the
+    payback-period table. One first-order window, one (cohort, age)
+    aggregation, one cumulative window over the catalog-sized rollup;
+    exact decimals until the per-customer division."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    first_month = F.date_trunc("month", F.min("o_orderdate").over(w)).cast("date")
+    tagged = o.select(
+        "o_custkey",
+        first_month.alias("cohort"),
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")), first_month
+        ).cast("long").alias("age_months"),
+        _dec(F.col("o_totalprice")).alias("rev"),
+    ).where(F.col("age_months") < max_months)
+    sizes = tagged.groupBy("cohort").agg(
+        F.countDistinct("o_custkey").alias("cohort_size")
+    )
+    by_age = tagged.groupBy("cohort", "age_months").agg(
+        F.sum("rev").alias("rev_dec")
+    )
+    wc = Window.partitionBy("cohort").orderBy("age_months").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        by_age.withColumn("cum_dec", F.sum("rev_dec").over(wc))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age_months",
+            "cohort_size",
+            _money(F.col("rev_dec")).alias("revenue"),
+            F.round(
+                F.col("cum_dec").cast("double") / F.col("cohort_size"), 2
+            ).alias("cum_ltv_per_customer"),
+        )
+        .orderBy("cohort", "age_months")
+    )
+
+
+def sql_cohort_ltv_curve(max_months: int = 12) -> str:
+    return f"""
+WITH f AS (
+  SELECT o_custkey,
+         CAST(DATE_TRUNC('month', MIN(o_orderdate) OVER (PARTITION BY o_custkey)) AS DATE) AS cohort,
+         CAST(DATEDIFF('month',
+              DATE_TRUNC('month', MIN(o_orderdate) OVER (PARTITION BY o_custkey)),
+              DATE_TRUNC('month', o_orderdate)) AS BIGINT) AS age_months,
+         CAST(ROUND(o_totalprice, 4) AS DECIMAL(18,4)) AS rev
+  FROM orders),
+t AS (SELECT * FROM f WHERE age_months < {max_months}),
+sizes AS (SELECT cohort, COUNT(DISTINCT o_custkey) AS cohort_size FROM t GROUP BY cohort),
+by_age AS (SELECT cohort, age_months, SUM(rev) AS rev_dec FROM t GROUP BY cohort, age_months),
+cum AS (
+  SELECT cohort, age_months, rev_dec,
+         SUM(rev_dec) OVER (PARTITION BY cohort ORDER BY age_months
+                            ROWS UNBOUNDED PRECEDING) AS cum_dec
+  FROM by_age)
+SELECT c.cohort, c.age_months, s.cohort_size,
+       ROUND(CAST(c.rev_dec AS DOUBLE), 2) AS revenue,
+       ROUND(CAST(c.cum_dec AS DOUBLE) / s.cohort_size, 2) AS cum_ltv_per_customer
+FROM cum c JOIN sizes s ON s.cohort = c.cohort
+ORDER BY c.cohort, c.age_months
+"""

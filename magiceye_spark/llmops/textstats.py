@@ -1089,3 +1089,60 @@ FROM r
 WHERE rank <= {k} AND n >= {min_count}
 ORDER BY w1, rank
 """
+
+
+def source_charset_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source character-class profile: ASCII-letter, digit,
+    whitespace, CJK, and other shares — the encoding/mojibake screen run
+    before any tokenizer commits to a corpus. Row-local regexp counts
+    rolled up per source; exact integer counts, shares at the end."""
+    t = F.col(text_col)
+    n = F.length(t)
+    counts = {
+        "letters": F.regexp_count(t, F.lit(r"[A-Za-z]")),
+        "digits": F.regexp_count(t, F.lit(DIGIT)),
+        "spaces": n - F.length(F.regexp_replace(t, _WS, "")),
+        "cjk": F.regexp_count(t, F.lit(CJK)),
+    }
+    per_doc = docs.select(
+        "source",
+        n.alias("n_chars"),
+        *[c.alias(k) for k, c in counts.items()],
+    ).withColumn(
+        "other",
+        F.col("n_chars") - F.col("letters") - F.col("digits")
+        - F.col("spaces") - F.col("cjk"),
+    )
+    sums = [F.sum(k).alias(f"s_{k}") for k in (*counts, "other")]
+    out = per_doc.groupBy("source").agg(F.sum("n_chars").alias("chars"), *sums)
+    total = F.col("chars").cast("double")
+    return out.select(
+        "source",
+        F.col("chars").cast("long").alias("n_chars"),
+        *[
+            F.round(F.col(f"s_{k}") / total, 6).alias(f"{k}_share")
+            for k in (*counts, "other")
+        ],
+    ).orderBy("source")
+
+
+SQL_SOURCE_CHARSET_PROFILE = f"""
+WITH per_doc AS (
+  SELECT source, LENGTH(text) AS n_chars,
+         LENGTH(regexp_extract_all(text, '[A-Za-z]')) AS letters,
+         LENGTH(regexp_extract_all(text, '{DIGIT}')) AS digits,
+         LENGTH(text) - LENGTH(regexp_replace(text, '{_WS}', '', 'g')) AS spaces,
+         LENGTH(regexp_extract_all(text, '{CJK}')) AS cjk
+  FROM documents),
+x AS (SELECT *, n_chars - letters - digits - spaces - cjk AS other FROM per_doc)
+SELECT source,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       ROUND(SUM(letters) / CAST(SUM(n_chars) AS DOUBLE), 6) AS letters_share,
+       ROUND(SUM(digits) / CAST(SUM(n_chars) AS DOUBLE), 6) AS digits_share,
+       ROUND(SUM(spaces) / CAST(SUM(n_chars) AS DOUBLE), 6) AS spaces_share,
+       ROUND(SUM(cjk) / CAST(SUM(n_chars) AS DOUBLE), 6) AS cjk_share,
+       ROUND(SUM(other) / CAST(SUM(n_chars) AS DOUBLE), 6) AS other_share
+FROM x
+GROUP BY source
+ORDER BY source
+"""

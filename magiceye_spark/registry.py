@@ -2094,3 +2094,19 @@ def error_rate_control_chart_q(spark, sf_dir):
     the overall rate — sample-size-aware alerting, one hourly agg plus a
     broadcast scalar."""
     return analytics.error_rate_control_chart(spark, sf_dir)
+
+
+@register("cohort_ltv_curve", analytics.sql_cohort_ltv_curve())
+def cohort_ltv_curve_q(spark, sf_dir):
+    """Cohort LTV curves: cumulative revenue per customer by months
+    since acquisition — first-order window, (cohort, age) agg, one
+    cumulative window; exact decimals until the per-customer division."""
+    return analytics.cohort_ltv_curve(spark, sf_dir)
+
+
+@register("source_charset_profile", textstats.SQL_SOURCE_CHARSET_PROFILE)
+def source_charset_profile_q(spark, sf_dir):
+    """Per-source character-class shares (letters/digits/spaces/CJK/
+    other) — the encoding and mojibake screen before tokenizer
+    commitment. Row-local regexp counts, one source rollup."""
+    return textstats.source_charset_profile(textstats._docs(spark, sf_dir))
