@@ -404,3 +404,50 @@ SELECT COUNT(*) AS n_orders,
        ROUND(AVG(d), 4) AS avg_abs_diff
 FROM j
 """
+
+
+def benford_screen(df: DataFrame, col: str) -> DataFrame:
+    """Benford's-law first-digit screen over a positive numeric column:
+    observed vs expected digit shares (log10(1 + 1/d)) and each digit's
+    chi-square contribution — the fabrication/aggregation-artifact screen
+    auditors run on financial columns. A flat or spiked distribution is a
+    prompt to investigate, not proof. One aggregation on the first
+    significant digit (pure math, no string casts)."""
+    v = F.col(col).cast("double")
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("long")
+    digits = df.where(v > 0).select(digit.alias("digit"))
+    total = digits.count()
+    exp = F.log10(1 + 1 / F.col("digit").cast("double"))
+    obs = F.col("n") / F.lit(float(total))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("observed"),
+            F.round(exp, 6).alias("expected"),
+            F.round(
+                F.pow(obs - exp, 2) / exp * total, 4
+            ).alias("chi2_contrib"),
+        )
+        .orderBy("digit")
+    )
+
+
+def sql_benford_screen(table: str, col: str) -> str:
+    return f"""
+WITH pos AS (SELECT CAST({col} AS DOUBLE) AS v FROM {table} WHERE {col} > 0),
+t AS (SELECT COUNT(*) AS total FROM pos),
+d AS (
+  SELECT CAST(FLOOR(v / POW(10.0, FLOOR(LOG10(v)))) AS BIGINT) AS digit
+  FROM pos),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit)
+SELECT digit, n,
+       ROUND(n / CAST(total AS DOUBLE), 6) AS observed,
+       ROUND(LOG10(1 + 1 / CAST(digit AS DOUBLE)), 6) AS expected,
+       ROUND(POW(n / CAST(total AS DOUBLE) - LOG10(1 + 1 / CAST(digit AS DOUBLE)), 2)
+             / LOG10(1 + 1 / CAST(digit AS DOUBLE)) * total, 4) AS chi2_contrib
+FROM c CROSS JOIN t
+ORDER BY digit
+"""

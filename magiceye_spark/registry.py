@@ -2110,3 +2110,13 @@ def source_charset_profile_q(spark, sf_dir):
     other) — the encoding and mojibake screen before tokenizer
     commitment. Row-local regexp counts, one source rollup."""
     return textstats.source_charset_profile(textstats._docs(spark, sf_dir))
+
+
+@register(
+    "benford_totalprice_screen", dq.sql_benford_screen("orders", "o_totalprice")
+)
+def benford_screen_q(spark, sf_dir):
+    """Benford first-digit screen on order totals: observed vs expected
+    digit shares with chi-square contributions — the fabrication/
+    artifact screen auditors run on financial columns."""
+    return dq.benford_screen(io.read_table(spark, sf_dir, "orders"), "o_totalprice")
