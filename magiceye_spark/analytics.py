@@ -1827,3 +1827,58 @@ SELECT c.cohort, c.age_months, s.cohort_size,
 FROM cum c JOIN sizes s ON s.cohort = c.cohort
 ORDER BY c.cohort, c.age_months
 """
+
+
+def cohort_retention_triangle(spark: SparkSession, sf_dir: str, max_months: int = 12) -> DataFrame:
+    """The classic retention triangle: for each acquisition-month cohort,
+    the share of its customers active again at each month age — the
+    companion to the LTV curve tracking PRESENCE instead of revenue. One
+    first-order window + one distinct (cohort, age, customer) rollup."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    first_month = F.date_trunc("month", F.min("o_orderdate").over(w)).cast("date")
+    tagged = o.select(
+        "o_custkey",
+        first_month.alias("cohort"),
+        F.months_between(
+            F.date_trunc("month", F.col("o_orderdate")), first_month
+        ).cast("long").alias("age_months"),
+    ).where(F.col("age_months") < max_months).distinct()
+    sizes = tagged.where(F.col("age_months") == 0).groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = tagged.groupBy("cohort", "age_months").agg(
+        F.count(F.lit(1)).alias("active_customers")
+    )
+    return (
+        active.join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "age_months",
+            "cohort_size",
+            "active_customers",
+            F.round(F.col("active_customers") / F.col("cohort_size"), 4).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy("cohort", "age_months")
+    )
+
+
+def sql_cohort_retention_triangle(max_months: int = 12) -> str:
+    return f"""
+WITH f AS (
+  SELECT DISTINCT o_custkey,
+         CAST(DATE_TRUNC('month', MIN(o_orderdate) OVER (PARTITION BY o_custkey)) AS DATE) AS cohort,
+         CAST(DATEDIFF('month',
+              DATE_TRUNC('month', MIN(o_orderdate) OVER (PARTITION BY o_custkey)),
+              DATE_TRUNC('month', o_orderdate)) AS BIGINT) AS age_months
+  FROM orders),
+t AS (SELECT * FROM f WHERE age_months < {max_months}),
+sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM t WHERE age_months = 0 GROUP BY cohort),
+a AS (SELECT cohort, age_months, COUNT(*) AS active_customers FROM t GROUP BY cohort, age_months)
+SELECT a.cohort, a.age_months, s.cohort_size, a.active_customers,
+       ROUND(a.active_customers / CAST(s.cohort_size AS DOUBLE), 4) AS retention_rate
+FROM a JOIN sizes s ON s.cohort = a.cohort
+ORDER BY a.cohort, a.age_months
+"""

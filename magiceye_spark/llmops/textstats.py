@@ -1146,3 +1146,50 @@ FROM x
 GROUP BY source
 ORDER BY source
 """
+
+
+def source_hapax_rate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Vocabulary health per source: hapax rate (share of the source's
+    vocabulary occurring exactly once) and type-token ratio. A near-zero
+    hapax rate on a large source flags template/synthetic text; an
+    extreme one flags OCR noise or tokenizer breakage. One (source,
+    token) count + one source rollup."""
+    toks = F.explode(_tokens(F.col(text_col))).alias("tok")
+    counts = (
+        docs.select("source", toks)
+        .where(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum("n").cast("long").alias("tokens"),
+            F.sum((F.col("n") == 1).cast("int")).cast("long").alias("hapax"),
+            F.round(
+                F.sum((F.col("n") == 1).cast("int")) / F.count(F.lit(1)), 4
+            ).alias("hapax_rate"),
+            F.round(F.count(F.lit(1)) / F.sum("n"), 4).alias("type_token_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_SOURCE_HAPAX_RATE = f"""
+WITH c AS (
+  SELECT source, tok, COUNT(*) AS n FROM (
+    SELECT source, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')) AS tok
+    FROM documents)
+  WHERE tok <> ''
+  GROUP BY source, tok)
+SELECT source,
+       COUNT(*) AS vocab,
+       CAST(SUM(n) AS BIGINT) AS tokens,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS hapax_rate,
+       ROUND(COUNT(*) / CAST(SUM(n) AS DOUBLE), 4) AS type_token_ratio
+FROM c
+GROUP BY source
+ORDER BY source
+"""

@@ -2120,3 +2120,18 @@ def benford_screen_q(spark, sf_dir):
     digit shares with chi-square contributions — the fabrication/
     artifact screen auditors run on financial columns."""
     return dq.benford_screen(io.read_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
+@register("cohort_retention_triangle", analytics.sql_cohort_retention_triangle())
+def cohort_retention_triangle_q(spark, sf_dir):
+    """Retention triangle: per acquisition-month cohort, the share of
+    customers active again at each month age — presence companion to the
+    LTV curve; one first-order window + one distinct rollup."""
+    return analytics.cohort_retention_triangle(spark, sf_dir)
+
+
+@register("source_hapax_rate", textstats.SQL_SOURCE_HAPAX_RATE)
+def source_hapax_rate_q(spark, sf_dir):
+    """Vocabulary health per source: hapax rate + type-token ratio (low =
+    template/synthetic text; extreme = OCR/tokenizer breakage)."""
+    return textstats.source_hapax_rate(textstats._docs(spark, sf_dir))
