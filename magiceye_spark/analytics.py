@@ -1882,3 +1882,62 @@ SELECT a.cohort, a.age_months, s.cohort_size, a.active_customers,
 FROM a JOIN sizes s ON s.cohort = a.cohort
 ORDER BY a.cohort, a.age_months
 """
+
+
+def repurchase_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase behavior in one row: share of one-time customers, and
+    the p25/p50/p90 of days between consecutive orders — the
+    reorder-cycle numbers behind retention targets and churn windows.
+    One customer-keyed lag window over orders; exact interpolated
+    percentiles on integer day gaps."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("double").alias("gap_days"),
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    one_time = per_cust.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum((F.col("n_orders") == 1).cast("int")).alias("n_one_time"),
+    )
+    dist = gaps.where(F.col("gap_days").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap_days, 0.25)"), 2).alias("p25_days"),
+        F.round(F.expr("percentile(gap_days, 0.5)"), 2).alias("p50_days"),
+        F.round(F.expr("percentile(gap_days, 0.9)"), 2).alias("p90_days"),
+    )
+    return one_time.crossJoin(dist).select(
+        "n_customers",
+        F.col("n_one_time").cast("long").alias("n_one_time"),
+        F.round(F.col("n_one_time") / F.col("n_customers"), 4).alias("one_time_frac"),
+        "n_gaps",
+        "p25_days",
+        "p50_days",
+        "p90_days",
+    )
+
+
+SQL_REPURCHASE_INTERVAL_STATS = """
+WITH g AS (
+  SELECT o_custkey,
+         CAST(DATEDIFF('day',
+              LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+              o_orderdate) AS DOUBLE) AS gap_days
+  FROM orders),
+pc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM g GROUP BY o_custkey),
+ot AS (SELECT COUNT(*) AS n_customers,
+              SUM(CASE WHEN n_orders = 1 THEN 1 ELSE 0 END) AS n_one_time
+       FROM pc),
+d AS (SELECT COUNT(*) AS n_gaps,
+             ROUND(quantile_cont(gap_days, 0.25), 2) AS p25_days,
+             ROUND(quantile_cont(gap_days, 0.5), 2) AS p50_days,
+             ROUND(quantile_cont(gap_days, 0.9), 2) AS p90_days
+      FROM g WHERE gap_days IS NOT NULL)
+SELECT n_customers, CAST(n_one_time AS BIGINT) AS n_one_time,
+       ROUND(n_one_time / CAST(n_customers AS DOUBLE), 4) AS one_time_frac,
+       n_gaps, p25_days, p50_days, p90_days
+FROM ot CROSS JOIN d
+"""

@@ -2135,3 +2135,11 @@ def source_hapax_rate_q(spark, sf_dir):
     """Vocabulary health per source: hapax rate + type-token ratio (low =
     template/synthetic text; extreme = OCR/tokenizer breakage)."""
     return textstats.source_hapax_rate(textstats._docs(spark, sf_dir))
+
+
+@register("repurchase_interval_stats", analytics.SQL_REPURCHASE_INTERVAL_STATS)
+def repurchase_interval_stats_q(spark, sf_dir):
+    """Reorder-cycle numbers in one row: one-time-customer share and
+    p25/p50/p90 days between consecutive orders — one customer-keyed lag
+    window, exact interpolated percentiles on integer day gaps."""
+    return analytics.repurchase_interval_stats(spark, sf_dir)
