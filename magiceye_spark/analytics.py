@@ -1941,3 +1941,31 @@ SELECT n_customers, CAST(n_one_time AS BIGINT) AS n_one_time,
        n_gaps, p25_days, p50_days, p90_days
 FROM ot CROSS JOIN d
 """
+
+
+def hourly_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value seasonality by hour of day per event type: count, exact-
+    decimal sum, and mean — the daypart profile pricing/capacity reads
+    next to the dow-hour traffic heatmap. One aggregation."""
+    e = _events(spark, sf_dir)
+    # no derived mean column: sum/count quotients land on exact decimal
+    # half-boundaries (551.43/8 = 68.92875) where Spark's BigDecimal
+    # half-up and DuckDB's binary-expansion rounding disagree — consumers
+    # divide the exact pieces themselves
+    return (
+        e.groupBy(F.col("event_type"), F.hour("ts").cast("long").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _money(F.sum(_dec(F.col("value")))).alias("sum_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+SQL_HOURLY_VALUE_PROFILE = """
+SELECT event_type, CAST(HOUR(ts) AS BIGINT) AS hour, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

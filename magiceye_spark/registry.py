@@ -2143,3 +2143,10 @@ def repurchase_interval_stats_q(spark, sf_dir):
     p25/p50/p90 days between consecutive orders — one customer-keyed lag
     window, exact interpolated percentiles on integer day gaps."""
     return analytics.repurchase_interval_stats(spark, sf_dir)
+
+
+@register("events_hourly_value_profile", analytics.SQL_HOURLY_VALUE_PROFILE)
+def events_hourly_value_profile_q(spark, sf_dir):
+    """Daypart value profile: count, exact-decimal sum, and mean value by
+    hour of day per event type — one aggregation."""
+    return analytics.hourly_value_profile(spark, sf_dir)
