@@ -1175,3 +1175,48 @@ CROSS JOIN n
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def user_activity_streaks(events: DataFrame) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the engagement
+    gaps-and-islands: distinct active days, anchored by (day − rank)
+    which is constant within a consecutive run, so streaks fall out of
+    one grouped count without a lag pass. Output: (user_id,
+    n_active_days, longest_streak, n_streaks)."""
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_USER_ACTIVITY_STREAKS = f"""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ({SQL_EVENTS_US}) e),
+anchored AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+  FROM days),
+s AS (SELECT user_id, anchor, COUNT(*) AS len FROM anchored GROUP BY user_id, anchor)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(MAX(len) AS BIGINT) AS longest_streak,
+       COUNT(*) AS n_streaks
+FROM s
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -2150,3 +2150,11 @@ def events_hourly_value_profile_q(spark, sf_dir):
     """Daypart value profile: count, exact-decimal sum, and mean value by
     hour of day per event type — one aggregation."""
     return analytics.hourly_value_profile(spark, sf_dir)
+
+
+@register("user_activity_streaks", events_ops.SQL_USER_ACTIVITY_STREAKS)
+def user_activity_streaks_q(spark, sf_dir):
+    """Longest consecutive-day streak per user via the (day − rank)
+    anchor — gaps-and-islands without a lag pass; one distinct + one
+    window + two rollups."""
+    return events_ops.user_activity_streaks(events_ops._events(spark, sf_dir))

@@ -543,3 +543,19 @@ def test_attribution_weights_sum_to_purchase_value(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = {str(r.click_day): r.attributed_value for r in attributed_daily_revenue(df).collect()}
     assert out == {"2024-01-01": 40.0, "2024-01-02": 20.0, "2024-01-03": 40.0}
+
+
+def test_activity_streaks_planted(spark):
+    """Planted: days 1,2,3, 7,8, 20 -> longest 3, three streaks, 6 days."""
+    from magiceye_spark.events_ops import user_activity_streaks
+
+    days = ["01", "02", "03", "07", "08", "20"]
+    rows = [
+        (i, f"2024-01-{d} 12:00:00", 1, "click", 0.0, "{}")
+        for i, d in enumerate(days)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    row = user_activity_streaks(df).first()
+    assert (row.n_active_days, row.longest_streak, row.n_streaks) == (6, 3, 3)
