@@ -1969,3 +1969,61 @@ FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def brand_rank_movers(spark: SparkSession, sf_dir: str, cutoff: str = "1998-01-01") -> DataFrame:
+    """Revenue-rank movement per part brand between two eras (ship date
+    before/after the cutoff): rank in each era and the delta — the
+    winners/losers table a merchandising review starts from. One
+    lineitem×part broadcast join, one (brand, era) agg, two catalog-sized
+    rank windows (revenue DESC, brand tie-break)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    era = F.when(F.col("l_shipdate") < F.lit(cutoff).cast("timestamp"), "before").otherwise("after")
+    rev = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), era.alias("era"))
+        .agg(F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_dec"))
+    )
+    w = Window.partitionBy("era").orderBy(F.col("rev_dec").desc(), F.col("brand").asc())
+    ranked = rev.withColumn("rnk", F.row_number().over(w))
+    before = ranked.where(F.col("era") == "before").select(
+        "brand", F.col("rnk").alias("rank_before"),
+        _money(F.col("rev_dec")).alias("rev_before"),
+    )
+    after = ranked.where(F.col("era") == "after").select(
+        "brand", F.col("rnk").alias("rank_after"),
+        _money(F.col("rev_dec")).alias("rev_after"),
+    )
+    return (
+        before.join(after, "brand", "full_outer")
+        .select(
+            "brand",
+            "rev_before", "rank_before", "rev_after", "rank_after",
+            (F.col("rank_before") - F.col("rank_after")).cast("long").alias("rank_gain"),
+        )
+        .orderBy("brand")
+    )
+
+
+def sql_brand_rank_movers(cutoff: str = "1998-01-01") -> str:
+    return f"""
+WITH rev AS (
+  SELECT p.p_brand AS brand,
+         CASE WHEN l.l_shipdate < TIMESTAMP '{cutoff} 00:00:00' THEN 'before' ELSE 'after' END AS era,
+         SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(18,4))) AS rev_dec
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY era ORDER BY rev_dec DESC, brand ASC) AS rnk
+  FROM rev)
+SELECT COALESCE(b.brand, a.brand) AS brand,
+       ROUND(CAST(b.rev_dec AS DOUBLE), 2) AS rev_before,
+       b.rnk AS rank_before,
+       ROUND(CAST(a.rev_dec AS DOUBLE), 2) AS rev_after,
+       a.rnk AS rank_after,
+       CAST(b.rnk - a.rnk AS BIGINT) AS rank_gain
+FROM (SELECT * FROM ranked WHERE era = 'before') b
+FULL OUTER JOIN (SELECT * FROM ranked WHERE era = 'after') a ON a.brand = b.brand
+ORDER BY brand
+"""

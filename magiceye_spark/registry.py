@@ -2158,3 +2158,11 @@ def user_activity_streaks_q(spark, sf_dir):
     anchor — gaps-and-islands without a lag pass; one distinct + one
     window + two rollups."""
     return events_ops.user_activity_streaks(events_ops._events(spark, sf_dir))
+
+
+@register("brand_rank_movers", analytics.sql_brand_rank_movers())
+def brand_rank_movers_q(spark, sf_dir):
+    """Winners/losers: per-brand revenue rank before vs after a cutoff
+    era with the rank delta — broadcast dimension join, one (brand, era)
+    agg, per-era rank windows with brand tie-breaks."""
+    return analytics.brand_rank_movers(spark, sf_dir)
