@@ -2027,3 +2027,52 @@ FROM (SELECT * FROM ranked WHERE era = 'before') b
 FULL OUTER JOIN (SELECT * FROM ranked WHERE era = 'after') a ON a.brand = b.brand
 ORDER BY brand
 """
+
+
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full supplier-nation × customer-nation revenue matrix — TPC-H
+    Q7's shape generalized from one nation pair to all of them: who
+    sells to whom, with exact-decimal revenue and line counts. Fact
+    tables join on their keys; every dimension (orders→customer side
+    collapses through one join, supplier/nation sides broadcast)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    supp_n = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_n = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_n), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _money(
+                F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            ).alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation")
+    )
+
+
+SQL_NATION_TRADE_MATRIX = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       COUNT(*) AS n_lines,
+       ROUND(CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

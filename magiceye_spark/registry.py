@@ -2166,3 +2166,11 @@ def brand_rank_movers_q(spark, sf_dir):
     era with the rank delta — broadcast dimension join, one (brand, era)
     agg, per-era rank windows with brand tie-breaks."""
     return analytics.brand_rank_movers(spark, sf_dir)
+
+
+@register("nation_trade_matrix", analytics.SQL_NATION_TRADE_MATRIX)
+def nation_trade_matrix_q(spark, sf_dir):
+    """Supplier-nation × customer-nation revenue matrix (TPC-H Q7
+    generalized to all pairs): fact-fact key join + four broadcast
+    dimensions; exact-decimal revenue."""
+    return analytics.nation_trade_matrix(spark, sf_dir)
