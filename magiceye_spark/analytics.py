@@ -2076,3 +2076,51 @@ JOIN nation cn ON cn.n_nationkey = c.c_nationkey
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def brand_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration screen: the Herfindahl–Hirschman index of
+    supplier line share within each part brand (1.0 = single-sourced,
+    →0 = fragmented) plus the top supplier's share — the
+    single-point-of-failure review for a supply chain. One
+    lineitem×part broadcast join, one (brand, supplier) count, one
+    brand rollup; shares are integer-count ratios."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    counts = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("l_suppkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("brand")
+    share = F.col("n") / F.sum("n").over(tot)
+    return (
+        counts.withColumn("share", share)
+        .groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("n").cast("long").alias("n_lines"),
+            F.round(F.sum(F.pow(F.col("share"), 2)), 4).alias("hhi"),
+            F.round(F.max("share"), 4).alias("top_supplier_share"),
+        )
+        .orderBy("brand")
+    )
+
+
+SQL_BRAND_SUPPLIER_HHI = """
+WITH c AS (
+  SELECT p.p_brand AS brand, l.l_suppkey, COUNT(*) AS n
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2),
+s AS (
+  SELECT brand, n, n / CAST(SUM(n) OVER (PARTITION BY brand) AS DOUBLE) AS share
+  FROM c)
+SELECT brand,
+       COUNT(*) AS n_suppliers,
+       CAST(SUM(n) AS BIGINT) AS n_lines,
+       ROUND(SUM(POW(share, 2)), 4) AS hhi,
+       ROUND(MAX(share), 4) AS top_supplier_share
+FROM s
+GROUP BY brand
+ORDER BY brand
+"""

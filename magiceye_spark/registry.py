@@ -2174,3 +2174,11 @@ def nation_trade_matrix_q(spark, sf_dir):
     generalized to all pairs): fact-fact key join + four broadcast
     dimensions; exact-decimal revenue."""
     return analytics.nation_trade_matrix(spark, sf_dir)
+
+
+@register("brand_supplier_hhi", analytics.SQL_BRAND_SUPPLIER_HHI)
+def brand_supplier_hhi_q(spark, sf_dir):
+    """Supply-concentration HHI per brand (1.0 = single-sourced) with
+    the top supplier's share — the single-point-of-failure review; one
+    broadcast dimension join + one windowed share rollup."""
+    return analytics.brand_supplier_hhi(spark, sf_dir)
