@@ -468,11 +468,14 @@ def cmd_corpus_clean(args: argparse.Namespace) -> int:
 
     spark = get_spark("magiceye-corpus-clean")
     spark.sparkContext.setLogLevel("ERROR")
-    cleaned = span_cleaned_corpus(
-        _read_table(spark, args.path, args.format),
-        n=args.ngram,
-        min_count=args.min_count,
-    )
+    docs = _read_table(spark, args.path, args.format)
+    cleaned = span_cleaned_corpus(docs, n=args.ngram, min_count=args.min_count)
+    # carry the non-text document columns through so the cleaned corpus is
+    # a drop-in input for corpus-report / downstream ops (doc_id-keyed
+    # rejoin; the cleaned text replaces the original text column)
+    passthrough = [c for c in docs.columns if c not in ("doc_id", "text")]
+    if passthrough:
+        cleaned = cleaned.join(docs.select("doc_id", *passthrough), "doc_id")
     cleaned.write.mode("overwrite").parquet(args.out)
     stats = spark.read.parquet(args.out).agg(
         F.count(F.lit(1)).alias("docs"),
@@ -501,6 +504,34 @@ def cmd_search(args: argparse.Namespace) -> int:
     for r in hits.collect():
         print(f"{r['doc_id']:>12d}  {r['bm25']:.4f}")
     return 0
+
+
+def cmd_anonymity(args: argparse.Namespace) -> int:
+    """Privacy gate: k-anonymity (and optional l-diversity) over a quasi-
+    identifier set; exit 1 when the risky-row fraction exceeds the cap —
+    the shell form of the governance check run before sharing a table."""
+    from magiceye_spark.dq import k_anonymity_audit, l_diversity_audit
+    from magiceye_spark.session import get_spark
+
+    spark = get_spark("magiceye-anonymity")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = _read_table(spark, args.path, args.format)
+    quasi = [c.strip() for c in args.quasi.split(",") if c.strip()]
+    row = k_anonymity_audit(df, quasi, k=args.k).first()
+    print(
+        f"k={args.k} groups={row['n_groups']} risky_groups={row['n_risky_groups']}"
+        f" risky_rows={row['n_risky_rows']} risky_frac={row['risky_row_frac']:.4%}"
+    )
+    ok = row["risky_row_frac"] <= args.max_risky_frac
+    if args.sensitive:
+        lrow = l_diversity_audit(df, quasi, args.sensitive, l=args.l_min).first()
+        print(
+            f"l={args.l_min} sensitive={args.sensitive}"
+            f" leaky_groups={lrow['n_leaky_groups']} leaky_rows={lrow['n_leaky_rows']}"
+            f" leaky_frac={lrow['leaky_row_frac']:.4%}"
+        )
+        ok = ok and lrow["leaky_row_frac"] <= args.max_risky_frac
+    return 0 if ok else 1
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -645,31 +676,3 @@ def main(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
-
-
-def cmd_anonymity(args: argparse.Namespace) -> int:
-    """Privacy gate: k-anonymity (and optional l-diversity) over a quasi-
-    identifier set; exit 1 when the risky-row fraction exceeds the cap —
-    the shell form of the governance check run before sharing a table."""
-    from magiceye_spark.dq import k_anonymity_audit, l_diversity_audit
-    from magiceye_spark.session import get_spark
-
-    spark = get_spark("magiceye-anonymity")
-    spark.sparkContext.setLogLevel("ERROR")
-    df = _read_table(spark, args.path, args.format)
-    quasi = [c.strip() for c in args.quasi.split(",") if c.strip()]
-    row = k_anonymity_audit(df, quasi, k=args.k).first()
-    print(
-        f"k={args.k} groups={row['n_groups']} risky_groups={row['n_risky_groups']}"
-        f" risky_rows={row['n_risky_rows']} risky_frac={row['risky_row_frac']:.4%}"
-    )
-    ok = row["risky_row_frac"] <= args.max_risky_frac
-    if args.sensitive:
-        lrow = l_diversity_audit(df, quasi, args.sensitive, l=args.l_min).first()
-        print(
-            f"l={args.l_min} sensitive={args.sensitive}"
-            f" leaky_groups={lrow['n_leaky_groups']} leaky_rows={lrow['n_leaky_rows']}"
-            f" leaky_frac={lrow['leaky_row_frac']:.4%}"
-        )
-        ok = ok and lrow["leaky_row_frac"] <= args.max_risky_frac
-    return 0 if ok else 1

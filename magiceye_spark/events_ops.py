@@ -971,7 +971,8 @@ def dow_hour_matrix(events: DataFrame) -> DataFrame:
     """Traffic heatmap: event counts by (day-of-week, hour-of-day) with
     share of total — the load-profile rollup behind capacity planning and
     anomaly baselines. One aggregation; the share is a broadcast scalar
-    division. dow: 1=Sunday..7=Saturday (both engines' DAYOFWEEK)."""
+    division. dow: 1=Sunday..7=Saturday — Spark's DAYOFWEEK is 1-based;
+    DuckDB's is 0-based (Sunday=0), so the SQL twin adds +1 to align."""
     base = events.select(
         F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
     )
@@ -1016,11 +1017,6 @@ def attributed_daily_revenue(events: DataFrame) -> DataFrame:
     (user, purchase) window ranks the path, and the rollup groups by
     click day. Weighted-value sums are doubles; the 1e-9 association
     error is far inside the cent rounding."""
-    w_next = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(1, Window.unboundedFollowing)
-    )
     purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
     purchase_id = F.when(F.col("event_type") == "purchase", F.col("event_id"))
     purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))

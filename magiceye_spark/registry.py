@@ -2147,8 +2147,9 @@ def repurchase_interval_stats_q(spark, sf_dir):
 
 @register("events_hourly_value_profile", analytics.SQL_HOURLY_VALUE_PROFILE)
 def events_hourly_value_profile_q(spark, sf_dir):
-    """Daypart value profile: count, exact-decimal sum, and mean value by
-    hour of day per event type — one aggregation."""
+    """Daypart value profile: count and exact-decimal sum by hour of day
+    per event type — one aggregation (the mean is deliberately omitted:
+    short-decimal quotients round differently across engines)."""
     return analytics.hourly_value_profile(spark, sf_dir)
 
 
