@@ -31,6 +31,28 @@ HEADLINE = [
     "vocab_topk",
 ]
 
+# Expensive operator families, measured so a regression is visible in
+# BENCH_r*.json instead of only in a manual audit (the 458 s winnowing
+# nested-HOF pathology was invisible to the headline set). One warm run
+# each; committed values live in BASELINE.md. minhash_lsh_near_dups
+# (1-gram) is deliberately absent: unigram Jaccard saturates on the
+# synthetic 30-word vocabulary (BASELINE.md), so its ~112 s measures a
+# true-positive explosion, not the operator.
+FAMILIES = {
+    "dedup_ladder": [
+        "dedup_exact_corpus",
+        "jaccard_near_dups",
+        "minhash_lsh_ngram_dups",
+        "simhash_near_dups",
+        "near_dedup_fused",
+    ],
+    "containment": ["containment_near_dups", "containment_near_dups_indexed"],
+    "span_dedup": ["duplicate_spans", "span_cleaned_corpus"],
+    "retrieval": ["bm25_topk", "winnow_overlap_pairs"],
+    "edit_distance": ["edit_distance_near_dups"],
+    "ann": ["cosine_topk", "ivf_ann_topk", "ivf_pq_ann_topk"],
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -65,18 +87,32 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # family section: build time counts too (some builders run bounded
+    # driver-side fits); skippable for quick headline-only iteration
+    families: dict[str, dict[str, float]] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_FAMILIES", "1") != "0":
+        for family, names in FAMILIES.items():
+            families[family] = {}
+            for name in names:
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                families[family][name] = round(time.perf_counter() - t0, 3)
+            spark.catalog.clearCache()  # drop per-family persisted frames
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if families:
+        out["families"] = families
+        out["families_total"] = round(
+            sum(t for f in families.values() for t in f.values()), 3
         )
-    )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -946,7 +946,10 @@ ORDER BY l_shipmode
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: supplier(s) with maximum revenue in a quarter — the
     scalar-max-over-aggregate pattern (the revenue view joined to its own
-    max), expressed with a window max to avoid a second scan."""
+    max). The max is a scalar aggregate crossJoined back broadcast: a
+    ``MAX() OVER ()`` window here would funnel the whole supplier-grain
+    rollup through one task, while the scalar agg computes partial maxes
+    map-side and moves one row."""
     s = _t(spark, sf_dir, "supplier")
     l = _t(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -957,8 +960,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
         ).alias("total_revenue")
     )
-    w = Window.partitionBy()
-    top = revenue.withColumn("max_rev", F.max("total_revenue").over(w)).where(
+    revenue.persist()  # supplier-grain rollup: the max pass and the
+    # filter pass share it instead of re-scanning lineitem
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    top = revenue.crossJoin(F.broadcast(max_rev)).where(
         F.col("total_revenue") == F.col("max_rev")
     )
     return (
@@ -1231,8 +1236,16 @@ def customer_rfm(spark: SparkSession, sf_dir: str, n_tiles: int = 4) -> DataFram
     concatenated into the classic 'rfm' segment code. NTILE ties are
     broken on custkey so both engines cut identically.
 
-    One orders aggregation + three catalog-sized window passes over the
-    per-customer rollup (customer-count rows, not order rows)."""
+    One orders aggregation, then three two-phase global ranks
+    (:func:`magiceye_spark.io.two_phase_window`: range-partition +
+    within-partition rank + broadcast prefix offsets) over the
+    per-customer rollup — NO unpartitioned ``Window.orderBy``, so no
+    single-task sort when the customer table is hundreds of millions of
+    rows. NTILE is recovered arithmetically from the global rank: with N
+    rows and n tiles, the first N%n tiles hold ceil(N/n) rows and the
+    rest floor(N/n) — exactly the SQL NTILE bucket rule both engines
+    implement."""
+    from magiceye_spark.io import two_phase_window
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -1246,17 +1259,34 @@ def customer_rfm(spark: SparkSession, sf_dir: str, n_tiles: int = 4) -> DataFram
         "frequency",
         "monetary",
     )
-    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc())
-    w_f = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
-    w_m = Window.orderBy(F.col("monetary").desc(), F.col("custkey").asc())
-    return scored.select(
+    ranked = two_phase_window(
+        scored, [F.col("recency_days").asc(), F.col("custkey").asc()], rank_col="_gr"
+    )
+    ranked = two_phase_window(
+        ranked, [F.col("frequency").desc(), F.col("custkey").asc()], rank_col="_gf"
+    )
+    ranked = two_phase_window(
+        ranked, [F.col("monetary").desc(), F.col("custkey").asc()], rank_col="_gm"
+    )
+    n = ranked.count()  # one pass; the range-partitioned frames persist
+    q, rem = divmod(n, n_tiles)
+    thr = rem * (q + 1)
+
+    def tile(rank: str):
+        head = F.expr(f"({rank} + {q}) div {q + 1}")
+        if q == 0:  # fewer rows than tiles: every bucket is one row
+            return head.cast("long")
+        tail = rem + F.expr(f"({rank} - {thr} + {q - 1}) div {q}")
+        return F.when(F.col(rank) <= thr, head).otherwise(tail).cast("long")
+
+    return ranked.select(
         "custkey",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(n_tiles).over(w_r).cast("long").alias("r_tile"),
-        F.ntile(n_tiles).over(w_f).cast("long").alias("f_tile"),
-        F.ntile(n_tiles).over(w_m).cast("long").alias("m_tile"),
+        tile("_gr").alias("r_tile"),
+        tile("_gf").alias("f_tile"),
+        tile("_gm").alias("m_tile"),
     ).withColumn(
         "rfm", F.concat_ws("", "r_tile", "f_tile", "m_tile")
     ).orderBy("custkey")
@@ -1295,16 +1325,27 @@ def parts_abc_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     classified A (top 80% of cumulative revenue share), B (to 95%), C
     (tail). The cumulative share uses the EXACT decimal running sum over
     (revenue DESC, partkey) so the class boundaries are engine-identical;
-    doubles appear only in the reported share."""
+    doubles appear only in the reported share.
+
+    The running sum is the two-phase formulation (range-partition +
+    within-partition running sum + broadcast per-partition prefix totals,
+    :func:`magiceye_spark.io.two_phase_window`) — identical values to
+    ``SUM() OVER (ORDER BY …)`` but parallel over the part table instead
+    of a single-task global sort."""
+    from magiceye_spark.io import two_phase_window
+
     l = _t(spark, sf_dir, "lineitem")
     rev = l.groupBy("l_partkey").agg(
         F.sum(_dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_dec")
     )
-    w = Window.orderBy(F.col("rev_dec").desc(), F.col("l_partkey").asc())
     tot = rev.agg(F.sum("rev_dec").alias("total"))
+    cum = two_phase_window(
+        rev,
+        [F.col("rev_dec").desc(), F.col("l_partkey").asc()],
+        cumsum={"cum": "rev_dec"},
+    )
     classed = (
-        rev.crossJoin(F.broadcast(tot))
-        .withColumn("cum", F.sum("rev_dec").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        cum.crossJoin(F.broadcast(tot))
         .withColumn(
             # exact decimal sums; ONE IEEE double division so the class
             # boundary is bit-identical across engines (decimal-division
@@ -1432,25 +1473,32 @@ def customer_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar behind 'whales vs long tail' decisions:
     G = Σ(2i − n − 1)·x_i / (n·Σx) over spend sorted ascending.
 
-    Spend totals are EXACT decimals; ranks come from one window over the
-    customer-count rollup (tie-broken on custkey); the weighted sum uses
-    decimal×integer products so only the final ratio is floating point —
-    engine-identical. Output: one row (n_customers, total_spend, gini)."""
+    Spend totals are EXACT decimals; ranks come from a two-phase global
+    rank over the customer rollup (tie-broken on custkey,
+    :func:`magiceye_spark.io.two_phase_window` — no single-task sort);
+    the weighted sum uses decimal×integer products so only the final
+    ratio is floating point. Σ(2i − n − 1)·x_i is folded to
+    2·Σi·x_i − (n + 1)·Σx_i — exactly equal in decimal arithmetic — so
+    the constant n never needs a per-row column (the old form needed an
+    unpartitioned COUNT(*) OVER ()). Output: one row (n_customers,
+    total_spend, gini)."""
+    from magiceye_spark.io import two_phase_window
+
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(_dec(F.col("o_totalprice"))).alias("spend")
     )
-    w = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
-    ranked = (
-        per_cust.withColumn("i", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    ranked = two_phase_window(
+        per_cust, [F.col("spend").asc(), F.col("o_custkey").asc()], rank_col="i"
     )
+    n = F.count(F.lit(1))
     return ranked.agg(
-        F.count(F.lit(1)).alias("n_customers"),
+        n.alias("n_customers"),
         _money(F.sum("spend")).alias("total_spend"),
         F.round(
-            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("spend")).cast("double")
-            / (F.count(F.lit(1)).cast("double") * F.sum("spend").cast("double")),
+            (2 * F.sum(F.col("i") * F.col("spend")) - (n + 1) * F.sum("spend"))
+            .cast("double")
+            / (n.cast("double") * F.sum("spend").cast("double")),
             6,
         ).alias("gini"),
     )

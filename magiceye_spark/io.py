@@ -227,3 +227,76 @@ def assign_global_ids(
         .withColumn(id_col, (F.col("_off") + F.col("_rn") - 1).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
+
+
+def two_phase_window(
+    df: DataFrame,
+    order_exprs: list,
+    rank_col: str | None = None,
+    cumsum: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global ROW_NUMBER and/or running SUMs over a total order WITHOUT the
+    single-task sort of an unpartitioned ``Window.orderBy`` — the general
+    form of :func:`assign_global_ids` for arbitrary sort directions and
+    running aggregates.
+
+    ``ROW_NUMBER() OVER (ORDER BY …)`` / ``SUM(x) OVER (ORDER BY … ROWS
+    UNBOUNDED PRECEDING)`` range-partition into ONE partition: every row
+    flows through a single core — the classic 100 TB scale-killer even
+    when the input is an aggregated rollup (hundreds of millions of
+    customers / vocabulary-pair rows). Two-phase instead: range-partition
+    on the order expressions (parallel), rank / running-sum WITHIN each
+    partition, then add per-partition offsets (a partition-count-sized
+    prefix table joined back broadcast). Results are identical to the
+    naive formulation for any UNIQUE total order — required of
+    ``order_exprs``; ties would make both formulations nondeterministic.
+
+    Args:
+        order_exprs: sort ``Column`` expressions (``F.desc("freq")``,
+            ``F.asc("term")``) — passed to both ``repartitionByRange`` and
+            the within-partition window so the two phases agree.
+        rank_col: if set, appended 1-based global row number (long).
+        cumsum: ``{out_col: value_col_name}`` — each appended as the
+            inclusive global running sum of that column over the order.
+
+    The range-partitioned frame is persisted so the offset table and the
+    rank pass see the SAME partitioning (same caveat as
+    :func:`assign_global_ids`). The tiny offsets window (one row per
+    shuffle partition, keyed ``_pid``) is the ONLY single-partition window
+    this engine permits — bounded by partition count, never by data.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    cumsum = cumsum or {}
+    part = df.repartitionByRange(
+        *([num_partitions] if num_partitions else []), *order_exprs
+    ).withColumn("_pid", F.spark_partition_id())
+    part.persist()
+    sizes = part.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_cnt"),
+        *[F.sum(src).alias(f"_ps_{out}") for out, src in cumsum.items()],
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
+        *[
+            F.coalesce(F.sum(f"_ps_{out}").over(w_off), F.lit(0)).alias(f"_po_{out}")
+            for out in cumsum
+        ],
+    )
+    w_in = Window.partitionBy("_pid").orderBy(*order_exprs)
+    w_run = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    out = part.withColumn("_rn", F.row_number().over(w_in))
+    for out_col, src in cumsum.items():
+        out = out.withColumn(f"_pc_{out_col}", F.sum(src).over(w_run))
+    out = out.join(F.broadcast(offsets), "_pid")
+    if rank_col:
+        out = out.withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
+    for out_col in cumsum:
+        out = out.withColumn(
+            out_col, F.col(f"_po_{out_col}") + F.col(f"_pc_{out_col}")
+        ).drop(f"_pc_{out_col}", f"_po_{out_col}")
+    return out.drop("_pid", "_rn", "_off")

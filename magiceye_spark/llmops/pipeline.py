@@ -469,15 +469,19 @@ def source_mixing_weights(
     probabilities (or epoch counts) to hit the prescribed mix. Sources
     absent from ``target_shares`` get target 0 (dropped from training).
     One aggregation on a low-cardinality key; the weight table is
-    dimension-sized and meant to be broadcast back onto documents."""
-    from pyspark.sql.window import Window
-
+    dimension-sized and meant to be broadcast back onto documents. The
+    corpus total is a scalar aggregate crossJoined back broadcast (not a
+    SUM() OVER () — keeps registered plans free of single-partition
+    windows)."""
     tgt = F.create_map(
         *[F.lit(x) for kv in target_shares.items() for x in kv]
     )
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    total = Window.partitionBy()
-    natural = (F.col("n_docs") / F.sum("n_docs").over(total)).alias("natural_share")
+    counts.persist()  # source-grain: the total pass must not re-scan docs
+    counts = counts.crossJoin(
+        F.broadcast(counts.agg(F.sum("n_docs").alias("_total")))
+    )
+    natural = (F.col("n_docs") / F.col("_total")).alias("natural_share")
     return (
         counts.select(
             "source",
@@ -531,11 +535,13 @@ def resample_to_mix(
     join at any corpus size."""
     # unrounded rate (source_mixing_weights rounds for display; a rounded
     # rate could flip borderline coins vs an engine computing it exactly)
-    from pyspark.sql.window import Window
-
     tgt = F.create_map(*[F.lit(x) for kv in target_shares.items() for x in kv])
     counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    natural = F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy())
+    counts.persist()  # source-grain: the total pass must not re-scan docs
+    counts = counts.crossJoin(
+        F.broadcast(counts.agg(F.sum("n_docs").alias("_total")))
+    )
+    natural = F.col("n_docs") / F.col("_total")
     weights = counts.select(
         "source",
         F.least(

@@ -884,10 +884,13 @@ def vocab_zipf_slope(docs: DataFrame, top_n: int = 1000, text_col: str = "text")
     """Zipf diagnostic: the log-log slope of the rank-frequency curve over
     the top-N vocabulary (natural text ≈ −1; far shallower = synthetic or
     templated vocabulary, far steeper = degenerate repetition). Exact
-    integer term counts; ranks from one window (count DESC, term ASC);
-    the OLS slope runs on ln(rank)/ln(freq) doubles over at most top_n
-    catalog-sized rows. Output: one row (n_terms, slope, intercept)."""
-    from pyspark.sql.window import Window
+    integer term counts; ranks from a two-phase global rank (count DESC,
+    term ASC — :func:`magiceye_spark.io.two_phase_window`, parallel over
+    the vocabulary instead of a single-task sort of a real corpus's
+    multi-hundred-million-term vocab); the OLS slope runs on
+    ln(rank)/ln(freq) doubles over at most top_n catalog-sized rows.
+    Output: one row (n_terms, slope, intercept)."""
+    from magiceye_spark.io import two_phase_window
 
     toks = F.explode(_tokens(F.col(text_col))).alias("term")
     counts = (
@@ -896,10 +899,9 @@ def vocab_zipf_slope(docs: DataFrame, top_n: int = 1000, text_col: str = "text")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("term"))
-    ranked = counts.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= top_n
-    )
+    ranked = two_phase_window(
+        counts, [F.desc("freq"), F.asc("term")], rank_col="rank"
+    ).where(F.col("rank") <= top_n)
     x = F.log(F.col("rank").cast("double"))
     y = F.log(F.col("freq").cast("double"))
     agg = ranked.agg(
@@ -990,13 +992,24 @@ def token_pmi_pairs(
     )
     # rank over the UNROUNDED pmi (matching the SQL twin) — ordering by
     # the rounded value diverges when distinct count triples land within
-    # 5e-5 of each other
-    w = Window.orderBy(F.desc("_praw"), F.asc("tok_a"), F.asc("tok_b"))
-    return (
+    # 5e-5 of each other. Two-phase global rank: the pair table grows
+    # ~vocab² on a real corpus, so an unpartitioned Window.orderBy here
+    # would serialize it through one core; the range-partitioned rank
+    # (magiceye_spark.io.two_phase_window) stays parallel and the df
+    # floor (n_ab >= min_pair_docs) lands BELOW the rank.
+    from magiceye_spark.io import two_phase_window
+
+    scored = (
         pair_counts.join(F.broadcast(ca), "tok_a")
         .join(F.broadcast(cb), "tok_b")
         .select("tok_a", "tok_b", "n_ab", pmi.alias("_praw"))
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    return (
+        two_phase_window(
+            scored,
+            [F.desc("_praw"), F.asc("tok_a"), F.asc("tok_b")],
+            rank_col="rank",
+        )
         .where(F.col("rank") <= top_k)
         .select("tok_a", "tok_b", "n_ab", F.round("_praw", 4).alias("pmi"), "rank")
         .orderBy("rank")

@@ -64,3 +64,28 @@ def python_eval_count(df: DataFrame) -> int:
 
 def wholestage_codegen_count(df: DataFrame) -> int:
     return len(re.findall(r"WholeStageCodegen", executed_plan(df)))
+
+
+def single_partition_window_contexts(df: DataFrame) -> list[str]:
+    """Plan contexts where an ``Exchange SinglePartition`` feeds a Window
+    (directly or through Sort / WindowGroupLimit) — the single-task global
+    sort that serializes an unpartitioned ``Window.orderBy`` /
+    ``Window.partitionBy()`` through one core at scale.
+
+    The ONE permitted shape is excluded: the two-phase helper's offsets
+    window (``magiceye_spark.io.two_phase_window`` /
+    ``assign_global_ids``), whose input is one row per shuffle partition
+    (Sort on ``_pid``) — bounded by partition count, never by data.
+    """
+    lines = executed_plan(df).split("\n")
+    bad = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        above = lines[max(0, i - 4):i]
+        if not any("Window" in a for a in above):
+            continue  # scalar aggregate / limit — partial-agg'd, fine
+        if any("Sort" in a and "_pid" in a for a in above):
+            continue  # bounded two-phase offsets window
+        bad.append("\n".join(above + [ln]))
+    return bad

@@ -203,10 +203,16 @@ def psi_histogram_drift(
             F.coalesce("n_target", F.lit(0)).alias("n_target"),
         )
     )
-    tb = F.sum("n_base").over(Window.partitionBy())
-    tt = F.sum("n_target").over(Window.partitionBy())
-    p = (F.col("n_base") + 0.5) / (tb + 0.5 * n_bins)
-    q = (F.col("n_target") + 0.5) / (tt + 0.5 * n_bins)
+    # bin totals as a scalar aggregate crossJoined back broadcast — the
+    # bins frame is n_bins rows so a SUM() OVER () would be harmless, but
+    # the agg form keeps every registered plan free of single-partition
+    # windows (pinned in tests/test_plans.py)
+    totals = bins.agg(
+        F.sum("n_base").alias("_tb"), F.sum("n_target").alias("_tt")
+    )
+    bins = bins.crossJoin(F.broadcast(totals))
+    p = (F.col("n_base") + 0.5) / (F.col("_tb") + 0.5 * n_bins)
+    q = (F.col("n_target") + 0.5) / (F.col("_tt") + 0.5 * n_bins)
     return (
         bins.select(
             "bin",

@@ -95,7 +95,10 @@ _DRIVER_WINDOW = [
     "purchase_last_click_asof",
     "events_props_rollup",
     "clicks_before_purchase",
-    "user_running_stats",
+    # user_running_stats seat ceded to the streaming family's batch twin
+    # (same partitioned-window physical shape; the evicted query stays
+    # registered and oracle-checked in pytest's sweep)
+    "events_quota_batch_twin",
     "conversion_funnel",
     "cohort_retention",
     # distribution statistics (exact variants; sketches stay pytest-pinned)
@@ -2183,3 +2186,21 @@ def brand_supplier_hhi_q(spark, sf_dir):
     the top supplier's share — the single-point-of-failure review; one
     broadcast dimension join + one windowed share rollup."""
     return analytics.brand_supplier_hhi(spark, sf_dir)
+
+
+def _stateful_sql_quota() -> str:
+    from magiceye_spark.streaming.stateful import sql_quota_admit_batch
+
+    return sql_quota_admit_batch(cap=5)
+
+
+@register("events_quota_batch_twin", _stateful_sql_quota())
+def events_quota_batch_twin_q(spark, sf_dir):
+    """Batch twin of the streaming per-(user, day) admission gate
+    (streaming/stateful.py quota_admit): the EXACT shared expression —
+    row_number over (user_id, day) in (ts, event_id) order, capped — as
+    a deterministic oracle row for the streaming family (its stream ==
+    batch equality is pinned in tests/test_streaming.py)."""
+    from magiceye_spark.streaming.stateful import quota_admit_batch
+
+    return quota_admit_batch(events_ops._events(spark, sf_dir), cap=5)

@@ -57,23 +57,27 @@ def key_skew_stats(
     their row count and share of the table — the first thing to look at
     when a join/groupBy stage straggles. (keys…, n_rows, share, rank).
 
-    One aggregation on the key (map-side combined) plus a scalar total; the
-    top-n sort runs on the aggregated key set, not the raw rows. At 100 TB:
-    if rank-1 share is tens of percent, AQE skew-split or
+    One aggregation on the key (map-side combined) plus a scalar total;
+    the top-n rank runs two-phase over the aggregated key set
+    (:func:`magiceye_spark.io.two_phase_window` — even a key-grain rollup
+    can be billions of rows at 100 TB, so no unpartitioned window). At
+    100 TB: if rank-1 share is tens of percent, AQE skew-split or
     :func:`salted_join` is warranted on that key.
     """
-    from pyspark.sql.window import Window
+    from magiceye_spark.io import two_phase_window
 
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
     total = df.agg(F.count(F.lit(1)).alias("_total"))
-    w = Window.orderBy(F.desc("n_rows"), *[F.asc(k) for k in keys])
+    ranked = two_phase_window(
+        counts, [F.desc("n_rows"), *[F.asc(k) for k in keys]], rank_col="rank"
+    )
     return (
-        counts.crossJoin(F.broadcast(total))
+        ranked.crossJoin(F.broadcast(total))
         .select(
             *keys,
             "n_rows",
             F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
-            F.row_number().over(w).alias("rank"),
+            F.col("rank").cast("int").alias("rank"),
         )
         .where(F.col("rank") <= top_n)
         .orderBy("rank")

@@ -226,3 +226,54 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def quota_admit_batch(events: DataFrame, cap: int = 5) -> DataFrame:
+    """The batch twin of :func:`quota_admit` — the EXACT admission
+    expression the streaming processors implement, as one partitioned
+    window: ``row_number() OVER (PARTITION BY user_id, day ORDER BY ts,
+    event_id) <= cap``. Same prepared projection (micros day key, micros
+    event time), same output schema (``QUOTA_SCHEMA``), so
+    stream-equals-batch is checkable column-for-column; registered with a
+    DuckDB oracle so the streaming family's shared expression gets a
+    deterministic correctness row, not just an equality pin.
+
+    The window partitions on (user_id, day) — admission state is per-key,
+    so this parallelizes at any scale exactly like the streaming state
+    store shards by key."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    prepared = events.select(
+        "user_id",
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day"),
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
+    return (
+        prepared.withColumn("admit_idx", F.row_number().over(w).cast("long"))
+        .where(F.col("admit_idx") <= cap)
+        .select("user_id", "day", "event_id", "admit_idx")
+        .orderBy("user_id", "day", "admit_idx")
+    )
+
+
+def sql_quota_admit_batch(cap: int = 5) -> str:
+    """DuckDB oracle for :func:`quota_admit_batch` (nanos ts cast to
+    micros timestamp, day key as epoch micros — mirroring the Spark
+    prepared projection)."""
+    return f"""
+WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id FROM events),
+r AS (
+  SELECT user_id,
+         CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day,
+         event_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                 ORDER BY ts, event_id) AS BIGINT) AS admit_idx
+  FROM e)
+SELECT user_id, day, event_id, admit_idx
+FROM r
+WHERE admit_idx <= {cap}
+ORDER BY user_id, day, admit_idx
+"""

@@ -239,3 +239,33 @@ def test_approx_source_overlap_single_corpus_shuffle(spark, sf_dir):
     assert plans.python_eval_count(df) == 0
     assert plans.broadcast_join_count(df) >= 1
     assert plans.sortmerge_join_count(df) == 0
+
+
+# Single-partition windows over provably BOUNDED inputs — inputs that grow
+# with elapsed calendar time or a fixed constant, never with data volume.
+# Everything else must use magiceye_spark.io.two_phase_window (or a scalar
+# aggregate crossJoined back broadcast) — see VERDICT r4 "What's wrong #1".
+BOUNDED_WINDOW_ALLOWLIST = {
+    # lag(4) over a (year, quarter) revenue series: quarter-grain input,
+    # bounded by the calendar — tens of rows at any data scale
+    "quarterly_revenue_yoy",
+}
+
+
+def test_no_unpartitioned_window_in_any_registered_query(spark, sf_dir):
+    """Repo-wide scale gate: NO registered query may funnel data through a
+    single-partition window (the one plan shape that serializes at 100 TB),
+    except the explicitly-justified calendar-bounded allowlist above. The
+    two-phase offsets window (one row per shuffle partition, Sort on _pid)
+    is recognized and permitted by the detector itself."""
+    flagged = {}
+    for name, fn in registry.queries().items():
+        contexts = plans.single_partition_window_contexts(fn(spark, sf_dir))
+        if contexts:
+            flagged[name] = contexts[0]
+    unexpected = set(flagged) - BOUNDED_WINDOW_ALLOWLIST
+    stale = BOUNDED_WINDOW_ALLOWLIST - set(flagged)
+    assert not unexpected, f"single-task windows in: {sorted(unexpected)}\n" + "\n\n".join(
+        flagged[n] for n in sorted(unexpected)
+    )
+    assert not stale, f"allowlist entries no longer needed: {sorted(stale)}"

@@ -443,13 +443,12 @@ def test_quota_admit_matches_batch(spark, sf_dir, tmp_path):
 
     got = {(r["user_id"], r["event_id"]): r["admit_idx"]
            for r in spark.table("quota_admitted").collect()}
-    w = Window.partitionBy("user_id", F.date_trunc("day", "ts")).orderBy(
-        "ts", "event_id"
-    )
-    want_df = (
-        batch.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= cap)
-    )
-    want = {(r["user_id"], r["event_id"]): r["rk"] for r in want_df.collect()}
+    # the SAME batch twin the driver checks against its DuckDB oracle
+    # (registry events_quota_batch_twin) — stream == batch == oracle
+    from magiceye_spark.streaming.stateful import quota_admit_batch
+
+    want = {(r["user_id"], r["event_id"]): r["admit_idx"]
+            for r in quota_admit_batch(batch, cap=cap).collect()}
     assert got == want
     assert max(got.values()) <= cap and len(got) > 0
 
