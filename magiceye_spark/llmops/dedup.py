@@ -841,6 +841,54 @@ ORDER BY doc_freq DESC, gram
 
 # ------------------------------------------------- edit-distance near-dup
 
+def _edit_distance_sides(
+    docs: DataFrame,
+    max_dist: int,
+    prefix_len: int,
+    text_col: str,
+    block_cap: int,
+):
+    """The blocked+salted join sides of :func:`edit_distance_near_dups`,
+    exposed so tests can pin the skew-guard MECHANISM (per-(block, salt)
+    group sizes), not just output parity. Returns (left, right, bkeys);
+    the join key is [*bkeys, "salt"]."""
+    w = max_dist + 1
+    t = F.trim(F.lower(F.col(text_col)))
+    side = docs.select(
+        F.col("doc_id"),
+        F.substring(t, 1, prefix_len).alias("prefix"),
+        F.element_at(F.split(t, r"\s+"), 1).alias("block_word"),
+        F.floor(F.length(F.substring(t, 1, prefix_len)) / w).alias("lb"),
+    )
+    bkeys = ["block_word", "lb"]
+    sizes = side.groupBy(*bkeys).agg(
+        F.ceil(F.count(F.lit(1)) / block_cap).cast("int").alias("n_salt")
+    )
+    a = side.join(F.broadcast(sizes), bkeys).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("prefix").alias("prefix_a"),
+        *bkeys,
+        F.pmod(F.xxhash64("doc_id"), F.col("n_salt")).cast("int").alias("salt"),
+    )
+    # right side probes its own and both neighbouring buckets, replicated to
+    # every salt of the PROBED block (n_salt looked up post-explode)
+    probed = side.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("prefix").alias("prefix_b"),
+        "block_word",
+        F.explode(
+            F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
+        ).alias("lb"),
+    ).join(F.broadcast(sizes), bkeys)
+    b = probed.select(
+        "doc_b",
+        "prefix_b",
+        *bkeys,
+        F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)).alias("salt"),
+    )
+    return a, b, bkeys
+
+
 def edit_distance_near_dups(
     docs: DataFrame,
     max_dist: int = 8,
@@ -875,39 +923,8 @@ def edit_distance_near_dups(
     touches only oversized blocks; the block-size table is catalog-sized
     and broadcast.
     """
-    w = max_dist + 1
-    t = F.trim(F.lower(F.col(text_col)))
-    side = docs.select(
-        F.col("doc_id"),
-        F.substring(t, 1, prefix_len).alias("prefix"),
-        F.element_at(F.split(t, r"\s+"), 1).alias("block_word"),
-        F.floor(F.length(F.substring(t, 1, prefix_len)) / w).alias("lb"),
-    )
-    bkeys = ["block_word", "lb"]
-    sizes = side.groupBy(*bkeys).agg(
-        F.ceil(F.count(F.lit(1)) / block_cap).cast("int").alias("n_salt")
-    )
-    a = side.join(F.broadcast(sizes), bkeys).select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("prefix").alias("prefix_a"),
-        *bkeys,
-        F.pmod(F.xxhash64("doc_id"), F.col("n_salt")).cast("int").alias("salt"),
-    )
-    # right side probes its own and both neighbouring buckets, replicated to
-    # every salt of the PROBED block (n_salt looked up post-explode)
-    probed = side.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("prefix").alias("prefix_b"),
-        "block_word",
-        F.explode(
-            F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
-        ).alias("lb"),
-    ).join(F.broadcast(sizes), bkeys)
-    b = probed.select(
-        "doc_b",
-        "prefix_b",
-        *bkeys,
-        F.explode(F.sequence(F.lit(0), F.col("n_salt") - 1)).alias("salt"),
+    a, b, bkeys = _edit_distance_sides(
+        docs, max_dist, prefix_len, text_col, block_cap
     )
     return (
         a.join(b, [*bkeys, "salt"])
