@@ -53,6 +53,29 @@ FAMILIES = {
     "ann": ["cosine_topk", "ivf_ann_topk", "ivf_pq_ann_topk"],
 }
 
+# Committed family baselines at sf0.1 on the bench machine (BENCH_r05.json,
+# edit_distance re-committed r6 after the bounded-Levenshtein switch; the
+# committed table lives in BASELINE.md). A measured value > 2x its committed
+# value at sf0.1 lands in the output's "regressions" list — the gate the
+# headline set already has via BASELINE.md's 2x rule.
+FAMILY_BASELINE = {
+    "dedup_exact_corpus": 0.42,
+    "jaccard_near_dups": 3.29,
+    "minhash_lsh_ngram_dups": 9.14,
+    "simhash_near_dups": 7.96,
+    "near_dedup_fused": 9.52,
+    "containment_near_dups": 10.31,
+    "containment_near_dups_indexed": 22.92,
+    "duplicate_spans": 2.74,
+    "span_cleaned_corpus": 3.10,
+    "bm25_topk": 0.90,
+    "winnow_overlap_pairs": 4.56,
+    "edit_distance_near_dups": 44.72,  # r6: bounded banded-DP builtin (was 75.75)
+    "cosine_topk": 0.99,
+    "ivf_ann_topk": 9.93,
+    "ivf_pq_ann_topk": 17.56,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -112,6 +135,14 @@ def main() -> None:
         out["families_total"] = round(
             sum(t for f in families.values() for t in f.values()), 3
         )
+        # gate: only meaningful at the committed SF (0.1)
+        if out["sf"] == 0.1:
+            out["regressions"] = sorted(
+                name
+                for f in families.values()
+                for name, t in f.items()
+                if name in FAMILY_BASELINE and t > 2 * FAMILY_BASELINE[name]
+            )
     print(json.dumps(out))
 
 

@@ -932,8 +932,16 @@ def edit_distance_near_dups(
         .where(
             F.abs(F.length("prefix_a") - F.length("prefix_b")) <= max_dist
         )
-        .withColumn("edit_dist", F.levenshtein("prefix_a", "prefix_b"))
-        .where(F.col("edit_dist") <= max_dist)
+        .withColumn(
+            # Spark >=3.5 bounded Levenshtein: banded DP, O(len*threshold)
+            # instead of O(len^2), early exit, -1 above the bound. Within
+            # the bound the value equals the unbounded distance, so
+            # `!= -1` is exactly the old `<= max_dist` filter and the
+            # emitted distance column is unchanged.
+            "edit_dist",
+            F.levenshtein("prefix_a", "prefix_b", max_dist),
+        )
+        .where(F.col("edit_dist") != -1)
         .select("doc_a", "doc_b", "edit_dist")
         .orderBy("doc_a", "doc_b")
     )
