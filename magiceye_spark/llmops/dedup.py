@@ -635,11 +635,13 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
-def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
-    """Pairs within Hamming distance ≤ max_hamming (≤3 ⇒ one of 4 bands is
-    identical — pigeonhole — so band blocking loses nothing). Returns
-    (doc_a, doc_b, hamming)."""
-    sigs = simhash_signatures(docs, text_col)
+def hamming_band_near_dups(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """The 4×16-bit pigeonhole machinery over ANY 64-bit signature frame
+    ``(doc_id, bits array<int>[64], band0..band3)``: pairs within Hamming
+    distance ≤ max_hamming (≤3 ⇒ one of 4 bands is identical — pigeonhole —
+    so band blocking loses nothing). Returns (doc_a, doc_b, hamming).
+    Shared by SimHash (text) and the multimodal perceptual dHash
+    (multimodal.phash_signatures) — same banded equi-join scale shape."""
     banded = sigs.select(
         "doc_id",
         "bits",
@@ -670,6 +672,11 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, text_col: str = "te
     return cands.select("doc_a", "doc_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
+    """Text SimHash near-duplicates via :func:`hamming_band_near_dups`."""
+    return hamming_band_near_dups(simhash_signatures(docs, text_col), max_hamming)
 
 
 # ------------------------------------------- cross-source / boilerplate

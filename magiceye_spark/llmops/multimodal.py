@@ -236,6 +236,178 @@ FROM (
 """
 
 
+# --------------------------------------- perceptual-hash image near-dup
+
+#: dHash grid: 9 columns × 8 rows; each row yields 8 horizontal-gradient
+#: bits (cell > right neighbour) → a 64-bit signature.
+PHASH_GRID_W, PHASH_GRID_H = 9, 8
+_PHASH_CELLS = PHASH_GRID_W * PHASH_GRID_H  # 72
+
+
+def phash_signatures(media: DataFrame) -> DataFrame:
+    """dHash perceptual signatures over the payload column:
+    ``(doc_id, bits array<int>[64], band0..band3)`` — the exact frame shape
+    :func:`dedup.hamming_band_near_dups` consumes, so image near-dedup
+    reuses the SimHash 4×16-bit pigeonhole banding unchanged.
+
+    The real pipeline computes the grayscale grid inside the Arrow decode
+    kernel (codec libs absent here — see module docstring); the
+    deterministic fake "decode" treats the payload byte stream as the pixel
+    stream: bytes fold into a 9×8 grid by position mod 72 (cell value =
+    mean byte), then dHash compares each cell to its right neighbour —
+    real dHash math over a stubbed decode, JVM-side and oracle-checkable.
+
+    Cell means are compared EXACTLY as cross-multiplied integer rationals
+    (sum_a·cnt_b > sum_b·cnt_a) — no float averaging, so Spark and the
+    DuckDB twin agree bit-for-bit. Payloads shorter than 72 bytes are
+    right-padded with byte 0x01 so every cell is populated.
+
+    Scale shape: one posexplode (map-only), one (id, cell) partial-agg
+    shuffle that combiner-compresses to ≤72 rows per doc, one per-doc agg;
+    the wide payload column is pruned after the explode projection.
+    """
+    dec = F.decode(F.col("payload"), "UTF-8")
+    # pad ONLY when shorter: rpad truncates longer strings (both engines),
+    # which would silently hash just the first 72 bytes
+    t = F.when(F.length(dec) < _PHASH_CELLS, F.rpad(dec, _PHASH_CELLS, "\x01")).otherwise(dec)
+    chars = media.select(
+        F.col("media_id"), F.posexplode(F.split(t, "")).alias("pos", "ch")
+    )
+    cells = chars.groupBy(
+        "media_id", (F.col("pos") % _PHASH_CELLS).alias("cell")
+    ).agg(F.sum(F.ascii("ch")).alias("s"), F.count(F.lit(1)).alias("c"))
+    grids = cells.groupBy("media_id").agg(
+        F.array_sort(F.collect_list(F.struct("cell", "s", "c"))).alias("g")
+    )
+
+    def cell(idx: int):  # 0-based grid cell → (sum, count) columns
+        e = F.element_at(F.col("g"), idx + 1)
+        return e["s"], e["c"]
+
+    bit_exprs = []
+    for i in range(64):
+        r, c = divmod(i, PHASH_GRID_H)
+        left = r * PHASH_GRID_W + c
+        sa, ca = cell(left)
+        sb, cb = cell(left + 1)
+        bit_exprs.append((sa * cb > sb * ca).cast("int"))
+    out = grids.select(
+        F.col("media_id").alias("doc_id"), F.array(*bit_exprs).alias("bits")
+    )
+    for band in range(4):
+        band_val = F.aggregate(
+            F.slice(F.col("bits"), band * 16 + 1, 16),
+            F.lit(0).cast("long"),
+            lambda acc, bit: acc * 2 + bit,
+        )
+        out = out.withColumn(f"band{band}", band_val)
+    return out
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bits", ArrayType(IntegerType())),
+        StructField("band0", LongType()),
+        StructField("band1", LongType()),
+        StructField("band2", LongType()),
+        StructField("band3", LongType()),
+    ]
+)
+
+
+def phash_signatures_kernel(media: DataFrame) -> DataFrame:
+    """Arrow-batched twin of :func:`phash_signatures`: the SAME dHash math
+    computed inside a ``mapInPandas`` kernel over the raw payload bytes —
+    the slot where a real codec decode (PIL downsample → grayscale grid)
+    plugs in; with the stubbed decode the byte stream IS the pixel stream,
+    so this must be bit-identical to the JVM formulation (pinned in tests).
+    Map-only: no shuffle; each task hashes its own payload batch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if _HAS_PIL:  # pragma: no cover - codec libs absent here
+                    raise NotImplementedError(
+                        "real decode path: downsample to the 9x8 grayscale "
+                        "grid here, then reuse the dHash below unchanged"
+                    )
+                if len(b) < _PHASH_CELLS:
+                    b = b + b"\x01" * (_PHASH_CELLS - len(b))
+                s = [0] * _PHASH_CELLS
+                c = [0] * _PHASH_CELLS
+                for i, v in enumerate(b):
+                    s[i % _PHASH_CELLS] += v
+                    c[i % _PHASH_CELLS] += 1
+                bits = []
+                for i in range(64):
+                    r, col = divmod(i, 8)
+                    left = r * PHASH_GRID_W + col
+                    bits.append(
+                        int(s[left] * c[left + 1] > s[left + 1] * c[left])
+                    )
+                bands = []
+                for band in range(4):
+                    acc = 0
+                    for bit in bits[band * 16 : band * 16 + 16]:
+                        acc = acc * 2 + bit
+                    bands.append(acc)
+                rows.append((int(mid), bits, *bands))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "bits", "band0", "band1", "band2", "band3"]
+            )
+
+    return media.mapInPandas(kernel, PHASH_SCHEMA)
+
+
+def phash_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-duplicate pairs over the media payload column:
+    dHash signatures banded 4×16 bits, candidates from the shared pigeonhole
+    equi-join (lossless for max_hamming ≤ 3), exact Hamming verify.
+    Returns (doc_a, doc_b, hamming) — doc ids are media_ids."""
+    from magiceye_spark.llmops.dedup import hamming_band_near_dups
+
+    return hamming_band_near_dups(phash_signatures(media), max_hamming).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+#: DuckDB twin: same grid folding, exact cross-multiplied mean compares,
+#: bit-string Hamming (the banding is lossless for the ≤3 threshold, so the
+#: oracle is the plain all-pairs formulation over the same signatures).
+SQL_PHASH_NEAR_DUPS = """
+WITH padded AS (
+  -- pad only when shorter: rpad truncates longer strings
+  SELECT doc_id AS media_id,
+         CASE WHEN length(text) < 72 THEN rpad(text, 72, chr(1)) ELSE text END AS t
+  FROM documents
+),
+chars AS (
+  SELECT media_id, (i - 1) % 72 AS cell, unicode(substr(t, i, 1)) AS v
+  FROM padded, UNNEST(generate_series(1, length(t))) AS u(i)
+),
+cells AS (
+  SELECT media_id, cell, SUM(v) AS s, COUNT(*) AS c FROM chars GROUP BY 1, 2
+),
+bits AS (
+  SELECT a.media_id, (a.cell // 9) * 8 + (a.cell % 9) AS bit,
+         CASE WHEN a.s * b.c > b.s * a.c THEN '1' ELSE '0' END AS bv
+  FROM cells a JOIN cells b ON a.media_id = b.media_id AND b.cell = a.cell + 1
+  WHERE a.cell % 9 < 8
+),
+hs AS (SELECT media_id, string_agg(bv, '' ORDER BY bit) AS h FROM bits GROUP BY 1)
+SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+       CAST(hamming(a.h, b.h) AS INTEGER) AS hamming
+FROM hs a JOIN hs b ON a.media_id < b.media_id
+WHERE hamming(a.h, b.h) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
 def media_catalog(media: DataFrame) -> DataFrame:
     """Metadata-plane view: payload size + struct fields, payload pruned."""
     return media.select(

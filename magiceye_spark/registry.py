@@ -70,7 +70,9 @@ _DRIVER_WINDOW = [
     "datadiff_incremental",
     "bm25_topk",
     "duplicate_spans",
-    "datadiff_lineitem_directional",
+    # datadiff_lineitem_directional's seat ceded to phash_near_dups in r6
+    # so multimodal gets a second driver row (perceptual dedup, not just
+    # catalog); the directional diff stays oracle-checked in pytest's sweep
     # profiling / data quality
     "profile_lineitem",
     "profile_drift_lineitem",
@@ -123,6 +125,7 @@ _DRIVER_WINDOW = [
     "ivf_ann_exact",
     # multimodal
     "media_catalog",
+    "phash_near_dups",
 ]
 
 
@@ -1127,6 +1130,15 @@ def emb_dedup_fused_q(spark, sf_dir):
 @register("media_catalog", multimodal.SQL_MEDIA_CATALOG)
 def media_catalog_q(spark, sf_dir):
     return multimodal.media_catalog(multimodal.synth_media(spark, sf_dir))
+
+
+@register("phash_near_dups", multimodal.SQL_PHASH_NEAR_DUPS)
+def phash_near_dups_q(spark, sf_dir):
+    """Perceptual-hash (dHash) image near-dup over the media payload column;
+    candidates from the shared SimHash 4×16-bit pigeonhole banding, exact
+    Hamming verify ≤3 — banding lossless, so the DuckDB twin is all-pairs
+    over the same signatures."""
+    return multimodal.phash_near_dups(multimodal.synth_media(spark, sf_dir))
 
 
 @register("media_features", None)  # mapInPandas payload kernel: rows-only
