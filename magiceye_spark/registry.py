@@ -96,7 +96,10 @@ _DRIVER_WINDOW = [
     "events_sessionize",
     "purchase_last_click_asof",
     "events_props_rollup",
-    "clicks_before_purchase",
+    # clicks_before_purchase's seat ceded to events_psi_stream_twin in r6
+    # so BOTH streaming styles (stateful quota + stateless drift) carry a
+    # driver row; the evicted query stays oracle-checked in pytest's sweep
+    "events_psi_stream_twin",
     # user_running_stats seat ceded to the streaming family's batch twin
     # (same partitioned-window physical shape; the evicted query stays
     # registered and oracle-checked in pytest's sweep)
@@ -2204,6 +2207,32 @@ def _stateful_sql_quota() -> str:
     from magiceye_spark.streaming.stateful import sql_quota_admit_batch
 
     return sql_quota_admit_batch(cap=5)
+
+
+def _psi_stream_sql() -> str:
+    from magiceye_spark.streaming.drift import sql_value_psi_stream_twin
+
+    return sql_value_psi_stream_twin(
+        "ts < TIMESTAMP '2024-01-16'", "ts >= TIMESTAMP '2024-01-16'", "value"
+    )
+
+
+@register("events_psi_stream_twin", _psi_stream_sql())
+def events_psi_stream_twin_q(spark, sf_dir):
+    """Batch twin of the streaming frozen-baseline PSI monitor
+    (streaming/drift.py value_psi_drift — the EXACT per-micro-batch
+    expression, stream == batch pinned in tests/test_streaming.py):
+    the baseline histogram is fitted once on the first half of the month
+    (fit_psi_baseline — bounded deploy-time driver materialization, two
+    scalars + 10 rows), the rest of the month scores as one batch.
+    Covers the stateless-aggregation streaming style the way
+    events_quota_batch_twin covers the stateful one."""
+    from magiceye_spark.streaming.drift import fit_psi_baseline, value_psi_drift
+
+    ev = events_ops._events(spark, sf_dir)
+    cut = F.lit("2024-01-16").cast("timestamp")
+    baseline_bins, mn, mx = fit_psi_baseline(ev.where(F.col("ts") < cut), "value")
+    return value_psi_drift(ev.where(F.col("ts") >= cut), baseline_bins, "value", mn, mx)
 
 
 @register("events_quota_batch_twin", _stateful_sql_quota())

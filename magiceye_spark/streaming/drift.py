@@ -182,6 +182,31 @@ def drift_rate_rollup(
     )
 
 
+def fit_psi_baseline(
+    df: DataFrame, col: str, n_bins: int = 10
+) -> tuple[list[tuple[int, int]], float, float]:
+    """Deploy-time frozen-baseline fit for :func:`value_psi_drift`:
+    min/max of ``col`` plus a dense ``n_bins`` histogram over the baseline
+    frame. Driver materialization is bounded and documented: two scalars +
+    ``n_bins`` count rows — the fit runs ONCE when the monitor deploys,
+    never per micro-batch. Returns (baseline_bins, mn, mx) ready to pass
+    to the monitor and its batch twin."""
+    v = F.col(col).cast("double")
+    srow = df.agg(F.min(v).alias("_mn"), F.max(v).alias("_mx")).collect()[0]
+    mn, mx = float(srow["_mn"]), float(srow["_mx"])
+    binned = df.select(
+        F.least(
+            F.floor((v - F.lit(mn)) * n_bins / F.lit(mx - mn)).cast("int"),
+            F.lit(n_bins - 1),
+        ).alias("bin")
+    )
+    counts = {
+        r["bin"]: r["n"]
+        for r in binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return [(b, counts.get(b, 0)) for b in range(n_bins)], mn, mx
+
+
 def value_psi_drift(
     batch: DataFrame,
     baseline_bins: list[tuple[int, int]],
@@ -219,6 +244,44 @@ def value_psi_drift(
         psi += (p[b] - q) * math.log(p[b] / q)
     spark = batch.sparkSession
     return spark.createDataFrame([(tt, round(psi, 6))], "n_rows long, psi double")
+
+
+def sql_value_psi_stream_twin(
+    base_where: str, target_where: str, col: str, n_bins: int = 10
+) -> str:
+    """DuckDB twin of ``value_psi_drift(target, *fit_psi_baseline(base))``
+    end-to-end: fit the frozen baseline on one WHERE-slice of events, score
+    the other slice as the 'micro-batch'. The PSI terms are summed in
+    explicit bin order so both engines add the 10 doubles in the same IEEE
+    order (harness gotcha)."""
+    smooth = f"0.5 * {n_bins}"
+    return f"""
+WITH base AS (SELECT CAST({col} AS DOUBLE) AS v FROM events WHERE {base_where}),
+stats AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM base),
+bbin AS (
+  SELECT LEAST(CAST(FLOOR((v - mn) * {n_bins} / (mx - mn)) AS INT), {n_bins - 1}) AS bin
+  FROM base, stats),
+bh AS (SELECT bin, COUNT(*) AS n FROM bbin GROUP BY bin),
+bdense AS (SELECT i.range AS b, COALESCE(n, 0) AS n
+           FROM range({n_bins}) i LEFT JOIN bh ON bh.bin = i.range),
+btot AS (SELECT SUM(n) AS tb FROM bdense),
+tgt AS (SELECT CAST({col} AS DOUBLE) AS v FROM events WHERE {target_where}),
+tbin AS (
+  SELECT LEAST(CAST(FLOOR((v - mn) * {n_bins} / (mx - mn)) AS INT), {n_bins - 1}) AS bin
+  FROM tgt, stats),
+th AS (SELECT bin, COUNT(*) AS n FROM tbin WHERE bin >= 0 GROUP BY bin),
+tdense AS (SELECT i.range AS b, COALESCE(n, 0) AS n
+           FROM range({n_bins}) i LEFT JOIN th ON th.bin = i.range),
+ttot AS (SELECT SUM(n) AS tt FROM tdense),
+terms AS (
+  SELECT bdense.b,
+         (bdense.n + 0.5) / (tb + {smooth}) AS p,
+         (tdense.n + 0.5) / (tt + {smooth}) AS q
+  FROM bdense JOIN tdense ON bdense.b = tdense.b, btot, ttot)
+SELECT CAST((SELECT tt FROM ttot) AS BIGINT) AS n_rows,
+       ROUND(SUM((p - q) * LN(p / q) ORDER BY b), 6) AS psi
+FROM terms
+"""
 
 
 def monitor_value_psi(

@@ -461,12 +461,23 @@ def test_monitor_value_psi_stream(spark, tmp_path):
     from pyspark.sql import functions as F
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    from magiceye_spark.streaming.drift import monitor_value_psi, value_psi_drift
+    from magiceye_spark.streaming.drift import (
+        fit_psi_baseline,
+        monitor_value_psi,
+        value_psi_drift,
+    )
 
     # frozen baseline: uniform over [0, 100) in 10 bins of 200 each
     baseline_bins = [(b, 200) for b in range(10)]
     mn, mx = 0.0, 100.0
     schema = StructType([StructField("value", DoubleType())])
+
+    # the deploy-time fit (the function the registry twin events_psi_stream_twin
+    # uses) reproduces the hand-written baseline exactly, mx landing in bin 9
+    fit_src = spark.range(2000).select(
+        (F.col("id") % 100).cast("double").alias("value")
+    )
+    assert fit_psi_baseline(fit_src, "value") == (baseline_bins, 0.0, 99.0)
 
     src = str(tmp_path / "vals")
     same = spark.range(2000).select((F.col("id") % 100).cast("double").alias("value"))
