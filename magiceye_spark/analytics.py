@@ -1268,16 +1268,25 @@ def customer_rfm(spark: SparkSession, sf_dir: str, n_tiles: int = 4) -> DataFram
     ranked = two_phase_window(
         ranked, [F.col("monetary").desc(), F.col("custkey").asc()], rank_col="_gm"
     )
-    n = ranked.count()  # one pass; the range-partitioned frames persist
-    q, rem = divmod(n, n_tiles)
-    thr = rem * (q + 1)
+    # N rides as a broadcast scalar column, not a driver-side count(): the
+    # plan stays lazy and self-contained (no stale-count hazard if the
+    # input changes between build and execution)
+    n_count = scored.agg(F.count(F.lit(1)).alias("_n"))
+    ranked = (
+        ranked.crossJoin(F.broadcast(n_count))
+        .withColumn("_q", F.expr(f"_n div {n_tiles}"))
+        .withColumn("_rem", F.expr(f"_n % {n_tiles}"))
+        .withColumn("_thr", F.expr("_rem * (_q + 1)"))
+    )
 
     def tile(rank: str):
-        head = F.expr(f"({rank} + {q}) div {q + 1}")
-        if q == 0:  # fewer rows than tiles: every bucket is one row
-            return head.cast("long")
-        tail = rem + F.expr(f"({rank} - {thr} + {q - 1}) div {q}")
-        return F.when(F.col(rank) <= thr, head).otherwise(tail).cast("long")
+        # SQL NTILE bucket rule from the global rank; the _q = 0 branch
+        # (fewer rows than tiles) also guards the `div _q` in the tail
+        # (CASE branches evaluate lazily, so no ANSI div-by-zero)
+        return F.expr(
+            f"CASE WHEN _q = 0 OR {rank} <= _thr THEN ({rank} + _q) div (_q + 1) "
+            f"ELSE _rem + ({rank} - _thr + _q - 1) div _q END"
+        ).cast("long")
 
     return ranked.select(
         "custkey",

@@ -265,6 +265,14 @@ def two_phase_window(
     :func:`assign_global_ids`). The tiny offsets window (one row per
     shuffle partition, keyed ``_pid``) is the ONLY single-partition window
     this engine permits — bounded by partition count, never by data.
+
+    Cache lifetime: each call leaves one persisted frame behind (a query
+    chaining three ranks, e.g. customer_rfm, leaves three). The entries
+    are input-sized and die with the session, but a long driver session
+    running many such queries should ``spark.catalog.clearCache()``
+    between batches — bench.py does so per family, and the repo-wide
+    plan-gate test does so per query — the same caveat as
+    :func:`assign_global_ids`.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window

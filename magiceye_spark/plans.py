@@ -77,15 +77,47 @@ def single_partition_window_contexts(df: DataFrame) -> list[str]:
     ``assign_global_ids``), whose input is one row per shuffle partition
     (Sort on ``_pid``) — bounded by partition count, never by data.
     """
+    def op_indent(ln: str) -> int:
+        m = re.search(r"[+:]- ", ln)
+        return m.start() if m else -1  # tree root
+
+    def op_text(ln: str) -> str:
+        m = re.search(r"[+:]- ", ln)
+        t = ln[m.end():] if m else ln
+        return re.sub(r"^\*\(\d+\) ", "", t)  # strip codegen stage tag
+
     lines = executed_plan(df).split("\n")
     bad = []
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" not in ln:
             continue
-        above = lines[max(0, i - 4):i]
-        if not any("Window" in a for a in above):
-            continue  # scalar aggregate / limit — partial-agg'd, fine
-        if any("Sort" in a and "_pid" in a for a in above):
-            continue  # bounded two-phase offsets window
-        bad.append("\n".join(above + [ln]))
+        # walk the exchange's ANCESTOR chain (nearest line above with a
+        # smaller operator indent, repeatedly) instead of a fixed lookback:
+        # a Window separated from its Exchange by extra Project/Filter
+        # lines is still found, and sibling subtrees are never matched
+        chain = []
+        indent = op_indent(ln)
+        for j in range(i - 1, -1, -1):
+            pin = op_indent(lines[j])
+            if pin < indent:
+                chain.append(lines[j])
+                indent = pin
+                if pin < 0:
+                    break
+        permitted = False
+        flagged = False
+        for anc in chain:
+            t = op_text(anc)
+            if t.startswith("Sort ") and re.match(r"Sort \[_pid#\d+", t):
+                # the bounded two-phase offsets window: its input is one
+                # row per shuffle partition, sorted exactly on _pid
+                permitted = True
+                break
+            if t.startswith(("Window", "WindowGroupLimit")):
+                flagged = True
+                break
+            if not t.startswith(("Sort ", "Project", "Filter")):
+                break  # scalar aggregate / limit — partial-agg'd, fine
+        if flagged and not permitted:
+            bad.append("\n".join([*reversed(chain[:4]), ln]))
     return bad

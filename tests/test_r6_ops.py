@@ -51,6 +51,30 @@ def test_bounded_levenshtein_matches_unbounded_filter(spark):
     assert prod == want
 
 
+def test_window_detector_walks_chain_and_matches_pid_exactly(spark):
+    """ADVICE r5: the single-partition-window detector must (a) flag an
+    unpartitioned Window.orderBy, (b) permit the two-phase offsets window,
+    and (c) NOT be fooled by a sort column whose name merely contains
+    _pid."""
+    from pyspark.sql.window import Window
+
+    from magiceye_spark import plans
+    from magiceye_spark.io import two_phase_window
+
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("v"))
+    naive = df.withColumn("rn", F.row_number().over(Window.orderBy("v", "id")))
+    assert plans.single_partition_window_contexts(naive)
+
+    ok = two_phase_window(df, [F.col("v").asc(), F.col("id").asc()], rank_col="rn")
+    assert not plans.single_partition_window_contexts(ok)
+    spark.catalog.clearCache()
+
+    sneaky = df.withColumnRenamed("v", "shop_pid").withColumn(
+        "rn", F.row_number().over(Window.orderBy("shop_pid", "id"))
+    )
+    assert plans.single_partition_window_contexts(sneaky)
+
+
 def _media_from_texts(spark, texts):
     rows = [(i, "image", t.encode(), ("png", 16, 16, 100, 16000)) for i, t in enumerate(texts)]
     return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
