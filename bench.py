@@ -51,6 +51,7 @@ FAMILIES = {
     "retrieval": ["bm25_topk", "winnow_overlap_pairs"],
     "edit_distance": ["edit_distance_near_dups"],
     "ann": ["cosine_topk", "ivf_ann_topk", "ivf_pq_ann_topk"],
+    "multimodal": ["media_catalog", "phash_near_dups"],
 }
 
 # Committed family baselines at sf0.1 on the bench machine (BENCH_r05.json,
@@ -74,6 +75,8 @@ FAMILY_BASELINE = {
     "cosine_topk": 0.99,
     "ivf_ann_topk": 9.93,
     "ivf_pq_ann_topk": 17.56,
+    "media_catalog": 2.11,  # r6 committed
+    "phash_near_dups": 7.52,  # r6 committed
 }
 
 
