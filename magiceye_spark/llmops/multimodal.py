@@ -379,7 +379,7 @@ def phash_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
 #: DuckDB twin: same grid folding, exact cross-multiplied mean compares,
 #: bit-string Hamming (the banding is lossless for the ≤3 threshold, so the
 #: oracle is the plain all-pairs formulation over the same signatures).
-SQL_PHASH_NEAR_DUPS = """
+_SQL_PHASH_CTES = """
 WITH padded AS (
   -- pad only when shorter: rpad truncates longer strings
   SELECT doc_id AS media_id,
@@ -400,11 +400,33 @@ bits AS (
   WHERE a.cell % 9 < 8
 ),
 hs AS (SELECT media_id, string_agg(bv, '' ORDER BY bit) AS h FROM bits GROUP BY 1)
+"""
+
+SQL_PHASH_NEAR_DUPS = _SQL_PHASH_CTES + """
 SELECT a.media_id AS doc_a, b.media_id AS doc_b,
        CAST(hamming(a.h, b.h) AS INTEGER) AS hamming
 FROM hs a JOIN hs b ON a.media_id < b.media_id
 WHERE hamming(a.h, b.h) <= 3
 ORDER BY doc_a, doc_b
+"""
+
+#: keep-set oracle for the near-dup admission gate's batch twin: drop
+#: every doc_b of a pair, keep the catalog view of the rest
+SQL_PHASH_DEDUP_KEEP = _SQL_PHASH_CTES + """,
+rejects AS (
+  SELECT DISTINCT b.media_id AS doc_id
+  FROM hs a JOIN hs b ON a.media_id < b.media_id
+  WHERE hamming(a.h, b.h) <= 3
+),
+media AS (
+  SELECT doc_id AS media_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+)
+SELECT m.media_id AS doc_id, m.kind, m.n_bytes
+FROM media m ANTI JOIN rejects r ON m.media_id = r.doc_id
+ORDER BY doc_id
 """
 
 

@@ -1144,6 +1144,29 @@ def phash_near_dups_q(spark, sf_dir):
     return multimodal.phash_near_dups(multimodal.synth_media(spark, sf_dir))
 
 
+@register("phash_dedup_keep", multimodal.SQL_PHASH_DEDUP_KEEP)
+def phash_dedup_keep_q(spark, sf_dir):
+    """The streaming near-dup admission gate's batch twin applied to the
+    media corpus: drop every doc that perceptually collides (any shared
+    dHash band, Hamming <= 3) with an earlier (lower-id) doc, return the
+    catalog view of the keepers — streaming reject-set equality is pinned
+    in tests/test_streaming.py."""
+    from magiceye_spark.streaming.stateful import near_dup_rejects_batch
+
+    media = multimodal.synth_media(spark, sf_dir)
+    rejects = near_dup_rejects_batch(multimodal.phash_signatures(media), 3)
+    return (
+        multimodal.media_catalog(media)
+        .join(
+            rejects.select("doc_id"),
+            F.col("media_id") == F.col("doc_id"),
+            "left_anti",
+        )
+        .select(F.col("media_id").alias("doc_id"), "kind", "n_bytes")
+        .orderBy("doc_id")
+    )
+
+
 @register("media_features", None)  # mapInPandas payload kernel: rows-only
 def media_features_q(spark, sf_dir):
     return multimodal.extract_features(multimodal.synth_media(spark, sf_dir))

@@ -277,3 +277,108 @@ FROM r
 WHERE admit_idx <= {cap}
 ORDER BY user_id, day, admit_idx
 """
+
+
+# ----------------------------------------- streaming near-dup admission
+
+#: reject signals from the streaming near-dup gate: one row per (doc,
+#: band) collision with an earlier-seen doc; consumers dedupe on doc_id
+NEAR_DUP_REJECT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("band_id", IntegerType()),
+        StructField("bucket", LongType()),
+        StructField("near_doc", LongType()),
+        StructField("hamming", IntegerType()),
+    ]
+)
+
+
+def banded_signature_rows(sigs: DataFrame) -> DataFrame:
+    """Flatten a 64-bit signature frame ``(doc_id, bits, band0..band3)``
+    (SimHash or perceptual dHash — same shape) into per-band rows
+    ``(doc_id, band_id, bucket, sig)`` with the bit vector packed as a
+    64-char '0'/'1' string, the grouping key shape the streaming gate's
+    state store shards on. Works on batch and streaming frames alike."""
+    from pyspark.sql import functions as F
+
+    sig_str = F.array_join(F.transform("bits", lambda b: b.cast("string")), "")
+    return sigs.select(
+        "doc_id",
+        sig_str.alias("sig"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band_id"), F.col(f"band{i}").alias("bucket"))
+                for i in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.bucket", "sig")
+
+
+def _fold_near_dup(max_hamming: int):
+    def fold(key, pdfs, state: GroupState):
+        ids, sigs = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        band_id, bucket = key
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            for did, sig in zip(pdf["doc_id"], pdf["sig"]):
+                best = None
+                for pid, psig in zip(ids, sigs):
+                    d = sum(a != b for a, b in zip(sig, psig))
+                    if d <= max_hamming and (best is None or d < best[1]):
+                        best = (pid, d)
+                if best is not None:
+                    out.append((int(did), int(band_id), int(bucket), int(best[0]), int(best[1])))
+                ids.append(int(did))
+                sigs.append(sig)
+        state.update((ids, sigs))
+        yield pd.DataFrame(out, columns=[f.name for f in NEAR_DUP_REJECT_SCHEMA.fields])
+
+    return fold
+
+
+def near_dup_admit(banded: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Streaming near-duplicate ADMISSION GATE — dedup at ingest, the
+    missing online sibling of the batch near-dup family: every arriving
+    document's banded signature (from :func:`banded_signature_rows` over
+    SimHash or perceptual-dHash signatures) probes per-(band, bucket)
+    state holding every signature seen so far in that bucket; a doc
+    within ``max_hamming`` of ANY earlier-seen doc in a shared band emits
+    a reject signal (dedupe signals on doc_id downstream; admitted = all
+    − rejects). First-arrival-wins, exactly what an ingest gate means;
+    when arrival order follows doc_id order this equals the batch rule
+    "reject every doc_b of a (doc_a < doc_b, hamming ≤ t) pair" — pinned
+    against :func:`near_dup_rejects_batch` in tests/test_streaming.py.
+
+    100 TB posture: state IS the banded LSH inverted index, sharded by
+    (band, bucket) across the state store — per-bucket lists stay
+    catalog-sized under the same df reasoning as the batch band join, and
+    a production deployment caps hot buckets (the stopgram df cut) and
+    ages state with a TTL; a hot bucket never blocks other keys' tasks.
+    Arrow moves each bucket's rows as pandas; the Hamming probe is
+    64-char compares against an in-memory list, no shuffle."""
+    return banded.groupBy("band_id", "bucket").applyInPandasWithState(
+        _fold_near_dup(max_hamming),
+        outputStructType=NEAR_DUP_REJECT_SCHEMA,
+        stateStructType="ids ARRAY<BIGINT>, sigs ARRAY<STRING>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def near_dup_rejects_batch(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Batch twin of the streaming gate's reject set under doc_id-ordered
+    arrival: the doc_b side of every banded near-dup pair. One row per
+    rejected doc (min near_doc, its hamming as tiebreak witness)."""
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.llmops.dedup import hamming_band_near_dups
+
+    pairs = hamming_band_near_dups(sigs, max_hamming)
+    return (
+        pairs.groupBy(F.col("doc_b").alias("doc_id"))
+        .agg(F.min(F.struct("hamming", "doc_a")).alias("w"))
+        .select("doc_id", F.col("w.doc_a").alias("near_doc"), F.col("w.hamming").alias("hamming"))
+        .orderBy("doc_id")
+    )

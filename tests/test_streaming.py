@@ -591,3 +591,57 @@ def test_monitor_corpus_quality_stream(spark, sf_dir, tmp_path):
     assert snap["delta_dup_frac"] > 0.5
     assert snap["delta_avg_token_entropy"] < 0
     assert snap["delta_en_frac"] < 0
+
+
+def test_near_dup_admit_stream_matches_batch(spark, tmp_path):
+    """Streaming near-dup admission gate (dedup at ingest): with
+    doc_id-ordered arrival across TWO micro-batches (state carries the
+    first batch's signatures into the second), the distinct rejected
+    doc_ids equal the batch rule "reject every doc_b of a banded pair" —
+    the same reject set the registry's phash_dedup_keep anti-joins
+    away."""
+    from magiceye_spark.llmops import multimodal
+    from magiceye_spark.streaming import events as sev
+    from magiceye_spark.streaming.stateful import (
+        NEAR_DUP_REJECT_SCHEMA,
+        banded_signature_rows,
+        near_dup_admit,
+        near_dup_rejects_batch,
+    )
+
+    media = multimodal.synth_media(spark, "/root/testdata/sf0.001")
+    sigs = multimodal.phash_signatures(media)
+    banded = banded_signature_rows(sigs)
+    src = str(tmp_path / "banded")
+    # two id-ordered files -> two micro-batches with maxFilesPerTrigger=1
+    banded.where(F.col("doc_id") < 250).coalesce(1).write.parquet(src)
+    banded.where(F.col("doc_id") >= 250).coalesce(1).write.mode("append").parquet(src)
+
+    old = {k: spark.conf.get(k, None) for k in sev.ROCKSDB_STATE_CONF}
+    sev.enable_rocksdb_state(spark)
+    try:
+        stream = (
+            spark.readStream.schema(banded.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            near_dup_admit(stream, max_hamming=3)
+            .writeStream.format("memory")
+            .queryName("near_dup_rejects")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "chk_nd"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    got = {r["doc_id"] for r in spark.table("near_dup_rejects").collect()}
+    want = {r["doc_id"] for r in near_dup_rejects_batch(sigs, 3).collect()}
+    assert got == want and len(want) > 0
