@@ -488,6 +488,40 @@ def cmd_corpus_clean(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_phash_dedup(args: argparse.Namespace) -> int:
+    """Perceptual near-dup dedup from the shell: dHash signatures over the
+    payload column (or text bytes for a documents table), banded candidate
+    pairs, drop every doc within the Hamming threshold of an earlier
+    (lower-id) one, write the keepers."""
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.llmops.multimodal import phash_signatures
+    from magiceye_spark.session import get_spark
+    from magiceye_spark.streaming.stateful import near_dup_rejects_batch
+
+    spark = get_spark("magiceye-phash-dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    t = _read_table(spark, args.path, args.format)
+    idcol = "media_id" if "media_id" in t.columns else "doc_id"
+    payload = (
+        F.col("payload") if "payload" in t.columns else F.encode("text", "UTF-8")
+    )
+    sig_in = t.select(F.col(idcol).alias("media_id"), payload.alias("payload"))
+    rejects = near_dup_rejects_batch(
+        phash_signatures(sig_in), args.max_hamming
+    ).withColumnRenamed("doc_id", idcol)
+    kept = t.join(rejects.select(idcol), idcol, "left_anti")
+    kept.write.mode("overwrite").parquet(args.out)
+    n_in = t.count()
+    n_kept = spark.read.parquet(args.out).count()
+    print(
+        f"phash dedup: kept {n_kept}/{n_in} "
+        f"({n_in - n_kept} perceptual near-dups dropped, "
+        f"hamming<={args.max_hamming}) -> {args.out}"
+    )
+    return 0
+
+
 def cmd_search(args: argparse.Namespace) -> int:
     """BM25 top-k retrieval over a document table for a comma-separated
     term list — eval-set carving / corpus inspection from the shell."""
@@ -647,6 +681,16 @@ def main(argv: list[str] | None = None) -> int:
     p_cclean.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
                           default="parquet", help="input table format")
     p_cclean.set_defaults(fn=cmd_corpus_clean)
+
+    p_phash = sub.add_parser("phash-dedup",
+                             help="perceptual (dHash) near-dup dedup, write keepers")
+    p_phash.add_argument("path", help="media or documents table")
+    p_phash.add_argument("--out", required=True, help="output parquet path")
+    p_phash.add_argument("--max-hamming", type=int, default=3, dest="max_hamming",
+                         help="Hamming threshold (<=3 keeps banding lossless)")
+    p_phash.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
+                         default="parquet", help="input table format")
+    p_phash.set_defaults(fn=cmd_phash_dedup)
 
     p_search = sub.add_parser("search", help="BM25 top-k retrieval over documents")
     p_search.add_argument("path", help="documents table")

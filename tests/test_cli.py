@@ -320,3 +320,25 @@ def test_cli_anonymity_gate(spark, tmp_path, capsys):
     assert cli.main(["anonymity", str(leak_tbl), "--quasi", "region", "-k", "5",
                      "--sensitive", "seg"]) == 1
     capsys.readouterr()
+
+
+def test_cli_phash_dedup(spark, tmp_path, capsys):
+    """Perceptual dedup CLI over a documents table: keeps the lower-id doc
+    of each byte-identical pair, passes all original columns through."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "pdocs"
+    rows = [
+        (0, "alpha " * 30, "web"),
+        (1, "alpha " * 30, "web"),      # exact near-dup of 0 -> dropped
+        (2, "totally different words here " * 8, "books"),
+    ]
+    _write(spark, src, rows, "doc_id long, text string, source string")
+    dst = tmp_path / "pkept"
+    rc = cli.main(["phash-dedup", str(src), "--out", str(dst)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "kept 2/3" in out
+    back = spark.read.parquet(str(dst))
+    assert sorted(r["doc_id"] for r in back.collect()) == [0, 2]
+    assert set(back.columns) == {"doc_id", "text", "source"}

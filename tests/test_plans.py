@@ -272,3 +272,17 @@ def test_no_unpartitioned_window_in_any_registered_query(spark, sf_dir):
         flagged[n] for n in sorted(unexpected)
     )
     assert not stale, f"allowlist entries no longer needed: {sorted(stale)}"
+
+
+def test_phash_pipeline_is_jvm_side(spark, sf_dir):
+    """The perceptual-hash dedup path (grid fold, dHash bits, banding,
+    Hamming verify, keep-set anti-join) must run entirely JVM-side — zero
+    Python evals despite being the multimodal family (the Arrow kernel is
+    the real-decode plug point, not the default path) — with bounded
+    shuffle counts."""
+    near = registry.queries()["phash_near_dups"](spark, sf_dir)
+    assert plans.python_eval_count(near) == 0
+    assert plans.count_shuffles(near) <= 5
+    keep = registry.queries()["phash_dedup_keep"](spark, sf_dir)
+    assert plans.python_eval_count(keep) == 0
+    assert plans.count_shuffles(keep) <= 8
