@@ -635,13 +635,10 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
-def hamming_band_near_dups(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """The 4×16-bit pigeonhole machinery over ANY 64-bit signature frame
-    ``(doc_id, bits array<int>[64], band0..band3)``: pairs within Hamming
-    distance ≤ max_hamming (≤3 ⇒ one of 4 bands is identical — pigeonhole —
-    so band blocking loses nothing). Returns (doc_a, doc_b, hamming).
-    Shared by SimHash (text) and the multimodal perceptual dHash
-    (multimodal.phash_signatures) — same banded equi-join scale shape."""
+def _hamming_band_sides(sigs: DataFrame, bucket_cap: int):
+    """The banded join sides of :func:`hamming_band_near_dups`, exposed so
+    tests can pin the hot-bucket salt MECHANISM. Returns (a, b) joined on
+    ["band_id", "bucket", "salt"]."""
     banded = sigs.select(
         "doc_id",
         "bits",
@@ -652,16 +649,61 @@ def hamming_band_near_dups(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
             ])
         ).alias("band"),
     ).select("doc_id", "bits", "band.band_id", "band.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
+    # only OVERSIZED buckets enter the broadcast table (bounded by the
+    # 4 × 2^16 band-value space, and in practice by skew alone), so the
+    # no-skew plan is one left join against a near-empty broadcast
+    hot = (
+        banded.groupBy("band_id", "bucket")
+        .agg(F.ceil(F.count(F.lit(1)) / bucket_cap).cast("int").alias("n_salt"))
+        .where(F.col("n_salt") > 1)
+    )
+    a = banded.join(F.broadcast(hot), ["band_id", "bucket"], "left").select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("bits").alias("bits_a"),
+        "band_id",
+        "bucket",
+        F.coalesce(
+            F.pmod(F.xxhash64("doc_id"), F.col("n_salt")).cast("int"), F.lit(0)
+        ).alias("salt"),
+    )
+    b = banded.join(F.broadcast(hot), ["band_id", "bucket"], "left").select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("bits").alias("bits_b"),
+        "band_id",
+        "bucket",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1)
+        ).alias("salt"),
+    )
+    return a, b
+
+
+def hamming_band_near_dups(
+    sigs: DataFrame, max_hamming: int = 3, bucket_cap: int = 2000
+) -> DataFrame:
+    """The 4×16-bit pigeonhole machinery over ANY 64-bit signature frame
+    ``(doc_id, bits array<int>[64], band0..band3)``: pairs within Hamming
+    distance ≤ max_hamming (≤3 ⇒ one of 4 bands is identical — pigeonhole —
+    so band blocking loses nothing). Returns (doc_a, doc_b, hamming).
+    Shared by SimHash (text) and the multimodal perceptual dHash
+    (multimodal.phash_signatures) — same banded equi-join scale shape.
+
+    Hot-bucket skew guard (the edit-distance salt move, dedup.py
+    ``_edit_distance_sides``): a near-constant corpus region can drop
+    thousands of docs into ONE (band, bucket), putting all its O(b²)
+    verify pairs on a single task. Buckets above ``bucket_cap`` are
+    SALTED — the left side gets a deterministic salt in
+    [0, ceil(b/cap)), the right side is replicated to every salt of the
+    bucket it probes — so the same pair set is produced (each pair joins
+    once per shared band, as before) but the quadratic work spreads
+    across ceil(b/cap) tasks. Only oversized buckets appear in the
+    broadcast size table; an unskewed corpus pays one near-empty
+    broadcast left join."""
+    a, b = _hamming_band_sides(sigs, bucket_cap)
     cands = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select("a.doc_id", "b.doc_id", "a.bits", "b.bits")
-        .toDF("doc_a", "doc_b", "bits_a", "bits_b")
+        a.join(b, ["band_id", "bucket", "salt"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "bits_a", "bits_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     hamming = F.aggregate(

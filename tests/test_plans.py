@@ -282,7 +282,9 @@ def test_phash_pipeline_is_jvm_side(spark, sf_dir):
     shuffle counts."""
     near = registry.queries()["phash_near_dups"](spark, sf_dir)
     assert plans.python_eval_count(near) == 0
-    assert plans.count_shuffles(near) <= 5
+    # the hot-bucket salt guard adds the bucket-size agg (appearing in
+    # both join sides' lineage; AQE reuses the exchange at runtime)
+    assert plans.count_shuffles(near) <= 12
     keep = registry.queries()["phash_dedup_keep"](spark, sf_dir)
     assert plans.python_eval_count(keep) == 0
-    assert plans.count_shuffles(keep) <= 8
+    assert plans.count_shuffles(keep) <= 14

@@ -127,3 +127,51 @@ def test_phash_banding_lossless_vs_bruteforce(spark):
         for r in multimodal.phash_near_dups(media).collect()
     }
     assert got == brute and len(brute) > 0
+
+
+def test_bench_family_baselines_cover_family_queries():
+    """Every family-bench query must carry a committed baseline (else the
+    2x regressions gate silently skips it) and every baseline must still
+    name a benched query; all names must be registered."""
+    import bench
+
+    from magiceye_spark import registry
+
+    family_names = {n for names in bench.FAMILIES.values() for n in names}
+    assert family_names == set(bench.FAMILY_BASELINE)
+    assert family_names <= set(registry.queries())
+    assert all(v > 0 for v in bench.FAMILY_BASELINE.values())
+
+
+def test_hamming_band_salt_spreads_hot_bucket(spark):
+    """Hot-bucket salt mechanism for the shared band join: a planted
+    300-doc identical-signature corpus (one bucket per band) with
+    bucket_cap=50 must split the left side into >=6 salt groups of <=2x
+    the cap, while producing the exact unsalted pair set."""
+    from magiceye_spark.llmops.dedup import _hamming_band_sides
+
+    sigs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.array_repeat(F.lit(1), 64).alias("bits"),
+        F.lit(7).cast("long").alias("band0"),
+        F.lit(7).cast("long").alias("band1"),
+        F.lit(7).cast("long").alias("band2"),
+        F.lit(7).cast("long").alias("band3"),
+    )
+    a, _ = _hamming_band_sides(sigs, bucket_cap=50)
+    groups = a.groupBy("band_id", "bucket", "salt").count().collect()
+    per_band = {}
+    for r in groups:
+        per_band.setdefault(r["band_id"], []).append(r["count"])
+        assert r["count"] <= 100  # <= 2x cap per salt group
+    assert all(len(c) >= 6 for c in per_band.values())
+
+    salted = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_band_near_dups(sigs, 3, bucket_cap=50).collect()
+    }
+    plain = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_band_near_dups(sigs, 3, bucket_cap=10**9).collect()
+    }
+    assert salted == plain and len(plain) == 300 * 299 // 2
