@@ -315,6 +315,46 @@ def banded_signature_rows(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", "band.band_id", "band.bucket", "sig")
 
 
+def _make_near_dup_processor(max_hamming: int):
+    """transformWithStateInPandas engine for :func:`near_dup_admit` —
+    same semantics as the applyInPandasWithState fold, with the bucket's
+    seen signatures in a typed ListState (appended incrementally instead
+    of rewriting one big tuple each batch — the state-shape win of the
+    Spark 4 API). Built lazily so importing this module never requires
+    the transformWithState surface."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _NearDupProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._seen = handle.getListState("seen", "doc_id LONG, sig STRING")
+
+        def handleInputRows(self, key, rows, timerValues):
+            band_id, bucket = key
+            seen = [(r[0], r[1]) for r in self._seen.get()] if self._seen.exists() else []
+            new = []
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values("doc_id")
+                for did, sig in zip(pdf["doc_id"], pdf["sig"]):
+                    best = None
+                    for pid, psig in seen:
+                        d = sum(a != b for a, b in zip(sig, psig))
+                        if d <= max_hamming and (best is None or d < best[1]):
+                            best = (pid, d)
+                    if best is not None:
+                        out.append((int(did), int(band_id), int(bucket), int(best[0]), int(best[1])))
+                    seen.append((int(did), sig))
+                    new.append((int(did), sig))
+            if new:
+                self._seen.appendList(new)
+            yield pd.DataFrame(out, columns=[f.name for f in NEAR_DUP_REJECT_SCHEMA.fields])
+
+        def close(self) -> None:
+            pass
+
+    return _NearDupProcessor()
+
+
 def _fold_near_dup(max_hamming: int):
     def fold(key, pdfs, state: GroupState):
         ids, sigs = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
@@ -338,7 +378,11 @@ def _fold_near_dup(max_hamming: int):
     return fold
 
 
-def near_dup_admit(banded: DataFrame, max_hamming: int = 3) -> DataFrame:
+def near_dup_admit(
+    banded: DataFrame,
+    max_hamming: int = 3,
+    use_transform_with_state: bool | None = None,
+) -> DataFrame:
     """Streaming near-duplicate ADMISSION GATE — dedup at ingest, the
     missing online sibling of the batch near-dup family: every arriving
     document's banded signature (from :func:`banded_signature_rows` over
@@ -357,8 +401,23 @@ def near_dup_admit(banded: DataFrame, max_hamming: int = 3) -> DataFrame:
     a production deployment caps hot buckets (the stopgram df cut) and
     ages state with a TTL; a hot bucket never blocks other keys' tasks.
     Arrow moves each bucket's rows as pandas; the Hamming probe is
-    64-char compares against an in-memory list, no shuffle."""
-    return banded.groupBy("band_id", "bucket").applyInPandasWithState(
+    64-char compares against an in-memory list, no shuffle.
+
+    Engine selection mirrors :func:`quota_admit`: the Spark 4
+    ``transformWithStateInPandas`` path (ListState appends, requires the
+    protobuf state server) when available, the
+    ``applyInPandasWithState`` fold otherwise — identical semantics."""
+    if use_transform_with_state is None:
+        use_transform_with_state = _transform_with_state_available()
+    grouped = banded.groupBy("band_id", "bucket")
+    if use_transform_with_state:
+        return grouped.transformWithStateInPandas(
+            _make_near_dup_processor(max_hamming),
+            outputStructType=NEAR_DUP_REJECT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    return grouped.applyInPandasWithState(
         _fold_near_dup(max_hamming),
         outputStructType=NEAR_DUP_REJECT_SCHEMA,
         stateStructType="ids ARRAY<BIGINT>, sigs ARRAY<STRING>",
