@@ -66,6 +66,14 @@ def wholestage_codegen_count(df: DataFrame) -> int:
     return len(re.findall(r"WholeStageCodegen", executed_plan(df)))
 
 
+def cartesian_product_count(df: DataFrame) -> int:
+    """True CartesianProduct operators (both sides shuffled, O(n·m) —
+    never acceptable at scale). BroadcastNestedLoopJoin is NOT counted:
+    a broadcast scalar crossJoin is the repo's standard total/offset
+    move and streams the big side once."""
+    return len(re.findall(r"\bCartesianProduct\b", executed_plan(df)))
+
+
 def single_partition_window_contexts(df: DataFrame) -> list[str]:
     """Plan contexts where an ``Exchange SinglePartition`` feeds a Window
     (directly or through Sort / WindowGroupLimit) — the single-task global

@@ -252,19 +252,34 @@ BOUNDED_WINDOW_ALLOWLIST = {
 }
 
 
+# The ONLY queries allowed to evaluate Python in their plan: the declared
+# Arrow multimodal kernels (the real-decode plug points) and their direct
+# composition. Everything else must stay JVM-side end-to-end.
+PYTHON_EVAL_ALLOWLIST = {"media_features", "media_similarity_topk"}
+
+
 def test_no_unpartitioned_window_in_any_registered_query(spark, sf_dir):
-    """Repo-wide scale gate: NO registered query may funnel data through a
-    single-partition window (the one plan shape that serializes at 100 TB),
-    except the explicitly-justified calendar-bounded allowlist above. The
-    two-phase offsets window (one row per shuffle partition, Sort on _pid)
-    is recognized and permitted by the detector itself."""
+    """Repo-wide scale gates, one plan sweep over every registered query:
+    (1) no single-partition window (the one plan shape that serializes at
+    100 TB) outside the calendar-bounded allowlist — the two-phase offsets
+    window (one row per shuffle partition, Sort on _pid) is recognized and
+    permitted by the detector itself; (2) no true CartesianProduct
+    anywhere (broadcast nested-loop scalar crossJoins are fine and not
+    counted); (3) no Python eval outside the declared Arrow kernels."""
     flagged = {}
+    cartesian = []
+    python_evals = []
     for name, fn in registry.queries().items():
-        contexts = plans.single_partition_window_contexts(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        contexts = plans.single_partition_window_contexts(df)
         if contexts:
             flagged[name] = contexts[0]
+        if plans.cartesian_product_count(df):
+            cartesian.append(name)
+        if name not in PYTHON_EVAL_ALLOWLIST and plans.python_eval_count(df):
+            python_evals.append(name)
         # two_phase_window (and friends) persist their inputs; without
-        # this the 193-query sweep accumulates every cached frame at once
+        # this the 194-query sweep accumulates every cached frame at once
         spark.catalog.clearCache()
     unexpected = set(flagged) - BOUNDED_WINDOW_ALLOWLIST
     stale = BOUNDED_WINDOW_ALLOWLIST - set(flagged)
@@ -272,6 +287,8 @@ def test_no_unpartitioned_window_in_any_registered_query(spark, sf_dir):
         flagged[n] for n in sorted(unexpected)
     )
     assert not stale, f"allowlist entries no longer needed: {sorted(stale)}"
+    assert cartesian == [], f"CartesianProduct in: {cartesian}"
+    assert python_evals == [], f"undeclared Python eval in: {python_evals}"
 
 
 def test_phash_pipeline_is_jvm_side(spark, sf_dir):
