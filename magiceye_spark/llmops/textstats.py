@@ -1206,3 +1206,151 @@ FROM c
 GROUP BY source
 ORDER BY source
 """
+
+
+# ------------------------------------------------- BPE vocab induction
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 64,
+    text_col: str = "text",
+    max_word_types: int = 1_000_000,
+) -> DataFrame:
+    """Byte-pair-encoding vocabulary induction (Sennrich et al. 2015) over
+    the corpus — the step after :func:`vocab_topk`'s histogram: learn the
+    ``num_merges`` highest-frequency symbol merges and return them ranked,
+    ``(rank, left, right, merged, pair_count)``.
+
+    Scale shape (the HF-tokenizers design, and the repo's IVF k-means
+    precedent): ONE distributed corpus pass aggregates to the distinct
+    WORD-frequency table — map-side-combined explode+groupBy, the shuffle
+    carries distinct words, not occurrences — then the merge loop runs
+    driver-side over that bounded table (word TYPES, ~1 M for web-scale
+    corpora; ``max_word_types`` caps the documented driver
+    materialization by dropping the lowest-frequency tail, exactly the
+    min_frequency cut real tokenizer training applies). Each merge
+    re-counts pairs only in words that CONTAIN the merged pair via an
+    inverted pair→word index — the classic incremental trainer, not a
+    quadratic rescan. Ties break on (count desc, left asc, right asc) so
+    the result is deterministic in both engines and in the pure-Python
+    reference test pin.
+
+    End-of-word is modeled with a '</w>' sentinel so merges never cross
+    word boundaries."""
+    toks = F.explode(_tokens(F.col(text_col))).alias("w")
+    words = (
+        docs.select(toks)
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("w"))
+        .limit(max_word_types)
+    )
+    wc = [(r["w"], int(r["n"])) for r in words.collect()]
+
+    splits = {w: tuple(list(w) + ["</w>"]) for w, _ in wc}
+    counts: dict[str, int] = dict(wc)
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set] = {}
+    for w, n in wc:
+        seq = splits[w]
+        for p in zip(seq, seq[1:]):
+            pair_counts[p] = pair_counts.get(p, 0) + n
+            pair_words.setdefault(p, set()).add(w)
+
+    merges = []
+    for rank in range(num_merges):
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), cnt = best
+        if cnt <= 0:
+            break
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+        for w in list(pair_words.get((left, right), ())):
+            seq = splits[w]
+            n = counts[w]
+            # remove old pair contributions of this word
+            for p in zip(seq, seq[1:]):
+                pair_counts[p] -= n
+                if pair_counts[p] <= 0:
+                    pair_counts.pop(p, None)
+                ws = pair_words.get(p)
+                if ws is not None:
+                    ws.discard(w)
+                    if not ws:
+                        pair_words.pop(p, None)
+            # apply the merge within the word
+            out = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = tuple(out)
+            splits[w] = seq
+            # add new pair contributions
+            for p in zip(seq, seq[1:]):
+                pair_counts[p] = pair_counts.get(p, 0) + n
+                pair_words.setdefault(p, set()).add(w)
+
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT"
+    )
+
+
+def bpe_segment_stats(
+    docs: DataFrame, merges_df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus compression achieved by a learned BPE merge table: per-source
+    characters, whitespace tokens, BPE symbols after applying the merges,
+    and the chars-per-symbol ratio (the number tokenizer training is
+    optimizing). The merge application runs JVM-side per WORD over the
+    distinct-word table (not per occurrence): each merge rank becomes one
+    ``regexp_replace`` on a '\\x00'-joined symbol string — a fixed-size
+    expression chain built from the (bounded, collected) merge table —
+    then occurrence-weighted per source. One corpus shuffle + one
+    broadcast join of the symbol counts back onto sources."""
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    toks = F.explode(_tokens(F.col(text_col))).alias("w")
+    per_source = (
+        docs.select(F.col("source"), toks)
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    import re as _re
+
+    # symbol string: chars joined by \x00 with the </w> sentinel; each
+    # regexp_replace consumes non-overlapping matches left-to-right —
+    # exactly the single-scan pair application the trainer uses
+    sym = F.concat_ws("\x00", F.split(F.col("w"), ""), F.lit("</w>"))
+    for left, right, merged in merges:
+        pat = _re.escape(left) + "\x00" + _re.escape(right)
+        repl = merged.replace("\\", "\\\\").replace("$", r"\$")
+        sym = F.regexp_replace(sym, F.lit(pat), F.lit(repl))
+    n_sym = F.size(F.split(sym, "\x00"))
+    return (
+        per_source.select(
+            "source",
+            "n",
+            (F.length("w") * F.col("n")).alias("chars"),
+            (n_sym * F.col("n")).alias("symbols"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum("chars").alias("n_chars"),
+            F.sum("symbols").alias("n_symbols"),
+            F.round(F.sum("chars") / F.sum("symbols"), 4).alias("chars_per_symbol"),
+        )
+        .orderBy("source")
+    )

@@ -1457,6 +1457,25 @@ def edit_distance_q(spark, sf_dir):
     )
 
 
+@register("bpe_vocab_merges", None)  # iterative driver fit: rows-only check
+def bpe_vocab_merges_q(spark, sf_dir):
+    """BPE vocabulary induction (Sennrich): one corpus pass to the
+    distinct word-frequency table, incremental inverted-index merge loop
+    driver-side (bounded by word TYPES — the IVF k-means fit precedent);
+    pinned merge-for-merge against a quadratic textbook reference in
+    tests/test_r6_ops.py."""
+    return textstats.bpe_train(_docs(spark, sf_dir), num_merges=64)
+
+
+@register("bpe_compression_by_source", None)  # depends on the learned merges
+def bpe_compression_q(spark, sf_dir):
+    """Chars-per-symbol compression of the learned BPE table per source —
+    the objective tokenizer training optimizes; merge application is a
+    JVM regexp chain over the distinct-word table, occurrence-weighted."""
+    docs = _docs(spark, sf_dir)
+    return textstats.bpe_segment_stats(docs, textstats.bpe_train(docs, num_merges=64))
+
+
 @register("events_ohlc_daily", events_ops.SQL_OHLC_DAILY)
 def ohlc_q(spark, sf_dir):
     """OHLC bars per (day, event_type) in one aggregation shuffle (min_by/

@@ -435,9 +435,10 @@ def near_dup_rejects_batch(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     from magiceye_spark.llmops.dedup import hamming_band_near_dups
 
     pairs = hamming_band_near_dups(sigs, max_hamming)
+    # no orderBy here: the keep-set consumer anti-joins this (order would
+    # cost a wasted range exchange); sort at the edge if displaying
     return (
         pairs.groupBy(F.col("doc_b").alias("doc_id"))
         .agg(F.min(F.struct("hamming", "doc_a")).alias("w"))
         .select("doc_id", F.col("w.doc_a").alias("near_doc"), F.col("w.hamming").alias("hamming"))
-        .orderBy("doc_id")
     )

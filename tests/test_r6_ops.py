@@ -175,3 +175,92 @@ def test_hamming_band_salt_spreads_hot_bucket(spark):
         for r in hamming_band_near_dups(sigs, 3, bucket_cap=10**9).collect()
     }
     assert salted == plain and len(plain) == 300 * 299 // 2
+
+
+def _reference_bpe(word_counts, num_merges):
+    """Independent textbook Sennrich BPE over a word-frequency dict —
+    quadratic rescan each merge (no inverted index), the slow-but-obvious
+    formulation the incremental trainer must match."""
+    splits = {w: tuple(list(w) + ["</w>"]) for w in word_counts}
+    merges = []
+    for rank in range(num_merges):
+        pairs = {}
+        for w, n in word_counts.items():
+            seq = splits[w]
+            for p in zip(seq, seq[1:]):
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        (left, right), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged = left + right
+        merges.append((rank, left, right, merged, cnt))
+        for w in word_counts:
+            seq, out, i = splits[w], [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            splits[w] = tuple(out)
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """The incremental inverted-index trainer must equal the quadratic
+    textbook formulation merge-for-merge on a corpus with repeated words,
+    shared prefixes, and tie-able pair counts."""
+    from collections import Counter
+
+    from magiceye_spark.llmops.textstats import bpe_train
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "wide wider widest low new",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)], "doc_id long, text string, source string"
+    )
+    wc = Counter(w for t in texts for w in t.split())
+    want = _reference_bpe(dict(wc), 20)
+    got = [tuple(r) for r in bpe_train(docs, num_merges=20).collect()]
+    assert got == want and len(got) == 20
+
+
+def test_bpe_segment_stats_compression(spark):
+    """Applying the learned merges must reduce symbol count (chars/symbol
+    > 1), never below the whitespace-token floor, and agree with a direct
+    Python application of the same merges."""
+    from magiceye_spark.llmops.textstats import bpe_segment_stats, bpe_train
+
+    texts = ["the cat sat on the mat", "the cat ran to the cat mat"]
+    docs = spark.createDataFrame(
+        [(i, t, "s") for i, t in enumerate(texts)], "doc_id long, text string, source string"
+    )
+    merges_df = bpe_train(docs, num_merges=10)
+    row = bpe_segment_stats(docs, merges_df).collect()[0]
+    assert row["n_tokens"] == sum(len(t.split()) for t in texts)
+    assert row["n_chars"] == sum(len(w) for t in texts for w in t.split())
+    assert row["n_symbols"] >= row["n_tokens"]  # can't beat 1 symbol/word
+    assert row["chars_per_symbol"] > 1.0  # merges actually compress
+
+    # direct Python application of the same merge list
+    merges = [(r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()]
+    n_sym = 0
+    for t in texts:
+        for w in t.split():
+            seq = list(w) + ["</w>"]
+            for left, right in merges:
+                out, i = [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                seq = out
+            n_sym += len(seq)
+    assert row["n_symbols"] == n_sym
