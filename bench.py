@@ -138,8 +138,11 @@ def main() -> None:
         out["families_total"] = round(
             sum(t for f in families.values() for t in f.values()), 3
         )
-        # gate: only meaningful at the committed SF (0.1)
-        if out["sf"] == 0.1:
+        # gate: only meaningful under the committed protocol — sf0.1 on the
+        # default local master (a multi-JVM local-cluster run has different
+        # fixed overheads and would flag spurious regressions)
+        master = os.environ.get("SPARK_GRAFT_MASTER", "")
+        if out["sf"] == 0.1 and (not master or master.startswith("local[")):
             out["regressions"] = sorted(
                 name
                 for f in families.values()

@@ -499,6 +499,14 @@ def cmd_phash_dedup(args: argparse.Namespace) -> int:
     from magiceye_spark.session import get_spark
     from magiceye_spark.streaming.stateful import near_dup_rejects_batch
 
+    if args.max_hamming > 3:
+        print(
+            "phash-dedup: --max-hamming must be <= 3 — the 4x16-bit band "
+            "blocking is only LOSSLESS up to Hamming 3 (pigeonhole); a "
+            "larger threshold would silently miss pairs",
+            file=sys.stderr,
+        )
+        return 2
     spark = get_spark("magiceye-phash-dedup")
     spark.sparkContext.setLogLevel("ERROR")
     t = _read_table(spark, args.path, args.format)

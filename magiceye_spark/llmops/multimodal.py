@@ -266,16 +266,26 @@ def phash_signatures(media: DataFrame) -> DataFrame:
     shuffle that combiner-compresses to ≤72 rows per doc, one per-doc agg;
     the wide payload column is pruned after the explode projection.
     """
-    dec = F.decode(F.col("payload"), "UTF-8")
-    # pad ONLY when shorter: rpad truncates longer strings (both engines),
-    # which would silently hash just the first 72 bytes
-    t = F.when(F.length(dec) < _PHASH_CELLS, F.rpad(dec, _PHASH_CELLS, "\x01")).otherwise(dec)
+    # fold RAW BYTES via the hex encoding (2 hex chars per byte): a UTF-8
+    # decode would throw MALFORMED_CHARACTER_CODING under ANSI mode on any
+    # genuine binary payload (real image/audio bytes are not valid UTF-8)
+    # and would collapse high bytes to U+FFFD otherwise — hex() is total.
+    # Pad ONLY when shorter (rpad truncates longer strings, which would
+    # silently hash just the first 72 bytes): pad bytes are 0x01 ("01"
+    # cycled, always byte-aligned since hex strings have even length).
+    hx = F.hex(F.col("payload"))
+    hex_len = 2 * _PHASH_CELLS
+    t = F.when(F.length(hx) < hex_len, F.rpad(hx, hex_len, "01")).otherwise(hx)
     chars = media.select(
-        F.col("media_id"), F.posexplode(F.split(t, "")).alias("pos", "ch")
+        F.col("media_id"),
+        F.posexplode(F.regexp_extract_all(t, F.lit(".."), 0)).alias("pos", "ch"),
     )
     cells = chars.groupBy(
         "media_id", (F.col("pos") % _PHASH_CELLS).alias("cell")
-    ).agg(F.sum(F.ascii("ch")).alias("s"), F.count(F.lit(1)).alias("c"))
+    ).agg(
+        F.sum(F.conv(F.col("ch"), 16, 10).cast("int")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
     grids = cells.groupBy("media_id").agg(
         F.array_sort(F.collect_list(F.struct("cell", "s", "c"))).alias("g")
     )
@@ -331,11 +341,12 @@ def phash_signatures_kernel(media: DataFrame) -> DataFrame:
                 if payload is None:
                     continue
                 b = bytes(payload)
-                if _HAS_PIL:  # pragma: no cover - codec libs absent here
-                    raise NotImplementedError(
-                        "real decode path: downsample to the 9x8 grayscale "
-                        "grid here, then reuse the dHash below unchanged"
-                    )
+                # REAL-DECODE PLUG POINT: with a codec present, downsample
+                # the decoded image to the 9x8 grayscale grid here and feed
+                # it to the dHash below unchanged. The deterministic stub
+                # (byte stream AS the pixel stream) stays the default even
+                # when PIL is importable — these synthetic payloads are not
+                # images, and the JVM twin computes the same stub.
                 if len(b) < _PHASH_CELLS:
                     b = b + b"\x01" * (_PHASH_CELLS - len(b))
                 s = [0] * _PHASH_CELLS

@@ -1331,10 +1331,16 @@ def bpe_segment_stats(
 
     # symbol string: chars joined by \x00 with the </w> sentinel; each
     # regexp_replace consumes non-overlapping matches left-to-right —
-    # exactly the single-scan pair application the trainer uses
+    # exactly the single-scan pair application the trainer uses. The
+    # pattern is ANCHORED to symbol boundaries with zero-width lookaround
+    # (consuming the delimiters would skip consecutive merges): without
+    # anchoring, 'o\x00w' would also fire INSIDE the multi-char symbol
+    # 'to', merging across symbols the trainer never merges.
     sym = F.concat_ws("\x00", F.split(F.col("w"), ""), F.lit("</w>"))
     for left, right, merged in merges:
-        pat = _re.escape(left) + "\x00" + _re.escape(right)
+        pat = (
+            "(?<=\x00|^)" + _re.escape(left) + "\x00" + _re.escape(right) + "(?=\x00|$)"
+        )
         repl = merged.replace("\\", "\\\\").replace("$", r"\$")
         sym = F.regexp_replace(sym, F.lit(pat), F.lit(repl))
     n_sym = F.size(F.split(sym, "\x00"))

@@ -193,10 +193,18 @@ def fit_psi_baseline(
     to the monitor and its batch twin."""
     v = F.col(col).cast("double")
     srow = df.agg(F.min(v).alias("_mn"), F.max(v).alias("_mx")).collect()[0]
+    if srow["_mn"] is None:
+        raise ValueError(
+            f"fit_psi_baseline: baseline frame has no non-null '{col}' values"
+        )
     mn, mx = float(srow["_mn"]), float(srow["_mx"])
+    # constant column: width 0 would divide by zero (ANSI cast overflow on
+    # Infinity); width 1.0 puts the whole baseline in bin 0, and the same
+    # convention in value_psi_drift / the SQL twin keeps scoring aligned
+    width = (mx - mn) or 1.0
     binned = df.select(
         F.least(
-            F.floor((v - F.lit(mn)) * n_bins / F.lit(mx - mn)).cast("int"),
+            F.floor((v - F.lit(mn)) * n_bins / F.lit(width)).cast("int"),
             F.lit(n_bins - 1),
         ).alias("bin")
     )
@@ -228,9 +236,10 @@ def value_psi_drift(
     tb = sum(n for _, n in baseline_bins)
     p = {b: (n + 0.5) / (tb + 0.5 * n_bins) for b, n in baseline_bins}
     v = F.col(col).cast("double")
+    width = (mx - mn) or 1.0  # constant-baseline convention, see fit
     binned = batch.select(
         F.least(
-            F.floor((v - F.lit(mn)) * n_bins / F.lit(mx - mn)).cast("int"),
+            F.floor((v - F.lit(mn)) * n_bins / F.lit(width)).cast("int"),
             F.lit(n_bins - 1),
         ).alias("bin")
     ).where(F.col("bin") >= 0)
@@ -257,9 +266,11 @@ def sql_value_psi_stream_twin(
     smooth = f"0.5 * {n_bins}"
     return f"""
 WITH base AS (SELECT CAST({col} AS DOUBLE) AS v FROM events WHERE {base_where}),
-stats AS (SELECT MIN(v) AS mn, MAX(v) AS mx FROM base),
+stats AS (SELECT MIN(v) AS mn,
+                 CASE WHEN MAX(v) = MIN(v) THEN 1.0 ELSE MAX(v) - MIN(v) END AS width
+          FROM base),
 bbin AS (
-  SELECT LEAST(CAST(FLOOR((v - mn) * {n_bins} / (mx - mn)) AS INT), {n_bins - 1}) AS bin
+  SELECT LEAST(CAST(FLOOR((v - mn) * {n_bins} / width) AS INT), {n_bins - 1}) AS bin
   FROM base, stats),
 bh AS (SELECT bin, COUNT(*) AS n FROM bbin GROUP BY bin),
 bdense AS (SELECT i.range AS b, COALESCE(n, 0) AS n
@@ -267,7 +278,7 @@ bdense AS (SELECT i.range AS b, COALESCE(n, 0) AS n
 btot AS (SELECT SUM(n) AS tb FROM bdense),
 tgt AS (SELECT CAST({col} AS DOUBLE) AS v FROM events WHERE {target_where}),
 tbin AS (
-  SELECT LEAST(CAST(FLOOR((v - mn) * {n_bins} / (mx - mn)) AS INT), {n_bins - 1}) AS bin
+  SELECT LEAST(CAST(FLOOR((v - mn) * {n_bins} / width) AS INT), {n_bins - 1}) AS bin
   FROM tgt, stats),
 th AS (SELECT bin, COUNT(*) AS n FROM tbin WHERE bin >= 0 GROUP BY bin),
 tdense AS (SELECT i.range AS b, COALESCE(n, 0) AS n
@@ -279,7 +290,8 @@ terms AS (
          (tdense.n + 0.5) / (tt + {smooth}) AS q
   FROM bdense JOIN tdense ON bdense.b = tdense.b, btot, ttot)
 SELECT CAST((SELECT tt FROM ttot) AS BIGINT) AS n_rows,
-       ROUND(SUM((p - q) * LN(p / q) ORDER BY b), 6) AS psi
+       CASE WHEN (SELECT tt FROM ttot) = 0 THEN 0.0
+            ELSE ROUND(SUM((p - q) * LN(p / q) ORDER BY b), 6) END AS psi
 FROM terms
 """
 

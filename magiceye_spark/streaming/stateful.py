@@ -118,8 +118,11 @@ def _make_quota_processor(cap: int):
             n = self._n.get()[0] if self._n.exists() else 0
             user_id, day = key
             out = []
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts_us", "event_id"])
+            # concatenate Arrow chunks before sorting: a hot key's batch
+            # can span chunks, and a per-chunk sort would admit events out
+            # of (ts, event_id) order across the chunk boundary
+            chunks = [pdf for pdf in rows]
+            for pdf in ([pd.concat(chunks).sort_values(["ts_us", "event_id"])] if chunks else []):
                 for eid in pdf["event_id"]:
                     if n < cap:
                         n += 1
@@ -151,8 +154,9 @@ def _fold_quota(cap: int):
         (n,) = state.get if state.exists else (0,)
         user_id, day = key
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts_us", "event_id"])
+        # concatenate Arrow chunks before sorting (see _QuotaProcessor)
+        chunks = [pdf for pdf in pdfs]
+        for pdf in ([pd.concat(chunks).sort_values(["ts_us", "event_id"])] if chunks else []):
             for eid in pdf["event_id"]:
                 if n < cap:
                     n += 1
@@ -333,8 +337,13 @@ def _make_near_dup_processor(max_hamming: int):
             seen = [(r[0], r[1]) for r in self._seen.get()] if self._seen.exists() else []
             new = []
             out = []
-            for pdf in rows:
-                pdf = pdf.sort_values("doc_id")
+            # concatenate ALL Arrow chunks before sorting: a key's
+            # micro-batch rows arrive as an iterator of pandas chunks, and
+            # a per-chunk sort would let a later chunk's lower doc_id see
+            # an earlier chunk's higher doc_id as "already seen"
+            chunks = [pdf for pdf in rows]
+            if chunks:
+                pdf = pd.concat(chunks).sort_values("doc_id")
                 for did, sig in zip(pdf["doc_id"], pdf["sig"]):
                     best = None
                     for pid, psig in seen:
@@ -360,8 +369,11 @@ def _fold_near_dup(max_hamming: int):
         ids, sigs = (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
         band_id, bucket = key
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
+        # concatenate ALL Arrow chunks before sorting (same reason as the
+        # transformWithState engine: a per-chunk sort breaks first-arrival
+        # ordering when one key's batch spans multiple pandas chunks)
+        chunks = [pdf for pdf in pdfs]
+        for pdf in ([pd.concat(chunks).sort_values("doc_id")] if chunks else []):
             for did, sig in zip(pdf["doc_id"], pdf["sig"]):
                 best = None
                 for pid, psig in zip(ids, sigs):
@@ -429,7 +441,9 @@ def near_dup_admit(
 def near_dup_rejects_batch(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Batch twin of the streaming gate's reject set under doc_id-ordered
     arrival: the doc_b side of every banded near-dup pair. One row per
-    rejected doc (min near_doc, its hamming as tiebreak witness)."""
+    rejected doc, witnessed by its CLOSEST earlier neighbor (minimum
+    hamming, ties broken on lowest doc_a) — the same best-match rule the
+    streaming processors apply."""
     from pyspark.sql import functions as F
 
     from magiceye_spark.llmops.dedup import hamming_band_near_dups

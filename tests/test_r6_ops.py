@@ -264,3 +264,65 @@ def test_bpe_segment_stats_compression(spark):
                 seq = out
             n_sym += len(seq)
     assert row["n_symbols"] == n_sym
+
+
+def test_bpe_segment_stats_boundary_anchored(spark):
+    """Regression (review finding): a merge whose left symbol is a suffix
+    of an earlier merged symbol must NOT fire inside that symbol. With
+    merges (t,o)->to then (o,w)->ow, 'stow' segments as [s,to,w,</w>] —
+    the unanchored regexp chain produced [s,tow,</w>]."""
+    from magiceye_spark.llmops.textstats import bpe_segment_stats
+
+    docs = spark.createDataFrame(
+        [(0, "stow", "s")], "doc_id long, text string, source string"
+    )
+    merges_df = spark.createDataFrame(
+        [(0, "t", "o", "to", 1), (1, "o", "w", "ow", 1)],
+        "rank INT, left STRING, right STRING, merged STRING, pair_count BIGINT",
+    )
+    row = bpe_segment_stats(docs, merges_df).collect()[0]
+    assert row["n_symbols"] == 4  # s, to, w, </w>
+
+
+def test_phash_handles_non_utf8_binary_payload(spark):
+    """Regression (review finding): genuine binary payloads (invalid
+    UTF-8 — 0xFF/0x80 bytes) must hash without ANSI decode errors, and
+    the JVM hex-fold must stay bit-identical to the kernel's raw-byte
+    fold on them."""
+    raw = bytes([0xFF, 0x80, 0x01, 0x42] * 40)
+    rows = [
+        (0, "image", raw, ("png", 16, 16, 100, 16000)),
+        (1, "image", raw, ("png", 16, 16, 100, 16000)),
+        (2, "image", bytes(range(200, 0, -1)), ("png", 16, 16, 100, 16000)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    jvm = {
+        r.doc_id: (r.bits, r.band0, r.band1, r.band2, r.band3)
+        for r in multimodal.phash_signatures(media).collect()
+    }
+    kern = {
+        r.doc_id: (r.bits, r.band0, r.band1, r.band2, r.band3)
+        for r in multimodal.phash_signatures_kernel(media).collect()
+    }
+    assert jvm == kern and len(jvm) == 3
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in multimodal.phash_near_dups(media).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_fit_psi_baseline_edge_cases(spark):
+    """Review findings: empty baseline must raise a clear error; a
+    constant column must fit (width-1 convention, everything in bin 0)
+    and score without ANSI cast errors."""
+    import pytest as _pytest
+
+    from magiceye_spark.streaming.drift import fit_psi_baseline, value_psi_drift
+
+    empty = spark.range(0).select(F.col("id").cast("double").alias("value"))
+    with _pytest.raises(ValueError, match="no non-null"):
+        fit_psi_baseline(empty, "value")
+
+    const = spark.range(100).select(F.lit(42.0).alias("value"))
+    bins, mn, mx = fit_psi_baseline(const, "value")
+    assert bins[0] == (0, 100) and all(n == 0 for _, n in bins[1:])
+    row = value_psi_drift(const, bins, "value", mn, mx).collect()[0]
+    assert row["n_rows"] == 100 and abs(row["psi"]) < 1e-9

@@ -645,3 +645,58 @@ def test_near_dup_admit_stream_matches_batch(spark, tmp_path):
     got = {r["doc_id"] for r in spark.table("near_dup_rejects").collect()}
     want = {r["doc_id"] for r in near_dup_rejects_batch(sigs, 3).collect()}
     assert got == want and len(want) > 0
+
+
+def test_near_dup_admit_survives_chunked_arrow_batches(spark, tmp_path):
+    """Regression (review finding): with arrow.maxRecordsPerBatch forced
+    tiny so one (band, bucket)'s micro-batch spans MANY pandas chunks,
+    the gate must still process rows in doc_id order — a per-chunk sort
+    would let a later chunk's lower id see an earlier chunk's higher id
+    as already seen and flip the reject set."""
+    from magiceye_spark.llmops import multimodal
+    from magiceye_spark.streaming import events as sev
+    from magiceye_spark.streaming.stateful import (
+        banded_signature_rows,
+        near_dup_admit,
+        near_dup_rejects_batch,
+    )
+
+    media = multimodal.synth_media(spark, "/root/testdata/sf0.001")
+    sigs = multimodal.phash_signatures(media)
+    banded = banded_signature_rows(sigs)
+    src = str(tmp_path / "banded_chunked")
+    # one file, descending-id row order inside it: chunk splits then land
+    # mid-key and unsorted, exercising the concat-before-sort path
+    banded.orderBy(F.desc("doc_id")).coalesce(1).write.parquet(src)
+
+    old_chunk = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    old_state = {k: spark.conf.get(k, None) for k in sev.ROCKSDB_STATE_CONF}
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    sev.enable_rocksdb_state(spark)
+    try:
+        stream = (
+            spark.readStream.schema(banded.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            near_dup_admit(stream, max_hamming=3)
+            .writeStream.format("memory")
+            .queryName("near_dup_rejects_chunked")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "chk_ndc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_chunk)
+        for k, v in old_state.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    got = {r["doc_id"] for r in spark.table("near_dup_rejects_chunked").collect()}
+    want = {r["doc_id"] for r in near_dup_rejects_batch(sigs, 3).collect()}
+    assert got == want and len(want) > 0
