@@ -363,8 +363,14 @@ def minhash_lsh_pairs(
     Explode each doc into ``bands`` (band_id, bucket) rows; equal buckets
     within a band are candidates; candidates are verified with exact Jaccard
     over shingle hash sets. Cost: one explode (map-side), one self-equi-join
-    on (band_id, bucket) — the shuffle key is uniformly hash-distributed so
-    no skew — and exact verification only on candidates.
+    on (band_id, bucket) — and exact verification only on candidates.
+
+    The shuffle key is hash-distributed across PARTITIONS, but a template
+    corpus puts every identical band signature into ONE (band, bucket)
+    join group whose O(b²) candidate expansion lands on a single task —
+    so the shared hot-bucket salt guard (:func:`_salted_band_sides`)
+    applies here exactly as in the Hamming band join: buckets above
+    ``bucket_cap`` split across ceil(b/cap) tasks, same pair set.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, shingle_n, text_col)
@@ -385,16 +391,11 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "shingles", "band.band_id", "band.bucket")
-    a, b = banded.alias("a"), banded.alias("b")
+    a, b = _salted_band_sides(banded, 2000, "shingles", "sh_a", "sh_b")
     cands = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select("a.doc_id", "b.doc_id", "a.shingles", "b.shingles")
-        .toDF("doc_a", "doc_b", "sh_a", "sh_b")
+        a.join(b, ["band_id", "bucket", "salt"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     # unrounded filter, rounded projection — keeps the candidate rerank
@@ -635,6 +636,53 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def _salted_band_sides(
+    banded: DataFrame, bucket_cap: int, payload: str, pa: str, pb: str
+):
+    """Generic hot-bucket salt guard for a banded self-join: ``banded`` is
+    ``(doc_id, <payload>, band_id, bucket)``; returns (a, b) sides to be
+    joined on ["band_id", "bucket", "salt"] with payload columns renamed
+    ``pa``/``pb``. Only OVERSIZED buckets enter the broadcast size table,
+    so the no-skew plan is one left join against a near-empty broadcast;
+    each unordered pair still meets exactly once per shared bucket (at
+    the left row's salt). Used by the Hamming band join (SimHash /
+    perceptual dHash) and the MinHash LSH bucket join.
+
+    The banded frame now has THREE consumers (size agg + both sides), so
+    it is materialized behind an explicit-count repartition barrier: the
+    three subtrees then share one ReusedExchange instead of each
+    recomputing the (expensive) signature expressions from the scan —
+    the same barrier discipline as the containment/jaccard twins
+    (PLANS.md nested-HOF audit)."""
+    banded = banded.repartition(
+        banded.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    hot = (
+        banded.groupBy("band_id", "bucket")
+        .agg(F.ceil(F.count(F.lit(1)) / bucket_cap).cast("int").alias("n_salt"))
+        .where(F.col("n_salt") > 1)
+    )
+    a = banded.join(F.broadcast(hot), ["band_id", "bucket"], "left").select(
+        F.col("doc_id").alias("doc_a"),
+        F.col(payload).alias(pa),
+        "band_id",
+        "bucket",
+        F.coalesce(
+            F.pmod(F.xxhash64("doc_id"), F.col("n_salt")).cast("int"), F.lit(0)
+        ).alias("salt"),
+    )
+    b = banded.join(F.broadcast(hot), ["band_id", "bucket"], "left").select(
+        F.col("doc_id").alias("doc_b"),
+        F.col(payload).alias(pb),
+        "band_id",
+        "bucket",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1)
+        ).alias("salt"),
+    )
+    return a, b
+
+
 def _hamming_band_sides(sigs: DataFrame, bucket_cap: int):
     """The banded join sides of :func:`hamming_band_near_dups`, exposed so
     tests can pin the hot-bucket salt MECHANISM. Returns (a, b) joined on
@@ -649,33 +697,7 @@ def _hamming_band_sides(sigs: DataFrame, bucket_cap: int):
             ])
         ).alias("band"),
     ).select("doc_id", "bits", "band.band_id", "band.bucket")
-    # only OVERSIZED buckets enter the broadcast table (bounded by the
-    # 4 × 2^16 band-value space, and in practice by skew alone), so the
-    # no-skew plan is one left join against a near-empty broadcast
-    hot = (
-        banded.groupBy("band_id", "bucket")
-        .agg(F.ceil(F.count(F.lit(1)) / bucket_cap).cast("int").alias("n_salt"))
-        .where(F.col("n_salt") > 1)
-    )
-    a = banded.join(F.broadcast(hot), ["band_id", "bucket"], "left").select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("bits").alias("bits_a"),
-        "band_id",
-        "bucket",
-        F.coalesce(
-            F.pmod(F.xxhash64("doc_id"), F.col("n_salt")).cast("int"), F.lit(0)
-        ).alias("salt"),
-    )
-    b = banded.join(F.broadcast(hot), ["band_id", "bucket"], "left").select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("bits").alias("bits_b"),
-        "band_id",
-        "bucket",
-        F.explode(
-            F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1)
-        ).alias("salt"),
-    )
-    return a, b
+    return _salted_band_sides(banded, bucket_cap, "bits", "bits_a", "bits_b")
 
 
 def hamming_band_near_dups(
