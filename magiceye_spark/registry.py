@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from magiceye_spark import analytics, dq, events_ops, io, partsupp, profile, sketches, synthcat
-from magiceye_spark.llmops import dedup, multimodal, pipeline, retrieval, simsearch, textstats
+from magiceye_spark.llmops import dedup, graph, multimodal, pipeline, retrieval, simsearch, textstats
 from magiceye_spark.datadiff import (
     build_scd2,
     diff_data,
@@ -2275,6 +2275,24 @@ def events_psi_stream_twin_q(spark, sf_dir):
     cut = F.lit("2024-01-16").cast("timestamp")
     baseline_bins, mn, mx = fit_psi_baseline(ev.where(F.col("ts") < cut), "value")
     return value_psi_drift(ev.where(F.col("ts") >= cut), baseline_bins, "value", mn, mx)
+
+
+@register("dup_graph_components", graph.sql_dup_components())
+def dup_graph_components_q(spark, sf_dir):
+    """Transitive closure of the Jaccard near-dup pair relation:
+    (doc_id, comp_id) with comp_id = min doc_id of the cluster (the
+    keep-one keeper). Spark side is iterative min-label propagation with
+    pointer jumping (O(log diameter) rounds, lineage truncated per round
+    via localCheckpoint); oracle is a DuckDB recursive CTE over the same
+    pair SQL — an iterative algorithm with an exact SQL oracle."""
+    return graph.dup_graph_components(_docs(spark, sf_dir))
+
+
+@register("dup_cluster_stats", graph.sql_dup_cluster_stats())
+def dup_cluster_stats_q(spark, sf_dir):
+    """Per-cluster rollup of the closure: member count, max doc_id, docs
+    removed under keep-lowest policy."""
+    return graph.dup_cluster_stats(_docs(spark, sf_dir))
 
 
 @register("events_quota_batch_twin", _stateful_sql_quota())

@@ -326,3 +326,43 @@ def test_fit_psi_baseline_edge_cases(spark):
     assert bins[0] == (0, 100) and all(n == 0 for _, n in bins[1:])
     row = value_psi_drift(const, bins, "value", mn, mx).collect()[0]
     assert row["n_rows"] == 100 and abs(row["psi"]) < 1e-9
+
+
+def test_connected_components_mechanism(spark):
+    """Min-label propagation on a hand-built graph: a 6-node chain (the
+    transitive case pair filters miss), a 2-node island, and a triangle —
+    every node must land on its component's MINIMUM id, with and without
+    pointer jumping."""
+    from magiceye_spark.llmops.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 10-11-12-13-14-15, island {20,21}, triangle {30,31,32}
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+         (20, 21), (30, 31), (31, 32), (32, 30)],
+        "src long, dst long",
+    )
+    expect = {n: 10 for n in range(10, 16)} | {20: 20, 21: 20} | {n: 30 for n in (30, 31, 32)}
+    for pj in (True, False):
+        got = {r.node: r.comp_id for r in connected_components(edges, pointer_jump=pj).collect()}
+        assert got == expect, f"pointer_jump={pj}"
+
+
+def test_connected_components_deep_chain_log_rounds(spark):
+    """A 64-node path graph: pointer jumping must converge within
+    O(log diameter) rounds (max_iter=8 covers 2^8 hops ≫ 63), while plain
+    propagation needs O(diameter) rounds and must raise — not return
+    wrong labels — when capped below that."""
+    import pytest as _pytest
+
+    from magiceye_spark.llmops.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    got = {
+        r.node: r.comp_id
+        for r in connected_components(edges, max_iter=8).collect()
+    }
+    assert got == {n: 0 for n in range(64)}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=5, pointer_jump=False)
