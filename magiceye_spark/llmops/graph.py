@@ -167,6 +167,27 @@ def dup_cluster_stats(
     )
 
 
+def dedup_keep_per_cluster(
+    docs: DataFrame, threshold: float = 0.8, length_tol: int = 60
+) -> DataFrame:
+    """The deduplicated corpus after TRANSITIVE closure: every document
+    that is either in no near-dup pair, or the minimum-id member of its
+    cluster. This is strictly stronger than pairwise keep-lowest
+    (``doc_a < doc_b`` drop-the-right-side), which over-keeps the middle
+    of chains: with A~B, B~C and no A~C pair, pairwise keeps {A, C} but
+    the closure keeps {A} only. One left join against the label frame,
+    which holds only docs that had at least one pair — AQE broadcasts it
+    when the dup rate is low and shuffles on doc_id when it isn't (don't
+    force a broadcast: at corpus scale a high-dup crawl makes the closure
+    itself huge)."""
+    comps = dup_graph_components(docs, threshold=threshold, length_tol=length_tol)
+    return (
+        docs.join(comps, "doc_id", "left")
+        .where(F.col("comp_id").isNull() | (F.col("comp_id") == F.col("doc_id")))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
 def _sql_edges_cte(threshold: float, length_tol: int) -> str:
     return f"""
 toksets AS (
@@ -207,6 +228,17 @@ def sql_dup_components(threshold: float = 0.8, length_tol: int = 60) -> str:
         "WITH RECURSIVE "
         + _sql_edges_cte(threshold, length_tol)
         + "\nSELECT doc_id, comp_id FROM comps"
+    )
+
+
+def sql_dedup_keep_per_cluster(threshold: float = 0.8, length_tol: int = 60) -> str:
+    return (
+        "WITH RECURSIVE "
+        + _sql_edges_cte(threshold, length_tol)
+        + """
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
+WHERE c.comp_id IS NULL OR c.comp_id = d.doc_id"""
     )
 
 

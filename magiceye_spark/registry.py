@@ -88,7 +88,11 @@ _DRIVER_WINDOW = [
     "events_hourly_rollup",
     "events_rollup_cascade",
     "top_users_by_events",
-    "orders_customer_rollup",
+    # orders_customer_rollup's seat ceded to dup_graph_components in r6 so
+    # the iterative-graph family (near-dup transitive closure — the first
+    # eager fixpoint algorithm in the repo) carries a driver row; the
+    # evicted rollup stays oracle-checked in pytest's sweep
+    "dup_graph_components",
     "nation_coverage_setops",
     "orders_rollup_hierarchy",
     "events_pivot_by_type",
@@ -2293,6 +2297,14 @@ def dup_cluster_stats_q(spark, sf_dir):
     """Per-cluster rollup of the closure: member count, max doc_id, docs
     removed under keep-lowest policy."""
     return graph.dup_cluster_stats(_docs(spark, sf_dir))
+
+
+@register("dedup_keep_per_cluster", graph.sql_dedup_keep_per_cluster())
+def dedup_keep_per_cluster_q(spark, sf_dir):
+    """The corpus after transitive-closure dedup: docs with no near-dup
+    pair plus the minimum-id member of every cluster — strictly stronger
+    than pairwise keep-lowest, which over-keeps chain middles."""
+    return graph.dedup_keep_per_cluster(_docs(spark, sf_dir))
 
 
 @register("events_quota_batch_twin", _stateful_sql_quota())

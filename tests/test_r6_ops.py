@@ -366,3 +366,28 @@ def test_connected_components_deep_chain_log_rounds(spark):
     assert got == {n: 0 for n in range(64)}
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iter=5, pointer_jump=False)
+
+
+def test_keep_per_cluster_drops_chain_middles(spark):
+    """Transitive keep-one must beat pairwise keep-lowest on chains:
+    build docs where A~B and B~C pass the Jaccard threshold but A~C does
+    not — pairwise drop-the-right-side keeps {A, C}; the closure keeps
+    only A."""
+    from magiceye_spark.llmops.dedup import jaccard_near_dups
+    from magiceye_spark.llmops.graph import dedup_keep_per_cluster
+
+    base = [f"w{i}" for i in range(10)]
+    texts = {
+        1: " ".join(base),                      # A: w0..w9
+        2: " ".join(base[1:] + ["x1"]),         # B: 9/11 with A (~0.818)
+        3: " ".join(base[2:] + ["x1", "x2"]),   # C: 9/11 with B, 8/12 with A (~0.667)
+        4: "completely different content here", # untouched singleton
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in jaccard_near_dups(docs, threshold=0.8).collect()}
+    assert pairs == {(1, 2), (2, 3)}  # the chain premise: no (1, 3) edge
+    kept = {r.doc_id for r in dedup_keep_per_cluster(docs, threshold=0.8).collect()}
+    assert kept == {1, 4}  # pairwise keep-lowest would wrongly keep 3
