@@ -961,3 +961,140 @@ FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ------------------------------------------------- bitext / parallel-pair mining
+
+def bitext_margin_pairs(
+    docs: DataFrame,
+    emb: DataFrame,
+    src_lang: str = "en",
+    k: int = 4,
+    margin_threshold: float = 1.15,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2018,
+    arXiv:1811.01136 ratio margin): for every ``src_lang`` document, the
+    best cross-lingual match whose cosine stands out against BOTH sides'
+    local neighborhood densities —
+    ``margin = cos(x, y) / ((mean_k cos(x, ·) + mean_k cos(·, y)) / 2)``.
+    Plain nearest-neighbor mining over-fires in dense regions (hub
+    vectors are everyone's neighbor); the margin normalizes by how close
+    each side's k-NN field is, which is what makes mined bitext usable
+    as translation training pairs.
+
+    Output: (src_id, tgt_id, tgt_lang, cosine_sim, margin) — the single
+    best target per source, kept only above ``margin_threshold``.
+
+    This is the exact all-pairs twin (the oracle-checkable form, like
+    jaccard_near_dups): O(|A|·|B|) scores with the small side broadcast.
+    At corpus scale, generate candidates with the banded LSH / IVF
+    machinery in this module first and compute the same margin over
+    candidates only — the margin expression is identical.
+
+    Engine-parity notes: cosines are rounded to 6 before the k-NN means;
+    the means sum DECIMAL(18,6) (exact, order-independent) and divide as
+    doubles, so margin is a chain of single deterministic float ops in
+    both engines.
+    """
+    e = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "lang", "embedding"
+    )
+    a = e.where(F.col("lang") == src_lang).select(
+        F.col("doc_id").alias("src_id"), F.col("embedding").alias("a_vec")
+    )
+    b = e.where(F.col("lang") != src_lang).select(
+        F.col("doc_id").alias("tgt_id"),
+        F.col("lang").alias("tgt_lang"),
+        F.col("embedding").alias("b_vec"),
+    )
+    scored = (
+        b.crossJoin(F.broadcast(a))
+        .select(
+            "src_id",
+            "tgt_id",
+            "tgt_lang",
+            F.round(cosine(F.col("a_vec"), F.col("b_vec")), 6).alias("cosine_sim"),
+        )
+        .persist()  # three consumers: two k-NN mean passes + the final join
+    )
+
+    def knn_mean(part_col: str, tie_col: str, out: str) -> DataFrame:
+        w = Window.partitionBy(part_col).orderBy(
+            F.desc("cosine_sim"), F.asc(tie_col)
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= k)
+            .groupBy(part_col)
+            .agg(
+                (
+                    F.sum(F.col("cosine_sim").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias(out)
+            )
+        )
+
+    m_src = knn_mean("src_id", "tgt_id", "m_src")
+    m_tgt = knn_mean("tgt_id", "src_id", "m_tgt")
+    marg = (
+        scored.join(m_src, "src_id")
+        .join(m_tgt, "tgt_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cosine_sim") / (F.lit(0.5) * (F.col("m_src") + F.col("m_tgt"))),
+                6,
+            ),
+        )
+    )
+    wb = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.desc("cosine_sim"), F.asc("tgt_id")
+    )
+    return (
+        marg.withColumn("rb", F.row_number().over(wb))
+        .where((F.col("rb") == 1) & (F.col("margin") >= margin_threshold))
+        .select("src_id", "tgt_id", "tgt_lang", "cosine_sim", "margin")
+        .orderBy("src_id")
+    )
+
+
+def sql_bitext_margin_pairs(
+    src_lang: str = "en", k: int = 4, margin_threshold: float = 1.15
+) -> str:
+    return f"""
+WITH e AS (
+  SELECT d.doc_id, d.lang, CAST(em.embedding AS DOUBLE[]) AS v
+  FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id
+),
+a AS (SELECT doc_id AS src_id, v AS av FROM e WHERE lang = '{src_lang}'),
+b AS (SELECT doc_id AS tgt_id, lang AS tgt_lang, v AS bv FROM e WHERE lang <> '{src_lang}'),
+scored AS (
+  SELECT src_id, tgt_id, tgt_lang,
+         ROUND(list_dot_product(av, bv)
+               / (SQRT(list_dot_product(av, av)) * SQRT(list_dot_product(bv, bv))), 6) AS cosine_sim
+  FROM a CROSS JOIN b
+),
+ms AS (
+  SELECT src_id, CAST(SUM(CAST(cosine_sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m_src
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cosine_sim DESC, tgt_id) AS r
+        FROM scored)
+  WHERE r <= {k} GROUP BY src_id
+),
+mt AS (
+  SELECT tgt_id, CAST(SUM(CAST(cosine_sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m_tgt
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cosine_sim DESC, src_id) AS r
+        FROM scored)
+  WHERE r <= {k} GROUP BY tgt_id
+),
+marg AS (
+  SELECT s.src_id, s.tgt_id, s.tgt_lang, s.cosine_sim,
+         ROUND(s.cosine_sim / (0.5 * (ms.m_src + mt.m_tgt)), 6) AS margin
+  FROM scored s JOIN ms USING (src_id) JOIN mt USING (tgt_id)
+)
+SELECT src_id, tgt_id, tgt_lang, cosine_sim, margin FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+            ORDER BY margin DESC, cosine_sim DESC, tgt_id) AS rb
+  FROM marg
+) WHERE rb = 1 AND margin >= {margin_threshold}
+ORDER BY src_id
+"""

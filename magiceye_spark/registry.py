@@ -2299,6 +2299,18 @@ def dup_cluster_stats_q(spark, sf_dir):
     return graph.dup_cluster_stats(_docs(spark, sf_dir))
 
 
+@register("bitext_margin_pairs", simsearch.sql_bitext_margin_pairs())
+def bitext_margin_pairs_q(spark, sf_dir):
+    """Margin-based cross-lingual parallel-pair mining (ratio margin,
+    arXiv:1811.01136): best non-src-lang match per English doc whose
+    cosine stands out against both sides' k-NN neighborhood density.
+    Exact all-pairs twin; at corpus scale the same margin runs over
+    LSH/IVF candidates."""
+    return simsearch.bitext_margin_pairs(
+        _docs(spark, sf_dir), simsearch._emb(spark, sf_dir)
+    )
+
+
 @register("dedup_keep_per_cluster", graph.sql_dedup_keep_per_cluster())
 def dedup_keep_per_cluster_q(spark, sf_dir):
     """The corpus after transitive-closure dedup: docs with no near-dup

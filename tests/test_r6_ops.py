@@ -391,3 +391,49 @@ def test_keep_per_cluster_drops_chain_middles(spark):
     assert pairs == {(1, 2), (2, 3)}  # the chain premise: no (1, 3) edge
     kept = {r.doc_id for r in dedup_keep_per_cluster(docs, threshold=0.8).collect()}
     assert kept == {1, 4}  # pairwise keep-lowest would wrongly keep 3
+
+
+def test_bitext_margin_matches_numpy_reference(spark):
+    """Pin bitext_margin_pairs against an independent NumPy brute-force
+    of the ratio-margin formula (arXiv:1811.01136) on a fixed random
+    corpus: same rounding discipline, best-per-source, threshold 1.0 so
+    every source appears."""
+    import numpy as np
+
+    from magiceye_spark.llmops.simsearch import bitext_margin_pairs
+
+    rng = np.random.default_rng(11)
+    langs = ["en"] * 6 + ["de"] * 4 + ["fr"] * 4
+    vecs = rng.normal(size=(14, 8)).astype("float32")
+    docs = spark.createDataFrame(
+        [(i, "t", langs[i], "s", 1) for i in range(14)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(14)],
+        "vec_id long, embedding array<float>",
+    )
+    k = 2
+    got = {
+        r.src_id: (r.tgt_id, r.cosine_sim, r.margin)
+        for r in bitext_margin_pairs(docs, emb, k=k, margin_threshold=1.0).collect()
+    }
+
+    v = vecs.astype("float64")
+    cos = np.round(
+        (v @ v.T) / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]),
+        6,
+    )
+    src, tgt = range(6), range(6, 14)
+    m_src = {x: np.mean(sorted((cos[x, y] for y in tgt), reverse=True)[:k]) for x in src}
+    m_tgt = {y: np.mean(sorted((cos[x, y] for x in src), reverse=True)[:k]) for y in tgt}
+    expect = {}
+    for x in src:
+        best = max(
+            tgt,
+            key=lambda y: (round(cos[x, y] / (0.5 * (m_src[x] + m_tgt[y])), 6), cos[x, y], -y),
+        )
+        m = round(cos[x, best] / (0.5 * (m_src[x] + m_tgt[best])), 6)
+        if m >= 1.0:
+            expect[x] = (best, round(cos[x, best], 6), m)
+    assert got == expect and len(got) >= 3
