@@ -253,3 +253,102 @@ SELECT comp_id,
        CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
 FROM comps GROUP BY comp_id"""
     )
+
+
+# ------------------------------------------------- delta-ingest admission
+
+def delta_dedup_admit(
+    docs: DataFrame,
+    incoming_pct: int = 30,
+    threshold: float = 0.8,
+    length_tol: int = 60,
+    salt: str = "ingest-v1",
+    incoming_col: str | None = None,
+) -> DataFrame:
+    """Batch delta-ingest dedup: which INCOMING documents may join an
+    EXISTING corpus? A doc is admitted iff its transitive near-dup
+    cluster (over the UNION graph) contains no existing doc AND it is
+    the minimum-id incoming member of that cluster (singletons trivially
+    qualify). Closure, not pairwise: an incoming doc chained to an
+    existing one through another incoming doc is a dup of corpus content
+    and must be rejected even though it has no direct edge to the corpus
+    — the case per-pair checks miss.
+
+    The existing/incoming sides are carved from ``docs`` by the same
+    deterministic md5 coin as :func:`~magiceye_spark.llmops.pipeline.hash_split`
+    (content-independent, engine-reproducible), ``incoming_pct`` percent
+    incoming — or, when ``incoming_col`` names an existing boolean
+    column, directly from the caller's batch flag (the production shape:
+    the incoming side IS the new ingest batch). The pair relation is computed ONCE over the union — exactly
+    the all-pairs Jaccard twin — so the oracle reuses the shared edges
+    CTE; at corpus scale feed MinHash-LSH pairs between the incoming
+    batch and the (pre-signed) corpus index into
+    :func:`connected_components` the same way.
+
+    Output: admitted incoming docs (doc_id, lang, source, n_chars).
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    if incoming_col is not None:
+        flagged = docs.withColumn("is_incoming", F.col(incoming_col))
+    else:
+        flagged = docs.withColumn("is_incoming", bucket >= (100 - incoming_pct))
+    comps = dup_graph_components(docs, threshold=threshold, length_tol=length_tol)
+    labeled = flagged.join(comps, "doc_id", "left")
+    verdicts = (
+        labeled.where(F.col("comp_id").isNotNull())
+        .groupBy("comp_id")
+        .agg(
+            F.max(F.when(~F.col("is_incoming"), 1).otherwise(0)).alias("has_existing"),
+            F.min(F.when(F.col("is_incoming"), F.col("doc_id"))).alias("min_incoming"),
+        )
+    )
+    return (
+        labeled.where(F.col("is_incoming"))
+        .join(verdicts, "comp_id", "left")
+        .where(
+            F.col("comp_id").isNull()
+            | ((F.col("has_existing") == 0) & (F.col("doc_id") == F.col("min_incoming")))
+        )
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def sql_delta_dedup_admit(
+    incoming_pct: int = 30,
+    threshold: float = 0.8,
+    length_tol: int = 60,
+    salt: str = "ingest-v1",
+) -> str:
+    return (
+        "WITH RECURSIVE "
+        + _sql_edges_cte(threshold, length_tol)
+        + f""",
+flagged AS (
+  SELECT doc_id, lang, source, n_chars,
+         CAST(CONCAT('0x', substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+           >= (100 - {incoming_pct}) AS is_incoming
+  FROM documents
+),
+labeled AS (
+  SELECT f.*, c.comp_id FROM flagged f LEFT JOIN comps c ON f.doc_id = c.doc_id
+),
+verdicts AS (
+  SELECT comp_id,
+         MAX(CASE WHEN NOT is_incoming THEN 1 ELSE 0 END) AS has_existing,
+         MIN(CASE WHEN is_incoming THEN doc_id END) AS min_incoming
+  FROM labeled WHERE comp_id IS NOT NULL GROUP BY comp_id
+)
+SELECT l.doc_id, l.lang, l.source, l.n_chars
+FROM labeled l LEFT JOIN verdicts v ON l.comp_id = v.comp_id
+WHERE l.is_incoming
+  AND (l.comp_id IS NULL OR (v.has_existing = 0 AND l.doc_id = v.min_incoming))"""
+    )

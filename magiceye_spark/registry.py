@@ -2319,6 +2319,15 @@ def dedup_keep_per_cluster_q(spark, sf_dir):
     return graph.dedup_keep_per_cluster(_docs(spark, sf_dir))
 
 
+@register("delta_dedup_admit", graph.sql_delta_dedup_admit())
+def delta_dedup_admit_q(spark, sf_dir):
+    """Batch delta-ingest admission: incoming docs (md5-coin 30% of the
+    corpus) admitted iff their transitive near-dup cluster holds no
+    existing doc and they are its minimum-id incoming member — catches
+    incoming→incoming→existing chains that per-pair checks miss."""
+    return graph.delta_dedup_admit(_docs(spark, sf_dir))
+
+
 @register("events_quota_batch_twin", _stateful_sql_quota())
 def events_quota_batch_twin_q(spark, sf_dir):
     """Batch twin of the streaming per-(user, day) admission gate

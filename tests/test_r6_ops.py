@@ -437,3 +437,34 @@ def test_bitext_margin_matches_numpy_reference(spark):
         if m >= 1.0:
             expect[x] = (best, round(cos[x, best], 6), m)
     assert got == expect and len(got) >= 3
+
+
+def test_delta_admit_rejects_chain_to_existing(spark):
+    """Delta-ingest admission must reject an incoming doc whose only path
+    to the corpus runs THROUGH another incoming doc (incoming C ~
+    incoming B ~ existing A, no direct A~C edge), while admitting true
+    singletons and exactly one member of incoming-only dup groups."""
+    from magiceye_spark.llmops.graph import delta_dedup_admit
+
+    base = [f"w{i}" for i in range(10)]
+    rows = [
+        # existing corpus doc A
+        (100, " ".join(base), False),
+        # incoming B: near-dup of A; incoming C: near-dup of B only
+        (2, " ".join(base[1:] + ["x1"]), True),
+        (3, " ".join(base[2:] + ["x1", "x2"]), True),
+        # incoming singleton
+        (4, "totally unrelated fresh content words", True),
+        # incoming-only dup pair: admit the min id
+        (5, "alpha beta gamma delta epsilon zeta eta theta iota kappa", True),
+        (6, "alpha beta gamma delta epsilon zeta eta theta iota qq", True),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t), inc) for i, t, inc in rows],
+        "doc_id long, text string, lang string, source string, n_chars int, is_new boolean",
+    )
+    admitted = {
+        r.doc_id
+        for r in delta_dedup_admit(docs, incoming_col="is_new").collect()
+    }
+    assert admitted == {4, 5}
