@@ -52,6 +52,8 @@ FAMILIES = {
     "edit_distance": ["edit_distance_near_dups"],
     "ann": ["cosine_topk", "ivf_ann_topk", "ivf_pq_ann_topk"],
     "multimodal": ["media_catalog", "phash_near_dups"],
+    "graph": ["dup_graph_components", "dedup_keep_per_cluster", "delta_dedup_admit"],
+    "bitext": ["bitext_margin_pairs"],
 }
 
 # Committed family baselines at sf0.1 on the bench machine (BENCH_r05.json,
@@ -77,6 +79,12 @@ FAMILY_BASELINE = {
     "ivf_pq_ann_topk": 17.56,
     "media_catalog": 2.11,  # r6 committed
     "phash_near_dups": 7.52,  # r6 committed
+    # r6 committed (iterative closure: ~5 pointer-jump rounds of fixed
+    # per-round job latency on top of the 3.3 s all-pairs twin)
+    "dup_graph_components": 22.62,
+    "dedup_keep_per_cluster": 13.18,
+    "delta_dedup_admit": 17.82,
+    "bitext_margin_pairs": 9.03,  # r6 committed (B-side barrier: was 20.3)
 }
 
 

@@ -29,8 +29,10 @@ the shipped corpus measures diameter 7 at sf0.001 AND sf0.01), but the
 pointer jump is what makes the loop safe at 100 TB where chains through
 hub documents can be arbitrarily deep: 20 rounds cover diameter ~2^20.
 Each round is two bounded shuffles over the EDGE list plus one over the
-(smaller) label list; the driver sees only one scalar ``count`` per
-round (the convergence check) — no row data ever leaves the executors.
+(smaller) label list; the driver sees only one scalar per round (the
+Σlabel convergence witness — labels are min-monotone, so the sum
+strictly decreases until the fixpoint) — no row data ever leaves the
+executors.
 """
 
 from __future__ import annotations
@@ -57,7 +59,7 @@ def connected_components(
     keep-one-per-cluster dedup.
 
     EAGER: convergence is data-dependent, so this runs Spark jobs at call
-    time (one scalar count per round) and returns the final materialized
+    time (one scalar agg per round) and returns the final materialized
     label frame. Converges in O(log diameter) rounds with
     ``pointer_jump`` (default), O(diameter) without; raises
     ``RuntimeError`` if ``max_iter`` rounds don't reach the fixpoint
@@ -81,6 +83,7 @@ def connected_components(
         .persist()
     )
     try:
+        prev_sum = None
         for _ in range(max_iter):
             nb_min = (
                 sym.join(labels, sym["v"] == labels["node"])
@@ -113,16 +116,17 @@ def connected_components(
             # recomputing a lost localCheckpoint block is impossible
             # because the lineage is gone.)
             new = new.repartition(par, "node").localCheckpoint(eager=True)
-            changed = (
-                new.withColumnRenamed("comp", "new_comp")
-                .join(labels, "node")
-                .where(F.col("new_comp") != F.col("comp"))
-                .count()
-            )
+            # convergence witness: every step takes a MIN across self +
+            # neighbors (+ pointer jump, also a min), so per-node labels
+            # never increase — Σcomp strictly decreases until the fixpoint.
+            # One scalar agg over the checkpointed frame per round, instead
+            # of a join+count against the previous labels.
+            new_sum = new.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
             labels.unpersist()
             labels = new
-            if changed == 0:
+            if new_sum == prev_sum:
                 return labels.select("node", F.col("comp").alias(comp_col))
+            prev_sum = new_sum
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds; "
             "raise max_iter (20 pointer-jump rounds cover diameter ~2^20 — "
