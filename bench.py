@@ -53,6 +53,7 @@ FAMILIES = {
     "ann": ["cosine_topk", "ivf_ann_topk", "ivf_pq_ann_topk"],
     "multimodal": ["media_catalog", "phash_near_dups"],
     "graph": ["dup_graph_components", "dedup_keep_per_cluster", "delta_dedup_admit"],
+    "cdc": ["cdc_chunk_near_dups"],
     "bitext": ["bitext_margin_pairs"],
 }
 
@@ -85,6 +86,7 @@ FAMILY_BASELINE = {
     "dedup_keep_per_cluster": 13.18,
     "delta_dedup_admit": 17.82,
     "bitext_margin_pairs": 9.03,  # r6 committed (B-side barrier: was 20.3)
+    "cdc_chunk_near_dups": 11.21,  # r6 committed (array-world chunker, zero pre-join shuffle)
 }
 
 

@@ -1155,3 +1155,128 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= {min_shared}
 ORDER BY 1, 2
 """
+
+
+# --------------------------------------------- content-defined chunking (CDC)
+
+#: CDC rolling window (chars) and boundary divisor: a position i is a chunk
+#: boundary when md5 of the 8-char window ending at i hits 0 mod 32 —
+#: expected chunk ≈ 32 chars (measured 35 on the shipped corpus).
+CDC_WINDOW = 8
+CDC_DIVISOR = 32
+
+
+def _cdc_chunk_hashes(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, h): md5 of every content-defined chunk of ``text_col``.
+
+    Content-defined chunking (the rsync/LBFS/storage-dedup primitive):
+    chunk boundaries are picked by a rolling content hash, so an insertion
+    or deletion only perturbs the chunks that contain the edit — the
+    boundary stream RE-SYNCHRONIZES right after it. Fixed-size framing
+    (e.g. per-frame hashes) shares zero blocks after a one-char shift;
+    CDC is what makes block-level dedup shift-robust.
+
+    Plan shape: everything up to the chunk hashes is ARRAY-WORLD inside
+    one projection — boundary positions via ``filter`` over a position
+    sequence (one 8-char md5 per position, map-only), chunk slices via
+    ``zip_with`` — so there is no per-char explode, no per-doc window,
+    and zero shuffle before the (doc, chunk-hash) explode, whose fan-out
+    is ~len/32 rows per doc. The boundary-position array is referenced
+    by both slice endpoints (projection collapse re-evaluates it twice:
+    a bounded 2× on the map-side md5 pass, cheaper than the exchange
+    barrier that would dedupe it).
+    """
+    t = F.col(text_col)
+    pos = F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1)))
+    bpos = F.filter(
+        pos,
+        lambda i: (i >= CDC_WINDOW)
+        & (
+            F.conv(
+                F.substring(F.md5(t.substr(i - (CDC_WINDOW - 1), F.lit(CDC_WINDOW))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % CDC_DIVISOR
+            == 0
+        ),
+    )
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda p: p))
+    ends = F.concat(F.transform(bpos, lambda p: p - 1), F.array(F.length(t)))
+    chunks = F.zip_with(
+        starts, ends, lambda s, e: F.md5(t.substr(s, e - s + 1))
+    )
+    return docs.select(
+        "doc_id", F.explode(chunks).alias("h")
+    ).distinct()
+
+
+def cdc_chunk_near_dups(
+    docs: DataFrame, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Shift-robust block-level near-duplicate pairs: Jaccard over each
+    document's SET of content-defined chunk hashes, candidates from the
+    chunk-hash inverted index (equi-join on h — no all-pairs stage; join
+    cost is Σ df² over chunk hashes, and unlike token vocabularies the
+    chunk-hash space is effectively unbounded, so df stays tiny at any
+    corpus size). Output: (doc_a, doc_b, n_shared, jaccard)."""
+    sets = _cdc_chunk_hashes(docs, text_col).persist()
+    sizes = sets.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sets.select(F.col("doc_id").alias("doc_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= threshold)
+        .select(
+            "doc_a", "doc_b", "n_shared", F.round(jac, 6).alias("jaccard")
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def sql_cdc_chunk_near_dups(threshold: float = 0.5) -> str:
+    w, d = CDC_WINDOW, CDC_DIVISOR
+    return f"""
+WITH bounds AS (
+  SELECT doc_id, text,
+         list_filter(range(1, GREATEST(length(text), 1) + 1),
+                     i -> i >= {w}
+                      AND CAST(CONCAT('0x', substr(md5(substr(text, i - {w - 1}, {w})), 1, 8)) AS BIGINT)
+                          % {d} = 0) AS bpos
+  FROM documents
+),
+sets AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_transform(
+           range(1, length(bpos) + 2),
+           j -> md5(substr(text,
+                           CASE WHEN j = 1 THEN 1 ELSE bpos[j - 1] END,
+                           (CASE WHEN j = length(bpos) + 1 THEN length(text)
+                                 ELSE bpos[j] - 1 END)
+                           - (CASE WHEN j = 1 THEN 1 ELSE bpos[j - 1] END) + 1)))) AS h
+  FROM bounds
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY 1),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sets a JOIN sets b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 6) AS jaccard
+FROM m JOIN sizes sa ON sa.doc_id = m.doc_a JOIN sizes sb ON sb.doc_id = m.doc_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= {threshold}
+ORDER BY doc_a, doc_b
+"""

@@ -2299,6 +2299,16 @@ def dup_cluster_stats_q(spark, sf_dir):
     return graph.dup_cluster_stats(_docs(spark, sf_dir))
 
 
+@register("cdc_chunk_near_dups", dedup.sql_cdc_chunk_near_dups())
+def cdc_chunk_near_dups_q(spark, sf_dir):
+    """Shift-robust block-level near-dup pairs via content-defined
+    chunking (the rsync/LBFS storage-dedup primitive): rolling-hash
+    boundaries re-synchronize after an edit, so fixed-frame misalignment
+    can't zero out the overlap; Jaccard over chunk-hash sets through the
+    inverted-index equi-join."""
+    return dedup.cdc_chunk_near_dups(_docs(spark, sf_dir))
+
+
 @register("bitext_margin_pairs", simsearch.sql_bitext_margin_pairs())
 def bitext_margin_pairs_q(spark, sf_dir):
     """Margin-based cross-lingual parallel-pair mining (ratio margin,

@@ -468,3 +468,28 @@ def test_delta_admit_rejects_chain_to_existing(spark):
         for r in delta_dedup_admit(docs, incoming_col="is_new").collect()
     }
     assert admitted == {4, 5}
+
+
+def test_cdc_chunks_survive_insertion_shift(spark):
+    """Content-defined chunking must keep high block overlap after a
+    mid-document INSERTION (everything downstream shifts) — the case
+    where fixed-size framing drops to zero shared blocks."""
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.llmops.dedup import _cdc_chunk_hashes, cdc_chunk_near_dups
+
+    base = " ".join(f"word{i:03d}" for i in range(80))  # ~640 chars
+    edited = base[:300] + "INSERTED SPAN " + base[300:]
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, "entirely different content " * 20)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in cdc_chunk_near_dups(docs, threshold=0.5).collect()
+    }
+    assert set(pairs) == {(1, 2)} and pairs[(1, 2)] >= 0.5
+
+    # reconstruction: chunks partition the text (no char lost or doubled)
+    n_hashes = _cdc_chunk_hashes(docs).groupBy().count().collect()[0][0]
+    assert n_hashes > 6  # boundaries actually fire on ~640-char docs
