@@ -410,50 +410,24 @@ def minhash_lsh_pairs(
 
 # --------------------------------------------- near-dup clusters → keep-set
 
-def cluster_pairs(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
-    """Connected components over a near-dup pair graph by iterative
-    min-label propagation: (id, cluster) where cluster is the smallest
-    doc_id reachable through the pair edges.
-
-    Each iteration is two joins + one min-aggregation; ``localCheckpoint``
-    truncates the lineage so the plan stays flat across iterations (the
-    standard Spark iterative-algorithm discipline). Converges in
-    O(graph diameter) iterations — near-dup clusters are dense, so the
-    diameter is tiny in practice; ``max_iter`` bounds the worst case.
+def cluster_pairs(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph: (id, cluster)
+    where cluster is the smallest doc_id reachable through the pair
+    edges. Thin adapter over
+    :func:`magiceye_spark.llmops.graph.connected_components` — the
+    pointer-jumped min-label propagation (O(log diameter) rounds,
+    lineage truncated per round), which superseded this module's original
+    plain O(diameter) loop so the repo has ONE iterative-closure engine.
     """
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    nodes = (
-        edges.select(F.col("a").alias("id"))
-        .union(edges.select(F.col("b").alias("id")))
-        .distinct()
-    )
-    labels = nodes.withColumn("cluster", F.col("id")).localCheckpoint()
-    for _ in range(max_iter):
-        msgs = (
-            edges.join(labels, edges.a == labels.id)
-            .select(F.col("b").alias("id"), "cluster")
-            .union(
-                edges.join(labels, edges.b == labels.id)
-                .select(F.col("a").alias("id"), "cluster")
-            )
-        )
-        new_labels = (
-            labels.select("id", "cluster")
-            .union(msgs)
-            .groupBy("id")
-            .agg(F.min("cluster").alias("cluster"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels
+    from magiceye_spark.llmops.graph import connected_components
+
+    return connected_components(
+        pairs.select("doc_a", "doc_b"),
+        src="doc_a",
+        dst="doc_b",
+        comp_col="cluster",
+        max_iter=max_iter,
+    ).select(F.col("node").alias("id"), "cluster")
 
 
 def dedup_near(
