@@ -861,3 +861,133 @@ FROM j
 GROUP BY source
 ORDER BY source
 """
+
+
+def token_budget_waterfill(
+    docs: DataFrame,
+    weights: dict[str, int],
+    budget_tokens: int,
+    max_epochs: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cap-aware token-budget allocation by waterfilling: allocate
+    ``budget_tokens`` across sources proportionally to integer
+    ``weights``, but no source may exceed ``max_epochs`` passes over its
+    natural supply — its excess redistributes proportionally to the
+    uncapped sources (what :func:`token_budget_plan` flags with
+    epochs > cap, this operator RESOLVES). The classic waterfilling
+    solution: sort sources by cap/weight ascending (binds first); the
+    capped prefix is the smallest k whose water level
+    λ = (B − Σ_{i<k} cap_i) / Σ_{i≥k} w_i fits under the k-th source's
+    cap — tested by EXACT integer cross-multiplication
+    (rest_b · w_k ≤ cap_k · rest_w), so Spark and the DuckDB oracle pick
+    the identical capped set with no float-ordering hazard; λ itself is
+    a single double division applied identically on both sides.
+
+    Driver materialization: ONE catalog-grain rollup (a row per source —
+    bounded by the source catalog, not data volume; same pattern as the
+    IVF centroid fit and the PSI baseline). Output per source:
+    natural/cap/allocated tokens, implied epochs, capped flag. Allocated
+    sums to min(B, Σcaps) — a gap is the honest "budget unachievable
+    under the epoch cap" answer.
+    """
+    toks = F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+    natural = docs.groupBy("source").agg(
+        F.sum(toks).cast("long").alias("natural_tokens")
+    )
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    base = natural.select(
+        "source",
+        "natural_tokens",
+        F.coalesce(wmap[F.col("source")], F.lit(0)).cast("long").alias("weight"),
+        (F.col("natural_tokens") * max_epochs).alias("cap_tokens"),
+    )
+    # bounded driver materialization: one row per source
+    rows = sorted(
+        (r for r in base.collect() if r["weight"] > 0),
+        key=lambda r: (r["cap_tokens"] / r["weight"], r["source"]),
+    )
+    total_w = sum(r["weight"] for r in rows)
+    capped: list[str] = []
+    lam_num, lam_den = 0, 0  # all-capped default (rest_w exhausted)
+    rest_b, rest_w = budget_tokens, total_w
+    for r in rows:
+        if rest_b * r["weight"] <= r["cap_tokens"] * rest_w:
+            lam_num, lam_den = rest_b, rest_w  # water level λ = rest_b/rest_w
+            break
+        capped.append(r["source"])
+        rest_b -= r["cap_tokens"]
+        rest_w -= r["weight"]
+    lam = (
+        F.lit(float(lam_num)) / F.lit(float(lam_den))
+        if lam_den
+        else F.lit(0.0)
+    )
+    is_capped = F.col("source").isin(capped) if capped else F.lit(False)
+    alloc = F.when(F.col("weight") == 0, F.lit(0.0)).otherwise(
+        F.when(is_capped, F.col("cap_tokens").cast("double")).otherwise(
+            F.round(lam * F.col("weight"), 4)
+        )
+    )
+    return base.select(
+        "source",
+        "natural_tokens",
+        "weight",
+        "cap_tokens",
+        alloc.alias("alloc_tokens"),
+        F.round(alloc / F.col("natural_tokens"), 4).alias("epochs"),
+        ((F.col("weight") > 0) & is_capped).alias("capped"),
+    ).orderBy("source")
+
+
+def sql_token_budget_waterfill(
+    weights: dict[str, int], budget_tokens: int, max_epochs: int = 4
+) -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in sorted(weights.items())
+    )
+    return f"""
+WITH nat AS (
+  SELECT source,
+         CAST(SUM(LENGTH(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))) AS BIGINT) AS natural_tokens
+  FROM documents GROUP BY source),
+base AS (
+  SELECT source, natural_tokens,
+         CAST(CASE {cases} ELSE 0 END AS BIGINT) AS weight,
+         natural_tokens * {max_epochs} AS cap_tokens
+  FROM nat),
+ord AS (
+  SELECT *,
+         COALESCE(SUM(cap_tokens) OVER w_before, 0) AS cumcap_before,
+         COALESCE(SUM(weight) OVER w_before, 0) AS cumw_before,
+         (SELECT SUM(weight) FROM base WHERE weight > 0) AS total_w
+  FROM base WHERE weight > 0
+  WINDOW w_before AS (ORDER BY cap_tokens * 1.0 / weight, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+cand AS (
+  SELECT *, {budget_tokens} - cumcap_before AS rest_b,
+         total_w - cumw_before AS rest_w
+  FROM ord),
+-- the water level: first source (in bind order) whose λ fits under its cap,
+-- chosen by exact integer cross-multiplication
+lvl AS (
+  SELECT rest_b AS lam_num, rest_w AS lam_den,
+         cap_tokens * 1.0 / weight AS r, source AS lsrc
+  FROM cand
+  WHERE rest_b * weight <= cap_tokens * rest_w
+  ORDER BY cap_tokens * 1.0 / weight, source LIMIT 1)
+SELECT b.source, b.natural_tokens, b.weight, b.cap_tokens,
+       CASE WHEN b.weight = 0 THEN 0.0
+            WHEN l.lam_num IS NULL OR (b.cap_tokens * 1.0 / b.weight, b.source) < (l.r, l.lsrc)
+                 THEN CAST(b.cap_tokens AS DOUBLE)
+            ELSE ROUND(CAST(l.lam_num AS DOUBLE) / l.lam_den * b.weight, 4)
+       END AS alloc_tokens,
+       ROUND(CASE WHEN b.weight = 0 THEN 0.0
+                  WHEN l.lam_num IS NULL OR (b.cap_tokens * 1.0 / b.weight, b.source) < (l.r, l.lsrc)
+                       THEN CAST(b.cap_tokens AS DOUBLE)
+                  ELSE ROUND(CAST(l.lam_num AS DOUBLE) / l.lam_den * b.weight, 4)
+             END / b.natural_tokens, 4) AS epochs,
+       (b.weight > 0 AND (l.lam_num IS NULL OR (b.cap_tokens * 1.0 / b.weight, b.source) < (l.r, l.lsrc))) AS capped
+FROM base b LEFT JOIN lvl l ON TRUE
+ORDER BY b.source
+"""

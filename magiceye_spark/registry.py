@@ -2299,6 +2299,24 @@ def dup_cluster_stats_q(spark, sf_dir):
     return graph.dup_cluster_stats(_docs(spark, sf_dir))
 
 
+_WATERFILL_W = {"src0": 60, "src1": 10, "src2": 10, "src3": 10, "src4": 10}
+
+
+@register(
+    "token_budget_waterfill",
+    pipeline.sql_token_budget_waterfill(_WATERFILL_W, 30_000, max_epochs=4),
+)
+def token_budget_waterfill_q(spark, sf_dir):
+    """Cap-aware budget allocation: waterfilling with a 4-epoch
+    repetition cap — over-weighted sources pin at their cap and the
+    excess redistributes to the rest (the capped set is chosen by exact
+    integer cross-multiplication on both engines). Resolves what
+    token_budget_plan merely flags."""
+    return pipeline.token_budget_waterfill(
+        _docs(spark, sf_dir), _WATERFILL_W, 30_000, max_epochs=4
+    )
+
+
 @register("cdc_chunk_near_dups", dedup.sql_cdc_chunk_near_dups())
 def cdc_chunk_near_dups_q(spark, sf_dir):
     """Shift-robust block-level near-dup pairs via content-defined

@@ -493,3 +493,42 @@ def test_cdc_chunks_survive_insertion_shift(spark):
     # reconstruction: chunks partition the text (no char lost or doubled)
     n_hashes = _cdc_chunk_hashes(docs).groupBy().count().collect()[0][0]
     assert n_hashes > 6  # boundaries actually fire on ~640-char docs
+
+
+def test_waterfill_caps_and_conserves_budget(spark):
+    """Waterfilling invariants: (a) Σalloc == min(budget, Σcaps); (b) an
+    over-weighted source pins at exactly cap_tokens with capped=True;
+    (c) uncapped allocations stay proportional to weight; (d) no source
+    exceeds max_epochs."""
+    from magiceye_spark.llmops.pipeline import token_budget_waterfill
+
+    docs = spark.createDataFrame(
+        [  # srcA tiny supply but huge weight -> must cap at 2 epochs
+            ("srcA", "one two"),
+            ("srcB", " ".join(["w"] * 50)),
+            ("srcC", " ".join(["w"] * 50)),
+        ],
+        "source string, text string",
+    )
+    w = {"srcA": 80, "srcB": 10, "srcC": 10}
+    budget = 60
+    out = {
+        r["source"]: r
+        for r in token_budget_waterfill(
+            docs, w, budget, max_epochs=2
+        ).collect()
+    }
+    a, b, c = out["srcA"], out["srcB"], out["srcC"]
+    assert a["capped"] and a["alloc_tokens"] == a["cap_tokens"] == 4
+    assert not b["capped"] and not c["capped"]
+    assert b["alloc_tokens"] == c["alloc_tokens"] == 28.0  # (60-4)/20*10
+    total = sum(r["alloc_tokens"] for r in out.values())
+    assert abs(total - budget) < 1e-6
+    assert all(r["epochs"] <= 2 + 1e-9 for r in out.values())
+
+    # budget beyond all caps: everyone pins, Σalloc == Σcaps < budget
+    out2 = token_budget_waterfill(docs, w, 10_000, max_epochs=2).collect()
+    assert all(r["capped"] for r in out2)
+    assert sum(r["alloc_tokens"] for r in out2) == sum(
+        r["cap_tokens"] for r in out2
+    )
