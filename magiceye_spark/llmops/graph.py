@@ -259,6 +259,163 @@ FROM comps GROUP BY comp_id"""
     )
 
 
+# ------------------------------------------------- PageRank centrality
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """PageRank over the symmetrized edge list: ``(node, deg, pagerank)``.
+
+    Fixed ``iters`` power iterations of
+    ``r ← (1-d)/N + d·Σ_{v∈nb(u)} r(v)/deg(v)`` — the undirected
+    (symmetrized) graph has no dangling nodes by construction, so no
+    teleport-mass correction term is needed. Each iteration is one hash
+    join (edges ⋈ ranks on the neighbor id) plus one groupBy — both
+    shuffle on node id over a frame pre-partitioned once and reused, the
+    same loop discipline as :func:`connected_components` (localCheckpoint
+    per round truncates the growing lineage; EAGER by nature).
+
+    Determinism: a per-group float SUM is shuffle-order-nondeterministic
+    in Spark, so each node's neighbor contributions are collected,
+    sorted by neighbor id, and folded left-to-right — bit-for-bit
+    reproducible and exactly mirrored by DuckDB's ordered aggregate
+    ``SUM(x ORDER BY v)`` in the oracle. The sort is per-node over its
+    neighbor list (bounded by max degree), not a global sort.
+    """
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    fwd = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    rev = edges.select(
+        F.col(dst).cast("long").alias("u"), F.col(src).cast("long").alias("v")
+    )
+    sym = fwd.union(rev).distinct().repartition(par, "v").persist()
+    nodes = (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .repartition(par, "node")
+        .persist()
+    )
+    try:
+        n = float(nodes.count())  # eager: N feeds the literal teleport term
+        ranks = nodes.select(
+            "node", "deg", (F.lit(1.0) / F.lit(n)).alias("pagerank")
+        )
+        base = F.lit(1.0) - F.lit(damping)  # IEEE (1.0 - d), same as the SQL text
+        for _ in range(iters):
+            contribs = sym.join(ranks, sym["v"] == ranks["node"]).select(
+                sym["u"].alias("dst_node"),
+                sym["v"].alias("src_node"),
+                (F.col("pagerank") / F.col("deg").cast("double")).alias("contrib"),
+            )
+            summed = contribs.groupBy("dst_node").agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("src_node").alias("s"),
+                                F.col("contrib").alias("c"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("s")
+            )
+            ranks = (
+                nodes.join(summed, nodes["node"] == summed["dst_node"], "left")
+                .select(
+                    "node",
+                    "deg",
+                    (
+                        base / F.lit(n)
+                        + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                    ).alias("pagerank"),
+                )
+                .repartition(par, "node")
+                .localCheckpoint(eager=True)
+            )
+        return ranks
+    finally:
+        sym.unpersist()
+        nodes.unpersist()
+
+
+def dup_pagerank(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    length_tol: int = 60,
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """PageRank centrality over the Jaccard near-dup graph:
+    ``(doc_id, deg, pagerank)`` for every doc with at least one pair.
+
+    Ranks the MOST CENTRAL variant of each duplicate cluster — the
+    principled alternative to keep-lowest-id when curating which copy of
+    a template family survives dedup (the highest-rank member is the one
+    most other variants resemble). Same edge relation as
+    :func:`dup_graph_components`; at corpus scale feed MinHash-LSH pairs
+    instead — the iteration is unchanged."""
+    from magiceye_spark.llmops import dedup
+
+    pairs = dedup.jaccard_near_dups(docs, threshold=threshold, length_tol=length_tol)
+    pr = pagerank(
+        pairs.select("doc_a", "doc_b"),
+        src="doc_a",
+        dst="doc_b",
+        damping=damping,
+        iters=iters,
+    )
+    return pr.select(F.col("node").alias("doc_id"), "deg", "pagerank")
+
+
+def sql_dup_pagerank(
+    threshold: float = 0.8,
+    length_tol: int = 60,
+    damping: float = 0.85,
+    iters: int = 5,
+) -> str:
+    """DuckDB oracle: the power iteration UNROLLED into ``iters`` chained
+    CTEs (fixed iteration count needs no recursion), with the per-node
+    contribution sum ordered by neighbor id — ``SUM(x ORDER BY v)`` is a
+    sequential IEEE fold in DuckDB, bit-matching the Spark side's
+    sorted-list fold. The unused reach/comps CTEs from the shared edge
+    builder are pruned by DuckDB (CTEs instantiate only when referenced)."""
+    blocks = []
+    prev = "r0"
+    for k in range(1, iters + 1):
+        blocks.append(f"""
+it{k} AS (
+  SELECT d.node, d.deg,
+         (1.0 - {damping}) / (SELECT n FROM nn)
+           + {damping} * COALESCE(s.s, 0.0) AS pagerank
+  FROM deg d LEFT JOIN (
+    SELECT e.u AS node,
+           SUM(r.pagerank / CAST(r.deg AS DOUBLE) ORDER BY e.v) AS s
+    FROM sym e JOIN {prev} r ON e.v = r.node
+    GROUP BY e.u
+  ) s ON d.node = s.node
+)""")
+        prev = f"it{k}"
+    return (
+        "WITH RECURSIVE "
+        + _sql_edges_cte(threshold, length_tol)
+        + f""",
+sym AS (SELECT DISTINCT a AS u, b AS v FROM edges),
+deg AS (SELECT u AS node, COUNT(*) AS deg FROM sym GROUP BY u),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS pagerank FROM deg),"""
+        + ",".join(blocks)
+        + f"\nSELECT node AS doc_id, deg, pagerank FROM {prev}"
+    )
+
+
 # ------------------------------------------------- delta-ingest admission
 
 def delta_dedup_admit(

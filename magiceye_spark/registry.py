@@ -2356,6 +2356,18 @@ def delta_dedup_admit_q(spark, sf_dir):
     return graph.delta_dedup_admit(_docs(spark, sf_dir))
 
 
+@register("dup_pagerank", graph.sql_dup_pagerank())
+def dup_pagerank_q(spark, sf_dir):
+    """PageRank centrality over the near-dup graph (5 power iterations,
+    d=0.85): ranks the most central variant of each duplicate-template
+    family — the principled keeper choice vs keep-lowest-id. Iterative
+    float fixpoint with an EXACT oracle: per-node contribution sums are
+    folded in sorted neighbor order on both engines (Spark sorted-list
+    fold == DuckDB SUM(x ORDER BY v)), so 5 iterations of double math
+    hash-match bit-for-bit."""
+    return graph.dup_pagerank(_docs(spark, sf_dir))
+
+
 @register("events_quota_batch_twin", _stateful_sql_quota())
 def events_quota_batch_twin_q(spark, sf_dir):
     """Batch twin of the streaming per-(user, day) admission gate

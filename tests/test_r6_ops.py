@@ -532,3 +532,25 @@ def test_waterfill_caps_and_conserves_budget(spark):
     assert sum(r["alloc_tokens"] for r in out2) == sum(
         r["cap_tokens"] for r in out2
     )
+
+
+def test_pagerank_mass_conserved_and_star_center_wins(spark):
+    """On a star K1,4 plus a disjoint 3-chain: total mass is conserved
+    (symmetrized graph has no dangling nodes, so Σr = 1 exactly up to
+    float fold error), the star center outranks every leaf, and the
+    chain middle outranks its endpoints."""
+    from magiceye_spark.llmops.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (10, 11), (11, 12)],
+        ["src", "dst"],
+    )
+    rows = {r["node"]: r for r in pagerank(edges).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 10, 11, 12}
+    total = sum(r["pagerank"] for r in rows.values())
+    assert abs(total - 1.0) < 1e-9
+    assert rows[1]["deg"] == 4
+    for leaf in (2, 3, 4, 5):
+        assert rows[1]["pagerank"] > rows[leaf]["pagerank"]
+    assert rows[11]["pagerank"] > rows[10]["pagerank"]
+    assert rows[10]["pagerank"] == rows[12]["pagerank"]
