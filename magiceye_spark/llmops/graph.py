@@ -259,6 +259,155 @@ FROM comps GROUP BY comp_id"""
     )
 
 
+# ------------------------------------------------- triangle counting
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over the
+    undirected graph given as an edge list: ``(node, deg, n_triangles,
+    clustering)``.
+
+    Near-dup graphs separate two regimes with the same pair count:
+    template families (cliques — every variant resembles every other,
+    clustering → 1) versus hub chains (a boilerplate fragment linking
+    otherwise-unrelated docs, clustering → 0). The coefficient is the
+    standard curation signal for "safe to collapse the whole cluster to
+    one keeper" vs "the cluster is an artifact of one shared span".
+
+    Scale: wedge enumeration uses the DEGREE-ORDERED orientation (each
+    edge points from its (deg, id)-smaller endpoint to the larger; wedges
+    form only at the smallest vertex of each triangle), the standard
+    trick that bounds per-node wedge fan-out by graph arboricity instead
+    of max degree — a million-edge hub produces zero wedges at the hub.
+    Every triangle is enumerated exactly once, as three hash joins on the
+    oriented edge list. The oracle counts the same triangle set from the
+    naive ``a<b`` closure — orientation changes the join geometry, never
+    the set.
+    """
+    fwd = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    rev = edges.select(
+        F.col(dst).cast("long").alias("u"), F.col(src).cast("long").alias("v")
+    )
+    sym = fwd.union(rev).distinct()
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg")
+    ).persist()
+    # orient each undirected edge from its (deg, id)-smaller endpoint:
+    # carry the head's (deg, id) so the wedge join can order v1 < v2 in
+    # the SAME total order without re-joining degrees
+    half = sym.where(F.col("u") < F.col("v"))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    keyed = half.join(du, "u").join(dv, "v")
+    lo_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = keyed.select(
+        F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("tail"),
+        F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("head"),
+        F.when(lo_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_head"),
+    ).persist()
+    try:
+        e1 = oriented.select(
+            F.col("tail").alias("x"),
+            F.col("head").alias("y"),
+            F.col("deg_head").alias("dy"),
+        )
+        e2 = oriented.select(
+            F.col("tail").alias("x"),
+            F.col("head").alias("z"),
+            F.col("deg_head").alias("dz"),
+        )
+        wedges = e1.join(e2, "x").where(
+            (F.col("dy") < F.col("dz"))
+            | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+        )
+        closer = oriented.select(
+            F.col("tail").alias("y"), F.col("head").alias("z")
+        )
+        tris = wedges.join(closer, ["y", "z"]).select("x", "y", "z")
+        node_tris = (
+            tris.select(F.explode(F.array("x", "y", "z")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+        out = deg.join(node_tris, "node", "left").select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("deg") >= 2,
+                F.lit(2.0)
+                * F.coalesce(F.col("n_triangles"), F.lit(0)).cast("double")
+                / (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+        # the two persisted inputs feed a single lazy consumer; localCheckpoint
+        # materializes now so we can release them before returning
+        return out.localCheckpoint(eager=True)
+    finally:
+        oriented.unpersist()
+        deg.unpersist()
+
+
+def dup_graph_triangles(
+    docs: DataFrame, threshold: float = 0.8, length_tol: int = 60
+) -> DataFrame:
+    """Triangle count + local clustering coefficient per near-dup-graph
+    node: ``(doc_id, deg, n_triangles, clustering)``. Distinguishes
+    clique-like template families (collapse freely) from hub/chain
+    clusters glued by one shared fragment (inspect before collapsing).
+    Same Jaccard pair relation as :func:`dup_graph_components`; at corpus
+    scale feed MinHash-LSH pairs — the oriented wedge join is unchanged."""
+    from magiceye_spark.llmops import dedup
+
+    pairs = dedup.jaccard_near_dups(docs, threshold=threshold, length_tol=length_tol)
+    ts = triangle_stats(pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b")
+    return ts.select(
+        F.col("node").alias("doc_id"), "deg", "n_triangles", "clustering"
+    )
+
+
+def sql_dup_triangles(threshold: float = 0.8, length_tol: int = 60) -> str:
+    """DuckDB oracle: naive a<b<c triangle closure over the shared pair
+    CTE (pairs already satisfy doc_a < doc_b) — same triangle set as the
+    degree-oriented Spark join; O(Σdeg²) wedges is fine at oracle scale."""
+    return (
+        "WITH RECURSIVE "
+        + _sql_edges_cte(threshold, length_tol)
+        + """,
+tris AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.doc_b = e2.doc_a
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+node_tris AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT a AS node FROM tris
+    UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris
+  ) GROUP BY node
+),
+deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY a)
+SELECT d.node AS doc_id,
+       d.deg,
+       CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN d.deg >= 2
+            THEN 2.0 * COALESCE(t.n_triangles, 0)
+                 / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+            ELSE 0.0 END AS clustering
+FROM deg d LEFT JOIN node_tris t ON d.node = t.node"""
+    )
+
+
 # ------------------------------------------------- PageRank centrality
 
 def pagerank(

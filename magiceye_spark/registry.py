@@ -2368,6 +2368,17 @@ def dup_pagerank_q(spark, sf_dir):
     return graph.dup_pagerank(_docs(spark, sf_dir))
 
 
+@register("dup_graph_triangles", graph.sql_dup_triangles())
+def dup_graph_triangles_q(spark, sf_dir):
+    """Per-node triangle count + local clustering coefficient over the
+    near-dup graph: separates clique-like template families (collapse to
+    one keeper freely) from hub/chain clusters glued by a shared fragment.
+    Spark side enumerates wedges under the degree-ordered orientation
+    (fan-out bounded by arboricity, not max degree); the oracle counts the
+    same triangle set from the naive a<b<c closure."""
+    return graph.dup_graph_triangles(_docs(spark, sf_dir))
+
+
 @register("events_quota_batch_twin", _stateful_sql_quota())
 def events_quota_batch_twin_q(spark, sf_dir):
     """Batch twin of the streaming per-(user, day) admission gate

@@ -347,6 +347,36 @@ def test_connected_components_mechanism(spark):
         assert got == expect, f"pointer_jump={pj}"
 
 
+def test_triangle_stats_planted_graph(spark):
+    """Degree-oriented triangle enumeration on a hand-built graph: a K4
+    clique (every node deg 3, 3 triangles, clustering 1.0), a 4-leaf star
+    (center deg 4, 0 triangles, clustering 0.0 — the hub/chain regime the
+    coefficient exists to flag), a 3-path (middle deg 2, clustering 0.0),
+    and one K4 node wired to the star center (checks triangles don't leak
+    across the bridge)."""
+    from magiceye_spark.llmops.graph import triangle_stats
+
+    edges = spark.createDataFrame(
+        # K4 on {1,2,3,4}; star center 10 with leaves 11-14; path 20-21-22;
+        # bridge 4-10
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (10, 11), (10, 12), (10, 13), (10, 14),
+         (20, 21), (21, 22), (4, 10)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: (r.deg, r.n_triangles, r.clustering)
+        for r in triangle_stats(edges).collect()
+    }
+    assert got[1] == (3, 3, 1.0) and got[2] == (3, 3, 1.0) and got[3] == (3, 3, 1.0)
+    assert got[4] == (4, 3, 0.5)        # K4 member + bridge: 3 of C(4,2)=6
+    assert got[10] == (5, 0, 0.0)       # star center + bridge, no closure
+    assert got[11] == (1, 0, 0.0)       # leaf: deg<2 guard
+    assert got[21] == (2, 0, 0.0)       # path middle
+    # each triangle contributes exactly 3 node-incidences: C(4,3)=4 in K4
+    assert sum(t for (_, t, _) in got.values()) == 3 * 4
+
+
 def test_connected_components_deep_chain_log_rounds(spark):
     """A 64-node path graph: pointer jumping must converge within
     O(log diameter) rounds (max_iter=8 covers 2^8 hops ≫ 63), while plain
