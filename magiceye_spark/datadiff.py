@@ -526,6 +526,47 @@ def scd2_snapshot_at(history: DataFrame, version: int, keys: list[str]) -> DataF
     return history.where(covered).select(*keys, *payload)
 
 
+def scd2_point_in_time(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    as_of_col: str,
+    fact_keys: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: each FACT row picks the dimension attributes
+    that were valid at its own ``as_of_col`` version — the consumer every
+    :func:`build_scd2` history exists for (label a transaction with the
+    customer tier it had WHEN it happened, not today's).
+
+    ``fact_keys`` names the fact-side join columns (defaults to ``keys``,
+    the history-side names). Facts whose key has NO interval covering
+    their version (dimension row deleted, or key never existed) keep the
+    fact columns with NULL dimension payload under the default left join.
+
+    Shape: an EQUI-join on the key with the interval containment as a
+    residual filter — Spark plans it as a hash/sort-merge join on the
+    key (never BroadcastNestedLoop/cartesian: the equi-conjunct carries
+    the join) and evaluates the two range conjuncts on each key's
+    (short) history run. Intervals from build_scd2 are disjoint per key,
+    so at most one history row survives per fact — no dedup pass needed.
+    """
+    fk = fact_keys or keys
+    if len(fk) != len(keys):
+        raise ValueError(f"fact_keys {fk} must pair 1:1 with history keys {keys}")
+    h = history
+    cond = None
+    for f_c, h_c in zip(fk, keys):
+        e = facts[f_c] == h[h_c]
+        cond = e if cond is None else (cond & e)
+    v = facts[as_of_col]
+    cond = cond & (h["valid_from"] <= v) & (
+        h["valid_to"].isNull() | (v < h["valid_to"])
+    )
+    payload = [c for c in history.columns if c not in keys]
+    return facts.join(h, cond, how).select(facts["*"], *[h[c] for c in payload])
+
+
 def scd2_apply_snapshot(
     history: DataFrame,
     version: int,

@@ -19,6 +19,7 @@ from magiceye_spark import analytics, dq, events_ops, io, partsupp, profile, ske
 from magiceye_spark.llmops import dedup, graph, multimodal, pipeline, retrieval, simsearch, textstats
 from magiceye_spark.datadiff import (
     build_scd2,
+    scd2_point_in_time,
     diff_data,
     diff_data_hash,
     diff_data_summary,
@@ -1661,8 +1662,9 @@ def zorder3_histogram_q(spark, sf_dir):
     )
 
 
-SQL_SCD2_HISTORY = """
-WITH v1 AS (
+# shared by scd2_history and scd2_point_in_time: 3 derived snapshot
+# versions of orders (<500), run-segmented into SCD2 intervals
+_SCD2_CTES = """v1 AS (
   SELECT o_orderkey AS id, ROUND(o_totalprice, 2) AS val
   FROM orders WHERE o_orderkey < 500
 ),
@@ -1684,14 +1686,40 @@ seg AS (
   SELECT *, SUM(s) OVER (PARTITION BY id ORDER BY v
                          ROWS UNBOUNDED PRECEDING) AS seg_id
   FROM marked
-)
-SELECT id, MIN_BY(val, v) AS val,
-       CAST(MIN(v) AS BIGINT) AS valid_from,
-       CAST(CASE WHEN MAX(v) = 3 THEN NULL ELSE MAX(v) + 1 END AS BIGINT) AS valid_to,
-       MAX(v) = 3 AS is_current
-FROM seg GROUP BY id, seg_id
-ORDER BY id, valid_from
+),
+hist AS (
+  SELECT id, MIN_BY(val, v) AS val,
+         CAST(MIN(v) AS BIGINT) AS valid_from,
+         CAST(CASE WHEN MAX(v) = 3 THEN NULL ELSE MAX(v) + 1 END AS BIGINT) AS valid_to,
+         MAX(v) = 3 AS is_current
+  FROM seg GROUP BY id, seg_id
+)"""
+
+SQL_SCD2_HISTORY = (
+    "WITH "
+    + _SCD2_CTES
+    + """
+SELECT id, val, valid_from, valid_to, is_current
+FROM hist ORDER BY id, valid_from
 """
+)
+
+SQL_SCD2_PIT = (
+    "WITH "
+    + _SCD2_CTES
+    + """,
+facts AS (
+  SELECT l_orderkey, l_linenumber, l_linenumber % 3 + 1 AS as_of_v
+  FROM lineitem WHERE l_orderkey < 500
+)
+SELECT f.l_orderkey, f.l_linenumber, CAST(f.as_of_v AS INTEGER) AS as_of_v,
+       h.val, h.valid_from, h.valid_to, h.is_current
+FROM facts f LEFT JOIN hist h
+  ON f.l_orderkey = h.id
+ AND h.valid_from <= f.as_of_v
+ AND (h.valid_to IS NULL OR f.as_of_v < h.valid_to)
+"""
+)
 
 
 @register("scd2_history", SQL_SCD2_HISTORY)
@@ -1716,6 +1744,43 @@ def scd2_history_q(spark, sf_dir):
         .otherwise(F.col("val")).alias("val"),
     )
     return build_scd2([(1, v1), (2, v2), (3, v3)], ["id"])
+
+
+@register("scd2_point_in_time", SQL_SCD2_PIT)
+def scd2_point_in_time_q(spark, sf_dir):
+    """Point-in-time join: every lineitem (of orders <500) picks the
+    order's SCD2 attributes as of ITS OWN version (l_linenumber%3+1) —
+    the per-fact time-travel lookup scd2_snapshot_at can't express.
+    Equi-join on the key with interval containment as a residual filter
+    (never a nested-loop join); facts hitting a deleted interval (v3
+    deletes every 5th key) surface NULL payload under the left join."""
+    o = io.read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    v1 = o.select(
+        F.col("o_orderkey").alias("id"), F.round("o_totalprice", 2).alias("val")
+    )
+    v2 = v1.select(
+        "id",
+        F.when(F.col("id") % 7 == 0, F.round(F.col("val") + 1, 2))
+        .otherwise(F.col("val")).alias("val"),
+    )
+    v3 = v2.where(F.col("id") % 5 != 0).select(
+        "id",
+        F.when(F.col("id") % 3 == 0, F.round(F.col("val") + 2, 2))
+        .otherwise(F.col("val")).alias("val"),
+    )
+    hist = build_scd2([(1, v1), (2, v2), (3, v3)], ["id"])
+    facts = (
+        io.read_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") < 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_linenumber") % 3 + 1).cast("int").alias("as_of_v"),
+        )
+    )
+    return scd2_point_in_time(
+        facts, hist, keys=["id"], as_of_col="as_of_v", fact_keys=["l_orderkey"]
+    )
 
 
 @register("bm25_topk", retrieval.sql_bm25_topk())

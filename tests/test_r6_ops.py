@@ -328,6 +328,43 @@ def test_fit_psi_baseline_edge_cases(spark):
     assert row["n_rows"] == 100 and abs(row["psi"]) < 1e-9
 
 
+def test_scd2_point_in_time_semantics(spark):
+    """Per-fact time-travel: each fact picks the interval covering ITS
+    version — change boundaries honored (as-of v is the state AT v, the
+    new value on the change version itself), a fact landing in a deleted
+    window gets NULL payload, an unknown key gets NULL payload, and each
+    fact emits exactly one row (intervals are disjoint)."""
+    from magiceye_spark.datadiff import build_scd2, scd2_point_in_time
+
+    def snap(rows):
+        return spark.createDataFrame(rows, "id long, v string")
+
+    hist = build_scd2(
+        [
+            (1, snap([(1, "a"), (2, "x"), (3, "m")])),
+            (2, snap([(1, "a"), (2, "y"), (3, "m")])),
+            (3, snap([(1, "a"), (2, "y")])),           # 3 deleted
+            (4, snap([(1, "b"), (2, "y"), (3, "m2")])),  # 1 changes, 3 back
+        ],
+        ["id"],
+    )
+    facts = spark.createDataFrame(
+        [(100, 1, 1), (101, 1, 3), (102, 1, 4),   # a, a, b (change at 4)
+         (103, 3, 2), (104, 3, 3), (105, 3, 4),   # m, DELETED, m2
+         (106, 9, 2)],                             # key never existed
+        "fact_id long, dim_id long, as_of long",
+    )
+    out = scd2_point_in_time(facts, hist, keys=["id"], as_of_col="as_of",
+                             fact_keys=["dim_id"])
+    got = {r.fact_id: r.v for r in out.collect()}
+    assert got == {100: "a", 101: "a", 102: "b",
+                   103: "m", 104: None, 105: "m2", 106: None}
+    assert out.count() == facts.count()  # one row per fact, no fan-out
+    # equi-conjunct must carry the join: no nested-loop/cartesian plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_connected_components_mechanism(spark):
     """Min-label propagation on a hand-built graph: a 6-node chain (the
     transitive case pair filters miss), a 2-node island, and a triangle —
