@@ -991,3 +991,59 @@ SELECT b.source, b.natural_tokens, b.weight, b.cap_tokens,
 FROM base b LEFT JOIN lvl l ON TRUE
 ORDER BY b.source
 """
+
+
+def pps_weighted_sample(
+    docs: DataFrame,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: str = "pps-v1",
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size sample of ``k``
+    documents: sequential Poisson sampling (Ohlsson 1998, the PPS scheme
+    in production at Statistics Sweden) — rank by ``u_i / w_i`` with
+    ``u_i`` a content-independent md5 coin, keep the k smallest. Longer /
+    heavier documents are proportionally likelier to be drawn, which is
+    the curation shape for "sample a few docs per source for human review,
+    biased toward the bulk of the token mass".
+
+    Engine-exact by construction: the rank key uses ONLY IEEE division on
+    integers (``(X+1) / 2^32 / w``) — correctly-rounded in both engines —
+    never ln/exp/pow, whose libm implementations may differ in the last
+    ulp and flip the k-boundary (the reason this is sequential Poisson
+    and not Efraimidis–Elias ``u^(1/w)`` order sampling). md5 (not
+    xxhash64) so DuckDB computes the identical coin; doc_id tie-break
+    makes the cutoff total.
+
+    Scale: the per-row key is map-side arithmetic; selection is a global
+    top-k = TakeOrdered (tree-reduced per-partition heaps, no global
+    sort, no single partition)."""
+    x = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    key = ((x + F.lit(1)).cast("double") / F.lit(4294967296.0)) / F.col(
+        weight_col
+    ).cast("double")
+    return (
+        docs.where(F.col(weight_col) > 0)
+        .select(id_col, "source", weight_col, key.alias("pps_key"))
+        .orderBy("pps_key", id_col)
+        .limit(k)
+    )
+
+
+def sql_pps_weighted_sample(
+    k: int = 50, weight_col: str = "n_chars", salt: str = "pps-v1"
+) -> str:
+    return f"""
+SELECT doc_id, source, {weight_col},
+       ((CAST(CONCAT('0x', substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+         / 4294967296.0) / CAST({weight_col} AS DOUBLE) AS pps_key
+FROM documents
+WHERE {weight_col} > 0
+ORDER BY pps_key, doc_id
+LIMIT {k}
+"""

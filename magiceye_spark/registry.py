@@ -1580,6 +1580,16 @@ def stratified_quota_q(spark, sf_dir):
     return pipeline.stratified_quota_sample(_docs(spark, sf_dir), _QUOTAS_R4)
 
 
+@register("corpus_pps_sample", pipeline.sql_pps_weighted_sample(k=50))
+def corpus_pps_sample_q(spark, sf_dir):
+    """Probability-proportional-to-size sample of 50 docs (sequential
+    Poisson: rank by md5-coin / n_chars, keep the k smallest) — review
+    sampling biased toward the token mass. Division-only key math so both
+    engines agree bit-for-bit at the k-boundary (no ln/exp/pow);
+    selection is a TakeOrdered top-k, never a global sort."""
+    return pipeline.pps_weighted_sample(_docs(spark, sf_dir), k=50)
+
+
 @register("events_robust_outliers", analytics.sql_events_robust_outliers(k=3.5))
 def robust_outliers_q(spark, sf_dir):
     """Median/MAD outlier fence per event_type — the heavy-tail-safe

@@ -328,6 +328,32 @@ def test_fit_psi_baseline_edge_cases(spark):
     assert row["n_rows"] == 100 and abs(row["psi"]) < 1e-9
 
 
+def test_pps_sample_matches_reference_and_takeordered(spark):
+    """Sequential-Poisson selection equals a pure-Python reference doing
+    the identical md5-coin + division math (the k-boundary is exact —
+    no transcendental in the key), zero-weight rows are excluded, and
+    the physical plan is TakeOrdered, not a global sort."""
+    import hashlib
+
+    from magiceye_spark.llmops.pipeline import pps_weighted_sample
+
+    rows = [(i, "s%d" % (i % 3), (i * 37) % 11) for i in range(200)]  # some w=0
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    out = pps_weighted_sample(docs, k=20, salt="pps-v1")
+    got = sorted(r.doc_id for r in out.collect())
+
+    def key(i, w):
+        x = int(hashlib.md5(f"pps-v1{i}".encode()).hexdigest()[:8], 16)
+        return ((x + 1) / 4294967296.0) / w
+
+    ref = sorted(
+        ((key(i, w), i) for i, _, w in rows if w > 0)
+    )[:20]
+    assert got == sorted(i for _, i in ref)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_scd2_point_in_time_semantics(spark):
     """Per-fact time-travel: each fact picks the interval covering ITS
     version — change boundaries honored (as-of v is the state AT v, the
