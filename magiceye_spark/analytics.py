@@ -2181,3 +2181,60 @@ FROM s
 GROUP BY brand
 ORDER BY brand
 """
+
+
+def skyline_2d(
+    df: DataFrame, minimize_col: str, maximize_col: str
+) -> DataFrame:
+    """Pareto frontier (skyline) over two criteria: rows NOT dominated by
+    any other row, where q dominates p iff q is ≤ on ``minimize_col`` and
+    ≥ on ``maximize_col`` with at least one strict. The classic
+    multi-criteria shortlist operator ("no cheaper part is also bigger").
+
+    Sort-based, never a self-join: group rows by the minimize value
+    (per-group max of the maximize column), take the EXCLUSIVE running
+    max of those group maxes over ascending minimize order —
+    :func:`magiceye_spark.io.two_phase_window` keeps that global scan
+    parallel — then p survives iff no strictly-cheaper group reaches its
+    value (``m_lt < max``) and it tops its own price group. O(n log n)
+    and shuffle-bounded vs the O(n²) NOT EXISTS the oracle runs."""
+    from magiceye_spark.io import two_phase_window
+
+    groups = df.groupBy(minimize_col).agg(
+        F.max(maximize_col).alias("_gmax")
+    )
+    ranked = two_phase_window(
+        groups, [F.asc(minimize_col)], cummax_excl={"_m_lt": "_gmax"}
+    )
+    j = df.join(ranked, minimize_col)
+    return (
+        j.where(
+            (F.col("_m_lt").isNull() | (F.col("_m_lt") < F.col(maximize_col)))
+            & (F.col("_gmax") <= F.col(maximize_col))
+        )
+        .drop("_gmax", "_m_lt")
+    )
+
+
+def parts_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts on the (minimize retail price, maximize size) Pareto
+    frontier: no other part is at-most-as-expensive AND at-least-as-big
+    with one strict. Duplicated (price, size) points co-survive —
+    dominance needs a strict edge."""
+    p = _t(spark, sf_dir, "part")
+    return skyline_2d(p, "p_retailprice", "p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
+def sql_parts_pareto_frontier() -> str:
+    return """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""

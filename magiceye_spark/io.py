@@ -234,6 +234,7 @@ def two_phase_window(
     order_exprs: list,
     rank_col: str | None = None,
     cumsum: dict[str, str] | None = None,
+    cummax_excl: dict[str, str] | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Global ROW_NUMBER and/or running SUMs over a total order WITHOUT the
@@ -259,6 +260,14 @@ def two_phase_window(
         rank_col: if set, appended 1-based global row number (long).
         cumsum: ``{out_col: value_col_name}`` — each appended as the
             inclusive global running sum of that column over the order.
+        cummax_excl: ``{out_col: value_col_name}`` — each appended as the
+            EXCLUSIVE (strictly-preceding rows) global running max over
+            the order; NULL on the global first row. Max is associative,
+            so the same partition-prefix trick applies: per-partition
+            maxes feed a broadcast prefix table, ``greatest`` (null-
+            skipping) combines prefix and within-partition frames. The
+            strict frame is what dominance tests need (Pareto frontier:
+            "best value among rows strictly before me").
 
     The range-partitioned frame is persisted so the offset table and the
     rank pass see the SAME partitioning (same caveat as
@@ -278,6 +287,7 @@ def two_phase_window(
     from pyspark.sql.window import Window
 
     cumsum = cumsum or {}
+    cummax_excl = cummax_excl or {}
     part = df.repartitionByRange(
         *([num_partitions] if num_partitions else []), *order_exprs
     ).withColumn("_pid", F.spark_partition_id())
@@ -285,6 +295,7 @@ def two_phase_window(
     sizes = part.groupBy("_pid").agg(
         F.count(F.lit(1)).alias("_cnt"),
         *[F.sum(src).alias(f"_ps_{out}") for out, src in cumsum.items()],
+        *[F.max(src).alias(f"_pm_{out}") for out, src in cummax_excl.items()],
     )
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = sizes.select(
@@ -294,12 +305,19 @@ def two_phase_window(
             F.coalesce(F.sum(f"_ps_{out}").over(w_off), F.lit(0)).alias(f"_po_{out}")
             for out in cumsum
         ],
+        *[
+            F.max(f"_pm_{out}").over(w_off).alias(f"_pmo_{out}")
+            for out in cummax_excl
+        ],
     )
     w_in = Window.partitionBy("_pid").orderBy(*order_exprs)
     w_run = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    w_excl = w_in.rowsBetween(Window.unboundedPreceding, -1)
     out = part.withColumn("_rn", F.row_number().over(w_in))
     for out_col, src in cumsum.items():
         out = out.withColumn(f"_pc_{out_col}", F.sum(src).over(w_run))
+    for out_col, src in cummax_excl.items():
+        out = out.withColumn(f"_pe_{out_col}", F.max(src).over(w_excl))
     out = out.join(F.broadcast(offsets), "_pid")
     if rank_col:
         out = out.withColumn(rank_col, (F.col("_off") + F.col("_rn")).cast("long"))
@@ -307,4 +325,10 @@ def two_phase_window(
         out = out.withColumn(
             out_col, F.col(f"_po_{out_col}") + F.col(f"_pc_{out_col}")
         ).drop(f"_pc_{out_col}", f"_po_{out_col}")
+    for out_col in cummax_excl:
+        # greatest() skips NULLs: global-first row (no prefix, no within
+        # frame) stays NULL — "no strictly-preceding element"
+        out = out.withColumn(
+            out_col, F.greatest(F.col(f"_pmo_{out_col}"), F.col(f"_pe_{out_col}"))
+        ).drop(f"_pe_{out_col}", f"_pmo_{out_col}")
     return out.drop("_pid", "_rn", "_off")

