@@ -74,7 +74,10 @@ FAMILY_BASELINE = {
     "span_cleaned_corpus": 3.10,
     "bm25_topk": 0.90,
     "winnow_overlap_pairs": 4.56,
-    "edit_distance_near_dups": 44.72,  # r6: bounded banded-DP builtin (was 75.75)
+    # r6, recommitted: bag-distance screen + explicit verify repartition
+    # (AQE coalesced the CPU-bound DP to one task) on top of the bounded
+    # banded-DP builtin — 75.75 unbounded → 44.72 bounded → 4.25
+    "edit_distance_near_dups": 4.25,
     "cosine_topk": 0.99,
     "ivf_ann_topk": 9.93,
     "ivf_pq_ann_topk": 17.56,

@@ -692,3 +692,88 @@ def test_pagerank_mass_conserved_and_star_center_wins(spark):
         assert rows[1]["pagerank"] > rows[leaf]["pagerank"]
     assert rows[11]["pagerank"] > rows[10]["pagerank"]
     assert rows[10]["pagerank"] == rows[12]["pagerank"]
+
+
+def test_bag_distance_screen_is_a_levenshtein_lower_bound(spark):
+    """The 28-class character-histogram ("bag") screen added before the DP
+    verify must be a true Levenshtein lower bound — (Σ_c |Δcount_c| +
+    |Δlen|) / 2 ≤ lev — so dropping bag > max_dist candidates is lossless.
+    Checked against UNBOUNDED levenshtein on adversarial pairs: anagrams
+    (bag = 0, lev large — must survive the screen and be killed by the
+    DP), disjoint-alphabet same-length pairs (bag = len), and random
+    mutations. Also pins that the screen actually prunes on a fixture
+    where the DP alone would verify every candidate."""
+    import random
+
+    rng = random.Random(6)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = ["shared " + base, "shared " + base[::-1]]  # anagram pair
+    texts.append("shared " + "z" * len(base))  # disjoint alphabet
+    for _ in range(30):
+        chars = list(base)
+        for _ in range(rng.randrange(0, 40)):
+            op = rng.randrange(3)
+            i = rng.randrange(len(chars))
+            if op == 0:
+                chars[i] = rng.choice("abcdefghijklmnopqrstuvwxyz !,")
+            elif op == 1 and len(chars) > 5:
+                del chars[i]
+            else:
+                chars.insert(i, rng.choice("abcdefghijklmnopqrstuvwxyz"))
+        texts.append("shared " + "".join(chars))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    max_dist = 8
+    a, b, bkeys = _edit_distance_sides(docs, max_dist, 80, "text", 10**9)
+    bag = (
+        F.aggregate(
+            F.zip_with("hist_a", "hist_b", lambda x, y: F.abs(x - y)),
+            F.lit(0),
+            lambda acc, d: acc + d,
+        )
+        + F.abs(F.length("prefix_a") - F.length("prefix_b"))
+    ) / 2
+    pairs = (
+        a.join(b, [*bkeys, "salt"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.ceil(bag).alias("bag"),
+            F.levenshtein("prefix_a", "prefix_b").alias("lev"),
+        )
+        .collect()
+    )
+    assert len(pairs) > 100
+    for r in pairs:
+        assert r["bag"] <= r["lev"], (r["doc_a"], r["doc_b"], r["bag"], r["lev"])
+    # screen selectivity on this fixture: some candidates must be bag-pruned
+    assert any(r["bag"] > max_dist for r in pairs)
+    # anagram pair: bag-transparent, DP must still reject it
+    anagram = [r for r in pairs if {r["doc_a"], r["doc_b"]} == {0, 1}][0]
+    assert anagram["bag"] == 0 and anagram["lev"] > max_dist
+    # end-to-end: screened operator == oracle-shaped unscreened filter
+    got = sorted(
+        map(tuple, edit_distance_near_dups(docs, max_dist=max_dist).collect())
+    )
+    want = sorted(
+        (r["doc_a"], r["doc_b"], r["lev"]) for r in pairs if r["lev"] <= max_dist
+    )
+    assert got == want
+
+
+def test_edit_distance_verify_stage_is_spread(spark):
+    """AQE's byte-based coalescing folded the CPU-bound DP verify into one
+    task (24 s single-threaded at sf0.1). Pin the fix: the physical plan
+    must carry BOTH explicit user repartitions — the probe-side spread on
+    (block, bucket, salt) and the verify spread on (doc_a, doc_b) — which
+    AQE is not allowed to coalesce."""
+    docs = spark.createDataFrame(
+        [(i, f"shared text number {i}") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    plan = edit_distance_near_dups(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan
+    assert plan.count("hashpartitioning(doc_a") >= 1
+    assert plan.count("hashpartitioning(block_word") >= 1
