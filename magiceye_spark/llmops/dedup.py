@@ -238,15 +238,36 @@ def containment_near_dups_indexed(
     are a deterministic lower bound, identical in both engines (the
     oracle applies the same cut). Postings carry the doc's shingle-set
     size along map-side, so no extra size join is needed.
+
+    Stage spread: this operator's cost is CPU (shingling, the Σdf² pair
+    join, the pair aggregation) while its bytes are catalog-sized, so
+    AQE's byte-based coalescing used to fold it into single-task stages
+    (measured 22.1 s of a 26.4 s wall in 1-task stages at sf0.1). Two
+    EXPLICIT repartitions fix it: docs spread by doc_id before shingling,
+    and postings spread by shingle before the self-join — the df-cut
+    groupBy, the anti-join, and BOTH sides of the pair join then REUSE
+    the (g)-hash partitioning, so the spread costs no extra exchange.
     """
     toks = _tokens(F.col(text_col))
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
-    base = docs.select("doc_id", sh.alias("sh"))
-    posts = base.select(
-        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("g")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = docs.repartition(par, "doc_id").select("doc_id", sh.alias("sh"))
+    # explode_OUTER, then drop the nulls it emits for empty shingle sets.
+    # A plain explode makes InferFiltersFromGenerate add `size(sh) > 0`,
+    # which predicate pushdown then moves BELOW both repartitions to the
+    # scan — re-evaluating the whole shingle transform over every doc in
+    # the single-task scan stage, once per join subtree (measured 4×4.5 s
+    # of 1-task work at sf0.1). The null filter on the GENERATE OUTPUT is
+    # equivalent row-wise but cannot be pushed below the generate.
+    posts = (
+        base.select(
+            "doc_id", F.size("sh").alias("sz"), F.explode_outer("sh").alias("g")
+        )
+        .where(F.col("g").isNotNull())
+        .repartition(par, "g")
     )
     if max_df is not None:
         hot = (
@@ -346,6 +367,13 @@ def minhash_signatures(
 
     sig = F.array(
         *[F.array_min(F.transform(F.col("shingles"), affine(a, b))) for a, b in params]
+    )
+    # explicit spread: shingling + num_hashes affine minima per row are
+    # CPU-bound on byte-light input, so the scan's file-size-based task
+    # count (one task for a single small parquet file) would otherwise
+    # serialize signature computation for every downstream consumer
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
     return docs.select("doc_id", hashes.alias("shingles")).withColumn("sig", sig)
 
@@ -556,9 +584,12 @@ def dedup_near_fused(
     the original columns.
     """
     reps = minhash_cluster_reps(docs, num_hashes, bands, shingle_n, text_col)
-    shingles = docs.select(
-        "doc_id", _shingle_hashes(text_col, shingle_n).alias("_sh")
-    )
+    # explicit spread (same rationale as minhash_signatures): this frame
+    # is consumed TWICE (member side + representative side), each subtree
+    # re-shingling the corpus — serialized in the scan task without it
+    shingles = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", _shingle_hashes(text_col, shingle_n).alias("_sh"))
     member = (
         reps.where(F.col("doc_id") != F.col("cluster"))
         .join(shingles, "doc_id")
@@ -582,6 +613,11 @@ def simhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash as a bit array: per token-hash bit votes (+1/-1)
     summed with zip_with, thresholded at 0. (doc_id, bits array<int>[64],
     band0..band3 16-bit band values for blocking)."""
+    # explicit spread: 64 bit-votes per token hash is CPU-dense on
+    # byte-light input (same rationale as minhash_signatures)
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = F.array_distinct(_tokens(F.col(text_col)))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     votes = F.aggregate(
@@ -1125,17 +1161,30 @@ def winnow_fingerprints(
     grams = F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
+    # first spread: one md5 per gram is CPU-dense on byte-light input —
+    # without it the single-file scan hashes every gram in one task. The
+    # second repartition below is the documented HOF materialization
+    # barrier; both are explicit-n so AQE cannot coalesce them.
+    par = docs.sparkSession.sparkContext.defaultParallelism
     base = (
-        docs.where(F.size(toks) >= n + window - 1)
+        docs.repartition(par, "doc_id")
+        .where(F.size(toks) >= n + window - 1)
         .select("doc_id", grams.alias("grams"))
-        .repartition(docs.sparkSession.sparkContext.defaultParallelism, F.col("doc_id"))
+        .repartition(par, F.col("doc_id"))
     )
     g = F.col("grams")
     widx = F.sequence(F.lit(0), F.size(g) - window)
     fps = F.array_distinct(
         F.transform(widx, lambda i: F.array_min(F.slice(g, i + 1, window)))
     )
-    return base.select("doc_id", F.explode(fps).alias("fp"))
+    # explode_OUTER + null filter, NOT plain explode: the inferred
+    # `size(fps) > 0` generate-filter would be pushed below the barrier
+    # exchange and re-evaluate the whole window-minimum pass (the exact
+    # O(G²) pathology the barrier exists to prevent)
+    return (
+        base.select("doc_id", F.explode_outer(fps).alias("fp"))
+        .where(F.col("fp").isNotNull())
+    )
 
 
 def winnow_overlap_pairs(
@@ -1242,6 +1291,12 @@ def _cdc_chunk_hashes(docs: DataFrame, text_col: str = "text") -> DataFrame:
     a bounded 2× on the map-side md5 pass, cheaper than the exchange
     barrier that would dedupe it).
     """
+    # explicit spread: one md5 per CHARACTER position makes this the most
+    # CPU-dense projection in the module, on byte-light input — without
+    # it the single-file scan runs the whole chunking pass in one task
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     t = F.col(text_col)
     pos = F.sequence(F.lit(1), F.greatest(F.length(t), F.lit(1)))
     bpos = F.filter(

@@ -147,17 +147,29 @@ LIMIT {k}
 def _gram_positions(docs: DataFrame, n: int, text_col: str) -> DataFrame:
     """(doc_id, pos, gram_md5) for every word n-gram start position.
     Docs shorter than n tokens produce no grams."""
+    # explicit spread: one md5 per token position is CPU-dense on
+    # byte-light input — the single-file scan would otherwise hash every
+    # gram in one task, once per consuming subtree
     base = (
-        docs.select("doc_id", _tokens(F.col(text_col)).alias("toks"))
+        docs.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select("doc_id", _tokens(F.col(text_col)).alias("toks"))
         .where(F.size("toks") >= n)
     )
     idx = F.sequence(F.lit(0), F.size("toks") - n)
     grams = F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)))
     )
-    return base.select(
-        "doc_id", F.posexplode(grams).alias("pos", "gram_md5")
-    ).withColumn("pos", F.col("pos").cast("long"))
+    # posexplode_OUTER + null filter: a plain posexplode gets an inferred
+    # `size(grams) > 0` filter pushed below the repartition, re-running
+    # the gram-hash transform in the scan stage (see dedup.py:
+    # containment_near_dups_indexed for the measured pathology)
+    return (
+        base.select("doc_id", F.posexplode_outer(grams).alias("pos", "gram_md5"))
+        .where(F.col("gram_md5").isNotNull())
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
 
 
 def duplicate_spans(

@@ -339,6 +339,12 @@ def ivf_topk(
     def best_cells(vec: Column, n: int) -> Column:
         return _best_cells(vec, cents, n)
 
+    # explicit spread: cell assignment + the probe-join cosine scan are
+    # CPU-bound (n_centroids·dim multiply-adds per row) on byte-light
+    # rows, so AQE/scan sizing would otherwise run them in one task
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, id_col
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
@@ -488,6 +494,13 @@ def ivf_pq_topk(
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     # ---- encode: (neighbor_id, cell, codes[m]) — the compact index table
+    # explicit spread: encoding is m·n_codes·dim flops per row on
+    # byte-light rows — AQE/scan sizing would single-task it (measured
+    # 7.4 s of 1-task stages at sf0.1); the ADC scan that follows
+    # inherits this partitioning
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, id_col
+    )
     nv = normalized(F.col(vec_col))
     enc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
