@@ -57,39 +57,41 @@ FAMILIES = {
     "bitext": ["bitext_margin_pairs"],
 }
 
-# Committed family baselines at sf0.1 on the bench machine (BENCH_r05.json,
-# edit_distance re-committed r6 after the bounded-Levenshtein switch; the
-# committed table lives in BASELINE.md). A measured value > 2x its committed
-# value at sf0.1 lands in the output's "regressions" list — the gate the
-# headline set already has via BASELINE.md's 2x rule.
+# Committed family baselines at sf0.1 on the bench machine, recommitted
+# late-r6 from a clean solo run after the stage-spread wave (bag-distance
+# edit-distance screen, explicit repartitions before CPU-dense
+# projections, explode_outer pushdown guard — see PLANS.md "CPU-dense
+# stages vs byte-based sizing"; families total 179.1 s r5 → 118.6 s).
+# The committed table lives in BASELINE.md. A measured value > 2x its
+# committed value at sf0.1 lands in the output's "regressions" list —
+# the gate the headline set already has via BASELINE.md's 2x rule.
 FAMILY_BASELINE = {
-    "dedup_exact_corpus": 0.42,
-    "jaccard_near_dups": 3.29,
-    "minhash_lsh_ngram_dups": 9.14,
-    "simhash_near_dups": 7.96,
-    "near_dedup_fused": 9.52,
-    "containment_near_dups": 10.31,
-    "containment_near_dups_indexed": 22.92,
-    "duplicate_spans": 2.74,
-    "span_cleaned_corpus": 3.10,
-    "bm25_topk": 0.90,
-    "winnow_overlap_pairs": 4.56,
-    # r6, recommitted: bag-distance screen + explicit verify repartition
-    # (AQE coalesced the CPU-bound DP to one task) on top of the bounded
-    # banded-DP builtin — 75.75 unbounded → 44.72 bounded → 4.25
-    "edit_distance_near_dups": 4.25,
-    "cosine_topk": 0.99,
-    "ivf_ann_topk": 9.93,
-    "ivf_pq_ann_topk": 17.56,
-    "media_catalog": 2.11,  # r6 committed
-    "phash_near_dups": 7.52,  # r6 committed
-    # r6 committed (iterative closure: ~5 pointer-jump rounds of fixed
-    # per-round job latency on top of the 3.3 s all-pairs twin)
-    "dup_graph_components": 22.62,
-    "dedup_keep_per_cluster": 13.18,
-    "delta_dedup_admit": 17.82,
-    "bitext_margin_pairs": 9.03,  # r6 committed (B-side barrier: was 20.3)
-    "cdc_chunk_near_dups": 11.21,  # r6 committed (array-world chunker, zero pre-join shuffle)
+    "dedup_exact_corpus": 0.40,
+    "jaccard_near_dups": 2.98,
+    "minhash_lsh_ngram_dups": 3.15,  # was 9.14 pre-spread
+    "simhash_near_dups": 4.77,  # was 7.96
+    "near_dedup_fused": 4.23,  # was 9.52
+    "containment_near_dups": 9.33,
+    "containment_near_dups_indexed": 4.07,  # was 22.92
+    "duplicate_spans": 1.87,  # was 2.74
+    "span_cleaned_corpus": 2.28,
+    "bm25_topk": 0.98,
+    "winnow_overlap_pairs": 2.14,  # was 4.56
+    # 75.75 unbounded (r5) → 44.72 bounded DP → 3.87 with the
+    # bag-distance screen + explicit verify repartition
+    "edit_distance_near_dups": 3.87,
+    "cosine_topk": 1.01,
+    "ivf_ann_topk": 10.41,  # driver-side k-means fit dominates
+    "ivf_pq_ann_topk": 14.05,  # fit + codebook-literal codegen dominate
+    "media_catalog": 2.11,  # kept: bench-order warmup varies 0.2-2.1
+    "phash_near_dups": 5.72,  # was 7.52
+    # iterative closure: ~5 pointer-jump rounds of fixed per-round job
+    # latency on top of the all-pairs twin
+    "dup_graph_components": 15.11,  # was 22.62
+    "dedup_keep_per_cluster": 13.22,
+    "delta_dedup_admit": 12.35,  # was 17.82
+    "bitext_margin_pairs": 4.85,  # was 9.03 (B-side barrier: was 20.3)
+    "cdc_chunk_near_dups": 1.59,  # was 11.21 (chunking pass now spread)
 }
 
 

@@ -777,3 +777,47 @@ def test_edit_distance_verify_stage_is_spread(spark):
     assert "REPARTITION_BY_NUM" in plan
     assert plan.count("hashpartitioning(doc_a") >= 1
     assert plan.count("hashpartitioning(block_word") >= 1
+
+
+def test_cpu_dense_operators_carry_explicit_spreads(spark):
+    """Structural guard for the r6 stage-time audit fixes: each CPU-dense
+    operator's physical plan must carry an explicit user repartition
+    (REPARTITION_BY_NUM — the form AQE cannot coalesce) and must NOT
+    contain an inferred size(...)>0 generate-filter pushed below it into
+    the scan (the explode_outer guard). A regression on either re-
+    serializes the operator into one task on single-file inputs."""
+    from magiceye_spark.llmops.dedup import (
+        cdc_chunk_near_dups,
+        containment_near_dups_indexed,
+        dedup_near_fused,
+        minhash_lsh_pairs,
+        simhash_near_dups,
+        winnow_overlap_pairs,
+    )
+    from magiceye_spark.llmops.retrieval import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta {i}", "en", "src0", 40)
+         for i in range(30)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    ops = {
+        "containment_indexed": containment_near_dups_indexed(docs),
+        "minhash_pairs": minhash_lsh_pairs(docs),
+        "fused": dedup_near_fused(docs),
+        "cdc": cdc_chunk_near_dups(docs),
+        "winnow": winnow_overlap_pairs(docs),
+        "spans": duplicate_spans(docs),
+        "simhash": simhash_near_dups(docs),
+    }
+    for name, df in ops.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "REPARTITION_BY_NUM" in plan, name
+        # the inferred generate-filter re-evaluates the array transform
+        # below the spread; its signature in the optimized plan is a
+        # Filter on size(<non-attribute expression>) containing lambda
+        # machinery under a FileScan-adjacent position. Cheap proxy: no
+        # `(size(transform(` anywhere in a Filter line.
+        for line in plan.splitlines():
+            if "Filter" in line and "size(array_distinct(transform(" in line:
+                raise AssertionError(f"{name}: inferred generate filter re-evaluates shingles:\n{line[:200]}")
