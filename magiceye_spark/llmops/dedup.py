@@ -255,20 +255,15 @@ def containment_near_dups_indexed(
     )
     par = docs.sparkSession.sparkContext.defaultParallelism
     base = docs.repartition(par, "doc_id").select("doc_id", sh.alias("sh"))
-    # explode_OUTER, then drop the nulls it emits for empty shingle sets.
-    # A plain explode makes InferFiltersFromGenerate add `size(sh) > 0`,
-    # which predicate pushdown then moves BELOW both repartitions to the
-    # scan — re-evaluating the whole shingle transform over every doc in
-    # the single-task scan stage, once per join subtree (measured 4×4.5 s
-    # of 1-task work at sf0.1). The null filter on the GENERATE OUTPUT is
-    # equivalent row-wise but cannot be pushed below the generate.
-    posts = (
-        base.select(
-            "doc_id", F.size("sh").alias("sz"), F.explode_outer("sh").alias("g")
-        )
-        .where(F.col("g").isNotNull())
-        .repartition(par, "g")
-    )
+    # plain explode is safe ONLY because the session factory excludes
+    # InferFiltersFromGenerate — otherwise its inferred `size(sh) > 0`
+    # filter is pushed below both repartitions and re-evaluates the whole
+    # shingle transform in the single-task scan stage, once per join
+    # subtree (measured 4×4.5 s at sf0.1). The explode_outer workaround
+    # is worse: it disables generator codegen (26× total CPU on phash).
+    posts = base.select(
+        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("g")
+    ).repartition(par, "g")
     if max_df is not None:
         hot = (
             posts.groupBy("g")
@@ -884,7 +879,12 @@ def boilerplate_ngrams(
     grams = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     )
-    per_doc = docs.select(F.col("doc_id"), F.explode(grams).alias("gram"))
+    # explicit spread (PLANS.md "CPU-dense stages vs byte-based sizing");
+    # plain explode is safe under the session-level
+    # InferFiltersFromGenerate exclusion
+    per_doc = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select(F.col("doc_id"), F.explode(grams).alias("gram"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         per_doc.groupBy("gram")
@@ -1177,14 +1177,12 @@ def winnow_fingerprints(
     fps = F.array_distinct(
         F.transform(widx, lambda i: F.array_min(F.slice(g, i + 1, window)))
     )
-    # explode_OUTER + null filter, NOT plain explode: the inferred
-    # `size(fps) > 0` generate-filter would be pushed below the barrier
-    # exchange and re-evaluate the whole window-minimum pass (the exact
-    # O(G²) pathology the barrier exists to prevent)
-    return (
-        base.select("doc_id", F.explode_outer(fps).alias("fp"))
-        .where(F.col("fp").isNotNull())
-    )
+    # plain explode relies on the session-level InferFiltersFromGenerate
+    # exclusion — the inferred `size(fps) > 0` filter would otherwise be
+    # pushed below the barrier exchange and re-evaluate the whole
+    # window-minimum pass (the exact O(G²) pathology the barrier
+    # exists to prevent)
+    return base.select("doc_id", F.explode(fps).alias("fp"))
 
 
 def winnow_overlap_pairs(

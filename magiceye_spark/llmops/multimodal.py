@@ -276,6 +276,13 @@ def phash_signatures(media: DataFrame) -> DataFrame:
     hx = F.hex(F.col("payload"))
     hex_len = 2 * _PHASH_CELLS
     t = F.when(F.length(hx) < hex_len, F.rpad(hx, hex_len, "01")).otherwise(hx)
+    # NO explicit spread here, unlike the text dedup family: an A/B at
+    # sf0.1 measured the repartition HURTING (8.9 s → 10.3 s wall) — the
+    # per-byte explode is only ~300 rows/doc and the downstream pair join
+    # dominates, so the added exchange buys nothing. (The explode_outer
+    # variant was also measured here at a 26× total-CPU blowup — it
+    # disables generator codegen; plain posexplode + the session-level
+    # InferFiltersFromGenerate exclusion is the fast shape.)
     chars = media.select(
         F.col("media_id"),
         F.posexplode(F.regexp_extract_all(t, F.lit(".."), 0)).alias("pos", "ch"),

@@ -293,7 +293,12 @@ def _doc_ngram_hashes(docs: DataFrame, ngram_n: int, text_col: str) -> DataFrame
     toks = textstats._tokens(F.col(text_col))  # noqa: SLF001
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - ngram_n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, ngram_n))))
-    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+    # explicit spread: one md5 per gram is CPU-dense on byte-light input
+    # (PLANS.md "CPU-dense stages vs byte-based sizing"); plain explode
+    # is safe under the session-level InferFiltersFromGenerate exclusion
+    return docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
 
 
 def decontamination_overlap(

@@ -161,15 +161,13 @@ def _gram_positions(docs: DataFrame, n: int, text_col: str) -> DataFrame:
     grams = F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n)))
     )
-    # posexplode_OUTER + null filter: a plain posexplode gets an inferred
-    # `size(grams) > 0` filter pushed below the repartition, re-running
-    # the gram-hash transform in the scan stage (see dedup.py:
-    # containment_near_dups_indexed for the measured pathology)
-    return (
-        base.select("doc_id", F.posexplode_outer(grams).alias("pos", "gram_md5"))
-        .where(F.col("gram_md5").isNotNull())
-        .withColumn("pos", F.col("pos").cast("long"))
-    )
+    # plain posexplode relies on the session-level
+    # InferFiltersFromGenerate exclusion — the inferred `size(grams) > 0`
+    # filter would otherwise be pushed below the repartition, re-running
+    # the gram-hash transform in the scan stage
+    return base.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram_md5")
+    ).withColumn("pos", F.col("pos").cast("long"))
 
 
 def duplicate_spans(

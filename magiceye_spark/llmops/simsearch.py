@@ -590,10 +590,18 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Self-pairs with cosine ≥ threshold: (id_a, id_b, cosine_sim), a < b.
     Exact all-pairs — the oracle twin; block via LSH bands for corpus scale
-    (compose signature_bits + a band self-join exactly like minhash_lsh)."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    (compose signature_bits + a band self-join exactly like minhash_lsh).
+
+    The inequality join is a broadcast-nested-loop; the STREAM side is
+    explicitly spread so the O(n²) cosine work runs on every core instead
+    of in the single scan task (measured 81 s single-threaded at sf0.1),
+    and the build side is explicitly broadcast so the planner can't flip
+    the roles."""
+    a = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     sim = F.round(cosine(F.col("va"), F.col("vb")), 6)
     return pairs.select("id_a", "id_b", sim.alias("cosine_sim")).where(
         F.col("cosine_sim") >= threshold
@@ -622,6 +630,11 @@ def embedding_near_dup_pairs_lsh(
     planes = _hyperplanes(dim, n_planes)
     rows_per_band = n_planes // bands
     bits = signature_bits(F.col(vec_col), planes)
+    # explicit spread: n_planes·dim multiply-adds per row for the
+    # signatures, evaluated once per join subtree without it
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, id_col
+    )
     banded = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bits.alias("bits")
     ).select(
@@ -712,6 +725,10 @@ def embedding_dedup_fused(
     planes = _hyperplanes(dim, n_planes)
     rows_per_band = n_planes // bands
     bits = signature_bits(F.col(vec_col), planes)
+    # explicit spread (same rationale as embedding_near_dup_pairs_lsh)
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, id_col
+    )
     banded = corpus.select(
         F.col(id_col).alias("_id"), bits.alias("bits")
     ).select(
@@ -822,7 +839,12 @@ def hard_negatives(
         F.col(vec_col).alias("a_vec"),
         F.col(label_col).alias("a_label"),
     )
-    c = corpus.select(
+    # stream side explicitly spread: the label-inequality join is a
+    # broadcast-nested-loop whose per-row work is O(n·dim) — in the
+    # single scan task that was 74 s at sf0.1
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, id_col
+    ).select(
         F.col(id_col).alias("negative_id"),
         F.col(vec_col).alias("c_vec"),
         F.col(label_col).alias("c_label"),

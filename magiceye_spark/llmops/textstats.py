@@ -755,7 +755,14 @@ def bigram_logprob(docs: DataFrame, alpha: float = 0.5, text_col: str = "text") 
         ),
     )
     stream = (
-        docs.where(F.size(toks) >= 2)
+        # explicit spread BEFORE the persist: the cached stream keeps
+        # whatever partitioning it materializes with, so a single-scan-
+        # task persist serializes all four consumers (measured 21 s of
+        # 1-task stage time at sf0.1). Plain explode is safe under the
+        # session-level InferFiltersFromGenerate exclusion (PLANS.md
+        # "CPU-dense stages vs byte-based sizing").
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .where(F.size(toks) >= 2)
         .select("doc_id", F.explode(bigrams).alias("b"))
         .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
         .where(F.col("w2").isNotNull())
@@ -1066,7 +1073,10 @@ def bigram_continuations(
         ),
     )
     stream = (
-        docs.where(F.size(toks) >= 2)
+        # explicit spread; plain explode is safe under the session-level
+        # InferFiltersFromGenerate exclusion (see bigram_logprob)
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .where(F.size(toks) >= 2)
         .select(F.explode(bigrams).alias("b"))
         .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
     )

@@ -46,6 +46,23 @@ def get_spark(app_name: str = "magiceye-spark", master: str | None = None) -> Sp
         # it hangs even a plain parquet count (reproduced in isolation).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # InferFiltersFromGenerate adds `size(arr) > 0` above every
+        # explode; predicate pushdown then drags that filter — with the
+        # FULL array-building expression substituted in — below the
+        # explicit repartitions that spread CPU-dense projections, so
+        # shingling / gram-hashing / signature transforms re-run inside
+        # the one-task scan stage, once per consuming subtree (measured
+        # 4 subtrees x 4.5 s on the containment index at sf0.1). The
+        # rule's only benefit is skipping empty-array rows before a
+        # generate — never the hot case here; excluding it is strictly
+        # cheaper than the explode_outer workaround, which silently
+        # disables generator codegen (measured 26x total-CPU blowup on
+        # the phash signature pass). See PLANS.md "CPU-dense stages vs
+        # byte-based sizing".
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     active = SparkSession.getActiveSession()
     if active is not None:
