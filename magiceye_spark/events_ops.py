@@ -1216,3 +1216,107 @@ FROM s
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+def session_concurrency(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    bin_seconds: int = 3600,
+) -> DataFrame:
+    """For every session, the number of OTHER users' sessions that overlap
+    it in time (interval-overlap self-join) — the concurrency measure
+    behind load profiles and co-activity analysis.
+
+    A naive theta self-join (``a.start <= b.end AND b.start <= a.end``)
+    is a nested loop over all session pairs. This bins time into
+    ``bin_seconds`` buckets, explodes each session over the buckets it
+    spans, and equi-joins on the bucket — the classic binned interval
+    join. Each overlapping pair is counted EXACTLY once without a
+    distinct: the pair is kept only in bucket
+    ``max(floor(a.start/W), floor(b.start/W))``, the first bucket both
+    intervals cover (they both cover it iff they overlap, since
+    ``b.start <= a.end`` implies ``floor(b.start/W) <= floor(a.end/W)``).
+    Shuffle key is the bucket — time-distributed; fan-out per session is
+    ``len/W`` buckets. Sessions that overlap nothing keep 0 via the left
+    join back to the session table.
+
+    Returns (user_id, session_seq, session_start, n_concurrent).
+    """
+    sessions = sessionize(events, gap_minutes=gap_minutes).select(
+        "user_id",
+        "session_seq",
+        "session_start",
+        F.unix_micros(F.col("session_start")).alias("_s_us"),
+        F.unix_micros(F.col("session_end")).alias("_e_us"),
+    )
+    win_us = bin_seconds * 1_000_000
+    binned = sessions.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                (F.col("_s_us") / win_us).cast("long"),
+                (F.col("_e_us") / win_us).cast("long"),
+            )
+        ),
+    )
+    a = binned.alias("a")
+    b = binned.alias("b")
+    pair_bin = F.greatest(
+        (F.col("a._s_us") / win_us).cast("long"),
+        (F.col("b._s_us") / win_us).cast("long"),
+    )
+    overlaps = (
+        a.join(
+            b,
+            (F.col("a._bin") == F.col("b._bin"))
+            & (F.col("a.user_id") != F.col("b.user_id"))
+            & (F.col("a._s_us") <= F.col("b._e_us"))
+            & (F.col("b._s_us") <= F.col("a._e_us"))
+            & (F.col("a._bin") == pair_bin),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"), F.col("a.session_seq").alias("session_seq"))
+        .agg(F.count(F.lit(1)).alias("n_concurrent"))
+    )
+    return (
+        sessions.join(overlaps, ["user_id", "session_seq"], "left")
+        .select(
+            "user_id",
+            "session_seq",
+            "session_start",
+            F.coalesce(F.col("n_concurrent"), F.lit(0)).alias("n_concurrent"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def sql_session_concurrency(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH e AS ({SQL_EVENTS_US}),
+flagged AS (
+  SELECT *,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_seq, MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM numbered GROUP BY user_id, session_seq
+)
+SELECT a.user_id, a.session_seq, a.session_start,
+       COALESCE(COUNT(b.user_id), 0) AS n_concurrent
+FROM sessions a LEFT JOIN sessions b
+  ON a.user_id <> b.user_id
+ AND a.session_start <= b.session_end
+ AND b.session_start <= a.session_end
+GROUP BY a.user_id, a.session_seq, a.session_start
+ORDER BY a.user_id, a.session_seq
+"""

@@ -1389,3 +1389,122 @@ FROM m JOIN sizes sa ON sa.doc_id = m.doc_a JOIN sizes sb ON sb.doc_id = m.doc_b
 WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= {threshold}
 ORDER BY doc_a, doc_b
 """
+
+
+# ------------------------------------------------- AllPairs prefix filtering
+
+def allpairs_jaccard_join(
+    docs: DataFrame,
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT global shingle-Jaccard join via prefix filtering (AllPairs /
+    PPJoin, Bayardo et al. WWW'07; Xiao et al. WWW'08): every pair of
+    documents whose n-gram-shingle-set Jaccard is >= threshold, with no
+    blocking loss and no LSH approximation.
+
+    The trick: order each document's shingle set by ascending corpus df
+    (rarest first; ties by shingle) and emit only the first
+    ``|s| - ceil(t*|s|) + 1`` shingles as join keys — any two sets with
+    Jaccard >= t MUST share a shingle inside those prefixes, so the
+    candidate join is lossless while postings for the common (high-df)
+    shingles are never materialized. Candidate cost is sum(prefix-df^2)
+    over the RARE end of the shingle vocabulary instead of sum(df^2)
+    over all of it. A length filter (t*|b| <= |a| <= |b|/t
+    cross-multiplied in integers) prunes further before the distinct.
+
+    Positioning in the repo's dedup ladder: `jaccard_near_dups` is the
+    (lang, length)-blocked small-scale twin — fast but recall-lossy
+    across blocks; `minhash_lsh_*` is probabilistic; THIS operator is
+    the exact-at-scale path. The threshold is a rational num/den and
+    every filter cross-multiplies in integers, so Spark and the DuckDB
+    oracle agree bit-for-bit at the boundary.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, matching the
+    brute-force all-pairs oracle exactly.
+    """
+    sp = docs.sparkSession
+    par = sp.sparkContext.defaultParallelism
+    w = _tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+    sh = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(sh).alias("tok"),
+    ).repartition(par, "tok")  # spread the shingling; reused by the df groupBy
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # order each doc's tokens by (df asc, tok asc): total because tokens are
+    # distinct per doc. array_sort on struct sorts field-by-field.
+    ordered = (
+        toks.join(df, "tok")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ord"))
+    )
+    sz = F.size("ord")
+    # ceil(num*s/den) in exact integer arithmetic: (num*s + den - 1) div den
+    ceil_ts = F.floor((F.lit(threshold_num) * sz + F.lit(threshold_den - 1)) / F.lit(threshold_den)).cast("int")
+    prefix_len = (sz - ceil_ts + F.lit(1)).cast("int")
+    base = ordered.select(
+        "doc_id",
+        F.transform("ord", lambda x: x["tok"]).alias("toks"),
+        sz.alias("sz"),
+        F.transform(F.slice("ord", F.lit(1), prefix_len), lambda x: x["tok"]).alias("pref"),
+    ).repartition(par, "doc_id")  # materialization barrier before the joins
+    cand = base.select("doc_id", "sz", F.explode("pref").alias("tok"))
+    a, b = cand.alias("a"), cand.alias("b")
+    num, den = F.lit(threshold_num), F.lit(threshold_den)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= t forces t*|b| <= |a| and t*|a| <= |b|
+            & (den * F.col("a.sz") >= num * F.col("b.sz"))
+            & (den * F.col("b.sz") >= num * F.col("a.sz")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    va = base.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"), F.col("sz").alias("sz_a"))
+    vb = base.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"), F.col("sz").alias("sz_b"))
+    verified = pairs.join(va, "doc_a").join(vb, "doc_b")
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    return (
+        verified.where(den * inter >= num * union)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def sql_allpairs_jaccard_join(
+    threshold_num: int = 7, threshold_den: int = 10, n: int = 3
+) -> str:
+    """Brute-force all-pairs twin: prefix filtering is lossless, so the
+    candidate machinery must reproduce the naive quadratic join exactly."""
+    toks = "regexp_split_to_array(TRIM(LOWER(text)), '\\s+')"
+    sh = (
+        f"list_distinct(list_transform(range(1, GREATEST(LENGTH({toks}) - {n}, 0) + 2), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')))"
+    )
+    return f"""
+WITH toksets AS (
+  SELECT doc_id, {sh} AS toks
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(LENGTH(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / (LENGTH(a.toks) + LENGTH(b.toks) - LENGTH(list_intersect(a.toks, b.toks))), 4) AS jaccard
+FROM toksets a JOIN toksets b ON a.doc_id < b.doc_id
+WHERE {threshold_den} * LENGTH(list_intersect(a.toks, b.toks))
+      >= {threshold_num} * (LENGTH(a.toks) + LENGTH(b.toks) - LENGTH(list_intersect(a.toks, b.toks)))
+ORDER BY doc_a, doc_b
+"""

@@ -33,6 +33,8 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -372,4 +374,95 @@ SELECT lens.doc_id,
        ROUND(COALESCE(dup_tokens, 0) / CAST(n_tokens AS DOUBLE), 4) AS dup_frac
 FROM lens LEFT JOIN per_doc ON lens.doc_id = per_doc.doc_id
 ORDER BY lens.doc_id
+"""
+
+
+# ----------------------------------------------------------- phrase search
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str = "big order scan",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase query over a POSITIONAL inverted index: documents
+    containing the query tokens at consecutive positions, with the match
+    count and the first match position (1-based).
+
+    Index shape, not a scan: ``posexplode`` builds (doc_id, pos, token)
+    postings, the filter to the query's terms prunes the postings BEFORE
+    any shuffle (predicate on the exploded token — at 100 TB with a
+    materialized postings table this is an index lookup of |terms|
+    posting lists, not a corpus scan), and one groupBy(doc_id) folds the
+    per-term position lists. Adjacency is then a pure array expression:
+    positions p of term0 where every term_i has p+i in its list. Only
+    docs containing ALL terms survive the size guards, so the aggregate
+    state is bounded by the phrase's rarest term df.
+
+    The DuckDB oracle walks every position of every document — the
+    brute-force definition the index must reproduce exactly.
+    """
+    terms = phrase.split()
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(_tokens(F.col(text_col))).alias("pos", "tok"),
+    ).where(F.col("tok").isin(terms))
+    per_term = pos.groupBy("doc_id").agg(
+        *[
+            F.sort_array(
+                F.collect_list(F.when(F.col("tok") == t, F.col("pos") - i))
+            ).alias(f"_p{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    # _p{i} holds (pos - i) for term i, so a phrase match at position p is
+    # simply p present in EVERY list — adjacency becomes set intersection.
+    matches = F.filter(
+        F.col("_p0"),
+        lambda p: F.aggregate(
+            F.array(*[F.array_contains(F.col(f"_p{i}"), p) for i in range(1, len(terms))]),
+            F.lit(True),
+            lambda acc, x: acc & x,
+        ),
+    )
+    all_present = functools.reduce(
+        lambda acc, i: acc & (F.size(F.col(f"_p{i}")) > 0),
+        range(1, len(terms)),
+        F.size(F.col("_p0")) > 0,
+    )
+    guarded = per_term.where(all_present)
+    return (
+        guarded.select("doc_id", matches.alias("_m"))
+        .where(F.size("_m") > 0)
+        .select(
+            "doc_id",
+            F.size("_m").alias("n_matches"),
+            (F.element_at("_m", 1) + 1).alias("first_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_phrase_search(phrase: str = "big order scan") -> str:
+    terms = phrase.split()
+    n = len(terms)
+    conds = " AND ".join(
+        f"toks[p + {i}] = '{t}'" for i, t in enumerate(terms)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         list_filter(range(1, len(toks) - {n} + 2), p -> {conds}) AS hits
+  FROM t
+  WHERE len(toks) >= {n}
+)
+SELECT doc_id,
+       CAST(len(hits) AS BIGINT) AS n_matches,
+       CAST(hits[1] AS BIGINT) AS first_pos
+FROM m
+WHERE len(hits) > 0
+ORDER BY doc_id
 """

@@ -657,6 +657,30 @@ def retention_q(spark, sf_dir):
     return events_ops.cohort_retention(events_ops._events(spark, sf_dir), max_days=7)
 
 
+@register("session_concurrency", events_ops.sql_session_concurrency())
+def session_concurrency_q(spark, sf_dir):
+    """Binned interval-overlap self-join: per session, how many other
+    users' sessions overlap it — exact, dedup-free (pair kept only in the
+    first shared bucket), vs the oracle's naive theta join."""
+    return events_ops.session_concurrency(events_ops._events(spark, sf_dir))
+
+
+@register("phrase_search", retrieval.sql_phrase_search())
+def phrase_search_q(spark, sf_dir):
+    """Exact phrase query over a positional inverted index (postings
+    pruned to the query terms before any shuffle) vs the oracle's
+    walk-every-position scan."""
+    return retrieval.phrase_search(_docs(spark, sf_dir))
+
+
+@register("heavy_hitters_cms", sketches.sql_cms_heavy_hitters())
+def heavy_hitters_cms_q(spark, sf_dir):
+    """Explicit count-min sketch heavy hitters — md5-derived row hashes so
+    the DuckDB oracle reproduces every estimate (and its collision
+    overcount) exactly."""
+    return sketches.cms_heavy_hitters(events_ops._events(spark, sf_dir))
+
+
 @register("events_value_distribution", sketches.SQL_VALUE_DISTRIBUTION)
 def value_dist_q(spark, sf_dir):
     return sketches.value_distribution_events(spark, sf_dir)
@@ -813,6 +837,14 @@ def dedup_exact_q(spark, sf_dir):
 @register("jaccard_near_dups", dedup.sql_jaccard_near_dups(threshold=0.8))
 def jaccard_q(spark, sf_dir):
     return dedup.jaccard_near_dups(_docs(spark, sf_dir), threshold=0.8)
+
+
+@register("allpairs_jaccard_join", dedup.sql_allpairs_jaccard_join())
+def allpairs_jaccard_q(spark, sf_dir):
+    """Exact GLOBAL Jaccard join via AllPairs prefix filtering — the
+    lossless scale path of the dedup ladder (vs the blocked twin and the
+    probabilistic MinHash path)."""
+    return dedup.allpairs_jaccard_join(_docs(spark, sf_dir))
 
 
 @register("minhash_lsh_near_dups", None)  # xxhash64-based: rows-only check

@@ -270,3 +270,92 @@ FROM events e JOIN b ON e.event_type = b.event_type
 GROUP BY e.event_type
 ORDER BY e.event_type
 """
+
+
+# -------------------------------------------------- count-min heavy hitters
+
+def cms_heavy_hitters(
+    events: DataFrame,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 64,
+    k: int = 20,
+) -> DataFrame:
+    """Heavy hitters through an EXPLICIT count-min sketch (Cormode &
+    Muthukrishnan 2005), materialized as a (depth x width) table so the
+    estimate path is inspectable and engine-portable.
+
+    Row hashes are md5-derived (``md5(i ':' key)`` -> first 8 hex chars ->
+    int mod width) — deterministic and identical in DuckDB, so the oracle
+    reproduces every estimate bit-for-bit, overcounts included; that is the
+    point of the query: it reports ``est - exact`` per key, the collision
+    error a production sketch would silently carry.
+
+    Scale shape: per-key counts partial-aggregate map-side (one shuffle at
+    key cardinality, not event count); the sketch itself is depth*width
+    rows (256 here) — broadcast back for the estimate join, so the whole
+    estimate phase is shuffle-free after the first groupBy. At 100 TB the
+    sketch state is the same 256 cells; only the key->count rollup grows,
+    and a streaming twin would merge per-micro-batch cell increments
+    without ever holding the key set. Top-k is (est DESC, key) through
+    TakeOrderedAndProject — a total order, so the LIMIT is deterministic.
+    """
+    exact = events.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    tagged = exact.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.lit(depth - 1)))
+    ).withColumn(
+        "b",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("key").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width,
+    )
+    cms = tagged.groupBy("i", "b").agg(F.sum("exact").alias("c"))
+    est = (
+        tagged.join(F.broadcast(cms), ["i", "b"])
+        .groupBy("key", "exact")
+        .agg(F.min("c").alias("est"))
+    )
+    return (
+        est.select(
+            "key",
+            "est",
+            "exact",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+        )
+        .orderBy(F.col("est").desc(), "key")
+        .limit(k)
+    )
+
+
+def sql_cms_heavy_hitters(depth: int = 4, width: int = 64, k: int = 20) -> str:
+    return f"""
+WITH exact AS (
+  SELECT user_id AS key, COUNT(*) AS exact FROM events GROUP BY 1
+),
+tagged AS (
+  SELECT key, exact, i,
+         CAST(CONCAT('0x', substr(md5(CAST(i AS VARCHAR) || ':' || CAST(key AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {width} AS b
+  FROM exact, unnest(range(0, {depth})) AS u(i)
+),
+cms AS (SELECT i, b, SUM(exact) AS c FROM tagged GROUP BY 1, 2),
+est AS (
+  SELECT key, exact, MIN(c) AS est
+  FROM tagged JOIN cms USING (i, b)
+  GROUP BY key, exact
+)
+SELECT key, CAST(est AS BIGINT) AS est, exact,
+       CAST(est - exact AS BIGINT) AS overcount
+FROM est
+ORDER BY est DESC, key
+LIMIT {k}
+"""

