@@ -45,6 +45,7 @@ FAMILIES = {
         "minhash_lsh_ngram_dups",
         "simhash_near_dups",
         "near_dedup_fused",
+        "allpairs_jaccard_join",
     ],
     "containment": ["containment_near_dups", "containment_near_dups_indexed"],
     "span_dedup": ["duplicate_spans", "span_cleaned_corpus"],
@@ -71,6 +72,9 @@ FAMILY_BASELINE = {
     "minhash_lsh_ngram_dups": 3.15,  # was 9.14 pre-spread
     "simhash_near_dups": 4.77,  # was 7.96
     "near_dedup_fused": 4.23,  # was 9.52
+    # exact global prefix-filter join; postings spread before the shingle
+    # transform (5.9 s single-task shingling otherwise)
+    "allpairs_jaccard_join": 3.30,
     "containment_near_dups": 9.33,
     "containment_near_dups_indexed": 4.07,  # was 22.92
     "duplicate_spans": 1.87,  # was 2.74

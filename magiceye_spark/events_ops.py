@@ -1320,3 +1320,79 @@ FROM sessions a LEFT JOIN sessions b
 GROUP BY a.user_id, a.session_seq, a.session_start
 ORDER BY a.user_id, a.session_seq
 """
+
+
+def debounce_events(
+    events: DataFrame,
+    quiet_seconds: int = 60,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+) -> DataFrame:
+    """Burst collapse: keep only the FIRST event of every burst, where a
+    burst is a maximal run of same-key events each within
+    ``quiet_seconds`` of the previous raw event — duplicate clicks,
+    retry storms, and sensor chatter collapse to one row.
+
+    Same gap-run machinery as :func:`sessionize` (one lag + one running
+    sum over a single (keys) shuffle), but keyed by (user, type) and
+    keeping the first ROW of each run rather than aggregating it. The
+    "first of each run" rule is deterministic and engine-portable —
+    unlike true trailing-edge debounce-against-last-KEPT, which is
+    inherently sequential; the run rule is what log pipelines actually
+    deploy because it is a pure window expression at any scale.
+
+    Returns the surviving events with a burst_len column (how many raw
+    events the kept row absorbed, itself included).
+    """
+    gap_us = quiet_seconds * 1_000_000
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy(*keys).orderBy("ts", "event_id")
+    is_new = F.when(
+        F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > gap_us), 1
+    ).otherwise(0)
+    run = Window.partitionBy(*keys).orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    burst = events.withColumn("_burst", F.sum(is_new).over(run))
+    per_burst = Window.partitionBy(*keys, "_burst").orderBy("ts", "event_id")
+    return (
+        burst.withColumn("_rn", F.row_number().over(per_burst))
+        .withColumn(
+            "burst_len",
+            F.count(F.lit(1)).over(Window.partitionBy(*keys, "_burst")),
+        )
+        .where(F.col("_rn") == 1)
+        .select("event_id", *keys, "ts", "value", "burst_len")
+        .orderBy(*keys, "ts", "event_id")
+    )
+
+
+def sql_debounce_events(quiet_seconds: int = 60) -> str:
+    gap_us = quiet_seconds * 1_000_000
+    return f"""
+WITH e AS ({SQL_EVENTS_US}),
+flagged AS (
+  SELECT *,
+         CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT *,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS burst
+  FROM flagged
+),
+ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type, burst
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, event_type, burst) AS burst_len
+  FROM runs
+)
+SELECT event_id, user_id, event_type, ts, value, CAST(burst_len AS BIGINT) AS burst_len
+FROM ranked WHERE rn = 1
+ORDER BY user_id, event_type, ts, event_id
+"""

@@ -1432,10 +1432,21 @@ def allpairs_jaccard_join(
     sh = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)))
     )
-    toks = docs.select(
-        "doc_id",
-        F.explode(sh).alias("tok"),
-    ).repartition(par, "tok")  # spread the shingling; reused by the df groupBy
+    # persist the postings: they feed BOTH the df groupBy and the ordering
+    # join, and without the cache Catalyst re-derives the scan+shingle
+    # pipeline once per consumer (measured 4 full re-computations in the
+    # un-persisted plan). Like two_phase_window's cache, this lives until
+    # clearCache() — bench.py clears between families.
+    # spread BEFORE the shingle transform: the single-file scan is one task,
+    # and generate runs in the scan stage — without the doc_id spread the
+    # whole CPU-dense shingling serializes there (PLANS.md "CPU-dense
+    # stages vs byte-based sizing"; measured 5.9 s -> sub-second at sf0.1)
+    toks = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", F.explode(sh).alias("tok"))
+        .repartition(par, "tok")  # partition by the join/groupBy key
+        .persist()
+    )
     df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # order each doc's tokens by (df asc, tok asc): total because tokens are
     # distinct per doc. array_sort on struct sorts field-by-field.
@@ -1448,12 +1459,16 @@ def allpairs_jaccard_join(
     # ceil(num*s/den) in exact integer arithmetic: (num*s + den - 1) div den
     ceil_ts = F.floor((F.lit(threshold_num) * sz + F.lit(threshold_den - 1)) / F.lit(threshold_den)).cast("int")
     prefix_len = (sz - ceil_ts + F.lit(1)).cast("int")
-    base = ordered.select(
-        "doc_id",
-        F.transform("ord", lambda x: x["tok"]).alias("toks"),
-        sz.alias("sz"),
-        F.transform(F.slice("ord", F.lit(1), prefix_len), lambda x: x["tok"]).alias("pref"),
-    ).repartition(par, "doc_id")  # materialization barrier before the joins
+    base = (
+        ordered.select(
+            "doc_id",
+            F.transform("ord", lambda x: x["tok"]).alias("toks"),
+            sz.alias("sz"),
+            F.transform(F.slice("ord", F.lit(1), prefix_len), lambda x: x["tok"]).alias("pref"),
+        )
+        .repartition(par, "doc_id")  # spread the array builds before the joins
+        .persist()  # read by cand (x2) and verify (x2) — four consumers
+    )
     cand = base.select("doc_id", "sz", F.explode("pref").alias("tok"))
     a, b = cand.alias("a"), cand.alias("b")
     num, den = F.lit(threshold_num), F.lit(threshold_den)

@@ -657,6 +657,46 @@ def retention_q(spark, sf_dir):
     return events_ops.cohort_retention(events_ops._events(spark, sf_dir), max_days=7)
 
 
+_SQL_BLOOM_SEMI = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("lineitem_bloom_semi", _SQL_BLOOM_SEMI)
+def lineitem_bloom_semi_q(spark, sf_dir):
+    """Runtime-filter pattern: lineitem pre-filtered by a deterministic
+    8 KB broadcast Bloom bit-array over the selective part subset, exact
+    semi-join over the survivors — identical rows to the plain semi-join
+    (false positives verified away, false negatives impossible)."""
+    from magiceye_spark.skew import bloom_prefilter_semi_join
+
+    l = analytics._t(spark, sf_dir, "lineitem")
+    p = analytics._t(spark, sf_dir, "part").where(F.col("p_size") == 1).select("p_partkey")
+    kept = bloom_prefilter_semi_join(l, p, "l_partkey", "p_partkey")
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register("events_debounce", events_ops.sql_debounce_events())
+def events_debounce_q(spark, sf_dir):
+    """Burst collapse: first event of every same-(user,type) run with
+    gaps <= 60 s — duplicate clicks / retry storms to one row, with the
+    absorbed count."""
+    return events_ops.debounce_events(events_ops._events(spark, sf_dir))
+
+
 @register("session_concurrency", events_ops.sql_session_concurrency())
 def session_concurrency_q(spark, sf_dir):
     """Binned interval-overlap self-join: per session, how many other
