@@ -1148,3 +1148,84 @@ SELECT src_id, tgt_id, tgt_lang, cosine_sim, margin FROM (
 ) WHERE rb = 1 AND margin >= {margin_threshold}
 ORDER BY src_id
 """
+
+
+# ------------------------------------------ Johnson-Lindenstrauss projection
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int = 8,
+    seed: str = "jl-v1",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Johnson-Lindenstrauss sketch: project each embedding
+    onto ``out_dim`` ±1 random hyperplanes derived from
+    ``md5(seed ':' k ':' j)`` — the dimensionality-reduction front-end for
+    ANN at scale (Achlioptas 2001: ±1 entries preserve pairwise distances
+    in expectation like Gaussian projections, with integer-cheap math).
+
+    Engine-portable by construction: the sign matrix comes from md5 (same
+    string -> same sign in DuckDB), and each output coordinate folds the
+    input STRICTLY left-to-right in index order so both engines sum in
+    the same IEEE order (the repo's dot-product discipline). Projection
+    is map-only — no shuffle, no fit, no state; at 100 TB it composes
+    with any downstream LSH/IVF build as a width reduction of the
+    shuffled vectors. p_k = Σ_j sign(k,j)·x_j / sqrt(out_dim) — the
+    1/sqrt(r) scaling makes E[||p||^2] = ||x||^2 (each coordinate's
+    expected square is the full input norm), so distances carry over
+    without a correction factor.
+
+    Output: (vec_id, p0..p{out_dim-1}) rounded at 6.
+    """
+    d_col = F.size(F.col(vec_col))
+
+    def sign(k: int):
+        # +1 when the first hex nibble of md5('seed:k:j') is even
+        def inner(j):
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{seed}:{k}:"), j.cast("string"))), 1, 1
+                ),
+                16,
+                10,
+            ).cast("int")
+            return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+        return inner
+
+    def proj(k: int):
+        s = sign(k)
+        return F.round(
+            F.aggregate(
+                F.sequence(F.lit(1), d_col),
+                F.lit(0.0),
+                lambda acc, j: acc
+                + F.element_at(F.col(vec_col), j).cast("double") * s(j),
+            )
+            / F.sqrt(F.lit(float(out_dim))),
+            6,
+        ).alias(f"p{k}")
+
+    return emb.select("vec_id", *[proj(k) for k in range(out_dim)]).orderBy("vec_id")
+
+
+def sql_random_projection(out_dim: int = 8, seed: str = "jl-v1") -> str:
+    cols = []
+    for k in range(out_dim):
+        sgn = (
+            f"CASE WHEN CAST(CONCAT('0x', substr(md5('{seed}:{k}:' || CAST(j AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END"
+        )
+        cols.append(
+            f"ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(range(1, len(embedding) + 1), "
+            f"j -> CAST(embedding[j] AS DOUBLE) * ({sgn}))), (acc, x) -> acc + x) "
+            f"/ SQRT({out_dim}), 6) AS p{k}"
+        )
+    sel = ",\n       ".join(cols)
+    return f"""
+SELECT vec_id,
+       {sel}
+FROM embeddings
+ORDER BY vec_id
+"""

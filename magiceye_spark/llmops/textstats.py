@@ -1370,3 +1370,109 @@ def bpe_segment_stats(
         )
         .orderBy("source")
     )
+
+
+def cross_source_perplexity(docs: DataFrame, alpha: float = 0.5, text_col: str = "text") -> DataFrame:
+    """Domain-mismatch matrix: each SOURCE's documents scored under every
+    source's add-α bigram LM — avg over docs of the per-doc mean bigram
+    log-likelihood. The diagonal (own-LM) scores highest; a low
+    off-diagonal cell says those two sources speak different
+    distributions, the signal behind mixing-weight and curriculum
+    decisions (and the multi-source generalization of
+    :func:`bigram_logprob`'s single-corpus score).
+
+    Plan: the bigram stream explodes ONCE (spread before the persist),
+    per-source count tables group it by (lm_source, w1, w2) / (lm_source,
+    w1), and scoring crosses the stream with the source list (broadcast
+    nested loop over a dimension-sized side) then LEFT joins the count
+    tables — a bigram absent from an LM scores ln(α / (U + α·V)) with
+    B=0, exactly the smoothing's unseen-transition mass. Two shuffle
+    joins keyed by (lm_source, bigram); per-doc means round at 6 before
+    the matrix avg so both engines aggregate identical inputs.
+
+    Output: (doc_source, lm_source, n_docs, avg_logprob).
+    """
+    toks = _tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 2, F.lit(0)))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("w1"),
+            F.element_at(toks, i + 2).alias("w2"),
+        ),
+    )
+    stream = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .where(F.size(toks) >= 2)
+        .select("doc_id", "source", F.explode(bigrams).alias("b"))
+        .select(
+            "doc_id", "source", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+        )
+        .where(F.col("w2").isNotNull())
+        .persist()
+    )
+    bi = stream.groupBy(
+        F.col("source").alias("lm_source"), "w1", "w2"
+    ).agg(F.count(F.lit(1)).alias("bn"))
+    uni = stream.groupBy(F.col("source").alias("lm_source"), "w1").agg(
+        F.count(F.lit(1)).alias("un")
+    )
+    v = stream.groupBy(F.col("source").alias("lm_source")).agg(
+        F.countDistinct("w1").alias("v")
+    )
+    sources = docs.select(F.col("source").alias("lm_source")).distinct()
+    scored = (
+        stream.crossJoin(F.broadcast(sources))
+        .join(bi, ["lm_source", "w1", "w2"], "left")
+        .join(uni, ["lm_source", "w1"], "left")
+        .join(F.broadcast(v), "lm_source")
+    )
+    lp = F.log(
+        (F.coalesce(F.col("bn"), F.lit(0)) + alpha)
+        / (F.coalesce(F.col("un"), F.lit(0)) + alpha * F.col("v"))
+    )
+    per_doc = scored.groupBy("doc_id", "source", "lm_source").agg(
+        F.round(F.avg(lp), 6).alias("doc_lp")
+    )
+    return (
+        per_doc.groupBy(F.col("source").alias("doc_source"), "lm_source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("doc_lp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_source", "lm_source")
+    )
+
+
+def sql_cross_source_perplexity(alpha: float = 0.5) -> str:
+    toks = f"regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, {toks} AS toks FROM documents
+  WHERE LENGTH({toks}) >= 2),
+stream AS (
+  SELECT doc_id, source, toks[i] AS w1, toks[i+1] AS w2
+  FROM base, unnest(range(1, LENGTH(toks))) AS u(i)
+  WHERE toks[i+1] IS NOT NULL),
+bi AS (SELECT source AS lm_source, w1, w2, COUNT(*) AS bn FROM stream GROUP BY 1,2,3),
+uni AS (SELECT source AS lm_source, w1, COUNT(*) AS un FROM stream GROUP BY 1,2),
+v AS (SELECT source AS lm_source, COUNT(DISTINCT w1) AS v FROM stream GROUP BY 1),
+sources AS (SELECT DISTINCT source AS lm_source FROM base),
+scored AS (
+  SELECT s.doc_id, s.source, src.lm_source,
+         LN((COALESCE(bn, 0) + {alpha}) / (COALESCE(un, 0) + {alpha} * v.v)) AS lp
+  FROM stream s
+  CROSS JOIN sources src
+  LEFT JOIN bi ON bi.lm_source = src.lm_source AND bi.w1 = s.w1 AND bi.w2 = s.w2
+  LEFT JOIN uni ON uni.lm_source = src.lm_source AND uni.w1 = s.w1
+  JOIN v ON v.lm_source = src.lm_source),
+per_doc AS (
+  SELECT doc_id, source, lm_source, ROUND(AVG(lp), 6) AS doc_lp
+  FROM scored GROUP BY 1, 2, 3)
+SELECT source AS doc_source, lm_source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(doc_lp), 4) AS avg_logprob
+FROM per_doc
+GROUP BY 1, 2
+ORDER BY doc_source, lm_source
+"""

@@ -657,6 +657,22 @@ def retention_q(spark, sf_dir):
     return events_ops.cohort_retention(events_ops._events(spark, sf_dir), max_days=7)
 
 
+@register("embedding_random_projection", simsearch.sql_random_projection())
+def embedding_random_projection_q(spark, sf_dir):
+    """Deterministic JL +/-1 sketch of the embedding table — map-only
+    width reduction for downstream LSH/IVF; md5 sign matrix and strict
+    left-to-right folds make both engines bit-identical."""
+    return simsearch.random_projection(simsearch._emb(spark, sf_dir))
+
+
+@register("cross_source_perplexity", textstats.sql_cross_source_perplexity())
+def cross_source_perplexity_q(spark, sf_dir):
+    """Domain-mismatch matrix: every source's docs scored under every
+    source's add-alpha bigram LM; diagonal-dominance is the pinned
+    invariant."""
+    return textstats.cross_source_perplexity(_docs(spark, sf_dir))
+
+
 _SQL_BLOOM_SEMI = """
 SELECT l_returnflag,
        COUNT(*) AS n_rows,

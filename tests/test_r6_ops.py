@@ -1026,3 +1026,64 @@ def test_bloom_prefilter_prunes_before_verify(spark):
     # no false negatives, and expected FP rate (1-e^(-kn/m))^k ~ 1e-9 at
     # n=50, m=16384, k=5 — pin an order of magnitude, not an exact draw
     assert 50 <= survivors <= 250
+
+
+def test_cross_source_perplexity_diagonal_dominates(spark):
+    """On two sources with disjoint vocabularies, each source's docs must
+    score strictly higher under their OWN bigram LM than under the other's
+    (the whole point of the matrix); n_docs per cell must count the
+    scoring source."""
+    from magiceye_spark.llmops.textstats import cross_source_perplexity
+
+    rows = [(i, "a b c a b c a b", "en", "A", 15) for i in range(4)] + [
+        (10 + i, "x y z x y z x y", "en", "B", 15) for i in range(4)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    m = {
+        (r.doc_source, r.lm_source): (r.n_docs, r.avg_logprob)
+        for r in cross_source_perplexity(docs).collect()
+    }
+    assert set(m) == {("A", "A"), ("A", "B"), ("B", "A"), ("B", "B")}
+    assert all(n == 4 for n, _ in m.values())
+    assert m[("A", "A")][1] > m[("A", "B")][1]
+    assert m[("B", "B")][1] > m[("B", "A")][1]
+
+
+def test_random_projection_linearity_and_norm_preservation(spark):
+    """JL sketch invariants: (a) linearity — proj(a+b) = proj(a)+proj(b)
+    exactly (same sign matrix, exact float math before the final round);
+    (b) norm preservation in expectation — mean ||p||^2 / ||x||^2 over
+    many vectors is ~1 (each output coord is a +/-1 combination divided
+    by sqrt(d))."""
+    import math
+    from magiceye_spark.llmops.simsearch import random_projection
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r.vec_id: r for r in random_projection(emb, out_dim=4).collect()}
+    # (a) linearity on a doubled table: proj(2x) = 2 proj(x)
+    doubled = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x * 2).alias("embedding")
+    )
+    d2 = {r.vec_id: r for r in random_projection(doubled, out_dim=4).collect()}
+    for vid, r in list(a.items())[:50]:
+        for k in range(4):
+            assert abs(d2[vid][f"p{k}"] - 2 * r[f"p{k}"]) < 1e-4
+    # (b) norm preservation in expectation
+    norms = {
+        r.vec_id: r.n2
+        for r in emb.select(
+            "vec_id",
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            ).alias("n2"),
+        ).collect()
+    }
+    ratios = [
+        sum(a[v][f"p{k}"] ** 2 for k in range(4)) / norms[v]
+        for v in a
+        if norms[v] > 0
+    ]
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.7 < mean_ratio < 1.3, mean_ratio
