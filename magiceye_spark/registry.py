@@ -737,6 +737,15 @@ def heavy_hitters_cms_q(spark, sf_dir):
     return sketches.cms_heavy_hitters(events_ops._events(spark, sf_dir))
 
 
+@register("events_hll_users", sketches.sql_hll_distinct_users())
+def hll_users_q(spark, sf_dir):
+    """Explicit HyperLogLog distinct-users per event type — md5 buckets +
+    integer-exact register sums, so DuckDB reproduces every register and
+    estimate bit-for-bit (the oracle-backed twin of the opaque
+    approx_count_distinct path)."""
+    return sketches.hll_distinct_users(events_ops._events(spark, sf_dir))
+
+
 @register("events_value_distribution", sketches.SQL_VALUE_DISTRIBUTION)
 def value_dist_q(spark, sf_dir):
     return sketches.value_distribution_events(spark, sf_dir)

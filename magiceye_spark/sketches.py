@@ -359,3 +359,106 @@ FROM est
 ORDER BY est DESC, key
 LIMIT {k}
 """
+
+
+def hll_distinct_users(
+    events: DataFrame, key_col: str = "user_id", p: int = 8
+) -> DataFrame:
+    """Distinct users per event type through an EXPLICIT HyperLogLog
+    (Flajolet et al. 2007), materialized as a (group x 2^p)-register table
+    so the estimate path is inspectable and engine-portable — the
+    oracle-backed twin of :func:`approx_user_counts`'s opaque
+    ``approx_count_distinct`` state.
+
+    Determinism is the design: bucket = first 8 md5 hex chars mod m; the
+    rank rho comes from the NEXT 8 hex chars as a 32-bit value via
+    ``33 - length(ltrim(bin(x),'0'))`` (pure integer/string ops — no
+    float log2); each register's contribution ``2^(33-rho)`` is an exact
+    BIGINT shift summed in integer space, so the harmonic mean's
+    denominator is a single exact integer in BOTH engines and the final
+    estimate is ONE double division of precomputed literals. DuckDB
+    reproduces every register and every estimate bit-for-bit — including
+    the small-range linear-counting branch (``m*ln(m/empty)``) when the
+    group is tiny.
+
+    Scale shape: insertion is idempotent (max per register), so there is
+    NO distinct pre-aggregation — events map straight to (group, bucket,
+    rho) and partial-aggregate map-side into at most ``groups * m`` rows
+    (m=256 here): one shuffle whose size is independent of event count or
+    key cardinality. At 100 TB the register table is the same few KB per
+    group and merges associatively (streaming/rollup-friendly). The exact
+    ``n_exact`` audit column is the expensive part (a real distinct) and
+    exists only to surface the sketch's error; a production pipeline
+    drops it and keeps the shuffle-free estimate path.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    numerator = alpha * m * m * float(1 << 33)  # one double literal
+    h = F.md5(F.col(key_col).cast("string"))
+    b = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+    x = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    # bin() emits no leading zeros in either engine, so only x=0 needs care
+    rho = F.when(x == 0, F.lit(33)).otherwise(33 - F.length(F.bin(x))).cast("int")
+    regs = (
+        events.select(F.col("event_type"), b.alias("b"), rho.alias("rho"))
+        .groupBy("event_type", "b")
+        .agg(F.max("rho").alias("r"))
+    )
+    agg = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - r)")).alias("s"),
+    )
+    s_total = F.col("s") + (F.lit(m) - F.col("v")) * F.lit(1 << 33)
+    e_raw = F.lit(numerator) / s_total.cast("double")
+    empty = F.lit(m) - F.col("v")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (empty > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / empty.cast("double")),
+    ).otherwise(e_raw)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct(key_col).alias("n_exact")
+    )
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.col("v").alias("regs_used"),
+            F.round(est, 4).alias("hll_est"),
+            F.round(est / F.col("n_exact") - 1.0, 4).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sql_hll_distinct_users(p: int = 8) -> str:
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    numerator = alpha * m * m * float(1 << 33)
+    return f"""
+WITH hashed AS (
+  SELECT event_type,
+         CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {m} AS b,
+         33 - length(ltrim(bin(CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT)), '0')) AS rho
+  FROM events),
+regs AS (SELECT event_type, b, MAX(rho) AS r FROM hashed GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, COUNT(*) AS v,
+         CAST(SUM(CAST(1 AS BIGINT) << (33 - r)) AS BIGINT) AS s
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT event_type, v,
+         CASE WHEN {numerator!r} / CAST(s + ({m} - v) * (CAST(1 AS BIGINT) << 33) AS DOUBLE) <= {2.5 * m}
+                   AND {m} - v > 0
+              THEN {float(m)!r} * LN({float(m)!r} / CAST({m} - v AS DOUBLE))
+              ELSE {numerator!r} / CAST(s + ({m} - v) * (CAST(1 AS BIGINT) << 33) AS DOUBLE)
+         END AS e
+  FROM agg),
+exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events GROUP BY 1)
+SELECT est.event_type, n_exact,
+       CAST(v AS BIGINT) AS regs_used,
+       ROUND(e, 4) AS hll_est,
+       ROUND(e / n_exact - 1.0, 4) AS rel_err
+FROM est JOIN exact ON est.event_type = exact.event_type
+ORDER BY 1
+"""

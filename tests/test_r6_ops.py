@@ -1087,3 +1087,22 @@ def test_random_projection_linearity_and_norm_preservation(spark):
     ]
     mean_ratio = sum(ratios) / len(ratios)
     assert 0.7 < mean_ratio < 1.3, mean_ratio
+
+
+def test_hll_sketch_accuracy_and_idempotence(spark):
+    """Explicit-HLL invariants: (a) the estimate lands within the p=8
+    error envelope (~3x the 1.04/sqrt(256) = 6.5% std) of the exact
+    distinct; (b) insertion is idempotent — doubling every event row
+    changes NO register, so the estimate is bit-identical."""
+    from magiceye_spark.sketches import hll_distinct_users
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    base = {r.event_type: r for r in hll_distinct_users(events).collect()}
+    assert base and all(abs(r.rel_err) < 0.20 for r in base.values())
+    doubled = {
+        r.event_type: r
+        for r in hll_distinct_users(events.unionAll(events)).collect()
+    }
+    for et, r in base.items():
+        assert doubled[et].hll_est == r.hll_est
+        assert doubled[et].regs_used == r.regs_used
