@@ -466,3 +466,134 @@ FROM m
 WHERE len(hits) > 0
 ORDER BY doc_id
 """
+
+
+# ------------------------------------------------- hybrid retrieval (RRF)
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str] | None = None,
+    query_id: int = 0,
+    k: int = 20,
+    r: int = 100,
+    kconst: int = 60,
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval via reciprocal-rank fusion (Cormack
+    et al., SIGIR 2009): fuse the BM25 top-``r`` list for the query terms
+    with the embedding-cosine top-``r`` list for the query document's
+    vector as ``rrf = Σ_rankers 1/(kconst + rank)``; docs absent from a
+    ranker contribute 0 to the sum. The production pattern behind every
+    RAG stack's "keyword + vector" search, here with BOTH legs reusing
+    the repo's existing operators (:func:`bm25_topk`,
+    :func:`simsearch.cosine_topk`).
+
+    Determinism: each leg's rank comes from a total order (rounded score
+    DESC, doc_id) computed identically in DuckDB, and the fusion score is
+    a fixed-order sum of two exact rationals 1/(kconst+rank) — so the
+    fused ranking is engine-exact, no tolerance needed. The dense leg
+    excludes the query document itself (cosine_topk's self-match rule);
+    the sparse leg may still surface it.
+
+    Scale shape: both legs are bounded top-r lists per query (TakeOrdered
+    / per-query windows — never a global sort), the fusion is a full
+    outer join of two r-row-per-query frames keyed (query_id, doc_id),
+    and the final top-k is again a TakeOrdered. With Q queries everything
+    is per-query-partitioned; nothing grows with corpus size except the
+    legs' own scans.
+    """
+    from magiceye_spark.llmops import simsearch
+
+    terms = DEFAULT_TERMS if terms is None else terms
+    sparse = bm25_topk(docs, terms, k=r).select(
+        F.lit(query_id).alias("query_id"), "doc_id", "bm25"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), "doc_id")
+    sparse = sparse.select(
+        "query_id", "doc_id", F.row_number().over(w).alias("r_sparse")
+    )
+    q = emb.where(F.col("vec_id") == query_id)
+    dense = simsearch.cosine_topk(emb, q, k=r).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("r_dense"),
+    )
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(kconst) + F.col("r_sparse")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(kconst) + F.col("r_dense")), F.lit(0.0))
+    return (
+        fused.select(
+            "query_id",
+            "doc_id",
+            F.round(rrf, 6).alias("rrf"),
+            "r_sparse",
+            "r_dense",
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(k)
+    )
+
+
+def sql_hybrid_rrf_topk(
+    terms: list[str] | None = None,
+    query_id: int = 0,
+    k: int = 20,
+    r: int = 100,
+    kconst: int = 60,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    terms = DEFAULT_TERMS if terms is None else terms
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+  FROM documents),
+ld AS (SELECT doc_id, toks, LENGTH(toks) AS dl FROM base),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM ld),
+hit AS (
+  SELECT doc_id, dl, q.term,
+         LENGTH(list_filter(toks, x -> x = q.term)) AS tf
+  FROM ld CROSS JOIN (SELECT UNNEST([{term_list}]) AS term) q
+  WHERE LENGTH(list_filter(toks, x -> x = q.term)) > 0),
+df AS (SELECT term, COUNT(*) AS doc_freq FROM hit GROUP BY term),
+bm25 AS (
+  SELECT doc_id,
+         ROUND(SUM(LN(1 + (n_docs - doc_freq + 0.5) / (doc_freq + 0.5))
+                   * tf * ({k1} + 1)
+                   / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))), 4) AS bm25
+  FROM hit JOIN df USING (term) CROSS JOIN stats
+  GROUP BY doc_id),
+sparse AS (
+  SELECT {query_id} AS query_id, doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_sparse
+  FROM bm25
+  QUALIFY r_sparse <= {r}),
+qv AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+       WHERE vec_id = {query_id}),
+scored AS (
+  SELECT qv.query_id, c.vec_id AS doc_id,
+         ROUND(list_dot_product(CAST(qv.q_vec AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+               / (SQRT(list_dot_product(CAST(qv.q_vec AS DOUBLE[]), CAST(qv.q_vec AS DOUBLE[])))
+                  * SQRT(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cosine_sim
+  FROM embeddings c CROSS JOIN qv
+  WHERE qv.query_id <> c.vec_id),
+dense AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine_sim DESC, doc_id) AS r_dense
+  FROM scored
+  QUALIFY r_dense <= {r})
+SELECT COALESCE(s.query_id, d.query_id) AS query_id,
+       COALESCE(s.doc_id, d.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / ({kconst} + s.r_sparse), 0.0)
+             + COALESCE(1.0 / ({kconst} + d.r_dense), 0.0), 6) AS rrf,
+       CAST(s.r_sparse AS INTEGER) AS r_sparse,
+       CAST(d.r_dense AS INTEGER) AS r_dense
+FROM sparse s FULL JOIN dense d
+  ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+ORDER BY COALESCE(1.0 / ({kconst} + s.r_sparse), 0.0)
+         + COALESCE(1.0 / ({kconst} + d.r_dense), 0.0) DESC,
+         COALESCE(s.doc_id, d.doc_id)
+LIMIT {k}
+"""

@@ -1899,6 +1899,17 @@ def scd2_point_in_time_q(spark, sf_dir):
     )
 
 
+@register("hybrid_rrf_topk", retrieval.sql_hybrid_rrf_topk())
+def hybrid_rrf_topk_q(spark, sf_dir):
+    """Hybrid sparse+dense retrieval: reciprocal-rank fusion of the BM25
+    top-100 (query terms) with the cosine top-100 (query doc 0's
+    embedding) — the RAG-stack keyword+vector pattern; rank-derived
+    scores make the fusion engine-exact."""
+    return retrieval.hybrid_rrf_topk(
+        io.read_table(spark, sf_dir, "documents"), simsearch._emb(spark, sf_dir)
+    )
+
+
 @register("bm25_topk", retrieval.sql_bm25_topk())
 def bm25_topk_q(spark, sf_dir):
     """Okapi BM25 top-20 retrieval for a 3-term query over documents —

@@ -1106,3 +1106,37 @@ def test_hll_sketch_accuracy_and_idempotence(spark):
     for et, r in base.items():
         assert doubled[et].hll_est == r.hll_est
         assert doubled[et].regs_used == r.regs_used
+
+
+def test_hybrid_rrf_matches_python_fusion(spark):
+    """RRF correctness vs an independent Python fusion of the two legs:
+    rebuild rank lists from bm25_topk and cosine_topk directly, fuse as
+    1/(60+r) sums, and the operator's top-20 (ids AND scores) must match
+    exactly."""
+    from magiceye_spark.llmops.retrieval import bm25_topk, hybrid_rrf_topk
+    from magiceye_spark.llmops import simsearch
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sparse = [
+        r.doc_id
+        for r in bm25_topk(docs, k=100)
+        .orderBy(F.desc("bm25"), "doc_id")
+        .collect()
+    ]
+    dense = [
+        r.neighbor_id
+        for r in simsearch.cosine_topk(
+            emb, emb.where(F.col("vec_id") == 0), k=100
+        ).collect()
+    ]
+    score: dict[int, float] = {}
+    for rank, d in enumerate(sparse, start=1):
+        score[d] = score.get(d, 0.0) + 1.0 / (60 + rank)
+    for rank, d in enumerate(dense, start=1):
+        score[d] = score.get(d, 0.0) + 1.0 / (60 + rank)
+    expect = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = hybrid_rrf_topk(docs, emb).collect()
+    assert [r.doc_id for r in got] == [d for d, _ in expect]
+    for r, (_, s) in zip(got, expect):
+        assert abs(r.rrf - s) < 1e-6
