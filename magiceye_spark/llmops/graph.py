@@ -662,3 +662,75 @@ FROM labeled l LEFT JOIN verdicts v ON l.comp_id = v.comp_id
 WHERE l.is_incoming
   AND (l.comp_id IS NULL OR (v.has_existing = 0 AND l.doc_id = v.min_incoming))"""
     )
+
+
+# ------------------------------------------------- leakage-safe splitting
+
+def leakage_safe_split(
+    docs: DataFrame,
+    train_pct: int = 90,
+    threshold: float = 0.8,
+    length_tol: int = 60,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Train/eval split at NEAR-DUP-CLUSTER granularity: the split coin is
+    tossed on ``split_unit`` = the doc's transitive dedup-cluster id
+    (``comp_id`` from :func:`dup_graph_components`; the doc's own id for
+    singletons), so two documents connected by ANY chain of near-dup
+    pairs always land on the same side — by construction, zero straddling
+    pairs. This is the prevention counterpart of ``leakage_pairs`` /
+    ``split_leakage_audit``, which only *detect* eval docs with training
+    near-twins after a doc-granular split has already leaked.
+
+    Same determinism contract as :func:`magiceye_spark.llmops.pipeline.
+    hash_split`: md5(salt ∥ unit) mod 100 — reproducible across engines,
+    runs, and cluster layouts; the salt versions the split; new data
+    joins its cluster's side forever (as long as the closure is rebuilt
+    before assignment, the delta-ingest pattern of ``delta_dedup_admit``).
+
+    Scale shape: the closure is the iterative pointer-jump components
+    (O(log diameter) bounded shuffles over the EDGE list); assignment is
+    one left join of docs against the label frame (only docs with >= 1
+    pair) plus a map-side hash — no new shuffle class beyond what dedup
+    already paid. EAGER like the closure it builds on.
+    """
+    comps = dup_graph_components(docs, threshold=threshold, length_tol=length_tol)
+    unit = F.coalesce(F.col("comp_id"), F.col("doc_id"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), unit.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return (
+        docs.join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            unit.alias("split_unit"),
+            F.when(bucket < train_pct, F.lit("train"))
+            .otherwise(F.lit("eval"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def sql_leakage_safe_split(
+    train_pct: int = 90,
+    threshold: float = 0.8,
+    length_tol: int = 60,
+    salt: str = "split-v1",
+) -> str:
+    return (
+        "WITH RECURSIVE "
+        + _sql_edges_cte(threshold, length_tol)
+        + f"""
+SELECT d.doc_id,
+       COALESCE(c.comp_id, d.doc_id) AS split_unit,
+       CASE WHEN CAST(CONCAT('0x', substr(md5('{salt}' || CAST(COALESCE(c.comp_id, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < {train_pct}
+            THEN 'train' ELSE 'eval' END AS split
+FROM documents d LEFT JOIN comps c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id"""
+    )

@@ -2491,6 +2491,15 @@ def dup_cluster_stats_q(spark, sf_dir):
     return graph.dup_cluster_stats(_docs(spark, sf_dir))
 
 
+@register("leakage_safe_split", graph.sql_leakage_safe_split())
+def leakage_safe_split_q(spark, sf_dir):
+    """Train/eval split at near-dup-CLUSTER granularity: the md5 split
+    coin is tossed on the transitive closure's comp_id (own id for
+    singletons), so no near-dup chain ever straddles the boundary —
+    prevention, where split_leakage_audit only detects."""
+    return graph.leakage_safe_split(_docs(spark, sf_dir))
+
+
 _WATERFILL_W = {"src0": 60, "src1": 10, "src2": 10, "src3": 10, "src4": 10}
 
 

@@ -1140,3 +1140,25 @@ def test_hybrid_rrf_matches_python_fusion(spark):
     assert [r.doc_id for r in got] == [d for d, _ in expect]
     for r, (_, s) in zip(got, expect):
         assert abs(r.rrf - s) < 1e-6
+
+
+def test_leakage_safe_split_never_straddles(spark):
+    """The cluster-granular split must produce ZERO straddling near-dup
+    pairs (its defining invariant), every cluster member must share its
+    unit's side, and the motivating defect must be real: the doc-granular
+    hash split DOES straddle pairs on the same corpus."""
+    from magiceye_spark.llmops import dedup, graph, pipeline
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = dedup.jaccard_near_dups(docs)
+    safe = graph.leakage_safe_split(docs)
+    assert (
+        pipeline.leakage_pairs(pairs, safe.select("doc_id", "split")).count() == 0
+    )
+    # unit == comp_id for clustered docs, own id for singletons
+    comps = {r.doc_id: r.comp_id for r in graph.dup_graph_components(docs).collect()}
+    for r in safe.collect():
+        assert r.split_unit == comps.get(r.doc_id, r.doc_id)
+    # the doc-granular split leaks on this corpus — prevention matters
+    plain = pipeline.hash_split(docs)
+    assert pipeline.leakage_pairs(pairs, plain).count() > 0
