@@ -756,6 +756,14 @@ def histogram_q(spark, sf_dir):
     return sketches.value_histogram_events(spark, sf_dir)
 
 
+@register("events_daily_trend_ols", sketches.SQL_DAILY_TREND_OLS)
+def daily_trend_ols_q(spark, sf_dir):
+    """Per event type: OLS slope/intercept/r2 of daily total value over
+    the day index — exact decimal moments so the closed-form fit is
+    bit-identical on any engine or partitioning."""
+    return sketches.daily_trend_ols_events(spark, sf_dir)
+
+
 @register("events_value_k_corr", sketches.SQL_VALUE_K_CORR)
 def corr_q(spark, sf_dir):
     return sketches.value_k_correlation_events(spark, sf_dir)

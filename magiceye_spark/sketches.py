@@ -462,3 +462,81 @@ SELECT est.event_type, n_exact,
 FROM est JOIN exact ON est.event_type = exact.event_type
 ORDER BY 1
 """
+
+
+def daily_trend_ols(events: DataFrame) -> DataFrame:
+    """Per event type: ordinary-least-squares trend of DAILY total value
+    over the day index — slope (value/day), intercept (at the 2024-01-01
+    anchor), and r² — the one-pass screening regression behind "is this
+    metric drifting" dashboards (the fitted counterpart of the
+    seasonal-naive forecast backtest).
+
+    Exact-moment discipline (same as :func:`value_k_correlation`): the
+    daily y is Σ round(value, 4) accumulated as DECIMAL (exact in any
+    partitioning/order), x is an integer day offset, and the five
+    moments (Σx, Σy, Σxy, Σx², n) are DECIMAL sums — so the closed-form
+    slope/intercept/r² are doubles computed from exact scalars, in one
+    fixed expression, bit-identical on any engine. Two aggregation
+    shuffles (events → daily, daily → moments), the second over
+    groups×days rows only; at 100 TB the daily rollup is the only real
+    shuffle and it partial-aggregates map-side.
+    """
+    y = F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")).alias("y")
+    daily = events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("x"),
+    ).agg(y)
+    xd = F.col("x").cast("decimal(10,0)")
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(F.col("y")).alias("sy"),
+        F.sum((xd * F.col("y")).cast("decimal(28,4)")).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(28,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,8)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("event_type")
+
+
+SQL_DAILY_TREND_OLS = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS y
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(10,0))) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(10,0)) * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(10,0)) * CAST(x AS DECIMAL(10,0)) AS DECIMAL(28,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy
+  FROM daily GROUP BY 1)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM m
+ORDER BY event_type
+"""
+
+
+def daily_trend_ols_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_trend_ols(_events(spark, sf_dir))
