@@ -451,3 +451,123 @@ SELECT digit, n,
 FROM c CROSS JOIN t
 ORDER BY digit
 """
+
+
+def t_closeness_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    bin_width: float = 1000.0,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness companion to :func:`k_anonymity_audit` /
+    :func:`l_diversity_audit`: a quasi-identifier group whose SENSITIVE
+    distribution sits further than ``t`` (ordered earth-mover's distance)
+    from the global distribution leaks the attribute even when the group
+    is k-anonymous and l-diverse. The numeric sensitive column is binned
+    at ``bin_width``; for an ordered attribute with m bins,
+    EMD(P, Q) = Σ_i |Σ_{j<=i}(p_j − q_j)| / (m − 1).
+
+    One summary row: (t, m_bins, n_groups, n_over_t, over_t_row_frac,
+    max_emd). Exactness: p and q are integer-count divisions, the
+    cumulative and the |·| total both run inside per-group windows
+    ordered by bin (fixed IEEE summation order), and real outputs are
+    emitted unrounded — bit-identical on any engine. Scale: one
+    corpus-sized (quasi, bin) groupBy; the bin lattice is
+    groups × m rows via a broadcast nested-loop join (m is a constant),
+    and every window is partitioned by the quasi key."""
+    from pyspark.sql.window import Window
+
+    bin_col = F.floor(F.col(sensitive_col) / F.lit(bin_width)).cast("int")
+    binned = df.select(*quasi_cols, bin_col.alias("bin"))
+    gb_counts = binned.groupBy(*quasi_cols, "bin").agg(F.count(F.lit(1)).alias("c"))
+    groups = gb_counts.groupBy(*quasi_cols).agg(F.sum("c").cast("long").alias("n_g"))
+    bins = gb_counts.groupBy("bin").agg(F.sum("c").cast("long").alias("n_b"))
+    scal = bins.agg(
+        F.sum("n_b").cast("long").alias("n_total"),
+        F.count(F.lit(1)).alias("m_bins"),
+    )
+    lattice = (
+        groups.crossJoin(F.broadcast(bins))
+        .join(gb_counts, [*quasi_cols, "bin"], "left")
+        .crossJoin(F.broadcast(scal))
+    )
+    pq = (
+        F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("n_g").cast("double")
+    ) - (F.col("n_b").cast("double") / F.col("n_total").cast("double"))
+    wcum = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrank = Window.partitionBy(*quasi_cols).orderBy("bin")
+    stepped = (
+        lattice.withColumn("cum", F.sum(pq).over(wcum))
+        .withColumn("acum", F.sum(F.abs(F.col("cum"))).over(wcum))
+        .withColumn("brk", F.row_number().over(wrank))
+    )
+    per_group = stepped.where(F.col("brk") == F.col("m_bins")).select(
+        *quasi_cols,
+        "n_g",
+        "n_total",
+        "m_bins",
+        (F.col("acum") / (F.col("m_bins") - 1).cast("double")).alias("emd"),
+    )
+    return per_group.groupBy("n_total", "m_bins").agg(
+        F.lit(t).alias("t"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("emd") > t, 1).otherwise(0)).cast("long").alias("n_over_t"),
+        (
+            F.sum(F.when(F.col("emd") > t, F.col("n_g")).otherwise(0)).cast("double")
+            / F.col("n_total").cast("double")
+        ).alias("over_t_row_frac"),
+        F.max("emd").alias("max_emd"),
+    ).select("t", "m_bins", "n_groups", "n_over_t", "over_t_row_frac", "max_emd")
+
+
+def sql_t_closeness(
+    table: str,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    bin_width: float = 1000.0,
+    t: float = 0.2,
+) -> str:
+    cols = ", ".join(quasi_cols)
+    qcols = ", ".join(f"g.{c}" for c in quasi_cols)
+    joincond = " AND ".join(f"gc.{c} = g.{c}" for c in quasi_cols)
+    return f"""
+WITH binned AS (
+  SELECT {cols}, CAST(FLOOR({sensitive_col} / {bin_width}) AS INTEGER) AS bin
+  FROM {table}),
+gb AS (SELECT {cols}, bin, COUNT(*) AS c FROM binned GROUP BY {cols}, bin),
+grp AS (SELECT {cols}, CAST(SUM(c) AS BIGINT) AS n_g FROM gb GROUP BY {cols}),
+bins AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS n_b FROM gb GROUP BY bin),
+scal AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n_total, COUNT(*) AS m_bins FROM bins),
+lattice AS (
+  SELECT {qcols}, g.n_g, b.bin, b.n_b, s.n_total, s.m_bins,
+         CAST(COALESCE(gc.c, 0) AS DOUBLE) / CAST(g.n_g AS DOUBLE)
+           - CAST(b.n_b AS DOUBLE) / CAST(s.n_total AS DOUBLE) AS pq
+  FROM grp g CROSS JOIN bins b CROSS JOIN scal s
+  LEFT JOIN gb gc ON {joincond} AND gc.bin = b.bin),
+stepped AS (
+  SELECT *, SUM(pq) OVER w AS cum FROM lattice
+  WINDOW w AS (PARTITION BY {cols} ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+stepped2 AS (
+  SELECT *, SUM(ABS(cum)) OVER w AS acum,
+         ROW_NUMBER() OVER (PARTITION BY {cols} ORDER BY bin) AS brk
+  FROM stepped
+  WINDOW w AS (PARTITION BY {cols} ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+per_group AS (
+  SELECT {cols}, n_g, n_total, m_bins,
+         acum / CAST(m_bins - 1 AS DOUBLE) AS emd
+  FROM stepped2 WHERE brk = m_bins)
+SELECT CAST({t} AS DOUBLE) AS t, m_bins, COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN emd > {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_t,
+       CAST(SUM(CASE WHEN emd > {t} THEN n_g ELSE 0 END) AS DOUBLE)
+         / CAST(n_total AS DOUBLE) AS over_t_row_frac,
+       MAX(emd) AS max_emd
+FROM per_group
+GROUP BY n_total, m_bins
+"""

@@ -1523,3 +1523,92 @@ WHERE {threshold_den} * LENGTH(list_intersect(a.toks, b.toks))
       >= {threshold_num} * (LENGTH(a.toks) + LENGTH(b.toks) - LENGTH(list_intersect(a.toks, b.toks)))
 ORDER BY doc_a, doc_b
 """
+
+
+# ------------------------------------------------- sorted neighborhood
+
+def sorted_neighborhood_near_dups(
+    docs: DataFrame,
+    window: int = 5,
+    threshold: float = 0.5,
+    key_len: int = 32,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-dup candidates: sort the corpus by a
+    canonical text-prefix key, compare each document only against its
+    ``window`` successors in that order, verify with exact word-set
+    Jaccard. The classic record-linkage blocking strategy (Hernández &
+    Stolfo '95) — a *different* candidate-generation family from the
+    hash-bucketed ones (MinHash bands, SimHash pigeonhole): it catches
+    prefix-stable edits regardless of where the shingle hashes land, at a
+    guaranteed n·window candidate budget.
+
+    Scale shape: the global sort key rank comes from
+    :func:`magiceye_spark.io.two_phase_window` (range-partition + offset
+    join — never a single-task sort); the neighbor join is an equi-join
+    on rank-bucket keys (each left row replicated into its own and the
+    next bucket — bucket size = window — then filtered to
+    0 < gap ≤ window), so candidates are n·window and the join is
+    hash-partitioned, skew-free by construction (buckets have exactly
+    ``window`` rows). Token sets are materialized behind the two-phase
+    repartition barrier before the join (nested-HOF re-evaluation
+    pathology). Returns (doc_a, doc_b, rank_gap, jaccard), doc_a < doc_b.
+    """
+    from magiceye_spark.io import two_phase_window
+
+    canon = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    base = docs.select(
+        "doc_id",
+        F.substring(canon, 1, key_len).alias("snm_key"),
+        F.array_distinct(_tokens(F.col(text_col))).alias("toks"),
+    )
+    ranked = two_phase_window(
+        base, [F.asc("snm_key"), F.asc("doc_id")], rank_col="rnk"
+    ).select("doc_id", "toks", "rnk")
+    bucket = F.floor((F.col("rnk") - 1) / window)
+    left = ranked.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("rnk").alias("rnk_a"),
+        F.explode(F.array(bucket, bucket + 1)).alias("bk"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("rnk").alias("rnk_b"),
+        bucket.alias("bk"),
+    )
+    pairs = left.join(right, "bk").where(
+        (F.col("rnk_b") > F.col("rnk_a"))
+        & (F.col("rnk_b") <= F.col("rnk_a") + window)
+    )
+    raw = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return pairs.where(raw >= threshold).select(
+        F.least("id_a", "id_b").alias("doc_a"),
+        F.greatest("id_a", "id_b").alias("doc_b"),
+        (F.col("rnk_b") - F.col("rnk_a")).alias("rank_gap"),
+        F.round(raw, 4).alias("jaccard"),
+    )
+
+
+def sql_sorted_neighborhood(
+    window: int = 5, threshold: float = 0.5, key_len: int = 32
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         SUBSTRING(regexp_replace(TRIM(LOWER(text)), '\\s+', ' ', 'g'), 1, {key_len}) AS snm_key,
+         list_distinct(regexp_split_to_array(TRIM(LOWER(text)), '\\s+')) AS toks
+  FROM documents),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY snm_key, doc_id) AS rnk FROM base)
+SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+       GREATEST(a.doc_id, b.doc_id) AS doc_b,
+       b.rnk - a.rnk AS rank_gap,
+       ROUND(LENGTH(list_intersect(a.toks, b.toks))
+             / CAST(LENGTH(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 4) AS jaccard
+FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {window}
+WHERE LENGTH(list_intersect(a.toks, b.toks))
+      / CAST(LENGTH(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= {threshold}
+"""

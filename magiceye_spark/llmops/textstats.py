@@ -1476,3 +1476,100 @@ FROM per_doc
 GROUP BY 1, 2
 ORDER BY doc_source, lm_source
 """
+
+
+# ------------------------------------------- distinctive terms per source
+
+def source_distinctive_terms(
+    docs: DataFrame,
+    k: int = 10,
+    a0: float = 100.0,
+    min_df: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k DISTINCTIVE terms per source by the log-odds-ratio with an
+    informative Dirichlet prior (Monroe, Colaresi & Quinn 2008) — the
+    standard "what words characterize this subcorpus vs the rest" screen,
+    robust where raw TF-IDF surfaces rare noise: the corpus-wide prior
+    a_w = a0·y_w/n shrinks low-evidence terms toward zero and the
+    variance term 1/(y_sw+a_w) + 1/(y_rw+a_w) turns the ratio into a
+    z-score.
+
+    Determinism: all counts are exact integers; δ and z are fixed IEEE
+    expressions over them. Because ln() can differ by 1 ulp across
+    engines, the per-source rank key is the ROUNDED z (6 dp) with the
+    term as tiebreak — a 1-ulp wobble can never reorder the top-k.
+    Scale: one corpus-sized explode→(source, term) aggregation; the
+    term-totals join is a hash join on the term key (no broadcast of the
+    vocabulary), per-source totals broadcast; ranking windows are
+    partitioned by source."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "source", F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    st = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("y_sw"))
+    tw = st.groupBy("term").agg(F.sum("y_sw").cast("long").alias("y_w"))
+    ns = st.groupBy("source").agg(F.sum("y_sw").cast("long").alias("n_s"))
+    scal = tw.agg(F.sum("y_w").cast("long").alias("n_tot"))
+    cells = (
+        st.join(tw.where(F.col("y_w") >= min_df), "term")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(scal))
+    )
+    a_w = F.lit(a0) * F.col("y_w").cast("double") / F.col("n_tot").cast("double")
+    y_rw = (F.col("y_w") - F.col("y_sw")).cast("double")
+    n_r = (F.col("n_tot") - F.col("n_s")).cast("double")
+    ysw = F.col("y_sw").cast("double")
+    ns_d = F.col("n_s").cast("double")
+    delta = F.log(
+        (ysw + a_w) / (ns_d + F.lit(a0) - ysw - a_w)
+    ) - F.log((y_rw + a_w) / (n_r + F.lit(a0) - y_rw - a_w))
+    var = F.lit(1.0) / (ysw + a_w) + F.lit(1.0) / (y_rw + a_w)
+    z = F.round(delta / F.sqrt(var), 6)
+    scored = cells.select(
+        "source", "term", "y_sw", "y_w", z.alias("z_odds")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("z_odds"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("source", "rank", "term", "y_sw", "y_w", "z_odds")
+        .orderBy("source", "rank")
+    )
+
+
+def sql_source_distinctive_terms(
+    k: int = 10, a0: float = 100.0, min_df: int = 5
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')) AS term
+  FROM documents),
+st AS (SELECT source, term, COUNT(*) AS y_sw FROM toks GROUP BY 1, 2),
+tw AS (SELECT term, CAST(SUM(y_sw) AS BIGINT) AS y_w FROM st GROUP BY 1),
+ns AS (SELECT source, CAST(SUM(y_sw) AS BIGINT) AS n_s FROM st GROUP BY 1),
+scal AS (SELECT CAST(SUM(y_w) AS BIGINT) AS n_tot FROM tw),
+cells AS (
+  SELECT st.source, st.term, st.y_sw, tw.y_w, ns.n_s, scal.n_tot
+  FROM st JOIN tw USING (term) JOIN ns USING (source) CROSS JOIN scal
+  WHERE tw.y_w >= {min_df}),
+scored AS (
+  SELECT source, term, y_sw, y_w,
+         ROUND((
+           LN((CAST(y_sw AS DOUBLE) + {a0} * CAST(y_w AS DOUBLE) / CAST(n_tot AS DOUBLE))
+              / (CAST(n_s AS DOUBLE) + {a0} - CAST(y_sw AS DOUBLE)
+                 - {a0} * CAST(y_w AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+           - LN((CAST(y_w - y_sw AS DOUBLE) + {a0} * CAST(y_w AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                / (CAST(n_tot - n_s AS DOUBLE) + {a0} - CAST(y_w - y_sw AS DOUBLE)
+                   - {a0} * CAST(y_w AS DOUBLE) / CAST(n_tot AS DOUBLE)))
+         ) / SQRT(1.0 / (CAST(y_sw AS DOUBLE) + {a0} * CAST(y_w AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                  + 1.0 / (CAST(y_w - y_sw AS DOUBLE) + {a0} * CAST(y_w AS DOUBLE) / CAST(n_tot AS DOUBLE))), 6) AS z_odds
+  FROM cells),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY z_odds DESC, term ASC) AS rank
+  FROM scored)
+SELECT source, rank, term, y_sw, y_w, z_odds
+FROM ranked WHERE rank <= {k}
+ORDER BY source, rank
+"""

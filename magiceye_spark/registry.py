@@ -2598,3 +2598,83 @@ def events_quota_batch_twin_q(spark, sf_dir):
     from magiceye_spark.streaming.stateful import quota_admit_batch
 
     return quota_admit_batch(events_ops._events(spark, sf_dir), cap=5)
+
+
+@register("events_daily_trend_robust", sketches.SQL_DAILY_TREND_ROBUST)
+def daily_trend_robust_q(spark, sf_dir):
+    """Mann-Kendall trend test + Theil-Sen slope per event type over the
+    exact daily rollup — the rank-based robust twin of
+    events_daily_trend_ols (spike-immune). Pairwise stage is
+    calendar-bounded (days², never raw rows)."""
+    return sketches.daily_trend_robust_events(spark, sf_dir)
+
+
+@register("events_daily_cusum", sketches.SQL_DAILY_CUSUM)
+def daily_cusum_q(spark, sf_dir):
+    """CUSUM changepoint per event type: the day whose cumulative
+    deviation from the series mean is largest, with before/after means —
+    'when did this metric move'. Exact decimal cumsum in a per-type
+    ordered window."""
+    return sketches.daily_cusum_changepoint_events(spark, sf_dir)
+
+
+@register("events_type_corr_matrix", sketches.SQL_DAILY_TYPE_CORR)
+def daily_type_corr_q(spark, sf_dir):
+    """Pairwise Pearson correlation between event types' exact daily
+    totals — which metrics co-move. Closed-form r from decimal moments;
+    T(T-1)/2 output rows."""
+    return sketches.daily_type_correlation_events(spark, sf_dir)
+
+
+@register(
+    "t_closeness_customers",
+    dq.sql_t_closeness("customer", ["c_nationkey", "c_mktsegment"], "c_acctbal"),
+)
+def t_closeness_q(spark, sf_dir):
+    """t-closeness gate completing the privacy-audit family (k-anonymity,
+    l-diversity): quasi-identifier groups whose account-balance
+    distribution sits further than t=0.2 ordered-EMD from the global
+    distribution leak the attribute. Ordered EMD over a broadcast bin
+    lattice; one corpus-sized (quasi, bin) groupBy."""
+    cust = io.read_table(spark, sf_dir, "customer")
+    return dq.t_closeness_audit(cust, ["c_nationkey", "c_mktsegment"], "c_acctbal")
+
+
+@register(
+    "snm_near_dups",
+    dedup.sql_sorted_neighborhood(window=5, threshold=0.5, key_len=32),
+)
+def snm_near_dups_q(spark, sf_dir):
+    """Sorted-neighborhood (SNM) near-dup pass: canonical-prefix sort key
+    via the two-phase global rank, each doc compared to its 5 successors,
+    exact word-set Jaccard >= 0.5 verify — the record-linkage blocking
+    family, complementing the hash-bucketed ones at a guaranteed
+    n*window candidate budget."""
+    return dedup.sorted_neighborhood_near_dups(
+        _docs(spark, sf_dir), window=5, threshold=0.5, key_len=32
+    )
+
+
+@register(
+    "source_distinctive_terms",
+    textstats.sql_source_distinctive_terms(k=10, a0=100.0, min_df=5),
+)
+def source_distinctive_terms_q(spark, sf_dir):
+    """Top-10 distinctive terms per source by log-odds-ratio with an
+    informative Dirichlet prior (Monroe et al. 2008) — 'what words
+    characterize this subcorpus vs the rest', shrunk against rare-term
+    noise. Rank key is the rounded z so a 1-ulp ln() wobble can't
+    reorder the cut."""
+    return textstats.source_distinctive_terms(
+        _docs(spark, sf_dir), k=10, a0=100.0, min_df=5
+    )
+
+
+@register("events_type_value_assoc", sketches.sql_type_value_association())
+def type_value_assoc_q(spark, sf_dir):
+    """Chi-square + mutual-information decomposition of the
+    (event_type x value-bin) contingency: which type's value distribution
+    departs from the corpus. Zero-observed lattice cells included;
+    per-type ordered-window accumulation keeps double sums
+    engine-identical."""
+    return sketches.type_value_association_events(spark, sf_dir)

