@@ -1229,3 +1229,125 @@ SELECT vec_id,
 FROM embeddings
 ORDER BY vec_id
 """
+
+
+# ------------------------------------------------- covariance / PCA
+
+def embedding_covariance(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact upper-triangle covariance matrix of the embedding columns:
+    (i, j, n, cov) for 1 ≤ i ≤ j ≤ d — the input to PCA whitening,
+    redundancy audits ("are dims 17 and 23 the same signal?"), and
+    Mahalanobis-style outlier screens.
+
+    Components are rounded to 6 dp and accumulated as DECIMAL, so all
+    three moments are exact and order-free under any partitioning; the
+    covariance is one fixed double expression over them. Shape: the
+    d-explode self-join produces n·d²/2 rows, but map-side partial
+    aggregation reduces the shuffle to d²/2 keys per partition — the
+    standard moment-matrix pattern (d is a constant; n is the corpus).
+    """
+    e = emb.select(
+        "vec_id", F.posexplode(vec_col).alias("i0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("xf").cast("double"), 6).cast("decimal(9,6)").alias("xv"),
+    )
+    a = e.select("vec_id", F.col("i").alias("i"), F.col("xv").alias("xa"))
+    b = e.select("vec_id", F.col("i").alias("j"), F.col("xv").alias("xb"))
+    pairs = a.join(b, "vec_id").where(F.col("i") <= F.col("j"))
+    m = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xa").alias("sx"),
+        F.sum("xb").alias("sy"),
+        F.sum((F.col("xa") * F.col("xb")).cast("decimal(28,12)")).alias("sxy"),
+    )
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n").cast("double")
+    ) / (F.col("n") - 1).cast("double")
+    return m.select("i", "j", "n", cov.alias("cov")).orderBy("i", "j")
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH e AS (
+  SELECT vec_id, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(9,6)) AS xv
+  FROM embeddings CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i)),
+m AS (
+  SELECT a.i, b.i AS j, COUNT(*) AS n,
+         SUM(a.xv) AS sx, SUM(b.xv) AS sy,
+         SUM(CAST(a.xv * b.xv AS DECIMAL(28,12))) AS sxy
+  FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+  GROUP BY 1, 2)
+SELECT i, j, n,
+       (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+         / CAST(n - 1 AS DOUBLE) AS cov
+FROM m
+ORDER BY i, j
+"""
+
+
+def embedding_pca_project(
+    emb: DataFrame,
+    n_components: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto their top principal components: exact
+    distributed covariance (:func:`embedding_covariance`) → driver-side
+    eigendecomposition of the bounded d×d matrix (same precedent as the
+    IVF driver-side k-means fit: d² scalars, never corpus-sized) →
+    map-side projection via JVM array expressions. Output
+    (vec_id, label, pc) with pc = array of the first ``n_components``
+    scores; components are sign-normalized (largest-|loading| entry
+    positive) so the result is deterministic. Eigendecomposition is not
+    SQL-expressible — driver-checked rows-only; the numpy parity pin
+    lives in tests."""
+    import numpy as np
+
+    cov_rows = embedding_covariance(emb, vec_col).collect()
+    d = max(r.j for r in cov_rows)
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r.i - 1, r.j - 1] = r.cov
+        C[r.j - 1, r.i - 1] = r.cov
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:n_components]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    # centering uses the exact decimal means computed distributed-side
+    e = emb.select("vec_id", F.posexplode(vec_col).alias("i0", "xf")).select(
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("xf").cast("double"), 6).cast("decimal(9,6)").alias("xv"),
+    )
+    mrows = e.groupBy("i").agg(
+        (F.sum("xv").cast("double") / F.count(F.lit(1)).cast("double")).alias("mu")
+    ).collect()
+    mu = [0.0] * d
+    for r in mrows:
+        mu[r.i - 1] = r.mu
+    mu_lit = F.array(*[F.lit(x) for x in mu])
+    proj_cols = []
+    for ci, comp in enumerate(comps):
+        comp_lit = F.array(*[F.lit(x) for x in comp])
+        score = F.aggregate(
+            F.zip_with(
+                F.zip_with(
+                    F.transform(F.col(vec_col), lambda x: F.round(x.cast("double"), 6)),
+                    mu_lit,
+                    lambda x, m: x - m,
+                ),
+                comp_lit,
+                lambda cvx, w: cvx * w,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        proj_cols.append(F.round(score, 6).alias(f"pc{ci + 1}"))
+    return emb.select("vec_id", "label", *proj_cols).orderBy("vec_id")

@@ -2678,3 +2678,30 @@ def type_value_assoc_q(spark, sf_dir):
     per-type ordered-window accumulation keeps double sums
     engine-identical."""
     return sketches.type_value_association_events(spark, sf_dir)
+
+
+@register("events_seasonal_decomp", sketches.SQL_SEASONAL_DECOMP)
+def seasonal_decomp_q(spark, sf_dir):
+    """Classical additive decomposition per event type: centered 7-day MA
+    trend, day-of-week seasonal index, residual — separates weekly rhythm
+    from drift. Seasonal numerator 7y - sum7 stays exact decimal so the
+    fit is order-free."""
+    return sketches.seasonal_decomposition_events(spark, sf_dir)
+
+
+@register("embedding_covariance", simsearch.SQL_EMBEDDING_COVARIANCE)
+def embedding_covariance_q(spark, sf_dir):
+    """Exact upper-triangle covariance matrix of the embedding dims
+    (PCA/whitening input): rounded-decimal moments, map-side partial agg
+    reduces the d-explode self-join shuffle to d^2/2 keys."""
+    return simsearch.embedding_covariance(simsearch._emb(spark, sf_dir))
+
+
+@register("embedding_pca_project", None)
+def embedding_pca_q(spark, sf_dir):
+    """Top-8 principal-component scores per embedding: distributed exact
+    covariance -> driver-side eigh on the bounded d x d matrix (IVF-fit
+    precedent) -> map-side JVM projection. Eigendecomposition is not
+    SQL-expressible (rows-only driver check); numpy parity pinned in
+    tests/test_r6b_ops.py."""
+    return simsearch.embedding_pca_project(simsearch._emb(spark, sf_dir))

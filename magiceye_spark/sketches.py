@@ -962,3 +962,88 @@ ORDER BY event_type
 
 def type_value_association_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return type_value_association(_events(spark, sf_dir))
+
+
+def seasonal_decomposition(events: DataFrame) -> DataFrame:
+    """Classical additive decomposition of each type's daily series:
+    trend (centered 7-day moving average), day-of-week seasonal index,
+    and residual — the STL-lite screen separating "weekly rhythm" from
+    "actual drift" before anomaly rules fire.
+
+    Exactness: the 7-day window sum is DECIMAL (exact); the seasonal
+    index is mean(7·y − Σ₇y)/7 — the numerator stays an exact decimal
+    sum (order-free across the group), so the only double ops are fixed
+    divisions. Rows without a full 7-day window get NULL trend and are
+    excluded from the seasonal fit, exactly as in the SQL twin. One
+    corpus-sized rollup; windows partitioned by event_type."""
+    from pyspark.sql.window import Window
+
+    daily = _daily_totals(events)
+    w7 = (
+        Window.partitionBy("event_type").orderBy("x").rowsBetween(-3, 3)
+    )
+    d = daily.withColumn("sum7", F.sum("y").over(w7)).withColumn(
+        "cnt7", F.count(F.lit(1)).over(w7)
+    )
+    trend = F.when(
+        F.col("cnt7") == 7, F.col("sum7").cast("double") / F.lit(7.0)
+    )
+    d = d.withColumn("trend", trend).withColumn("dow", F.col("x") % 7)
+    # seasonal numerator 7y − Σ7 is exact decimal; mean over the (type,
+    # dow) group is decimal-sum / count — order-free
+    seas = (
+        d.where(F.col("cnt7") == 7)
+        .groupBy("event_type", "dow")
+        .agg(
+            (
+                F.sum(F.col("y") * 7 - F.col("sum7")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(7.0)
+            ).alias("seasonal")
+        )
+    )
+    out = d.join(seas, ["event_type", "dow"], "left")
+    return out.select(
+        "event_type",
+        "x",
+        F.date_add(F.lit("2024-01-01").cast("date"), F.col("x")).alias("day"),
+        F.col("y").cast("double").alias("daily_value"),
+        "trend",
+        F.when(F.col("trend").isNotNull(), F.col("seasonal")).alias("seasonal"),
+        F.when(
+            F.col("trend").isNotNull(),
+            F.col("y").cast("double") - F.col("trend") - F.col("seasonal"),
+        ).alias("residual"),
+    ).orderBy("event_type", "x")
+
+
+SQL_SEASONAL_DECOMP = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS y
+  FROM events GROUP BY 1, 2),
+d AS (
+  SELECT *, SUM(y) OVER w AS sum7, COUNT(*) OVER w AS cnt7, x % 7 AS dow
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY x
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+dd AS (
+  SELECT *, CASE WHEN cnt7 = 7 THEN CAST(sum7 AS DOUBLE) / 7.0 END AS trend
+  FROM d),
+seas AS (
+  SELECT event_type, dow,
+         CAST(SUM(y * 7 - sum7) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 7.0 AS seasonal
+  FROM dd WHERE cnt7 = 7 GROUP BY 1, 2)
+SELECT dd.event_type, x, DATE '2024-01-01' + CAST(x AS INTEGER) AS day,
+       CAST(y AS DOUBLE) AS daily_value, trend,
+       CASE WHEN trend IS NOT NULL THEN seasonal END AS seasonal,
+       CASE WHEN trend IS NOT NULL
+            THEN CAST(y AS DOUBLE) - trend - seasonal END AS residual
+FROM dd LEFT JOIN seas ON dd.event_type = seas.event_type AND dd.dow = seas.dow
+ORDER BY dd.event_type, x
+"""
+
+
+def seasonal_decomposition_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_decomposition(_events(spark, sf_dir))

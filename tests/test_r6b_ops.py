@@ -277,3 +277,81 @@ def test_type_value_assoc_matches_python_contingency(spark):
         assert abs(got[typ].chi2_part - chi) < 1e-9, typ
         assert abs(got[typ].mi_part - mi) < 1e-9, typ
         assert got[typ].n_rows == r_x and got[typ].n_bins == 2
+
+
+def test_seasonal_decomposition_recovers_planted_weekly_pattern(spark):
+    """A pure weekly pattern (constant across weeks) must decompose into a
+    constant trend = overall mean, seasonal = dow offset, residual ~ 0;
+    edge days without a full 7-day window must be NULL."""
+    from magiceye_spark.sketches import seasonal_decomposition
+
+    base = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]  # dow 0..6
+    vals = base * 4  # 28 days, x=0 is a dow-0 day
+    rows = seasonal_decomposition(
+        _events_from_daily(spark, {"t": vals})
+    ).collect()
+    mean = sum(base) / 7.0
+    byx = {r.x: r for r in rows}
+    assert len(byx) == 28
+    for x in (0, 1, 2, 25, 26, 27):  # no full window
+        assert byx[x].trend is None and byx[x].seasonal is None
+    for x in range(3, 25):
+        r = byx[x]
+        assert abs(r.trend - mean) < 1e-9
+        assert abs(r.seasonal - (base[x % 7] - mean)) < 1e-9
+        assert abs(r.residual) < 1e-9
+        assert r.day == dt.date(2024, 1, 1) + dt.timedelta(days=x)
+
+
+def _synth_emb(spark, n=40, d=6, seed=3):
+    import random
+
+    rng = random.Random(seed)
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 6) for _ in range(d)], i % 3)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from magiceye_spark.llmops.simsearch import embedding_covariance
+
+    emb = _synth_emb(spark)
+    X = np.array([r.embedding for r in emb.orderBy("vec_id").collect()], dtype=np.float64)
+    X = np.round(X, 6)
+    want = np.cov(X, rowvar=False)  # ddof=1, matching /(n-1)
+    got = embedding_covariance(emb).collect()
+    assert len(got) == 6 * 7 // 2
+    for r in got:
+        assert r.n == 40
+        assert abs(r.cov - want[r.i - 1, r.j - 1]) < 1e-9, (r.i, r.j)
+
+
+def test_embedding_pca_matches_numpy(spark):
+    import numpy as np
+
+    from magiceye_spark.llmops.simsearch import embedding_pca_project
+
+    emb = _synth_emb(spark, n=60, d=5)
+    X = np.round(np.array([r.embedding for r in emb.orderBy("vec_id").collect()], dtype=np.float64), 6)
+    C = np.cov(X, rowvar=False)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:2]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append(v)
+    mu = X.mean(axis=0)
+    want = (X - mu) @ np.array(comps).T
+    got = embedding_pca_project(emb, n_components=2).orderBy("vec_id").collect()
+    for k, r in enumerate(got):
+        assert abs(r.pc1 - want[k, 0]) < 2e-6
+        assert abs(r.pc2 - want[k, 1]) < 2e-6
+    # PC1 variance ~ top eigenvalue
+    pc1 = np.array([r.pc1 for r in got])
+    assert abs(pc1.var(ddof=1) - vals[order[0]]) < 1e-5
