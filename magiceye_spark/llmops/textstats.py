@@ -1573,3 +1573,207 @@ SELECT source, rank, term, y_sw, y_w, z_odds
 FROM ranked WHERE rank <= {k}
 ORDER BY source, rank
 """
+
+
+# ------------------------------------------- naive Bayes source classifier
+
+def nb_source_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train a multinomial Naive Bayes source classifier on the corpus and
+    emit its resubstitution confusion matrix (actual, predicted, n_docs) —
+    the declarative stand-in for the fastText-style quality/domain
+    classifiers LLM curation pipelines run (CCNet, RefinedWeb): "is this
+    corpus separable by source, and which sources are confusable?"
+    Training IS the aggregation: token likelihoods with add-1 smoothing,
+    log-prior from document counts.
+
+    Algebraic rearrangement keeps the score join sparse:
+      score(d, s) = ln(N_s/N) − T_d·ln(n_s + V) + Σ_{t∈d, y_ts>0} c_td·ln(y_ts + 1)
+    so only SEEN (term, source) pairs join (the unseen-mass term folds
+    into T_d·ln(n_s+V)). The per-(doc, source) correction sum folds over
+    the term-sorted list (fixed IEEE order on both engines); argmax
+    breaks ties on source name. Scale: one term-keyed hash join between
+    the doc-term and source-term count tables (both corpus-sized,
+    map-side combined), then doc×S lattice rows via a broadcast of the
+    S-row source table."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select("doc_id", F.col("source").alias("actual"), F.explode(_tokens(F.col(text_col))).alias("term"))
+    dt_counts = toks.groupBy("doc_id", "actual", "term").agg(
+        F.count(F.lit(1)).alias("c_td")
+    )
+    st_counts = toks.groupBy(F.col("actual").alias("s"), "term").agg(
+        F.count(F.lit(1)).alias("y_ts")
+    )
+    vocab = st_counts.select("term").distinct().agg(F.count(F.lit(1)).alias("v_size"))
+    src = (
+        st_counts.groupBy("s")
+        .agg(F.sum("y_ts").cast("long").alias("n_s"))
+        .join(
+            docs.groupBy(F.col("source").alias("s")).agg(
+                F.count(F.lit(1)).alias("docs_s")
+            ),
+            "s",
+        )
+    )
+    n_docs_tot = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    # seen-pair correction, folded in term order for a fixed IEEE sum
+    seen = (
+        dt_counts.join(st_counts, "term")
+        .groupBy("doc_id", "s")
+        .agg(
+            F.aggregate(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("term").alias("t"),
+                            (
+                                F.col("c_td").cast("double")
+                                * F.log(F.col("y_ts").cast("double") + F.lit(1.0))
+                            ).alias("contrib"),
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["contrib"],
+            ).alias("seen_sum")
+        )
+    )
+    doc_len = dt_counts.groupBy("doc_id", "actual").agg(
+        F.sum("c_td").cast("long").alias("t_d")
+    )
+    lat = (
+        doc_len.crossJoin(F.broadcast(src))
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_docs_tot))
+        .join(seen, ["doc_id", "s"], "left")
+    )
+    score = (
+        F.log(F.col("docs_s").cast("double") / F.col("n_docs").cast("double"))
+        - F.col("t_d").cast("double")
+        * F.log((F.col("n_s") + F.col("v_size")).cast("double"))
+        + F.coalesce(F.col("seen_sum"), F.lit(0.0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("s"))
+    pred = (
+        lat.withColumn("score", score)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+    )
+    return (
+        pred.groupBy(F.col("actual"), F.col("s").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )
+
+
+SQL_NB_SOURCE_CONFUSION = f"""
+WITH toks AS (
+  SELECT doc_id, source AS actual,
+         UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')) AS term
+  FROM documents),
+dt_counts AS (SELECT doc_id, actual, term, COUNT(*) AS c_td FROM toks GROUP BY 1, 2, 3),
+st_counts AS (SELECT actual AS s, term, COUNT(*) AS y_ts FROM toks GROUP BY 1, 2),
+vocab AS (SELECT COUNT(DISTINCT term) AS v_size FROM st_counts),
+src AS (
+  SELECT st.s, CAST(SUM(y_ts) AS BIGINT) AS n_s, d.docs_s
+  FROM st_counts st
+  JOIN (SELECT source AS s, COUNT(*) AS docs_s FROM documents GROUP BY 1) d USING (s)
+  GROUP BY st.s, d.docs_s),
+ntot AS (SELECT COUNT(*) AS n_docs FROM documents),
+seen AS (
+  SELECT dt.doc_id, st.s,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(
+               list_sort(list({{'t': dt.term,
+                                'contrib': CAST(dt.c_td AS DOUBLE) * LN(CAST(st.y_ts AS DOUBLE) + 1.0)}})),
+               x -> x.contrib)),
+           (acc, v) -> acc + v) AS seen_sum
+  FROM dt_counts dt JOIN st_counts st USING (term)
+  GROUP BY 1, 2),
+doc_len AS (SELECT doc_id, actual, CAST(SUM(c_td) AS BIGINT) AS t_d FROM dt_counts GROUP BY 1, 2),
+lat AS (
+  SELECT dl.doc_id, dl.actual, dl.t_d, src.s, src.n_s, src.docs_s,
+         vocab.v_size, ntot.n_docs, COALESCE(seen.seen_sum, 0.0) AS seen_sum
+  FROM doc_len dl CROSS JOIN src CROSS JOIN vocab CROSS JOIN ntot
+  LEFT JOIN seen ON seen.doc_id = dl.doc_id AND seen.s = src.s),
+scored AS (
+  SELECT doc_id, actual, s,
+         LN(CAST(docs_s AS DOUBLE) / CAST(n_docs AS DOUBLE))
+           - CAST(t_d AS DOUBLE) * LN(CAST(n_s + v_size AS DOUBLE))
+           + seen_sum AS score
+  FROM lat),
+pred AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, s ASC) AS rk
+  FROM scored)
+SELECT actual, s AS predicted, COUNT(*) AS n_docs
+FROM pred WHERE rk = 1
+GROUP BY 1, 2
+ORDER BY actual, predicted
+"""
+
+
+# ------------------------------------------- Wilson interval flag rates
+
+def source_flag_rate_ci(
+    docs: DataFrame, max_chars: int = 400, z: float = 1.96
+) -> DataFrame:
+    """Per-source short-document rate with a Wilson score interval —
+    the rate screen with honest uncertainty: a 3%-flagged source with 40
+    docs and one with 40k docs get very different bounds, and curation
+    cuts should key on the UPPER bound, not the point rate.
+
+    Wilson: (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n).
+    Counts are exact; the interval is one fixed IEEE expression —
+    bit-identical on any engine. Map-only flag + one catalog-sized
+    rollup."""
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_chars") < max_chars, 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+    )
+    n = F.col("n_docs").cast("double")
+    p = F.col("n_flagged").cast("double") / n
+    z2 = F.lit(z * z)
+    denom = F.lit(1.0) + z2 / n
+    center = p + z2 / (F.lit(2.0) * n)
+    half = F.lit(z) * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+    # the exact interval lies in [0, 1]; the float evaluation can stray by
+    # ~1e-17 at the p = 0 / p = 1 ends — clamp (identically in the twin)
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_flagged",
+        p.alias("flag_rate"),
+        F.greatest(F.lit(0.0), (center - half) / denom).alias("wilson_lo"),
+        F.least(F.lit(1.0), (center + half) / denom).alias("wilson_hi"),
+    ).orderBy("source")
+
+
+def sql_source_flag_rate_ci(max_chars: int = 400, z: float = 1.96) -> str:
+    zz = z * z
+    return f"""
+WITH agg AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN n_chars < {max_chars} THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+  FROM documents GROUP BY 1)
+SELECT source, n_docs, n_flagged,
+       CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE) AS flag_rate,
+       GREATEST(0.0, ((CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          + {zz} / (2.0 * CAST(n_docs AS DOUBLE)))
+        - {z} * SQRT(CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                     * (1.0 - CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                     / CAST(n_docs AS DOUBLE)
+                     + {zz} / (4.0 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))))
+       / (1.0 + {zz} / CAST(n_docs AS DOUBLE))) AS wilson_lo,
+       LEAST(1.0, ((CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          + {zz} / (2.0 * CAST(n_docs AS DOUBLE)))
+        + {z} * SQRT(CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                     * (1.0 - CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                     / CAST(n_docs AS DOUBLE)
+                     + {zz} / (4.0 * CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))))
+       / (1.0 + {zz} / CAST(n_docs AS DOUBLE))) AS wilson_hi
+FROM agg
+ORDER BY source
+"""

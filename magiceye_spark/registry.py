@@ -2705,3 +2705,24 @@ def embedding_pca_q(spark, sf_dir):
     SQL-expressible (rows-only driver check); numpy parity pinned in
     tests/test_r6b_ops.py."""
     return simsearch.embedding_pca_project(simsearch._emb(spark, sf_dir))
+
+
+@register("nb_source_confusion", textstats.SQL_NB_SOURCE_CONFUSION)
+def nb_source_confusion_q(spark, sf_dir):
+    """Multinomial Naive Bayes source classifier trained declaratively on
+    the corpus (add-1 smoothing, log-priors) + its resubstitution
+    confusion matrix — the separability screen behind fastText-style
+    domain/quality classifiers. Sparse seen-pair join; term-sorted fold
+    keeps the log-likelihood sums engine-identical."""
+    return textstats.nb_source_confusion(_docs(spark, sf_dir))
+
+
+@register(
+    "source_flag_rate_ci",
+    textstats.sql_source_flag_rate_ci(max_chars=400, z=1.96),
+)
+def source_flag_rate_ci_q(spark, sf_dir):
+    """Per-source short-document rate with Wilson score bounds — rate
+    screens with honest uncertainty (cut on the upper bound, not the
+    point estimate). Map-only flag + catalog rollup."""
+    return textstats.source_flag_rate_ci(_docs(spark, sf_dir), max_chars=400, z=1.96)

@@ -355,3 +355,81 @@ def test_embedding_pca_matches_numpy(spark):
     # PC1 variance ~ top eigenvalue
     pc1 = np.array([r.pc1 for r in got])
     assert abs(pc1.var(ddof=1) - vals[order[0]]) < 1e-5
+
+
+def test_nb_source_confusion_separable_corpus_is_diagonal(spark):
+    """On a cleanly separable two-source corpus the resubstitution
+    confusion matrix must be exactly diagonal; scores must match the
+    add-1 multinomial formula computed in Python for a probe doc."""
+    import math as m
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "apple banana cherry apple", "en", "fruit", 25))
+    for i in range(10, 20):
+        rows.append((i, "bolt washer gear bolt", "en", "metal", 21))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from magiceye_spark.llmops.textstats import nb_source_confusion
+
+    out = {(r.actual, r.predicted): r.n_docs for r in nb_source_confusion(docs).collect()}
+    assert out == {("fruit", "fruit"): 10, ("metal", "metal"): 10}
+
+
+def test_nb_score_rearrangement_equals_direct_formula(spark):
+    """The sparse rearrangement score(d,s) = ln(Ns/N) − T·ln(n_s+V) +
+    Σ_seen c·ln(y+1) must equal the direct smoothed product
+    Π ((y_ts+1)/(n_s+V))^c computed in log space — including for a doc
+    containing terms unseen in the scored source."""
+    import math as m
+
+    rows = [
+        (0, "x x y", "en", "A", 5),
+        (1, "y z", "en", "B", 3),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # replicate internals: vocab {x,y,z} V=3; A: x:2 y:1 (n=3); B: y:1 z:1 (n=2)
+    # direct score of doc0 against B: ln(1/2) + 2*ln((0+1)/(2+3)) + 1*ln((1+1)/(2+3))
+    direct = m.log(0.5) + 2 * m.log(1 / 5) + m.log(2 / 5)
+    rearranged = m.log(0.5) - 3 * m.log(5) + 1 * m.log(2)  # T=3, seen: y (c=1, ln(1+1))
+    assert abs(direct - rearranged) < 1e-12
+    # and the classifier must still label each doc by its own source
+    from magiceye_spark.llmops.textstats import nb_source_confusion
+
+    out = {(r.actual, r.predicted): r.n_docs for r in nb_source_confusion(docs).collect()}
+    assert out == {("A", "A"): 1, ("B", "B"): 1}
+
+
+def test_wilson_ci_matches_closed_form(spark):
+    """Wilson bounds must equal the closed form for hand-picked counts,
+    stay inside [0, 1], and bracket the point rate; 0-flagged and
+    all-flagged sources must not produce NaN."""
+    import math as m
+
+    rows = []
+    specs = {"s1": (40, 3), "s2": (400, 30), "s3": (10, 0), "s4": (10, 10)}
+    did = 0
+    for src, (n, k) in specs.items():
+        for i in range(n):
+            rows.append((did, "t", "en", src, 100 if i < k else 900))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from magiceye_spark.llmops.textstats import source_flag_rate_ci
+
+    got = {r.source: r for r in source_flag_rate_ci(docs, max_chars=400, z=1.96).collect()}
+    for src, (n, k) in specs.items():
+        p, z = k / n, 1.96
+        denom = 1 + z * z / n
+        center = p + z * z / (2 * n)
+        half = z * m.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        r = got[src]
+        assert r.n_docs == n and r.n_flagged == k
+        assert abs(r.flag_rate - p) < 1e-12
+        assert abs(r.wilson_lo - (center - half) / denom) < 1e-12
+        assert abs(r.wilson_hi - (center + half) / denom) < 1e-12
+        assert 0.0 <= r.wilson_lo <= p <= r.wilson_hi <= 1.0
