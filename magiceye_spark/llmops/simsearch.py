@@ -1351,3 +1351,98 @@ def embedding_pca_project(
         )
         proj_cols.append(F.round(score, 6).alias(f"pc{ci + 1}"))
     return emb.select("vec_id", "label", *proj_cols).orderBy("vec_id")
+
+
+def embedding_outlier_scores(
+    emb: DataFrame, k: int = 20, vec_col: str = "embedding"
+) -> DataFrame:
+    """Top-k embedding outliers by diagonal Mahalanobis distance:
+    z² = Σ_i (x_i − μ_i)² / σ²_i over per-dimension exact moments — the
+    cheap "is this vector from another distribution" screen run before
+    indexing (corrupt encodes, wrong-model vectors, zero rows).
+
+    Per-dim μ/σ² come from the same rounded-decimal moments as
+    :func:`embedding_covariance` (exact, order-free); each vector's z²
+    folds its 64 terms in index order (fixed IEEE order on both
+    engines); zero-variance dims are excluded identically. Top-k is
+    orderBy+limit — TakeOrdered, never a global sort. Scale: one d-row
+    broadcast join + a map-side fold."""
+    e = emb.select(
+        "vec_id", F.posexplode(vec_col).alias("i0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.round(F.col("xf").cast("double"), 6).cast("decimal(9,6)").alias("xv"),
+    )
+    dims = e.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xv").alias("sx"),
+        F.sum((F.col("xv") * F.col("xv")).cast("decimal(28,12)")).alias("sxx"),
+    )
+    mu = F.col("sx").cast("double") / F.col("n").cast("double")
+    var = (
+        F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n").cast("double")
+    ) / (F.col("n") - 1).cast("double")
+    dims = dims.select("i", mu.alias("mu"), var.alias("var")).where(F.col("var") > 0)
+    terms = (
+        e.join(F.broadcast(dims), "i")
+        .select(
+            "vec_id",
+            "i",
+            (
+                (F.col("xv").cast("double") - F.col("mu"))
+                * (F.col("xv").cast("double") - F.col("mu"))
+                / F.col("var")
+            ).alias("term"),
+        )
+    )
+    z2 = terms.groupBy("vec_id").agg(
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("i").alias("i"), F.col("term").alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("z2")
+    )
+    return (
+        z2.join(emb.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", "z2")
+        .orderBy(F.desc("z2"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def sql_embedding_outlier_scores(k: int = 20) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, i,
+         CAST(ROUND(CAST(embedding[i] AS DOUBLE), 6) AS DECIMAL(9,6)) AS xv
+  FROM embeddings CROSS JOIN (SELECT UNNEST(generate_series(1, 64)) AS i)),
+dims AS (
+  SELECT i, COUNT(*) AS n, SUM(xv) AS sx,
+         SUM(CAST(xv * xv AS DECIMAL(28,12))) AS sxx
+  FROM e GROUP BY 1),
+dv AS (
+  SELECT i, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+           / CAST(n - 1 AS DOUBLE) AS var
+  FROM dims),
+dvp AS (SELECT * FROM dv WHERE var > 0),
+terms AS (
+  SELECT e.vec_id, e.i,
+         (CAST(e.xv AS DOUBLE) - dvp.mu) * (CAST(e.xv AS DOUBLE) - dvp.mu) / dvp.var AS term
+  FROM e JOIN dvp USING (i)),
+z2 AS (
+  SELECT vec_id,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_sort(list({{'i': i, 't': term}})), x -> x.t)),
+           (acc, v) -> acc + v) AS z2
+  FROM terms GROUP BY 1)
+SELECT z2.vec_id, emb.label, z2.z2
+FROM z2 JOIN embeddings emb ON emb.vec_id = z2.vec_id
+ORDER BY z2.z2 DESC, z2.vec_id ASC
+LIMIT {k}
+"""

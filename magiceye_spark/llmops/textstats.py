@@ -1777,3 +1777,236 @@ SELECT source, n_docs, n_flagged,
 FROM agg
 ORDER BY source
 """
+
+
+# ------------------------------------------- vocabulary coverage curve
+
+def vocab_coverage_curve(docs: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Cumulative token-coverage curve of the top-k vocabulary: rank,
+    term, freq, and the fraction of ALL token occurrences covered by
+    ranks 1..r — how head-heavy the corpus is (the practical question
+    behind stopword lists and vocab-size choices: "how few words cover
+    90%?").
+
+    The global rank AND the running frequency sum come from ONE
+    :func:`magiceye_spark.io.two_phase_window` pass (range-partition +
+    broadcast prefix offsets — no single-task sort); counts are exact
+    integers so the running sum is order-free, and cum_frac is one
+    double division. The total is a broadcast scalar."""
+    from magiceye_spark.io import two_phase_window
+
+    freqs = (
+        docs.select(F.explode(_tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    tot = freqs.agg(F.sum("freq").cast("long").alias("n_tokens"))
+    ranked = two_phase_window(
+        freqs,
+        [F.desc("freq"), F.asc("term")],
+        rank_col="rank",
+        cumsum={"cum_freq": "freq"},
+    )
+    return (
+        ranked.where(F.col("rank") <= k)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "term",
+            "freq",
+            F.col("cum_freq").cast("long").alias("cum_freq"),
+            (
+                F.col("cum_freq").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("cum_frac"),
+        )
+        .orderBy("rank")
+    )
+
+
+def sql_vocab_coverage_curve(k: int = 100) -> str:
+    return f"""
+WITH freqs AS (
+  SELECT UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')) AS term
+  FROM documents),
+f AS (SELECT term, COUNT(*) AS freq FROM freqs GROUP BY 1),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens FROM f),
+r AS (
+  SELECT term, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank,
+         CAST(SUM(freq) OVER (ORDER BY freq DESC, term ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_freq
+  FROM f)
+SELECT rank, term, freq, cum_freq,
+       CAST(cum_freq AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS cum_frac
+FROM r CROSS JOIN tot
+WHERE rank <= {k}
+ORDER BY rank
+"""
+
+
+# ------------------------------------------- cross-validated NB accuracy
+
+def nb_crossval_accuracy(
+    docs: DataFrame, salt: str = "nbcv-v1", text_col: str = "text"
+) -> DataFrame:
+    """2-fold cross-validated accuracy of the Naive Bayes source
+    classifier — the honest generalization number next to
+    :func:`nb_source_confusion`'s resubstitution matrix (train on fold
+    ¬f via the deterministic md5 coin, score fold f). One row per fold:
+    (fold, n_eval, n_correct, accuracy).
+
+    The fold assignment is the repo's engine-exact md5 coin (same as
+    hash_split), so train/eval membership is identical on any engine and
+    stable at any scale; per-fold smoothing constants (vocabulary size,
+    per-source mass, priors) are recomputed from the TRAINING side only,
+    exactly as a leakage-safe eval requires. Same sparse seen-pair
+    rearrangement and term-sorted folds as the resubstitution query."""
+    from pyspark.sql.window import Window
+
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    d = docs.withColumn("fold", coin)
+    out = None
+    for f in (0, 1):
+        train = d.where(F.col("fold") != f)
+        evald = d.where(F.col("fold") == f)
+        toks_tr = train.select(
+            F.col("source").alias("s"), F.explode(_tokens(F.col(text_col))).alias("term")
+        )
+        st = toks_tr.groupBy("s", "term").agg(F.count(F.lit(1)).alias("y_ts"))
+        vocab = st.select("term").distinct().agg(F.count(F.lit(1)).alias("v_size"))
+        src = st.groupBy("s").agg(F.sum("y_ts").cast("long").alias("n_s")).join(
+            train.groupBy(F.col("source").alias("s")).agg(
+                F.count(F.lit(1)).alias("docs_s")
+            ),
+            "s",
+        )
+        ntot = train.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+        toks_ev = evald.select(
+            "doc_id",
+            F.col("source").alias("actual"),
+            F.explode(_tokens(F.col(text_col))).alias("term"),
+        )
+        dt = toks_ev.groupBy("doc_id", "actual", "term").agg(
+            F.count(F.lit(1)).alias("c_td")
+        )
+        seen = (
+            dt.join(st, "term")
+            .groupBy("doc_id", "s")
+            .agg(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                F.col("term").alias("t"),
+                                (
+                                    F.col("c_td").cast("double")
+                                    * F.log(F.col("y_ts").cast("double") + F.lit(1.0))
+                                ).alias("contrib"),
+                            )
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["contrib"],
+                ).alias("seen_sum")
+            )
+        )
+        doc_len = dt.groupBy("doc_id", "actual").agg(
+            F.sum("c_td").cast("long").alias("t_d")
+        )
+        lat = (
+            doc_len.crossJoin(F.broadcast(src))
+            .crossJoin(F.broadcast(vocab))
+            .crossJoin(F.broadcast(ntot))
+            .join(seen, ["doc_id", "s"], "left")
+        )
+        score = (
+            F.log(F.col("docs_s").cast("double") / F.col("n_docs").cast("double"))
+            - F.col("t_d").cast("double")
+            * F.log((F.col("n_s") + F.col("v_size")).cast("double"))
+            + F.coalesce(F.col("seen_sum"), F.lit(0.0))
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("s"))
+        pred = (
+            lat.withColumn("score", score)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+        )
+        res = pred.agg(
+            F.lit(f).alias("fold"),
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(F.when(F.col("actual") == F.col("s"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            (
+                F.sum(F.when(F.col("actual") == F.col("s"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("accuracy"),
+        )
+        out = res if out is None else out.unionByName(res)
+    return out.orderBy("fold")
+
+
+def sql_nb_crossval_accuracy(salt: str = "nbcv-v1") -> str:
+    def fold_block(f: int) -> str:
+        return f"""
+SELECT {f} AS fold, COUNT(*) AS n_eval,
+       CAST(SUM(CASE WHEN actual = s THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN actual = s THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS accuracy
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, s ASC) AS rk
+  FROM (
+    SELECT dl.doc_id, dl.actual, src.s,
+           LN(CAST(src.docs_s AS DOUBLE) / CAST(ntot.n_docs AS DOUBLE))
+             - CAST(dl.t_d AS DOUBLE) * LN(CAST(src.n_s + vocab.v_size AS DOUBLE))
+             + COALESCE(seen.seen_sum, 0.0) AS score
+    FROM (SELECT doc_id, actual, CAST(SUM(c_td) AS BIGINT) AS t_d
+          FROM dt_{f} GROUP BY 1, 2) dl
+    CROSS JOIN (SELECT st.s, CAST(SUM(st.y_ts) AS BIGINT) AS n_s, tr.docs_s
+                FROM st_{f} st
+                JOIN (SELECT source AS s, COUNT(*) AS docs_s FROM folded
+                      WHERE fold <> {f} GROUP BY 1) tr USING (s)
+                GROUP BY st.s, tr.docs_s) src
+    CROSS JOIN (SELECT COUNT(DISTINCT term) AS v_size FROM st_{f}) vocab
+    CROSS JOIN (SELECT COUNT(*) AS n_docs FROM folded WHERE fold <> {f}) ntot
+    LEFT JOIN (
+      SELECT dt.doc_id, st.s,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(
+                   list_sort(list({{'t': dt.term,
+                                    'contrib': CAST(dt.c_td AS DOUBLE)
+                                               * LN(CAST(st.y_ts AS DOUBLE) + 1.0)}})),
+                   x -> x.contrib)),
+               (acc, v) -> acc + v) AS seen_sum
+      FROM dt_{f} dt JOIN st_{f} st USING (term)
+      GROUP BY 1, 2) seen
+      ON seen.doc_id = dl.doc_id AND seen.s = src.s
+  )
+) WHERE rk = 1
+"""
+
+    return f"""
+WITH folded AS (
+  SELECT *, CAST(CONCAT('0x', SUBSTR(md5(CONCAT('{salt}', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 2 AS fold
+  FROM documents),
+toks AS (
+  SELECT doc_id, source, fold,
+         UNNEST(regexp_split_to_array(TRIM(LOWER(text)), '{_WS}')) AS term
+  FROM folded),
+st_0 AS (SELECT source AS s, term, COUNT(*) AS y_ts FROM toks WHERE fold <> 0 GROUP BY 1, 2),
+st_1 AS (SELECT source AS s, term, COUNT(*) AS y_ts FROM toks WHERE fold <> 1 GROUP BY 1, 2),
+dt_0 AS (SELECT doc_id, source AS actual, term, COUNT(*) AS c_td FROM toks WHERE fold = 0 GROUP BY 1, 2, 3),
+dt_1 AS (SELECT doc_id, source AS actual, term, COUNT(*) AS c_td FROM toks WHERE fold = 1 GROUP BY 1, 2, 3)
+{fold_block(0)}
+UNION ALL
+{fold_block(1)}
+ORDER BY fold
+"""

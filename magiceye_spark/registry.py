@@ -2726,3 +2726,30 @@ def source_flag_rate_ci_q(spark, sf_dir):
     screens with honest uncertainty (cut on the upper bound, not the
     point estimate). Map-only flag + catalog rollup."""
     return textstats.source_flag_rate_ci(_docs(spark, sf_dir), max_chars=400, z=1.96)
+
+
+@register(
+    "embedding_outlier_scores", simsearch.sql_embedding_outlier_scores(k=20)
+)
+def embedding_outlier_scores_q(spark, sf_dir):
+    """Top-20 embedding outliers by diagonal Mahalanobis z^2 over exact
+    per-dim moments — the pre-index screen for corrupt/wrong-model
+    vectors. Index-ordered fold; TakeOrdered top-k, no global sort."""
+    return simsearch.embedding_outlier_scores(simsearch._emb(spark, sf_dir), k=20)
+
+
+@register("vocab_coverage_curve", textstats.sql_vocab_coverage_curve(k=100))
+def vocab_coverage_curve_q(spark, sf_dir):
+    """Cumulative token-coverage of the top-100 vocabulary (how few words
+    cover 90%?) — global rank AND running sum in ONE two-phase window
+    pass; exact integer cumsum, one double division."""
+    return textstats.vocab_coverage_curve(_docs(spark, sf_dir), k=100)
+
+
+@register("nb_crossval_accuracy", textstats.sql_nb_crossval_accuracy())
+def nb_crossval_accuracy_q(spark, sf_dir):
+    """2-fold cross-validated NB source-classifier accuracy via the
+    engine-exact md5 fold coin — the honest generalization number next
+    to the resubstitution confusion matrix; per-fold smoothing constants
+    recomputed train-side only."""
+    return textstats.nb_crossval_accuracy(_docs(spark, sf_dir))

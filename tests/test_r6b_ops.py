@@ -433,3 +433,73 @@ def test_wilson_ci_matches_closed_form(spark):
         assert abs(r.wilson_lo - (center - half) / denom) < 1e-12
         assert abs(r.wilson_hi - (center + half) / denom) < 1e-12
         assert 0.0 <= r.wilson_lo <= p <= r.wilson_hi <= 1.0
+
+
+def test_embedding_outliers_rank_planted_outlier_first(spark):
+    """A planted far-away vector must rank first, its z² matching the
+    diagonal Mahalanobis formula computed in Python over the same
+    rounded data; ties impossible by construction."""
+    import numpy as np
+
+    from magiceye_spark.llmops.simsearch import embedding_outlier_scores
+
+    rng = __import__("random").Random(11)
+    rows = [
+        (i, [round(rng.uniform(-0.1, 0.1), 6) for _ in range(4)], 0)
+        for i in range(50)
+    ]
+    rows.append((99, [5.0, -5.0, 5.0, -5.0], 1))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = embedding_outlier_scores(emb, k=3).collect()
+    assert got[0].vec_id == 99
+    X = np.round(np.array([r[1] for r in rows], dtype=np.float64), 6)
+    mu, var = X.mean(axis=0), X.var(axis=0, ddof=1)
+    want = (((X[-1] - mu) ** 2) / var).sum()
+    assert abs(got[0].z2 - want) < 1e-6 * want
+
+
+def test_vocab_coverage_curve_matches_python(spark):
+    """Ranks must follow (freq desc, term asc); cum_frac must match the
+    cumulative fraction computed in Python and reach 1.0 at the last
+    vocabulary rank."""
+    from collections import Counter
+
+    from magiceye_spark.llmops.textstats import vocab_coverage_curve
+
+    texts = ["b a a c a b", "c b d a", "e a b"]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = vocab_coverage_curve(docs, k=100).collect()
+    cnt = Counter(w for t in texts for w in t.split())
+    order = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    assert [r.term for r in got] == [t for t, _ in order]
+    run = 0
+    for r, (t, c) in zip(got, order):
+        run += c
+        assert r.freq == c and r.cum_freq == run
+        assert abs(r.cum_frac - run / total) < 1e-12
+    assert abs(got[-1].cum_frac - 1.0) < 1e-12
+
+
+def test_nb_crossval_separable_corpus_perfect_and_partitioned(spark):
+    """On a separable corpus both folds must score accuracy 1.0, and the
+    fold sizes must sum to the corpus size (every doc evaluated exactly
+    once)."""
+    from magiceye_spark.llmops.textstats import nb_crossval_accuracy
+
+    rows = []
+    for i in range(30):
+        rows.append((i, "apple banana cherry plum", "en", "fruit", 20))
+    for i in range(30, 60):
+        rows.append((i, "bolt washer gear sprocket", "en", "metal", 20))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = nb_crossval_accuracy(docs).collect()
+    assert [r.fold for r in got] == [0, 1]
+    assert sum(r.n_eval for r in got) == 60
+    assert all(r.n_eval > 0 for r in got)
+    assert all(r.accuracy == 1.0 and r.n_correct == r.n_eval for r in got)
