@@ -2753,3 +2753,12 @@ def nb_crossval_accuracy_q(spark, sf_dir):
     to the resubstitution confusion matrix; per-fold smoothing constants
     recomputed train-side only."""
     return textstats.nb_crossval_accuracy(_docs(spark, sf_dir))
+
+
+@register("events_ks_drift", sketches.sql_ks_half_month_drift())
+def events_ks_drift_q(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift per event type (first vs
+    second half of the window): bin-free nonparametric complement to the
+    PSI monitor, with the alpha=0.05 rejection threshold. Integer ECDFs
+    over one (type, value) rollup; argmax ties to the smallest value."""
+    return sketches.ks_half_month_drift_events(spark, sf_dir)

@@ -1047,3 +1047,112 @@ ORDER BY dd.event_type, x
 
 def seasonal_decomposition_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decomposition(_events(spark, sf_dir))
+
+
+def ks_half_month_drift(events: DataFrame, split_day: int = 15) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift per event type: D = max |ECDF
+    difference| between the first and second half of the window — the
+    NONPARAMETRIC drift screen next to the binned PSI monitor (no bin
+    choice, sensitive to any distributional change, not just mass
+    shifts). Emits D, its location, and the α=0.05 rejection threshold
+    c(α)·√((n_a+n_b)/(n_a·n_b)).
+
+    Exactness: both ECDFs are integer cumulative counts over the SAME
+    per-(type, distinct-value) rollup (one corpus-sized groupBy), so D
+    is a fixed double expression at every step and the argmax ordering
+    is engine-identical (ties break to the smallest value). Windows are
+    partitioned by event_type; rows after the rollup are
+    types × distinct-values."""
+    from pyspark.sql.window import Window
+
+    half = F.when(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")) < split_day, F.lit("a")
+    ).otherwise(F.lit("b"))
+    counts = events.groupBy("event_type", half.alias("half"), "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    byval = counts.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("half") == "a", F.col("c")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("half") == "b", F.col("c")).otherwise(0)).alias("c_b"),
+    )
+    wtot = Window.partitionBy("event_type")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        byval.withColumn("n_a", F.sum("c_a").over(wtot))
+        .withColumn("n_b", F.sum("c_b").over(wtot))
+        .withColumn("cum_a", F.sum("c_a").over(wcum))
+        .withColumn("cum_b", F.sum("c_b").over(wcum))
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .withColumn(
+            "d",
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+                - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+            ),
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(F.desc("d"), F.asc("value"))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    crit = F.lit(1.358) * F.sqrt((na + nb) / (na * nb))
+    return (
+        d.withColumn("pk", F.row_number().over(pick))
+        .where(F.col("pk") == 1)
+        .select(
+            "event_type",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.col("d").alias("ks_d"),
+            F.col("value").alias("at_value"),
+            crit.alias("crit_05"),
+            (F.col("d") > crit).alias("drifted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sql_ks_half_month_drift(split_day: int = 15) -> str:
+    return f"""
+WITH tagged AS (
+  SELECT event_type, value,
+         CASE WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < {split_day}
+              THEN 'a' ELSE 'b' END AS half
+  FROM events),
+counts AS (SELECT event_type, half, value, COUNT(*) AS c FROM tagged GROUP BY 1, 2, 3),
+byval AS (
+  SELECT event_type, value,
+         SUM(CASE WHEN half = 'a' THEN c ELSE 0 END) AS c_a,
+         SUM(CASE WHEN half = 'b' THEN c ELSE 0 END) AS c_b
+  FROM counts GROUP BY 1, 2),
+d AS (
+  SELECT *,
+         SUM(c_a) OVER (PARTITION BY event_type) AS n_a,
+         SUM(c_b) OVER (PARTITION BY event_type) AS n_b,
+         SUM(c_a) OVER w AS cum_a,
+         SUM(c_b) OVER w AS cum_b
+  FROM byval
+  WINDOW w AS (PARTITION BY event_type ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+dd AS (
+  SELECT *, ABS(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS d
+  FROM d WHERE n_a > 0 AND n_b > 0),
+pk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d DESC, value ASC) AS pk
+  FROM dd)
+SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       d AS ks_d, value AS at_value,
+       1.358 * SQRT((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS crit_05,
+       d > 1.358 * SQRT((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) AS drifted
+FROM pk WHERE pk = 1
+ORDER BY event_type
+"""
+
+
+def ks_half_month_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ks_half_month_drift(_events(spark, sf_dir))

@@ -503,3 +503,58 @@ def test_nb_crossval_separable_corpus_perfect_and_partitioned(spark):
     assert sum(r.n_eval for r in got) == 60
     assert all(r.n_eval > 0 for r in got)
     assert all(r.accuracy == 1.0 and r.n_correct == r.n_eval for r in got)
+
+
+def test_ks_drift_detects_planted_shift_and_matches_scipy_free_reference(spark):
+    """D must equal the max-ECDF-gap computed in Python on the same
+    values; a type whose second half shifts must flag drifted=True, an
+    identical-halves type must give D from ties only (~small) and not
+    flag."""
+    rows, eid = [], 0
+    # 'shift': first half values 1..10 each day, second half values 21..30
+    for day in range(30):
+        for v in range(1, 11):
+            val = float(v) if day < 15 else float(v + 20)
+            rows.append((eid, dt.datetime(2024, 1, 1 + day, 10), 1, "shift", val, "{}"))
+            eid += 1
+    # 'same': identical value multiset in both halves
+    for day in range(30):
+        for v in range(1, 11):
+            rows.append((eid, dt.datetime(2024, 1, 1 + day, 10), 1, "same", float(v), "{}"))
+            eid += 1
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    from magiceye_spark.sketches import ks_half_month_drift
+
+    got = {r.event_type: r for r in ks_half_month_drift(events).collect()}
+    s = got["shift"]
+    assert s.n_a == 150 and s.n_b == 150
+    assert abs(s.ks_d - 1.0) < 1e-12  # disjoint supports
+    assert s.drifted is True
+    assert abs(s.at_value - 10.0) < 1e-12  # gap maxes at the end of half-a support
+    same = got["same"]
+    assert abs(same.ks_d) < 1e-12 and same.drifted is False
+
+    # reference on a mixed case: interleaved but different distributions
+    import random
+
+    rng = random.Random(5)
+    rows2, eid = [], 0
+    vals_a = [round(rng.uniform(0, 10), 2) for _ in range(80)]
+    vals_b = [round(rng.uniform(3, 13), 2) for _ in range(70)]
+    for i, v in enumerate(vals_a):
+        rows2.append((eid, dt.datetime(2024, 1, 1 + i % 14, 8), 1, "m", v, "{}"))
+        eid += 1
+    for i, v in enumerate(vals_b):
+        rows2.append((eid, dt.datetime(2024, 1, 16 + i % 14, 8), 1, "m", v, "{}"))
+        eid += 1
+    ev2 = spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r = ks_half_month_drift(ev2).collect()[0]
+    grid = sorted(set(vals_a) | set(vals_b))
+    def ecdf(vs, x):
+        return sum(1 for v in vs if v <= x) / len(vs)
+    want = max(abs(ecdf(vals_a, x) - ecdf(vals_b, x)) for x in grid)
+    assert abs(r.ks_d - want) < 1e-12
