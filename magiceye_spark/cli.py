@@ -573,7 +573,62 @@ def cmd_anonymity(args: argparse.Namespace) -> int:
             f" leaky_frac={lrow['leaky_row_frac']:.4%}"
         )
         ok = ok and lrow["leaky_row_frac"] <= args.max_risky_frac
+    if args.sensitive and args.t_max is not None:
+        from magiceye_spark.dq import t_closeness_audit
+
+        trow = t_closeness_audit(
+            df, quasi, args.sensitive, bin_width=args.bin_width, t=args.t_max
+        ).first()
+        print(
+            f"t={args.t_max} bins={trow['m_bins']}"
+            f" over_t_groups={trow['n_over_t']}"
+            f" over_t_frac={trow['over_t_row_frac']:.4%}"
+            f" max_emd={trow['max_emd']:.4f}"
+        )
+        ok = ok and trow["n_over_t"] == 0
     return 0 if ok else 1
+
+
+def cmd_trend(args: argparse.Namespace) -> int:
+    """Trend triage over a grouped time series: per group, OLS slope/r²,
+    the Mann-Kendall robust test + Theil-Sen slope, and the CUSUM
+    changepoint — 'which metrics are drifting, how confidently, and
+    since when' in one shot (all three are anchor-invariant)."""
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.session import get_spark
+    from magiceye_spark.sketches import (
+        daily_cusum_changepoint,
+        daily_trend_ols,
+        daily_trend_robust,
+    )
+
+    spark = get_spark("magiceye-trend")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = _read_table(spark, args.path, args.format)
+    ev = df.select(
+        F.col(args.group).alias("event_type"),
+        F.col(args.ts).alias("ts"),
+        F.col(args.value).cast("double").alias("value"),
+    )
+    ols = {r["event_type"]: r for r in daily_trend_ols(ev).collect()}
+    mk = {r["event_type"]: r for r in daily_trend_robust(ev).collect()}
+    cp = {r["event_type"]: r for r in daily_cusum_changepoint(ev).collect()}
+    for g in sorted(ols):
+        o, m, c = ols[g], mk.get(g), cp.get(g)
+        line = (
+            f"{g}: slope={o['slope']} r2={o['r2']} days={o['n_days']}"
+        )
+        if m is not None:
+            line += f" | MK z={m['z_mk']:.3f} sen_slope={m['sen_slope']:.6f}"
+        if c is not None:
+            delta = c["mean_delta"]
+            line += (
+                f" | changepoint={c['cp_date']}"
+                f" delta={'n/a' if delta is None else format(delta, '.4f')}"
+            )
+        print(line)
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -717,9 +772,23 @@ def main(argv: list[str] | None = None) -> int:
     p_anon.add_argument("--l-min", type=int, default=2, dest="l_min", help="l-diversity threshold")
     p_anon.add_argument("--max-risky-frac", type=float, default=0.0, dest="max_risky_frac",
                         help="maximum tolerated risky/leaky row fraction")
+    p_anon.add_argument("--t-max", type=float, default=None, dest="t_max",
+                        help="t-closeness EMD cap for the sensitive column (requires --sensitive)")
+    p_anon.add_argument("--bin-width", type=float, default=1000.0, dest="bin_width",
+                        help="sensitive-column bin width for t-closeness")
     p_anon.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
                         default="parquet", help="input table format")
     p_anon.set_defaults(fn=cmd_anonymity)
+
+    p_trend = sub.add_parser("trend",
+                             help="per-group trend triage: OLS + Mann-Kendall/Theil-Sen + CUSUM changepoint")
+    p_trend.add_argument("path", help="grouped time-series table")
+    p_trend.add_argument("--group", default="event_type", help="group column")
+    p_trend.add_argument("--ts", default="ts", help="timestamp column")
+    p_trend.add_argument("--value", default="value", help="numeric value column")
+    p_trend.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
+                         default="parquet", help="input table format")
+    p_trend.set_defaults(fn=cmd_trend)
 
 
     args = ap.parse_args(argv)

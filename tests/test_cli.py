@@ -342,3 +342,54 @@ def test_cli_phash_dedup(spark, tmp_path, capsys):
     back = spark.read.parquet(str(dst))
     assert sorted(r["doc_id"] for r in back.collect()) == [0, 2]
     assert set(back.columns) == {"doc_id", "text", "source"}
+
+
+def test_cli_anonymity_t_closeness_gate(spark, tmp_path, capsys):
+    """--t-max arms the t-closeness check: groups distributed like the
+    global pass any t; a skewed group fails a tight t but passes a loose
+    one."""
+    # two regions with identical balance distributions -> EMD 0
+    even = tmp_path / "even"
+    rows = []
+    for region in (0, 1):
+        rows += [(len(rows) + i, region, "s", 500.0 if i < 5 else 1500.0) for i in range(10)]
+    _write(spark, even, rows, "id int, region int, seg string, bal double")
+    assert cli.main(["anonymity", str(even), "--quasi", "region", "-k", "5",
+                     "--sensitive", "bal", "--t-max", "0.01"]) == 0
+
+    # region 1 entirely in one bin while global is 50/50 -> EMD 0.5
+    skew = tmp_path / "skew"
+    # region 1 stays l-diverse (two distinct values) but both land in bin 0
+    rows = [(i, 0, "s", 500.0 if i < 5 else 1500.0) for i in range(10)]
+    rows += [(10 + i, 1, "s", 500.0 if i % 2 == 0 else 600.0) for i in range(10)]
+    _write(spark, skew, rows, "id int, region int, seg string, bal double")
+    assert cli.main(["anonymity", str(skew), "--quasi", "region", "-k", "5",
+                     "--sensitive", "bal", "--t-max", "0.1"]) == 1
+    assert cli.main(["anonymity", str(skew), "--quasi", "region", "-k", "5",
+                     "--sensitive", "bal", "--t-max", "0.9"]) == 0
+    out = capsys.readouterr().out
+    assert "t=0.1" in out and "max_emd" in out
+
+
+def test_cli_trend_triage(spark, tmp_path, capsys):
+    """trend prints one line per group with OLS slope, MK z / Theil-Sen
+    slope, and the CUSUM changepoint; a rising series shows positive
+    slopes and a positive delta."""
+    import datetime as dt
+
+    tbl = tmp_path / "series"
+    rows = []
+    for day in range(20):
+        v = 10.0 + day * 2.0 if day >= 10 else 10.0
+        rows.append((len(rows), dt.datetime(2024, 1, 1 + day, 9), "m1", v))
+    _write(spark, tbl, rows, "id long, ts timestamp, grp string, value double")
+    rc = cli.main(["trend", str(tbl), "--group", "grp"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "m1:" in out and "MK z=" in out and "changepoint=2024-01-" in out
+    # rising second half: positive Sen slope and positive CUSUM delta
+    line = [l for l in out.splitlines() if l.startswith("m1:")][0]
+    assert "sen_slope=" in line and "delta=" in line
+    sen = float(line.split("sen_slope=")[1].split()[0])
+    delta = float(line.split("delta=")[1].split()[0])
+    assert sen > 0 and delta > 0
