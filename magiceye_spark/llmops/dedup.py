@@ -1612,3 +1612,79 @@ FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk <= a.rnk + {window}
 WHERE LENGTH(list_intersect(a.toks, b.toks))
       / CAST(LENGTH(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= {threshold}
 """
+
+
+def snm_vs_allpairs_agreement(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    window: int = 5,
+    length_tol: int = 60,
+    text_col: str = "text",
+) -> DataFrame:
+    """Blocking-strategy evaluation: how much of the blocked all-pairs
+    Jaccard ground truth (same verify threshold) does sorted-neighborhood
+    blocking recover, and what does SNM find OUTSIDE that reference's
+    (lang, length) blocks? One row: (n_ref, n_snm, n_both, snm_recall,
+    snm_extra). This is the measurement a pipeline owner runs before
+    trusting a cheaper candidate generator at scale — recall against an
+    exact small-scale twin, the same status as the other oracle twins.
+
+    Full-outer join of the two pair sets; counts are exact integers,
+    recall one double division. Cost is the sum of the two underlying
+    operators (the reference twin is O(block²) — this is an sf-scale
+    audit query, not a 100 TB path; SNM itself is the scale path)."""
+    ref = jaccard_near_dups(
+        docs, threshold=threshold, length_tol=length_tol, text_col=text_col
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_ref"))
+    snm = sorted_neighborhood_near_dups(
+        docs, window=window, threshold=threshold, text_col=text_col
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_snm"))
+    both = ref.join(snm, ["doc_a", "doc_b"], "full_outer")
+    return both.agg(
+        F.sum(F.coalesce(F.col("in_ref"), F.lit(0))).cast("long").alias("n_ref"),
+        F.sum(F.coalesce(F.col("in_snm"), F.lit(0))).cast("long").alias("n_snm"),
+        F.sum(
+            F.when(F.col("in_ref").isNotNull() & F.col("in_snm").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+        (
+            F.sum(
+                F.when(
+                    F.col("in_ref").isNotNull() & F.col("in_snm").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.sum(F.coalesce(F.col("in_ref"), F.lit(0))).cast("double")
+        ).alias("snm_recall"),
+        F.sum(
+            F.when(F.col("in_ref").isNull() & F.col("in_snm").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("snm_extra"),
+    )
+
+
+def sql_snm_vs_allpairs_agreement(
+    threshold: float = 0.5, window: int = 5, length_tol: int = 60, key_len: int = 32
+) -> str:
+    ref_sql = sql_jaccard_near_dups(threshold=threshold, length_tol=length_tol)
+    snm_sql = sql_sorted_neighborhood(
+        window=window, threshold=threshold, key_len=key_len
+    )
+    return f"""
+WITH ref AS ({ref_sql}),
+snm AS ({snm_sql}),
+j AS (
+  SELECT COALESCE(ref.doc_a, snm.doc_a) AS doc_a,
+         COALESCE(ref.doc_b, snm.doc_b) AS doc_b,
+         (ref.doc_a IS NOT NULL)::INT AS in_ref,
+         (snm.doc_a IS NOT NULL)::INT AS in_snm
+  FROM ref FULL OUTER JOIN snm
+    ON ref.doc_a = snm.doc_a AND ref.doc_b = snm.doc_b)
+SELECT CAST(SUM(in_ref) AS BIGINT) AS n_ref,
+       CAST(SUM(in_snm) AS BIGINT) AS n_snm,
+       CAST(SUM(in_ref * in_snm) AS BIGINT) AS n_both,
+       CAST(SUM(in_ref * in_snm) AS DOUBLE) / CAST(SUM(in_ref) AS DOUBLE) AS snm_recall,
+       CAST(SUM((1 - in_ref) * in_snm) AS BIGINT) AS snm_extra
+FROM j
+"""

@@ -2762,3 +2762,23 @@ def events_ks_drift_q(spark, sf_dir):
     PSI monitor, with the alpha=0.05 rejection threshold. Integer ECDFs
     over one (type, value) rollup; argmax ties to the smallest value."""
     return sketches.ks_half_month_drift_events(spark, sf_dir)
+
+
+@register("events_type_spearman_matrix", sketches.SQL_DAILY_TYPE_SPEARMAN)
+def daily_type_spearman_q(spark, sf_dir):
+    """Pairwise Spearman rank correlation between event types' daily
+    totals — the robust companion to the Pearson matrix. Exact
+    average-rank ties carried as 2*rank integers; closed-form rho."""
+    return sketches.daily_type_spearman_events(spark, sf_dir)
+
+
+@register(
+    "snm_vs_allpairs_agreement",
+    dedup.sql_snm_vs_allpairs_agreement(threshold=0.5, window=5, length_tol=60, key_len=32),
+)
+def snm_agreement_q(spark, sf_dir):
+    """Blocking-strategy audit: SNM recall against the blocked all-pairs
+    Jaccard twin at the same verify threshold, plus pairs SNM finds
+    outside the reference's (lang, length) blocks. The measurement run
+    before trusting a cheaper candidate generator at scale."""
+    return dedup.snm_vs_allpairs_agreement(_docs(spark, sf_dir))

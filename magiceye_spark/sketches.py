@@ -1156,3 +1156,83 @@ ORDER BY event_type
 
 def ks_half_month_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_half_month_drift(_events(spark, sf_dir))
+
+
+def daily_type_spearman(events: DataFrame) -> DataFrame:
+    """Pairwise Spearman rank correlation between event types' daily
+    totals — the robust companion to :func:`daily_type_correlation`
+    (monotone co-movement, immune to single-day spikes). Proper
+    average-rank tie handling: for a tie group the rank is
+    min_rank + (t−1)/2, kept EXACT by carrying 2·rank as an integer
+    (2·avg_rank = 2·min_rank + t − 1), so all five moments are exact
+    integer sums and ρ is one closed-form IEEE expression. Rank windows
+    are partitioned per type; the day-key join runs on groups×days
+    rows."""
+    from pyspark.sql.window import Window
+
+    daily = _daily_totals(events)
+    wmin = Window.partitionBy("event_type").orderBy("y")
+    d2 = (
+        daily.withColumn("minrk", F.rank().over(wmin))
+        .withColumn(
+            "t",
+            F.count(F.lit(1)).over(Window.partitionBy("event_type", "y")),
+        )
+        .withColumn("rk2", (2 * F.col("minrk") + F.col("t") - 1).cast("long"))
+    )
+    a = d2.select(F.col("event_type").alias("type_a"), "x", F.col("rk2").alias("ra"))
+    b = d2.select(F.col("event_type").alias("type_b"), "x", F.col("rk2").alias("rb"))
+    j = a.join(b, "x").where(F.col("type_a") < F.col("type_b"))
+    m = j.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("ra").cast("long").alias("sx"),
+        F.sum("rb").cast("long").alias("sy"),
+        F.sum(F.col("ra") * F.col("rb")).cast("long").alias("sxy"),
+        F.sum(F.col("ra") * F.col("ra")).cast("long").alias("sxx"),
+        F.sum(F.col("rb") * F.col("rb")).cast("long").alias("syy"),
+    )
+    n = F.col("n_days").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    rho = F.when((dx > 0) & (dy > 0), (n * sxy - sx * sy) / F.sqrt(dx * dy))
+    return m.select("type_a", "type_b", "n_days", rho.alias("spearman_rho")).orderBy(
+        "type_a", "type_b"
+    )
+
+
+SQL_DAILY_TYPE_SPEARMAN = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS y
+  FROM events GROUP BY 1, 2),
+d2 AS (
+  SELECT event_type, x,
+         CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY y)
+              + COUNT(*) OVER (PARTITION BY event_type, y) - 1 AS BIGINT) AS rk2
+  FROM daily),
+j AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.rk2 AS ra, b.rk2 AS rb
+  FROM d2 a JOIN d2 b ON a.x = b.x AND a.event_type < b.event_type),
+m AS (
+  SELECT type_a, type_b, COUNT(*) AS n_days,
+         CAST(SUM(ra) AS BIGINT) AS sx, CAST(SUM(rb) AS BIGINT) AS sy,
+         CAST(SUM(ra * rb) AS BIGINT) AS sxy,
+         CAST(SUM(ra * ra) AS BIGINT) AS sxx,
+         CAST(SUM(rb * rb) AS BIGINT) AS syy
+  FROM j GROUP BY 1, 2)
+SELECT type_a, type_b, n_days,
+       CASE WHEN CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+             AND CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+            THEN (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / SQRT((CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_days AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS spearman_rho
+FROM m
+ORDER BY type_a, type_b
+"""
+
+
+def daily_type_spearman_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_type_spearman(_events(spark, sf_dir))

@@ -558,3 +558,74 @@ def test_ks_drift_detects_planted_shift_and_matches_scipy_free_reference(spark):
         return sum(1 for v in vs if v <= x) / len(vs)
     want = max(abs(ecdf(vals_a, x) - ecdf(vals_b, x)) for x in grid)
     assert abs(r.ks_d - want) < 1e-12
+
+
+def test_spearman_matches_python_reference_with_ties(spark):
+    """rho must equal the average-rank Spearman computed in Python on
+    series WITH ties (the tie-correction path), hit ±1 on monotone
+    pairs, and NULL on a constant side."""
+    a = [1.0, 2.0, 2.0, 3.0, 5.0, 4.0]
+    b = [2.0, 3.0, 3.5, 4.0, 9.0, 6.0]   # same order as a -> rho 1 w/o ties? ranks differ
+    c = [6.0, 5.0, 5.0, 4.0, 1.0, 2.0]
+    d = [7.0] * 6
+    from magiceye_spark.sketches import daily_type_spearman
+
+    out = {
+        (r.type_a, r.type_b): r.spearman_rho
+        for r in daily_type_spearman(
+            _events_from_daily(spark, {"a": a, "b": b, "c": c, "d": d})
+        ).collect()
+    }
+
+    def avg_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        ranks = [0.0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and vals[order[j + 1]] == vals[order[i]]:
+                j += 1
+            r = (i + j) / 2.0 + 1.0
+            for k in range(i, j + 1):
+                ranks[order[k]] = r
+            i = j + 1
+        return ranks
+
+    def pearson(x, y):
+        n = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(p * q for p, q in zip(x, y))
+        sxx, syy = sum(p * p for p in x), sum(q * q for q in y)
+        return (n * sxy - sx * sy) / math.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+
+    want_ab = pearson(avg_ranks(a), avg_ranks(b))
+    assert abs(out[("a", "b")] - want_ab) < 1e-9
+    want_ac = pearson(avg_ranks(a), avg_ranks(c))
+    assert abs(out[("a", "c")] - want_ac) < 1e-9 and want_ac < -0.9
+    assert out[("a", "d")] is None
+
+
+def test_snm_agreement_counts_consistent(spark):
+    """On the sf0.001 corpus: n_both <= min(n_ref, n_snm), recall in
+    [0, 1], and the three counts reconcile with the underlying pair
+    sets computed directly."""
+    from magiceye_spark.llmops.dedup import (
+        jaccard_near_dups,
+        snm_vs_allpairs_agreement,
+        sorted_neighborhood_near_dups,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row = snm_vs_allpairs_agreement(docs).collect()[0]
+    ref = {(r.doc_a, r.doc_b) for r in jaccard_near_dups(docs, threshold=0.5).collect()}
+    snm = {
+        (r.doc_a, r.doc_b)
+        for r in sorted_neighborhood_near_dups(docs, window=5, threshold=0.5).collect()
+    }
+    assert row.n_ref == len(ref) and row.n_snm == len(snm)
+    assert row.n_both == len(ref & snm)
+    assert row.snm_extra == len(snm - ref)
+    assert 0.0 <= row.snm_recall <= 1.0
+    assert abs(row.snm_recall - len(ref & snm) / len(ref)) < 1e-12
