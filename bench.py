@@ -56,6 +56,19 @@ FAMILIES = {
     "graph": ["dup_graph_components", "dedup_keep_per_cluster", "delta_dedup_admit"],
     "cdc": ["cdc_chunk_near_dups"],
     "bitext": ["bitext_margin_pairs"],
+    # late-r6 statistics/ML layer: the queries with corpus-sized joins or
+    # driver-side fits (the trend/corr/KS family is daily-rollup-sized and
+    # stays out; snm includes the two-phase global rank; the agreement
+    # query embeds the O(block²) all-pairs twin — audit-scale by design)
+    "stats": [
+        "snm_near_dups",
+        "snm_vs_allpairs_agreement",
+        "nb_source_confusion",
+        "nb_crossval_accuracy",
+        "embedding_covariance",
+        "embedding_outlier_scores",
+        "embedding_pca_project",
+    ],
 }
 
 # Committed family baselines at sf0.1 on the bench machine, recommitted
@@ -96,6 +109,14 @@ FAMILY_BASELINE = {
     "delta_dedup_admit": 12.35,  # was 17.82
     "bitext_margin_pairs": 4.85,  # was 9.03 (B-side barrier: was 20.3)
     "cdc_chunk_near_dups": 1.59,  # was 11.21 (chunking pass now spread)
+    # stats family, committed from a clean solo run at sf0.1 (late r6)
+    "snm_near_dups": 8.68,  # two-phase global rank + n·window bucket join
+    "snm_vs_allpairs_agreement": 6.63,  # embeds the all-pairs twin (audit)
+    "nb_source_confusion": 5.08,
+    "nb_crossval_accuracy": 5.39,  # two fold-plans in one DAG
+    "embedding_covariance": 5.79,  # n·d²/2 pair rows, d²/2 shuffle keys
+    "embedding_outlier_scores": 1.16,
+    "embedding_pca_project": 7.29,  # two bounded driver fits + projection
 }
 
 
