@@ -26,14 +26,16 @@ def _t(
     return read_table(spark, sf_dir, name, parallelize=parallelize)
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events(
+    spark: SparkSession, sf_dir: str, parallelize: bool = False
+) -> DataFrame:
     """Normalize events.ts to TIMESTAMP regardless of how the parquet was
     written. Known encodings across testdata generations: TIMESTAMP(NANOS)
     read as long (session.py nanosAsLong — truncate with integer division;
     double division would lose precision at 1e18 nanos), and plain
     timestamp[us] which Spark reads as TIMESTAMP_NTZ (cast to TIMESTAMP —
     value-preserving because the session TZ is pinned UTC in session.py)."""
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events", parallelize=parallelize)
     dtype = dict(e.dtypes)["ts"]
     if dtype == "bigint":
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -45,7 +45,12 @@ def get_spark(app_name: str = "magiceye-spark", master: str | None = None) -> Sp
         # runtimeFilter.semiJoinReduction flag: on this Spark 4.1.2 build
         # it hangs even a plain parquet count (reproduced in isolation).
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (headless); SPARK_GRAFT_UI=1 turns it on for
+        # the REST-API stage audit (tools/stage_audit.py)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
         # InferFiltersFromGenerate adds `size(arr) > 0` above every
         # explode; predicate pushdown then drags that filter — with the
         # FULL array-building expression substituted in — below the

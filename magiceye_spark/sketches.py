@@ -539,7 +539,7 @@ ORDER BY event_type
 
 
 def daily_trend_ols_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return daily_trend_ols(_events(spark, sf_dir))
+    return daily_trend_ols(_events(spark, sf_dir, parallelize=True))
 
 
 def _daily_totals(events: DataFrame) -> DataFrame:
@@ -574,7 +574,12 @@ def daily_trend_robust(events: DataFrame) -> DataFrame:
     side rounding would only add half-boundary hazards."""
     from pyspark.sql.window import Window
 
-    daily = _daily_totals(events)
+    # daily is consumed by four independent subtrees (pair sides, tie
+    # counts, day counts); without a persist each re-executes the full
+    # corpus rollup (measured 8 parquet scans / 6.9 s serialized at
+    # sf0.1). The frame is calendar-bounded (types x days) - KB-sized at
+    # any corpus scale; same cache-lifetime caveat as two_phase_window.
+    daily = _daily_totals(events).persist()
     a = daily.select("event_type", F.col("x").alias("xa"), F.col("y").alias("ya"))
     b = daily.select("event_type", F.col("x").alias("xb"), F.col("y").alias("yb"))
     pairs = (
@@ -693,7 +698,7 @@ ORDER BY event_type
 
 
 def daily_trend_robust_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return daily_trend_robust(_events(spark, sf_dir))
+    return daily_trend_robust(_events(spark, sf_dir, parallelize=True))
 
 
 def daily_cusum_changepoint(events: DataFrame) -> DataFrame:
@@ -786,7 +791,7 @@ ORDER BY event_type
 
 
 def daily_cusum_changepoint_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return daily_cusum_changepoint(_events(spark, sf_dir))
+    return daily_cusum_changepoint(_events(spark, sf_dir, parallelize=True))
 
 
 def daily_type_correlation(events: DataFrame) -> DataFrame:
@@ -800,7 +805,8 @@ def daily_type_correlation(events: DataFrame) -> DataFrame:
     The day-key equi-join runs on groups×days rows (calendar-bounded);
     with T event types the output is T(T−1)/2 rows. Zero-variance sides
     yield NULL r rather than a division error."""
-    daily = _daily_totals(events)
+    # both join sides re-execute the rollup without this (2 corpus scans)
+    daily = _daily_totals(events).persist()
     a = daily.select(F.col("event_type").alias("type_a"), "x", F.col("y").alias("ya"))
     b = daily.select(F.col("event_type").alias("type_b"), "x", F.col("y").alias("yb"))
     joined = a.join(b, "x").where(F.col("type_a") < F.col("type_b"))
@@ -849,7 +855,7 @@ ORDER BY type_a, type_b
 
 
 def daily_type_correlation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return daily_type_correlation(_events(spark, sf_dir))
+    return daily_type_correlation(_events(spark, sf_dir, parallelize=True))
 
 
 def type_value_association(events: DataFrame, bin_width: float = 25.0) -> DataFrame:
@@ -961,7 +967,7 @@ ORDER BY event_type
 
 
 def type_value_association_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return type_value_association(_events(spark, sf_dir))
+    return type_value_association(_events(spark, sf_dir, parallelize=True))
 
 
 def seasonal_decomposition(events: DataFrame) -> DataFrame:
@@ -982,9 +988,10 @@ def seasonal_decomposition(events: DataFrame) -> DataFrame:
     w7 = (
         Window.partitionBy("event_type").orderBy("x").rowsBetween(-3, 3)
     )
+    # persisted: the seasonal fit and the output join both consume it
     d = daily.withColumn("sum7", F.sum("y").over(w7)).withColumn(
         "cnt7", F.count(F.lit(1)).over(w7)
-    )
+    ).persist()
     trend = F.when(
         F.col("cnt7") == 7, F.col("sum7").cast("double") / F.lit(7.0)
     )
@@ -1046,7 +1053,7 @@ ORDER BY dd.event_type, x
 
 
 def seasonal_decomposition_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return seasonal_decomposition(_events(spark, sf_dir))
+    return seasonal_decomposition(_events(spark, sf_dir, parallelize=True))
 
 
 def ks_half_month_drift(events: DataFrame, split_day: int = 15) -> DataFrame:
@@ -1155,7 +1162,7 @@ ORDER BY event_type
 
 
 def ks_half_month_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ks_half_month_drift(_events(spark, sf_dir))
+    return ks_half_month_drift(_events(spark, sf_dir, parallelize=True))
 
 
 def daily_type_spearman(events: DataFrame) -> DataFrame:
@@ -1172,6 +1179,7 @@ def daily_type_spearman(events: DataFrame) -> DataFrame:
 
     daily = _daily_totals(events)
     wmin = Window.partitionBy("event_type").orderBy("y")
+    # persisted: both join sides would otherwise re-run rollup + ranks
     d2 = (
         daily.withColumn("minrk", F.rank().over(wmin))
         .withColumn(
@@ -1179,6 +1187,7 @@ def daily_type_spearman(events: DataFrame) -> DataFrame:
             F.count(F.lit(1)).over(Window.partitionBy("event_type", "y")),
         )
         .withColumn("rk2", (2 * F.col("minrk") + F.col("t") - 1).cast("long"))
+        .persist()
     )
     a = d2.select(F.col("event_type").alias("type_a"), "x", F.col("rk2").alias("ra"))
     b = d2.select(F.col("event_type").alias("type_b"), "x", F.col("rk2").alias("rb"))
@@ -1235,4 +1244,4 @@ ORDER BY type_a, type_b
 
 
 def daily_type_spearman_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return daily_type_spearman(_events(spark, sf_dir))
+    return daily_type_spearman(_events(spark, sf_dir, parallelize=True))
