@@ -114,9 +114,9 @@ FAMILY_BASELINE = {
     "snm_vs_allpairs_agreement": 6.63,  # embeds the all-pairs twin (audit)
     "nb_source_confusion": 5.08,
     "nb_crossval_accuracy": 5.39,  # two fold-plans in one DAG
-    "embedding_covariance": 5.79,  # n·d²/2 pair rows, d²/2 shuffle keys
-    "embedding_outlier_scores": 1.16,
-    "embedding_pca_project": 7.29,  # two bounded driver fits + projection
+    "embedding_covariance": 2.90,  # n·d²/2 pair rows; explode spread (was 5.79 serialized)
+    "embedding_outlier_scores": 1.60,  # explode spread: tiny wall cost, scan no longer serialized
+    "embedding_pca_project": 4.60,  # two bounded driver fits + projection (was 7.29)
 }
 
 

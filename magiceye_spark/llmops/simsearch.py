@@ -25,8 +25,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+def _emb(
+    spark: SparkSession, sf_dir: str, parallelize: bool = False
+) -> DataFrame:
+    """parallelize=True inserts the under-split-scan repartition for
+    queries whose d-explode / moment work runs before the first shuffle
+    (covariance, outlier scores, PCA) - a single-file local scan
+    serializes that fan-out (stage audit: 5.1 s in one task at sf0.1).
+    No-op on a real lake."""
+    from magiceye_spark.io import read_table
+
+    return read_table(spark, sf_dir, "embeddings", parallelize=parallelize)
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -1248,6 +1257,12 @@ def embedding_covariance(
     aggregation reduces the shuffle to d²/2 keys per partition — the
     standard moment-matrix pattern (d is a constant; n is the corpus).
     """
+    # spread before the d-explode: 64x fan-out per row is CPU-dense, and
+    # the byte-gated scan sizing leaves sub-4MB files in one split (stage
+    # audit: 5.1 s serialized at sf0.1)
+    emb = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
     e = emb.select(
         "vec_id", F.posexplode(vec_col).alias("i0", "xf")
     ).select(
@@ -1367,6 +1382,9 @@ def embedding_outlier_scores(
     engines); zero-variance dims are excluded identically. Top-k is
     orderBy+limit — TakeOrdered, never a global sort. Scale: one d-row
     broadcast join + a map-side fold."""
+    emb = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
     e = emb.select(
         "vec_id", F.posexplode(vec_col).alias("i0", "xf")
     ).select(

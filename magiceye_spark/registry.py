@@ -843,6 +843,14 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_par(spark, sf_dir):
+    """documents with an under-split-scan repartition: for queries whose
+    corpus-sized work (token explode + partial agg) runs BEFORE the first
+    shuffle - a single-file local scan serializes it (stage audit: the NB
+    fold plans spent 11.7 s of 13.8 in one task). No-op on a real lake."""
+    return io.read_table(spark, sf_dir, "documents", parallelize=True)
+
+
 def _embs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -2694,7 +2702,7 @@ def embedding_covariance_q(spark, sf_dir):
     """Exact upper-triangle covariance matrix of the embedding dims
     (PCA/whitening input): rounded-decimal moments, map-side partial agg
     reduces the d-explode self-join shuffle to d^2/2 keys."""
-    return simsearch.embedding_covariance(simsearch._emb(spark, sf_dir))
+    return simsearch.embedding_covariance(simsearch._emb(spark, sf_dir, parallelize=True))
 
 
 @register("embedding_pca_project", None)
@@ -2704,7 +2712,7 @@ def embedding_pca_q(spark, sf_dir):
     precedent) -> map-side JVM projection. Eigendecomposition is not
     SQL-expressible (rows-only driver check); numpy parity pinned in
     tests/test_r6b_ops.py."""
-    return simsearch.embedding_pca_project(simsearch._emb(spark, sf_dir))
+    return simsearch.embedding_pca_project(simsearch._emb(spark, sf_dir, parallelize=True))
 
 
 @register("nb_source_confusion", textstats.SQL_NB_SOURCE_CONFUSION)
@@ -2714,7 +2722,7 @@ def nb_source_confusion_q(spark, sf_dir):
     confusion matrix — the separability screen behind fastText-style
     domain/quality classifiers. Sparse seen-pair join; term-sorted fold
     keeps the log-likelihood sums engine-identical."""
-    return textstats.nb_source_confusion(_docs(spark, sf_dir))
+    return textstats.nb_source_confusion(_docs_par(spark, sf_dir))
 
 
 @register(
@@ -2735,7 +2743,7 @@ def embedding_outlier_scores_q(spark, sf_dir):
     """Top-20 embedding outliers by diagonal Mahalanobis z^2 over exact
     per-dim moments — the pre-index screen for corrupt/wrong-model
     vectors. Index-ordered fold; TakeOrdered top-k, no global sort."""
-    return simsearch.embedding_outlier_scores(simsearch._emb(spark, sf_dir), k=20)
+    return simsearch.embedding_outlier_scores(simsearch._emb(spark, sf_dir, parallelize=True), k=20)
 
 
 @register("vocab_coverage_curve", textstats.sql_vocab_coverage_curve(k=100))
@@ -2752,7 +2760,7 @@ def nb_crossval_accuracy_q(spark, sf_dir):
     engine-exact md5 fold coin — the honest generalization number next
     to the resubstitution confusion matrix; per-fold smoothing constants
     recomputed train-side only."""
-    return textstats.nb_crossval_accuracy(_docs(spark, sf_dir))
+    return textstats.nb_crossval_accuracy(_docs_par(spark, sf_dir))
 
 
 @register("events_ks_drift", sketches.sql_ks_half_month_drift())
