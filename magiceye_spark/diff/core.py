@@ -297,3 +297,58 @@ def diff_schemas(
         .unionByName(diff_foreign_keys(base, target, hint_broadcast))
     )
     return findings.select(_FINDING_COLS)
+
+
+def rename_candidates(base, target) -> "DataFrame":
+    """Column-RENAME detection — the finding class the reference's
+    drop+add model cannot express (`check.rs` reports a rename as one
+    missing-column plus one unmatched new column; a human reads it as a
+    rename). A dropped base column and an added target column in the SAME
+    table with IDENTICAL data_type and comment are paired as a rename
+    candidate, ranked per dropped column by name edit distance (ties to
+    the lexicographically first new name) so each dropped column proposes
+    at most one rename.
+
+    Returns (table_name, old_column, new_column, name_dist,
+    default_match). Anti-joins + one equi-join on (table, type, comment)
+    + a per-(table, old) rank window — broadcast-sized at catalog scale,
+    like every other diff here."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    matched = base.tables.select("table_name").intersect(
+        target.tables.select("table_name")
+    )
+    bcols = base.columns.join(F.broadcast(matched), "table_name")
+    tcols = target.columns.join(F.broadcast(matched), "table_name")
+    dropped = bcols.join(
+        tcols.select("table_name", "column_name"), ["table_name", "column_name"], "left_anti"
+    )
+    added = tcols.join(
+        bcols.select("table_name", "column_name"), ["table_name", "column_name"], "left_anti"
+    )
+    cand = dropped.alias("d").join(
+        added.alias("a"),
+        (F.col("d.table_name") == F.col("a.table_name"))
+        & (F.col("d.data_type") == F.col("a.data_type"))
+        & (F.col("d.comment") == F.col("a.comment")),
+    )
+    scored = cand.select(
+        F.col("d.table_name").alias("table_name"),
+        F.col("d.column_name").alias("old_column"),
+        F.col("a.column_name").alias("new_column"),
+        F.levenshtein(F.col("d.column_name"), F.col("a.column_name")).alias("name_dist"),
+        (
+            F.coalesce(F.col("d.column_default"), F.lit(""))
+            == F.coalesce(F.col("a.column_default"), F.lit(""))
+        ).alias("default_match"),
+    )
+    w = Window.partitionBy("table_name", "old_column").orderBy(
+        F.asc("name_dist"), F.asc("new_column")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk")
+        .orderBy("table_name", "old_column")
+    )

@@ -571,3 +571,105 @@ SELECT CAST({t} AS DOUBLE) AS t, m_bins, COUNT(*) AS n_groups,
 FROM per_group
 GROUP BY n_total, m_bins
 """
+
+
+def functional_dependency_audit(
+    df: DataFrame, deps: list[tuple[list[str], str]]
+) -> DataFrame:
+    """Functional-dependency check: for each declared ``lhs → rhs``, does
+    every lhs value map to exactly one rhs value? The profiling step
+    behind normalization review, denormalized-copy drift ("city no
+    longer determined by zip"), and join-key sanity. One row per
+    dependency: (dependency, n_lhs_values, n_violating_lhs,
+    max_rhs_per_lhs, holds).
+
+    One groupBy per dependency (map-side combined), unioned — each is the
+    minimal corpus-sized shuffle for that key; the verdict rollup is
+    catalog-sized."""
+    out = None
+    for lhs, rhs in deps:
+        g = df.groupBy(*lhs).agg(F.countDistinct(rhs).alias("n_rhs"))
+        row = g.agg(
+            F.lit(", ".join(lhs) + " -> " + rhs).alias("dependency"),
+            F.count(F.lit(1)).alias("n_lhs_values"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_lhs"),
+            F.max("n_rhs").cast("long").alias("max_rhs_per_lhs"),
+            (F.max("n_rhs") == 1).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dependency")
+
+
+def sql_functional_dependency_audit(
+    table: str, deps: list[tuple[list[str], str]]
+) -> str:
+    blocks = []
+    for lhs, rhs in deps:
+        cols = ", ".join(lhs)
+        name = ", ".join(lhs) + " -> " + rhs
+        blocks.append(f"""
+SELECT '{name}' AS dependency,
+       COUNT(*) AS n_lhs_values,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+       CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_per_lhs,
+       MAX(n_rhs) = 1 AS holds
+FROM (SELECT {cols}, COUNT(DISTINCT {rhs}) AS n_rhs FROM {table} GROUP BY {cols})""")
+    return "\nUNION ALL\n".join(blocks) + "\nORDER BY dependency"
+
+
+def pk_candidate_audit(df: DataFrame, candidates: list[list[str]]) -> DataFrame:
+    """Primary-key candidate check: for each column set, how far is it
+    from unique? One row per candidate: (candidate, n_rows, n_distinct,
+    n_dup_rows, is_key). The discovery step before declaring a merge/diff
+    key (datadiff's PK argument) or a bucketing column.
+
+    NULL-containing rows disqualify a key and are counted distinctly from
+    duplicates. One groupBy per candidate, unioned."""
+    out = None
+    for cand in candidates:
+        any_null = None
+        for c in cand:
+            cond = F.col(c).isNull()
+            any_null = cond if any_null is None else (any_null | cond)
+        g = df.groupBy(*cand).agg(F.count(F.lit(1)).alias("n"))
+        counts = g.agg(
+            F.lit(", ".join(cand)).alias("candidate"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_rows"),
+        )
+        nulls = df.agg(
+            F.sum(F.when(any_null, 1).otherwise(0)).cast("long").alias("n_null_rows")
+        )
+        row = counts.crossJoin(F.broadcast(nulls)).select(
+            "candidate",
+            "n_rows",
+            "n_distinct",
+            "n_dup_rows",
+            "n_null_rows",
+            ((F.col("n_dup_rows") == 0) & (F.col("n_null_rows") == 0)).alias("is_key"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("candidate")
+
+
+def sql_pk_candidate_audit(table: str, candidates: list[list[str]]) -> str:
+    blocks = []
+    for cand in candidates:
+        cols = ", ".join(cand)
+        name = ", ".join(cand)
+        nullcond = " OR ".join(f"{c} IS NULL" for c in cand)
+        blocks.append(f"""
+SELECT '{name}' AS candidate,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT) AS n_dup_rows,
+       (SELECT CAST(SUM(CASE WHEN {nullcond} THEN 1 ELSE 0 END) AS BIGINT) FROM {table}) AS n_null_rows,
+       SUM(CASE WHEN n > 1 THEN n ELSE 0 END) = 0
+         AND (SELECT SUM(CASE WHEN {nullcond} THEN 1 ELSE 0 END) FROM {table}) = 0 AS is_key
+FROM (SELECT {cols}, COUNT(*) AS n FROM {table} GROUP BY {cols})""")
+    return "\nUNION ALL\n".join(blocks) + "\nORDER BY candidate"

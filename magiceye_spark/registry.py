@@ -2790,3 +2790,57 @@ def snm_agreement_q(spark, sf_dir):
     outside the reference's (lang, length) blocks. The measurement run
     before trusting a cheaper candidate generator at scale."""
     return dedup.snm_vs_allpairs_agreement(_docs(spark, sf_dir))
+
+
+@register("schema_rename_candidates", synthcat.SQL_RENAME_CANDIDATES)
+def schema_rename_candidates_q(spark, sf_dir):
+    """Column-RENAME detection over the synthetic catalog pair - the
+    finding class the reference's drop+add model can't express: dropped
+    and added columns in the same table with identical type+comment,
+    ranked by name edit distance (one proposal per dropped column)."""
+    from magiceye_spark.diff.core import rename_candidates
+
+    return rename_candidates(
+        synthcat.base_snapshot(spark, sf_dir),
+        synthcat.renamed_snapshot(spark, sf_dir),
+    )
+
+
+_FD_DEPS = [
+    (["o_orderkey"], "o_custkey"),
+    (["o_orderkey"], "o_orderstatus"),
+    (["o_custkey"], "o_orderpriority"),
+    (["o_orderdate"], "o_orderstatus"),
+]
+
+
+@register(
+    "fd_audit_orders", dq.sql_functional_dependency_audit("orders", _FD_DEPS)
+)
+def fd_audit_orders_q(spark, sf_dir):
+    """Functional-dependency audit on orders: PK-implied dependencies must
+    hold, behavioral ones (customer -> priority, date -> status) must
+    report their violation counts - the normalization/drift screen. One
+    minimal groupBy per declared dependency."""
+    return dq.functional_dependency_audit(
+        io.read_table(spark, sf_dir, "orders"), _FD_DEPS
+    )
+
+
+_PK_CANDIDATES = [
+    ["l_orderkey"],
+    ["l_orderkey", "l_linenumber"],
+    ["l_partkey", "l_suppkey"],
+]
+
+
+@register(
+    "pk_candidates_lineitem", dq.sql_pk_candidate_audit("lineitem", _PK_CANDIDATES)
+)
+def pk_candidates_lineitem_q(spark, sf_dir):
+    """Primary-key discovery on lineitem: (l_orderkey, l_linenumber) must
+    be the only true key; the others report duplicate/null row counts -
+    the step before declaring a datadiff merge key or bucketing column."""
+    return dq.pk_candidate_audit(
+        io.read_table(spark, sf_dir, "lineitem"), _PK_CANDIDATES
+    )

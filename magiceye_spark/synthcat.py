@@ -315,3 +315,85 @@ SELECT 'v1' AS from_version, 'v2' AS to_version, {_F6} FROM ({fwd})
 UNION ALL
 SELECT 'v2' AS from_version, 'v3' AS to_version, {_F6} FROM ({rev})
 """
+
+
+def renamed_snapshot(spark: SparkSession, sf_dir: str) -> SchemaSnapshot:
+    """A target variant for the rename detector: identical to
+    :func:`base_snapshot` except every column with p_partkey % 11 == 0 is
+    RENAMED (col_N → rcol_N) — type, default, nullability and comment
+    untouched. The drop+add pair this produces is exactly what
+    check.rs-style diffing reports as two findings and a human reads as
+    one rename."""
+    part = _part(spark, sf_dir)
+    p = F.col("p_partkey")
+    tables = part.select(_tbl(p).alias("table_name")).distinct().withColumn(
+        "table_comment", F.lit("")
+    )
+    columns = part.select(
+        _tbl(p).alias("table_name"),
+        F.when(
+            p % 11 == 0, F.concat(F.lit("rcol_"), p.cast("string"))
+        ).otherwise(F.concat(F.lit("col_"), p.cast("string"))).alias("column_name"),
+        F.col("p_type").alias("data_type"),
+        F.col("p_brand").alias("column_default"),
+        (F.col("p_size") % 2 == 0).alias("is_nullable"),
+        F.col("p_name").alias("comment"),
+        F.lit(False).alias("is_auto_increment"),
+    )
+    indexes = part.where(p % 10 == 0).select(
+        _tbl(p).alias("table_name"),
+        F.concat(F.lit("idx_"), p.cast("string")).alias("index_name"),
+        F.array(F.col("p_brand"), F.col("p_name")).alias("columns"),
+        F.lit("").alias("predicate"),
+        (F.col("p_size") % 3 == 0).alias("is_unique"),
+    )
+    fks = part.where(p % 20 == 0).select(
+        _tbl(p).alias("table_name"),
+        F.concat(F.lit("fk_"), p.cast("string")).alias("fk_name"),
+        F.array(F.concat(F.lit("col_"), p.cast("string"))).alias("columns"),
+        F.col("p_brand").alias("ref_table"),
+        F.col("p_type").alias("ref_column"),
+    )
+    return SchemaSnapshot.from_dataframes(tables, columns, indexes, fks)
+
+
+SQL_RENAME_CANDIDATES = """
+WITH base_cols AS (
+  SELECT 'tbl_' || CAST(p_partkey % 50 AS VARCHAR) AS table_name,
+         'col_' || CAST(p_partkey AS VARCHAR) AS column_name,
+         p_type AS data_type, p_brand AS column_default, p_name AS comment
+  FROM part
+),
+ren_cols AS (
+  SELECT 'tbl_' || CAST(p_partkey % 50 AS VARCHAR) AS table_name,
+         CASE WHEN p_partkey % 11 = 0 THEN 'rcol_' || CAST(p_partkey AS VARCHAR)
+              ELSE 'col_' || CAST(p_partkey AS VARCHAR) END AS column_name,
+         p_type AS data_type, p_brand AS column_default, p_name AS comment
+  FROM part
+),
+dropped AS (
+  SELECT * FROM base_cols b
+  WHERE NOT EXISTS (SELECT 1 FROM ren_cols t
+                    WHERE t.table_name = b.table_name AND t.column_name = b.column_name)
+),
+added AS (
+  SELECT * FROM ren_cols t
+  WHERE NOT EXISTS (SELECT 1 FROM base_cols b
+                    WHERE b.table_name = t.table_name AND b.column_name = t.column_name)
+),
+scored AS (
+  SELECT d.table_name, d.column_name AS old_column, a.column_name AS new_column,
+         levenshtein(d.column_name, a.column_name) AS name_dist,
+         COALESCE(d.column_default, '') = COALESCE(a.column_default, '') AS default_match
+  FROM dropped d JOIN added a
+    ON d.table_name = a.table_name AND d.data_type = a.data_type AND d.comment = a.comment
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY table_name, old_column
+                               ORDER BY name_dist ASC, new_column ASC) AS rk
+  FROM scored
+)
+SELECT table_name, old_column, new_column, CAST(name_dist AS INT) AS name_dist, default_match
+FROM ranked WHERE rk = 1
+ORDER BY table_name, old_column
+"""

@@ -629,3 +629,84 @@ def test_snm_agreement_counts_consistent(spark):
     assert row.snm_extra == len(snm - ref)
     assert 0.0 <= row.snm_recall <= 1.0
     assert abs(row.snm_recall - len(ref & snm) / len(ref)) < 1e-12
+
+
+def test_rename_candidates_pairs_and_rejects(spark):
+    """A dropped+added pair with identical type+comment is proposed as a
+    rename (closest name wins ties); a type-changed column and a
+    comment-changed column are NOT; a genuinely new column with no
+    matching drop proposes nothing."""
+    from magiceye_spark.diff.core import rename_candidates
+    from magiceye_spark.snapshot import SchemaSnapshot
+
+    base = SchemaSnapshot.from_rows(
+        spark,
+        tables=[("t1", ""), ("t2", "")],
+        columns=[
+            ("t1", "user_id", "bigint", "", True, "the user", False),
+            ("t1", "addr", "text", "", True, "street address", False),
+            ("t2", "amount", "int", "", True, "cents", False),
+        ],
+    )
+    target = SchemaSnapshot.from_rows(
+        spark,
+        tables=[("t1", ""), ("t2", "")],
+        columns=[
+            # rename: same type+comment, close name
+            ("t1", "user_identifier", "bigint", "", True, "the user", False),
+            # two candidates for addr; addr2 is closer than address_line
+            ("t1", "addr2", "text", "", True, "street address", False),
+            ("t1", "address_line", "text", "", True, "street address", False),
+            # type changed -> NOT a rename candidate for amount
+            ("t2", "amount2", "bigint", "", True, "cents", False),
+            # brand-new column, no matching drop
+            ("t2", "created_at", "timestamp", "", True, "row ts", False),
+        ],
+    )
+    got = {
+        (r.table_name, r.old_column): (r.new_column, r.name_dist)
+        for r in rename_candidates(base, target).collect()
+    }
+    assert got[("t1", "user_id")][0] == "user_identifier"
+    assert got[("t1", "addr")] == ("addr2", 1)
+    assert ("t2", "amount") not in got  # type changed, not proposed
+    assert len(got) == 2
+
+
+def test_fd_audit_holds_and_violations(spark):
+    """A real dependency holds (max 1 rhs per lhs); a planted violation
+    reports the violating lhs count and max fan-out exactly."""
+    rows = [
+        (1, "a", "x"), (1, "a", "x"),       # key 1 -> a consistently
+        (2, "b", "x"), (2, "b", "y"),       # rhs2 varies under key 2
+        (3, "c", "z"),
+    ]
+    df = spark.createDataFrame(rows, "k int, v1 string, v2 string")
+    from magiceye_spark.dq import functional_dependency_audit
+
+    out = {
+        r.dependency: r
+        for r in functional_dependency_audit(
+            df, [(["k"], "v1"), (["k"], "v2")]
+        ).collect()
+    }
+    assert out["k -> v1"].holds is True and out["k -> v1"].n_violating_lhs == 0
+    r = out["k -> v2"]
+    assert r.holds is False and r.n_violating_lhs == 1 and r.max_rhs_per_lhs == 2
+    assert r.n_lhs_values == 3
+
+
+def test_pk_candidate_audit_nulls_and_dups(spark):
+    """A unique non-null set is a key; duplicates and NULLs each
+    disqualify, with exact counts."""
+    rows = [(1, 10, "a"), (2, 10, "b"), (3, None, "c"), (4, 11, "d"), (4, 12, "e")]
+    df = spark.createDataFrame(rows, "id int, grp int, v string")
+    from magiceye_spark.dq import pk_candidate_audit
+
+    out = {r.candidate: r for r in pk_candidate_audit(df, [["id"], ["grp"], ["v"]]).collect()}
+    ridd = out["id"]
+    assert ridd.is_key is False and ridd.n_dup_rows == 2 and ridd.n_null_rows == 0
+    rg = out["grp"]
+    assert rg.is_key is False and rg.n_dup_rows == 2 and rg.n_null_rows == 1
+    rv = out["v"]
+    assert rv.is_key is True and rv.n_distinct == 5 and rv.n_rows == 5
