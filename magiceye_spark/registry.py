@@ -2844,3 +2844,19 @@ def pk_candidates_lineitem_q(spark, sf_dir):
     return dq.pk_candidate_audit(
         io.read_table(spark, sf_dir, "lineitem"), _PK_CANDIDATES
     )
+
+
+@register("events_daily_lag_corr", sketches.SQL_DAILY_LAG_CORR)
+def daily_lag_corr_q(spark, sf_dir):
+    """ACF-style lag correlation per event type (k=1..7 over exact daily
+    totals): weekly rhythm shows as a k=7 spike, momentum as decay from
+    k=1. One persisted rollup, lag-banded equi-join."""
+    return sketches.daily_lag_correlation_events(spark, sf_dir)
+
+
+@register("events_segmented_trend", sketches.SQL_SEGMENTED_TREND)
+def segmented_trend_q(spark, sf_dir):
+    """Broken-stick trend per event type: OLS slope before vs after the
+    CUSUM changepoint with the slope change - 'flat then rising since
+    Jan 21' instead of one misleading global slope."""
+    return sketches.segmented_trend_events(spark, sf_dir)

@@ -1245,3 +1245,213 @@ ORDER BY type_a, type_b
 
 def daily_type_spearman_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_type_spearman(_events(spark, sf_dir, parallelize=True))
+
+
+def daily_lag_correlation(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Per event type and lag k = 1..max_lag: Pearson correlation between
+    the exact daily totals y_t and y_{t−k} (over matched day pairs) — the
+    ACF-style "does today predict k days out" screen that separates
+    weekly rhythm (spike at k=7) from momentum (decay from k=1).
+
+    Same exact-moment discipline as the trend family: one persisted
+    calendar-bounded rollup, one lag-banded equi-join (days × lags rows
+    total), decimal moments, closed-form r, NULL on zero variance or
+    fewer than 3 matched pairs."""
+    daily = _daily_totals(events).persist()
+    lags = daily.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.crossJoin(F.broadcast(lags)).select(
+        "event_type", "lag", F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    j = a.join(
+        b,
+        (F.col("event_type") == F.col("et_b"))
+        & (F.col("xb") == F.col("xa") - F.col("lag")),
+    )
+    m = j.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("ya").alias("sx"),
+        F.sum("yb").alias("sy"),
+        F.sum((F.col("ya") * F.col("yb")).cast("decimal(38,8)")).alias("sxy"),
+        F.sum((F.col("ya") * F.col("ya")).cast("decimal(38,8)")).alias("sxx"),
+        F.sum((F.col("yb") * F.col("yb")).cast("decimal(38,8)")).alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    r = F.when((F.col("n_pairs") >= 3) & (dx > 0) & (dy > 0), (n * sxy - sx * sy) / F.sqrt(dx * dy))
+    return m.select("event_type", "lag", "n_pairs", r.alias("lag_r")).orderBy(
+        "event_type", "lag"
+    )
+
+
+SQL_DAILY_LAG_CORR = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS y
+  FROM events GROUP BY 1, 2),
+lags AS (SELECT UNNEST(generate_series(1, 7)) AS lag),
+j AS (
+  SELECT a.event_type, l.lag, a.y AS ya, b.y AS yb
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.event_type = a.event_type AND b.x = a.x - l.lag),
+m AS (
+  SELECT event_type, lag, COUNT(*) AS n_pairs,
+         CAST(SUM(ya) AS DOUBLE) AS sx, CAST(SUM(yb) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ya * yb AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ya * ya AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(yb * yb AS DECIMAL(38,8))) AS DOUBLE) AS syy
+  FROM j GROUP BY 1, 2)
+SELECT event_type, CAST(lag AS INT) AS lag, n_pairs,
+       CASE WHEN n_pairs >= 3 AND n_pairs * sxx - sx * sx > 0 AND n_pairs * syy - sy * sy > 0
+            THEN (n_pairs * sxy - sx * sy)
+                 / SQRT((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)) END AS lag_r
+FROM m
+ORDER BY event_type, lag
+"""
+
+
+def daily_lag_correlation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_lag_correlation(_events(spark, sf_dir, parallelize=True))
+
+
+def segmented_trend(events: DataFrame) -> DataFrame:
+    """Per event type: OLS slope fitted separately BEFORE and AFTER the
+    CUSUM changepoint (the broken-stick summary) — "flat then rising at
+    +2.1/day since Jan 21" instead of one misleading global slope.
+
+    The changepoint day comes from the same argmax-|cusum| rule as
+    :func:`daily_cusum_changepoint`; both side fits use the exact
+    decimal moments. Sides with < 3 days report NULL slope. One persisted
+    calendar-bounded rollup feeds the changepoint pass and both fits."""
+    from pyspark.sql.window import Window
+
+    daily = _daily_totals(events).persist()
+    wtot = Window.partitionBy("event_type")
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = (
+        daily.withColumn("cs", F.sum("y").over(wcum))
+        .withColumn("rk", F.row_number().over(Window.partitionBy("event_type").orderBy("x")))
+        .withColumn("n_days", F.count(F.lit(1)).over(wtot))
+        .withColumn("sy", F.sum("y").over(wtot))
+    )
+    dev = F.col("cs").cast("double") - F.col("rk").cast("double") * (
+        F.col("sy").cast("double") / F.col("n_days").cast("double")
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(dev).desc(), F.col("x").asc()
+    )
+    cp = (
+        d.withColumn("pk", F.row_number().over(pick))
+        .where(F.col("pk") == 1)
+        .select("event_type", F.col("x").alias("cp_x"))
+    )
+    sides = daily.join(F.broadcast(cp), "event_type").withColumn(
+        "side", F.when(F.col("x") <= F.col("cp_x"), F.lit("before")).otherwise(F.lit("after"))
+    )
+    xd = F.col("x").cast("decimal(10,0)")
+    m = sides.groupBy("event_type", "cp_x", "side").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((xd * F.col("y")).cast("decimal(28,4)")).alias("sxy"),
+        F.sum((xd * xd).cast("decimal(28,0)")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = F.when(
+        (F.col("n") >= 3) & (n * sxx - sx * sx > 0), (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    )
+    scored = m.select("event_type", "cp_x", "side", F.col("n").alias("n_side"), slope.alias("slope"))
+    b = scored.where(F.col("side") == "before").select(
+        "event_type",
+        "cp_x",
+        F.col("n_side").alias("n_before"),
+        F.col("slope").alias("slope_before"),
+    )
+    a = scored.where(F.col("side") == "after").select(
+        "event_type",
+        F.col("n_side").alias("n_after"),
+        F.col("slope").alias("slope_after"),
+    )
+    return (
+        b.join(a, "event_type", "left")
+        .select(
+            "event_type",
+            "cp_x",
+            F.date_add(F.lit("2024-01-01").cast("date"), F.col("cp_x")).alias("cp_date"),
+            "n_before",
+            "n_after",
+            "slope_before",
+            "slope_after",
+            (F.col("slope_after") - F.col("slope_before")).alias("slope_change"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_SEGMENTED_TREND = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+         SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS y
+  FROM events GROUP BY 1, 2),
+d AS (
+  SELECT event_type, x,
+         SUM(y) OVER (PARTITION BY event_type ORDER BY x
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+         SUM(y) OVER (PARTITION BY event_type) AS sy
+  FROM daily),
+cp AS (
+  SELECT event_type, x AS cp_x
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY event_type
+          ORDER BY ABS(CAST(cs AS DOUBLE) - CAST(rk AS DOUBLE)
+                       * (CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE))) DESC, x ASC) AS pk
+        FROM d)
+  WHERE pk = 1),
+sides AS (
+  SELECT daily.event_type, cp.cp_x,
+         CASE WHEN daily.x <= cp.cp_x THEN 'before' ELSE 'after' END AS side,
+         daily.x, daily.y
+  FROM daily JOIN cp ON daily.event_type = cp.event_type),
+m AS (
+  SELECT event_type, cp_x, side, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(10,0))) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(10,0)) * y AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(10,0)) * CAST(x AS DECIMAL(10,0)) AS DECIMAL(28,0))) AS DOUBLE) AS sxx
+  FROM sides GROUP BY 1, 2, 3),
+scored AS (
+  SELECT event_type, cp_x, side, n AS n_side,
+         CASE WHEN n >= 3 AND n * sxx - sx * sx > 0
+              THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope
+  FROM m)
+SELECT b.event_type, b.cp_x,
+       DATE '2024-01-01' + CAST(b.cp_x AS INTEGER) AS cp_date,
+       b.n_side AS n_before, a.n_side AS n_after,
+       b.slope AS slope_before, a.slope AS slope_after,
+       a.slope - b.slope AS slope_change
+FROM scored b
+LEFT JOIN scored a ON a.event_type = b.event_type AND a.side = 'after'
+WHERE b.side = 'before'
+ORDER BY b.event_type
+"""
+
+
+def segmented_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return segmented_trend(_events(spark, sf_dir, parallelize=True))

@@ -710,3 +710,51 @@ def test_pk_candidate_audit_nulls_and_dups(spark):
     assert rg.is_key is False and rg.n_dup_rows == 2 and rg.n_null_rows == 1
     rv = out["v"]
     assert rv.is_key is True and rv.n_distinct == 5 and rv.n_rows == 5
+
+
+def test_lag_correlation_weekly_pattern_and_reference(spark):
+    """A pure weekly pattern gives lag_r(7) = 1 and lag_r(1) < 1; values
+    must match the pairwise Pearson computed in Python."""
+    base = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]
+    vals = base * 4
+    from magiceye_spark.sketches import daily_lag_correlation
+
+    out = {
+        (r.event_type, r.lag): r
+        for r in daily_lag_correlation(_events_from_daily(spark, {"w": vals})).collect()
+    }
+
+    def pearson_pairs(vals, k):
+        pairs = [(vals[i], vals[i - k]) for i in range(k, len(vals))]
+        n = len(pairs)
+        sx = sum(p[0] for p in pairs); sy = sum(p[1] for p in pairs)
+        sxy = sum(p * q for p, q in pairs)
+        sxx = sum(p * p for p, _ in pairs); syy = sum(q * q for _, q in pairs)
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        return (n * sxy - sx * sy) / math.sqrt(den) if den > 0 else None
+
+    for k in range(1, 8):
+        r = out[("w", k)]
+        assert r.n_pairs == 28 - k
+        want = pearson_pairs(vals, k)
+        assert abs(r.lag_r - want) < 1e-9, k
+    assert abs(out[("w", 7)].lag_r - 1.0) < 1e-12
+    assert out[("w", 1)].lag_r < 0.9
+
+
+def test_segmented_trend_recovers_broken_stick(spark):
+    """A flat-then-rising series must place the changepoint at the end of
+    the flat regime and report slope_before ~ 0, slope_after ~ the
+    planted slope."""
+    # second regime starts ABOVE the series mean so the CUSUM minimum sits
+    # exactly at the regime boundary (a gradual rise would put the argmax
+    # where values cross the mean — correct CUSUM behavior, different test)
+    vals = [5.0] * 12 + [50.0 + 3.0 * i for i in range(1, 13)]
+    from magiceye_spark.sketches import segmented_trend
+
+    row = segmented_trend(_events_from_daily(spark, {"s": vals})).collect()[0]
+    assert row.cp_x == 11  # last flat day
+    assert abs(row.slope_before) < 1e-9
+    assert abs(row.slope_after - 3.0) < 1e-9
+    assert row.slope_change > 2.9
+    assert row.n_before == 12 and row.n_after == 12
