@@ -2860,3 +2860,26 @@ def segmented_trend_q(spark, sf_dir):
     CUSUM changepoint with the slope change - 'flat then rising since
     Jan 21' instead of one misleading global slope."""
     return sketches.segmented_trend_events(spark, sf_dir)
+
+
+def _cusum_twin_sql() -> str:
+    from magiceye_spark.streaming.stateful import sql_cusum_alarm_batch
+
+    return sql_cusum_alarm_batch(split_day=15, k_sigma=0.5, h_sigma=4.0)
+
+
+@register("events_cusum_stream_twin", _cusum_twin_sql())
+def events_cusum_stream_twin_q(spark, sf_dir):
+    """Batch twin of the streaming one-sided CUSUM drift alarm
+    (streaming/stateful.cusum_alarm_stream): frozen per-type baseline
+    from exact first-half moments, then S = P - min(0, running min P)
+    as two per-type ordered windows - the same arithmetic the stateful
+    fold runs, as a deterministic oracle row (stream == batch pinned in
+    test_streaming). Third streaming expression style: sequential
+    recurrence state (quota = counter, PSI = stateless, CUSUM =
+    recurrence-made-mergeable)."""
+    from magiceye_spark.streaming.stateful import cusum_alarm_batch, fit_cusum_baseline
+
+    ev = events_ops._events(spark, sf_dir)
+    baseline = fit_cusum_baseline(ev, split_day=15)
+    return cusum_alarm_batch(ev, baseline, k_sigma=0.5, h_sigma=4.0)

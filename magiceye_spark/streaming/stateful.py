@@ -24,6 +24,7 @@ from pyspark.sql.types import (
     DoubleType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -455,4 +456,229 @@ def near_dup_rejects_batch(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
         pairs.groupBy(F.col("doc_b").alias("doc_id"))
         .agg(F.min(F.struct("hamming", "doc_a")).alias("w"))
         .select("doc_id", F.col("w.doc_a").alias("near_doc"), F.col("w.hamming").alias("hamming"))
+    )
+
+
+# ----------------------------------------- streaming CUSUM drift alarm
+
+#: one summary row per event_type per micro-batch (update semantics):
+#: cumulative rows seen, alarms fired, the peak CUSUM statistic, and the
+#: event time of the first alarm (NULL until one fires)
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_rows", LongType()),
+        StructField("n_alarms", LongType()),
+        StructField("max_s", DoubleType()),
+        StructField("first_alarm_us", LongType()),
+    ]
+)
+
+
+def fit_cusum_baseline(
+    events: DataFrame, split_day: int = 15
+) -> dict[str, tuple[float, float]]:
+    """Freeze a per-type CUSUM calibration from the baseline window
+    (days before ``split_day``): target = mean(value), sigma = sample
+    stddev — computed from EXACT decimal moments so the floats are
+    engine-identical (same discipline as fit_psi_baseline). Returns
+    {event_type: (target, sigma)}; KB-sized driver state at any corpus
+    scale (one row per type)."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        events.where(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")) < split_day
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)")).alias("s"),
+            F.sum(
+                (
+                    F.round(F.col("value"), 4).cast("decimal(18,4)")
+                    * F.round(F.col("value"), 4).cast("decimal(18,4)")
+                ).cast("decimal(38,8)")
+            ).alias("ssq"),
+        )
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        n, s, ssq = r["n"], float(r["s"]), float(r["ssq"])
+        if n < 2:
+            continue
+        import math
+
+        var = (ssq - s * s / n) / (n - 1)
+        out[r["event_type"]] = (s / n, math.sqrt(var) if var > 0 else 0.0)
+    return out
+
+
+def cusum_alarm_batch(
+    events: DataFrame,
+    baseline: dict[str, tuple[float, float]],
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+) -> DataFrame:
+    """Batch twin of :func:`cusum_alarm_stream`: the one-sided CUSUM
+    S_i = max(0, S_{i−1} + (x_i − target − k·σ)) in closed window form —
+    S_i = P_i − least(0, running_min(P_i)) with P the ordered prefix sum
+    of the drift term — so the sequential recurrence becomes two
+    per-type ordered windows (partitioned by type, never a global sort).
+    Alarm when S > h·σ. One summary row per type: (n_rows, n_alarms,
+    max_s, first_alarm_us). Doubles accumulate in the (ts, event_id)
+    window order on every engine — bit-identical to the streaming fold's
+    arithmetic."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    spark = events.sparkSession
+    bl = spark.createDataFrame(
+        [(t, tg, sg) for t, (tg, sg) in sorted(baseline.items())],
+        "event_type string, target double, sigma double",
+    )
+    prepared = events.join(F.broadcast(bl), "event_type").select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        (
+            F.col("value") - F.col("target") - F.lit(k_sigma) * F.col("sigma")
+        ).alias("d"),
+        (F.lit(h_sigma) * F.col("sigma")).alias("h"),
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = prepared.withColumn("p", F.sum("d").over(wcum)).withColumn(
+        "s", F.col("p") - F.least(F.lit(0.0), F.min(F.col("p")).over(wcum))
+    )
+    return (
+        stepped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("s") > F.col("h"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_alarms"),
+            F.max("s").alias("max_s"),
+            F.min(F.when(F.col("s") > F.col("h"), F.col("ts_us"))).alias(
+                "first_alarm_us"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def sql_cusum_alarm_batch(
+    split_day: int = 15, k_sigma: float = 0.5, h_sigma: float = 4.0
+) -> str:
+    """DuckDB oracle computing the SAME frozen baseline from the same
+    exact decimal moments, then the same closed-form CUSUM windows."""
+    return f"""
+WITH e AS (
+  SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+bl AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / n AS target,
+         CASE WHEN (CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) > 0
+              THEN SQRT((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))
+              ELSE 0.0 END AS sigma
+  FROM (SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4))) AS s,
+               SUM(CAST(CAST(ROUND(value, 4) AS DECIMAL(18,4))
+                        * CAST(ROUND(value, 4) AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS ssq
+        FROM e WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < {split_day}
+        GROUP BY 1)
+  WHERE n >= 2),
+prepared AS (
+  SELECT e.event_type, epoch_us(e.ts) AS ts_us, e.event_id,
+         e.value - bl.target - {k_sigma} * bl.sigma AS d,
+         {h_sigma} * bl.sigma AS h
+  FROM e JOIN bl ON e.event_type = bl.event_type),
+stepped AS (
+  SELECT *, p - LEAST(0.0, MIN(p) OVER w2) AS s
+  FROM (SELECT *, SUM(d) OVER w AS p FROM prepared
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN s > h THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+       MAX(s) AS max_s,
+       MIN(CASE WHEN s > h THEN ts_us END) AS first_alarm_us
+FROM stepped
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _fold_cusum(baseline: dict[str, tuple[float, float]], k_sigma: float, h_sigma: float):
+    def fold(key, pdfs, state: GroupState):
+        (typ,) = key
+        if typ not in baseline:
+            yield pd.DataFrame([], columns=[f.name for f in CUSUM_SCHEMA.fields])
+            return
+        target, sigma = baseline[typ]
+        h = h_sigma * sigma
+        if state.exists:
+            p, minp, n, n_alarms, max_s, first_alarm = state.get
+        else:
+            p, minp, n, n_alarms, max_s, first_alarm = 0.0, 0.0, 0, 0, 0.0, None
+        chunks = [pdf for pdf in pdfs]
+        for pdf in ([pd.concat(chunks).sort_values(["ts_us", "event_id"])] if chunks else []):
+            for ts_us, v in zip(pdf["ts_us"], pdf["value"]):
+                # identical arithmetic to the batch twin's window form:
+                # P accumulates the drift term, S = P - min(0, running min P)
+                p = p + (float(v) - target - k_sigma * sigma)
+                if p < minp:
+                    minp = p
+                s = p - (minp if minp < 0.0 else 0.0)
+                n += 1
+                if s > max_s:
+                    max_s = s
+                if s > h:
+                    n_alarms += 1
+                    if first_alarm is None:
+                        first_alarm = int(ts_us)
+        state.update((p, minp, n, n_alarms, max_s, first_alarm))
+        yield pd.DataFrame(
+            [(typ, n, n_alarms, max_s, first_alarm)],
+            columns=[f.name for f in CUSUM_SCHEMA.fields],
+        )
+
+    return fold
+
+
+def cusum_alarm_stream(
+    stream: DataFrame,
+    baseline: dict[str, tuple[float, float]],
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+) -> DataFrame:
+    """Streaming one-sided CUSUM drift alarm: per-type state is three
+    scalars (prefix sum, its running minimum, counters) — the canonical
+    sequential monitor made mergeable by the P − min(P) closed form, so
+    a 100 TB/day stream holds ONE tiny state row per metric. Baseline is
+    frozen by :func:`fit_cusum_baseline` (same discipline as the PSI
+    monitor). Emits the cumulative summary row per type each micro-batch
+    (update semantics); the final row equals :func:`cusum_alarm_batch`
+    on the same data — pinned in tests."""
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        _fold_cusum(baseline, k_sigma, h_sigma),
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=(
+            "p DOUBLE, minp DOUBLE, n LONG, n_alarms LONG, max_s DOUBLE, first_alarm LONG"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

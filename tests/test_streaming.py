@@ -700,3 +700,53 @@ def test_near_dup_admit_survives_chunked_arrow_batches(spark, tmp_path):
     got = {r["doc_id"] for r in spark.table("near_dup_rejects_chunked").collect()}
     want = {r["doc_id"] for r in near_dup_rejects_batch(sigs, 3).collect()}
     assert got == want and len(want) > 0
+
+
+def test_cusum_alarm_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming one-sided CUSUM monitor: the final per-type summary row
+    (cumulative n/alarms/max_s/first alarm) after consuming the corpus in
+    micro-batches equals the closed-form batch twin (the registry's
+    oracle row) — recurrence state (P, min P) made mergeable."""
+    from magiceye_spark.analytics import _events
+    from magiceye_spark.streaming import events as sev
+    from magiceye_spark.streaming.stateful import (
+        cusum_alarm_batch,
+        cusum_alarm_stream,
+        fit_cusum_baseline,
+    )
+
+    batch = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    baseline = fit_cusum_baseline(batch, split_day=15)
+    assert baseline  # every type has a first-half sample at sf0.001+
+
+    src = str(tmp_path / "events_cusum")
+    # time-ordered arrival split across files -> multiple micro-batches
+    batch.orderBy("ts").coalesce(4).write.parquet(src)
+    stream = sev.read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        cusum_alarm_stream(stream, baseline)
+        .writeStream.format("memory")
+        .queryName("cusum_monitor")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "chk_cusum"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.table("cusum_monitor").collect()
+    final = {}
+    for r in rows:  # update mode: keep the row with the largest n per type
+        cur = final.get(r["event_type"])
+        if cur is None or r["n_rows"] > cur["n_rows"]:
+            final[r["event_type"]] = r
+    want = {r["event_type"]: r for r in cusum_alarm_batch(batch, baseline).collect()}
+    assert set(final) == set(want)
+    for t, w in want.items():
+        g = final[t]
+        assert g["n_rows"] == w["n_rows"], t
+        assert g["n_alarms"] == w["n_alarms"], t
+        assert abs(g["max_s"] - w["max_s"]) < 1e-9, t
+        assert g["first_alarm_us"] == w["first_alarm_us"], t
