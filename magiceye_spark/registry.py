@@ -84,23 +84,23 @@ _DRIVER_WINDOW = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q18_large_volume_customers",
-    "q21_sole_late_supplier",
+    "fd_audit_orders",
     # rollups / set ops / pivot
     "events_hourly_rollup",
-    "events_rollup_cascade",
+    "events_daily_trend_robust",
     "top_users_by_events",
     # orders_customer_rollup's seat ceded to dup_graph_components in r6 so
     # the iterative-graph family (near-dup transitive closure — the first
     # eager fixpoint algorithm in the repo) carries a driver row; the
     # evicted rollup stays oracle-checked in pytest's sweep
     "dup_graph_components",
-    "nation_coverage_setops",
-    "orders_rollup_hierarchy",
-    "events_pivot_by_type",
+    "events_cusum_stream_twin",
+    "events_ks_drift",
+    "t_closeness_customers",
     # event-stream operators
     "events_sessionize",
     "purchase_last_click_asof",
-    "events_props_rollup",
+    "nb_source_confusion",
     # clicks_before_purchase's seat ceded to events_psi_stream_twin in r6
     # so BOTH streaming styles (stateful quota + stateless drift) carry a
     # driver row; the evicted query stays oracle-checked in pytest's sweep
@@ -110,14 +110,14 @@ _DRIVER_WINDOW = [
     # registered and oracle-checked in pytest's sweep)
     "events_quota_batch_twin",
     "conversion_funnel",
-    "cohort_retention",
+    "embedding_covariance",
     # distribution statistics (exact variants; sketches stay pytest-pinned)
     "events_value_distribution",
-    "events_value_histogram",
+    "snm_near_dups",
     "events_value_k_corr",
     # text analysis
     "text_stats",
-    "quality_score",
+    "schema_rename_candidates",
     "language_id",
     "vocab_topk",
     # deduplication
