@@ -2010,3 +2010,29 @@ UNION ALL
 {fold_block(1)}
 ORDER BY fold
 """
+
+
+def language_id_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Label-QA screen: confusion matrix between the DECLARED ``lang``
+    column and the n-gram/stopword prediction of :func:`language_id` —
+    off-diagonal mass is either mislabeled metadata or classifier bias,
+    and both need eyes before lang-filtered training cuts. One map-side
+    prediction + one catalog-sized rollup."""
+    pred = language_id(docs, text_col)
+    return (
+        docs.select("doc_id", F.col("lang").alias("declared_lang"))
+        .join(pred, "doc_id")
+        .groupBy("declared_lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("declared_lang", "lang_pred")
+    )
+
+
+def sql_language_id_confusion() -> str:
+    return f"""
+WITH pred AS ({sql_language_id()})
+SELECT d.lang AS declared_lang, p.lang_pred, COUNT(*) AS n_docs
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -2883,3 +2883,10 @@ def events_cusum_stream_twin_q(spark, sf_dir):
     ev = events_ops._events(spark, sf_dir)
     baseline = fit_cusum_baseline(ev, split_day=15)
     return cusum_alarm_batch(ev, baseline, k_sigma=0.5, h_sigma=4.0)
+
+
+@register("language_id_confusion", textstats.sql_language_id_confusion())
+def language_id_confusion_q(spark, sf_dir):
+    """Confusion matrix of declared lang vs the stopword/n-gram language
+    ID - the label-QA screen run before lang-filtered training cuts."""
+    return textstats.language_id_confusion(_docs(spark, sf_dir))

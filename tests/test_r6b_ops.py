@@ -758,3 +758,24 @@ def test_segmented_trend_recovers_broken_stick(spark):
     assert abs(row.slope_after - 3.0) < 1e-9
     assert row.slope_change > 2.9
     assert row.n_before == 12 and row.n_after == 12
+
+
+def test_language_id_confusion_planted(spark):
+    """Correctly-labeled docs land on the diagonal; a mislabeled doc (en
+    text declared 'de') shows as one off-diagonal cell."""
+    rows = [
+        (0, "the quick brown fox and the lazy dog with their friends", "en", "s", 50),
+        (1, "the cat and the dog are in the house with them", "en", "s", 40),
+        (2, "der hund und die katze sind nicht in dem haus", "de", "s", 40),
+        (3, "the train was late because the driver had the flu", "de", "s", 40),  # mislabeled
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    from magiceye_spark.llmops.textstats import language_id_confusion
+
+    got = {(r.declared_lang, r.lang_pred): r.n_docs for r in language_id_confusion(docs).collect()}
+    assert got[("en", "en")] == 2
+    assert got[("de", "de")] == 1
+    assert got[("de", "en")] == 1
+    assert sum(got.values()) == 4
