@@ -2036,3 +2036,71 @@ FROM documents d JOIN pred p ON d.doc_id = p.doc_id
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+def quality_score_calibration(
+    docs: DataFrame, max_chars: int = 400, n_bins: int = 10
+) -> DataFrame:
+    """Calibration table for the composite quality score: rank-decile the
+    corpus by score and report each decile's short-document rate — does
+    the score actually order quality? (A filter cut at score s is only
+    defensible if the rate curve is monotone through s.) One row per
+    decile: (decile, n_docs, mean_score, short_rate).
+
+    The global rank comes from the two-phase window (no single-task
+    sort); deciles are exact integer arithmetic on the rank; the score
+    sum stays a 4-dp decimal so the mean is one engine-identical
+    division."""
+    from magiceye_spark.io import two_phase_window
+
+    qs = quality_score(docs).join(docs.select("doc_id", "n_chars"), "doc_id")
+    ranked = two_phase_window(
+        qs, [F.asc("quality_score"), F.asc("doc_id")], rank_col="rnk"
+    )
+    tot = ranked.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    binned = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "decile",
+        (
+            F.floor(
+                (F.col("rnk") - 1).cast("double")
+                * n_bins
+                / F.col("n_total").cast("double")
+            )
+            + 1
+        ).cast("int"),
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                F.sum(F.col("quality_score").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_score"),
+            (
+                F.sum(F.when(F.col("n_chars") < max_chars, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("short_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
+def sql_quality_score_calibration(max_chars: int = 400, n_bins: int = 10) -> str:
+    return f"""
+WITH q AS ({SQL_QUALITY}),
+j AS (SELECT q.doc_id, q.quality_score, d.n_chars
+      FROM q JOIN documents d ON d.doc_id = q.doc_id),
+r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY quality_score ASC, doc_id ASC) AS rnk,
+             COUNT(*) OVER () AS n_total
+      FROM j),
+b AS (SELECT *, CAST(FLOOR(CAST(rnk - 1 AS DOUBLE) * {n_bins} / CAST(n_total AS DOUBLE)) + 1 AS INTEGER) AS decile
+      FROM r)
+SELECT decile, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_score,
+       CAST(SUM(CASE WHEN n_chars < {max_chars} THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS short_rate
+FROM b
+GROUP BY decile
+ORDER BY decile
+"""

@@ -2890,3 +2890,27 @@ def language_id_confusion_q(spark, sf_dir):
     """Confusion matrix of declared lang vs the stopword/n-gram language
     ID - the label-QA screen run before lang-filtered training cuts."""
     return textstats.language_id_confusion(_docs(spark, sf_dir))
+
+
+@register(
+    "events_seasonal_anomalies", sketches.sql_seasonal_residual_anomalies(z_cut=1.5)
+)
+def seasonal_anomalies_q(spark, sf_dir):
+    """Anomalous days per type AFTER removing trend + weekly seasonality:
+    z-score of the decomposition residual, |z| > 1.5 (cut chosen so the
+    near-normal synthetic residuals actually surface rows for the value
+    check) - the alarm that doesn't fire every Saturday. Residual
+    moments accumulate in per-type ordered windows (engine-identical
+    doubles)."""
+    return sketches.seasonal_residual_anomalies_events(spark, sf_dir)
+
+
+@register(
+    "quality_score_calibration",
+    textstats.sql_quality_score_calibration(max_chars=400, n_bins=10),
+)
+def quality_score_calibration_q(spark, sf_dir):
+    """Calibration of the composite quality score: short-doc rate per
+    score decile - a cut at score s is only defensible if this curve is
+    monotone through s. Two-phase global rank; exact decimal score sums."""
+    return textstats.quality_score_calibration(_docs(spark, sf_dir))

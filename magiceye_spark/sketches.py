@@ -1455,3 +1455,81 @@ ORDER BY b.event_type
 
 def segmented_trend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segmented_trend(_events(spark, sf_dir, parallelize=True))
+
+
+def seasonal_residual_anomalies(events: DataFrame, z_cut: float = 3.0) -> DataFrame:
+    """Anomalous days per event type AFTER removing trend and weekly
+    seasonality: z-score of the :func:`seasonal_decomposition` residual
+    against the type's residual distribution — the screen that doesn't
+    fire every Saturday (raw daily z-scores do). Emits flagged days
+    (|z| > z_cut) with the residual and z.
+
+    Residual moments accumulate in a per-type window ordered by day (the
+    fixed-IEEE-order pattern), so mean/std and every z are
+    engine-identical; days without a full 7-day MA window are excluded
+    from both the fit and the scoring, exactly as in the twin."""
+    from pyspark.sql.window import Window
+
+    dec = seasonal_decomposition(events).where(F.col("residual").isNotNull())
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrank = Window.partitionBy("event_type").orderBy("x")
+    stepped = (
+        dec.withColumn("s1", F.sum("residual").over(wcum))
+        .withColumn("s2", F.sum(F.col("residual") * F.col("residual")).over(wcum))
+        .withColumn("brk", F.row_number().over(wrank))
+        .withColumn("n_fit", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+    )
+    fit = stepped.where(F.col("brk") == F.col("n_fit")).select(
+        "event_type",
+        (F.col("s1") / F.col("n_fit").cast("double")).alias("mu"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_fit").cast("double"))
+            / (F.col("n_fit") - 1).cast("double")
+        ).alias("sd"),
+    )
+    scored = dec.join(F.broadcast(fit), "event_type")
+    # z guarded by when(): Catalyst may reorder filter conjuncts, so a
+    # bare division inside the |z| predicate can hit sd = 0 under ANSI
+    # even "behind" an sd > 0 conjunct
+    z = F.when(F.col("sd") > 0, (F.col("residual") - F.col("mu")) / F.col("sd"))
+    return (
+        scored.withColumn("z", z)
+        .where(F.abs(F.col("z")) > z_cut)
+        .select("event_type", "x", "day", "daily_value", "residual", "z")
+        .orderBy("event_type", "x")
+    )
+
+
+def sql_seasonal_residual_anomalies(z_cut: float = 3.0) -> str:
+    body = SQL_SEASONAL_DECOMP.strip().rstrip()
+    # reuse the decomposition SQL as a subquery, drop its ORDER BY
+    body = body[: body.rindex("ORDER BY")]
+    return f"""
+WITH dec AS ({body}),
+d AS (SELECT * FROM dec WHERE residual IS NOT NULL),
+stepped AS (
+  SELECT *, SUM(residual) OVER w AS s1,
+         SUM(residual * residual) OVER w AS s2,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS brk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_fit
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+fit AS (
+  SELECT event_type, s1 / CAST(n_fit AS DOUBLE) AS mu,
+         SQRT((s2 - s1 * s1 / CAST(n_fit AS DOUBLE)) / CAST(n_fit - 1 AS DOUBLE)) AS sd
+  FROM stepped WHERE brk = n_fit)
+SELECT d.event_type, d.x, d.day, d.daily_value, d.residual,
+       CASE WHEN fit.sd > 0 THEN (d.residual - fit.mu) / fit.sd END AS z
+FROM d JOIN fit ON d.event_type = fit.event_type
+WHERE ABS(CASE WHEN fit.sd > 0 THEN (d.residual - fit.mu) / fit.sd END) > {z_cut}
+ORDER BY d.event_type, d.x
+"""
+
+
+def seasonal_residual_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_residual_anomalies(_events(spark, sf_dir, parallelize=True), z_cut=1.5)

@@ -779,3 +779,50 @@ def test_language_id_confusion_planted(spark):
     assert got[("de", "de")] == 1
     assert got[("de", "en")] == 1
     assert sum(got.values()) == 4
+
+
+def test_seasonal_anomalies_fire_on_planted_spike_not_on_rhythm(spark):
+    """A weekly rhythm alone must produce NO anomalies (the seasonal
+    component absorbs it); one spiked day on top of the rhythm must be
+    the unique flagged day."""
+    from magiceye_spark.sketches import seasonal_residual_anomalies
+
+    base = [10.0, 20.0, 30.0, 40.0, 30.0, 20.0, 10.0]
+    clean = base * 4
+    spiked = list(clean)
+    spiked[10] += 500.0
+    out_clean = seasonal_residual_anomalies(
+        _events_from_daily(spark, {"t": clean}), z_cut=1.5
+    ).collect()
+    assert out_clean == []
+    out = seasonal_residual_anomalies(
+        _events_from_daily(spark, {"t": spiked}), z_cut=3.0
+    ).collect()
+    assert [r.x for r in out] == [10]
+    assert out[0].z > 3.0
+
+
+def test_quality_calibration_deciles_partition_and_order(spark):
+    """Deciles must partition the corpus (sizes sum to N, each ~N/10),
+    mean_score must be non-decreasing across deciles (rank-ordered by
+    construction), and a corpus where short docs are exactly the
+    low-score docs must show short_rate 1.0 in the bottom decile and 0
+    in the top."""
+    from magiceye_spark.llmops.textstats import quality_score_calibration
+
+    rows = []
+    for i in range(40):
+        # low-quality: tiny repeated text AND short n_chars
+        rows.append((i, "x y", "en", "s", 100))
+    for i in range(40, 80):
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "walks home with a friendly calm smile %d" % i)
+        rows.append((i, good, "en", "s", 900))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = quality_score_calibration(docs, max_chars=400, n_bins=10).collect()
+    assert sum(r.n_docs for r in out) == 80
+    scores = [r.mean_score for r in out]
+    assert scores == sorted(scores)
+    assert out[0].short_rate == 1.0 and out[-1].short_rate == 0.0
