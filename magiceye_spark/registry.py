@@ -2914,3 +2914,13 @@ def quality_score_calibration_q(spark, sf_dir):
     score decile - a cut at score s is only defensible if this curve is
     monotone through s. Two-phase global rank; exact decimal score sums."""
     return textstats.quality_score_calibration(_docs(spark, sf_dir))
+
+
+@register("events_type_mix_drift", sketches.sql_type_mix_drift())
+def events_type_mix_drift_q(spark, sf_dir):
+    """Categorical mix drift (chi2 + G-test on the type x half
+    contingency): did the SHARE of each event type change between the
+    window halves - completes the drift triad with PSI (numeric binned)
+    and KS (numeric nonparametric). Type-sorted fold keeps the double
+    sums engine-identical."""
+    return sketches.type_mix_drift_events(spark, sf_dir)

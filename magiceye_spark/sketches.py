@@ -1533,3 +1533,135 @@ ORDER BY d.event_type, d.x
 
 def seasonal_residual_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_residual_anomalies(_events(spark, sf_dir, parallelize=True), z_cut=1.5)
+
+
+def type_mix_drift(events: DataFrame, split_day: int = 15) -> DataFrame:
+    """Categorical mix drift between the two halves of the window: chi²
+    and G-test of independence on the (event_type × half) contingency —
+    'did the SHARE of each event type change', completing the drift
+    triad (PSI = numeric binned, KS = numeric nonparametric, this =
+    categorical). One row: (n_a, n_b, dof, chi2, g_stat).
+
+    Counts are exact integers from one corpus-sized groupBy; both
+    statistics fold over the type-sorted cell list (fixed IEEE order on
+    both engines — the catalog-sized analogue of the ordered-window
+    pattern). Zero-observed cells contribute to chi² only; expected
+    counts are always positive when both halves are nonempty."""
+    half = F.when(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")) < split_day, F.lit("a")
+    ).otherwise(F.lit("b"))
+    byt = events.groupBy("event_type", half.alias("half")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cells = byt.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == "a", F.col("c")).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("half") == "b", F.col("c")).otherwise(0)).alias("c_b"),
+    )
+    row = cells.agg(
+        F.sort_array(
+            F.collect_list(F.struct("event_type", "c_a", "c_b"))
+        ).alias("arr"),
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+
+    def chi_cell(x):
+        rt = (x["c_a"] + x["c_b"]).cast("double")
+        ea = rt * na / n
+        eb = rt * nb / n
+        oa = x["c_a"].cast("double")
+        ob = x["c_b"].cast("double")
+        return (oa - ea) * (oa - ea) / ea + (ob - eb) * (ob - eb) / eb
+
+    def g_cell(x):
+        rt = (x["c_a"] + x["c_b"]).cast("double")
+        ea = rt * na / n
+        eb = rt * nb / n
+        oa = x["c_a"].cast("double")
+        ob = x["c_b"].cast("double")
+        ta = F.when(x["c_a"] > 0, oa * F.log(oa / ea)).otherwise(F.lit(0.0))
+        tb = F.when(x["c_b"] > 0, ob * F.log(ob / eb)).otherwise(F.lit(0.0))
+        return ta + tb
+
+    chi2 = F.aggregate(F.col("arr"), F.lit(0.0), lambda acc, x: acc + chi_cell(x))
+    g = F.lit(2.0) * F.aggregate(
+        F.col("arr"), F.lit(0.0), lambda acc, x: acc + g_cell(x)
+    )
+    return row.select(
+        "n_a",
+        "n_b",
+        (F.col("n_types") - 1).cast("long").alias("dof"),
+        chi2.alias("chi2"),
+        g.alias("g_stat"),
+    )
+
+
+def sql_type_mix_drift(split_day: int = 15) -> str:
+    # NOTE: DuckDB's arrow-lambda parser rejects the full per-cell
+    # arithmetic inline (a parser, not semantic, limit) — so the cell
+    # math runs in a plain CTE and the type-sorted fold sums precomputed
+    # cell values. Per-cell expressions and the accumulation order match
+    # the Spark fold exactly, so the doubles are identical.
+    return f"""
+WITH tagged AS (
+  SELECT event_type,
+         CASE WHEN date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) < {split_day}
+              THEN 'a' ELSE 'b' END AS half
+  FROM events),
+byt AS (SELECT event_type, half, COUNT(*) AS c FROM tagged GROUP BY 1, 2),
+cells AS (
+  SELECT event_type,
+         SUM(CASE WHEN half = 'a' THEN c ELSE 0 END) AS c_a,
+         SUM(CASE WHEN half = 'b' THEN c ELSE 0 END) AS c_b
+  FROM byt GROUP BY 1),
+cells2 AS (
+  SELECT event_type, c_a, c_b,
+         SUM(c_a) OVER () AS n_a, SUM(c_b) OVER () AS n_b
+  FROM cells),
+cc AS (
+  SELECT event_type, c_a, c_b, n_a, n_b,
+         (CAST(c_a AS DOUBLE) - CAST(c_a + c_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+         * (CAST(c_a AS DOUBLE) - CAST(c_a + c_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+         / (CAST(c_a + c_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+         + (CAST(c_b AS DOUBLE) - CAST(c_a + c_b AS DOUBLE) * CAST(n_b AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+         * (CAST(c_b AS DOUBLE) - CAST(c_a + c_b AS DOUBLE) * CAST(n_b AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+         / (CAST(c_a + c_b AS DOUBLE) * CAST(n_b AS DOUBLE)
+            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) AS chi_cell,
+         (CASE WHEN c_a > 0
+               THEN CAST(c_a AS DOUBLE) * LN(CAST(c_a AS DOUBLE)
+                    / (CAST(c_a + c_b AS DOUBLE) * CAST(n_a AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))
+               ELSE 0.0 END)
+         + (CASE WHEN c_b > 0
+               THEN CAST(c_b AS DOUBLE) * LN(CAST(c_b AS DOUBLE)
+                    / (CAST(c_a + c_b AS DOUBLE) * CAST(n_b AS DOUBLE)
+                       / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))))
+               ELSE 0.0 END) AS g_cell
+  FROM cells2),
+agg AS (
+  SELECT list_sort(list({{'event_type': event_type, 'chi': chi_cell, 'g': g_cell}})) AS arr,
+         CAST(MAX(n_a) AS BIGINT) AS n_a,
+         CAST(MAX(n_b) AS BIGINT) AS n_b,
+         COUNT(*) AS n_types
+  FROM cc)
+SELECT n_a, n_b, CAST(n_types - 1 AS BIGINT) AS dof,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list_transform(arr, x -> x.chi)),
+                   (acc, v) -> acc + v) AS chi2,
+       2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list_transform(arr, x -> x.g)),
+                         (acc, v) -> acc + v) AS g_stat
+FROM agg
+"""
+
+
+def type_mix_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return type_mix_drift(_events(spark, sf_dir, parallelize=True))

@@ -826,3 +826,44 @@ def test_quality_calibration_deciles_partition_and_order(spark):
     scores = [r.mean_score for r in out]
     assert scores == sorted(scores)
     assert out[0].short_rate == 1.0 and out[-1].short_rate == 0.0
+
+
+def test_type_mix_drift_matches_python_contingency(spark):
+    """chi2 and G must equal the direct Python computation on the same
+    2xT contingency; an identical mix in both halves gives ~0 for both."""
+    import math as m
+
+    rows, eid = [], 0
+    # half a: A:30 B:10; half b: A:10 B:30 (drifted mix)
+    for day, typ, cnt in [(1, "A", 30), (1, "B", 10), (20, "A", 10), (20, "B", 30)]:
+        for _ in range(cnt):
+            rows.append((eid, dt.datetime(2024, 1, day, 9), 1, typ, 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    from magiceye_spark.sketches import type_mix_drift
+
+    r = type_mix_drift(ev).collect()[0]
+    assert r.n_a == 40 and r.n_b == 40 and r.dof == 1
+    n = 80
+    chi = g = 0.0
+    for ca, cb in ((30, 10), (10, 30)):
+        rt = ca + cb
+        ea, eb = rt * 40 / n, rt * 40 / n
+        chi += (ca - ea) ** 2 / ea + (cb - eb) ** 2 / eb
+        g += 2 * (ca * m.log(ca / ea) + cb * m.log(cb / eb))
+    assert abs(r.chi2 - chi) < 1e-9
+    assert abs(r.g_stat - g) < 1e-9
+
+    # identical mix -> both ~0
+    rows2 = []
+    for day in (1, 20):
+        for typ, cnt in (("A", 20), ("B", 20)):
+            for _ in range(cnt):
+                rows2.append((len(rows2), dt.datetime(2024, 1, day, 9), 1, typ, 1.0, "{}"))
+    ev2 = spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    r2 = type_mix_drift(ev2).collect()[0]
+    assert abs(r2.chi2) < 1e-9 and abs(r2.g_stat) < 1e-9
