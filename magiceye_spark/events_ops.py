@@ -1396,3 +1396,86 @@ SELECT event_id, user_id, event_type, ts, value, CAST(burst_len AS BIGINT) AS bu
 FROM ranked WHERE rn = 1
 ORDER BY user_id, event_type, ts, event_id
 """
+
+
+def user_behavior_similarity(
+    events: DataFrame, n_probes: int = 8, k: int = 10
+) -> DataFrame:
+    """Top-k behaviorally-similar users for a deterministic probe set:
+    each user is a 5-dim event-type count vector, similarity is cosine —
+    the collaborative-filtering / audience-lookalike shape ("who behaves
+    like this user") on the events stream. Probes are the ``n_probes``
+    lowest user ids (deterministic; TakeOrdered, no global sort); the
+    corpus side is scanned once map-side against the broadcast probes —
+    the same probe-broadcast pattern as cosine_topk, linear at any user
+    count.
+
+    Counts are exact integers; cosine is one fixed IEEE expression over
+    them (NULL-free: every user has ≥1 event); ranking ties break to the
+    lower user id."""
+    from pyspark.sql.window import Window
+
+    types = ["click", "view", "purchase", "signup", "error"]
+    vec = events.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"c_{t}")
+            for t in types
+        ]
+    )
+    probes = vec.orderBy("user_id").limit(n_probes)
+    p = probes.select(
+        F.col("user_id").alias("probe_id"),
+        *[F.col(f"c_{t}").alias(f"p_{t}") for t in types],
+    )
+    j = vec.crossJoin(F.broadcast(p)).where(F.col("user_id") != F.col("probe_id"))
+    dot = None
+    na = None
+    nb = None
+    for t in types:
+        term = F.col(f"c_{t}").cast("double") * F.col(f"p_{t}").cast("double")
+        a2 = F.col(f"c_{t}").cast("double") * F.col(f"c_{t}").cast("double")
+        b2 = F.col(f"p_{t}").cast("double") * F.col(f"p_{t}").cast("double")
+        dot = term if dot is None else dot + term
+        na = a2 if na is None else na + a2
+        nb = b2 if nb is None else nb + b2
+    cos = dot / (F.sqrt(na) * F.sqrt(nb))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("user_id"))
+    return (
+        j.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "rank", F.col("user_id").alias("similar_user"), "cosine")
+        .orderBy("probe_id", "rank")
+    )
+
+
+def sql_user_behavior_similarity(n_probes: int = 8, k: int = 10) -> str:
+    types = ["click", "view", "purchase", "signup", "error"]
+    counts = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS c_{t}"
+        for t in types
+    )
+    dot = " + ".join(f"CAST(v.c_{t} AS DOUBLE) * CAST(p.c_{t} AS DOUBLE)" for t in types)
+    na = " + ".join(f"CAST(v.c_{t} AS DOUBLE) * CAST(v.c_{t} AS DOUBLE)" for t in types)
+    nb = " + ".join(f"CAST(p.c_{t} AS DOUBLE) * CAST(p.c_{t} AS DOUBLE)" for t in types)
+    return f"""
+WITH vec AS (
+  SELECT user_id,
+         {counts}
+  FROM events GROUP BY user_id),
+probes AS (SELECT * FROM vec ORDER BY user_id LIMIT {n_probes}),
+scored AS (
+  SELECT p.user_id AS probe_id, v.user_id AS similar_user,
+         ({dot}) / (SQRT({na}) * SQRT({nb})) AS cosine
+  FROM vec v CROSS JOIN probes p
+  WHERE v.user_id <> p.user_id),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                               ORDER BY cosine DESC, similar_user ASC) AS rank
+  FROM scored)
+SELECT probe_id, rank, similar_user, cosine
+FROM ranked WHERE rank <= {k}
+ORDER BY probe_id, rank
+"""

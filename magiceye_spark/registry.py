@@ -2924,3 +2924,14 @@ def events_type_mix_drift_q(spark, sf_dir):
     and KS (numeric nonparametric). Type-sorted fold keeps the double
     sums engine-identical."""
     return sketches.type_mix_drift_events(spark, sf_dir)
+
+
+@register(
+    "user_behavior_similarity", events_ops.sql_user_behavior_similarity(n_probes=8, k=10)
+)
+def user_behavior_similarity_q(spark, sf_dir):
+    """Audience lookalikes: top-10 behaviorally-similar users per probe
+    (cosine over exact event-type count vectors, broadcast probes, one
+    corpus scan) - the collaborative-filtering shape on the events
+    stream."""
+    return events_ops.user_behavior_similarity(events_ops._events(spark, sf_dir))

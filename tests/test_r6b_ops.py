@@ -867,3 +867,34 @@ def test_type_mix_drift_matches_python_contingency(spark):
     )
     r2 = type_mix_drift(ev2).collect()[0]
     assert abs(r2.chi2) < 1e-9 and abs(r2.g_stat) < 1e-9
+
+
+def test_user_behavior_similarity_planted_twin(spark):
+    """A planted behavioral twin of probe user 1 must rank first for that
+    probe with cosine ~1; an orthogonal user must rank below a
+    same-direction one; self-matches are excluded."""
+    rows, eid = [], 0
+
+    def add(uid, typ, cnt):
+        nonlocal eid
+        for _ in range(cnt):
+            rows.append((eid, dt.datetime(2024, 1, 2, 9), uid, typ, 1.0, "{}"))
+            eid += 1
+
+    add(1, "click", 10); add(1, "purchase", 2)      # probe
+    add(2, "click", 20); add(2, "purchase", 4)      # exact direction twin
+    add(3, "error", 15)                              # orthogonal
+    add(4, "click", 10); add(4, "view", 10)          # partial overlap
+    from magiceye_spark.events_ops import user_behavior_similarity
+
+    out = user_behavior_similarity(
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+        ),
+        n_probes=1,
+        k=3,
+    ).collect()
+    assert all(r.probe_id == 1 and r.similar_user != 1 for r in out)
+    assert out[0].similar_user == 2 and abs(out[0].cosine - 1.0) < 1e-12
+    ranks = {r.similar_user: r.rank for r in out}
+    assert ranks[4] < ranks[3]  # partial overlap beats orthogonal
