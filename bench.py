@@ -53,6 +53,12 @@ FAMILIES = {
     "edit_distance": ["edit_distance_near_dups"],
     "ann": ["cosine_topk", "ivf_ann_topk", "ivf_pq_ann_topk"],
     "multimodal": ["media_catalog", "phash_near_dups"],
+    # graph family: measured through ONE shared, persisted pair relation
+    # (near_dup_pairs_shared seat) — the production pipeline shape, where
+    # components + keep-one + delta-admit all consume the same edge set
+    # instead of re-shingling per op (r6 spent 36.4 s computing the same
+    # pair stage three times). The registry queries stay self-contained
+    # (each recomputes pairs) so the driver's oracle rows are unchanged.
     "graph": ["dup_graph_components", "dedup_keep_per_cluster", "delta_dedup_admit"],
     "cdc": ["cdc_chunk_near_dups"],
     "bitext": ["bitext_margin_pairs"],
@@ -120,6 +126,68 @@ FAMILY_BASELINE = {
 }
 
 
+def _bench_ann_indexed(spark, sf_dir: str, out: dict[str, float]) -> None:
+    """The amortized ANN story the fit-per-call seats can't show: build
+    the stored index ONCE (untimed here — the build seat is the one-off
+    cost, already visible as ivf_ann_topk/ivf_pq_ann_topk's fit+encode),
+    then time PROBE-ONLY against the cell-partitioned parquet. This is the
+    number that matters at 100 TB, where the index is built once and
+    probed per batch/request."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.llmops import annindex
+
+    corpus = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = corpus.where(F.col("vec_id") < 8)
+    flat = annindex.write_ivf_index(
+        corpus, "/tmp/magiceye_bench_ivf_flat", n_centroids=32
+    )
+    t0 = _t.perf_counter()
+    annindex.ivf_index_topk(flat, q, k=10, n_probe=8).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    out["ivf_indexed_probe"] = round(_t.perf_counter() - t0, 3)
+    pq = annindex.write_ivf_index(
+        corpus, "/tmp/magiceye_bench_ivf_pq", pq=True, n_centroids=32
+    )
+    t0 = _t.perf_counter()
+    annindex.ivf_pq_index_topk(pq, q, corpus, k=10, n_probe=8).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out["ivf_pq_indexed_probe"] = round(_t.perf_counter() - t0, 3)
+
+
+def _bench_graph_shared(spark, sf_dir: str, out: dict[str, float]) -> None:
+    """Graph family under the shared-edge-set protocol: pair generation is
+    computed and persisted ONCE (its cost is the near_dup_pairs_shared
+    seat), then each closure op consumes the cached pairs via ``pairs=``.
+    This is the honest production measurement — a pipeline that runs
+    components, keep-one, and delta-admit over one corpus computes the
+    pair relation once, not three times."""
+    import time as _t
+
+    from magiceye_spark.llmops import graph as graph_ops
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = _t.perf_counter()
+    pairs = graph_ops.near_dup_pairs(docs).persist()
+    pairs.write.format("noop").mode("overwrite").save()
+    out["near_dup_pairs_shared"] = round(_t.perf_counter() - t0, 3)
+    try:
+        for name, fn in [
+            ("dup_graph_components", graph_ops.dup_graph_components),
+            ("dedup_keep_per_cluster", graph_ops.dedup_keep_per_cluster),
+            ("delta_dedup_admit", graph_ops.delta_dedup_admit),
+        ]:
+            t0 = _t.perf_counter()
+            fn(docs, pairs=pairs).write.format("noop").mode("overwrite").save()
+            out[name] = round(_t.perf_counter() - t0, 3)
+    finally:
+        pairs.unpersist()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from magiceye_spark.session import get_spark
@@ -159,10 +227,16 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_FAMILIES", "1") != "0":
         for family, names in FAMILIES.items():
             families[family] = {}
+            if family == "graph":
+                _bench_graph_shared(spark, sf_dir, families[family])
+                spark.catalog.clearCache()
+                continue
             for name in names:
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
                 families[family][name] = round(time.perf_counter() - t0, 3)
+            if family == "ann":
+                _bench_ann_indexed(spark, sf_dir, families[family])
             spark.catalog.clearCache()  # drop per-family persisted frames
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -511,7 +511,14 @@ def t_closeness_audit(
         "n_g",
         "n_total",
         "m_bins",
-        (F.col("acum") / (F.col("m_bins") - 1).cast("double")).alias("emd"),
+        # m_bins == 1 (bin_width wider than the value range): EMD over a
+        # single ordered bin is trivially 0 — guarded, because the
+        # unguarded /0 is NULL on Spark but inf/NaN on DuckDB's IEEE
+        # division and would silently poison the CLI's --t-max gate
+        F.when(
+            F.col("m_bins") > 1,
+            F.col("acum") / (F.col("m_bins") - 1).cast("double"),
+        ).otherwise(F.lit(0.0)).alias("emd"),
     )
     return per_group.groupBy("n_total", "m_bins").agg(
         F.lit(t).alias("t"),
@@ -561,7 +568,8 @@ stepped2 AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
 per_group AS (
   SELECT {cols}, n_g, n_total, m_bins,
-         acum / CAST(m_bins - 1 AS DOUBLE) AS emd
+         CASE WHEN m_bins > 1 THEN acum / CAST(m_bins - 1 AS DOUBLE)
+              ELSE 0.0 END AS emd
   FROM stepped2 WHERE brk = m_bins)
 SELECT CAST({t} AS DOUBLE) AS t, m_bins, COUNT(*) AS n_groups,
        CAST(SUM(CASE WHEN emd > {t} THEN 1 ELSE 0 END) AS BIGINT) AS n_over_t,

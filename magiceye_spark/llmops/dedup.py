@@ -56,6 +56,151 @@ def bag_duplicate_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame
     )
 
 
+# ------------------------------------------- unicode canonicalization
+#
+# Real web corpora defeat byte-level md5 dedup with invisible variation:
+# composed vs decomposed accents (café as U+00E9 vs e+U+0301), zero-width
+# characters spliced into words, fullwidth ASCII clones (ＡＢＣ). Every
+# hash-dedup operator above keys raw bytes, so each variant class needs a
+# canonicalization pass in front of it.
+
+#: zero-width / invisible code points stripped outright: ZWSP, ZWNJ, ZWJ,
+#: word joiner, BOM/ZWNBSP, soft hyphen
+_ZERO_WIDTH_CLASS = "[​‌‍⁠﻿­]"
+#: fullwidth ASCII block (FF01-FF5E) + ideographic space -> ASCII twins.
+#: This is the width-fold slice of NFKC, applied explicitly because the
+#: rest of NFKC (ligatures, superscripts) is lossier than dedup wants.
+_FULLWIDTH = "".join(chr(c) for c in range(0xFF01, 0xFF5F)) + "　"
+_HALFWIDTH = "".join(chr(c) for c in range(0x21, 0x7F)) + " "
+
+
+def unicode_canonical_text(col: Column) -> Column:
+    """The JVM-expression slice of unicode canonicalization: strip
+    zero-width characters, fold fullwidth ASCII to halfwidth, then the
+    same trim/lower/whitespace-collapse as :func:`exact_duplicate_clusters`.
+    Composed-vs-decomposed equivalence (the NFC part) has no Spark SQL
+    expression — :func:`unicode_dup_clusters` handles it by GROUPING under
+    the ICU ``UNICODE`` collation instead of normalizing the bytes."""
+    c = F.regexp_replace(col, _ZERO_WIDTH_CLASS, "")
+    c = F.translate(c, _FULLWIDTH, _HALFWIDTH)
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def unicode_dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate clusters under UNICODE CANONICAL equivalence:
+    (keeper_doc_id, n_dups, doc_ids) for every cluster of ≥2 documents
+    whose texts are equal after zero-width stripping, width folding,
+    case/whitespace canonicalization, AND canonical (NFC-class)
+    equivalence — the homoglyph-resistant strengthening of
+    :func:`exact_duplicate_clusters`, which this strictly supersets.
+
+    Spark-first trick: there is no NFC expression in Spark SQL, but
+    Spark 4's ICU collations compare canonically-equivalent strings EQUAL
+    — so grouping by ``collate(canon, 'UNICODE')`` clusters exactly the
+    canonical-equivalence classes, pure JVM, one groupBy shuffle, no UDF
+    (python_eval_count stays 0). The DuckDB oracle reaches the same
+    classes from the other side, grouping by ``nfc_normalize()`` bytes.
+    The output deliberately carries no normalized-text hash (the two
+    engines' keys are different representations of the same class); the
+    cluster is identified by its minimum doc_id.
+
+    At 100 TB this is the same shape as exact dedup: one map-side
+    canonicalization + one groupBy on a ~uniform key; the collation key
+    adds a constant per-row cost (ICU sort-key derivation), no new
+    shuffle."""
+    canon = unicode_canonical_text(F.col(text_col))
+    return (
+        docs.select("doc_id", F.collate(canon, "UNICODE").alias("_ck"))
+        .groupBy("_ck")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
+        )
+        .where(F.col("n_dups") > 1)
+        .select("keeper_doc_id", "n_dups", "doc_ids")
+    )
+
+
+#: the halfwidth target alphabet contains ASCII ' — double it for SQL
+_HALFWIDTH_SQL = _HALFWIDTH.replace("'", "''")
+
+
+def sql_unicode_dup_clusters(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """DuckDB twin of :func:`unicode_dup_clusters` over any (doc_id, text)
+    relation: identical zero-width strip / width fold / case-whitespace
+    canon, then GROUP BY nfc_normalize bytes — the byte-level rendering of
+    the canonical-equivalence classes Spark reaches via ICU collation."""
+    return f"""
+SELECT MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_dups,
+       array_to_string(LIST(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS doc_ids
+FROM (
+  SELECT doc_id,
+         nfc_normalize(
+           regexp_replace(TRIM(LOWER(
+             translate(regexp_replace(text, '{_ZERO_WIDTH_CLASS}', '', 'g'),
+                       '{_FULLWIDTH}', '{_HALFWIDTH_SQL}')
+           )), '\\s+', ' ', 'g')
+         ) AS ck
+  FROM ({source_sql}))
+GROUP BY ck HAVING COUNT(*) > 1
+"""
+
+
+SQL_UNICODE_DUP_CLUSTERS = sql_unicode_dup_clusters()
+
+
+def unicode_anomaly_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document invisible-character audit: how many zero-width code
+    points and fullwidth ASCII clones each document carries —
+    (doc_id, n_zero_width, n_fullwidth), rows where either is non-zero.
+    The detection companion of :func:`unicode_dup_clusters`: a spike in
+    invisible characters across a source is the classic signature of
+    dedup-evasion or SEO-spam content. Pure length arithmetic before and
+    after the strip/fold — map-only, no shuffle at all."""
+    raw = F.col(text_col)
+    stripped = F.regexp_replace(raw, _ZERO_WIDTH_CLASS, "")
+    defolded = F.translate(stripped, _FULLWIDTH, _HALFWIDTH)
+    n_zw = (F.length(raw) - F.length(stripped)).cast("bigint")
+    # width folding is 1:1, so count by how many chars CHANGE: compare
+    # char-level inequality via a second strip of the fullwidth class
+    n_fw = (
+        F.length(stripped)
+        - F.length(F.regexp_replace(stripped, f"[{_FULLWIDTH}]", ""))
+    ).cast("bigint")
+    return (
+        docs.select(
+            "doc_id",
+            n_zw.alias("n_zero_width"),
+            n_fw.alias("n_fullwidth"),
+        )
+        .where((F.col("n_zero_width") > 0) | (F.col("n_fullwidth") > 0))
+        .orderBy("doc_id")
+    )
+
+
+SQL_UNICODE_ANOMALY_SCAN = f"""
+SELECT doc_id,
+       CAST(LENGTH(text) - LENGTH(regexp_replace(text, '{_ZERO_WIDTH_CLASS}', '', 'g')) AS BIGINT) AS n_zero_width,
+       CAST(LENGTH(regexp_replace(text, '{_ZERO_WIDTH_CLASS}', '', 'g'))
+            - LENGTH(regexp_replace(regexp_replace(text, '{_ZERO_WIDTH_CLASS}', '', 'g'), '[{_FULLWIDTH}]', '', 'g')) AS BIGINT) AS n_fullwidth
+FROM documents
+WHERE LENGTH(text) - LENGTH(regexp_replace(text, '{_ZERO_WIDTH_CLASS}', '', 'g')) > 0
+   OR LENGTH(regexp_replace(text, '{_ZERO_WIDTH_CLASS}', '', 'g'))
+      - LENGTH(regexp_replace(regexp_replace(text, '{_ZERO_WIDTH_CLASS}', '', 'g'), '[{_FULLWIDTH}]', '', 'g')) > 0
+ORDER BY doc_id
+"""
+
+
 def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Keep the lowest doc_id per canonical text (the actual dedup pass).
     Window over the hash — single shuffle, no driver involvement."""

@@ -139,31 +139,56 @@ def connected_components(
 
 # ------------------------------------------------- dup-cluster operators
 
-def dup_graph_components(
+def near_dup_pairs(
     docs: DataFrame, threshold: float = 0.8, length_tol: int = 60
+) -> DataFrame:
+    """The (doc_a, doc_b) near-dup pair relation every graph-family
+    operator consumes — computed ONCE here so callers running several
+    closure-based ops over the same corpus (components + keep-one +
+    delta-admit is the typical pipeline) can share one pair computation
+    (persist this and pass it as ``pairs=``) instead of re-shingling and
+    re-joining per op. Pair generation is the oracle-checkable all-pairs
+    twin (:func:`magiceye_spark.llmops.dedup.jaccard_near_dups`); at
+    corpus scale substitute ``minhash_lsh_pairs`` edges — every consumer
+    below is generator-agnostic."""
+    from magiceye_spark.llmops import dedup
+
+    return dedup.jaccard_near_dups(
+        docs, threshold=threshold, length_tol=length_tol
+    ).select("doc_a", "doc_b")
+
+
+def dup_graph_components(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    length_tol: int = 60,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, comp_id) for every document participating in at least one
     Jaccard near-dup pair: the transitive closure of the pair relation.
     ``comp_id`` is the minimum doc_id of the cluster — the keeper under
-    keep-lowest dedup policy. Pair generation is the oracle-checkable
-    all-pairs twin (:func:`magiceye_spark.llmops.dedup.jaccard_near_dups`);
-    at corpus scale feed ``minhash_lsh_pairs`` edges into
-    :func:`connected_components` instead — the closure step is identical.
+    keep-lowest dedup policy. ``pairs`` (any (doc_a, doc_b) frame —
+    :func:`near_dup_pairs`, MinHash-LSH candidates, a persisted edge set)
+    skips pair generation; the closure step is identical either way.
     """
-    from magiceye_spark.llmops import dedup
-
-    pairs = dedup.jaccard_near_dups(docs, threshold=threshold, length_tol=length_tol)
+    if pairs is None:
+        pairs = near_dup_pairs(docs, threshold=threshold, length_tol=length_tol)
     cc = connected_components(pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b")
     return cc.select(F.col("node").alias("doc_id"), "comp_id")
 
 
 def dup_cluster_stats(
-    docs: DataFrame, threshold: float = 0.8, length_tol: int = 60
+    docs: DataFrame,
+    threshold: float = 0.8,
+    length_tol: int = 60,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-cluster rollup of the transitive closure: size, id span, and
     the docs removed under keep-one policy. ``comp_id`` doubles as the
     keeper doc_id (minimum of the cluster by construction)."""
-    comps = dup_graph_components(docs, threshold=threshold, length_tol=length_tol)
+    comps = dup_graph_components(
+        docs, threshold=threshold, length_tol=length_tol, pairs=pairs
+    )
     return comps.groupBy("comp_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.max("doc_id").alias("max_doc_id"),
@@ -172,7 +197,10 @@ def dup_cluster_stats(
 
 
 def dedup_keep_per_cluster(
-    docs: DataFrame, threshold: float = 0.8, length_tol: int = 60
+    docs: DataFrame,
+    threshold: float = 0.8,
+    length_tol: int = 60,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The deduplicated corpus after TRANSITIVE closure: every document
     that is either in no near-dup pair, or the minimum-id member of its
@@ -183,8 +211,11 @@ def dedup_keep_per_cluster(
     which holds only docs that had at least one pair — AQE broadcasts it
     when the dup rate is low and shuffles on doc_id when it isn't (don't
     force a broadcast: at corpus scale a high-dup crawl makes the closure
-    itself huge)."""
-    comps = dup_graph_components(docs, threshold=threshold, length_tol=length_tol)
+    itself huge). ``pairs``: precomputed edge set, see
+    :func:`near_dup_pairs`."""
+    comps = dup_graph_components(
+        docs, threshold=threshold, length_tol=length_tol, pairs=pairs
+    )
     return (
         docs.join(comps, "doc_id", "left")
         .where(F.col("comp_id").isNull() | (F.col("comp_id") == F.col("doc_id")))
@@ -358,17 +389,20 @@ def triangle_stats(
 
 
 def dup_graph_triangles(
-    docs: DataFrame, threshold: float = 0.8, length_tol: int = 60
+    docs: DataFrame,
+    threshold: float = 0.8,
+    length_tol: int = 60,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Triangle count + local clustering coefficient per near-dup-graph
     node: ``(doc_id, deg, n_triangles, clustering)``. Distinguishes
     clique-like template families (collapse freely) from hub/chain
     clusters glued by one shared fragment (inspect before collapsing).
     Same Jaccard pair relation as :func:`dup_graph_components`; at corpus
-    scale feed MinHash-LSH pairs — the oriented wedge join is unchanged."""
-    from magiceye_spark.llmops import dedup
-
-    pairs = dedup.jaccard_near_dups(docs, threshold=threshold, length_tol=length_tol)
+    scale feed MinHash-LSH pairs — the oriented wedge join is unchanged.
+    ``pairs``: precomputed edge set, see :func:`near_dup_pairs`."""
+    if pairs is None:
+        pairs = near_dup_pairs(docs, threshold=threshold, length_tol=length_tol)
     ts = triangle_stats(pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b")
     return ts.select(
         F.col("node").alias("doc_id"), "deg", "n_triangles", "clustering"
@@ -416,6 +450,7 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 5,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over the symmetrized edge list: ``(node, deg, pagerank)``.
 
@@ -501,6 +536,7 @@ def dup_pagerank(
     length_tol: int = 60,
     damping: float = 0.85,
     iters: int = 5,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank centrality over the Jaccard near-dup graph:
     ``(doc_id, deg, pagerank)`` for every doc with at least one pair.
@@ -510,10 +546,10 @@ def dup_pagerank(
     a template family survives dedup (the highest-rank member is the one
     most other variants resemble). Same edge relation as
     :func:`dup_graph_components`; at corpus scale feed MinHash-LSH pairs
-    instead — the iteration is unchanged."""
-    from magiceye_spark.llmops import dedup
-
-    pairs = dedup.jaccard_near_dups(docs, threshold=threshold, length_tol=length_tol)
+    instead — the iteration is unchanged. ``pairs``: precomputed edge
+    set, see :func:`near_dup_pairs`."""
+    if pairs is None:
+        pairs = near_dup_pairs(docs, threshold=threshold, length_tol=length_tol)
     pr = pagerank(
         pairs.select("doc_a", "doc_b"),
         src="doc_a",
@@ -574,6 +610,7 @@ def delta_dedup_admit(
     length_tol: int = 60,
     salt: str = "ingest-v1",
     incoming_col: str | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Batch delta-ingest dedup: which INCOMING documents may join an
     EXISTING corpus? A doc is admitted iff its transitive near-dup
@@ -611,7 +648,9 @@ def delta_dedup_admit(
         flagged = docs.withColumn("is_incoming", F.col(incoming_col))
     else:
         flagged = docs.withColumn("is_incoming", bucket >= (100 - incoming_pct))
-    comps = dup_graph_components(docs, threshold=threshold, length_tol=length_tol)
+    comps = dup_graph_components(
+        docs, threshold=threshold, length_tol=length_tol, pairs=pairs
+    )
     labeled = flagged.join(comps, "doc_id", "left")
     verdicts = (
         labeled.where(F.col("comp_id").isNotNull())
@@ -672,6 +711,7 @@ def leakage_safe_split(
     threshold: float = 0.8,
     length_tol: int = 60,
     salt: str = "split-v1",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Train/eval split at NEAR-DUP-CLUSTER granularity: the split coin is
     tossed on ``split_unit`` = the doc's transitive dedup-cluster id
@@ -693,8 +733,11 @@ def leakage_safe_split(
     one left join of docs against the label frame (only docs with >= 1
     pair) plus a map-side hash — no new shuffle class beyond what dedup
     already paid. EAGER like the closure it builds on.
+    ``pairs``: precomputed edge set, see :func:`near_dup_pairs`.
     """
-    comps = dup_graph_components(docs, threshold=threshold, length_tol=length_tol)
+    comps = dup_graph_components(
+        docs, threshold=threshold, length_tol=length_tol, pairs=pairs
+    )
     unit = F.coalesce(F.col("comp_id"), F.col("doc_id"))
     bucket = (
         F.conv(

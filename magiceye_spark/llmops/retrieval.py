@@ -522,16 +522,22 @@ def hybrid_rrf_topk(
     rrf = F.coalesce(
         F.lit(1.0) / (F.lit(kconst) + F.col("r_sparse")), F.lit(0.0)
     ) + F.coalesce(F.lit(1.0) / (F.lit(kconst) + F.col("r_dense")), F.lit(0.0))
+    # order by the UNROUNDED fusion score (exactly what the SQL twin's
+    # ORDER BY computes) and round only the displayed column — sorting on
+    # the rounded value could order/cut the top-k differently from the
+    # oracle when two scores straddle a 1e-6 rounding boundary
     return (
         fused.select(
             "query_id",
             "doc_id",
             F.round(rrf, 6).alias("rrf"),
+            rrf.alias("_rrf_exact"),
             "r_sparse",
             "r_dense",
         )
-        .orderBy(F.desc("rrf"), "doc_id")
+        .orderBy(F.desc("_rrf_exact"), "doc_id")
         .limit(k)
+        .drop("_rrf_exact")
     )
 
 

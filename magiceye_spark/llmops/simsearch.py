@@ -186,12 +186,12 @@ def _hyperplanes(dim: int = 64, n_planes: int = 16, seed: int = 7) -> list[list[
 
 
 def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign bits of the projections onto each hyperplane, as array<int>."""
-    return F.array(
-        *[
-            (dot(vec, F.array(*[F.lit(v) for v in p])) > 0).cast("int")
-            for p in planes
-        ]
+    """Sign bits of the projections onto each hyperplane, as array<int>.
+    One nested plane-matrix literal + transform, not per-element ``F.lit``
+    trees (see :func:`_best_cells` — py4j construction cost)."""
+    return F.transform(
+        F.lit([[float(v) for v in p] for p in planes]),
+        lambda p: (dot(vec, p) > 0).cast("int"),
     )
 
 
@@ -300,17 +300,61 @@ def _ivf_centroids(
 
 def _best_cells(vec: Column, cents: dict[int, list[float]], n: int) -> Column:
     """Top-n (score, cell) structs by cosine to each centroid — argmax/top-n
-    via sort of structs, pure JVM expressions, zero shuffle."""
-    pairs = F.array(
-        *[
-            F.struct(
-                cosine(vec, F.array(*[F.lit(v) for v in cvec])).alias("score"),
-                F.lit(i).alias("cell"),
-            )
-            for i, cvec in cents.items()
-        ]
+    via sort of structs, pure JVM expressions, zero shuffle.
+
+    The centroid matrix is ONE nested array literal walked with an indexed
+    ``transform``, not per-element ``F.lit`` trees: building 32×64 literal
+    Columns costs thousands of py4j round-trips (~2 s of pure driver time
+    per expression; measured r7), where one ``F.lit(matrix)`` plus a single
+    lambda is milliseconds — identical row-level math, 100× cheaper to
+    construct and a far smaller tree for Catalyst to optimize."""
+    cmat = [cents[i] for i in sorted(cents)]  # cell ids are 0..n_cent-1
+    pairs = F.transform(
+        F.lit(cmat),
+        lambda c, i: F.struct(
+            cosine(vec, c).alias("score"), i.cast("int").alias("cell")
+        ),
     )
     return F.slice(F.reverse(F.array_sort(pairs)), 1, n)
+
+
+def _ivf_probe(
+    assigned: DataFrame,
+    queries: DataFrame,
+    cents: dict[int, list[float]],
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Probe phase shared by the fit-per-call path (:func:`ivf_topk`) and
+    the stored-index path (:func:`magiceye_spark.llmops.annindex.ivf_index_topk`):
+    ``assigned`` is the cell-assigned corpus (neighbor_id, c_vec, cell),
+    whether just computed or read back from parquet. One code path means
+    probe-from-stored is structurally identical to probe-from-fit — the
+    equivalence the index tests pin."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.transform(_best_cells(F.col(vec_col), cents, n_probe), lambda s: s["cell"])
+        ).alias("cell"),
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
 
 
 def ivf_topk(
@@ -322,10 +366,16 @@ def ivf_topk(
     kmeans_iters: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index=None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: partition the corpus into
     Voronoi cells around centroids, search only the ``n_probe`` cells
     nearest each query.
+
+    Pass ``index`` (an :class:`~magiceye_spark.llmops.annindex.IvfIndex`
+    from ``write_ivf_index``/``read_ivf_index``) to skip the fit+assign
+    entirely and probe the stored, cell-partitioned postings instead —
+    the build-once/probe-many path; ``corpus``/fit parameters are ignored.
 
     Centroids come from :func:`_ivf_centroids` — spherical k-means fitted
     driver-side on a bounded TakeOrdered sample (one scan, bounded collect
@@ -343,10 +393,11 @@ def ivf_topk(
     n_centroids · dim multiply-adds (whole-stage codegen, no shuffle);
     defaults balance that against the recall curve.
     """
-    cents = _ivf_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+    if index is not None:
+        from magiceye_spark.llmops.annindex import ivf_index_topk
 
-    def best_cells(vec: Column, n: int) -> Column:
-        return _best_cells(vec, cents, n)
+        return ivf_index_topk(index, queries, k=k, n_probe=n_probe)
+    cents = _ivf_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
 
     # explicit spread: cell assignment + the probe-join cosine scan are
     # CPU-bound (n_centroids·dim multiply-adds per row) on byte-light
@@ -357,30 +408,9 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        best_cells(F.col(vec_col), 1)[0]["cell"].alias("cell"),
+        _best_cells(F.col(vec_col), cents, 1)[0]["cell"].alias("cell"),
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(
-            F.transform(best_cells(F.col(vec_col), n_probe), lambda s: s["cell"])
-        ).alias("cell"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _ivf_probe(c, queries, cents, k, n_probe, id_col, vec_col)
 
 
 def _train_pq_codebooks(
@@ -412,55 +442,32 @@ def _train_pq_codebooks(
     return books
 
 
-def ivf_pq_topk(
+def _pq_fit(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_centroids: int = 32,
-    n_probe: int = 8,
-    m_subvectors: int = 8,
-    n_codes: int = 16,
-    kmeans_iters: int = 8,
-    rerank: int | None = None,
-    train_sample: int = 512,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """IVF-PQ approximate top-k: IVF coarse cells + product-quantized
-    residuals scored by asymmetric distance computation (ADC), then an
-    exact rerank of the survivors.
-
-    The memory story at 100 TB: after encoding, the searchable index is
-    (id, cell, m_subvectors × log2(n_codes)-bit codes) — 8 bytes of code
-    per vector at the defaults vs 256 bytes of float32, a 32× compression.
-    The ADC candidate scan touches ONLY that compact table; full vectors
-    are read again just for the ``rerank`` finalists per query, via a
-    broadcast join of the (tiny) candidate list against the vector table.
-
-    All per-row math is JVM expressions (no UDF): cell assignment is the
-    shared :func:`_best_cells` argmax; encoding picks each subvector's
-    nearest codebook entry by argmin-over-literals; query-side lookup
-    tables are dot products against codebook literals, and the ADC score is
-    ``dot(q̂, centroid) + Σ_m LUT[m][code_m]`` — an O(m) sum per candidate
-    regardless of dimension. Codebooks are trained on a deterministic
-    ``train_sample``-vector strided sample (driver-side numpy k-means on
-    residuals — the one non-Spark step, sized like the model it produces).
-
-    Same output shape as :func:`cosine_topk` (exact cosine on reranked
-    rows); recall vs brute force is measured in tests.
-    """
-    rerank = rerank if rerank is not None else 10 * k
-    cents = _ivf_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+    n_centroids: int,
+    kmeans_iters: int,
+    m_subvectors: int,
+    n_codes: int,
+    train_sample: int,
+    id_col: str,
+    vec_col: str,
+    fit_sample: int = 4096,
+) -> tuple[dict[int, list[float]], list[list[list[float]]]]:
+    """Fit the full IVF-PQ model (coarse centroids + per-subspace residual
+    codebooks) on bounded deterministic samples. Shared by the fit-per-call
+    path (:func:`ivf_pq_topk`) and the stored-index builder
+    (:func:`magiceye_spark.llmops.annindex.write_ivf_index`) so both train
+    the byte-identical model from the same corpus."""
     import numpy as np
 
+    cents = _ivf_centroids(
+        corpus, n_centroids, kmeans_iters, id_col, vec_col, fit_sample=fit_sample
+    )
     cent_mat = np.asarray([cents[i] for i in sorted(cents)], dtype=np.float64)
     cent_norm = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
     dim = cent_mat.shape[1]
     if dim % m_subvectors:
         raise ValueError(f"dim {dim} not divisible by m_subvectors {m_subvectors}")
-    sub_d = dim // m_subvectors
-
-    # ---- train codebooks on residuals of a deterministic corpus sample
     sample = [
         list(r[1])
         for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
@@ -471,48 +478,68 @@ def ivf_pq_topk(
     books = _train_pq_codebooks(
         (s_norm - cent_norm[s_cells]).tolist(), m_subvectors, n_codes
     )
+    return cents, books
 
-    # the fitted model as TWO literal arrays (centroids, m×n_codes×sub_d
-    # codebooks) walked with higher-order functions — keeps the expression
-    # tree small (plan optimize/codegen cost is per-node; an unrolled
-    # per-code tree compiles 10× slower for identical row-level work)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in row]) for row in cent_norm]
+
+def _pq_model_literals(
+    cents: dict[int, list[float]], books: list[list[list[float]]]
+) -> tuple[Column, Column]:
+    """The fitted model as TWO literal arrays (normalized centroids,
+    m×n_codes×sub_d codebooks) walked with higher-order functions — keeps
+    the expression tree small (plan optimize/codegen cost is per-node; an
+    unrolled per-code tree compiles 10× slower for identical row work).
+    Each is ONE nested ``F.lit`` — see :func:`_best_cells` on why
+    per-element literal Columns are a driver-time trap."""
+    import numpy as np
+
+    cent_mat = np.asarray([cents[i] for i in sorted(cents)], dtype=np.float64)
+    cent_norm = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
+    cent_lit = F.lit([[float(v) for v in row] for row in cent_norm])
+    books_lit = F.lit(
+        [[[float(v) for v in row] for row in book] for book in books]
     )
-    books_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(v) for v in row]) for row in book])
-            for book in books
-        ]
+    return cent_lit, books_lit
+
+
+def _pq_normalized(vec: Column) -> Column:
+    n = norm(vec)
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
+def _pq_sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
 
-    def normalized(vec: Column) -> Column:
-        n = norm(vec)
-        return F.transform(vec, lambda x: x.cast("double") / n)
 
-    def sq_dist(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+def _pq_argmin_idx(dists: Column) -> Column:
+    # first index of the min — doubles compare bit-exact against
+    # themselves, so array_position is safe and ties break low/deterministic
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    def argmin_idx(dists: Column) -> Column:
-        # first index of the min — doubles compare bit-exact against
-        # themselves, so array_position is safe and ties break low/deterministic
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
-    # ---- encode: (neighbor_id, cell, codes[m]) — the compact index table
-    # explicit spread: encoding is m·n_codes·dim flops per row on
-    # byte-light rows — AQE/scan sizing would single-task it (measured
-    # 7.4 s of 1-task stages at sf0.1); the ADC scan that follows
-    # inherits this partitioning
-    corpus = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism, id_col
-    )
-    nv = normalized(F.col(vec_col))
-    enc = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
+def _pq_encode(
+    df: DataFrame,
+    cents: dict[int, list[float]],
+    books: list[list[list[float]]],
+    m_subvectors: int,
+    id_col: str,
+    vec_col: str,
+    id_alias: str = "neighbor_id",
+) -> DataFrame:
+    """Encode vectors against a fitted model: (id, cell, codes[m]) — the
+    compact index table. Pure JVM expressions (argmin over codebook
+    literals); shared by the fit-per-call search, the index writer, and
+    the incremental index-add path so all three produce identical codes
+    for identical vectors."""
+    dim = len(next(iter(cents.values())))
+    sub_d = dim // m_subvectors
+    cent_lit, books_lit = _pq_model_literals(cents, books)
+    nv = _pq_normalized(F.col(vec_col))
+    enc = df.select(
+        F.col(id_col).alias(id_alias),
         _best_cells(F.col(vec_col), cents, 1)[0]["cell"].alias("cell"),
         nv.alias("_nv"),
     ).withColumn(
@@ -520,19 +547,41 @@ def ivf_pq_topk(
     )
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(m_subvectors - 1)),
-        lambda mi: argmin_idx(
+        lambda mi: _pq_argmin_idx(
             F.transform(
                 F.get(books_lit, mi),
-                lambda row: sq_dist(
+                lambda row: _pq_sq_dist(
                     F.slice(F.col("_res"), mi * sub_d + 1, sub_d), row
                 ),
             )
         ),
     )
-    enc = enc.select("neighbor_id", "cell", codes.alias("codes"))
+    return enc.select(id_alias, "cell", codes.alias("codes"))
+
+
+def _pq_search(
+    enc: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: dict[int, list[float]],
+    books: list[list[list[float]]],
+    m_subvectors: int,
+    k: int,
+    n_probe: int,
+    rerank: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """ADC candidate scan over a code table + exact rerank — shared by
+    :func:`ivf_pq_topk` (codes just encoded) and the stored-index path
+    (codes read back from parquet). ``corpus`` supplies full vectors for
+    the rerank join only; the candidate scan touches codes alone."""
+    dim = len(next(iter(cents.values())))
+    sub_d = dim // m_subvectors
+    _, books_lit = _pq_model_literals(cents, books)
 
     # ---- query side: probe cells + per-subspace LUTs (broadcast-sized)
-    nq = normalized(F.col(vec_col))
+    nq = _pq_normalized(F.col(vec_col))
     probes = _best_cells(F.col(vec_col), cents, n_probe)
     lut = F.transform(
         F.sequence(F.lit(0), F.lit(m_subvectors - 1)),
@@ -588,6 +637,76 @@ def ivf_pq_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    m_subvectors: int = 8,
+    n_codes: int = 16,
+    kmeans_iters: int = 8,
+    rerank: int | None = None,
+    train_sample: int = 512,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index=None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: IVF coarse cells + product-quantized
+    residuals scored by asymmetric distance computation (ADC), then an
+    exact rerank of the survivors.
+
+    Pass ``index`` (a PQ :class:`~magiceye_spark.llmops.annindex.IvfIndex`)
+    to skip fit+encode and ADC-scan the stored code table instead;
+    ``corpus`` is still used for the exact rerank of the finalists (PQ
+    indexes store codes, not vectors — see annindex module docs).
+
+    The memory story at 100 TB: after encoding, the searchable index is
+    (id, cell, m_subvectors × log2(n_codes)-bit codes) — 8 bytes of code
+    per vector at the defaults vs 256 bytes of float32, a 32× compression.
+    The ADC candidate scan touches ONLY that compact table; full vectors
+    are read again just for the ``rerank`` finalists per query, via a
+    broadcast join of the (tiny) candidate list against the vector table.
+
+    All per-row math is JVM expressions (no UDF): cell assignment is the
+    shared :func:`_best_cells` argmax; encoding picks each subvector's
+    nearest codebook entry by argmin-over-literals; query-side lookup
+    tables are dot products against codebook literals, and the ADC score is
+    ``dot(q̂, centroid) + Σ_m LUT[m][code_m]`` — an O(m) sum per candidate
+    regardless of dimension. Codebooks are trained on a deterministic
+    ``train_sample``-vector strided sample (driver-side numpy k-means on
+    residuals — the one non-Spark step, sized like the model it produces).
+
+    Same output shape as :func:`cosine_topk` (exact cosine on reranked
+    rows); recall vs brute force is measured in tests.
+    """
+    rerank = rerank if rerank is not None else 10 * k
+    if index is not None:
+        from magiceye_spark.llmops.annindex import ivf_pq_index_topk
+
+        return ivf_pq_index_topk(
+            index, queries, corpus, k=k, n_probe=n_probe, rerank=rerank
+        )
+    cents, books = _pq_fit(
+        corpus, n_centroids, kmeans_iters, m_subvectors, n_codes, train_sample,
+        id_col, vec_col,
+    )
+
+    # ---- encode: (neighbor_id, cell, codes[m]) — the compact index table
+    # explicit spread: encoding is m·n_codes·dim flops per row on
+    # byte-light rows — AQE/scan sizing would single-task it (measured
+    # 7.4 s of 1-task stages at sf0.1); the ADC scan that follows
+    # inherits this partitioning
+    corpus = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, id_col
+    )
+    enc = _pq_encode(corpus, cents, books, m_subvectors, id_col, vec_col)
+    return _pq_search(
+        enc, corpus, queries, cents, books, m_subvectors, k, n_probe, rerank,
+        id_col, vec_col,
     )
 
 
@@ -1347,10 +1466,10 @@ def embedding_pca_project(
     mu = [0.0] * d
     for r in mrows:
         mu[r.i - 1] = r.mu
-    mu_lit = F.array(*[F.lit(x) for x in mu])
+    mu_lit = F.lit([float(x) for x in mu])
     proj_cols = []
     for ci, comp in enumerate(comps):
-        comp_lit = F.array(*[F.lit(x) for x in comp])
+        comp_lit = F.lit([float(x) for x in comp])
         score = F.aggregate(
             F.zip_with(
                 F.zip_with(

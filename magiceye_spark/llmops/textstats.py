@@ -1248,15 +1248,30 @@ def bpe_train(
     End-of-word is modeled with a '</w>' sentinel so merges never cross
     word boundaries."""
     toks = F.explode(_tokens(F.col(text_col))).alias("w")
-    words = (
+    all_types = (
         docs.select(toks)
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("w"))
-        .limit(max_word_types)
     )
+    words = all_types.orderBy(F.desc("n"), F.asc("w")).limit(max_word_types)
     wc = [(r["w"], int(r["n"])) for r in words.collect()]
+    # no-silent-caps rule (README): if the tail cut binds, SAY so — a
+    # silently truncated type table trains a subtly different vocabulary.
+    # One extra count over the already-aggregated (distinct-word-sized)
+    # frame, only when the collect hit the cap exactly.
+    if len(wc) == max_word_types:
+        n_types = all_types.count()
+        if n_types > max_word_types:
+            import warnings
+
+            warnings.warn(
+                f"bpe_train: word-type table truncated to max_word_types="
+                f"{max_word_types} ({n_types - max_word_types} lowest-"
+                f"frequency types dropped, {n_types} total); raise "
+                f"max_word_types or pre-filter by min frequency",
+                stacklevel=2,
+            )
 
     splits = {w: tuple(list(w) + ["</w>"]) for w, _ in wc}
     counts: dict[str, int] = dict(wc)

@@ -54,46 +54,62 @@ def register(name: str, oracle: Optional[str]):
 # those have tolerance pins in pytest instead). Everything not listed follows
 # in registration order; pytest's oracle-parity sweep covers the full set.
 _DRIVER_WINDOW = [
+    # ROTATION PLAN (r7 onward): the window is 50 seats but only 81 of the
+    # 226 oracle-backed queries had ever earned a driver row through r6 —
+    # the rest were green only in pytest's self-reported sf0.001 sweep. So
+    # each round rotates long-green family representatives OUT (they stay
+    # registered and oracle-checked in pytest) and never-driver-attested
+    # queries IN, until every family's members have driver rows at sf0.01.
+    # r7 rotation: 18 seats swapped (evicted → entrant, family intact):
+    #   schema_missing_tables/column/index/fk → scd2_history,
+    #     scd2_point_in_time, benford_totalprice_screen,
+    #     order_total_reconciliation (schema family keeps diff_full+report,
+    #     which union the four partial diffs)
+    #   q1/q3/q5 → q9_product_profit stays out; entrants
+    #     events_daily_trend_ols (r7-guarded divisions), events_hll_users,
+    #     k_anonymity_customers (TPC-H keeps q6+q18+fd_audit)
+    #   text_stats → hybrid_rrf_topk (text keeps language_id+vocab_topk)
+    #   cosine_topk/embedding_near_dups → ivf_indexed_exact (NEW r7:
+    #     stored-index lifecycle), dup_pagerank
+    #   jaccard_near_dups/dedup_exact_corpus → allpairs_jaccard_join,
+    #     edit_distance_near_dups
+    #   datadiff_incremental → cdc_chunk_near_dups (row-diff keeps
+    #     datadiff_lineitem)
+    #   profile_lineitem → containment_near_dups_indexed (profiling keeps
+    #     profile_drift 2-snapshot variant)
+    #   events_hourly_rollup/top_users_by_events → dedup_keep_per_cluster,
+    #     delta_dedup_admit (rollups keep events_daily_trend_robust)
+    #   media_catalog → winnow_overlap_pairs (multimodal keeps phash row)
+    #   corpus_hash_split → leakage_safe_split (pipeline keeps
+    #     decontamination_overlap + split_leakage_audit)
     # reference surface: schema diff (S/D/R ops)
-    "schema_missing_tables",
-    "schema_column_diffs",
-    "schema_index_diffs",
-    "schema_fk_diffs",
     "schema_diff_full",
     "schema_diff_report",
-    # row-level data diff family (summary seat ceded to ivf_ann_exact in r4
-    # so the ANN machinery gets a deterministic driver row; the fingerprint
-    # seat ceded to split_leakage_audit late-r4; the dataset_summary and
-    # rowset seats ceded to bm25_topk and duplicate_spans later in r4 so
-    # the retrieval and substring-dedup families get driver rows — all
-    # evicted queries stay registered and oracle-checked in pytest's sweep)
+    # row-level data diff / history
     "datadiff_lineitem",
-    "datadiff_incremental",
+    "scd2_history",
+    "scd2_point_in_time",
     "bm25_topk",
     "duplicate_spans",
-    # datadiff_lineitem_directional's seat ceded to phash_near_dups in r6
-    # so multimodal gets a second driver row (perceptual dedup, not just
-    # catalog); the directional diff stays oracle-checked in pytest's sweep
-    # profiling / data quality
-    "profile_lineitem",
+    # profiling / data quality / reconciliation
     "profile_drift_lineitem",
     "dq_lineitem",
+    "benford_totalprice_screen",
+    "order_total_reconciliation",
+    "k_anonymity_customers",
     # relational analytics (TPC-H shapes; the rest stay pytest-guarded)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q18_large_volume_customers",
     "fd_audit_orders",
-    # rollups / set ops / pivot
-    "events_hourly_rollup",
+    # rollups / trends / sketches
     "events_daily_trend_robust",
-    "top_users_by_events",
-    # orders_customer_rollup's seat ceded to dup_graph_components in r6 so
-    # the iterative-graph family (near-dup transitive closure — the first
-    # eager fixpoint algorithm in the repo) carries a driver row; the
-    # evicted rollup stays oracle-checked in pytest's sweep
+    "events_daily_trend_ols",
+    "events_hll_users",
+    # iterative-graph family: closure + both closure consumers + centrality
     "dup_graph_components",
+    "dedup_keep_per_cluster",
+    "delta_dedup_admit",
+    "dup_pagerank",
     "events_cusum_stream_twin",
     "events_ks_drift",
     "t_closeness_customers",
@@ -101,13 +117,7 @@ _DRIVER_WINDOW = [
     "events_sessionize",
     "purchase_last_click_asof",
     "nb_source_confusion",
-    # clicks_before_purchase's seat ceded to events_psi_stream_twin in r6
-    # so BOTH streaming styles (stateful quota + stateless drift) carry a
-    # driver row; the evicted query stays oracle-checked in pytest's sweep
     "events_psi_stream_twin",
-    # user_running_stats seat ceded to the streaming family's batch twin
-    # (same partitioned-window physical shape; the evicted query stays
-    # registered and oracle-checked in pytest's sweep)
     "events_quota_batch_twin",
     "conversion_funnel",
     "embedding_covariance",
@@ -115,24 +125,28 @@ _DRIVER_WINDOW = [
     "events_value_distribution",
     "snm_near_dups",
     "events_value_k_corr",
-    # text analysis
-    "text_stats",
+    # text analysis / retrieval (vocab_topk rotated out r7 — long green,
+    # still bench-headlined and pytest-checked — for the NEW r7 unicode
+    # canonical dedup row, which plants five zero-width clones and must
+    # cluster each with its source)
     "schema_rename_candidates",
     "language_id",
-    "vocab_topk",
-    # deduplication
-    "dedup_exact_corpus",
-    "jaccard_near_dups",
+    "unicode_dup_clusters",
+    "hybrid_rrf_topk",
+    "winnow_overlap_pairs",
+    # deduplication ladder: exact-join, bounded-DP, chunking, containment
+    "allpairs_jaccard_join",
+    "edit_distance_near_dups",
+    "cdc_chunk_near_dups",
+    "containment_near_dups_indexed",
     # pipeline curation
-    "corpus_hash_split",
     "decontamination_overlap",
     "split_leakage_audit",
-    # similarity search
-    "cosine_topk",
-    "embedding_near_dups",
+    "leakage_safe_split",
+    # similarity search: fit-per-call exact twin + stored-index lifecycle
     "ivf_ann_exact",
+    "ivf_indexed_exact",
     # multimodal
-    "media_catalog",
     "phash_near_dups",
 ]
 
@@ -895,6 +909,48 @@ def exact_dups_q(spark, sf_dir):
     return dedup.exact_duplicate_clusters(_docs(spark, sf_dir))
 
 
+_UNICODE_PLANT_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 10000000,
+       substr(text, 1, 1) || chr(8203) || substr(text, 2)
+FROM documents WHERE doc_id < 5
+"""
+
+
+@register(
+    "unicode_dup_clusters", dedup.sql_unicode_dup_clusters(_UNICODE_PLANT_SQL)
+)
+def unicode_dups_q(spark, sf_dir):
+    """Homoglyph-resistant exact dedup: clusters under zero-width strip +
+    width fold + canonical (NFC-class) equivalence. Spark groups by the
+    ICU UNICODE collation (pure JVM — no NFC expression exists, collation
+    equality IS canonical equivalence); the oracle groups by DuckDB
+    nfc_normalize bytes — two engines reaching the same equivalence
+    classes by different keys. The corpus ships no unicode-variant dups,
+    so — the synthcat-perturbation precedent — both engines union in five
+    deterministic zero-width-spliced clones of docs 0-4: the operator must
+    cluster each clone with its source (byte-level md5 dedup misses all
+    five; the raw-vs-canonical contrast is pinned in test_r7_ops)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 1),
+            F.lit("​"),
+            F.expr("substring(text, 2)"),
+        ).alias("text"),
+    )
+    return dedup.unicode_dup_clusters(docs.unionByName(planted))
+
+
+@register("unicode_anomaly_scan", dedup.SQL_UNICODE_ANOMALY_SCAN)
+def unicode_anomaly_q(spark, sf_dir):
+    """Invisible-character audit (zero-width + fullwidth counts per doc)
+    — the detection side of dedup-evasion canonicalization."""
+    return dedup.unicode_anomaly_scan(_docs(spark, sf_dir))
+
+
 @register("bag_dup_clusters", dedup.SQL_BAG_CLUSTERS)
 def bag_dups_q(spark, sf_dir):
     return dedup.bag_duplicate_clusters(_docs(spark, sf_dir))
@@ -1194,6 +1250,40 @@ def ivf_pq_topk_q(spark, sf_dir):
     corpus = _embs(spark, sf_dir)
     queries_df = corpus.where(F.col("vec_id").isin(_QUERY_VEC_IDS))
     return simsearch.ivf_pq_topk(corpus, queries_df, k=10)
+
+
+def _ann_index_path(sf_dir: str, pq: bool = False) -> str:
+    """Deterministic per-sf temp location for the stored ANN index — same
+    keyed-tempdir pattern as datadiff_incremental_pruned. The index is
+    REBUILT (mode overwrite) on every call so the query stays
+    self-contained for the correctness driver; bench.py separately times
+    the amortized probe-only path."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    kind = "pq_" if pq else ""
+    return os.path.join(tempfile.gettempdir(), f"magiceye_ivfidx_{kind}{tag}")
+
+
+@register("ivf_indexed_exact", simsearch.sql_cosine_topk(_QUERY_VEC_IDS, k=10))
+def ivf_indexed_exact_q(spark, sf_dir):
+    """The FULL stored-index lifecycle under an exact oracle: fit → encode
+    → write parquet (cell-partitioned postings) → read back → probe with
+    n_probe = n_centroids. Probing every cell makes the result brute-force
+    cosine top-k exactly, so any slip anywhere in the persistence chain —
+    a float that doesn't round-trip, a dropped posting, a partition-pruning
+    bug eating a cell — breaks the hash match. Complements ivf_ann_exact
+    (same contract, fit-per-call path)."""
+    from magiceye_spark.llmops import annindex
+
+    corpus = _embs(spark, sf_dir)
+    idx = annindex.write_ivf_index(
+        corpus, _ann_index_path(sf_dir), n_centroids=16, kmeans_iters=2
+    )
+    queries_df = corpus.where(F.col("vec_id").isin(_QUERY_VEC_IDS))
+    return annindex.ivf_index_topk(idx, queries_df, k=10, n_probe=16)
 
 
 @register("ivf_ann_exact", simsearch.sql_cosine_topk(_QUERY_VEC_IDS, k=10))

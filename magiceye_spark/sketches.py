@@ -498,10 +498,17 @@ def daily_trend_ols(events: DataFrame) -> DataFrame:
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    intercept = (sy - slope * sx) / n
-    r2 = ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (
-        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    # guarded divisions (same discipline as the trend/corr siblings): one
+    # observed day makes the slope denominator 0, constant daily totals
+    # make the r² denominator 0 — unguarded, Spark (non-ANSI) yields NULL
+    # while DuckDB's IEEE division yields inf/NaN, a cross-engine split
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    slope = F.when(dx > 0, (n * sxy - sx * sy) / dx)
+    intercept = F.when(dx > 0, (sy - ((n * sxy - sx * sy) / dx) * sx) / n)
+    r2 = F.when(
+        (dx > 0) & (dy > 0),
+        ((n * sxy - sx * sy) * (n * sxy - sx * sy)) / (dx * dy),
     )
     return m.select(
         "event_type",
@@ -529,10 +536,13 @@ m AS (
   FROM daily GROUP BY 1)
 SELECT event_type,
        CAST(n AS BIGINT) AS n_days,
-       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
-       ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+       CASE WHEN n * sxx - sx * sx > 0
+            THEN ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) END AS intercept,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+            THEN ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                       / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS r2
 FROM m
 ORDER BY event_type
 """
@@ -1168,13 +1178,22 @@ def ks_half_month_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def daily_type_spearman(events: DataFrame) -> DataFrame:
     """Pairwise Spearman rank correlation between event types' daily
     totals — the robust companion to :func:`daily_type_correlation`
-    (monotone co-movement, immune to single-day spikes). Proper
-    average-rank tie handling: for a tie group the rank is
-    min_rank + (t−1)/2, kept EXACT by carrying 2·rank as an integer
-    (2·avg_rank = 2·min_rank + t − 1), so all five moments are exact
-    integer sums and ρ is one closed-form IEEE expression. Rank windows
-    are partitioned per type; the day-key join runs on groups×days
-    rows."""
+    (monotone co-movement, immune to single-day spikes). Average-rank tie
+    handling: for a tie group the rank is min_rank + (t−1)/2, kept EXACT
+    by carrying 2·rank as an integer (2·avg_rank = 2·min_rank + t − 1),
+    so all five moments are exact integer sums and ρ is one closed-form
+    IEEE expression. Rank windows are partitioned per type; the day-key
+    join runs on groups×days rows.
+
+    SEMANTICS NOTE: each type is ranked over its FULL daily series, then
+    ρ is computed over the pair's common days — deliberately, so a type's
+    ranks are stable across every pairing (one rank pass, not one per
+    pair). When two types cover different day sets this is Pearson-of-
+    full-series-ranks on the overlap, which can differ from a textbook
+    Spearman that re-ranks within the paired sample (ranks there are
+    1..n of the overlap). The SQL twin computes the identical quantity,
+    so engine parity is unaffected; re-rank the joined day set per pair
+    if sample-local Spearman is required."""
     from pyspark.sql.window import Window
 
     daily = _daily_totals(events)

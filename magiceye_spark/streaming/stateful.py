@@ -664,7 +664,18 @@ def cusum_alarm_stream(
     frozen by :func:`fit_cusum_baseline` (same discipline as the PSI
     monitor). Emits the cumulative summary row per type each micro-batch
     (update semantics); the final row equals :func:`cusum_alarm_batch`
-    on the same data — pinned in tests."""
+    on the same data — pinned in tests.
+
+    ORDERING ASSUMPTION: CUSUM is order-sensitive, and the fold sorts by
+    (ts_us, event_id) only WITHIN each micro-batch — an event arriving in
+    a later micro-batch than a chronologically later event is folded out
+    of order, and the (p, minp) trajectory (hence alarm count/position)
+    can differ from the batch twin. The stream==batch equality pinned in
+    tests therefore holds under in-order arrival (true for the replayed
+    file source used here). Production use over out-of-order transports
+    needs event-time ordering upstream — e.g. a watermark-delayed
+    sort-within-window stage — or tolerance for alarm-position jitter
+    bounded by the reordering window."""
     from pyspark.sql import functions as F
 
     prepared = stream.select(

@@ -1,0 +1,239 @@
+"""Round-7 operators: persistent ANN index (build-once / probe-many IVF
+and IVF-PQ), incremental index add, and the stored-vs-fit equivalences
+the annindex module promises."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from magiceye_spark import plans
+from magiceye_spark.llmops import annindex, simsearch
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _queries(corpus, ids=range(8)):
+    return corpus.where(F.col("vec_id").isin(list(ids)))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# --------------------------------------------------- stored == fit-per-call
+
+def test_flat_index_probe_equals_fit_probe(spark, sf_dir, tmp_path):
+    """Probe-from-stored must be bit-identical to probe-from-fit: same
+    corpus, same fit parameters, one path through parquet."""
+    corpus = _embs(spark, sf_dir)
+    q = _queries(corpus)
+    fit = simsearch.ivf_topk(
+        corpus, q, k=10, n_centroids=16, n_probe=4, kmeans_iters=2
+    )
+    idx = annindex.write_ivf_index(
+        corpus, str(tmp_path / "flat"), n_centroids=16, kmeans_iters=2
+    )
+    stored = annindex.ivf_index_topk(idx, q, k=10, n_probe=4)
+    assert _rows(stored) == _rows(fit)
+
+
+def test_pq_index_probe_equals_fit_probe(spark, sf_dir, tmp_path):
+    corpus = _embs(spark, sf_dir)
+    q = _queries(corpus)
+    fit = simsearch.ivf_pq_topk(
+        corpus, q, k=10, n_centroids=16, n_probe=4, kmeans_iters=2
+    )
+    idx = annindex.write_ivf_index(
+        corpus, str(tmp_path / "pq"), pq=True, n_centroids=16, kmeans_iters=2
+    )
+    stored = annindex.ivf_pq_index_topk(idx, q, corpus, k=10, n_probe=4)
+    assert _rows(stored) == _rows(fit)
+
+
+def test_ivf_topk_accepts_prebuilt_index(spark, sf_dir, tmp_path):
+    """The index= parameter routes ivf_topk/ivf_pq_topk through the stored
+    path — fit parameters ignored, results equal the explicit probe."""
+    corpus = _embs(spark, sf_dir)
+    q = _queries(corpus)
+    idx = annindex.write_ivf_index(
+        corpus, str(tmp_path / "flat"), n_centroids=16, kmeans_iters=2
+    )
+    via_param = simsearch.ivf_topk(corpus, q, k=10, n_probe=4, index=idx)
+    explicit = annindex.ivf_index_topk(idx, q, k=10, n_probe=4)
+    assert _rows(via_param) == _rows(explicit)
+
+    pq_idx = annindex.write_ivf_index(
+        corpus, str(tmp_path / "pq"), pq=True, n_centroids=16, kmeans_iters=2
+    )
+    via_param = simsearch.ivf_pq_topk(corpus, q, k=10, n_probe=4, index=pq_idx)
+    explicit = annindex.ivf_pq_index_topk(pq_idx, q, corpus, k=10, n_probe=4)
+    assert _rows(via_param) == _rows(explicit)
+
+
+def test_indexed_exact_mode_matches_bruteforce(spark, sf_dir, tmp_path):
+    """n_probe = n_centroids probes every cell: the stored index must
+    reproduce brute-force cosine top-k exactly, independent of centroid
+    quality — the deterministic driver-row contract."""
+    corpus = _embs(spark, sf_dir)
+    q = _queries(corpus)
+    idx = annindex.write_ivf_index(
+        corpus, str(tmp_path / "flat"), n_centroids=16, kmeans_iters=2
+    )
+    stored = annindex.ivf_index_topk(idx, q, k=10, n_probe=16)
+    brute = simsearch.cosine_topk(corpus, q, k=10)
+    assert _rows(stored) == _rows(brute)
+
+
+# --------------------------------------------------------- incremental add
+
+def test_index_add_equals_rebuild_flat(spark, sf_dir, tmp_path):
+    """Build on a prefix that contains the whole fit sample, add the rest:
+    postings and probe results must equal a from-scratch build on the full
+    corpus (the model is a pure function of the fit sample)."""
+    corpus = _embs(spark, sf_dir)
+    head = corpus.where(F.col("vec_id") < 250)
+    tail = corpus.where(F.col("vec_id") >= 250)
+    p_incr = str(tmp_path / "incr")
+    annindex.write_ivf_index(
+        head, p_incr, n_centroids=8, kmeans_iters=2, fit_sample=128
+    )
+    n = annindex.ivf_index_add(spark, p_incr, tail)
+    assert n == tail.count()
+    p_full = str(tmp_path / "full")
+    annindex.write_ivf_index(
+        corpus, p_full, n_centroids=8, kmeans_iters=2, fit_sample=128
+    )
+    incr = annindex.read_ivf_index(spark, p_incr)
+    full = annindex.read_ivf_index(spark, p_full)
+    assert incr.centroids == full.centroids
+    assert _rows(incr.postings) == _rows(full.postings)
+    q = _queries(corpus)
+    assert _rows(annindex.ivf_index_topk(incr, q, k=10, n_probe=4)) == _rows(
+        annindex.ivf_index_topk(full, q, k=10, n_probe=4)
+    )
+
+
+def test_index_add_equals_rebuild_pq(spark, sf_dir, tmp_path):
+    corpus = _embs(spark, sf_dir)
+    head = corpus.where(F.col("vec_id") < 250)
+    tail = corpus.where(F.col("vec_id") >= 250)
+    p_incr = str(tmp_path / "incr")
+    annindex.write_ivf_index(
+        head, p_incr, pq=True, n_centroids=8, kmeans_iters=2,
+        fit_sample=128, train_sample=128,
+    )
+    annindex.ivf_index_add(spark, p_incr, tail)
+    p_full = str(tmp_path / "full")
+    annindex.write_ivf_index(
+        corpus, p_full, pq=True, n_centroids=8, kmeans_iters=2,
+        fit_sample=128, train_sample=128,
+    )
+    incr = annindex.read_ivf_index(spark, p_incr)
+    full = annindex.read_ivf_index(spark, p_full)
+    assert incr.codebooks == full.codebooks
+    assert _rows(incr.postings) == _rows(full.postings)
+
+
+# ------------------------------------------------------------ scale shape
+
+def test_probe_prunes_postings_partitions(spark, sf_dir, tmp_path):
+    """The probe's cell filter must prune at the DIRECTORY level
+    (PartitionFilters on the postings scan), not post-scan — the reason
+    postings are partitioned by cell at all."""
+    corpus = _embs(spark, sf_dir)
+    q = _queries(corpus, ids=[0])
+    idx = annindex.write_ivf_index(
+        corpus, str(tmp_path / "flat"), n_centroids=16, kmeans_iters=2
+    )
+    df = annindex.ivf_index_topk(idx, q, k=5, n_probe=2)
+    plan = plans.formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan
+    # probing 2 of 16 cells: the pruned scan reads a strict subset
+    cells = annindex._probe_cells(q, idx, 2)
+    assert len(cells) == 2
+
+
+def test_bpe_train_cap_is_loud(spark):
+    """The max_word_types cut must WARN when it binds (no-silent-caps
+    rule) and stay silent when it doesn't."""
+    import warnings
+
+    import pytest
+
+    from magiceye_spark.llmops.textstats import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i}") for i in range(20)], "doc_id long, text string"
+    )
+    with pytest.warns(UserWarning, match="truncated to max_word_types"):
+        bpe_train(docs, num_merges=2, max_word_types=5)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        bpe_train(docs, num_merges=2, max_word_types=1_000_000)
+
+
+# ------------------------------------------- unicode canonical dedup
+
+def test_unicode_dedup_catches_planted_variants(spark):
+    """A composed/decomposed + zero-width + fullwidth variant family that
+    raw-md5 exact dedup misses must land in ONE unicode cluster."""
+    from magiceye_spark.llmops import dedup
+
+    rows = [
+        (1, "caf\u00e9 special deal today"),          # composed \u00e9
+        (2, "cafe\u0301 special deal today"),         # decomposed e + combining acute
+        (3, "caf\u00e9 spe\u200bcial deal today"),   # zero-width splice
+        (4, "caf\u00e9 special deal \uff54oday"),    # fullwidth t
+        (5, "totally different text"),
+        (6, "totally different text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = dedup.exact_duplicate_clusters(docs)
+    uni = dedup.unicode_dup_clusters(docs)
+    # raw md5 only pairs the byte-identical docs (5, 6)
+    assert [r["keeper_doc_id"] for r in exact.collect()] == [5]
+    got = {r["keeper_doc_id"]: r["doc_ids"] for r in uni.collect()}
+    assert got == {1: "1,2,3,4", 5: "5,6"}
+
+
+def test_unicode_dedup_stays_jvm_and_single_shuffle(spark, sf_dir):
+    from magiceye_spark.llmops import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = dedup.unicode_dup_clusters(docs)
+    assert plans.python_eval_count(df) == 0
+    assert plans.count_shuffles(df) <= 1, plans.executed_plan(df)
+
+
+def test_unicode_anomaly_scan_counts(spark):
+    from magiceye_spark.llmops import dedup
+
+    rows = [
+        (1, "clean text"),
+        (2, "zero​width‌ here"),
+        (3, "fullｗｉｄｔｈ chars"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_zero_width"], r["n_fullwidth"])
+           for r in dedup.unicode_anomaly_scan(docs).collect()}
+    assert got == {2: (2, 0), 3: (0, 5)}
+
+
+def test_index_flavor_mismatch_raises(spark, sf_dir, tmp_path):
+    import pytest
+
+    corpus = _embs(spark, sf_dir)
+    q = _queries(corpus)
+    flat = annindex.write_ivf_index(
+        corpus, str(tmp_path / "flat"), n_centroids=8, kmeans_iters=2
+    )
+    pq = annindex.write_ivf_index(
+        corpus, str(tmp_path / "pq"), pq=True, n_centroids=8, kmeans_iters=2
+    )
+    with pytest.raises(ValueError):
+        annindex.ivf_pq_index_topk(flat, q, corpus)
+    with pytest.raises(ValueError):
+        annindex.ivf_index_topk(pq, q)
