@@ -104,15 +104,25 @@ FAMILY_BASELINE = {
     # bag-distance screen + explicit verify repartition
     "edit_distance_near_dups": 3.87,
     "cosine_topk": 1.01,
-    "ivf_ann_topk": 10.41,  # driver-side k-means fit dominates
-    "ivf_pq_ann_topk": 14.05,  # fit + codebook-literal codegen dominate
+    # r7 recommit: the per-element F.lit -> nested-literal rewrite removed
+    # seconds of pure driver-side expression construction per call
+    "ivf_ann_topk": 3.69,  # was 10.41 (driver k-means fit + py4j literals)
+    "ivf_pq_ann_topk": 9.58,  # was 14.05
+    # stored-index probe-only seats (index built untimed; the 100 TB shape)
+    "ivf_indexed_probe": 3.04,
+    "ivf_pq_indexed_probe": 8.21,
     "media_catalog": 2.11,  # kept: bench-order warmup varies 0.2-2.1
     "phash_near_dups": 5.72,  # was 7.52
-    # iterative closure: ~5 pointer-jump rounds of fixed per-round job
-    # latency on top of the all-pairs twin
-    "dup_graph_components": 15.11,  # was 22.62
-    "dedup_keep_per_cluster": 13.22,
-    "delta_dedup_admit": 12.35,  # was 17.82
+    # r7 protocol change: graph family measured through ONE shared pair
+    # relation and ONE shared closure (see _bench_graph_shared) — r6 spent
+    # 36.4 s computing the same pair stage three times and the fixpoint
+    # three times. Components' seat pays the ~5 pointer-jump rounds once.
+    "near_dup_pairs_shared": 3.07,
+    "dup_graph_components": 7.49,  # closure only (pairs shared); was 15.11
+    # label-frame consumers: sub-second measured (0.15/0.41); committed
+    # with headroom because the 2x gate is noise-brittle below ~0.5 s
+    "dedup_keep_per_cluster": 0.60,
+    "delta_dedup_admit": 1.00,
     "bitext_margin_pairs": 4.85,  # was 9.03 (B-side barrier: was 20.3)
     "cdc_chunk_near_dups": 1.59,  # was 11.21 (chunking pass now spread)
     # stats family, committed from a clean solo run at sf0.1 (late r6)
@@ -175,17 +185,27 @@ def _bench_graph_shared(spark, sf_dir: str, out: dict[str, float]) -> None:
     pairs = graph_ops.near_dup_pairs(docs).persist()
     pairs.write.format("noop").mode("overwrite").save()
     out["near_dup_pairs_shared"] = round(_t.perf_counter() - t0, 3)
+    comps = None
     try:
+        # the closure is EAGER (multi-round fixpoint) and is itself the
+        # shared artifact: components' seat pays it once, the keep-one and
+        # delta-admit seats consume the label frame (comps=) — measuring
+        # the real pipeline, which never re-runs the fixpoint per consumer
+        t0 = _t.perf_counter()
+        comps = graph_ops.dup_graph_components(docs, pairs=pairs).persist()
+        comps.write.format("noop").mode("overwrite").save()
+        out["dup_graph_components"] = round(_t.perf_counter() - t0, 3)
         for name, fn in [
-            ("dup_graph_components", graph_ops.dup_graph_components),
             ("dedup_keep_per_cluster", graph_ops.dedup_keep_per_cluster),
             ("delta_dedup_admit", graph_ops.delta_dedup_admit),
         ]:
             t0 = _t.perf_counter()
-            fn(docs, pairs=pairs).write.format("noop").mode("overwrite").save()
+            fn(docs, comps=comps).write.format("noop").mode("overwrite").save()
             out[name] = round(_t.perf_counter() - t0, 3)
     finally:
         pairs.unpersist()
+        if comps is not None:
+            comps.unpersist()
 
 
 def main() -> None:

@@ -201,6 +201,7 @@ def dedup_keep_per_cluster(
     threshold: float = 0.8,
     length_tol: int = 60,
     pairs: DataFrame | None = None,
+    comps: DataFrame | None = None,
 ) -> DataFrame:
     """The deduplicated corpus after TRANSITIVE closure: every document
     that is either in no near-dup pair, or the minimum-id member of its
@@ -211,11 +212,15 @@ def dedup_keep_per_cluster(
     which holds only docs that had at least one pair — AQE broadcasts it
     when the dup rate is low and shuffles on doc_id when it isn't (don't
     force a broadcast: at corpus scale a high-dup crawl makes the closure
-    itself huge). ``pairs``: precomputed edge set, see
-    :func:`near_dup_pairs`."""
-    comps = dup_graph_components(
-        docs, threshold=threshold, length_tol=length_tol, pairs=pairs
-    )
+    itself huge). ``pairs``: precomputed edge set (see
+    :func:`near_dup_pairs`); ``comps``: the precomputed closure itself —
+    a pipeline that runs components + keep-one + delta-admit over one
+    corpus computes the (EAGER, multi-round) closure once and feeds it to
+    every consumer."""
+    if comps is None:
+        comps = dup_graph_components(
+            docs, threshold=threshold, length_tol=length_tol, pairs=pairs
+        )
     return (
         docs.join(comps, "doc_id", "left")
         .where(F.col("comp_id").isNull() | (F.col("comp_id") == F.col("doc_id")))
@@ -611,6 +616,7 @@ def delta_dedup_admit(
     salt: str = "ingest-v1",
     incoming_col: str | None = None,
     pairs: DataFrame | None = None,
+    comps: DataFrame | None = None,
 ) -> DataFrame:
     """Batch delta-ingest dedup: which INCOMING documents may join an
     EXISTING corpus? A doc is admitted iff its transitive near-dup
@@ -648,9 +654,10 @@ def delta_dedup_admit(
         flagged = docs.withColumn("is_incoming", F.col(incoming_col))
     else:
         flagged = docs.withColumn("is_incoming", bucket >= (100 - incoming_pct))
-    comps = dup_graph_components(
-        docs, threshold=threshold, length_tol=length_tol, pairs=pairs
-    )
+    if comps is None:
+        comps = dup_graph_components(
+            docs, threshold=threshold, length_tol=length_tol, pairs=pairs
+        )
     labeled = flagged.join(comps, "doc_id", "left")
     verdicts = (
         labeled.where(F.col("comp_id").isNotNull())

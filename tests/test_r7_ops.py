@@ -175,6 +175,30 @@ def test_bpe_train_cap_is_loud(spark):
         bpe_train(docs, num_merges=2, max_word_types=1_000_000)
 
 
+# ------------------------------------------- shared pairs/closure paths
+
+def test_graph_family_shared_pairs_and_comps_parity(spark, sf_dir):
+    """pairs= and comps= short-circuits must be result-identical to the
+    self-computing paths — the bench's shared-artifact protocol and the
+    production pipeline both depend on it."""
+    from magiceye_spark.llmops import graph
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = graph.near_dup_pairs(docs).persist()
+    try:
+        comps = graph.dup_graph_components(docs, pairs=pairs)
+        base = graph.dup_graph_components(docs)
+        assert sorted(map(tuple, comps.collect())) == sorted(
+            map(tuple, base.collect())
+        )
+        for fn in (graph.dedup_keep_per_cluster, graph.delta_dedup_admit):
+            via_comps = sorted(map(tuple, fn(docs, comps=comps).collect()))
+            self_made = sorted(map(tuple, fn(docs).collect()))
+            assert via_comps == self_made, fn.__name__
+    finally:
+        pairs.unpersist()
+
+
 # ------------------------------------------- unicode canonical dedup
 
 def test_unicode_dedup_catches_planted_variants(spark):
