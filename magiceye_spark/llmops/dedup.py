@@ -159,6 +159,96 @@ GROUP BY ck HAVING COUNT(*) > 1
 SQL_UNICODE_DUP_CLUSTERS = sql_unicode_dup_clusters()
 
 
+#: cross-script confusables: the high-frequency Cyrillic/Greek homoglyphs
+#: of Latin letters (UTS #39 confusables, the single-char 1:1 slice) plus
+#: common punctuation lookalikes. NFC canonical equivalence deliberately
+#: does NOT unify these — а (U+0430) and a are distinct abstract
+#: characters — which is exactly why spam/dedup-evasion uses them; the
+#: skeleton fold below is the standard countermeasure (map to the Latin
+#: twin, then hash).
+#: lowercase-only table: :func:`unicode_canonical_text` lowercases BEFORE
+#: the fold, so uppercase homoglyphs arrive as their lowercase forms
+_CONFUSABLE_SRC = (
+    "аеорсухіјѕԁһ"  # Cyrillic lowercase lookalikes
+    "οατυνρ"         # Greek lowercase lookalikes
+    "‐‑‒–—―"         # dash family -> hyphen-minus
+    "’‘‚`´"          # apostrophe family -> '
+    "“”„"            # double-quote family -> "
+)
+_CONFUSABLE_DST = "aeopcyxijsdh" "oatuvp" "------" "'''''" '"""'
+assert len(_CONFUSABLE_SRC) == len(_CONFUSABLE_DST)
+
+
+def confusable_skeleton(col: Column) -> Column:
+    """UTS-#39-style skeleton fold: canonical JVM cleanup
+    (:func:`unicode_canonical_text`) + the 1:1 cross-script confusable
+    map. Two texts with equal skeletons are visually indistinguishable
+    under the mapped alphabet even though NO unicode normalization
+    relates them."""
+    return F.translate(
+        unicode_canonical_text(col), _CONFUSABLE_SRC, _CONFUSABLE_DST
+    )
+
+
+def confusable_dup_clusters(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate clusters under the confusable SKELETON — the layer above
+    :func:`unicode_dup_clusters`: catches the Cyrillic-а-for-Latin-a
+    spam/dedup-evasion class that canonical equivalence structurally
+    cannot (the code points are unrelated abstract characters). Output
+    shape matches the unicode clusters: (keeper_doc_id, n_dups, doc_ids).
+    md5-of-skeleton groupBy — the exact-dedup scale shape, one shuffle on
+    a uniform key."""
+    sk = confusable_skeleton(F.col(text_col))
+    return (
+        docs.select("doc_id", F.md5(sk).alias("_sk"))
+        .groupBy("_sk")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_ids"),
+        )
+        .where(F.col("n_dups") > 1)
+        .select("keeper_doc_id", "n_dups", "doc_ids")
+    )
+
+
+#: SQL-escaped copies for the oracle literal (src has no ', dst does)
+_CONF_SRC_SQL = _CONFUSABLE_SRC.replace("'", "''")
+_CONF_DST_SQL = _CONFUSABLE_DST.replace("'", "''")
+
+
+def sql_confusable_dup_clusters(
+    source_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """DuckDB twin: identical canon + translate chain. No nfc_normalize
+    here — the skeleton hash must match Spark's byte-for-byte, and both
+    sides apply the SAME deterministic char map to the SAME canon text
+    (the planted inputs avoid composed/decomposed splits; cross-script
+    folding is this operator's job, canonical equivalence is
+    unicode_dup_clusters')."""
+    return f"""
+SELECT MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_dups,
+       array_to_string(LIST(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',') AS doc_ids
+FROM (
+  SELECT doc_id,
+         md5(translate(
+           regexp_replace(TRIM(LOWER(
+             translate(regexp_replace(text, '{_ZERO_WIDTH_CLASS}', '', 'g'),
+                       '{_FULLWIDTH}', '{_HALFWIDTH_SQL}')
+           )), '\\s+', ' ', 'g'),
+           '{_CONF_SRC_SQL}', '{_CONF_DST_SQL}')) AS sk
+  FROM ({source_sql}))
+GROUP BY sk HAVING COUNT(*) > 1
+"""
+
+
 def unicode_anomaly_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document invisible-character audit: how many zero-width code
     points and fullwidth ASCII clones each document carries —

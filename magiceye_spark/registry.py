@@ -944,6 +944,34 @@ def unicode_dups_q(spark, sf_dir):
     return dedup.unicode_dup_clusters(docs.unionByName(planted))
 
 
+_CONFUSABLE_PLANT_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 20000000, translate(text, 'aeop', 'аеор')
+FROM documents WHERE doc_id < 5
+"""
+
+
+@register(
+    "confusable_dup_clusters",
+    dedup.sql_confusable_dup_clusters(_CONFUSABLE_PLANT_SQL),
+)
+def confusable_dups_q(spark, sf_dir):
+    """Cross-script homoglyph dedup (UTS-#39 skeleton fold): the layer
+    canonical equivalence cannot reach — Cyrillic а and Latin a are
+    unrelated abstract characters, so NFC/collation keeps them distinct;
+    mapping to the Latin twin and hashing catches the spam/dedup-evasion
+    class. Both engines union in five Cyrillic-substituted clones of docs
+    0-4 (same planted-perturbation precedent as unicode_dup_clusters);
+    each must cluster with its source."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.translate("text", "aeop", "аеор").alias("text"),
+    )
+    return dedup.confusable_dup_clusters(docs.unionByName(planted))
+
+
 @register("unicode_anomaly_scan", dedup.SQL_UNICODE_ANOMALY_SCAN)
 def unicode_anomaly_q(spark, sf_dir):
     """Invisible-character audit (zero-width + fullwidth counts per doc)

@@ -232,6 +232,25 @@ def test_unicode_dedup_stays_jvm_and_single_shuffle(spark, sf_dir):
     assert plans.count_shuffles(df) <= 1, plans.executed_plan(df)
 
 
+def test_confusable_dedup_catches_cyrillic_clone(spark):
+    """Cyrillic-а spam clones are invisible to BOTH raw md5 and canonical
+    (NFC/collation) dedup; the skeleton fold must cluster them."""
+    from magiceye_spark.llmops import dedup
+
+    rows = [
+        (1, "paypal account verify"),
+        (2, "pаypаl аccount verify"),   # Cyrillic а
+        (3, "paypαl account verify"),              # Greek α
+        (4, "different text entirely"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.exact_duplicate_clusters(docs).count() == 0
+    assert dedup.unicode_dup_clusters(docs).count() == 0
+    got = {r["keeper_doc_id"]: r["doc_ids"]
+           for r in dedup.confusable_dup_clusters(docs).collect()}
+    assert got == {1: "1,2,3"}
+
+
 def test_unicode_anomaly_scan_counts(spark):
     from magiceye_spark.llmops import dedup
 
