@@ -630,9 +630,17 @@ def minhash_lsh_pairs(
     applies here exactly as in the Hamming band join: buckets above
     ``bucket_cap`` split across ceil(b/cap) tasks, same pair set.
     """
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, shingle_n, text_col)
-    banded = sigs.select(
+    return _lsh_pairs_from_sigs(sigs, num_hashes, bands, threshold)
+
+
+def _banded_from_sigs(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc_id, shingles, band_id, bucket) from a signature frame — the
+    map-side band explode shared by the fresh path, the stored-index
+    path, and the delta path (same expression → same buckets for the
+    same signatures, which is what makes stored == fresh structural)."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
         "doc_id",
         "shingles",
         F.explode(
@@ -649,6 +657,24 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "shingles", "band.band_id", "band.bucket")
+
+
+def _verify_candidates(cands: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard rerank of (doc_a, doc_b, sh_a, sh_b) candidates —
+    unrounded filter, rounded projection (consistent with
+    jaccard_near_dups at threshold boundaries)."""
+    raw = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return cands.where(raw >= threshold).select(
+        "doc_a", "doc_b", F.round(raw, 4).alias("jaccard")
+    )
+
+
+def _lsh_pairs_from_sigs(
+    sigs: DataFrame, num_hashes: int, bands: int, threshold: float
+) -> DataFrame:
+    banded = _banded_from_sigs(sigs, num_hashes, bands)
     a, b = _salted_band_sides(banded, 2000, "shingles", "sh_a", "sh_b")
     cands = (
         a.join(b, ["band_id", "bucket", "salt"])
@@ -656,14 +682,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", "sh_a", "sh_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # unrounded filter, rounded projection — keeps the candidate rerank
-    # consistent with jaccard_near_dups at threshold boundaries
-    raw = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return cands.where(raw >= threshold).select(
-        "doc_a", "doc_b", F.round(raw, 4).alias("jaccard")
-    )
+    return _verify_candidates(cands, threshold)
 
 
 # --------------------------------------------- near-dup clusters → keep-set

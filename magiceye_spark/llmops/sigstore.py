@@ -1,0 +1,221 @@
+"""Persistent MinHash signature store: build-once / admit-many dedup.
+
+The dedup twin of :mod:`magiceye_spark.llmops.annindex`: at 100 TB the
+corpus's shingle sets and MinHash signatures are computed ONCE at ingest
+and stored; every later batch is deduplicated against the store by
+re-deriving band buckets from the STORED signatures (a map-side
+expression over longs) instead of re-shingling petabytes of text. The
+reference has no dedup surface (schema-diff CLI); this is part of the
+§2.4 LLM-pipeline mandate's delta-ingest lifecycle —
+``delta_dedup_admit`` covers the one-shot batch shape, this module the
+repeated-ingest shape.
+
+Storage layout under ``path`` (parquet):
+- ``params``      one row: version, num_hashes, bands, shingle_n, threshold.
+- ``signatures``  (doc_id, sig array<long>[num_hashes], shingles
+                  array<long>) — the only table; band buckets are
+                  re-derived from ``sig`` on read (cheap map-side
+                  xxhash64 over slices), so no banding layout decision
+                  is baked into the store.
+
+Determinism: shingle hashes and the affine MinHash family are seed-fixed
+xxhash64 expressions (:func:`dedup.minhash_signatures`), so pairs
+computed from stored signatures are BIT-IDENTICAL to pairs computed
+fresh from text — pinned in tests/test_r7_ops.py, alongside the
+admission-parity pin (indexed delta admission ≡ from-scratch admission
+over the union with the same LSH pair generator).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magiceye_spark.llmops.dedup import (
+    _lsh_pairs_from_sigs,
+    _salted_band_sides,
+    _banded_from_sigs,
+    _verify_candidates,
+    minhash_signatures,
+)
+
+_VERSION = "minhash-v1"
+
+
+@dataclass
+class MinhashIndex:
+    params: dict
+    signatures: DataFrame  # lazy parquet scan when read from disk
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    text_col: str = "text",
+) -> MinhashIndex:
+    """Shingle + sign the corpus once and persist. One corpus pass."""
+    spark = docs.sparkSession
+    params = {
+        "version": _VERSION,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "threshold": float(threshold),
+    }
+    spark.createDataFrame([params]).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "params")
+    )
+    minhash_signatures(docs, num_hashes, shingle_n, text_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "signatures"))
+    return read_minhash_index(spark, path)
+
+
+def read_minhash_index(spark: SparkSession, path: str) -> MinhashIndex:
+    params = spark.read.parquet(os.path.join(path, "params")).first().asDict()
+    if params["version"] != _VERSION:
+        raise ValueError(f"unsupported index version {params['version']!r}")
+    return MinhashIndex(
+        params=params,
+        signatures=spark.read.parquet(os.path.join(path, "signatures")),
+    )
+
+
+def minhash_index_add(
+    spark: SparkSession, path: str, new_docs: DataFrame, text_col: str = "text"
+) -> int:
+    """Sign ONLY the delta with the stored parameters and append. The
+    hash family is seed-fixed, so appended signatures are exactly what a
+    full rebuild would produce for those docs (pinned in tests)."""
+    idx = read_minhash_index(spark, path)
+    delta = minhash_signatures(
+        new_docs,
+        int(idx.params["num_hashes"]),
+        int(idx.params["shingle_n"]),
+        text_col,
+    )
+    n = delta.count()
+    delta.write.mode("append").parquet(os.path.join(path, "signatures"))
+    return n
+
+
+def lsh_pairs_from_index(
+    index: MinhashIndex, threshold: float | None = None
+) -> DataFrame:
+    """Near-dup pairs over the WHOLE store — identical output to
+    :func:`dedup.minhash_lsh_pairs` on the original corpus (same
+    signatures, same banding, same verify), without touching any text."""
+    p = index.params
+    return _lsh_pairs_from_sigs(
+        index.signatures,
+        int(p["num_hashes"]),
+        int(p["bands"]),
+        float(threshold if threshold is not None else p["threshold"]),
+    )
+
+
+def delta_pairs_from_index(
+    index: MinhashIndex,
+    new_docs: DataFrame,
+    threshold: float | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs TOUCHING the delta: delta×stored and delta×delta —
+    the edges admission needs (stored×stored edges cannot change a delta
+    verdict: any path from an incoming doc into the existing corpus
+    enters through an edge incident to an incoming doc, so
+    has-existing-contact and min-incoming are decided by delta-touching
+    edges alone — the reduction the parity test validates). Only the
+    delta is shingled; the stored side contributes band buckets derived
+    from its signatures.
+
+    Output (doc_a, doc_b, jaccard) with doc_a < doc_b, like every pair
+    generator."""
+    p = index.params
+    num_hashes, bands = int(p["num_hashes"]), int(p["bands"])
+    thr = float(threshold if threshold is not None else p["threshold"])
+    delta_sigs = minhash_signatures(
+        new_docs, num_hashes, int(p["shingle_n"]), text_col
+    )
+    union_banded = _banded_from_sigs(
+        index.signatures.unionByName(delta_sigs), num_hashes, bands
+    )
+    delta_banded = _banded_from_sigs(delta_sigs, num_hashes, bands)
+    # one-sided salted band join: delta side vs the full union; the salt
+    # guard caps hot-bucket fan-out exactly as in the self-join path
+    a, b = _salted_band_sides(union_banded, 2000, "shingles", "sh_a", "sh_b")
+    delta_ids = delta_banded.select("doc_id").distinct()
+    touching = (
+        a.join(b, ["band_id", "bucket", "salt"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .join(
+            delta_ids.select(F.col("doc_id").alias("doc_a")).withColumn(
+                "_ta", F.lit(1)
+            ),
+            "doc_a",
+            "left",
+        )
+        .join(
+            delta_ids.select(F.col("doc_id").alias("doc_b")).withColumn(
+                "_tb", F.lit(1)
+            ),
+            "doc_b",
+            "left",
+        )
+        .where(F.col("_ta").isNotNull() | F.col("_tb").isNotNull())
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+    )
+    return _verify_candidates(touching, thr)
+
+
+def delta_dedup_admit_indexed(
+    index: MinhashIndex,
+    new_docs: DataFrame,
+    threshold: float | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Delta-ingest admission against the STORE: an incoming doc is
+    admitted iff its near-dup component over the union graph contains no
+    stored doc AND it is the minimum-id incoming member (singletons
+    trivially qualify) — the closure semantics of
+    :func:`graph.delta_dedup_admit`, fed by :func:`delta_pairs_from_index`
+    edges. Returns the admitted rows of ``new_docs`` (doc_id, lang,
+    source, n_chars).
+
+    This is the per-batch production shape: only the batch is shingled,
+    the store contributes map-side band buckets, and the closure runs
+    over delta-touching edges only."""
+    from magiceye_spark.llmops.graph import connected_components
+
+    pairs = delta_pairs_from_index(index, new_docs, threshold, text_col)
+    comps = connected_components(
+        pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b"
+    ).select(F.col("node").alias("doc_id"), "comp_id")
+    stored_ids = index.signatures.select("doc_id").withColumn("_stored", F.lit(1))
+    labeled = (
+        comps.join(stored_ids, "doc_id", "left")
+        .withColumn("is_incoming", F.col("_stored").isNull())
+    )
+    verdicts = labeled.groupBy("comp_id").agg(
+        F.max(F.when(~F.col("is_incoming"), 1).otherwise(0)).alias("has_existing"),
+        F.min(F.when(F.col("is_incoming"), F.col("doc_id"))).alias("min_incoming"),
+    )
+    incoming_labeled = labeled.where(F.col("is_incoming")).join(
+        verdicts, "comp_id"
+    )
+    rejected = incoming_labeled.where(
+        (F.col("has_existing") == 1) | (F.col("doc_id") != F.col("min_incoming"))
+    ).select("doc_id")
+    return new_docs.join(rejected, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

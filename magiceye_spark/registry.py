@@ -944,6 +944,26 @@ def unicode_dups_q(spark, sf_dir):
     return dedup.unicode_dup_clusters(docs.unionByName(planted))
 
 
+@register("delta_admit_indexed", None)  # xxhash64 MinHash store: rows-only;
+# stored==fresh pair equality and admission parity vs the from-scratch
+# closure are pinned exactly in tests/test_r7_ops.py
+def delta_admit_indexed_q(spark, sf_dir):
+    """Delta-ingest admission against a PERSISTED MinHash signature store
+    (the dedup twin of the stored ANN index): docs 0-349 are signed and
+    stored once; the 350+ batch is admitted by re-deriving band buckets
+    from stored signatures — only the batch is shingled. Closure
+    semantics identical to delta_dedup_admit."""
+    from magiceye_spark.llmops import sigstore
+
+    docs = _docs(spark, sf_dir)
+    idx = sigstore.write_minhash_index(
+        docs.where(F.col("doc_id") < 350), _ann_index_path(sf_dir) + "_sig"
+    )
+    return sigstore.delta_dedup_admit_indexed(
+        idx, docs.where(F.col("doc_id") >= 350)
+    )
+
+
 _CONFUSABLE_PLANT_SQL = """
 SELECT doc_id, text FROM documents
 UNION ALL

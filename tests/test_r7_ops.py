@@ -175,6 +175,69 @@ def test_bpe_train_cap_is_loud(spark):
         bpe_train(docs, num_merges=2, max_word_types=1_000_000)
 
 
+# --------------------------------------------- minhash signature store
+
+def test_sigstore_pairs_equal_fresh_lsh(spark, sf_dir, tmp_path):
+    """Pairs from stored signatures must be BIT-identical to
+    minhash_lsh_pairs on the original text (seed-fixed hash family)."""
+    from magiceye_spark.llmops import dedup, sigstore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = sigstore.write_minhash_index(docs, str(tmp_path / "sig"))
+    stored = sigstore.lsh_pairs_from_index(idx)
+    fresh = dedup.minhash_lsh_pairs(docs)
+    assert _rows(stored) == _rows(fresh)
+
+
+def test_sigstore_add_equals_rebuild(spark, sf_dir, tmp_path):
+    """Signatures are a pure per-doc function of the seed-fixed hash
+    family — append-path store must equal a from-scratch build."""
+    from magiceye_spark.llmops import sigstore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    head = docs.where(F.col("doc_id") < 250)
+    tail = docs.where(F.col("doc_id") >= 250)
+    p_incr, p_full = str(tmp_path / "incr"), str(tmp_path / "full")
+    sigstore.write_minhash_index(head, p_incr)
+    n = sigstore.minhash_index_add(spark, p_incr, tail)
+    assert n == tail.count()
+    sigstore.write_minhash_index(docs, p_full)
+    incr = sigstore.read_minhash_index(spark, p_incr)
+    full = sigstore.read_minhash_index(spark, p_full)
+    assert _rows(incr.signatures) == _rows(full.signatures)
+
+
+def test_sigstore_delta_admission_parity(spark, sf_dir, tmp_path):
+    """Indexed delta admission (delta-touching edges only, batch-only
+    shingling) must decide exactly what from-scratch closure admission
+    over the full union LSH pair graph decides — the empirical validation
+    of the delta-edge reduction argued in delta_pairs_from_index."""
+    from magiceye_spark.llmops import dedup, graph, sigstore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    existing = docs.where(F.col("doc_id") < 350)
+    incoming = docs.where(F.col("doc_id") >= 350)
+    idx = sigstore.write_minhash_index(existing, str(tmp_path / "sig"))
+    got = sorted(
+        map(tuple, sigstore.delta_dedup_admit_indexed(idx, incoming).collect())
+    )
+    pairs_full = dedup.minhash_lsh_pairs(docs, threshold=0.7)
+    expected = sorted(
+        map(
+            tuple,
+            graph.delta_dedup_admit(
+                docs.withColumn("_inc", F.col("doc_id") >= 350),
+                incoming_col="_inc",
+                pairs=pairs_full,
+            ).collect(),
+        )
+    )
+    assert got == expected
+    # and the store was never asked to re-shingle: admission must admit a
+    # strict subset of the incoming batch
+    assert 0 < len(got) <= incoming.count()
+
+
 # ------------------------------------------- shared pairs/closure paths
 
 def test_graph_family_shared_pairs_and_comps_parity(spark, sf_dir):
