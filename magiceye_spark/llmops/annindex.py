@@ -219,6 +219,29 @@ def ivf_index_add(
     return n
 
 
+def ivf_index_stats(index: IvfIndex) -> DataFrame:
+    """Index-health summary — the number an operator checks before
+    trusting probe latency: one row with (n_cells_used, n_cells_total,
+    n_vectors, min/max/avg posting count, imbalance = max/avg). A high
+    imbalance means some Voronoi cell ate the corpus (degenerate
+    centroids, embedding collapse): probes hitting that cell scan far
+    more than n_probe/n_centroids of the data, and the fix is refitting
+    with more centroids or inspecting the embedding space — exactly the
+    FAISS `imbalance_factor` diagnostic. One groupBy over the postings
+    scan, output is a single row."""
+    n_total = int(index.params["n_centroids"])
+    per_cell = index.postings.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    return per_cell.agg(
+        F.count(F.lit(1)).cast("int").alias("n_cells_used"),
+        F.lit(n_total).alias("n_cells_total"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.min("n").cast("bigint").alias("min_postings"),
+        F.max("n").cast("bigint").alias("max_postings"),
+        F.round(F.avg("n"), 2).alias("avg_postings"),
+        F.round(F.max("n") / F.avg("n"), 4).alias("imbalance"),
+    )
+
+
 def _probe_cells(queries: DataFrame, index: IvfIndex, n_probe: int) -> list[int]:
     """The distinct cells this query batch will probe — at most
     n_centroids ints, collected so the postings filter is a LITERAL

@@ -120,7 +120,10 @@ _DRIVER_WINDOW = [
     "events_psi_stream_twin",
     "events_quota_batch_twin",
     "conversion_funnel",
-    "embedding_covariance",
+    # embedding_covariance rotated out late-r7 (driver-attested r6; stays
+    # bench-seated + pytest-checked) for the second NEW r7 dedup row: the
+    # cross-script confusable skeleton, planted-Cyrillic-clone positive
+    "confusable_dup_clusters",
     # distribution statistics (exact variants; sketches stay pytest-pinned)
     "events_value_distribution",
     "snm_near_dups",
@@ -1332,6 +1335,21 @@ def ivf_indexed_exact_q(spark, sf_dir):
     )
     queries_df = corpus.where(F.col("vec_id").isin(_QUERY_VEC_IDS))
     return annindex.ivf_index_topk(idx, queries_df, k=10, n_probe=16)
+
+
+@register("ivf_index_stats", None)  # centroid-dependent: rows-only; the
+# sum/bounds invariants are pinned in tests/test_r7_ops.py
+def ivf_index_stats_q(spark, sf_dir):
+    """Stored-index health row (FAISS imbalance_factor diagnostic):
+    posting-count spread across Voronoi cells — the pre-flight check
+    before trusting probe latency on a stored index."""
+    from magiceye_spark.llmops import annindex
+
+    corpus = _embs(spark, sf_dir)
+    idx = annindex.write_ivf_index(
+        corpus, _ann_index_path(sf_dir), n_centroids=16, kmeans_iters=2
+    )
+    return annindex.ivf_index_stats(idx)
 
 
 @register("ivf_ann_exact", simsearch.sql_cosine_topk(_QUERY_VEC_IDS, k=10))

@@ -175,6 +175,18 @@ def test_bpe_train_cap_is_loud(spark):
         bpe_train(docs, num_merges=2, max_word_types=1_000_000)
 
 
+def test_ivf_index_stats(spark, sf_dir, tmp_path):
+    corpus = _embs(spark, sf_dir)
+    idx = annindex.write_ivf_index(
+        corpus, str(tmp_path / "flat"), n_centroids=8, kmeans_iters=2
+    )
+    r = annindex.ivf_index_stats(idx).first()
+    assert r["n_vectors"] == corpus.count()
+    assert r["n_cells_used"] <= r["n_cells_total"] == 8
+    assert r["min_postings"] <= r["avg_postings"] <= r["max_postings"]
+    assert r["imbalance"] >= 1.0
+
+
 # --------------------------------------------- minhash signature store
 
 def test_sigstore_pairs_equal_fresh_lsh(spark, sf_dir, tmp_path):
