@@ -136,6 +136,16 @@ FAMILY_BASELINE = {
 }
 
 
+# seats produced by the special-cased family runners below, not by
+# registry queries — they still carry committed baselines and feed the
+# 2x regressions gate like every other seat
+EXTRA_SEATS = {
+    "near_dup_pairs_shared",   # _bench_graph_shared: shared pair stage
+    "ivf_indexed_probe",       # _bench_ann_indexed: stored-index probe
+    "ivf_pq_indexed_probe",
+}
+
+
 def _bench_ann_indexed(spark, sf_dir: str, out: dict[str, float]) -> None:
     """The amortized ANN story the fit-per-call seats can't show: build
     the stored index ONCE (untimed here — the build seat is the one-off

@@ -138,7 +138,10 @@ def test_bench_family_baselines_cover_family_queries():
     from magiceye_spark import registry
 
     family_names = {n for names in bench.FAMILIES.values() for n in names}
-    assert family_names == set(bench.FAMILY_BASELINE)
+    # special-cased seats (shared-artifact graph protocol, stored-index
+    # probes) are emitted by bench helpers rather than registry queries,
+    # but must still carry committed baselines
+    assert family_names | bench.EXTRA_SEATS == set(bench.FAMILY_BASELINE)
     assert family_names <= set(registry.queries())
     assert all(v > 0 for v in bench.FAMILY_BASELINE.values())
 
