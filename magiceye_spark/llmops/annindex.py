@@ -219,6 +219,46 @@ def ivf_index_add(
     return n
 
 
+def ivf_index_compact(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Rewrite the postings table in place, coalescing the small files
+    that :func:`ivf_index_add` appends accumulate — THE production issue
+    with append-heavy stores: every add writes ≥1 file per touched cell
+    directory, and after k adds a probe of one cell opens k files, so
+    scan task count (and NameNode/listing pressure at lake scale) grows
+    with ingest history instead of data volume. Compaction reads the
+    postings once and rewrites them partitioned by cell with one file
+    per cell. Returns (files_before, files_after); row content is
+    untouched (pinned in tests).
+
+    The rewrite stages into ``postings_compact`` and swaps via rename, so
+    a crash mid-compact leaves the original postings intact."""
+    import shutil
+
+    post_dir = os.path.join(path, "postings")
+    tmp_dir = os.path.join(path, "postings_compact")
+
+    def _count_files(d: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = _count_files(post_dir)
+    posts = spark.read.parquet(post_dir)
+    (
+        posts.repartition("cell")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp_dir)
+    )
+    shutil.rmtree(post_dir)
+    os.rename(tmp_dir, post_dir)
+    return before, _count_files(post_dir)
+
+
 def ivf_index_stats(index: IvfIndex) -> DataFrame:
     """Index-health summary — the number an operator checks before
     trusting probe latency: one row with (n_cells_used, n_cells_total,

@@ -107,6 +107,34 @@ def minhash_index_add(
     return n
 
 
+def minhash_index_compact(spark: SparkSession, path: str) -> tuple[int, int]:
+    """Coalesce the signature files that repeated :func:`minhash_index_add`
+    appends accumulate (same small-files lifecycle issue as
+    :func:`annindex.ivf_index_compact`): one staged rewrite hashed on
+    doc_id, swap by rename. Returns (files_before, files_after); rows
+    untouched (pinned in tests)."""
+    import shutil
+
+    sig_dir = os.path.join(path, "signatures")
+    tmp_dir = os.path.join(path, "signatures_compact")
+
+    def _count_files(d: str) -> int:
+        return sum(
+            1
+            for root, _, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = _count_files(sig_dir)
+    sigs = spark.read.parquet(sig_dir)
+    n_out = max(1, min(spark.sparkContext.defaultParallelism, before))
+    sigs.repartition(n_out, "doc_id").write.mode("overwrite").parquet(tmp_dir)
+    shutil.rmtree(sig_dir)
+    os.rename(tmp_dir, sig_dir)
+    return before, _count_files(sig_dir)
+
+
 def lsh_pairs_from_index(
     index: MinhashIndex, threshold: float | None = None
 ) -> DataFrame:

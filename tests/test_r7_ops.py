@@ -187,6 +187,44 @@ def test_ivf_index_stats(spark, sf_dir, tmp_path):
     assert r["imbalance"] >= 1.0
 
 
+def test_index_compaction_preserves_rows(spark, sf_dir, tmp_path):
+    """Compaction must shrink the file count after appends and leave the
+    row content bit-identical — for both stores."""
+    from magiceye_spark.llmops import sigstore
+
+    corpus = _embs(spark, sf_dir)
+    p = str(tmp_path / "flat")
+    annindex.write_ivf_index(
+        corpus.where(F.col("vec_id") < 200), p, n_centroids=8,
+        kmeans_iters=2, fit_sample=128,
+    )
+    for lo in (200, 300, 400):
+        annindex.ivf_index_add(
+            spark, p, corpus.where(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 100)
+            ),
+        )
+    before_rows = _rows(annindex.read_ivf_index(spark, p).postings)
+    nb, na = annindex.ivf_index_compact(spark, p)
+    assert na < nb, (nb, na)
+    assert _rows(annindex.read_ivf_index(spark, p).postings) == before_rows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ps = str(tmp_path / "sig")
+    sigstore.write_minhash_index(docs.where(F.col("doc_id") < 200), ps)
+    for lo in (200, 300, 400):
+        sigstore.minhash_index_add(
+            spark, ps, docs.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)
+            ),
+        )
+    idx = sigstore.read_minhash_index(spark, ps)
+    before_sig = _rows(idx.signatures)
+    nb, na = sigstore.minhash_index_compact(spark, ps)
+    assert na < nb, (nb, na)
+    assert _rows(sigstore.read_minhash_index(spark, ps).signatures) == before_sig
+
+
 # --------------------------------------------- minhash signature store
 
 def test_sigstore_pairs_equal_fresh_lsh(spark, sf_dir, tmp_path):
