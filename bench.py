@@ -106,11 +106,13 @@ FAMILY_BASELINE = {
     "cosine_topk": 1.01,
     # r7 recommit: the per-element F.lit -> nested-literal rewrite removed
     # seconds of pure driver-side expression construction per call
-    "ivf_ann_topk": 3.69,  # was 10.41 (driver k-means fit + py4j literals)
-    "ivf_pq_ann_topk": 9.58,  # was 14.05
+    # second recommit late-r7: expr-rendered literals (one JVM parse)
+    # replaced the nested-F.lit path, which still paid py4j per element
+    "ivf_ann_topk": 3.53,  # was 10.41 pre-rewrite
+    "ivf_pq_ann_topk": 6.77,  # was 14.05
     # stored-index probe-only seats (index built untimed; the 100 TB shape)
-    "ivf_indexed_probe": 3.04,
-    "ivf_pq_indexed_probe": 8.21,
+    "ivf_indexed_probe": 2.01,
+    "ivf_pq_indexed_probe": 4.61,
     "media_catalog": 2.11,  # kept: bench-order warmup varies 0.2-2.1
     "phash_near_dups": 5.72,  # was 7.52
     # r7 protocol change: graph family measured through ONE shared pair

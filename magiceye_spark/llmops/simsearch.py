@@ -187,10 +187,10 @@ def _hyperplanes(dim: int = 64, n_planes: int = 16, seed: int = 7) -> list[list[
 
 def signature_bits(vec: Column, planes: list[list[float]]) -> Column:
     """Sign bits of the projections onto each hyperplane, as array<int>.
-    One nested plane-matrix literal + transform, not per-element ``F.lit``
-    trees (see :func:`_best_cells` — py4j construction cost)."""
+    One rendered plane-matrix literal + transform, not per-element
+    ``F.lit`` trees (see :func:`_vector_lit` — py4j construction cost)."""
     return F.transform(
-        F.lit([[float(v) for v in p] for p in planes]),
+        _matrix_lit(planes),
         lambda p: (dot(vec, p) > 0).cast("int"),
     )
 
@@ -298,19 +298,40 @@ def _ivf_centroids(
     return {i: [float(v) for v in c] for i, c in enumerate(cents)}
 
 
+def _vector_lit(row) -> Column:
+    """A double-array literal rendered as ONE SQL string and parsed JVM-side.
+
+    Building literals element-wise (``F.array(*[F.lit(v) ...])``) or even
+    as one nested ``F.lit(list)`` costs py4j per ELEMENT — ~1 s of pure
+    driver time per 2k-element matrix, on EVERY operator call (measured
+    r7; PLANS.md "Literal Columns are py4j round-trips"). Rendering
+    ``array(1.0d, ...)`` text and handing it to ``F.expr`` is one py4j
+    call and one JVM parse: ~250× faster to construct, and ``repr(float)``
+    round-trips IEEE doubles exactly (bit-equality pinned in tests)."""
+    return F.expr("array(" + ",".join(repr(float(v)) + "d" for v in row) + ")")
+
+
+def _matrix_lit(mat) -> Column:
+    """array<array<double>> literal via one JVM parse — see :func:`_vector_lit`."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(v)) + "d" for v in row) + ")"
+            for row in mat
+        )
+        + ")"
+    )
+
+
 def _best_cells(vec: Column, cents: dict[int, list[float]], n: int) -> Column:
     """Top-n (score, cell) structs by cosine to each centroid — argmax/top-n
-    via sort of structs, pure JVM expressions, zero shuffle.
-
-    The centroid matrix is ONE nested array literal walked with an indexed
-    ``transform``, not per-element ``F.lit`` trees: building 32×64 literal
-    Columns costs thousands of py4j round-trips (~2 s of pure driver time
-    per expression; measured r7), where one ``F.lit(matrix)`` plus a single
-    lambda is milliseconds — identical row-level math, 100× cheaper to
-    construct and a far smaller tree for Catalyst to optimize."""
+    via sort of structs, pure JVM expressions, zero shuffle. The centroid
+    matrix is ONE rendered literal (:func:`_matrix_lit`) walked with an
+    indexed ``transform`` — identical row-level math to per-element
+    literal trees, ~250× cheaper to construct."""
     cmat = [cents[i] for i in sorted(cents)]  # cell ids are 0..n_cent-1
     pairs = F.transform(
-        F.lit(cmat),
+        _matrix_lit(cmat),
         lambda c, i: F.struct(
             cosine(vec, c).alias("score"), i.cast("int").alias("cell")
         ),
@@ -488,15 +509,25 @@ def _pq_model_literals(
     m×n_codes×sub_d codebooks) walked with higher-order functions — keeps
     the expression tree small (plan optimize/codegen cost is per-node; an
     unrolled per-code tree compiles 10× slower for identical row work).
-    Each is ONE nested ``F.lit`` — see :func:`_best_cells` on why
-    per-element literal Columns are a driver-time trap."""
+    Each is ONE rendered-and-parsed literal — see :func:`_vector_lit` on
+    why per-element literal Columns are a driver-time trap."""
     import numpy as np
 
     cent_mat = np.asarray([cents[i] for i in sorted(cents)], dtype=np.float64)
     cent_norm = cent_mat / np.linalg.norm(cent_mat, axis=1, keepdims=True)
-    cent_lit = F.lit([[float(v) for v in row] for row in cent_norm])
-    books_lit = F.lit(
-        [[[float(v) for v in row] for row in book] for book in books]
+    cent_lit = _matrix_lit(cent_norm)
+    books_lit = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(float(v)) + "d" for v in row) + ")"
+                for row in book
+            )
+            + ")"
+            for book in books
+        )
+        + ")"
     )
     return cent_lit, books_lit
 
@@ -1466,10 +1497,10 @@ def embedding_pca_project(
     mu = [0.0] * d
     for r in mrows:
         mu[r.i - 1] = r.mu
-    mu_lit = F.lit([float(x) for x in mu])
+    mu_lit = _vector_lit(mu)
     proj_cols = []
     for ci, comp in enumerate(comps):
-        comp_lit = F.lit([float(x) for x in comp])
+        comp_lit = _vector_lit(comp)
         score = F.aggregate(
             F.zip_with(
                 F.zip_with(

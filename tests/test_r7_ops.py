@@ -175,6 +175,24 @@ def test_bpe_train_cap_is_loud(spark):
         bpe_train(docs, num_merges=2, max_word_types=1_000_000)
 
 
+def test_rendered_literals_bit_equal(spark):
+    """_vector_lit/_matrix_lit (expr-rendered, one JVM parse) must
+    round-trip IEEE doubles bit-exactly vs F.lit — the whole ANN model
+    path rides on this."""
+    import struct
+
+    vals = [1e-05, -3.2e17, 0.1 + 0.2, -0.0, 2.2250738585072014e-308, 7.0]
+    got = spark.range(1).select(
+        simsearch._vector_lit(vals).alias("v"),
+        F.lit([vals, vals[::-1]]).alias("m_ref"),
+        simsearch._matrix_lit([vals, vals[::-1]]).alias("m"),
+    ).first()
+    assert [struct.pack("d", x) for x in got["v"]] == [
+        struct.pack("d", x) for x in vals
+    ]
+    assert got["m"] == got["m_ref"]
+
+
 def test_ivf_index_stats(spark, sf_dir, tmp_path):
     corpus = _embs(spark, sf_dir)
     idx = annindex.write_ivf_index(
