@@ -924,6 +924,72 @@ def embedding_dedup_fused(
     return corpus.join(losers, id_col, "left_anti")
 
 
+def semdedup_prune(
+    corpus: DataFrame,
+    k: int = 8,
+    threshold: float = 0.95,
+    kmeans_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv 2303.09540), the paper-faithful
+    k-means-scoped variant: assign every vector to a spherical-k-means
+    cluster, compute exact cosine pairs WITHIN each cluster only, take
+    the transitive closure, keep the minimum-id member per component.
+    Returns the pruned corpus (original columns).
+
+    Relationship to the existing semantic-dedup ops: the exact global
+    twin is closure over :func:`embedding_near_dup_pairs` (this function
+    with k=1 equals it EXACTLY — pinned in tests);
+    :func:`embedding_dedup_fused` is the no-pair-join LSH rendering. The
+    k-means scoping is the paper's cost model: within-cluster pairwise is
+    O(Σ|c|²) instead of O(n²) — at 100 TB you size k so clusters fit the
+    pair join (the paper uses k ≈ n/10⁴), accepting that cross-cluster
+    near-dups (rare at high thresholds: near-identical embeddings land in
+    the same Voronoi cell unless they straddle a boundary) are missed —
+    measured, not hidden: the k>1 recall vs the k=1 twin is asserted in
+    tests.
+
+    Plan shape: one map-side assignment pass (centroid literals), one
+    within-cluster self-join shuffled on cluster id, the shared
+    pointer-jump closure, one left-anti join."""
+    from magiceye_spark.llmops.dedup import cluster_pairs
+
+    assign = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        _best_cells(F.col(vec_col), _ivf_centroids(
+            corpus, k, kmeans_iters, id_col, vec_col
+        ), 1)[0]["cell"].alias("_cluster"),
+    )
+    # localCheckpoint: the assignment frame feeds BOTH self-join sides —
+    # without the barrier Spark's self-join attribute dedup can lose a
+    # side's projection (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND on k>1 plans),
+    # and the centroid-literal assignment would recompute per side anyway
+    assign = assign.localCheckpoint(eager=False)
+    a = assign.select(
+        F.col("_cluster"),
+        F.col(id_col).alias("_ida"),
+        F.col("_v").alias("_va"),
+    )
+    b = assign.select(
+        F.col("_cluster"),
+        F.col(id_col).alias("_idb"),
+        F.col("_v").alias("_vb"),
+    )
+    pairs = (
+        a.join(b, "_cluster")
+        .where(F.col("_ida") < F.col("_idb"))
+        .where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_ida").alias("doc_a"), F.col("_idb").alias("doc_b"))
+    )
+    clusters = cluster_pairs(pairs)
+    losers = clusters.where(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return corpus.join(losers, id_col, "left_anti")
+
+
 # ------------------------------------------------------------ clustering
 
 def embedding_kmeans(

@@ -1337,6 +1337,17 @@ def ivf_indexed_exact_q(spark, sf_dir):
     return annindex.ivf_index_topk(idx, queries_df, k=10, n_probe=16)
 
 
+@register("semdedup_prune", None)  # kmeans driver fit: rows-only; k=1
+# equality to the exact global-pair closure and the planted-twin
+# high-threshold contract are pinned in tests/test_r7_ops.py
+def semdedup_q(spark, sf_dir):
+    """SemDeDup (arXiv 2303.09540): k-means-scoped semantic dedup —
+    within-cluster exact cosine pairs + transitive closure + keep-min.
+    The paper's cost model for embedding dedup at corpus scale (O(Σ|c|²)
+    instead of O(n²))."""
+    return simsearch.semdedup_prune(_embs(spark, sf_dir), k=4, threshold=0.45)
+
+
 @register("ivf_index_stats", None)  # centroid-dependent: rows-only; the
 # sum/bounds invariants are pinned in tests/test_r7_ops.py
 def ivf_index_stats_q(spark, sf_dir):

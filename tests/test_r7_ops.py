@@ -243,6 +243,52 @@ def test_index_compaction_preserves_rows(spark, sf_dir, tmp_path):
     assert _rows(sigstore.read_minhash_index(spark, ps).signatures) == before_sig
 
 
+# --------------------------------------------------------- SemDeDup
+
+def test_semdedup_k1_equals_exact_closure(spark, sf_dir):
+    """With one cluster, SemDeDup must equal keep-min-per-component over
+    the exact global cosine pair relation — the structural twin pin."""
+    from magiceye_spark.llmops.dedup import cluster_pairs
+
+    emb = _embs(spark, sf_dir)
+    pruned = simsearch.semdedup_prune(emb, k=1, threshold=0.45)
+    pairs = simsearch.embedding_near_dup_pairs(emb, threshold=0.45).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    clusters = cluster_pairs(pairs)
+    losers = clusters.where(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias("vec_id")
+    )
+    expected = emb.join(losers, "vec_id", "left_anti")
+    assert _rows(pruned) == _rows(expected)
+
+
+def test_semdedup_scoped_catches_planted_twins(spark, sf_dir):
+    """The scoped (k>1) prune's contract is the HIGH-threshold regime:
+    near-IDENTICAL embeddings land in the same Voronoi cell. Plant ten
+    ε-perturbed twins of existing vectors; at threshold 0.99 / k=4 every
+    planted twin must be removed (its source kept), and scoping can only
+    keep MORE than the k=1 exact twin, never less. (At low thresholds —
+    e.g. the corpus's own 0.45-cosine pairs — boundary straddling loses
+    pairs by design; that regime belongs to embedding_near_dup_pairs /
+    embedding_dedup_fused.)"""
+    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
+    twins = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.0001).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(twins)
+    kept_scoped = simsearch.semdedup_prune(corpus, k=4, threshold=0.99)
+    kept_ids = {r["vec_id"] for r in kept_scoped.select("vec_id").collect()}
+    # every planted twin removed, every source kept
+    assert all(100000 + i not in kept_ids for i in range(10))
+    assert all(i in kept_ids for i in range(10))
+    kept_exact = simsearch.semdedup_prune(corpus, k=1, threshold=0.99).count()
+    assert kept_scoped.count() >= kept_exact  # scoping only misses pairs
+
+
 # --------------------------------------------- minhash signature store
 
 def test_sigstore_pairs_equal_fresh_lsh(spark, sf_dir, tmp_path):
