@@ -1,0 +1,74 @@
+"""Hadoop-FileSystem-API path operations for stored-index lifecycle
+maintenance (:mod:`magiceye_spark.llmops.annindex`,
+:mod:`magiceye_spark.llmops.sigstore`).
+
+At 100 TB a persistent index lives on a lake (hdfs://, s3a://, ...), not
+the driver's local disk — so compaction's list/rename/delete must go
+through ``org.apache.hadoop.fs.FileSystem`` (the abstraction Spark itself
+writes through), not ``os.walk``/``shutil``. These helpers resolve the
+correct FileSystem implementation from the path's scheme via the active
+session's Hadoop configuration, so the SAME code path serves local file:,
+HDFS, and the object-store connectors the cluster ships.
+
+Crash-safety of :func:`fs_swap_dirs` (the rename-ASIDE order, not
+delete-then-rename): live → live_old, tmp → live, delete live_old. At
+every intermediate state a full copy of the table exists at a known path:
+a crash before the first rename leaves ``live``; between the renames
+leaves ``live_old`` (recovery: rename it back); after the second leaves
+the new ``live``. On HDFS and local file: each rename is atomic. On S3A
+rename is a server-side copy+delete — NOT atomic — but the aside order
+still never deletes the only copy: a crash mid-copy leaves the rename's
+SOURCE intact, so the table is recoverable at one of the two paths in
+every window. (Contrast delete-then-rename, which has a window with no
+copy under the live path at all.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_and_path(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for ``path_str``, scheme-resolved through the
+    session's Hadoop configuration (file:, hdfs:, s3a:, ...)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _fs_and_path(spark, path)
+    return bool(fs.exists(p))
+
+
+def fs_count_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
+    """Recursive count of data files under ``path`` — the compaction
+    before/after metric. Uses the remote-iterator listing (streams; no
+    driver-side materialized index of the whole tree)."""
+    fs, p = _fs_and_path(spark, path)
+    it = fs.listFiles(p, True)
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(suffix):
+            n += 1
+    return n
+
+
+def fs_swap_dirs(spark: SparkSession, tmp_dir: str, live_dir: str) -> None:
+    """Promote a staged rewrite: ``live → live_old``, ``tmp → live``,
+    delete ``live_old`` (guarantees per scheme in the module docstring).
+    A pre-existing ``live_old`` (leftover of an earlier crash AFTER its
+    second rename — the only state that leaves one behind) is cleared
+    first: at that point the live path already holds a complete table."""
+    fs, live = _fs_and_path(spark, live_dir)
+    _, tmp = _fs_and_path(spark, tmp_dir)
+    _, old = _fs_and_path(spark, live_dir.rstrip("/") + "_old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if not fs.rename(live, old):
+        raise IOError(f"rename {live_dir} -> {live_dir}_old failed")
+    if not fs.rename(tmp, live):
+        fs.rename(old, live)  # roll back: keep the store readable
+        raise IOError(f"rename {tmp_dir} -> {live_dir} failed (rolled back)")
+    fs.delete(old, True)

@@ -188,18 +188,31 @@ def read_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
 
 
 def ivf_index_add(
-    spark: SparkSession, path: str, new_vectors: DataFrame
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    dedupe_ids: bool = True,
 ) -> int:
     """Incremental add: assign + encode ONLY the delta against the stored
     model and append to the postings table — the quantizer and codebooks
     are immutable (the FAISS `add` contract: codebook drift would silently
-    invalidate every previously stored code). One scan of the delta, zero
-    touches of existing postings. Returns the number of vectors appended.
+    invalidate every previously stored code). One pass over the delta,
+    zero touches of existing postings; the returned count rides the write
+    job via ``Observation`` instead of a separate pre-append action.
+
+    ``dedupe_ids``: anti-join the delta against stored vec_ids so a
+    re-ingested batch is a no-op instead of silently inflating posting
+    counts (and every probe that scans the touched cells). Costs one
+    pruned id-column scan of the postings per ingest; callers whose ids
+    are new by construction can pass False and own the uniqueness
+    obligation.
 
     Because encoding is a pure function of the stored model, add-then-probe
     equals rebuild-then-probe whenever the rebuild would fit the same model
     — e.g. when the original corpus already contained the fit sample
     (pinned in tests/test_r7_ops.py)."""
+    from pyspark.sql import Observation
+
     idx = read_ivf_index(spark, path)
     id_col, vec_col = idx.params["id_col"], idx.params["vec_col"]
     spread = new_vectors.repartition(
@@ -212,11 +225,15 @@ def ivf_index_add(
         )
     else:
         delta = _postings_flat(spread, idx.centroids, id_col, vec_col)
-    n = delta.count()
-    delta.write.mode("append").partitionBy("cell").parquet(
-        os.path.join(path, "postings")
-    )
-    return n
+    if dedupe_ids:
+        delta = delta.join(
+            idx.postings.select("vec_id"), "vec_id", "left_anti"
+        )
+    obs = Observation()
+    delta.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+        "append"
+    ).partitionBy("cell").parquet(os.path.join(path, "postings"))
+    return int(obs.get["n"])
 
 
 def ivf_index_compact(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -230,22 +247,17 @@ def ivf_index_compact(spark: SparkSession, path: str) -> tuple[int, int]:
     per cell. Returns (files_before, files_after); row content is
     untouched (pinned in tests).
 
-    The rewrite stages into ``postings_compact`` and swaps via rename, so
-    a crash mid-compact leaves the original postings intact."""
-    import shutil
+    The rewrite stages into ``postings_compact`` and is promoted by a
+    rename-ASIDE swap through the Hadoop FileSystem API (file:, hdfs:,
+    s3a: — scheme-resolved), so every crash window leaves a complete copy
+    of the postings at a known path; exact per-scheme guarantees are in
+    :mod:`magiceye_spark.fsops`."""
+    from magiceye_spark.fsops import fs_count_files, fs_swap_dirs
 
     post_dir = os.path.join(path, "postings")
     tmp_dir = os.path.join(path, "postings_compact")
 
-    def _count_files(d: str) -> int:
-        return sum(
-            1
-            for root, _, files in os.walk(d)
-            for f in files
-            if f.endswith(".parquet")
-        )
-
-    before = _count_files(post_dir)
+    before = fs_count_files(spark, post_dir)
     posts = spark.read.parquet(post_dir)
     (
         posts.repartition("cell")
@@ -254,9 +266,8 @@ def ivf_index_compact(spark: SparkSession, path: str) -> tuple[int, int]:
         .partitionBy("cell")
         .parquet(tmp_dir)
     )
-    shutil.rmtree(post_dir)
-    os.rename(tmp_dir, post_dir)
-    return before, _count_files(post_dir)
+    fs_swap_dirs(spark, tmp_dir, post_dir)
+    return before, fs_count_files(spark, post_dir)
 
 
 def ivf_index_stats(index: IvfIndex) -> DataFrame:

@@ -942,6 +942,70 @@ def _salted_band_sides(
     return a, b
 
 
+def _salted_band_cands_one_sided(
+    delta_banded: DataFrame,
+    corpus_banded: DataFrame,
+    bucket_cap: int,
+    payload: str,
+    pa: str,
+    pb: str,
+) -> DataFrame:
+    """One-sided variant of :func:`_salted_band_sides` for delta-vs-corpus
+    band joins: candidates are the (delta doc, corpus doc) bucket
+    collisions, normalized to ``doc_a < doc_b``. The delta side picks ONE
+    salt per row; the corpus side explodes all salts of oversized buckets —
+    so each cross pair meets exactly once (at the delta row's salt), and a
+    delta×delta pair (the delta is a subset of the corpus frame) meets at
+    most twice (once per orientation) before ``dropDuplicates``. The
+    hot-bucket size table comes from the CORPUS side: the exploded side is
+    the one whose per-bucket occupancy sets join-group fan-out.
+
+    The asymmetry is the point: candidate-generation cost is
+    Σ_buckets |delta∩bucket| × |corpus∩bucket| — linear in the delta at
+    fixed corpus bucket occupancy — instead of the corpus self-join's
+    Σ_buckets |corpus∩bucket|², which grows with the corpus's internal
+    near-dup structure on every ingest batch. Used by
+    :func:`magiceye_spark.llmops.sigstore.delta_pairs_from_index`."""
+    corpus_banded = corpus_banded.repartition(
+        corpus_banded.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    hot = (
+        corpus_banded.groupBy("band_id", "bucket")
+        .agg(F.ceil(F.count(F.lit(1)) / bucket_cap).cast("int").alias("n_salt"))
+        .where(F.col("n_salt") > 1)
+    )
+    a = delta_banded.join(F.broadcast(hot), ["band_id", "bucket"], "left").select(
+        F.col("doc_id").alias("doc_d"),
+        F.col(payload).alias("p_d"),
+        "band_id",
+        "bucket",
+        F.coalesce(
+            F.pmod(F.xxhash64("doc_id"), F.col("n_salt")).cast("int"), F.lit(0)
+        ).alias("salt"),
+    )
+    b = corpus_banded.join(F.broadcast(hot), ["band_id", "bucket"], "left").select(
+        F.col("doc_id").alias("doc_u"),
+        F.col(payload).alias("p_u"),
+        "band_id",
+        "bucket",
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col("n_salt"), F.lit(1)) - 1)
+        ).alias("salt"),
+    )
+    lt = F.col("doc_d") < F.col("doc_u")
+    return (
+        a.join(b, ["band_id", "bucket", "salt"])
+        .where(F.col("doc_d") != F.col("doc_u"))
+        .select(
+            F.least("doc_d", "doc_u").alias("doc_a"),
+            F.greatest("doc_d", "doc_u").alias("doc_b"),
+            F.when(lt, F.col("p_d")).otherwise(F.col("p_u")).alias(pa),
+            F.when(lt, F.col("p_u")).otherwise(F.col("p_d")).alias(pb),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def _hamming_band_sides(sigs: DataFrame, bucket_cap: int):
     """The banded join sides of :func:`hamming_band_near_dups`, exposed so
     tests can pin the hot-bucket salt MECHANISM. Returns (a, b) joined on

@@ -455,7 +455,6 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iters: int = 5,
-    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over the symmetrized edge list: ``(node, deg, pagerank)``.
 

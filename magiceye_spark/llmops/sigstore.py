@@ -34,9 +34,10 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from magiceye_spark.fsops import fs_count_files, fs_swap_dirs
 from magiceye_spark.llmops.dedup import (
     _lsh_pairs_from_sigs,
-    _salted_band_sides,
+    _salted_band_cands_one_sided,
     _banded_from_sigs,
     _verify_candidates,
     minhash_signatures,
@@ -90,11 +91,26 @@ def read_minhash_index(spark: SparkSession, path: str) -> MinhashIndex:
 
 
 def minhash_index_add(
-    spark: SparkSession, path: str, new_docs: DataFrame, text_col: str = "text"
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    dedupe_ids: bool = True,
 ) -> int:
     """Sign ONLY the delta with the stored parameters and append. The
     hash family is seed-fixed, so appended signatures are exactly what a
-    full rebuild would produce for those docs (pinned in tests)."""
+    full rebuild would produce for those docs (pinned in tests).
+
+    ``dedupe_ids``: anti-join the delta against the stored doc_ids so a
+    re-ingested batch is a no-op instead of silently duplicating store
+    rows (which would multiply every downstream join on stored ids). The
+    anti-join scans one pruned column of the store per ingest; callers
+    whose ingest ids are new by construction (the common production
+    contract) can pass False to skip that scan — they then OWN the
+    uniqueness obligation. Returned count rides the write job via
+    ``Observation`` — one pass over the delta, no pre-append count action."""
+    from pyspark.sql import Observation
+
     idx = read_minhash_index(spark, path)
     delta = minhash_signatures(
         new_docs,
@@ -102,37 +118,34 @@ def minhash_index_add(
         int(idx.params["shingle_n"]),
         text_col,
     )
-    n = delta.count()
-    delta.write.mode("append").parquet(os.path.join(path, "signatures"))
-    return n
+    if dedupe_ids:
+        delta = delta.join(
+            idx.signatures.select("doc_id"), "doc_id", "left_anti"
+        )
+    obs = Observation()
+    delta.observe(obs, F.count(F.lit(1)).alias("n")).write.mode("append").parquet(
+        os.path.join(path, "signatures")
+    )
+    return int(obs.get["n"])
 
 
 def minhash_index_compact(spark: SparkSession, path: str) -> tuple[int, int]:
     """Coalesce the signature files that repeated :func:`minhash_index_add`
     appends accumulate (same small-files lifecycle issue as
     :func:`annindex.ivf_index_compact`): one staged rewrite hashed on
-    doc_id, swap by rename. Returns (files_before, files_after); rows
-    untouched (pinned in tests)."""
-    import shutil
-
+    doc_id, then a rename-aside swap through the Hadoop FileSystem API
+    (works on file:, hdfs:, s3a: — see :func:`magiceye_spark.fsops.fs_swap_dirs`
+    for the exact crash-window guarantees per scheme). Returns
+    (files_before, files_after); rows untouched (pinned in tests)."""
     sig_dir = os.path.join(path, "signatures")
     tmp_dir = os.path.join(path, "signatures_compact")
 
-    def _count_files(d: str) -> int:
-        return sum(
-            1
-            for root, _, files in os.walk(d)
-            for f in files
-            if f.endswith(".parquet")
-        )
-
-    before = _count_files(sig_dir)
+    before = fs_count_files(spark, sig_dir)
     sigs = spark.read.parquet(sig_dir)
     n_out = max(1, min(spark.sparkContext.defaultParallelism, before))
     sigs.repartition(n_out, "doc_id").write.mode("overwrite").parquet(tmp_dir)
-    shutil.rmtree(sig_dir)
-    os.rename(tmp_dir, sig_dir)
-    return before, _count_files(sig_dir)
+    fs_swap_dirs(spark, tmp_dir, sig_dir)
+    return before, fs_count_files(spark, sig_dir)
 
 
 def lsh_pairs_from_index(
@@ -173,35 +186,19 @@ def delta_pairs_from_index(
     delta_sigs = minhash_signatures(
         new_docs, num_hashes, int(p["shingle_n"]), text_col
     )
+    # ONE-SIDED salted band join: delta side vs the full union (stored +
+    # delta, so delta×delta collisions are found too). Every candidate has
+    # a delta member by construction — no stored×stored pair is ever
+    # GENERATED, so per-batch candidate cost is linear in the delta at
+    # fixed store bucket occupancy instead of paying the store's internal
+    # near-dup structure on every ingest (the r7 defect: both sides came
+    # from the union and stored×stored pairs were filtered post-join).
     union_banded = _banded_from_sigs(
         index.signatures.unionByName(delta_sigs), num_hashes, bands
     )
     delta_banded = _banded_from_sigs(delta_sigs, num_hashes, bands)
-    # one-sided salted band join: delta side vs the full union; the salt
-    # guard caps hot-bucket fan-out exactly as in the self-join path
-    a, b = _salted_band_sides(union_banded, 2000, "shingles", "sh_a", "sh_b")
-    delta_ids = delta_banded.select("doc_id").distinct()
-    touching = (
-        a.join(b, ["band_id", "bucket", "salt"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-        .join(
-            delta_ids.select(F.col("doc_id").alias("doc_a")).withColumn(
-                "_ta", F.lit(1)
-            ),
-            "doc_a",
-            "left",
-        )
-        .join(
-            delta_ids.select(F.col("doc_id").alias("doc_b")).withColumn(
-                "_tb", F.lit(1)
-            ),
-            "doc_b",
-            "left",
-        )
-        .where(F.col("_ta").isNotNull() | F.col("_tb").isNotNull())
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+    touching = _salted_band_cands_one_sided(
+        delta_banded, union_banded, 2000, "shingles", "sh_a", "sh_b"
     )
     return _verify_candidates(touching, thr)
 
@@ -217,8 +214,9 @@ def delta_dedup_admit_indexed(
     stored doc AND it is the minimum-id incoming member (singletons
     trivially qualify) — the closure semantics of
     :func:`graph.delta_dedup_admit`, fed by :func:`delta_pairs_from_index`
-    edges. Returns the admitted rows of ``new_docs`` (doc_id, lang,
-    source, n_chars).
+    edges. Returns the admitted rows of ``new_docs`` with the CALLER's
+    columns — the module only requires (doc_id, <text_col>), so the
+    projection must not assume any corpus schema beyond that.
 
     This is the per-batch production shape: only the batch is shingled,
     the store contributes map-side band buckets, and the closure runs
@@ -244,6 +242,4 @@ def delta_dedup_admit_indexed(
     rejected = incoming_labeled.where(
         (F.col("has_existing") == 1) | (F.col("doc_id") != F.col("min_incoming"))
     ).select("doc_id")
-    return new_docs.join(rejected, "doc_id", "left_anti").select(
-        "doc_id", "lang", "source", "n_chars"
-    )
+    return new_docs.join(rejected, "doc_id", "left_anti")

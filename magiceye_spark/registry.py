@@ -962,9 +962,11 @@ def delta_admit_indexed_q(spark, sf_dir):
     idx = sigstore.write_minhash_index(
         docs.where(F.col("doc_id") < 350), _ann_index_path(sf_dir) + "_sig"
     )
+    # the function returns the caller's full schema; keep the driver row's
+    # lean metadata projection (text elided)
     return sigstore.delta_dedup_admit_indexed(
         idx, docs.where(F.col("doc_id") >= 350)
-    )
+    ).select("doc_id", "lang", "source", "n_chars")
 
 
 _CONFUSABLE_PLANT_SQL = """

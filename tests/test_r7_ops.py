@@ -333,7 +333,12 @@ def test_sigstore_delta_admission_parity(spark, sf_dir, tmp_path):
     incoming = docs.where(F.col("doc_id") >= 350)
     idx = sigstore.write_minhash_index(existing, str(tmp_path / "sig"))
     got = sorted(
-        map(tuple, sigstore.delta_dedup_admit_indexed(idx, incoming).collect())
+        map(
+            tuple,
+            sigstore.delta_dedup_admit_indexed(idx, incoming)
+            .select("doc_id", "lang", "source", "n_chars")
+            .collect(),
+        )
     )
     pairs_full = dedup.minhash_lsh_pairs(docs, threshold=0.7)
     expected = sorted(

@@ -1,0 +1,114 @@
+"""Round-8 pins: one-sided sigstore delta band join, re-ingest
+idempotence of both persistent stores, Hadoop-FS swap semantics, and the
+candidate-based bitext mining path."""
+
+from pyspark.sql import functions as F
+
+from magiceye_spark.llmops import annindex, dedup, sigstore
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------- one-sided delta band join
+
+def test_delta_pairs_one_sided_equals_filtered_fresh(spark, sf_dir, tmp_path):
+    """The one-sided delta join must return EXACTLY the delta-touching
+    subset of the fresh LSH pairs over the union — bit-identical jaccard
+    (seed-fixed signatures), and never a stored×stored pair. This is the
+    candidate-generation rewrite's output pin; its COST claim (linear in
+    the delta at fixed store occupancy) is measured in
+    tools/store_scale_sweep.py / BASELINE.md."""
+    docs = _docs(spark, sf_dir)
+    existing = docs.where(F.col("doc_id") < 350)
+    incoming = docs.where(F.col("doc_id") >= 350)
+    idx = sigstore.write_minhash_index(existing, str(tmp_path / "sig"))
+    got = _rows(sigstore.delta_pairs_from_index(idx, incoming))
+    delta_ids = {r["doc_id"] for r in incoming.select("doc_id").collect()}
+    fresh = _rows(dedup.minhash_lsh_pairs(docs, threshold=0.7))
+    expected = [
+        p for p in fresh if p[0] in delta_ids or p[1] in delta_ids
+    ]
+    assert got == expected
+    assert all(p[0] in delta_ids or p[1] in delta_ids for p in got)
+
+
+def test_delta_admit_indexed_schema_generic(spark, sf_dir, tmp_path):
+    """Admission must work on a corpus with ONLY (doc_id, text) — the
+    module's actual requirement — and return the caller's own columns
+    (r7 hardcoded a documents-shaped projection and crashed here)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", F.length("text").alias("my_extra")
+    )
+    idx = sigstore.write_minhash_index(
+        docs.where(F.col("doc_id") < 350), str(tmp_path / "sig")
+    )
+    incoming = docs.where(F.col("doc_id") >= 350)
+    admitted = sigstore.delta_dedup_admit_indexed(idx, incoming)
+    assert admitted.columns == incoming.columns
+    assert 0 < admitted.count() <= incoming.count()
+
+
+# --------------------------------------------- re-ingest idempotence
+
+def test_minhash_index_add_reingest_is_noop(spark, sf_dir, tmp_path):
+    docs = _docs(spark, sf_dir)
+    p = str(tmp_path / "sig")
+    sigstore.write_minhash_index(docs.where(F.col("doc_id") < 300), p)
+    batch = docs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    n1 = sigstore.minhash_index_add(spark, p, batch)
+    assert n1 == batch.count()
+    rows_after_first = _rows(sigstore.read_minhash_index(spark, p).signatures)
+    n2 = sigstore.minhash_index_add(spark, p, batch)  # same batch again
+    assert n2 == 0
+    assert (
+        _rows(sigstore.read_minhash_index(spark, p).signatures)
+        == rows_after_first
+    )
+
+
+def test_ivf_index_add_reingest_is_noop(spark, sf_dir, tmp_path):
+    corpus = _embs(spark, sf_dir)
+    p = str(tmp_path / "flat")
+    annindex.write_ivf_index(
+        corpus.where(F.col("vec_id") < 300), p, n_centroids=8,
+        kmeans_iters=2, fit_sample=128,
+    )
+    batch = corpus.where((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    n1 = annindex.ivf_index_add(spark, p, batch)
+    assert n1 == batch.count()
+    stats1 = annindex.ivf_index_stats(annindex.read_ivf_index(spark, p)).first()
+    n2 = annindex.ivf_index_add(spark, p, batch)
+    assert n2 == 0
+    stats2 = annindex.ivf_index_stats(annindex.read_ivf_index(spark, p)).first()
+    assert stats1["n_vectors"] == stats2["n_vectors"]
+
+
+# --------------------------------------------------- fs swap semantics
+
+def test_fs_swap_dirs_clears_stale_old_and_swaps(spark, tmp_path):
+    """A leftover live_old from an earlier crash must be cleared, the tmp
+    promoted, and no *_old residue left behind."""
+    import os
+
+    from magiceye_spark import fsops
+
+    live, tmp, old = (
+        str(tmp_path / "t"), str(tmp_path / "t_compact"), str(tmp_path / "t_old")
+    )
+    spark.range(5).write.parquet(live)
+    spark.range(7).write.parquet(tmp)
+    spark.range(1).write.parquet(old)  # stale leftover
+    fsops.fs_swap_dirs(spark, tmp, live)
+    assert spark.read.parquet(live).count() == 7
+    assert not os.path.exists(tmp) and not os.path.exists(old)
+    assert fsops.fs_count_files(spark, live) >= 1
