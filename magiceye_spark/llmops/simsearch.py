@@ -1375,6 +1375,139 @@ ORDER BY src_id
 """
 
 
+def bitext_margin_pairs_indexed(
+    docs: DataFrame,
+    emb: DataFrame,
+    src_lang: str = "en",
+    k: int = 4,
+    margin_threshold: float = 1.15,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 8,
+    salts: int = 4,
+) -> DataFrame:
+    """Candidate-based margin mining — the PRODUCTION path whose exact
+    all-pairs twin is :func:`bitext_margin_pairs` (same margin expression,
+    same output schema, same tie-breaks; recall vs the twin pinned in
+    tests). Until r8 the twin was the only implementation — the one
+    operator whose sole path was quadratic.
+
+    Candidates come from ONE shared coarse quantizer (spherical k-means
+    on a bounded sample of the target side, :func:`_ivf_centroids`):
+
+    - forward IVF k-NN (each source probes its ``n_probe`` nearest cells
+      of the cell-assigned target side) supplies cos(x, ·) top-k — the
+      source-side neighborhood mean m_src;
+    - backward IVF k-NN (targets probe the cell-assigned source side,
+      SAME centroids) supplies cos(·, y) top-k — m_tgt;
+    - the margin is computed over the fwd ∪ bwd candidate edges with the
+      twin's expression verbatim (round-6 cosines, DECIMAL(18,6) ordered
+      k-NN sums, margin = cos / (0.5·(m_src+m_tgt))), and the best target
+      per source is chosen among candidates with the twin's tie-breaks.
+
+    Neither side is broadcast (both are corpus-scale in bitext mining,
+    unlike ANN's small query batches): each direction is a shuffle
+    equi-join on (cell, salt) where the corpus side picks ONE salt per
+    row (pmod of xxhash64) and the probe side explodes all ``salts`` —
+    every (query, corpus) pair in a probed cell meets exactly once, and
+    a hot Voronoi cell's work spreads over ``salts`` tasks instead of
+    one. Per-query cost is ~n_probe/n_centroids of the other side —
+    linear in the corpus at fixed probe fraction, vs the twin's
+    O(|A|·|B|).
+
+    Approximation surface (why this has no SQL oracle): a pair is scored
+    only if one endpoint ranks in the other's probed top-k, so both the
+    means and the final argmax see IVF-approximate neighborhoods. Recall
+    vs the exact twin is pinned in tests/test_r8_ops.py; sizing follows
+    the ivf_topk sweep (finer cells at fixed probe fraction).
+    """
+    e = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
+        "doc_id", "lang", "embedding"
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    a = e.where(F.col("lang") == src_lang).select(
+        F.col("doc_id").alias("src_id"), F.col("embedding").alias("vec")
+    ).repartition(par, "src_id")
+    b_full = e.where(F.col("lang") != src_lang).select(
+        F.col("doc_id").alias("tgt_id"),
+        F.col("lang").alias("tgt_lang"),
+        F.col("embedding").alias("vec"),
+    ).repartition(par, "tgt_id")
+    b = b_full.select("tgt_id", "vec")
+    cents = _ivf_centroids(b, n_centroids, kmeans_iters, "tgt_id", "vec")
+
+    def knn(qside: DataFrame, q_id: str, cside: DataFrame, c_id: str) -> DataFrame:
+        q = qside.select(
+            q_id,
+            F.col("vec").alias("q_vec"),
+            F.explode(
+                F.transform(
+                    _best_cells(F.col("vec"), cents, n_probe), lambda s: s["cell"]
+                )
+            ).alias("cell"),
+        ).withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+        c = cside.select(
+            c_id,
+            F.col("vec").alias("c_vec"),
+            _best_cells(F.col("vec"), cents, 1)[0]["cell"].alias("cell"),
+            F.pmod(F.xxhash64(F.col(c_id)), F.lit(salts)).cast("int").alias("salt"),
+        )
+        w = Window.partitionBy(q_id).orderBy(F.desc("cosine_sim"), F.asc(c_id))
+        return (
+            q.join(c, ["cell", "salt"])
+            .select(
+                q_id,
+                c_id,
+                F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
+                    "cosine_sim"
+                ),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= k)
+            .drop("r")
+        )
+
+    fwd = knn(a, "src_id", b, "tgt_id")
+    bwd = knn(b, "tgt_id", a, "src_id").select("src_id", "tgt_id", "cosine_sim")
+
+    def knn_mean(df: DataFrame, key: str, out: str) -> DataFrame:
+        return df.groupBy(key).agg(
+            (
+                F.sum(F.col("cosine_sim").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias(out)
+        )
+
+    m_src = knn_mean(fwd, "src_id", "m_src")
+    m_tgt = knn_mean(bwd, "tgt_id", "m_tgt")
+    cands = (
+        fwd.select("src_id", "tgt_id", "cosine_sim")
+        .unionByName(bwd)
+        .dropDuplicates(["src_id", "tgt_id"])  # same expression → same cosine
+    )
+    marg = (
+        cands.join(m_src, "src_id")
+        .join(m_tgt, "tgt_id")
+        .withColumn(
+            "margin",
+            F.round(
+                F.col("cosine_sim") / (F.lit(0.5) * (F.col("m_src") + F.col("m_tgt"))),
+                6,
+            ),
+        )
+    )
+    wb = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.desc("cosine_sim"), F.asc("tgt_id")
+    )
+    return (
+        marg.withColumn("rb", F.row_number().over(wb))
+        .where((F.col("rb") == 1) & (F.col("margin") >= margin_threshold))
+        .join(b_full.select("tgt_id", "tgt_lang"), "tgt_id")
+        .select("src_id", "tgt_id", "tgt_lang", "cosine_sim", "margin")
+        .orderBy("src_id")
+    )
+
+
 # ------------------------------------------ Johnson-Lindenstrauss projection
 
 def random_projection(

@@ -2725,6 +2725,35 @@ def bitext_margin_pairs_q(spark, sf_dir):
     )
 
 
+@register("bitext_indexed_exact", simsearch.sql_bitext_margin_pairs())
+def bitext_indexed_exact_q(spark, sf_dir):
+    """The candidate-based bitext path under the EXACT oracle: probing
+    every cell (n_probe = n_centroids) makes both directions' IVF k-NN
+    the exact top-k, so the neighborhood means — and, on this corpus, the
+    per-source argmax — match the all-pairs twin bit-for-bit. Any slip in
+    the candidate plumbing (a lost salt meeting, a cell misassignment, a
+    tie-break drift) breaks the hash match. Complements the rows-only
+    approximate row (the ivf_ann_exact / ivf_indexed_exact precedent)."""
+    return simsearch.bitext_margin_pairs_indexed(
+        _docs(spark, sf_dir), simsearch._emb(spark, sf_dir),
+        n_centroids=16, n_probe=16,
+    )
+
+
+@register("bitext_margin_pairs_indexed", None)  # IVF-approximate candidate
+# mining: no hash oracle can check an approximation — recall vs the exact
+# twin is pinned in tests/test_r8_ops.py; the exhaustive-probe config has
+# the hash-checked bitext_indexed_exact row above
+def bitext_margin_pairs_indexed_q(spark, sf_dir):
+    """Candidate-based margin mining at production settings: forward +
+    backward IVF k-NN candidates from one shared quantizer, margin over
+    candidate edges only — per-query cost ~n_probe/n_centroids of the
+    other side instead of the twin's O(|A|·|B|)."""
+    return simsearch.bitext_margin_pairs_indexed(
+        _docs(spark, sf_dir), simsearch._emb(spark, sf_dir)
+    )
+
+
 @register("dedup_keep_per_cluster", graph.sql_dedup_keep_per_cluster())
 def dedup_keep_per_cluster_q(spark, sf_dir):
     """The corpus after transitive-closure dedup: docs with no near-dup

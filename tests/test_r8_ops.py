@@ -93,6 +93,44 @@ def test_ivf_index_add_reingest_is_noop(spark, sf_dir, tmp_path):
     assert stats1["n_vectors"] == stats2["n_vectors"]
 
 
+# --------------------------------------------- candidate-based bitext
+
+def test_bitext_indexed_exhaustive_equals_twin(spark, sf_dir):
+    """With n_probe = n_centroids both directions' IVF k-NN are the exact
+    top-k, so the neighborhood means match the twin bit-for-bit and (on
+    this corpus) so does the per-source argmax — full-row equality, values
+    included. The structural pin of the candidate plumbing."""
+    from magiceye_spark.llmops import simsearch
+
+    docs = _docs(spark, sf_dir)
+    emb = _embs(spark, sf_dir)
+    twin = simsearch.bitext_margin_pairs(docs, emb)
+    idx = simsearch.bitext_margin_pairs_indexed(
+        docs, emb, n_centroids=16, n_probe=16
+    )
+    assert _rows(idx) == _rows(twin)
+
+
+def test_bitext_indexed_recall_floor(spark, sf_dir):
+    """At production settings (n_probe/n_centroids = 1/4 scan fraction)
+    the candidate path must keep recall vs the exact twin above the
+    measured floor (0.86 at sf0.001, 0.76 at sf0.01, 0.81 at sf0.1 —
+    BASELINE.md); pinned with headroom like the LSH/IVF recall pins."""
+    from magiceye_spark.llmops import simsearch
+
+    docs = _docs(spark, sf_dir)
+    emb = _embs(spark, sf_dir)
+    exact = {
+        (r["src_id"], r["tgt_id"])
+        for r in simsearch.bitext_margin_pairs(docs, emb).collect()
+    }
+    got = {
+        (r["src_id"], r["tgt_id"])
+        for r in simsearch.bitext_margin_pairs_indexed(docs, emb).collect()
+    }
+    assert len(exact & got) / max(1, len(exact)) >= 0.7
+
+
 # --------------------------------------------------- fs swap semantics
 
 def test_fs_swap_dirs_clears_stale_old_and_swaps(spark, tmp_path):
