@@ -965,10 +965,17 @@ def _salted_band_cands_one_sided(
     fixed corpus bucket occupancy — instead of the corpus self-join's
     Σ_buckets |corpus∩bucket|², which grows with the corpus's internal
     near-dup structure on every ingest batch. Used by
-    :func:`magiceye_spark.llmops.sigstore.delta_pairs_from_index`."""
-    corpus_banded = corpus_banded.repartition(
-        corpus_banded.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    :func:`magiceye_spark.llmops.sigstore.delta_pairs_from_index`.
+
+    Deliberately NO repartition barrier on the corpus side (unlike
+    :func:`_salted_band_sides`): its two consumers (bucket-size agg +
+    join side) each re-derive the banding as a map-side scan — in the
+    sigstore use the corpus banding is xxhash64 over STORED signature
+    slices (no re-shingling), so two column-pruned scans of the store
+    beat shuffling bands×|store| rows per ingest batch. The bucket-size
+    agg map-combines down to distinct buckets before its shuffle; the
+    candidate join's small delta side lets AQE broadcast it, leaving the
+    corpus side shuffle-free."""
     hot = (
         corpus_banded.groupBy("band_id", "bucket")
         .agg(F.ceil(F.count(F.lit(1)) / bucket_cap).cast("int").alias("n_salt"))
