@@ -54,65 +54,65 @@ def register(name: str, oracle: Optional[str]):
 # those have tolerance pins in pytest instead). Everything not listed follows
 # in registration order; pytest's oracle-parity sweep covers the full set.
 _DRIVER_WINDOW = [
-    # ROTATION PLAN (r7 onward): the window is 50 seats but only 81 of the
-    # 226 oracle-backed queries had ever earned a driver row through r6 —
-    # the rest were green only in pytest's self-reported sf0.001 sweep. So
-    # each round rotates long-green family representatives OUT (they stay
-    # registered and oracle-checked in pytest) and never-driver-attested
+    # ROTATION PLAN (r7 onward): the window is 50 seats; each round rotates
+    # driver-attested family representatives OUT (they stay registered and
+    # oracle-checked in pytest's full sweep) and never-driver-attested
     # queries IN, until every family's members have driver rows at sf0.01.
-    # r7 rotation: 18 seats swapped (evicted → entrant, family intact):
-    #   schema_missing_tables/column/index/fk → scd2_history,
-    #     scd2_point_in_time, benford_totalprice_screen,
-    #     order_total_reconciliation (schema family keeps diff_full+report,
-    #     which union the four partial diffs)
-    #   q1/q3/q5 → q9_product_profit stays out; entrants
-    #     events_daily_trend_ols (r7-guarded divisions), events_hll_users,
-    #     k_anonymity_customers (TPC-H keeps q6+q18+fd_audit)
-    #   text_stats → hybrid_rrf_topk (text keeps language_id+vocab_topk)
-    #   cosine_topk/embedding_near_dups → ivf_indexed_exact (NEW r7:
-    #     stored-index lifecycle), dup_pagerank
-    #   jaccard_near_dups/dedup_exact_corpus → allpairs_jaccard_join,
-    #     edit_distance_near_dups
-    #   datadiff_incremental → cdc_chunk_near_dups (row-diff keeps
-    #     datadiff_lineitem)
-    #   profile_lineitem → containment_near_dups_indexed (profiling keeps
-    #     profile_drift 2-snapshot variant)
-    #   events_hourly_rollup/top_users_by_events → dedup_keep_per_cluster,
-    #     delta_dedup_admit (rollups keep events_daily_trend_robust)
-    #   media_catalog → winnow_overlap_pairs (multimodal keeps phash row)
-    #   corpus_hash_split → leakage_safe_split (pipeline keeps
-    #     decontamination_overlap + split_leakage_audit)
+    # History: r7 swapped 18 seats (~100/229 oracle-backed queries had a
+    # driver row after it; plan preserved in git history of this comment).
+    # r8 rotation: 16 seats swapped (evicted → entrant, family intact —
+    # every evictee was driver-attested r6/r7 and keeps pytest coverage):
+    #   scd2_history, scd2_point_in_time (attested r7) →
+    #     datadiff_incremental_pruned, corpus_version_diff (row-diff family
+    #     keeps datadiff_lineitem)
+    #   bm25_topk, duplicate_spans (long green, both bench-seated) →
+    #     phrase_search, source_report_card
+    #   benford_totalprice_screen, order_total_reconciliation (r7) →
+    #     fk_integrity_audit, zorder_curve_histogram
+    #   events_daily_trend_ols, events_hll_users (r7) →
+    #     events_seasonal_decomp, events_segmented_trend
+    #   events_value_k_corr, t_closeness_customers →
+    #     events_type_spearman_matrix, corpus_pps_sample
+    #   snm_near_dups, allpairs_jaccard_join, edit_distance_near_dups,
+    #     cdc_chunk_near_dups (all attested r7, all bench-seated) →
+    #     dup_cluster_stats, dup_graph_triangles, token_budget_waterfill,
+    #     decontamination_stopgram
+    #   dedup_keep_per_cluster, delta_dedup_admit (r7; graph family keeps
+    #     components + pagerank + the two entrants) →
+    #     bitext_margin_pairs (first driver attestation for the bitext
+    #     family) + bitext_indexed_exact (NEW r8: the candidate-based
+    #     mining path probed exhaustively — hash-exact vs the twin oracle)
     # reference surface: schema diff (S/D/R ops)
     "schema_diff_full",
     "schema_diff_report",
-    # row-level data diff / history
+    # row-level data diff / history / corpus versioning
     "datadiff_lineitem",
-    "scd2_history",
-    "scd2_point_in_time",
-    "bm25_topk",
-    "duplicate_spans",
+    "datadiff_incremental_pruned",
+    "corpus_version_diff",
+    "phrase_search",
     # profiling / data quality / reconciliation
     "profile_drift_lineitem",
     "dq_lineitem",
-    "benford_totalprice_screen",
-    "order_total_reconciliation",
+    "fk_integrity_audit",
+    "source_report_card",
     "k_anonymity_customers",
     # relational analytics (TPC-H shapes; the rest stay pytest-guarded)
     "q6_forecast_revenue",
     "q18_large_volume_customers",
     "fd_audit_orders",
-    # rollups / trends / sketches
+    "zorder_curve_histogram",
+    # rollups / trends
     "events_daily_trend_robust",
-    "events_daily_trend_ols",
-    "events_hll_users",
-    # iterative-graph family: closure + both closure consumers + centrality
+    "events_seasonal_decomp",
+    "events_segmented_trend",
+    # iterative-graph family: closure + structure stats + centrality
     "dup_graph_components",
-    "dedup_keep_per_cluster",
-    "delta_dedup_admit",
+    "dup_cluster_stats",
+    "dup_graph_triangles",
     "dup_pagerank",
     "events_cusum_stream_twin",
     "events_ks_drift",
-    "t_closeness_customers",
+    "events_type_spearman_matrix",
     # event-stream operators
     "events_sessionize",
     "purchase_last_click_asof",
@@ -120,35 +120,30 @@ _DRIVER_WINDOW = [
     "events_psi_stream_twin",
     "events_quota_batch_twin",
     "conversion_funnel",
-    # embedding_covariance rotated out late-r7 (driver-attested r6; stays
-    # bench-seated + pytest-checked) for the second NEW r7 dedup row: the
-    # cross-script confusable skeleton, planted-Cyrillic-clone positive
     "confusable_dup_clusters",
     # distribution statistics (exact variants; sketches stay pytest-pinned)
     "events_value_distribution",
-    "snm_near_dups",
-    "events_value_k_corr",
-    # text analysis / retrieval (vocab_topk rotated out r7 — long green,
-    # still bench-headlined and pytest-checked — for the NEW r7 unicode
-    # canonical dedup row, which plants five zero-width clones and must
-    # cluster each with its source)
+    # text analysis / retrieval
     "schema_rename_candidates",
     "language_id",
     "unicode_dup_clusters",
     "hybrid_rrf_topk",
     "winnow_overlap_pairs",
-    # deduplication ladder: exact-join, bounded-DP, chunking, containment
-    "allpairs_jaccard_join",
-    "edit_distance_near_dups",
-    "cdc_chunk_near_dups",
+    # deduplication ladder representative (indexed containment)
     "containment_near_dups_indexed",
-    # pipeline curation
+    # pipeline curation / sampling / budgeting
     "decontamination_overlap",
     "split_leakage_audit",
     "leakage_safe_split",
+    "decontamination_stopgram",
+    "corpus_pps_sample",
+    "token_budget_waterfill",
     # similarity search: fit-per-call exact twin + stored-index lifecycle
     "ivf_ann_exact",
     "ivf_indexed_exact",
+    # bitext mining: exact twin + candidate path under the exact oracle
+    "bitext_margin_pairs",
+    "bitext_indexed_exact",
     # multimodal
     "phash_near_dups",
 ]
