@@ -637,7 +637,10 @@ def delta_dedup_admit(
     batch and the (pre-signed) corpus index into
     :func:`connected_components` the same way.
 
-    Output: admitted incoming docs (doc_id, lang, source, n_chars).
+    Output: the admitted incoming rows with the CALLER's columns — the
+    operator only requires (doc_id, text), so the projection must not
+    assume any corpus schema beyond that (registry row keeps the oracle's
+    lean 4-column projection).
     """
     bucket = (
         F.conv(
@@ -673,7 +676,7 @@ def delta_dedup_admit(
             F.col("comp_id").isNull()
             | ((F.col("has_existing") == 0) & (F.col("doc_id") == F.col("min_incoming")))
         )
-        .select("doc_id", "lang", "source", "n_chars")
+        .select(*docs.columns)
     )
 
 

@@ -2763,7 +2763,11 @@ def delta_dedup_admit_q(spark, sf_dir):
     corpus) admitted iff their transitive near-dup cluster holds no
     existing doc and they are its minimum-id incoming member — catches
     incoming→incoming→existing chains that per-pair checks miss."""
-    return graph.delta_dedup_admit(_docs(spark, sf_dir))
+    # the function returns the caller's full schema; the oracle's contract
+    # is the lean metadata projection
+    return graph.delta_dedup_admit(_docs(spark, sf_dir)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
 
 
 @register("dup_pagerank", graph.sql_dup_pagerank())

@@ -348,7 +348,9 @@ def test_sigstore_delta_admission_parity(spark, sf_dir, tmp_path):
                 docs.withColumn("_inc", F.col("doc_id") >= 350),
                 incoming_col="_inc",
                 pairs=pairs_full,
-            ).collect(),
+            )
+            .select("doc_id", "lang", "source", "n_chars")
+            .collect(),
         )
     )
     assert got == expected

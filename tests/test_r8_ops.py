@@ -93,6 +93,28 @@ def test_ivf_index_add_reingest_is_noop(spark, sf_dir, tmp_path):
     assert stats1["n_vectors"] == stats2["n_vectors"]
 
 
+# ------------------------------------------- SemDeDup default config
+
+def test_semdedup_default_config_catches_planted_twins(spark, sf_dir):
+    """The DEFAULT configuration (k=8, threshold=0.95 — the setting the
+    k-sweep in BASELINE.md sits on) must remove every planted ε-twin and
+    keep every source — the recall pin at the shipped default, on top of
+    the k=4/0.99 mechanism pin in test_r7_ops."""
+    from magiceye_spark.llmops import simsearch
+
+    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
+    twins = emb.where(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * 1.0001).cast("float")
+        ).alias("embedding"),
+    )
+    kept = simsearch.semdedup_prune(emb.unionByName(twins))  # defaults
+    kept_ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert all(100000 + i not in kept_ids for i in range(10))
+    assert all(i in kept_ids for i in range(10))
+
+
 # --------------------------------------------- candidate-based bitext
 
 def test_bitext_indexed_exhaustive_equals_twin(spark, sf_dir):
@@ -129,6 +151,21 @@ def test_bitext_indexed_recall_floor(spark, sf_dir):
         for r in simsearch.bitext_margin_pairs_indexed(docs, emb).collect()
     }
     assert len(exact & got) / max(1, len(exact)) >= 0.7
+
+
+def test_bitext_indexed_plan_has_no_cartesian(spark, sf_dir):
+    """The indexed path's reason to exist: candidate generation must be
+    equi-joins (cell, salt), never the twin's cross join — and stay fully
+    JVM-side with no unpartitioned windows."""
+    from magiceye_spark import plans
+    from magiceye_spark.llmops import simsearch
+
+    df = simsearch.bitext_margin_pairs_indexed(
+        _docs(spark, sf_dir), _embs(spark, sf_dir)
+    )
+    assert plans.cartesian_product_count(df) == 0
+    assert plans.python_eval_count(df) == 0
+    assert plans.single_partition_window_contexts(df) == []
 
 
 # --------------------------------------------------- fs swap semantics
