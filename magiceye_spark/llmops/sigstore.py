@@ -18,6 +18,15 @@ Storage layout under ``path`` (parquet):
                   xxhash64 over slices), so no banding layout decision
                   is baked into the store.
 
+Store sizing (the honest 100 TB arithmetic): the ``sig`` column is
+``num_hashes`` longs per doc (256 B at the default 32); ``shingles``
+is one long per distinct shingle — ~8 bytes/token, roughly 1-2% of the
+text bytes it replaces, and it is what lets candidate verification run
+EXACT Jaccard without ever re-reading text. Pipelines that can accept
+estimated-Jaccard admission could drop the column and verify from
+signatures alone, but that changes semantics (collision-probability
+estimate vs exact set overlap), so this store keeps the exact contract.
+
 Determinism: shingle hashes and the affine MinHash family are seed-fixed
 xxhash64 expressions (:func:`dedup.minhash_signatures`), so pairs
 computed from stored signatures are BIT-IDENTICAL to pairs computed
