@@ -27,7 +27,7 @@ embeddings replicate by id-offset with a per-replica dimension ROLL
 their source and cell occupancy grows roughly uniformly. Synthetic data
 is a scaling measurement input only, never an oracle input.
 
-Usage: python tools/store_scale_sweep.py
+Usage: python tools/store_scale_sweep.py [factor ...]   (default: 1 10)
 Prints one markdown table + one JSON line.
 """
 
@@ -141,9 +141,10 @@ def main() -> None:
     ).mode("overwrite").save()
     spark.catalog.clearCache()
 
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10]
     walls: dict[str, dict[str, float]] = {}
     meta: dict[str, dict[str, int]] = {}
-    for factor in (1, 10):
+    for factor in factors:
         label = f"store×{factor}"
         # ---- sigstore: fixed delta vs growing store
         sp = os.path.join(ROOT, f"sig{factor}")
@@ -183,11 +184,14 @@ def main() -> None:
         meta.setdefault("ann_store_rows", {})[label] = store_emb.count()
         spark.catalog.clearCache()
 
-    labels = ["store×1", "store×10"]
-    print("| op | " + " | ".join(labels) + " | 10× store cost |")
+    labels = [f"store×{f}" for f in factors]
+    print(
+        "| op | " + " | ".join(labels)
+        + f" | {factors[-1]}× store cost |"
+    )
     print("|---|" + "---|" * (len(labels) + 1))
     for name, r in walls.items():
-        ratio = round(r[labels[1]] / r[labels[0]], 2) if r[labels[0]] > 0 else "-"
+        ratio = round(r[labels[-1]] / r[labels[0]], 2) if r[labels[0]] > 0 else "-"
         print(
             f"| {name} | " + " | ".join(f"{r[l]} s" for l in labels)
             + f" | {ratio}x |"
