@@ -52,7 +52,7 @@ FAMILIES = {
     "retrieval": ["bm25_topk", "winnow_overlap_pairs"],
     "edit_distance": ["edit_distance_near_dups"],
     "ann": ["cosine_topk", "ivf_ann_topk", "ivf_pq_ann_topk"],
-    "multimodal": ["media_catalog", "phash_near_dups"],
+    "multimodal": ["media_catalog", "phash_near_dups", "phash_indexed_pairs"],
     # graph family: measured through ONE shared, persisted pair relation
     # (near_dup_pairs_shared seat) — the production pipeline shape, where
     # components + keep-one + delta-admit all consume the same edge set
@@ -121,6 +121,9 @@ FAMILY_BASELINE = {
     "ivf_pq_indexed_probe": 5.00,  # measured 4.61-4.95
     "media_catalog": 2.11,  # kept: bench-order warmup varies 0.2-2.1
     "phash_near_dups": 5.72,  # was 7.52
+    # stored-Hamming-index variant: fresh signing + store write + pairs
+    # from stored bits (r8; the build seat — probes are amortized)
+    "phash_indexed_pairs": 9.50,  # measured 8.53
     # r7 protocol change: graph family measured through ONE shared pair
     # relation and ONE shared closure (see _bench_graph_shared) — r6 spent
     # 36.4 s computing the same pair stage three times and the fixpoint

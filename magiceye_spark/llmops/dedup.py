@@ -1013,11 +1013,13 @@ def _salted_band_cands_one_sided(
     )
 
 
-def _hamming_band_sides(sigs: DataFrame, bucket_cap: int):
-    """The banded join sides of :func:`hamming_band_near_dups`, exposed so
-    tests can pin the hot-bucket salt MECHANISM. Returns (a, b) joined on
-    ["band_id", "bucket", "salt"]."""
-    banded = sigs.select(
+def _banded_from_bits(sigs: DataFrame) -> DataFrame:
+    """(doc_id, bits, band_id, bucket) from a 64-bit Hamming signature
+    frame ``(doc_id, bits, band0..band3)`` — the map-side band explode
+    shared by the fresh path and the stored-index path
+    (:mod:`magiceye_spark.llmops.hamstore`), mirroring
+    :func:`_banded_from_sigs` for MinHash."""
+    return sigs.select(
         "doc_id",
         "bits",
         F.explode(
@@ -1027,7 +1029,28 @@ def _hamming_band_sides(sigs: DataFrame, bucket_cap: int):
             ])
         ).alias("band"),
     ).select("doc_id", "bits", "band.band_id", "band.bucket")
-    return _salted_band_sides(banded, bucket_cap, "bits", "bits_a", "bits_b")
+
+
+def _verify_hamming(cands: DataFrame, max_hamming: int) -> DataFrame:
+    """Exact-Hamming rerank of (doc_a, doc_b, bits_a, bits_b) candidates —
+    shared by the fresh band join and the stored-index delta path."""
+    hamming = F.aggregate(
+        F.zip_with("bits_a", "bits_b", lambda x, y: (x != y).cast("int")),
+        F.lit(0).cast("int"),
+        lambda acc, d: acc + d,
+    )
+    return cands.select("doc_a", "doc_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def _hamming_band_sides(sigs: DataFrame, bucket_cap: int):
+    """The banded join sides of :func:`hamming_band_near_dups`, exposed so
+    tests can pin the hot-bucket salt MECHANISM. Returns (a, b) joined on
+    ["band_id", "bucket", "salt"]."""
+    return _salted_band_sides(
+        _banded_from_bits(sigs), bucket_cap, "bits", "bits_a", "bits_b"
+    )
 
 
 def hamming_band_near_dups(
@@ -1058,14 +1081,7 @@ def hamming_band_near_dups(
         .select("doc_a", "doc_b", "bits_a", "bits_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    hamming = F.aggregate(
-        F.zip_with("bits_a", "bits_b", lambda x, y: (x != y).cast("int")),
-        F.lit(0).cast("int"),
-        lambda acc, d: acc + d,
-    )
-    return cands.select("doc_a", "doc_b", hamming.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
-    )
+    return _verify_hamming(cands, max_hamming)
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:

@@ -1426,6 +1426,45 @@ def phash_near_dups_q(spark, sf_dir):
     return multimodal.phash_near_dups(multimodal.synth_media(spark, sf_dir))
 
 
+@register("phash_indexed_pairs", multimodal.SQL_PHASH_NEAR_DUPS)
+def phash_indexed_pairs_q(spark, sf_dir):
+    """Near-dup pairs from a PERSISTED Hamming signature store (the third
+    store in the build-once lifecycle triad): dHash signatures are written
+    once, pairs are computed from the STORED bits — signatures are pure
+    functions of content and int arrays round-trip parquet exactly, so
+    this must hash-match the same DuckDB oracle as the fresh-path
+    phash_near_dups row. Any slip in the store round-trip breaks it."""
+    from magiceye_spark.llmops import hamstore
+
+    sigs = multimodal.phash_signatures(multimodal.synth_media(spark, sf_dir))
+    idx = hamstore.write_hamming_index(
+        sigs, _ann_index_path(sf_dir) + "_ham", kind="phash"
+    )
+    return hamstore.hamming_pairs_from_index(idx)
+
+
+@register("phash_delta_admit_indexed", None)  # one-sided delta admission
+# against the stored Hamming index: closure admission is recursive (the
+# graph oracle's CTE covers the doc family, not the media path) — parity
+# vs the from-scratch closure is pinned exactly in tests/test_r8_ops.py
+def phash_delta_admit_indexed_q(spark, sf_dir):
+    """Delta-ingest image admission against a persisted dHash store: items
+    0-349 signed and stored once; the 350+ batch is signed (only the batch
+    pays the decode) and admitted via the one-sided delta band join +
+    closure — the per-batch production shape of phash_dedup_keep."""
+    from magiceye_spark.llmops import hamstore
+
+    sigs = multimodal.phash_signatures(multimodal.synth_media(spark, sf_dir))
+    idx = hamstore.write_hamming_index(
+        sigs.where(F.col("doc_id") < 350),
+        _ann_index_path(sf_dir) + "_ham_delta",
+        kind="phash",
+    )
+    return hamstore.delta_hamming_admit_indexed(
+        idx, sigs.where(F.col("doc_id") >= 350)
+    ).select("doc_id", "band0", "band1", "band2", "band3")
+
+
 @register("phash_dedup_keep", multimodal.SQL_PHASH_DEDUP_KEEP)
 def phash_dedup_keep_q(spark, sf_dir):
     """The streaming near-dup admission gate's batch twin applied to the

@@ -168,6 +168,105 @@ def test_bitext_indexed_plan_has_no_cartesian(spark, sf_dir):
     assert plans.single_partition_window_contexts(df) == []
 
 
+# ------------------------------------------- persistent Hamming store
+
+def test_hamming_store_pairs_equal_fresh_both_kinds(spark, sf_dir, tmp_path):
+    """Pairs from stored Hamming signatures must be BIT-identical to the
+    fresh band join — for both modalities that share the frame shape
+    (SimHash text, dHash image)."""
+    from magiceye_spark.llmops import hamstore, multimodal
+
+    docs = _docs(spark, sf_dir)
+    ssigs = dedup.simhash_signatures(docs)
+    sidx = hamstore.write_hamming_index(ssigs, str(tmp_path / "sim"), kind="simhash")
+    assert _rows(hamstore.hamming_pairs_from_index(sidx)) == _rows(
+        dedup.hamming_band_near_dups(ssigs, 3)
+    )
+    psigs = multimodal.phash_signatures(multimodal.synth_media(spark, sf_dir))
+    pidx = hamstore.write_hamming_index(psigs, str(tmp_path / "ph"), kind="phash")
+    assert _rows(hamstore.hamming_pairs_from_index(pidx)) == _rows(
+        dedup.hamming_band_near_dups(psigs, 3)
+    )
+
+
+def test_hamming_delta_pairs_are_touching_subset(spark, sf_dir, tmp_path):
+    from magiceye_spark.llmops import hamstore
+
+    sigs = dedup.simhash_signatures(_docs(spark, sf_dir))
+    store = sigs.where(F.col("doc_id") < 350)
+    batch = sigs.where(F.col("doc_id") >= 350)
+    idx = hamstore.write_hamming_index(store, str(tmp_path / "sim"), kind="simhash")
+    got = _rows(hamstore.delta_pairs_from_hamming_index(idx, batch))
+    delta_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    fresh = _rows(dedup.hamming_band_near_dups(sigs, 3))
+    assert got == [p for p in fresh if p[0] in delta_ids or p[1] in delta_ids]
+
+
+def test_hamming_delta_admission_matches_python_reference(spark, sf_dir, tmp_path):
+    """Indexed admission vs a fully INDEPENDENT reference: python
+    union-find over the fresh full pair set + the admission rules applied
+    in plain dicts — no Spark closure code shared with the path under
+    test."""
+    from magiceye_spark.llmops import hamstore
+
+    sigs = dedup.simhash_signatures(_docs(spark, sf_dir))
+    store = sigs.where(F.col("doc_id") < 350)
+    batch = sigs.where(F.col("doc_id") >= 350)
+    idx = hamstore.write_hamming_index(store, str(tmp_path / "sim"), kind="simhash")
+    got = sorted(
+        r["doc_id"]
+        for r in hamstore.delta_hamming_admit_indexed(idx, batch)
+        .select("doc_id")
+        .collect()
+    )
+
+    stored_ids = {r["doc_id"] for r in store.select("doc_id").collect()}
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _h in _rows(dedup.hamming_band_near_dups(sigs, 3)):
+        parent[find(a)] = find(b)
+    comps: dict = {}
+    for x in list(parent):
+        comps.setdefault(find(x), set()).add(x)
+    rejected = set()
+    for members in comps.values():
+        inc = members & batch_ids
+        if members & stored_ids:
+            rejected |= inc
+        elif inc:
+            rejected |= inc - {min(inc)}
+    assert got == sorted(batch_ids - rejected)
+
+
+def test_hamming_store_add_noop_and_kind_guard(spark, sf_dir, tmp_path):
+    import pytest
+
+    from magiceye_spark.llmops import hamstore
+
+    sigs = dedup.simhash_signatures(_docs(spark, sf_dir))
+    p = str(tmp_path / "sim")
+    hamstore.write_hamming_index(
+        sigs.where(F.col("doc_id") < 300), p, kind="simhash"
+    )
+    batch = sigs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
+    assert hamstore.hamming_index_add(spark, p, batch) == batch.count()
+    assert hamstore.hamming_index_add(spark, p, batch) == 0  # re-ingest
+    nb, na = hamstore.hamming_index_compact(spark, p)
+    assert na <= nb
+    idx = hamstore.read_hamming_index(spark, p)
+    assert idx.signatures.count() == 400
+    with pytest.raises(ValueError, match="kind mismatch"):
+        hamstore.read_hamming_index(spark, p, kind="phash")
+
+
 # --------------------------------------------------- fs swap semantics
 
 def test_fs_swap_dirs_clears_stale_old_and_swaps(spark, tmp_path):
