@@ -161,6 +161,23 @@ def main() -> None:
         meta.setdefault("sigstore_store_rows", {})[label] = n_store
         spark.catalog.clearCache()
 
+        # ---- Hamming store: fixed signed batch vs growing store
+        from magiceye_spark.llmops import dedup as dedup_ops
+        from magiceye_spark.llmops import hamstore
+
+        hp = os.path.join(ROOT, f"ham{factor}")
+        store_sigs = dedup_ops.simhash_signatures(store_docs)
+        hidx = hamstore.write_hamming_index(store_sigs, hp, kind="simhash")
+        delta_sigs = dedup_ops.simhash_signatures(delta)
+        t0 = time.perf_counter()
+        hamstore.delta_hamming_admit_indexed(hidx, delta_sigs).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        walls.setdefault("hamstore_delta_admit", {})[label] = round(
+            time.perf_counter() - t0, 2
+        )
+        spark.catalog.clearCache()
+
         # ---- ANN stores: fixed query batch vs growing postings
         store_emb = synth_embs(spark, factor)
         fp = os.path.join(ROOT, f"ivf{factor}")
