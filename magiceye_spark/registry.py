@@ -82,6 +82,9 @@ _DRIVER_WINDOW = [
     #     bitext_margin_pairs (first driver attestation for the bitext
     #     family) + bitext_indexed_exact (NEW r8: the candidate-based
     #     mining path probed exhaustively — hash-exact vs the twin oracle)
+    #   phash_near_dups (attested r7) → phash_indexed_pairs (NEW r8: the
+    #     stored-Hamming-index path under the SAME oracle — strictly more
+    #     surface: signatures round-trip parquet before pairing)
     # reference surface: schema diff (S/D/R ops)
     "schema_diff_full",
     "schema_diff_report",
@@ -144,8 +147,8 @@ _DRIVER_WINDOW = [
     # bitext mining: exact twin + candidate path under the exact oracle
     "bitext_margin_pairs",
     "bitext_indexed_exact",
-    # multimodal
-    "phash_near_dups",
+    # multimodal (stored-Hamming-index path; fresh-path twin attested r7)
+    "phash_indexed_pairs",
 ]
 
 
