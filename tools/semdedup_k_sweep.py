@@ -26,10 +26,9 @@ Prints one markdown table + one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
-
-import os
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
