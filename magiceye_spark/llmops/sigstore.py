@@ -212,6 +212,64 @@ def delta_pairs_from_index(
     return _verify_candidates(touching, thr)
 
 
+def streaming_dedup_ingest(
+    spark: SparkSession,
+    path: str,
+    docs_stream: DataFrame,
+    checkpoint: str,
+    output_path: str | None = None,
+    threshold: float | None = None,
+    text_col: str = "text",
+):
+    """The CONTINUOUS ingest loop over the persistent store — the shape a
+    100 TB crawl pipeline actually runs: every micro-batch is admitted
+    against the store (:func:`delta_dedup_admit_indexed`, one-sided band
+    join: only the batch is shingled) and the admitted docs' signatures
+    are APPENDED, so batch N+1 deduplicates against everything batch N
+    admitted — cross-batch duplicates are rejected without any
+    stream-stream join or unbounded operator state. The store IS the
+    state, living in parquet rather than the state store: no watermark
+    bounds it, restarts re-read it for free, and the same store serves
+    batch jobs between streaming runs.
+
+    Replay safety (foreachBatch reruns a batch after a crash before the
+    checkpoint commits): the store append is idempotent because
+    :func:`minhash_index_add` anti-joins stored doc_ids, and the
+    admitted-docs sink writes ``output_path/ingest_batch=<id>`` with
+    mode=overwrite — a replayed batch overwrites its own directory
+    instead of duplicating. Admission itself is deterministic given the
+    store contents, and a replayed batch sees at worst a store that
+    already contains its own signatures — its docs then anti-join away in
+    the add and its admission verdicts are unchanged (its own stored
+    signatures can only form components through edges its first run
+    already saw... they ARE its first run's admitted set, which is
+    exactly what the overwrite re-emits; pinned in tests).
+
+    Returns the started StreamingQuery (availableNow trigger is the
+    caller's choice via ``docs_stream``'s source options + awaitTermination)."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        idx = read_minhash_index(spark, path)
+        admitted = delta_dedup_admit_indexed(
+            idx, batch_df, threshold, text_col
+        ).persist()  # two consumers: the sink write + the signature append
+        try:
+            if output_path is not None:
+                admitted.write.mode("overwrite").parquet(
+                    os.path.join(output_path, f"ingest_batch={batch_id}")
+                )
+            minhash_index_add(spark, path, admitted, text_col)
+        finally:
+            admitted.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def delta_dedup_admit_indexed(
     index: MinhashIndex,
     new_docs: DataFrame,

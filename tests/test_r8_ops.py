@@ -267,6 +267,67 @@ def test_hamming_store_add_noop_and_kind_guard(spark, sf_dir, tmp_path):
         hamstore.read_hamming_index(spark, p, kind="phash")
 
 
+# ------------------------------------------- continuous ingest loop
+
+def test_streaming_dedup_ingest_invariants(spark, sf_dir, tmp_path):
+    """The foreachBatch ingest loop (admit each micro-batch against the
+    store, append admitted signatures) must leave the store in a state
+    satisfying the ORDER-INDEPENDENT contract, whatever batch order the
+    file source picked:
+    - store rows = seed + Σ admitted (adds are id-deduped, no double
+      ingestion);
+    - the final store's direct near-dup pair set contains NO pair touching
+      a post-seed doc (same batch → only the component min was admitted;
+      later batch → a direct edge to a stored doc means has_existing →
+      rejected; post-seed × seed likewise) — seed-internal pairs may exist
+      because the seed was written wholesale;
+    - re-admitting every admitted doc is a fixpoint: all re-admitted,
+      store append a no-op (replay safety beyond the per-batch overwrite
+      sink)."""
+    from magiceye_spark.llmops import sigstore
+
+    docs = _docs(spark, sf_dir)
+    seed = docs.where(F.col("doc_id") < 100)
+    streamed = docs.where(F.col("doc_id") >= 100)
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "admitted")
+    sigstore.write_minhash_index(seed, store)
+    for lo in (100, 200, 300, 400):  # four single-file micro-batches
+        docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = sigstore.streaming_dedup_ingest(
+        spark, store, stream, str(tmp_path / "ckpt"), output_path=out
+    )
+    q.awaitTermination(300)
+
+    admitted = spark.read.parquet(out)
+    n_seed, n_adm = seed.count(), admitted.count()
+    assert 0 < n_adm < streamed.count()
+    idx = sigstore.read_minhash_index(spark, store)
+    assert idx.signatures.count() == n_seed + n_adm
+
+    post_seed = {r["doc_id"] for r in admitted.select("doc_id").collect()}
+    pairs = sigstore.lsh_pairs_from_index(idx).collect()
+    touching = [
+        (p["doc_a"], p["doc_b"])
+        for p in pairs
+        if p["doc_a"] in post_seed or p["doc_b"] in post_seed
+    ]
+    assert touching == []
+
+    readmit = sigstore.delta_dedup_admit_indexed(idx, admitted)
+    assert readmit.count() == n_adm  # fixpoint
+    assert sigstore.minhash_index_add(spark, store, admitted) == 0
+
+
 # --------------------------------------------------- fs swap semantics
 
 def test_fs_swap_dirs_clears_stale_old_and_swaps(spark, tmp_path):
