@@ -1,10 +1,10 @@
-"""Property-based tests (hypothesis) for the persistent MinHash store's
-delta-ingest path: for RANDOM tiny corpora and RANDOM store/delta splits,
-the one-sided indexed pair generator must return exactly the
-delta-touching subset of the fresh union LSH pairs, and indexed admission
-must agree with the from-scratch closure — the r8 one-sided-join rewrite
-under adversarial splits, not just the fixed sf0.001 split the example
-tests use.
+"""Property-based tests (hypothesis) for the persistent stores'
+delta-ingest paths (MinHash sigstore + Hamming hamstore): for RANDOM tiny
+corpora and RANDOM store/delta splits, the one-sided indexed pair
+generators must return exactly the delta-touching subset of the fresh
+full pair joins, and indexed admission must agree with the from-scratch
+closure — the r8 one-sided-join rewrite under adversarial splits, not
+just the fixed sf0.001 split the example tests use.
 
 Kept to few, small examples — each example builds a real parquet store
 and runs real Spark jobs.
@@ -78,6 +78,40 @@ def test_delta_pairs_are_exactly_the_touching_subset(spark, corpus):
             p for p in fresh if p[0] in delta_ids or p[1] in delta_ids
         ]
         assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@given(corpus=CORPUS)
+@_settings
+def test_hamming_delta_pairs_are_exactly_the_touching_subset(spark, corpus):
+    """Same one-sided-join property for the Hamming store: under random
+    corpora and splits, delta pairs must equal the delta-touching subset
+    of the fresh full band join (SimHash signatures)."""
+    from magiceye_spark.llmops import hamstore
+
+    if not any(inc for _, inc in corpus) or all(inc for _, inc in corpus):
+        return
+    docs, existing, incoming = _frames(spark, corpus)
+    tmp = tempfile.mkdtemp(prefix="hamprop_")
+    try:
+        sigs = dedup.simhash_signatures(docs.drop("_inc"))
+        inc_ids = {r["doc_id"] for r in incoming.select("doc_id").collect()}
+        idx = hamstore.write_hamming_index(
+            dedup.simhash_signatures(existing), tmp, kind="simhash"
+        )
+        got = sorted(
+            map(
+                tuple,
+                hamstore.delta_pairs_from_hamming_index(
+                    idx, dedup.simhash_signatures(incoming)
+                ).collect(),
+            )
+        )
+        fresh = sorted(
+            map(tuple, dedup.hamming_band_near_dups(sigs, 3).collect())
+        )
+        assert got == [p for p in fresh if p[0] in inc_ids or p[1] in inc_ids]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
