@@ -144,6 +144,37 @@ def hamming_pairs_from_index(
     return hamming_band_near_dups(index.signatures, mh)
 
 
+def band_bucket_stats(
+    index: HammingIndex, bucket_cap: int = 2000
+) -> DataFrame:
+    """Store-health diagnostic, the Hamming analogue of
+    :func:`annindex.ivf_index_stats`: per band, the bucket-occupancy
+    distribution that sizes the hot-bucket salt guard — an operator
+    checks ``max_bucket``/``n_hot_buckets`` before trusting per-batch
+    admission latency, because one near-constant corpus region (template
+    farm, solid-color images) can drop thousands of items into a single
+    (band, bucket) and every batch then pays ceil(b/cap) salted tasks on
+    it. Output: (band_id, n_items, n_buckets, max_bucket, n_hot_buckets)
+    — one groupBy over the banded store, four rows."""
+    per = (
+        _banded_from_bits(index.signatures)
+        .groupBy("band_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per.groupBy("band_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_items"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+            F.sum(F.when(F.col("n") > bucket_cap, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hot_buckets"),
+        )
+        .orderBy("band_id")
+    )
+
+
 def delta_pairs_from_hamming_index(
     index: HammingIndex, new_sigs: DataFrame, max_hamming: int | None = None
 ) -> DataFrame:

@@ -428,6 +428,31 @@ WHERE hamming(a.h, b.h) <= 3
 ORDER BY doc_a, doc_b
 """
 
+#: band-bucket occupancy oracle: fold each 16-bit slice of the signature
+#: bit string to the SAME integer Spark's band fold produces (acc*2+bit in
+#: bit-index order == Σ bit_j << (16-j)), then aggregate occupancy per band
+SQL_PHASH_BAND_STATS = _SQL_PHASH_CTES + """,
+bands AS (
+  SELECT media_id, b.band AS band_id,
+         SUM(CAST(substr(h, b.band * 16 + u.j, 1) AS BIGINT) << (16 - u.j)) AS bucket
+  FROM hs,
+       UNNEST(generate_series(0, 3)) AS b(band),
+       UNNEST(generate_series(1, 16)) AS u(j)
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT band_id, bucket, COUNT(*) AS n FROM bands GROUP BY 1, 2
+)
+SELECT CAST(band_id AS INTEGER) AS band_id,
+       CAST(SUM(n) AS BIGINT) AS n_items,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(n) AS BIGINT) AS max_bucket,
+       CAST(SUM(CASE WHEN n > 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets
+FROM per
+GROUP BY 1
+ORDER BY 1
+"""
+
 #: keep-set oracle for the near-dup admission gate's batch twin: drop
 #: every doc_b of a pair, keep the catalog view of the rest
 SQL_PHASH_DEDUP_KEEP = _SQL_PHASH_CTES + """,

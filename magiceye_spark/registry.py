@@ -1446,6 +1446,21 @@ def phash_indexed_pairs_q(spark, sf_dir):
     return hamstore.hamming_pairs_from_index(idx)
 
 
+@register("phash_band_stats", multimodal.SQL_PHASH_BAND_STATS)
+def phash_band_stats_q(spark, sf_dir):
+    """Hamming-store health: per-band bucket occupancy (the number that
+    sizes the hot-bucket salt guard — the analogue of the IVF imbalance
+    diagnostic). The oracle folds the same 16-bit band integers from the
+    signature bit string, so a band-fold drift anywhere breaks the hash."""
+    from magiceye_spark.llmops import hamstore
+
+    sigs = multimodal.phash_signatures(multimodal.synth_media(spark, sf_dir))
+    idx = hamstore.write_hamming_index(
+        sigs, _ann_index_path(sf_dir) + "_ham", kind="phash"
+    )
+    return hamstore.band_bucket_stats(idx)
+
+
 @register("phash_delta_admit_indexed", None)  # one-sided delta admission
 # against the stored Hamming index: closure admission is recursive (the
 # graph oracle's CTE covers the doc family, not the media path) — parity
