@@ -607,6 +607,40 @@ r0 AS (SELECT node, deg, 1.0 / (SELECT n FROM nn) AS pagerank FROM deg),"""
 
 # ------------------------------------------------- delta-ingest admission
 
+def indexed_admission_rejects(pairs: DataFrame, stored_ids: DataFrame) -> DataFrame:
+    """The shared closure-verdict core of persistent-store delta admission
+    (:func:`sigstore.delta_dedup_admit_indexed`,
+    :func:`hamstore.delta_hamming_admit_indexed` — one implementation so
+    the admission RULE cannot diverge between stores): given the
+    delta-touching near-dup ``pairs`` (doc_a, doc_b) and the store's
+    ``stored_ids`` (doc_id), return the REJECTED incoming doc_ids — an
+    incoming doc is rejected iff its component over the pair graph
+    contains a stored doc, or it is not the minimum-id incoming member of
+    its all-incoming component. Docs absent from ``pairs`` are singletons
+    and are never rejected (the caller's anti-join admits them)."""
+    comps = connected_components(
+        pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b"
+    ).select(F.col("node").alias("doc_id"), "comp_id")
+    labeled = comps.join(
+        stored_ids.select("doc_id").withColumn("_stored", F.lit(1)),
+        "doc_id",
+        "left",
+    ).withColumn("is_incoming", F.col("_stored").isNull())
+    verdicts = labeled.groupBy("comp_id").agg(
+        F.max(F.when(~F.col("is_incoming"), 1).otherwise(0)).alias("has_existing"),
+        F.min(F.when(F.col("is_incoming"), F.col("doc_id"))).alias("min_incoming"),
+    )
+    return (
+        labeled.where(F.col("is_incoming"))
+        .join(verdicts, "comp_id")
+        .where(
+            (F.col("has_existing") == 1)
+            | (F.col("doc_id") != F.col("min_incoming"))
+        )
+        .select("doc_id")
+    )
+
+
 def delta_dedup_admit(
     docs: DataFrame,
     incoming_pct: int = 30,

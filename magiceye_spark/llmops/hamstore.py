@@ -49,6 +49,22 @@ from magiceye_spark.llmops.dedup import (
 _VERSION = "hamming-v1"
 
 
+def _check_max_hamming(mh: int) -> int:
+    """The 4×16-bit banding is COMPLETE only for Hamming distance ≤ 3
+    (pigeonhole: ≤3 differing bits leave at least one of 4 bands
+    identical). A larger threshold would silently drop true pairs — the
+    recall-destroying misconfiguration this guard exists to catch at
+    write/probe time rather than in production recall numbers."""
+    mh = int(mh)
+    if not 0 <= mh <= 3:
+        raise ValueError(
+            f"max_hamming={mh} out of range: the 4-band/16-bit pigeonhole "
+            "join is only lossless for 0 <= max_hamming <= 3 (a pair "
+            "differing in 4+ bits can miss every band bucket)"
+        )
+    return mh
+
+
 @dataclass
 class HammingIndex:
     params: dict
@@ -64,7 +80,11 @@ def write_hamming_index(
     raw content: the caller signs each batch, so the expensive pass
     (tokenization / image decode) happens exactly once per item ever."""
     spark = sigs.sparkSession
-    params = {"version": _VERSION, "kind": kind, "max_hamming": int(max_hamming)}
+    params = {
+        "version": _VERSION,
+        "kind": kind,
+        "max_hamming": _check_max_hamming(max_hamming),
+    }
     spark.createDataFrame([params]).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "params")
     )
@@ -97,14 +117,21 @@ def hamming_index_add(
     spark: SparkSession,
     path: str,
     new_sigs: DataFrame,
-    kind: str | None = None,
+    *,
+    kind: str,
     dedupe_ids: bool = True,
 ) -> int:
     """Append a signed batch. Same contract as the sibling stores'
     ``*_index_add``: ``dedupe_ids`` anti-joins the batch against stored
     doc_ids (re-ingest is a no-op; pruned id-column store scan, skippable
     when ids are new by construction), and the returned count rides the
-    write job via ``Observation`` — one pass over the batch."""
+    write job via ``Observation`` — one pass over the batch.
+
+    ``kind`` is keyword-REQUIRED on this MUTATION path (unlike read-side
+    probing, where it is the caller's optional assertion): appending
+    image signatures into a text store is shape-silent — frames are
+    identical — and would corrupt every later pair/admission result, so
+    the tag check must not be skippable by omission."""
     from pyspark.sql import Observation
 
     idx = read_hamming_index(spark, path, kind=kind)
@@ -140,7 +167,9 @@ def hamming_pairs_from_index(
     """Near-dup pairs over the WHOLE store — identical output to
     :func:`dedup.hamming_band_near_dups` on fresh signatures (same bits,
     same banding, same verify) without re-signing anything."""
-    mh = int(max_hamming if max_hamming is not None else index.params["max_hamming"])
+    mh = _check_max_hamming(
+        max_hamming if max_hamming is not None else index.params["max_hamming"]
+    )
     return hamming_band_near_dups(index.signatures, mh)
 
 
@@ -185,7 +214,9 @@ def delta_pairs_from_hamming_index(
     the batch at fixed store bucket occupancy (the sigstore cost model;
     store-growth sweep in BASELINE.md). Output (doc_a, doc_b, hamming)
     with doc_a < doc_b."""
-    mh = int(max_hamming if max_hamming is not None else index.params["max_hamming"])
+    mh = _check_max_hamming(
+        max_hamming if max_hamming is not None else index.params["max_hamming"]
+    )
     delta = new_sigs.select(
         "doc_id", "bits", "band0", "band1", "band2", "band3"
     )
@@ -206,28 +237,13 @@ def delta_hamming_admit_indexed(
     contains no stored item AND it is the minimum-id incoming member —
     decided entirely by delta-touching edges (stored×stored edges cannot
     change a delta verdict). Returns the admitted rows of ``new_sigs``
-    with the caller's columns."""
-    from magiceye_spark.llmops.graph import connected_components
+    with the caller's columns. The verdict rule lives in ONE place —
+    :func:`graph.indexed_admission_rejects` — shared with the MinHash
+    store, so the two stores' admission semantics cannot drift."""
+    from magiceye_spark.llmops.graph import indexed_admission_rejects
 
     pairs = delta_pairs_from_hamming_index(index, new_sigs, max_hamming)
-    comps = connected_components(
-        pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b"
-    ).select(F.col("node").alias("doc_id"), "comp_id")
-    stored_ids = index.signatures.select("doc_id").withColumn("_stored", F.lit(1))
-    labeled = comps.join(stored_ids, "doc_id", "left").withColumn(
-        "is_incoming", F.col("_stored").isNull()
-    )
-    verdicts = labeled.groupBy("comp_id").agg(
-        F.max(F.when(~F.col("is_incoming"), 1).otherwise(0)).alias("has_existing"),
-        F.min(F.when(F.col("is_incoming"), F.col("doc_id"))).alias("min_incoming"),
-    )
-    rejected = (
-        labeled.where(F.col("is_incoming"))
-        .join(verdicts, "comp_id")
-        .where(
-            (F.col("has_existing") == 1)
-            | (F.col("doc_id") != F.col("min_incoming"))
-        )
-        .select("doc_id")
+    rejected = indexed_admission_rejects(
+        pairs, index.signatures.select("doc_id")
     )
     return new_sigs.join(rejected, "doc_id", "left_anti")

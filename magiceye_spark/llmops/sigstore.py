@@ -220,6 +220,7 @@ def streaming_dedup_ingest(
     output_path: str | None = None,
     threshold: float | None = None,
     text_col: str = "text",
+    trigger: dict | None = None,
 ):
     """The CONTINUOUS ingest loop over the persistent store — the shape a
     100 TB crawl pipeline actually runs: every micro-batch is admitted
@@ -245,8 +246,11 @@ def streaming_dedup_ingest(
     already saw... they ARE its first run's admitted set, which is
     exactly what the overwrite re-emits; pinned in tests).
 
-    Returns the started StreamingQuery (availableNow trigger is the
-    caller's choice via ``docs_stream``'s source options + awaitTermination)."""
+    ``trigger``: kwargs for ``DataStreamWriter.trigger`` — defaults to
+    ``{"availableNow": True}`` (drain-what-exists, the batch-replay and
+    test shape); pass ``{"processingTime": "1 minute"}`` for the live
+    continuous loop over a growing source. Returns the started
+    StreamingQuery."""
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         idx = read_minhash_index(spark, path)
@@ -265,7 +269,7 @@ def streaming_dedup_ingest(
     return (
         docs_stream.writeStream.foreachBatch(_ingest)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 
@@ -288,25 +292,10 @@ def delta_dedup_admit_indexed(
     This is the per-batch production shape: only the batch is shingled,
     the store contributes map-side band buckets, and the closure runs
     over delta-touching edges only."""
-    from magiceye_spark.llmops.graph import connected_components
+    from magiceye_spark.llmops.graph import indexed_admission_rejects
 
     pairs = delta_pairs_from_index(index, new_docs, threshold, text_col)
-    comps = connected_components(
-        pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b"
-    ).select(F.col("node").alias("doc_id"), "comp_id")
-    stored_ids = index.signatures.select("doc_id").withColumn("_stored", F.lit(1))
-    labeled = (
-        comps.join(stored_ids, "doc_id", "left")
-        .withColumn("is_incoming", F.col("_stored").isNull())
+    rejected = indexed_admission_rejects(
+        pairs, index.signatures.select("doc_id")
     )
-    verdicts = labeled.groupBy("comp_id").agg(
-        F.max(F.when(~F.col("is_incoming"), 1).otherwise(0)).alias("has_existing"),
-        F.min(F.when(F.col("is_incoming"), F.col("doc_id"))).alias("min_incoming"),
-    )
-    incoming_labeled = labeled.where(F.col("is_incoming")).join(
-        verdicts, "comp_id"
-    )
-    rejected = incoming_labeled.where(
-        (F.col("has_existing") == 1) | (F.col("doc_id") != F.col("min_incoming"))
-    ).select("doc_id")
     return new_docs.join(rejected, "doc_id", "left_anti")

@@ -1417,8 +1417,10 @@ def bitext_margin_pairs_indexed(
 
     Approximation surface (why this has no SQL oracle): a pair is scored
     only if one endpoint ranks in the other's probed top-k, so both the
-    means and the final argmax see IVF-approximate neighborhoods. Recall
-    vs the exact twin is pinned in tests/test_r8_ops.py; sizing follows
+    means and the final argmax see IVF-approximate neighborhoods (the
+    means are taken over the union candidate edges, so candidate edges
+    are never dropped for lacking a reverse-direction mean). Recall vs
+    the exact twin is pinned in tests/test_r8_ops.py; sizing follows
     the ivf_topk sweep (finer cells at fixed probe fraction).
     """
     e = docs.join(emb, docs["doc_id"] == emb["vec_id"]).select(
@@ -1469,22 +1471,37 @@ def bitext_margin_pairs_indexed(
 
     fwd = knn(a, "src_id", b, "tgt_id")
     bwd = knn(b, "tgt_id", a, "src_id").select("src_id", "tgt_id", "cosine_sim")
-
-    def knn_mean(df: DataFrame, key: str, out: str) -> DataFrame:
-        return df.groupBy(key).agg(
-            (
-                F.sum(F.col("cosine_sim").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias(out)
-        )
-
-    m_src = knn_mean(fwd, "src_id", "m_src")
-    m_tgt = knn_mean(bwd, "tgt_id", "m_tgt")
+    # BOTH k-NN means are computed over the UNION candidate edge set (top-k
+    # by cosine per endpoint among fwd ∪ bwd edges), so every candidate
+    # edge has an m_src AND an m_tgt row by construction — a fwd-only/
+    # bwd-only mean table would silently drop any edge whose other
+    # endpoint produced no reverse-direction candidates (a third recall
+    # sink beyond the neighborhood approximation). In exhaustive mode the
+    # union top-k per src equals the exact top-k (fwd already holds it),
+    # so the twin equality is unchanged.
     cands = (
         fwd.select("src_id", "tgt_id", "cosine_sim")
         .unionByName(bwd)
         .dropDuplicates(["src_id", "tgt_id"])  # same expression → same cosine
+        .persist()  # three consumers: two k-NN mean passes + the margin join
     )
+
+    def knn_mean(key: str, tie: str, out: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(F.desc("cosine_sim"), F.asc(tie))
+        return (
+            cands.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= k)
+            .groupBy(key)
+            .agg(
+                (
+                    F.sum(F.col("cosine_sim").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias(out)
+            )
+        )
+
+    m_src = knn_mean("src_id", "tgt_id", "m_src")
+    m_tgt = knn_mean("tgt_id", "src_id", "m_tgt")
     marg = (
         cands.join(m_src, "src_id")
         .join(m_tgt, "tgt_id")

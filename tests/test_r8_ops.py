@@ -257,8 +257,12 @@ def test_hamming_store_add_noop_and_kind_guard(spark, sf_dir, tmp_path):
         sigs.where(F.col("doc_id") < 300), p, kind="simhash"
     )
     batch = sigs.where((F.col("doc_id") >= 300) & (F.col("doc_id") < 400))
-    assert hamstore.hamming_index_add(spark, p, batch) == batch.count()
-    assert hamstore.hamming_index_add(spark, p, batch) == 0  # re-ingest
+    assert hamstore.hamming_index_add(spark, p, batch, kind="simhash") == batch.count()
+    assert hamstore.hamming_index_add(spark, p, batch, kind="simhash") == 0  # re-ingest
+    with pytest.raises(ValueError, match="kind mismatch"):
+        hamstore.hamming_index_add(spark, p, batch, kind="phash")
+    with pytest.raises(ValueError, match="max_hamming"):
+        hamstore.write_hamming_index(batch, str(tmp_path / "bad"), kind="simhash", max_hamming=4)
     nb, na = hamstore.hamming_index_compact(spark, p)
     assert na <= nb
     idx = hamstore.read_hamming_index(spark, p)
