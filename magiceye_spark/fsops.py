@@ -58,13 +58,31 @@ def fs_count_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> 
 def fs_swap_dirs(spark: SparkSession, tmp_dir: str, live_dir: str) -> None:
     """Promote a staged rewrite: ``live → live_old``, ``tmp → live``,
     delete ``live_old`` (guarantees per scheme in the module docstring).
-    A pre-existing ``live_old`` (leftover of an earlier crash AFTER its
-    second rename — the only state that leaves one behind) is cleared
-    first: at that point the live path already holds a complete table."""
+
+    A pre-existing ``live_old`` is a crash leftover, and there are TWO
+    states that leave one behind: a crash after the second rename (live
+    is the complete new table — safe to clear old) and, on S3A only, a
+    crash MID tmp→live rename (rename = non-atomic copy+delete there), which
+    leaves a PARTIAL live plus the complete old. Deleting old in that
+    second state would destroy the only complete copy and silently commit
+    truncated data — so old is cleared only after proving live is a
+    COMMITTED table (``_SUCCESS`` marker, written by Spark's output
+    committer on every store write in this repo); otherwise this raises
+    for operator recovery (rename ``*_old`` back over live, or finish the
+    interrupted promotion by hand)."""
+    jvm = spark._jvm
     fs, live = _fs_and_path(spark, live_dir)
     _, tmp = _fs_and_path(spark, tmp_dir)
     _, old = _fs_and_path(spark, live_dir.rstrip("/") + "_old")
     if fs.exists(old):
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(live, "_SUCCESS")):
+            raise IOError(
+                f"refusing to delete crash leftover {live_dir}_old: "
+                f"{live_dir} has no _SUCCESS marker, so it may be a partial "
+                "copy from an interrupted promotion (S3A rename is "
+                "copy+delete) — recover by renaming the *_old directory "
+                "back over the live path before re-running compaction"
+            )
         fs.delete(old, True)
     if not fs.rename(live, old):
         raise IOError(f"rename {live_dir} -> {live_dir}_old failed")

@@ -969,13 +969,29 @@ def _salted_band_cands_one_sided(
 
     Deliberately NO repartition barrier on the corpus side (unlike
     :func:`_salted_band_sides`): its two consumers (bucket-size agg +
-    join side) each re-derive the banding as a map-side scan — in the
-    sigstore use the corpus banding is xxhash64 over STORED signature
-    slices (no re-shingling), so two column-pruned scans of the store
-    beat shuffling bands×|store| rows per ingest batch. The bucket-size
-    agg map-combines down to distinct buckets before its shuffle; the
+    join side) each re-derive the banding as a map-side scan — banding
+    STORED rows is xxhash64 over stored signature slices (no
+    re-shingling), so two column-pruned scans of the store beat
+    shuffling bands×|store| rows per ingest batch. That rationale covers
+    only the stored rows: in the store callers the corpus frame is the
+    UNION including the FRESH delta signatures, whose signing
+    (shingle+MinHash / SimHash) is expensive — so the CALLERS barrier
+    the delta frame before building the union
+    (sigstore.delta_pairs_from_index,
+    hamstore.delta_pairs_from_hamming_index) and all scans of it hit one
+    ReusedExchange instead of re-signing per branch. The bucket-size agg
+    map-combines down to distinct buckets before its shuffle; the
     candidate join's small delta side lets AQE broadcast it, leaving the
-    corpus side shuffle-free."""
+    corpus side shuffle-free.
+
+    Known skew limitation: the hot-bucket salt table keys on CORPUS
+    bucket occupancy (the exploded side — the one whose occupancy sets
+    join-group fan-out). Skew concentrated in the DELTA side alone (a
+    batch of thousands of near-identical items landing in one cold
+    corpus bucket) is not salted; per-batch that fan-out is bounded by
+    the batch size, and the admitted survivor raises the bucket's CORPUS
+    occupancy for every later batch, so persistent skew migrates into
+    the salted side after one admission cycle."""
     hot = (
         corpus_banded.groupBy("band_id", "bucket")
         .agg(F.ceil(F.count(F.lit(1)) / bucket_cap).cast("int").alias("n_salt"))

@@ -217,15 +217,101 @@ def delta_pairs_from_hamming_index(
     mh = _check_max_hamming(
         max_hamming if max_hamming is not None else index.params["max_hamming"]
     )
+    # Barrier the delta signatures before fanning them into the three plan
+    # branches (union bucket-size agg, union join side, delta join side):
+    # callers commonly pass a LAZILY-signed frame (SimHash over text /
+    # dHash over image bytes), and without the exchange each branch pays
+    # the signing again — the 16 s/batch fixed cost the r8 store sweep
+    # measured. Behind it the branches share one ReusedExchange, so the
+    # batch is signed once per admission (sigstore.delta_pairs_from_index
+    # has the same barrier; the stored side stays barrier-free — its
+    # banding is a map-side expression over stored bits).
     delta = new_sigs.select(
         "doc_id", "bits", "band0", "band1", "band2", "band3"
-    )
+    ).repartition(new_sigs.sparkSession.sparkContext.defaultParallelism, "doc_id")
     union_banded = _banded_from_bits(index.signatures.unionByName(delta))
     delta_banded = _banded_from_bits(delta)
     cands = _salted_band_cands_one_sided(
         delta_banded, union_banded, 2000, "bits", "bits_a", "bits_b"
     )
     return _verify_hamming(cands, mh)
+
+
+def streaming_hamming_ingest(
+    spark: SparkSession,
+    path: str,
+    stream: DataFrame,
+    checkpoint: str,
+    *,
+    kind: str,
+    sign_fn=None,
+    output_path: str | None = None,
+    max_hamming: int | None = None,
+    trigger: dict | None = None,
+):
+    """The CONTINUOUS ingest loop over the persistent Hamming store — the
+    image/crawl-modality twin of :func:`sigstore.streaming_dedup_ingest`,
+    same store-is-the-state shape: every micro-batch is signed once
+    (``sign_fn``; the only pass that ever touches content), admitted
+    against the store (:func:`delta_hamming_admit_indexed`, one-sided
+    salted band join), and the admitted signatures are APPENDED — so batch
+    N+1 deduplicates against everything batch N admitted, with no
+    stream-stream join, no watermark, and no unbounded operator state.
+
+    ``sign_fn`` maps a batch DataFrame to the signature frame
+    ``(doc_id, bits, band0..band3)``; defaults to
+    :func:`dedup.simhash_signatures` (text). An image pipeline passes
+    :func:`multimodal.phash_signatures` (with its media frame aliased to
+    ``doc_id``). ``kind`` is keyword-required exactly as on
+    :func:`hamming_index_add` — the loop mutates the store every batch,
+    and a text-loop-over-image-store mixup is shape-silent.
+
+    Replay safety mirrors the sigstore loop (foreachBatch reruns a batch
+    after a crash before the checkpoint commits): signing is a seed-free
+    pure function of content, :func:`hamming_index_add` anti-joins stored
+    doc_ids (re-append is a no-op), and the admitted-docs sink writes
+    ``output_path/ingest_batch=<id>`` with mode=overwrite — a replayed
+    batch overwrites its own directory with the same verdicts (its own
+    stored signatures can only anti-join its docs away in the add, and
+    re-admission is a fixpoint — pinned in tests alongside batch-order
+    independence).
+
+    ``trigger`` defaults to ``{"availableNow": True}`` (drain-what-exists);
+    pass ``{"processingTime": "1 minute"}`` for the live loop. Returns the
+    started StreamingQuery."""
+    from magiceye_spark.llmops.dedup import simhash_signatures
+
+    sign = sign_fn if sign_fn is not None else simhash_signatures
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        idx = read_hamming_index(spark, path, kind=kind)
+        # persist the SIGNED batch, not the raw one: every downstream
+        # consumer (admission plan, sink semi-join, store append) reads
+        # signatures, and the signing is the expensive per-batch pass
+        sigs = sign(batch_df).persist()
+        try:
+            admitted = delta_hamming_admit_indexed(
+                idx, sigs, max_hamming
+            ).persist()  # two consumers: the sink semi-join + the append
+            try:
+                if output_path is not None:
+                    batch_df.join(
+                        admitted.select("doc_id"), "doc_id", "left_semi"
+                    ).write.mode("overwrite").parquet(
+                        os.path.join(output_path, f"ingest_batch={batch_id}")
+                    )
+                hamming_index_add(spark, path, admitted, kind=kind)
+            finally:
+                admitted.unpersist()
+        finally:
+            sigs.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
 
 
 def delta_hamming_admit_indexed(

@@ -192,9 +192,19 @@ def delta_pairs_from_index(
     p = index.params
     num_hashes, bands = int(p["num_hashes"]), int(p["bands"])
     thr = float(threshold if threshold is not None else p["threshold"])
+    # Explicit-count repartition barrier on the DELTA signatures: the frame
+    # fans into three plan branches (the union's bucket-size agg, the
+    # union join side, the delta join side), and without a barrier each
+    # branch re-runs the shingling+MinHash expressions over the batch text
+    # — the per-batch fixed cost the r8 store sweep measured. Behind the
+    # exchange the three subtrees share ONE ReusedExchange, so the batch
+    # is shingled once per ingest (the _salted_band_sides barrier
+    # discipline); the STORED side deliberately stays barrier-free — its
+    # banding is xxhash64 over stored slices, where two column-pruned
+    # scans beat shuffling bands×|store| rows per batch.
     delta_sigs = minhash_signatures(
         new_docs, num_hashes, int(p["shingle_n"]), text_col
-    )
+    ).repartition(new_docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
     # ONE-SIDED salted band join: delta side vs the full union (stored +
     # delta, so delta×delta collisions are found too). Every candidate has
     # a delta member by construction — no stored×stored pair is ever

@@ -1479,11 +1479,18 @@ def bitext_margin_pairs_indexed(
     # sink beyond the neighborhood approximation). In exhaustive mode the
     # union top-k per src equals the exact top-k (fwd already holds it),
     # so the twin equality is unchanged.
+    # Three consumers (two k-NN mean passes + the margin join) share the
+    # candidate edges WITHOUT a persist: dropDuplicates ends in an
+    # exchange on (src_id, tgt_id), and the three identical subtrees
+    # collapse to one ReusedExchange in the final plan — the IVF joins run
+    # once per action (verified in-plan; within ~measurement noise of the
+    # old persist). A persist here would outlive the returned lazy frame
+    # (nothing can unpersist after the caller's action), leaking
+    # CacheManager entries across a long-lived session.
     cands = (
         fwd.select("src_id", "tgt_id", "cosine_sim")
         .unionByName(bwd)
         .dropDuplicates(["src_id", "tgt_id"])  # same expression → same cosine
-        .persist()  # three consumers: two k-NN mean passes + the margin join
     )
 
     def knn_mean(key: str, tie: str, out: str) -> DataFrame:

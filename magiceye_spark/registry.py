@@ -58,33 +58,37 @@ _DRIVER_WINDOW = [
     # driver-attested family representatives OUT (they stay registered and
     # oracle-checked in pytest's full sweep) and never-driver-attested
     # queries IN, until every family's members have driver rows at sf0.01.
-    # History: r7 swapped 18 seats (~100/229 oracle-backed queries had a
-    # driver row after it; plan preserved in git history of this comment).
-    # r8 rotation: 16 seats swapped (evicted → entrant, family intact —
-    # every evictee was driver-attested r6/r7 and keeps pytest coverage):
-    #   scd2_history, scd2_point_in_time (attested r7) →
-    #     datadiff_incremental_pruned, corpus_version_diff (row-diff family
-    #     keeps datadiff_lineitem)
-    #   bm25_topk, duplicate_spans (long green, both bench-seated) →
-    #     phrase_search, source_report_card
-    #   benford_totalprice_screen, order_total_reconciliation (r7) →
-    #     fk_integrity_audit, zorder_curve_histogram
-    #   events_daily_trend_ols, events_hll_users (r7) →
-    #     events_seasonal_decomp, events_segmented_trend
-    #   events_value_k_corr, t_closeness_customers →
-    #     events_type_spearman_matrix, corpus_pps_sample
-    #   snm_near_dups, allpairs_jaccard_join, edit_distance_near_dups,
-    #     cdc_chunk_near_dups (all attested r7, all bench-seated) →
-    #     dup_cluster_stats, dup_graph_triangles, token_budget_waterfill,
-    #     decontamination_stopgram
-    #   dedup_keep_per_cluster, delta_dedup_admit (r7; graph family keeps
-    #     components + pagerank + the two entrants) →
-    #     bitext_margin_pairs (first driver attestation for the bitext
-    #     family) + bitext_indexed_exact (NEW r8: the candidate-based
-    #     mining path probed exhaustively — hash-exact vs the twin oracle)
-    #   phash_near_dups (attested r7) → phash_indexed_pairs (NEW r8: the
-    #     stored-Hamming-index path under the SAME oracle — strictly more
-    #     surface: signatures round-trip parquet before pairing)
+    # History: r7 swapped 18 seats (~100/229 oracle-backed had a driver row
+    # after it); r8 swapped 17 (118/232 cumulative; both plans preserved in
+    # git history of this comment).
+    # r9 rotation: 19 seats swapped — every evictee is driver-attested
+    # (green r8) and keeps pytest oracle coverage; every entrant was
+    # pre-validated green against its DuckDB oracle at sf0.01 with the
+    # local harness before seating (evicted → entrant):
+    #   k_anonymity_customers → l_diversity_customers (privacy family)
+    #   q6_forecast_revenue, q18_large_volume_customers →
+    #     q9_product_profit, q2_min_cost_supplier (TPC-H family)
+    #   events_daily_trend_robust, events_seasonal_decomp,
+    #     events_segmented_trend → events_daily_lag_corr,
+    #     events_type_corr_matrix, events_anomalous_days (the stats-family
+    #     members the r8 verdict called out as never seated)
+    #   nb_source_confusion → gopher_quality_flags (text-quality family)
+    #   conversion_funnel → daily_active_users (events rollups)
+    #   events_value_distribution → events_props_key_stats (JSON props)
+    #   language_id → tfidf_top_terms; hybrid_rrf_topk → pii_scan;
+    #     winnow_overlap_pairs → doc_fingerprint (text/fingerprint)
+    #   purchase_last_click_asof → purchase_next_error_asof (as-of fwd)
+    #   decontamination_overlap → corpus_global_ids;
+    #     token_budget_waterfill → customer_rfm;
+    #     corpus_pps_sample → basket_pair_lift (pipeline keeps
+    #     split_leakage_audit + leakage_safe_split + stopgram)
+    #   phash_indexed_pairs → phash_band_stats (Hamming-store family: the
+    #     r8 band-occupancy diagnostic, never attested)
+    #   dup_cluster_stats, dup_graph_triangles → heavy_hitters_cms (first
+    #     sketch-family seat) + duplicate_span_coverage (spans family;
+    #     graph keeps components + pagerank)
+    # (exact_dup_clusters validated green but returns 0 rows at sf0.01 —
+    # skipped as a seat: a 0-row attestation pins schema only.)
     # reference surface: schema diff (S/D/R ops)
     "schema_diff_full",
     "schema_diff_report",
@@ -98,57 +102,57 @@ _DRIVER_WINDOW = [
     "dq_lineitem",
     "fk_integrity_audit",
     "source_report_card",
-    "k_anonymity_customers",
+    "l_diversity_customers",
     # relational analytics (TPC-H shapes; the rest stay pytest-guarded)
-    "q6_forecast_revenue",
-    "q18_large_volume_customers",
+    "q9_product_profit",
+    "q2_min_cost_supplier",
     "fd_audit_orders",
     "zorder_curve_histogram",
-    # rollups / trends
-    "events_daily_trend_robust",
-    "events_seasonal_decomp",
-    "events_segmented_trend",
-    # iterative-graph family: closure + structure stats + centrality
+    # rollups / trends / per-day statistics
+    "events_daily_lag_corr",
+    "events_type_corr_matrix",
+    "events_anomalous_days",
+    # iterative-graph family: closure + centrality
     "dup_graph_components",
-    "dup_cluster_stats",
-    "dup_graph_triangles",
     "dup_pagerank",
+    "heavy_hitters_cms",
+    "duplicate_span_coverage",
     "events_cusum_stream_twin",
     "events_ks_drift",
     "events_type_spearman_matrix",
     # event-stream operators
     "events_sessionize",
-    "purchase_last_click_asof",
-    "nb_source_confusion",
+    "purchase_next_error_asof",
+    "gopher_quality_flags",
     "events_psi_stream_twin",
     "events_quota_batch_twin",
-    "conversion_funnel",
+    "daily_active_users",
     "confusable_dup_clusters",
-    # distribution statistics (exact variants; sketches stay pytest-pinned)
-    "events_value_distribution",
+    # JSON property extraction
+    "events_props_key_stats",
     # text analysis / retrieval
     "schema_rename_candidates",
-    "language_id",
+    "tfidf_top_terms",
     "unicode_dup_clusters",
-    "hybrid_rrf_topk",
-    "winnow_overlap_pairs",
+    "pii_scan",
+    "doc_fingerprint",
     # deduplication ladder representative (indexed containment)
     "containment_near_dups_indexed",
-    # pipeline curation / sampling / budgeting
-    "decontamination_overlap",
+    # pipeline curation / sampling / budgeting / analytics
+    "corpus_global_ids",
     "split_leakage_audit",
     "leakage_safe_split",
     "decontamination_stopgram",
-    "corpus_pps_sample",
-    "token_budget_waterfill",
+    "customer_rfm",
+    "basket_pair_lift",
     # similarity search: fit-per-call exact twin + stored-index lifecycle
     "ivf_ann_exact",
     "ivf_indexed_exact",
     # bitext mining: exact twin + candidate path under the exact oracle
     "bitext_margin_pairs",
     "bitext_indexed_exact",
-    # multimodal (stored-Hamming-index path; fresh-path twin attested r7)
-    "phash_indexed_pairs",
+    # multimodal / Hamming store (store-path pairs attested r8)
+    "phash_band_stats",
 ]
 
 

@@ -1,0 +1,170 @@
+"""Round-9 pins: the Hamming store's continuous ingest loop (the crawl
+shape for the image/SimHash modality, mirroring the r8 MinHash loop),
+the fs_swap_dirs partial-live refusal, and the delta-barrier parity of
+both stores' admission paths after the per-branch re-signing fix."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from magiceye_spark.llmops import dedup, hamstore, sigstore
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ------------------------------------- Hamming-store continuous ingest
+
+def test_streaming_hamming_ingest_invariants(spark, sf_dir, tmp_path):
+    """The foreachBatch Hamming-ingest loop (sign each micro-batch once,
+    admit against the store, append admitted signatures) must satisfy the
+    same ORDER-INDEPENDENT contract pinned for the MinHash loop:
+    - store rows = seed + Σ admitted (adds are id-deduped);
+    - the final store's direct near-dup pair set contains NO pair touching
+      a post-seed doc (same batch → only the component min admitted;
+      later batch → a direct edge to a stored doc means has_existing →
+      rejected) — seed-internal pairs may exist, the seed was written
+      wholesale;
+    - re-admitting every admitted doc's signatures is a fixpoint, and the
+      store append of them is a no-op (replay safety beyond the per-batch
+      overwrite sink)."""
+    docs = _docs(spark, sf_dir)
+    seed = docs.where(F.col("doc_id") < 100)
+    streamed = docs.where(F.col("doc_id") >= 100)
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "admitted")
+    hamstore.write_hamming_index(
+        dedup.simhash_signatures(seed), store, kind="simhash"
+    )
+    for lo in (100, 200, 300, 400):  # four single-file micro-batches
+        docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = hamstore.streaming_hamming_ingest(
+        spark, store, stream, str(tmp_path / "ckpt"), kind="simhash",
+        output_path=out,
+    )
+    q.awaitTermination(300)
+
+    admitted = spark.read.parquet(out)
+    n_seed, n_adm = seed.count(), admitted.count()
+    assert 0 < n_adm < streamed.count()
+    # sink emits the CALLER's rows (+ the ingest_batch partition column
+    # that the per-batch overwrite layout adds at read time)
+    assert set(admitted.columns) == {*docs.columns, "ingest_batch"}
+    idx = hamstore.read_hamming_index(spark, store, kind="simhash")
+    assert idx.signatures.count() == n_seed + n_adm
+
+    post_seed = {r["doc_id"] for r in admitted.select("doc_id").collect()}
+    pairs = hamstore.hamming_pairs_from_index(idx).collect()
+    touching = [
+        (p["doc_a"], p["doc_b"])
+        for p in pairs
+        if p["doc_a"] in post_seed or p["doc_b"] in post_seed
+    ]
+    assert touching == []
+
+    adm_sigs = dedup.simhash_signatures(admitted)
+    readmit = hamstore.delta_hamming_admit_indexed(idx, adm_sigs)
+    assert readmit.count() == n_adm  # fixpoint
+    assert hamstore.hamming_index_add(spark, store, adm_sigs, kind="simhash") == 0
+
+
+def test_streaming_hamming_ingest_order_independent_store_set(
+    spark, sf_dir, tmp_path
+):
+    """Reversed micro-batch arrival must leave a store satisfying the same
+    invariants — the admitted SET may legitimately differ (component-min
+    is decided per batch), but no post-seed store doc may have a direct
+    near-dup edge under either order."""
+    docs = _docs(spark, sf_dir)
+    seed = docs.where(F.col("doc_id") < 100)
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    hamstore.write_hamming_index(
+        dedup.simhash_signatures(seed), store, kind="simhash"
+    )
+    for lo in (400, 300, 200, 100):  # reversed arrival order
+        docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)
+        ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = hamstore.streaming_hamming_ingest(
+        spark, store, stream, str(tmp_path / "ckpt"), kind="simhash"
+    )
+    q.awaitTermination(300)
+    idx = hamstore.read_hamming_index(spark, store, kind="simhash")
+    seed_ids = {r["doc_id"] for r in seed.select("doc_id").collect()}
+    post = {
+        r["doc_id"] for r in idx.signatures.select("doc_id").collect()
+    } - seed_ids
+    assert post  # something was admitted
+    pairs = hamstore.hamming_pairs_from_index(idx).collect()
+    assert [
+        (p["doc_a"], p["doc_b"])
+        for p in pairs
+        if p["doc_a"] in post or p["doc_b"] in post
+    ] == []
+
+
+# --------------------------------------- fs swap: partial-live refusal
+
+def test_fs_swap_dirs_refuses_to_clear_old_over_partial_live(spark, tmp_path):
+    """S3A crash shape: a leftover *_old plus a live dir WITHOUT a
+    _SUCCESS marker (interrupted tmp→live copy). The swap must refuse to
+    delete the only complete copy and leave everything in place for
+    operator recovery."""
+    from magiceye_spark import fsops
+
+    live = str(tmp_path / "t")
+    tmp = str(tmp_path / "t_compact")
+    old = str(tmp_path / "t_old")
+    spark.range(5).write.parquet(live)
+    spark.range(7).write.parquet(tmp)
+    spark.range(9).write.parquet(old)  # the complete pre-crash table
+    os.remove(os.path.join(live, "_SUCCESS"))  # live is a partial copy
+    with pytest.raises(IOError, match="_SUCCESS"):
+        fsops.fs_swap_dirs(spark, tmp, live)
+    # nothing was deleted: all three dirs still present for recovery
+    assert spark.read.parquet(old).count() == 9
+    assert spark.read.parquet(tmp).count() == 7
+
+
+# ----------------------- delta-barrier parity (fix must not change output)
+
+def test_hamming_delta_admit_unchanged_by_barrier(spark, sf_dir, tmp_path):
+    """The r9 delta-signature barrier is a pure plan change: admission
+    verdicts over a lazily-signed batch must equal the python-reference
+    semantics pinned in test_r8_ops — here re-pinned cheaply as equality
+    with admission over an eagerly materialized copy of the same batch."""
+    sigs = dedup.simhash_signatures(_docs(spark, sf_dir))
+    store = sigs.where(F.col("doc_id") < 350)
+    lazy_batch = sigs.where(F.col("doc_id") >= 350)  # lazily signed
+    eager_batch = spark.createDataFrame(
+        lazy_batch.collect(), schema=lazy_batch.schema
+    )
+    idx = hamstore.write_hamming_index(store, str(tmp_path / "s"), kind="simhash")
+    got_lazy = _rows(
+        hamstore.delta_hamming_admit_indexed(idx, lazy_batch).select("doc_id")
+    )
+    got_eager = _rows(
+        hamstore.delta_hamming_admit_indexed(idx, eager_batch).select("doc_id")
+    )
+    assert got_lazy == got_eager and got_lazy
