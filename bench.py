@@ -66,6 +66,9 @@ FAMILIES = {
     # the per-ingest-batch number that matters at build-once/admit-many
     # scale (special runner, like the stored-ANN probe seats)
     "sigstore": [],
+    # continuous-ingest loops (r9): 3 growing-store foreachBatch
+    # micro-batches drained through each store's streaming entry point
+    "ingest_loop": [],
     # late-r6 statistics/ML layer: the queries with corpus-sized joins or
     # driver-side fits (the trend/corr/KS family is daily-rollup-sized and
     # stays out; snm includes the two-phase global rank; the agreement
@@ -142,6 +145,13 @@ FAMILY_BASELINE = {
     # per-batch indexed admission (one-sided delta band join + closure);
     # ~flat in store size at fixed batch — store-growth sweep in BASELINE.md
     "sigstore_delta_admit": 7.60,  # measured 7.10
+    # continuous-ingest drains (r9): 3 growing-store foreachBatch batches
+    # of ~500 docs through each store's streaming loop — admission +
+    # append + engine overhead per batch (measured 25.0/39.3 solo; the
+    # hamstore loop pays the dense-SimHash closure per batch, see
+    # BASELINE.md store-sweep notes)
+    "sigstore_ingest_loop": 28.00,
+    "hamstore_ingest_loop": 45.00,
     "cdc_chunk_near_dups": 1.59,  # was 11.21 (chunking pass now spread)
     # stats family, committed from a clean solo run at sf0.1 (late r6)
     "snm_near_dups": 8.68,  # two-phase global rank + n·window bucket join
@@ -162,6 +172,8 @@ EXTRA_SEATS = {
     "ivf_indexed_probe",       # _bench_ann_indexed: stored-index probe
     "ivf_pq_indexed_probe",
     "sigstore_delta_admit",    # _bench_sigstore: per-batch indexed admission
+    "sigstore_ingest_loop",    # _bench_ingest_loops: 3-batch streaming drains
+    "hamstore_ingest_loop",
 }
 
 
@@ -188,6 +200,60 @@ def _bench_sigstore(spark, sf_dir: str, out: dict[str, float]) -> None:
         "overwrite"
     ).save()
     out["sigstore_delta_admit"] = round(_t.perf_counter() - t0, 3)
+
+
+def _bench_ingest_loops(spark, sf_dir: str, out: dict[str, float]) -> None:
+    """The continuous-ingest entry points under a wall-clock gate: N
+    foreachBatch micro-batches of fixed size drained through each store's
+    streaming loop, the store GROWING across batches (batch k admits
+    against everything batches 1..k-1 appended) — the production shape
+    that had invariant tests but no bench seat until r9. Store seeding and
+    source staging are untimed (one-off); the timed span is start→drain of
+    the whole availableNow stream, i.e. N admissions + N appends +
+    streaming-engine overhead."""
+    import shutil
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.llmops import dedup, hamstore, sigstore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_total = docs.count()
+    seed_hi = max(n_total - 1500, n_total // 2)  # 3 batches of ~500 at sf0.1
+    seed = docs.where(F.col("doc_id") < seed_hi)
+    root = "/tmp/magiceye_bench_ingest"
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/src"
+    for lo in range(seed_hi, n_total, 500):
+        docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 500)
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    sigstore.write_minhash_index(seed, f"{root}/sig")
+    t0 = _t.perf_counter()
+    q = sigstore.streaming_dedup_ingest(
+        spark, f"{root}/sig", stream(), f"{root}/ckpt_sig"
+    )
+    q.awaitTermination(600)
+    out["sigstore_ingest_loop"] = round(_t.perf_counter() - t0, 3)
+
+    hamstore.write_hamming_index(
+        dedup.simhash_signatures(seed), f"{root}/ham", kind="simhash"
+    )
+    t0 = _t.perf_counter()
+    q = hamstore.streaming_hamming_ingest(
+        spark, f"{root}/ham", stream(), f"{root}/ckpt_ham", kind="simhash"
+    )
+    q.awaitTermination(600)
+    out["hamstore_ingest_loop"] = round(_t.perf_counter() - t0, 3)
 
 
 def _bench_ann_indexed(spark, sf_dir: str, out: dict[str, float]) -> None:
@@ -307,6 +373,10 @@ def main() -> None:
                 continue
             if family == "sigstore":
                 _bench_sigstore(spark, sf_dir, families[family])
+                spark.catalog.clearCache()
+                continue
+            if family == "ingest_loop":
+                _bench_ingest_loops(spark, sf_dir, families[family])
                 spark.catalog.clearCache()
                 continue
             for name in names:

@@ -258,7 +258,7 @@ def mysql_base(spark: SparkSession) -> SchemaSnapshot:
     return _build(spark, _my_base_spec())
 
 
-def mysql_target(spark: SparkSession) -> SchemaSnapshot:
+def _my_target_spec() -> dict:
     """target.sql planted diffs: posts.id loses AUTO_INCREMENT (:12),
     posts.title loses DEFAULT 'asdf' (:13), comments.body loses NOT NULL
     (:21), tags.name varchar(155) (:28), messages.receiver_id dropped
@@ -286,7 +286,11 @@ def mysql_target(spark: SparkSession) -> SchemaSnapshot:
         and not (ix[0] == "reports_fk_test" and ix[1] == "post_id")
         and ix[1] != "idx_follower_follower_id"
     ]
-    return _build(spark, spec)
+    return spec
+
+
+def mysql_target(spark: SparkSession) -> SchemaSnapshot:
+    return _build(spark, _my_target_spec())
 
 
 #: golden findings for the mysql pair; the README report example

@@ -75,7 +75,22 @@ def connected_components(
     )
     # symmetrize + dedup parallel edges (keeps join fan-out minimal),
     # partition by join key once, reuse every round
-    sym = fwd.union(rev).distinct().repartition(par, "u").persist()
+    base = fwd.union(rev).distinct().persist()
+    # Size the ROUNDS to the graph: each round is joins + a checkpoint
+    # over `par` partitions, and for the delta-admission graphs the
+    # stores feed in (thousands of edges per batch) full session width is
+    # pure scheduling overhead — measured 1.2 s/round at 32 partitions on
+    # a 16k-edge admission graph where the data fits in one task. One
+    # partition per ~4k directed edges, capped at session parallelism:
+    # corpus-scale graphs keep full width (the 10x-edges flatness pin is
+    # unaffected), per-batch graphs stop paying 32-task fixed costs
+    # O(log diameter) times per admission. The sizing count doubles as
+    # the cache materialization the first round would have paid anyway.
+    n_sym = base.count()
+    par_eff = max(2, min(par, n_sym // 4000 + 1))
+    sym = base.repartition(par_eff, "u").persist()
+    sym.count()  # materialize from the cached base before releasing it
+    base.unpersist()
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
@@ -100,6 +115,11 @@ def connected_components(
                 # comp ← comp(comp): label values are node ids (mins over
                 # the node set), so every comp has a row in `new` — inner
                 # join is total. After k rounds labels travel 2^k hops.
+                # (A second jump per round was tried in r9 and measured
+                # flat: convergence here is bound by min-label PROPAGATION
+                # through the graph — the nb_min step — not by label-chain
+                # depth, so deeper jumping buys nothing and costs a shuffle
+                # join at corpus scale.)
                 thru = new.select(
                     F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
                 )
@@ -115,7 +135,7 @@ def connected_components(
             # executors, swap for reliable `checkpoint()` + checkpointDir;
             # recomputing a lost localCheckpoint block is impossible
             # because the lineage is gone.)
-            new = new.repartition(par, "node").localCheckpoint(eager=True)
+            new = new.repartition(par_eff, "node").localCheckpoint(eager=True)
             # convergence witness: every step takes a MIN across self +
             # neighbors (+ pointer jump, also a min), so per-node labels
             # never increase — Σcomp strictly decreases until the fixpoint.

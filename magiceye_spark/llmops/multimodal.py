@@ -276,13 +276,20 @@ def phash_signatures(media: DataFrame) -> DataFrame:
     hx = F.hex(F.col("payload"))
     hex_len = 2 * _PHASH_CELLS
     t = F.when(F.length(hx) < hex_len, F.rpad(hx, hex_len, "01")).otherwise(hx)
-    # NO explicit spread here, unlike the text dedup family: an A/B at
-    # sf0.1 measured the repartition HURTING (8.9 s → 10.3 s wall) — the
-    # per-byte explode is only ~300 rows/doc and the downstream pair join
-    # dominates, so the added exchange buys nothing. (The explode_outer
-    # variant was also measured here at a 26× total-CPU blowup — it
-    # disables generator codegen; plain posexplode + the session-level
+    # Explicit spread before the per-byte explode, same discipline as
+    # simhash_signatures: the hex fold + posexplode is CPU-dense on
+    # byte-light input, and a single-file parquet scan otherwise
+    # serializes the whole signing into one task (r9 stage audit:
+    # phash_band_stats 76% single-task). Re-measured r9 at sf0.1: signing
+    # 3.2→1.3 s, signing+pair join 5.4→4.2 s — the earlier A/B that
+    # recorded the repartition HURTING (8.9→10.3 s) predated the shared
+    # band-join barrier and no longer reproduces. (The explode_outer
+    # variant stays banned: measured 26× total-CPU blowup — it disables
+    # generator codegen; plain posexplode + the session-level
     # InferFiltersFromGenerate exclusion is the fast shape.)
+    media = media.repartition(
+        media.sparkSession.sparkContext.defaultParallelism, "media_id"
+    )
     chars = media.select(
         F.col("media_id"),
         F.posexplode(F.regexp_extract_all(t, F.lit(".."), 0)).alias("pos", "ch"),

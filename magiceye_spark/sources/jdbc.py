@@ -159,6 +159,44 @@ def _read_query(spark: SparkSession, url: str, sql: str, props: dict | None) -> 
     return reader.load()
 
 
+def assemble_catalog_snapshot(
+    tables: DataFrame, columns: DataFrame, indexes: DataFrame, fks: DataFrame
+) -> SchemaSnapshot:
+    """Post-scan assembly shared by the live JDBC path and the replay-
+    fixture tests: exactly what happens to the four scans' RESULT frames
+    between the server and the snapshot, factored out so the transforms
+    can be pinned against dialect-shaped input without a server.
+
+    - Boolean flags are cast explicitly: MySQL has no boolean result type —
+      comparison/LIKE expressions (``is_nullable = 'YES'``,
+      ``extra LIKE ...``, ``MIN(non_unique) = 0``) arrive over JDBC as
+      LONGLONG 0/1, and feeding those into the snapshot's
+      ``coalesce(col, false)`` normalization is an ANSI-mode analysis
+      error. ``cast('boolean')`` is a no-op for PG (real booleans) and the
+      documented 0/1 mapping for MySQL.
+    - The server-side comma-joined index/FK column lists (ordered by
+      seq_in_index / ordinal_position in the SQL) split into arrays —
+      order-preserving, which D12's order-sensitive index compare relies
+      on (check.rs:267-277 semantics)."""
+    columns = columns.withColumn(
+        "is_nullable", F.col("is_nullable").cast("boolean")
+    ).withColumn("is_auto_increment", F.col("is_auto_increment").cast("boolean"))
+    indexes = (
+        indexes.withColumn("columns", F.split(F.col("columns_csv"), ","))
+        .withColumn("is_unique", F.col("is_unique").cast("boolean"))
+        .drop("columns_csv")
+    )
+    fks = fks.withColumn("columns", F.split(F.col("columns_csv"), ",")).drop(
+        "columns_csv"
+    )
+    return SchemaSnapshot.from_dataframes(
+        tables=tables,
+        columns=columns,
+        indexes=indexes.select("table_name", "index_name", "columns", "predicate", "is_unique"),
+        fks=fks.select("table_name", "fk_name", "columns", "ref_table", "ref_column"),
+    )
+
+
 def read_catalog_snapshot(
     spark: SparkSession,
     url: str,
@@ -174,19 +212,11 @@ def read_catalog_snapshot(
     if kind not in _CATALOG_SQL:
         raise ValueError(f"kind must be one of {sorted(_CATALOG_SQL)}, got {kind!r}")
     tables_sql, columns_sql, indexes_sql, fks_sql = _CATALOG_SQL[kind]
-    tables = _read_query(spark, url, tables_sql, properties)
-    columns = _read_query(spark, url, columns_sql, properties)
-    indexes = _read_query(spark, url, indexes_sql, properties).withColumn(
-        "columns", F.split(F.col("columns_csv"), ",")
-    ).drop("columns_csv")
-    fks = _read_query(spark, url, fks_sql, properties).withColumn(
-        "columns", F.split(F.col("columns_csv"), ",")
-    ).drop("columns_csv")
-    return SchemaSnapshot.from_dataframes(
-        tables=tables,
-        columns=columns,
-        indexes=indexes.select("table_name", "index_name", "columns", "predicate", "is_unique"),
-        fks=fks.select("table_name", "fk_name", "columns", "ref_table", "ref_column"),
+    return assemble_catalog_snapshot(
+        tables=_read_query(spark, url, tables_sql, properties),
+        columns=_read_query(spark, url, columns_sql, properties),
+        indexes=_read_query(spark, url, indexes_sql, properties),
+        fks=_read_query(spark, url, fks_sql, properties),
     )
 
 

@@ -179,14 +179,38 @@ def main() -> None:
         spark.catalog.clearCache()
 
         # ---- ANN stores: fixed query batch vs growing postings
+        from magiceye_spark.fsops import fs_count_files
+
         store_emb = synth_embs(spark, factor)
         fp = os.path.join(ROOT, f"ivf{factor}")
         flat = annindex.write_ivf_index(store_emb, fp, n_centroids=32)
+        # file-count diagnostic (r8 verdict: probe wall grew 1.59x at 100x
+        # where the claim is ~flat): write_ivf_index spreads the encode over
+        # defaultParallelism tasks before partitionBy(cell), so each cell
+        # dir holds up to that many files — file count grows with store
+        # size until tasks saturate, and probe wall pays listing+open per
+        # file. Measure the probe before AND after compaction (1 file/cell)
+        # to split "more files" from "more probed rows".
+        meta.setdefault("ivf_postings_files", {})[label] = fs_count_files(
+            spark, os.path.join(fp, "postings")
+        )
         t0 = time.perf_counter()
         annindex.ivf_index_topk(flat, queries, k=10, n_probe=8).write.format(
             "noop"
         ).mode("overwrite").save()
         walls.setdefault("ivf_index_topk", {})[label] = round(
+            time.perf_counter() - t0, 2
+        )
+        annindex.ivf_index_compact(spark, fp)
+        meta.setdefault("ivf_postings_files_compacted", {})[label] = (
+            fs_count_files(spark, os.path.join(fp, "postings"))
+        )
+        flat = annindex.read_ivf_index(spark, fp)
+        t0 = time.perf_counter()
+        annindex.ivf_index_topk(flat, queries, k=10, n_probe=8).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        walls.setdefault("ivf_index_topk_compacted", {})[label] = round(
             time.perf_counter() - t0, 2
         )
         pp = os.path.join(ROOT, f"pq{factor}")
