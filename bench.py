@@ -146,12 +146,14 @@ FAMILY_BASELINE = {
     # ~flat in store size at fixed batch — store-growth sweep in BASELINE.md
     "sigstore_delta_admit": 7.60,  # measured 7.10
     # continuous-ingest drains (r9): 3 growing-store foreachBatch batches
-    # of ~500 docs through each store's streaming loop — admission +
-    # append + engine overhead per batch (measured 25.0/39.3 solo; the
+    # (~500 docs / ~200 vectors) through each store's streaming loop —
+    # admission + append + engine overhead per batch (measured
+    # 23.9-27.3 / 39.3-43.9 / 19.6 across solo+contended runs; the
     # hamstore loop pays the dense-SimHash closure per batch, see
     # BASELINE.md store-sweep notes)
     "sigstore_ingest_loop": 28.00,
-    "hamstore_ingest_loop": 45.00,
+    "hamstore_ingest_loop": 48.00,
+    "annindex_ingest_loop": 24.00,
     "cdc_chunk_near_dups": 1.59,  # was 11.21 (chunking pass now spread)
     # stats family, committed from a clean solo run at sf0.1 (late r6)
     "snm_near_dups": 8.68,  # two-phase global rank + n·window bucket join
@@ -174,6 +176,7 @@ EXTRA_SEATS = {
     "sigstore_delta_admit",    # _bench_sigstore: per-batch indexed admission
     "sigstore_ingest_loop",    # _bench_ingest_loops: 3-batch streaming drains
     "hamstore_ingest_loop",
+    "annindex_ingest_loop",
 }
 
 
@@ -254,6 +257,33 @@ def _bench_ingest_loops(spark, sf_dir: str, out: dict[str, float]) -> None:
     )
     q.awaitTermination(600)
     out["hamstore_ingest_loop"] = round(_t.perf_counter() - t0, 3)
+
+    from magiceye_spark.llmops import annindex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    n_emb = emb.count()
+    e_seed_hi = max(n_emb - 600, n_emb // 2)  # 3 batches of ~200 at sf0.1
+    annindex.write_ivf_index(
+        emb.where(F.col("vec_id") < e_seed_hi), f"{root}/ivf", n_centroids=32
+    )
+    esrc = f"{root}/esrc"
+    for lo in range(e_seed_hi, n_emb, 200):
+        emb.where(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 200)
+        ).coalesce(1).write.mode("append").parquet(esrc)
+    t0 = _t.perf_counter()
+    q = annindex.streaming_ann_ingest(
+        spark,
+        f"{root}/ivf",
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(esrc),
+        f"{root}/ckpt_ivf",
+    )
+    q.awaitTermination(600)
+    out["annindex_ingest_loop"] = round(_t.perf_counter() - t0, 3)
 
 
 def _bench_ann_indexed(spark, sf_dir: str, out: dict[str, float]) -> None:

@@ -369,3 +369,202 @@ def ivf_pq_index_topk(
         enc, corpus, queries, index.centroids, index.codebooks,
         int(index.params["m_subvectors"]), k, n_probe, rerank, id_col, vec_col,
     )
+
+
+# ---------------------------------------------- delta admission + ingest
+# (the embedding member of the store triad's lifecycle — MinHash text sets:
+# sigstore; Hamming bits: hamstore; the admission RULE is the one shared
+# implementation, graph.indexed_admission_rejects)
+
+
+def delta_ann_pairs_from_index(
+    index: IvfIndex,
+    new_vectors: DataFrame,
+    threshold: float,
+    n_probe: int = 8,
+    salts: int = 4,
+) -> DataFrame:
+    """Cosine near-dup pairs TOUCHING the batch (batch×stored and
+    batch×batch) against a FLAT stored index — the one-sided
+    delta-vs-union candidate shape of the sibling stores, in the
+    embedding modality: the batch probes its ``n_probe`` nearest cells of
+    the union (partition-pruned stored postings ∪ the cell-assigned
+    batch), every candidate edge has a batch endpoint by construction,
+    and no stored×stored pair is ever generated. ALL edges at
+    ``cosine >= threshold`` are kept — no top-k truncation, because
+    admission needs the component's full delta-touching edge set, not
+    each vector's best neighbors.
+
+    Candidate approximation (why this family has no SQL oracle): a pair
+    is seen iff one endpoint's assigned cell is among the other's probed
+    cells — exact when ``n_probe = n_centroids`` (the exhaustive mode the
+    invariants tests pin against brute-force cosine), SemDeDup-style
+    cell-scoped otherwise. Hot Voronoi cells spread over ``salts`` join
+    groups (the bitext salting shape: the union side picks ONE salt per
+    row, probes explode all of them — each pair meets exactly once per
+    probed cell). PQ indexes are rejected: admission verifies EXACT
+    cosine and PQ postings deliberately store codes, not vectors.
+
+    Output (doc_a, doc_b, cosine_sim) with doc_a < doc_b, cosine rounded
+    at 6 (the repo's dot-product discipline)."""
+    from magiceye_spark.llmops.simsearch import cosine
+
+    if index.pq:
+        raise ValueError(
+            "PQ index: delta admission verifies exact cosine against stored "
+            "vectors, which PQ postings do not hold — use a flat index for "
+            "the admission store (or rerank externally)"
+        )
+    id_col, vec_col = index.params["id_col"], index.params["vec_col"]
+    spark = new_vectors.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    # barrier the batch before fanning it into the union side + probe side
+    # (the sibling stores' delta-barrier discipline)
+    batch = new_vectors.select(id_col, vec_col).repartition(par, id_col)
+    batch_assigned = _postings_flat(batch, index.centroids, id_col, vec_col)
+    cells = _probe_cells(batch, index, n_probe)
+    stored = index.postings.where(F.col("cell").isin(cells)).select(
+        "vec_id", "embedding", "cell"
+    )
+    probes = (
+        batch.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                F.transform(
+                    _best_cells(F.col(vec_col), index.centroids, n_probe),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+        )
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    )
+
+    # The stored and batch union sides are joined SEPARATELY and unioned at
+    # the EDGE level, not unioned as relations first: a relation-level
+    # union makes Catalyst push the stored scan's Dynamic-Partition-Pruning
+    # predicate into the batch branch too, where the DPP subquery (built
+    # from the probes' cell-assignment expression) fails to materialize
+    # under AQE on Spark 4.1 ("dynamicpruning#N has not finished" —
+    # reproduced r9). Joining the partitioned scan directly is DPP's
+    # supported shape (and the scan is already statically pruned by the
+    # literal isin(cells) above); the batch side has no partitioned scan,
+    # so no subquery is ever attached to it.
+    def side(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias("u_id"),
+            F.col("embedding").alias("u_vec"),
+            "cell",
+            F.pmod(F.xxhash64("vec_id"), F.lit(salts)).cast("int").alias("salt"),
+        )
+
+    cos = F.round(cosine(F.col("q_vec"), F.col("u_vec")), 6)
+
+    def edges(u_side: DataFrame) -> DataFrame:
+        return (
+            probes.join(u_side, ["cell", "salt"])
+            .where(F.col("q_id") != F.col("u_id"))
+            .select(
+                F.least("q_id", "u_id").alias("doc_a"),
+                F.greatest("q_id", "u_id").alias("doc_b"),
+                cos.alias("cosine_sim"),
+            )
+            .where(F.col("cosine_sim") >= threshold)
+        )
+
+    return (
+        edges(side(stored))
+        .unionByName(edges(side(batch_assigned)))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def delta_ann_admit_indexed(
+    index: IvfIndex,
+    new_vectors: DataFrame,
+    threshold: float = 0.95,
+    n_probe: int = 8,
+    salts: int = 4,
+) -> DataFrame:
+    """Delta-ingest admission against the stored FLAT index, closure
+    semantics identical to the MinHash and Hamming stores: an incoming
+    vector is admitted iff its cosine-near-dup component over the union
+    graph contains no stored vector AND it is the minimum-id incoming
+    member — the verdict rule lives in ONE place
+    (:func:`graph.indexed_admission_rejects`), shared across the triad,
+    so the three modalities' admission semantics cannot drift. Returns
+    the admitted rows of ``new_vectors`` with the caller's columns."""
+    from magiceye_spark.llmops.graph import indexed_admission_rejects
+
+    id_col = index.params["id_col"]
+    pairs = delta_ann_pairs_from_index(
+        index, new_vectors, threshold, n_probe, salts
+    )
+    rejected = indexed_admission_rejects(
+        pairs.select("doc_a", "doc_b"),
+        index.postings.select(F.col("vec_id").alias("doc_id")),
+    )
+    return new_vectors.join(
+        rejected.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+
+
+def streaming_ann_ingest(
+    spark: SparkSession,
+    path: str,
+    stream: DataFrame,
+    checkpoint: str,
+    *,
+    threshold: float = 0.95,
+    n_probe: int = 8,
+    output_path: str | None = None,
+    compact_every: int | None = None,
+    trigger: dict | None = None,
+):
+    """The CONTINUOUS embedding-ingest loop over the stored FLAT index —
+    completing the store triad's streaming surface (text:
+    :func:`sigstore.streaming_dedup_ingest`; image bits:
+    :func:`hamstore.streaming_hamming_ingest`): every micro-batch is
+    admitted against the index (:func:`delta_ann_admit_indexed` — one
+    probe-shaped candidate join, no stream-stream join, no operator
+    state) and the admitted vectors are encoded against the FROZEN stored
+    model and appended, so batch N+1 deduplicates against everything
+    batch N admitted. The store is the state.
+
+    ``compact_every``: run :func:`ivf_index_compact` after every Nth
+    batch. Each append writes ≥1 file per touched cell, so probe wall
+    grows with ingest history, not data — the r9 store sweep measured the
+    probe 1.6-1.7× faster against compacted postings (1 file/cell) at
+    every store size. Compaction between batches is safe: the index is
+    re-read from disk per batch, and the swap is the rename-aside
+    Hadoop-FS promotion. None (default) leaves cadence to an external
+    maintenance job.
+
+    Replay safety mirrors the sibling loops: encoding is a pure function
+    of the stored model, :func:`ivf_index_add` anti-joins stored vec_ids
+    (re-append is a no-op), and the admitted sink writes
+    ``output_path/ingest_batch=<id>`` with mode=overwrite. Returns the
+    started StreamingQuery; ``trigger`` defaults to availableNow."""
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        idx = read_ivf_index(spark, path)
+        admitted = delta_ann_admit_indexed(
+            idx, batch_df, threshold, n_probe
+        ).persist()  # two consumers: the sink write + the postings append
+        try:
+            if output_path is not None:
+                admitted.write.mode("overwrite").parquet(
+                    os.path.join(output_path, f"ingest_batch={batch_id}")
+                )
+            ivf_index_add(spark, path, admitted)
+        finally:
+            admitted.unpersist()
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            ivf_index_compact(spark, path)
+
+    return (
+        stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )

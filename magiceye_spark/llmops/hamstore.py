@@ -247,6 +247,7 @@ def streaming_hamming_ingest(
     sign_fn=None,
     output_path: str | None = None,
     max_hamming: int | None = None,
+    compact_every: int | None = None,
     trigger: dict | None = None,
 ):
     """The CONTINUOUS ingest loop over the persistent Hamming store — the
@@ -275,6 +276,13 @@ def streaming_hamming_ingest(
     stored signatures can only anti-join its docs away in the add, and
     re-admission is a fixpoint — pinned in tests alongside batch-order
     independence).
+
+    ``compact_every``: run :func:`hamming_index_compact` after every Nth
+    batch — appends accumulate one file per batch and scan/listing cost
+    grows with ingest history (the small-files lifecycle the r9 store
+    sweep measured on the IVF probe); safe between batches because the
+    index is re-read per batch and the swap is rename-aside. None leaves
+    cadence to an external maintenance job.
 
     ``trigger`` defaults to ``{"availableNow": True}`` (drain-what-exists);
     pass ``{"processingTime": "1 minute"}`` for the live loop. Returns the
@@ -305,6 +313,8 @@ def streaming_hamming_ingest(
                 admitted.unpersist()
         finally:
             sigs.unpersist()
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            hamming_index_compact(spark, path)
 
     return (
         stream.writeStream.foreachBatch(_ingest)

@@ -230,6 +230,7 @@ def streaming_dedup_ingest(
     output_path: str | None = None,
     threshold: float | None = None,
     text_col: str = "text",
+    compact_every: int | None = None,
     trigger: dict | None = None,
 ):
     """The CONTINUOUS ingest loop over the persistent store — the shape a
@@ -256,6 +257,15 @@ def streaming_dedup_ingest(
     already saw... they ARE its first run's admitted set, which is
     exactly what the overwrite re-emits; pinned in tests).
 
+    ``compact_every``: run :func:`minhash_index_compact` after every Nth
+    batch — appends accumulate one file per batch, so signature-scan task
+    count (and listing pressure on a lake) grows with ingest history
+    rather than data volume (the r9 store sweep measured the analogous
+    IVF probe 1.6-1.7× faster against compacted postings). Safe between
+    batches: the index is re-read per batch and the swap is the
+    rename-aside Hadoop-FS promotion. None (default) leaves cadence to
+    an external maintenance job.
+
     ``trigger``: kwargs for ``DataStreamWriter.trigger`` — defaults to
     ``{"availableNow": True}`` (drain-what-exists, the batch-replay and
     test shape); pass ``{"processingTime": "1 minute"}`` for the live
@@ -275,6 +285,8 @@ def streaming_dedup_ingest(
             minhash_index_add(spark, path, admitted, text_col)
         finally:
             admitted.unpersist()
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            minhash_index_compact(spark, path)
 
     return (
         docs_stream.writeStream.foreachBatch(_ingest)

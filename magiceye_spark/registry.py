@@ -87,6 +87,10 @@ _DRIVER_WINDOW = [
     #   dup_cluster_stats, dup_graph_triangles → heavy_hitters_cms (first
     #     sketch-family seat) + duplicate_span_coverage (spans family;
     #     graph keeps components + pagerank)
+    #   ivf_indexed_exact (attested r8) → ann_admit_indexed_exact (NEW r9:
+    #     the stored-index lifecycle PLUS the triad's closure admission
+    #     under the recursive-CTE oracle — the first hash-checked
+    #     admission row; strictly more surface than the probe-only row)
     # (exact_dup_clusters validated green but returns 0 rows at sf0.01 —
     # skipped as a seat: a 0-row attestation pins schema only.)
     # reference surface: schema diff (S/D/R ops)
@@ -146,8 +150,9 @@ _DRIVER_WINDOW = [
     "customer_rfm",
     "basket_pair_lift",
     # similarity search: fit-per-call exact twin + stored-index lifecycle
+    # (probe attested r8; the admission row runs write→read→admit→closure)
     "ivf_ann_exact",
-    "ivf_indexed_exact",
+    "ann_admit_indexed_exact",
     # bitext mining: exact twin + candidate path under the exact oracle
     "bitext_margin_pairs",
     "bitext_indexed_exact",
@@ -1380,6 +1385,99 @@ def ivf_ann_exact_q(spark, sf_dir):
     return simsearch.ivf_topk(
         corpus, queries_df, k=10, n_centroids=16, n_probe=16, kmeans_iters=2
     )
+
+
+_ANN_ADMIT_COS = (
+    "ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+    " / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+    " * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"
+)
+
+# exact-mode oracle for the stored-IVF delta admission: delta-touching
+# cosine edges (planted exact copies provide the dup structure — the
+# corpus's own pairs top out at ~0.51) → recursive min-label closure →
+# the triad's admission rule, all in SQL
+_SQL_ANN_ADMIT_EXACT = f"""
+WITH RECURSIVE
+batch AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 350
+  UNION ALL
+  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id < 10
+  UNION ALL
+  SELECT vec_id + 20000000, embedding FROM embeddings WHERE vec_id = 400
+  UNION ALL
+  SELECT vec_id + 21000000, embedding FROM embeddings WHERE vec_id = 400
+),
+allv AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 350
+  UNION ALL SELECT vec_id, embedding FROM batch
+),
+pairs AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+  WHERE (a.vec_id IN (SELECT vec_id FROM batch)
+         OR b.vec_id IN (SELECT vec_id FROM batch))
+    AND {_ANN_ADMIT_COS} >= 0.95
+),
+edges AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+reach(node, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+),
+comps AS (SELECT node, MIN(comp) AS comp_id FROM reach GROUP BY node),
+labeled AS (SELECT node, comp_id, (node < 350) AS stored FROM comps),
+verdicts AS (
+  SELECT comp_id,
+         MAX(CASE WHEN stored THEN 1 ELSE 0 END) AS has_existing,
+         MIN(CASE WHEN NOT stored THEN node END) AS min_incoming
+  FROM labeled GROUP BY comp_id
+),
+rejected AS (
+  SELECT l.node FROM labeled l JOIN verdicts v USING (comp_id)
+  WHERE NOT l.stored AND (v.has_existing = 1 OR l.node <> v.min_incoming)
+)
+SELECT CAST(b.vec_id AS BIGINT) AS vec_id
+FROM batch b LEFT JOIN rejected r ON b.vec_id = r.node
+WHERE r.node IS NULL
+"""
+
+
+@register("ann_admit_indexed_exact", _SQL_ANN_ADMIT_EXACT)
+def ann_admit_indexed_exact_q(spark, sf_dir):
+    """Exhaustive-mode (n_probe = n_centroids) delta admission against a
+    persisted FLAT IVF index (r9 — the embedding member of the store
+    triad): candidate generation is exact under exhaustive probing, so
+    the closure admission must equal the recursive-CTE oracle verdict for
+    verdict. Planted exact copies of STORED vectors must be rejected
+    (has-existing through a cosine-1.0 edge) and a planted same-batch
+    twin pair keeps only its minimum id. The first hash-checked ADMISSION
+    driver row — the MinHash/Hamming admission rows stay rows-only
+    because their banded candidate generators are themselves the
+    approximation; exhaustive probing removes it here."""
+    from magiceye_spark.llmops import annindex
+
+    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
+
+    def plant(cond, offset):
+        return emb.where(cond).select(
+            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+        )
+
+    batch = (
+        emb.where(F.col("vec_id") >= 350)
+        .unionByName(plant(F.col("vec_id") < 10, 10_000_000))
+        .unionByName(plant(F.col("vec_id") == 400, 20_000_000))
+        .unionByName(plant(F.col("vec_id") == 400, 21_000_000))
+    )
+    idx = annindex.write_ivf_index(
+        emb.where(F.col("vec_id") < 350),
+        _ann_index_path(sf_dir) + "_admit",
+        n_centroids=8,
+    )
+    return annindex.delta_ann_admit_indexed(
+        idx, batch, threshold=0.95, n_probe=8
+    ).select("vec_id")
 
 
 @register("chunk_documents", textstats.sql_chunk_documents(chunk_chars=512, overlap=64))

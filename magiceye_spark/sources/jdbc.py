@@ -30,8 +30,14 @@ the four texts run verbatim, and the resulting snapshots must match the
 hand-encoded fixture exactly and reproduce the golden diff findings. The
 shared JDBC ingestion path and the generic DatabaseMetaData reader are
 live-tested against embedded Apache Derby (tests/test_jdbc_live.py). The
-MySQL texts remain shape-tested only (no MySQL server in any round's
-environment so far) — reviewed line-by-line against mysql.rs:16-151.
+MySQL SQL texts remain unexecuted against a real server (none in any
+round's environment so far; reviewed line-by-line against
+mysql.rs:16-151) — but as of r9 the post-scan path is REPLAY-tested:
+tests/test_mysql_replay.py feeds MySQL-8-shaped result rows (LONGLONG
+0/1 flags, csv GROUP_CONCAT column lists) through
+:func:`assemble_catalog_snapshot` and pins snapshot equality plus the
+golden diff end-to-end. That replay is what caught the boolean-flag
+cast requirement (see the function's docstring).
 """
 
 from __future__ import annotations

@@ -124,6 +124,153 @@ def test_streaming_hamming_ingest_order_independent_store_set(
     ] == []
 
 
+# ----------------------------------- IVF-store continuous ingest (triad)
+
+def test_streaming_ann_ingest_invariants(spark, sf_dir, tmp_path):
+    """The embedding ingest loop under EXHAUSTIVE probing (n_probe =
+    n_centroids → candidate generation is exact, so the closure admission
+    is exact) must satisfy the triad contract: store rows = seed + Σ
+    admitted; planted twins of STORED vectors are rejected
+    (has-existing), planted same-batch twin pairs keep only the
+    minimum-id member; no post-seed pair in the final store reaches the
+    threshold under brute-force cosine; re-admission is a fixpoint and
+    the re-append a no-op."""
+    import math
+
+    from magiceye_spark.llmops import annindex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    seed = emb.where(F.col("vec_id") < 300)
+    store = str(tmp_path / "ivf")
+    src = str(tmp_path / "src")
+    annindex.write_ivf_index(seed, store, n_centroids=8)
+
+    def twin_of(src_ids, new_base):
+        return emb.where(F.col("vec_id").isin(src_ids)).select(
+            (F.col("vec_id") + new_base).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x.cast("double") * 1.0001).cast("float")
+            ).alias("embedding"),
+        )
+
+    batch1 = emb.where(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 400)
+    ).unionByName(twin_of(list(range(10)), 100000))  # twins of STORED rows
+    batch2 = emb.where(F.col("vec_id") >= 400).unionByName(
+        twin_of([400], 200000)
+    ).unionByName(twin_of([400], 200001))  # same-batch twin pair of 400
+    batch1.coalesce(1).write.mode("append").parquet(src)
+    batch2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "admitted")
+    q = annindex.streaming_ann_ingest(
+        spark, store, stream, str(tmp_path / "ckpt"),
+        threshold=0.95, n_probe=8, output_path=out,
+    )
+    q.awaitTermination(300)
+
+    admitted_ids = {
+        r["vec_id"] for r in spark.read.parquet(out).select("vec_id").collect()
+    }
+    assert all(100000 + i not in admitted_ids for i in range(10))  # dup-of-stored
+    assert 200400 not in admitted_ids and 200401 not in admitted_ids
+    assert 400 in admitted_ids  # min of the all-incoming twin component
+
+    idx = annindex.read_ivf_index(spark, store)
+    assert idx.postings.count() == 300 + len(admitted_ids)
+
+    # brute-force invariant: no stored pair touching a post-seed vector
+    # reaches the threshold (seed-internal pairs allowed — written wholesale)
+    rows = idx.postings.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    ids = sorted(vecs)
+    post = {i for i in ids if i >= 300}
+    hot = [
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if (a in post or b in post) and cos(vecs[a], vecs[b]) >= 0.95
+    ]
+    assert hot == []
+
+    readmit = annindex.delta_ann_admit_indexed(
+        idx, spark.read.parquet(out).select("vec_id", "embedding"),
+        threshold=0.95, n_probe=8,
+    )
+    assert readmit.count() == len(admitted_ids)  # fixpoint
+    assert annindex.ivf_index_add(
+        spark, store, spark.read.parquet(out).select("vec_id", "embedding")
+    ) == 0
+
+
+def test_delta_ann_admit_rejects_pq_store(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from magiceye_spark.llmops import annindex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = annindex.write_ivf_index(
+        emb.where(F.col("vec_id") < 100), str(tmp_path / "pq"), pq=True,
+        n_centroids=8,
+    )
+    with _pytest.raises(ValueError, match="PQ index"):
+        annindex.delta_ann_admit_indexed(idx, emb.where(F.col("vec_id") >= 100))
+
+
+def test_streaming_ingest_compact_every(spark, sf_dir, tmp_path):
+    """compact_every=2 over four micro-batches must leave the signature
+    table compacted (≤ parallelism files, vs seed+4 appended) with row
+    content untouched — the in-loop lifecycle answer to append-accumulated
+    small files."""
+    from magiceye_spark.fsops import fs_count_files
+
+    docs = _docs(spark, sf_dir)
+    seed = docs.where(F.col("doc_id") < 100)
+    store = str(tmp_path / "store")
+    src = str(tmp_path / "src")
+    hamstore.write_hamming_index(
+        dedup.simhash_signatures(seed), store, kind="simhash"
+    )
+    for lo in (100, 200, 300, 400):
+        docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)
+        ).coalesce(1).write.mode("append").parquet(src)
+    q = hamstore.streaming_hamming_ingest(
+        spark,
+        store,
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        str(tmp_path / "ckpt"),
+        kind="simhash",
+        compact_every=2,
+    )
+    q.awaitTermination(300)
+    idx = hamstore.read_hamming_index(spark, store, kind="simhash")
+    n = idx.signatures.count()
+    assert n > seed.count()
+    files = fs_count_files(spark, f"{store}/signatures")
+    assert files <= spark.sparkContext.defaultParallelism
+    # compaction preserved rows: ids are unique and pairs invariant holds
+    assert idx.signatures.select("doc_id").distinct().count() == n
+
+
 # --------------------------------------- fs swap: partial-live refusal
 
 def test_fs_swap_dirs_refuses_to_clear_old_over_partial_live(spark, tmp_path):
