@@ -75,22 +75,27 @@ def connected_components(
     )
     # symmetrize + dedup parallel edges (keeps join fan-out minimal),
     # partition by join key once, reuse every round
-    base = fwd.union(rev).distinct().persist()
+    sym = fwd.union(rev).distinct().repartition(par, "u").persist()
     # Size the ROUNDS to the graph: each round is joins + a checkpoint
     # over `par` partitions, and for the delta-admission graphs the
     # stores feed in (thousands of edges per batch) full session width is
     # pure scheduling overhead — measured 1.2 s/round at 32 partitions on
     # a 16k-edge admission graph where the data fits in one task. One
-    # partition per ~4k directed edges, capped at session parallelism:
-    # corpus-scale graphs keep full width (the 10x-edges flatness pin is
-    # unaffected), per-batch graphs stop paying 32-task fixed costs
-    # O(log diameter) times per admission. The sizing count doubles as
-    # the cache materialization the first round would have paid anyway.
-    n_sym = base.count()
+    # partition per ~4k directed edges, capped at session parallelism.
+    # The sizing count doubles as the cache materialization round 1 would
+    # have paid; the narrow re-layout runs ONLY when it shrinks the width
+    # meaningfully, so corpus-scale graphs keep the exact full-width plan
+    # (the 10x-edges flatness pin is unaffected) while per-batch graphs
+    # stop paying 32-task fixed costs O(log diameter) times per admission.
+    n_sym = sym.count()
     par_eff = max(2, min(par, n_sym // 4000 + 1))
-    sym = base.repartition(par_eff, "u").persist()
-    sym.count()  # materialize from the cached base before releasing it
-    base.unpersist()
+    if par_eff < par // 2:
+        narrow = sym.repartition(par_eff, "u").persist()
+        narrow.count()  # materialize from the cached wide layout
+        sym.unpersist()
+        sym = narrow
+    else:
+        par_eff = par
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
