@@ -460,6 +460,47 @@ GROUP BY 1
 ORDER BY 1
 """
 
+#: stored-Hamming-index delta ADMISSION oracle (r9): unlike the MinHash
+#: family (where LSH banding is itself the approximation, so admission
+#: rows stay rows-only), the 4×16-bit pigeonhole banding is LOSSLESS for
+#: Hamming ≤ 3 — the indexed path's delta pair set is exact, so the full
+#: closure-admission verdict is hash-checkable: delta-touching pairs →
+#: recursive min-label components → reject incoming docs whose component
+#: holds a stored doc or that are not their all-incoming component's
+#: minimum. Store = media_id < 350, batch = the rest (the registry
+#: query's split).
+SQL_PHASH_ADMIT_EXACT = _SQL_PHASH_CTES.replace(
+    "WITH padded", "WITH RECURSIVE padded", 1
+) + """,
+pairs AS (
+  SELECT a.media_id AS pa, b.media_id AS pb
+  FROM hs a JOIN hs b ON a.media_id < b.media_id
+  WHERE hamming(a.h, b.h) <= 3
+    AND (a.media_id >= 350 OR b.media_id >= 350)
+),
+edges AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+reach(node, comp) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
+),
+comps AS (SELECT node, MIN(comp) AS comp_id FROM reach GROUP BY node),
+labeled AS (SELECT node, comp_id, (node < 350) AS stored FROM comps),
+verdicts AS (
+  SELECT comp_id,
+         MAX(CASE WHEN stored THEN 1 ELSE 0 END) AS has_existing,
+         MIN(CASE WHEN NOT stored THEN node END) AS min_incoming
+  FROM labeled GROUP BY comp_id
+),
+rejected AS (
+  SELECT l.node FROM labeled l JOIN verdicts v USING (comp_id)
+  WHERE NOT l.stored AND (v.has_existing = 1 OR l.node <> v.min_incoming)
+)
+SELECT CAST(h.media_id AS BIGINT) AS doc_id
+FROM hs h LEFT JOIN rejected r ON h.media_id = r.node
+WHERE h.media_id >= 350 AND r.node IS NULL
+"""
+
 #: keep-set oracle for the near-dup admission gate's batch twin: drop
 #: every doc_b of a pair, keep the catalog view of the rest
 SQL_PHASH_DEDUP_KEEP = _SQL_PHASH_CTES + """,

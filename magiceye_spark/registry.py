@@ -91,6 +91,10 @@ _DRIVER_WINDOW = [
     #     the stored-index lifecycle PLUS the triad's closure admission
     #     under the recursive-CTE oracle — the first hash-checked
     #     admission row; strictly more surface than the probe-only row)
+    #   containment_near_dups_indexed (attested r7/r8) →
+    #     phash_admit_indexed_exact (NEW r9: the Hamming store's admission
+    #     under the SAME recursive-CTE oracle — exact at the production
+    #     banding, since ≤3-bit pigeonhole banding is lossless)
     # (exact_dup_clusters validated green but returns 0 rows at sf0.01 —
     # skipped as a seat: a 0-row attestation pins schema only.)
     # reference surface: schema diff (S/D/R ops)
@@ -140,8 +144,9 @@ _DRIVER_WINDOW = [
     "unicode_dup_clusters",
     "pii_scan",
     "doc_fingerprint",
-    # deduplication ladder representative (indexed containment)
-    "containment_near_dups_indexed",
+    # dedup-ladder representative: the Hamming store's hash-checked
+    # admission (containment_near_dups_indexed attested r7/r8, rotated out)
+    "phash_admit_indexed_exact",
     # pipeline curation / sampling / budgeting / analytics
     "corpus_global_ids",
     "split_leakage_audit",
@@ -1561,6 +1566,28 @@ def phash_band_stats_q(spark, sf_dir):
         sigs, _ann_index_path(sf_dir) + "_ham", kind="phash"
     )
     return hamstore.band_bucket_stats(idx)
+
+
+@register("phash_admit_indexed_exact", multimodal.SQL_PHASH_ADMIT_EXACT)
+def phash_admit_indexed_exact_q(spark, sf_dir):
+    """Hash-checked Hamming-store delta admission (r9): the pigeonhole
+    banding is LOSSLESS at max_hamming ≤ 3, so — unlike the LSH-banded
+    MinHash family — the indexed path's delta-touching pair set is exact
+    and the closure verdicts can run against a recursive-CTE oracle with
+    no approximation caveat. Second hash-checked admission row next to
+    ann_admit_indexed_exact (that one needs exhaustive probing; this one
+    is exact at the production banding)."""
+    from magiceye_spark.llmops import hamstore
+
+    sigs = multimodal.phash_signatures(multimodal.synth_media(spark, sf_dir))
+    idx = hamstore.write_hamming_index(
+        sigs.where(F.col("doc_id") < 350),
+        _ann_index_path(sf_dir) + "_ham_admitx",
+        kind="phash",
+    )
+    return hamstore.delta_hamming_admit_indexed(
+        idx, sigs.where(F.col("doc_id") >= 350)
+    ).select("doc_id")
 
 
 @register("phash_delta_admit_indexed", None)  # one-sided delta admission
