@@ -116,6 +116,151 @@ def test_hamming_delta_pairs_are_exactly_the_touching_subset(spark, corpus):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# small integer vectors → exact-parallel duplicates and varied cosines;
+# no zero vectors (cosine undefined)
+VEC = st.lists(st.integers(min_value=0, max_value=3), min_size=4, max_size=4).filter(
+    lambda v: any(v)
+)
+EMB_CORPUS = st.lists(
+    st.tuples(VEC, st.booleans()),  # (vector, is_incoming)
+    min_size=4,
+    max_size=12,
+)
+
+
+@given(corpus=EMB_CORPUS)
+@_settings
+def test_ann_delta_pairs_exhaustive_are_touching_subset(spark, corpus):
+    """The embedding store under EXHAUSTIVE probing (n_probe =
+    n_centroids): delta pairs must equal the delta-touching subset of
+    brute-force cosine pairs at the threshold, for random tiny corpora
+    and random store/delta splits — the triad's one-sided-join property
+    in the third modality."""
+    from magiceye_spark.llmops import annindex
+
+    if sum(1 for _, inc in corpus if not inc) < 2 or not any(
+        inc for _, inc in corpus
+    ):
+        return  # need a fittable store and a non-empty delta
+    import math
+
+    rows = [(i, [float(x) for x in v], inc) for i, (v, inc) in enumerate(corpus)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, _inc boolean"
+    )
+    store_df = emb.where(~F.col("_inc")).drop("_inc")
+    delta_df = emb.where(F.col("_inc")).drop("_inc")
+    tmp = tempfile.mkdtemp(prefix="annprop_")
+    try:
+        idx = annindex.write_ivf_index(store_df, tmp, n_centroids=2)
+        got = sorted(
+            (r["doc_a"], r["doc_b"], r["cosine_sim"])
+            for r in annindex.delta_ann_pairs_from_index(
+                idx, delta_df, threshold=0.95, n_probe=2
+            ).collect()
+        )
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return round(
+                d
+                / (
+                    math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b))
+                ),
+                6,
+            )
+
+        vecs = {i: [float(x) for x in v] for i, (v, _) in enumerate(corpus)}
+        inc_ids = {i for i, (_, inc) in enumerate(corpus) if inc}
+        expected = sorted(
+            (a, b, cos(vecs[a], vecs[b]))
+            for a in vecs
+            for b in vecs
+            if a < b
+            and (a in inc_ids or b in inc_ids)
+            and cos(vecs[a], vecs[b]) >= 0.95
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@given(corpus=EMB_CORPUS)
+@_settings
+def test_ann_indexed_admission_matches_python_reference(spark, corpus):
+    """Exhaustive-mode ANN admission vs an independent python union-find
+    over the full brute-force cosine pair set + the admission rules in
+    plain dicts — no Spark closure code shared with the path under test
+    (the hamstore r8 reference-test pattern, third modality)."""
+    from magiceye_spark.llmops import annindex
+
+    if sum(1 for _, inc in corpus if not inc) < 2 or not any(
+        inc for _, inc in corpus
+    ):
+        return
+    import math
+
+    rows = [(i, [float(x) for x in v], inc) for i, (v, inc) in enumerate(corpus)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, _inc boolean"
+    )
+    store_df = emb.where(~F.col("_inc")).drop("_inc")
+    delta_df = emb.where(F.col("_inc")).drop("_inc")
+    tmp = tempfile.mkdtemp(prefix="annprop_")
+    try:
+        idx = annindex.write_ivf_index(store_df, tmp, n_centroids=2)
+        got = sorted(
+            r["vec_id"]
+            for r in annindex.delta_ann_admit_indexed(
+                idx, delta_df, threshold=0.95, n_probe=2
+            )
+            .select("vec_id")
+            .collect()
+        )
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return round(
+                d
+                / (
+                    math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b))
+                ),
+                6,
+            )
+
+        vecs = {i: [float(x) for x in v] for i, (v, _) in enumerate(corpus)}
+        inc_ids = {i for i, (_, inc) in enumerate(corpus) if inc}
+        stored_ids = set(vecs) - inc_ids
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a in vecs:
+            for b in vecs:
+                if a < b and cos(vecs[a], vecs[b]) >= 0.95:
+                    parent[find(a)] = find(b)
+        comps: dict = {}
+        for x in list(parent):
+            comps.setdefault(find(x), set()).add(x)
+        rejected = set()
+        for members in comps.values():
+            inc = members & inc_ids
+            if members & stored_ids:
+                rejected |= inc
+            elif inc:
+                rejected |= inc - {min(inc)}
+        assert got == sorted(inc_ids - rejected)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @given(corpus=CORPUS)
 @_settings
 def test_indexed_admission_matches_from_scratch_closure(spark, corpus):
