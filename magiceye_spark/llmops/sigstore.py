@@ -172,6 +172,43 @@ def lsh_pairs_from_index(
     )
 
 
+def band_bucket_stats(index: MinhashIndex, bucket_cap: int = 2000) -> DataFrame:
+    """Store-health diagnostic completing the triad's symmetry
+    (:func:`hamstore.band_bucket_stats`, :func:`annindex.ivf_index_stats`):
+    per LSH band, the bucket-occupancy distribution that sizes the
+    hot-bucket salt guard — an operator checks ``max_bucket`` /
+    ``n_hot_buckets`` before trusting per-batch admission latency,
+    because one near-constant corpus region (template farm) drops
+    thousands of docs into a single (band, bucket) and every ingest
+    batch then pays ceil(b/cap) salted tasks on it. Buckets are the SAME
+    xxhash64-over-signature-slices the candidate join uses (so the
+    numbers describe the actual join groups); xxhash64 has no DuckDB
+    twin, so this row is pytest-pinned rather than SQL-oracled (the
+    Hamming sibling's band fold is SQL-expressible and hash-checked).
+    Output: (band_id, n_docs, n_buckets, max_bucket, n_hot_buckets) —
+    one groupBy over a column-pruned store scan, ``bands`` rows."""
+    p = index.params
+    per = (
+        _banded_from_sigs(
+            index.signatures, int(p["num_hashes"]), int(p["bands"])
+        )
+        .groupBy("band_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per.groupBy("band_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+            F.sum(F.when(F.col("n") > bucket_cap, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hot_buckets"),
+        )
+        .orderBy("band_id")
+    )
+
+
 def delta_pairs_from_index(
     index: MinhashIndex,
     new_docs: DataFrame,

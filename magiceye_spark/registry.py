@@ -959,6 +959,21 @@ def unicode_dups_q(spark, sf_dir):
     return dedup.unicode_dup_clusters(docs.unionByName(planted))
 
 
+@register("sigstore_band_stats", None)  # buckets are xxhash64 over stored
+# signature slices (no DuckDB twin); occupancy/accounting invariants and a
+# planted-template max_bucket pin live in tests/test_r9_ops.py
+def sigstore_band_stats_q(spark, sf_dir):
+    """MinHash-store health: per-band bucket occupancy — the number that
+    sizes the hot-bucket salt guard, completing the triad's diagnostic
+    symmetry (hamstore.band_bucket_stats / annindex.ivf_index_stats)."""
+    from magiceye_spark.llmops import sigstore
+
+    idx = sigstore.write_minhash_index(
+        _docs(spark, sf_dir), _ann_index_path(sf_dir) + "_sigstats"
+    )
+    return sigstore.band_bucket_stats(idx)
+
+
 @register("delta_admit_indexed", None)  # xxhash64 MinHash store: rows-only;
 # stored==fresh pair equality and admission parity vs the from-scratch
 # closure are pinned exactly in tests/test_r7_ops.py

@@ -271,6 +271,35 @@ def test_streaming_ingest_compact_every(spark, sf_dir, tmp_path):
     assert idx.signatures.select("doc_id").distinct().count() == n
 
 
+# ------------------------------------- MinHash-store band diagnostics
+
+def test_sigstore_band_stats_accounting_and_template_pin(spark, sf_dir, tmp_path):
+    """band_bucket_stats invariants: one row per band; per-band doc
+    accounting equals the store size; a planted template farm (30
+    identical texts → identical signatures → one bucket per band) must
+    surface as max_bucket >= 30 in EVERY band — the exact hot-bucket
+    signal the salt guard sizes from."""
+    from magiceye_spark.llmops import sigstore
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    template = (
+        docs.where(F.col("doc_id") == 0)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(29))).alias("i"), "text")
+        .select((F.col("i") + 900000).alias("doc_id"), "text")
+    )
+    idx = sigstore.write_minhash_index(
+        docs.unionByName(template), str(tmp_path / "sig")
+    )
+    n_store = idx.signatures.count()
+    rows = sigstore.band_bucket_stats(idx).collect()
+    assert [r["band_id"] for r in rows] == list(range(int(idx.params["bands"])))
+    for r in rows:
+        assert r["n_docs"] == n_store
+        assert 1 <= r["n_buckets"] <= n_store
+        assert r["max_bucket"] >= 30  # the planted template family + doc 0
+        assert r["n_hot_buckets"] == 0  # cap 2000 not reached at this scale
+
+
 # --------------------------------------- fs swap: partial-live refusal
 
 def test_fs_swap_dirs_refuses_to_clear_old_over_partial_live(spark, tmp_path):
