@@ -631,6 +631,101 @@ def cmd_trend(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_ingest(args: argparse.Namespace) -> int:
+    """Continuous dedup ingest from the shell — the production entry point
+    over the persistent-store triad: drain (or follow) a parquet directory
+    through the chosen store's streaming loop; each micro-batch is
+    admitted against the store and the admitted items' signatures/vectors
+    are appended, so later batches dedup against earlier ones. The store
+    bootstraps empty (MinHash/Hamming) or from ``--bootstrap-from``
+    (required for ivf — the quantizer needs data to fit; its model is
+    then FROZEN, the FAISS add contract)."""
+    import os as _os
+
+    from magiceye_spark.session import get_spark
+
+    spark = get_spark("magiceye-ingest")
+    spark.sparkContext.setLogLevel("ERROR")
+    static = spark.read.parquet(args.src)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", str(args.max_files_per_trigger))
+        .parquet(args.src)
+    )
+    trigger = (
+        {"processingTime": args.follow} if args.follow else {"availableNow": True}
+    )
+    seed = (
+        spark.read.parquet(args.bootstrap_from)
+        if args.bootstrap_from
+        else static.limit(0)
+    )
+    exists = _os.path.exists(_os.path.join(args.store_path, "params"))
+    if args.store == "minhash":
+        from magiceye_spark.llmops import sigstore
+
+        if not exists:
+            sigstore.write_minhash_index(seed, args.store_path)
+        q = sigstore.streaming_dedup_ingest(
+            spark, args.store_path, stream, args.checkpoint,
+            output_path=args.out, compact_every=args.compact_every,
+            trigger=trigger,
+        )
+        read_n = lambda: sigstore.read_minhash_index(  # noqa: E731
+            spark, args.store_path
+        ).signatures.count()
+    elif args.store == "hamming":
+        from magiceye_spark.llmops import dedup as dedup_ops
+        from magiceye_spark.llmops import hamstore
+
+        if not exists:
+            hamstore.write_hamming_index(
+                dedup_ops.simhash_signatures(seed), args.store_path,
+                kind="simhash",
+            )
+        q = hamstore.streaming_hamming_ingest(
+            spark, args.store_path, stream, args.checkpoint, kind="simhash",
+            output_path=args.out, compact_every=args.compact_every,
+            trigger=trigger,
+        )
+        read_n = lambda: hamstore.read_hamming_index(  # noqa: E731
+            spark, args.store_path, kind="simhash"
+        ).signatures.count()
+    else:  # ivf
+        from magiceye_spark.llmops import annindex
+
+        if not exists:
+            if not args.bootstrap_from:
+                print(
+                    "ingest: an ivf store cannot bootstrap empty (the "
+                    "quantizer fit needs vectors) — pass --bootstrap-from "
+                    "with a seed embeddings table, or create the store "
+                    "with annindex.write_ivf_index first",
+                    file=sys.stderr,
+                )
+                return 2
+            annindex.write_ivf_index(seed, args.store_path)
+        q = annindex.streaming_ann_ingest(
+            spark, args.store_path, stream, args.checkpoint,
+            threshold=args.threshold, output_path=args.out,
+            compact_every=args.compact_every, trigger=trigger,
+        )
+        read_n = lambda: annindex.read_ivf_index(  # noqa: E731
+            spark, args.store_path
+        ).postings.count()
+    if args.follow:
+        print(f"ingest: following {args.src} -> {args.store_path} "
+              f"(trigger {args.follow}); ctrl-C to stop")
+        q.awaitTermination()
+    else:
+        q.awaitTermination()
+        print(
+            f"ingest: drained {args.src} -> {args.store_path} "
+            f"({args.store}; store now holds {read_n()} items)"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="magiceye-spark", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -789,6 +884,31 @@ def main(argv: list[str] | None = None) -> int:
     p_trend.add_argument("--format", choices=["parquet", "csv", "json", "orc"],
                          default="parquet", help="input table format")
     p_trend.set_defaults(fn=cmd_trend)
+
+    p_ing = sub.add_parser(
+        "ingest",
+        help="continuous dedup ingest of a parquet dir into a persistent "
+        "store (minhash text / hamming simhash / ivf embeddings)",
+    )
+    p_ing.add_argument("src", help="source parquet directory (watched)")
+    p_ing.add_argument("store_path", help="persistent store directory")
+    p_ing.add_argument("--store", choices=["minhash", "hamming", "ivf"],
+                       default="minhash")
+    p_ing.add_argument("--checkpoint", required=True,
+                       help="streaming checkpoint directory")
+    p_ing.add_argument("--out", help="write admitted rows per batch here")
+    p_ing.add_argument("--bootstrap-from",
+                       help="seed corpus parquet for a missing store "
+                       "(required for --store ivf)")
+    p_ing.add_argument("--threshold", type=float, default=0.95,
+                       help="ivf cosine admission threshold")
+    p_ing.add_argument("--compact-every", type=int,
+                       help="compact the store after every Nth batch")
+    p_ing.add_argument("--max-files-per-trigger", type=int, default=1)
+    p_ing.add_argument("--follow", metavar="INTERVAL",
+                       help="keep running with a processingTime trigger "
+                       "(e.g. '1 minute'); default drains and exits")
+    p_ing.set_defaults(fn=cmd_ingest)
 
 
     args = ap.parse_args(argv)

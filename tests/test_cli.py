@@ -393,3 +393,62 @@ def test_cli_trend_triage(spark, tmp_path, capsys):
     sen = float(line.split("sen_slope=")[1].split()[0])
     delta = float(line.split("delta=")[1].split()[0])
     assert sen > 0 and delta > 0
+
+
+def test_cli_ingest_minhash_drain_and_idempotent_redrain(spark, tmp_path, capsys):
+    """`ingest` bootstraps an empty MinHash store, drains the source dir
+    through the streaming loop (cross-batch dedup), prints the store
+    size, and a re-drain with a FRESH checkpoint admits nothing new
+    (every doc_id already stored → idempotent adds)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = tmp_path / "src"
+    for lo in (0, 250):
+        docs.where(
+            (docs.doc_id >= lo) & (docs.doc_id < lo + 250)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+    store = tmp_path / "store"
+    out = tmp_path / "admitted"
+    rc = cli.main([
+        "ingest", str(src), str(store),
+        "--checkpoint", str(tmp_path / "ck1"), "--out", str(out),
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "store now holds" in printed
+    n_admitted = spark.read.parquet(str(out)).count()
+    from magiceye_spark.llmops import sigstore
+
+    idx = sigstore.read_minhash_index(spark, str(store))
+    n_store = idx.signatures.count()
+    assert 0 < n_admitted == n_store <= 500
+    # re-drain, fresh checkpoint: same docs, all id-deduped away
+    rc = cli.main([
+        "ingest", str(src), str(store), "--checkpoint", str(tmp_path / "ck2"),
+    ])
+    assert rc == 0
+    assert sigstore.read_minhash_index(
+        spark, str(store)
+    ).signatures.count() == n_store
+
+
+def test_cli_ingest_ivf_requires_bootstrap(spark, tmp_path, capsys):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = tmp_path / "esrc"
+    emb.where(emb.vec_id >= 300).coalesce(1).write.parquet(str(src))
+    rc = cli.main([
+        "ingest", str(src), str(tmp_path / "ivf"), "--store", "ivf",
+        "--checkpoint", str(tmp_path / "ck"),
+    ])
+    assert rc == 2  # no store, no --bootstrap-from
+    seed = tmp_path / "seed"
+    emb.where(emb.vec_id < 300).write.parquet(str(seed))
+    rc = cli.main([
+        "ingest", str(src), str(tmp_path / "ivf"), "--store", "ivf",
+        "--checkpoint", str(tmp_path / "ck"),
+        "--bootstrap-from", str(seed),
+    ])
+    assert rc == 0
+    from magiceye_spark.llmops import annindex
+
+    idx = annindex.read_ivf_index(spark, str(tmp_path / "ivf"))
+    assert idx.postings.count() >= 300
