@@ -261,6 +261,66 @@ def test_ann_indexed_admission_matches_python_reference(spark, corpus):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@given(corpus=EMB_CORPUS)
+@_settings
+def test_ann_delta_pairs_approximate_mode_is_sound(spark, corpus):
+    """At PRODUCTION probing (n_probe < n_centroids) the candidate set is
+    allowed to MISS pairs (recall is the tunable) but must never invent
+    one: every returned edge must appear, with the identical rounded
+    cosine, in the brute-force threshold edge set — and must touch the
+    delta. Soundness is what makes the admission verdicts trustworthy
+    even when probing is approximate."""
+    from magiceye_spark.llmops import annindex
+
+    if sum(1 for _, inc in corpus if not inc) < 3 or not any(
+        inc for _, inc in corpus
+    ):
+        return
+    import math
+
+    rows = [(i, [float(x) for x in v], inc) for i, (v, inc) in enumerate(corpus)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, _inc boolean"
+    )
+    tmp = tempfile.mkdtemp(prefix="annprop_")
+    try:
+        idx = annindex.write_ivf_index(
+            emb.where(~F.col("_inc")).drop("_inc"), tmp, n_centroids=3
+        )
+        got = {
+            (r["doc_a"], r["doc_b"], r["cosine_sim"])
+            for r in annindex.delta_ann_pairs_from_index(
+                idx, emb.where(F.col("_inc")).drop("_inc"),
+                threshold=0.95, n_probe=1,
+            ).collect()
+        }
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return round(
+                d
+                / (
+                    math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(x * x for x in b))
+                ),
+                6,
+            )
+
+        vecs = {i: [float(x) for x in v] for i, (v, _) in enumerate(corpus)}
+        inc_ids = {i for i, (_, inc) in enumerate(corpus) if inc}
+        full = {
+            (a, b, cos(vecs[a], vecs[b]))
+            for a in vecs
+            for b in vecs
+            if a < b
+            and (a in inc_ids or b in inc_ids)
+            and cos(vecs[a], vecs[b]) >= 0.95
+        }
+        assert got <= full
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 @given(corpus=CORPUS)
 @_settings
 def test_indexed_admission_matches_from_scratch_closure(spark, corpus):
