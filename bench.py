@@ -16,6 +16,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from magiceye_spark.streaming import drain  # noqa: E402  (needs sys.path)
+
 HEADLINE = [
     "schema_diff_full",
     "datadiff_lineitem",
@@ -245,7 +247,7 @@ def _bench_ingest_loops(spark, sf_dir: str, out: dict[str, float]) -> None:
     q = sigstore.streaming_dedup_ingest(
         spark, f"{root}/sig", stream(), f"{root}/ckpt_sig"
     )
-    q.awaitTermination(600)
+    drain(q, 600)
     out["sigstore_ingest_loop"] = round(_t.perf_counter() - t0, 3)
 
     hamstore.write_hamming_index(
@@ -255,7 +257,7 @@ def _bench_ingest_loops(spark, sf_dir: str, out: dict[str, float]) -> None:
     q = hamstore.streaming_hamming_ingest(
         spark, f"{root}/ham", stream(), f"{root}/ckpt_ham", kind="simhash"
     )
-    q.awaitTermination(600)
+    drain(q, 600)
     out["hamstore_ingest_loop"] = round(_t.perf_counter() - t0, 3)
 
     from magiceye_spark.llmops import annindex
@@ -282,7 +284,7 @@ def _bench_ingest_loops(spark, sf_dir: str, out: dict[str, float]) -> None:
         .parquet(esrc),
         f"{root}/ckpt_ivf",
     )
-    q.awaitTermination(600)
+    drain(q, 600)
     out["annindex_ingest_loop"] = round(_t.perf_counter() - t0, 3)
 
 

@@ -642,6 +642,7 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     then FROZEN, the FAISS add contract)."""
     import os as _os
 
+    from magiceye_spark import fsops
     from magiceye_spark.session import get_spark
 
     spark = get_spark("magiceye-ingest")
@@ -660,7 +661,13 @@ def cmd_ingest(args: argparse.Namespace) -> int:
         if args.bootstrap_from
         else static.limit(0)
     )
-    exists = _os.path.exists(_os.path.join(args.store_path, "params"))
+    # Resolved through the path's Hadoop FileSystem scheme, NOT os.path —
+    # for an hdfs:// or s3a:// store a local-only check would always say
+    # "missing" and the bootstrap write would silently overwrite the live
+    # remote store's params and signatures/postings.
+    exists = fsops.fs_exists(
+        spark, _os.path.join(args.store_path, "params")
+    )
     if args.store == "minhash":
         from magiceye_spark.llmops import sigstore
 

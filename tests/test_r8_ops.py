@@ -5,6 +5,7 @@ candidate-based bitext mining path."""
 from pyspark.sql import functions as F
 
 from magiceye_spark.llmops import annindex, dedup, sigstore
+from magiceye_spark.streaming import drain
 
 
 def _rows(df):
@@ -310,7 +311,7 @@ def test_streaming_dedup_ingest_invariants(spark, sf_dir, tmp_path):
     q = sigstore.streaming_dedup_ingest(
         spark, store, stream, str(tmp_path / "ckpt"), output_path=out
     )
-    q.awaitTermination(300)
+    drain(q, 300)
 
     admitted = spark.read.parquet(out)
     n_seed, n_adm = seed.count(), admitted.count()

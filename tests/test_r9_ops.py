@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from magiceye_spark.llmops import dedup, hamstore, sigstore
+from magiceye_spark.streaming import drain
 
 
 def _rows(df):
@@ -57,7 +58,7 @@ def test_streaming_hamming_ingest_invariants(spark, sf_dir, tmp_path):
         spark, store, stream, str(tmp_path / "ckpt"), kind="simhash",
         output_path=out,
     )
-    q.awaitTermination(300)
+    drain(q, 300)
 
     admitted = spark.read.parquet(out)
     n_seed, n_adm = seed.count(), admitted.count()
@@ -109,7 +110,7 @@ def test_streaming_hamming_ingest_order_independent_store_set(
     q = hamstore.streaming_hamming_ingest(
         spark, store, stream, str(tmp_path / "ckpt"), kind="simhash"
     )
-    q.awaitTermination(300)
+    drain(q, 300)
     idx = hamstore.read_hamming_index(spark, store, kind="simhash")
     seed_ids = {r["doc_id"] for r in seed.select("doc_id").collect()}
     post = {
@@ -174,7 +175,7 @@ def test_streaming_ann_ingest_invariants(spark, sf_dir, tmp_path):
         spark, store, stream, str(tmp_path / "ckpt"),
         threshold=0.95, n_probe=8, output_path=out,
     )
-    q.awaitTermination(300)
+    drain(q, 300)
 
     admitted_ids = {
         r["vec_id"] for r in spark.read.parquet(out).select("vec_id").collect()
@@ -261,7 +262,7 @@ def test_streaming_ingest_compact_every(spark, sf_dir, tmp_path):
         kind="simhash",
         compact_every=2,
     )
-    q.awaitTermination(300)
+    drain(q, 300)
     idx = hamstore.read_hamming_index(spark, store, kind="simhash")
     n = idx.signatures.count()
     assert n > seed.count()

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from magiceye_spark.streaming import drift as drift_mod
 from magiceye_spark.streaming.drift import (
+from magiceye_spark.streaming import drain
     STREAM_COLUMNS_SCHEMA,
     column_drift,
     drift_rate_rollup,
@@ -53,7 +54,7 @@ def test_streaming_end_to_end(spark, tmp_path):
         collected.extend(batch_df.collect())
 
     q = monitor_schema_drift(spark, snap_dir, _baseline(spark), sink)
-    q.awaitTermination(60)
+    drain(q, 60)
     assert {r["drift_kind"] for r in collected} == {
         "type_drift", "nullable_drift", "new_column"
     }
@@ -73,7 +74,7 @@ def test_stream_hourly_rollup_matches_batch(spark, sf_dir, tmp_path):
     q = sev.run_to_memory(
         sev.stream_hourly_rollup(stream), "hourly_t", str(tmp_path / "chk1")
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     got = {
         (r["hour"], r["event_type"]): r["n_events"]
         for r in spark.table("hourly_t").collect()
@@ -104,7 +105,7 @@ def test_stream_sessionize_matches_batch(spark, sf_dir, tmp_path):
         "sessions_t",
         str(tmp_path / "chk2"),
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     got = {
         (r["user_id"], r["session_start"]): r["n_events"]
         for r in spark.table("sessions_t").collect()
@@ -132,7 +133,7 @@ def test_state_store_metrics_surface(spark, sf_dir, tmp_path):
     q = sev.run_to_memory(
         sev.stream_hourly_rollup(stream), "metrics_t", str(tmp_path / "chk_m")
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     metrics = sev.state_store_metrics(q)
     assert metrics, "stateful query must expose at least one state operator"
     m = metrics[0]
@@ -161,7 +162,7 @@ def test_row_drift_stream_matches_batch_diff(spark, sf_dir, tmp_path):
     q = monitor_row_drift(
         spark, src, base, keys, schema=target.schema, sink=sink
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     # multiset compare: the synthetic lineitem has a few duplicate PKs, so
     # joins legitimately emit one finding per duplicate pairing
     from collections import Counter
@@ -207,7 +208,7 @@ def test_stateful_sessionize_matches_reference(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     got = {
         (r["user_id"], r["session_start_us"]): (r["n_events"], r["closed_by_error"])
         for r in spark.table("stateful_sessions").collect()
@@ -266,7 +267,7 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     got = {(r["event_id"], r["tier"]) for r in spark.table("enriched_t").collect()}
     want = {(r["event_id"], r["tier"]) for r in batch.join(dim, "user_id", "left").collect()}
     assert got == want
@@ -294,7 +295,7 @@ def test_stream_dedup_drops_redeliveries(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     out = spark.table("dedup_t")
     assert out.count() == batch.count()
     assert out.select("event_id").distinct().count() == batch.count()
@@ -353,7 +354,7 @@ def test_rocksdb_state_store_sessionize(spark, sf_dir, tmp_path):
             "sessions_rocks",
             str(tmp_path / "chk_rocks"),
         )
-        q.awaitTermination(120)
+        drain(q, 120)
     finally:
         for k, v in old.items():
             if v is None:
@@ -388,7 +389,7 @@ def test_stream_ohlc_matches_batch(spark, sf_dir, tmp_path):
     q = sev.run_to_memory(
         sev.stream_ohlc_daily(stream), "ohlc_t", str(tmp_path / "chk_ohlc")
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     got = {
         (r["day"], r["event_type"]): (r["open"], r["high"], r["low"], r["close"], r["n_events"])
         for r in spark.table("ohlc_t").collect()
@@ -433,7 +434,7 @@ def test_quota_admit_matches_batch(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        drain(q, 120)
     finally:
         for k, v in old.items():
             if v is None:
@@ -491,7 +492,7 @@ def test_monitor_value_psi_stream(spark, tmp_path):
         spark, src, baseline_bins, "value", mn, mx, schema,
         sink=lambda df, bid: got.update({bid: df.collect()[0]}),
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     (first,) = got.values()
     assert first["n_rows"] == 2000 and abs(first["psi"]) < 1e-6
 
@@ -529,7 +530,7 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    drain(q, 180)
     got = {
         (r["purchase_id"], r["click_id"])
         for r in spark.table("ss_attrib").collect()
@@ -581,7 +582,7 @@ def test_monitor_corpus_quality_stream(spark, sf_dir, tmp_path):
         spark, path, baseline, bad.schema,
         sink=lambda df, bid: got.append(df.collect()[0].asDict()),
     )
-    q.awaitTermination(120)
+    drain(q, 120)
     assert got, "no micro-batch arrived"
     snap = got[0]
     twin = corpus_quality_snapshot(spark.read.parquet(path)).first().asDict()
@@ -634,7 +635,7 @@ def test_near_dup_admit_stream_matches_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        drain(q, 120)
     finally:
         for k, v in old.items():
             if v is None:
@@ -688,7 +689,7 @@ def test_near_dup_admit_survives_chunked_arrow_batches(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        drain(q, 120)
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_chunk)
         for k, v in old_state.items():
@@ -734,7 +735,7 @@ def test_cusum_alarm_stream_matches_batch(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drain(q, 120)
 
     rows = spark.table("cusum_monitor").collect()
     final = {}
