@@ -41,6 +41,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Directed-symmetric-edge count below which the closure runs driver-side
+#: (union-find over the collected edge list) instead of as a distributed
+#: fixpoint. Per-batch admission graphs (~16k edges) were paying ~5 s of
+#: O(log diameter) pointer-jump ROUNDS — each round a Spark job — for data
+#: that fits in one task; at the cap the collect is ≤200k × 16 B ≈ 3 MB,
+#: strictly bounded. Corpus-scale graphs above the cap keep the exact
+#: distributed plan (the 10×-edges flatness pin is unaffected).
+SMALL_GRAPH_EDGE_CAP = 200_000
+
+
+def _unionfind_components(edge_rows, comp_col: str):
+    """Driver-side exact closure for small graphs: union-find with path
+    compression + union by size over the collected symmetric edge list,
+    then per-component min-node labels — BYTE-IDENTICAL to the
+    distributed fixpoint's output contract (min node id per component).
+    Bounded by ``SMALL_GRAPH_EDGE_CAP`` at the call site; never invoked
+    on corpus-scale graphs."""
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_rows:
+        if u not in parent:
+            parent[u], size[u] = u, 1
+        if v not in parent:
+            parent[v], size[v] = v, 1
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if size[ru] < size[rv]:
+                ru, rv = rv, ru
+            parent[rv] = ru
+            size[ru] += size[rv]
+    comp_min: dict = {}
+    roots = {n: find(n) for n in parent}
+    for n, r in roots.items():
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    return [(n, comp_min[r]) for n, r in roots.items()]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -48,6 +96,7 @@ def connected_components(
     comp_col: str = "comp_id",
     max_iter: int = 20,
     pointer_jump: bool = True,
+    small_graph_cap: int = SMALL_GRAPH_EDGE_CAP,
 ) -> DataFrame:
     """Connected components of the undirected graph given as an edge list.
 
@@ -88,6 +137,22 @@ def connected_components(
     # (the 10x-edges flatness pin is unaffected) while per-batch graphs
     # stop paying 32-task fixed costs O(log diameter) times per admission.
     n_sym = sym.count()
+    if n_sym <= small_graph_cap:
+        # Small-graph fast path (r10): the distributed fixpoint costs
+        # O(log diameter) Spark JOBS of fixed scheduling latency — ~5 s
+        # on a 16k-edge per-batch admission graph whose closure is a
+        # ~0.1 s driver computation. The collect is BOUNDED by the cap
+        # (≤200k rows × 2 longs ≈ 3 MB — this is the one deliberate
+        # driver materialization in the graph family, cap-guarded and
+        # label-parity-pinned against the distributed path in
+        # tests/test_r10_ops.py); anything bigger takes the distributed
+        # loop below, so 100 TB corpora never hit this branch.
+        rows = sym.collect()
+        sym.unpersist()
+        out = _unionfind_components(((r[0], r[1]) for r in rows), comp_col)
+        return spark.createDataFrame(
+            out, schema=f"node long, {comp_col} long"
+        )
     par_eff = max(2, min(par, n_sym // 4000 + 1))
     if par_eff < par // 2:
         narrow = sym.repartition(par_eff, "u").persist()

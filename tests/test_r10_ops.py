@@ -97,3 +97,63 @@ def test_drain_raises_on_timeout(spark, tmp_path):
     with pytest.raises(TimeoutError, match="did not terminate"):
         drain(q, 0.1)
     assert not q.isActive
+
+
+# ------------------- small-graph union-find fast path: label parity
+
+def test_unionfind_fast_path_label_parity(spark):
+    """The r10 driver-side union-find fast path must produce labels
+    BYTE-IDENTICAL to the distributed fixpoint (min node id per
+    component) on a randomized graph mixing chains, cliques, islands and
+    hubs — the admission-graph shapes it exists for."""
+    import random
+
+    from magiceye_spark.llmops.graph import connected_components
+
+    rng = random.Random(20260815)
+    edges = []
+    base = 0
+    for _ in range(40):  # chains
+        n = rng.randint(2, 30)
+        edges += [(base + i, base + i + 1) for i in range(n - 1)]
+        base += n + rng.randint(0, 3)  # gaps → singleton-free id space
+    for _ in range(10):  # cliques
+        ids = [base + i for i in range(rng.randint(3, 8))]
+        edges += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+        base += len(ids)
+    for _ in range(5):  # hubs
+        hub = base
+        edges += [(hub, base + 1 + i) for i in range(rng.randint(5, 40))]
+        base += 50
+    rng.shuffle(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {
+        r.node: r.comp_id for r in connected_components(df).collect()
+    }
+    dist = {
+        r.node: r.comp_id
+        for r in connected_components(df, small_graph_cap=0).collect()
+    }
+    assert fast == dist
+    assert len(fast) == len({n for e in edges for n in e})
+
+
+def test_unionfind_fast_path_used_and_capped(spark):
+    """Below the cap the result is a local relation (no shuffle in the
+    plan); forcing cap 0 on the same graph runs the distributed loop."""
+    from magiceye_spark.llmops.graph import (
+        SMALL_GRAPH_EDGE_CAP,
+        connected_components,
+    )
+
+    assert SMALL_GRAPH_EDGE_CAP == 200_000  # the documented bound
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "src long, dst long"
+    )
+    out = connected_components(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # The result is a driver-local relation (LocalTableScan or a
+    # parallelized ExistingRDD depending on createDataFrame's path) —
+    # what matters is there is NO shuffle and NO join in the plan.
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "LocalTableScan" in plan or "ExistingRDD" in plan

@@ -454,7 +454,7 @@ def test_connected_components_mechanism(spark):
     )
     expect = {n: 10 for n in range(10, 16)} | {20: 20, 21: 20} | {n: 30 for n in (30, 31, 32)}
     for pj in (True, False):
-        got = {r.node: r.comp_id for r in connected_components(edges, pointer_jump=pj).collect()}
+        got = {r.node: r.comp_id for r in connected_components(edges, pointer_jump=pj, small_graph_cap=0).collect()}
         assert got == expect, f"pointer_jump={pj}"
 
 
@@ -502,11 +502,11 @@ def test_connected_components_deep_chain_log_rounds(spark):
     )
     got = {
         r.node: r.comp_id
-        for r in connected_components(edges, max_iter=8).collect()
+        for r in connected_components(edges, max_iter=8, small_graph_cap=0).collect()
     }
     assert got == {n: 0 for n in range(64)}
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=5, pointer_jump=False)
+        connected_components(edges, max_iter=5, pointer_jump=False, small_graph_cap=0)
 
 
 def test_keep_per_cluster_drops_chain_middles(spark):
