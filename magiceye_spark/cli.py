@@ -636,10 +636,12 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     over the persistent-store triad: drain (or follow) a parquet directory
     through the chosen store's streaming loop; each micro-batch is
     admitted against the store and the admitted items' signatures/vectors
-    are appended, so later batches dedup against earlier ones. The store
-    bootstraps empty (MinHash/Hamming) or from ``--bootstrap-from``
-    (required for ivf — the quantizer needs data to fit; its model is
-    then FROZEN, the FAISS add contract)."""
+    are appended, so later batches dedup against earlier ones. Every store
+    bootstraps empty: MinHash/Hamming write an empty index up front; ivf
+    defers to the loop's cold-start (r10) — the FIRST micro-batch is its
+    own quantizer sample (``--bootstrap-from`` still seeds a pre-fit
+    model instead when given). Either way the fitted model is FROZEN
+    after that (the FAISS add contract)."""
     import os as _os
 
     from magiceye_spark import fsops
@@ -701,21 +703,16 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     else:  # ivf
         from magiceye_spark.llmops import annindex
 
-        if not exists:
-            if not args.bootstrap_from:
-                print(
-                    "ingest: an ivf store cannot bootstrap empty (the "
-                    "quantizer fit needs vectors) — pass --bootstrap-from "
-                    "with a seed embeddings table, or create the store "
-                    "with annindex.write_ivf_index first",
-                    file=sys.stderr,
-                )
-                return 2
+        if not exists and args.bootstrap_from:
             annindex.write_ivf_index(seed, args.store_path)
+        # with no pre-built store and no seed, the loop's cold-start fits
+        # the quantizer on the first micro-batch (annindex.streaming_ann_
+        # ingest bootstrap contract) — an empty drain just never fires it
         q = annindex.streaming_ann_ingest(
             spark, args.store_path, stream, args.checkpoint,
             threshold=args.threshold, output_path=args.out,
             compact_every=args.compact_every, trigger=trigger,
+            bootstrap={},
         )
         read_n = lambda: annindex.read_ivf_index(  # noqa: E731
             spark, args.store_path

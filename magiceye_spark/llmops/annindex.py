@@ -383,9 +383,10 @@ def delta_ann_pairs_from_index(
     threshold: float,
     n_probe: int = 8,
     salts: int = 4,
+    rerank: DataFrame | None = None,
 ) -> DataFrame:
     """Cosine near-dup pairs TOUCHING the batch (batch×stored and
-    batch×batch) against a FLAT stored index — the one-sided
+    batch×batch) against a stored index — the one-sided
     delta-vs-union candidate shape of the sibling stores, in the
     embedding modality: the batch probes its ``n_probe`` nearest cells of
     the union (partition-pruned stored postings ∪ the cell-assigned
@@ -402,18 +403,37 @@ def delta_ann_pairs_from_index(
     cell-scoped otherwise. Hot Voronoi cells spread over ``salts`` join
     groups (the bitext salting shape: the union side picks ONE salt per
     row, probes explode all of them — each pair meets exactly once per
-    probed cell). PQ indexes are rejected: admission verifies EXACT
-    cosine and PQ postings deliberately store codes, not vectors.
+    probed cell).
+
+    ``rerank`` — exact-cosine verification source for PQ indexes. PQ
+    postings hold codes, not vectors, so admission (which must verify
+    EXACT cosine — ADC distances drift with quantization error) reranks
+    candidates against the ORIGINAL vectors: ``rerank`` is a frame of
+    (id_col, vec_col) covering every stored vec_id, normally the corpus
+    parquet the index was built from plus every admitted batch since —
+    the data lake always holds the originals; the index is derived. The
+    pruned postings contribute only (vec_id, cell) — candidate SCOPING
+    stays the index's job, the ~32×-smaller PQ store is what gets probed
+    — and the join to ``rerank`` recovers embeddings for just the probed
+    cells' ids. A stored candidate missing from ``rerank`` raises inside
+    the plan (a silently dropped edge would admit a duplicate). Because
+    :func:`simsearch._pq_fit` derives its coarse quantizer from the same
+    :func:`simsearch._ivf_centroids` fit, a PQ index probes the SAME
+    cells as its flat twin — so PQ-with-rerank admission equals the flat
+    path bit-for-bit at any n_probe (pinned in tests/test_r10_ops.py).
+    Flat indexes ignore ``rerank``: their postings already hold exact
+    vectors.
 
     Output (doc_a, doc_b, cosine_sim) with doc_a < doc_b, cosine rounded
     at 6 (the repo's dot-product discipline)."""
     from magiceye_spark.llmops.simsearch import cosine
 
-    if index.pq:
+    if index.pq and rerank is None:
         raise ValueError(
             "PQ index: delta admission verifies exact cosine against stored "
-            "vectors, which PQ postings do not hold — use a flat index for "
-            "the admission store (or rerank externally)"
+            "vectors, which PQ postings do not hold — pass rerank= (the "
+            "original-vector corpus covering every stored vec_id) or use a "
+            "flat index for the admission store"
         )
     id_col, vec_col = index.params["id_col"], index.params["vec_col"]
     spark = new_vectors.sparkSession
@@ -423,9 +443,41 @@ def delta_ann_pairs_from_index(
     batch = new_vectors.select(id_col, vec_col).repartition(par, id_col)
     batch_assigned = _postings_flat(batch, index.centroids, id_col, vec_col)
     cells = _probe_cells(batch, index, n_probe)
-    stored = index.postings.where(F.col("cell").isin(cells)).select(
-        "vec_id", "embedding", "cell"
-    )
+    if index.pq:
+        # cell scoping from the compact PQ postings; vectors from rerank.
+        # The when/otherwise keeps the raise_error expression REFERENCED
+        # (a bare assert_true column would be pruned away by Catalyst).
+        stored = (
+            index.postings.where(F.col("cell").isin(cells))
+            .select("vec_id", "cell")
+            .join(
+                rerank.select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("_rr_vec"),
+                ),
+                "vec_id",
+                "left",
+            )
+            .select(
+                "vec_id",
+                F.when(
+                    F.col("_rr_vec").isNull(),
+                    F.raise_error(
+                        F.concat(
+                            F.lit("rerank corpus missing stored vec_id "),
+                            F.col("vec_id").cast("string"),
+                        )
+                    ),
+                )
+                .otherwise(F.col("_rr_vec"))
+                .alias("embedding"),
+                "cell",
+            )
+        )
+    else:
+        stored = index.postings.where(F.col("cell").isin(cells)).select(
+            "vec_id", "embedding", "cell"
+        )
     probes = (
         batch.select(
             F.col(id_col).alias("q_id"),
@@ -485,20 +537,23 @@ def delta_ann_admit_indexed(
     threshold: float = 0.95,
     n_probe: int = 8,
     salts: int = 4,
+    rerank: DataFrame | None = None,
 ) -> DataFrame:
-    """Delta-ingest admission against the stored FLAT index, closure
+    """Delta-ingest admission against the stored index, closure
     semantics identical to the MinHash and Hamming stores: an incoming
     vector is admitted iff its cosine-near-dup component over the union
     graph contains no stored vector AND it is the minimum-id incoming
     member — the verdict rule lives in ONE place
     (:func:`graph.indexed_admission_rejects`), shared across the triad,
-    so the three modalities' admission semantics cannot drift. Returns
+    so the three modalities' admission semantics cannot drift. PQ
+    indexes require ``rerank`` (the original-vector corpus — see
+    :func:`delta_ann_pairs_from_index`); flat indexes ignore it. Returns
     the admitted rows of ``new_vectors`` with the caller's columns."""
     from magiceye_spark.llmops.graph import indexed_admission_rejects
 
     id_col = index.params["id_col"]
     pairs = delta_ann_pairs_from_index(
-        index, new_vectors, threshold, n_probe, salts
+        index, new_vectors, threshold, n_probe, salts, rerank=rerank
     )
     rejected = indexed_admission_rejects(
         pairs.select("doc_a", "doc_b"),
@@ -520,8 +575,10 @@ def streaming_ann_ingest(
     output_path: str | None = None,
     compact_every: int | None = None,
     trigger: dict | None = None,
+    rerank_path: str | None = None,
+    bootstrap: dict | None = None,
 ):
-    """The CONTINUOUS embedding-ingest loop over the stored FLAT index —
+    """The CONTINUOUS embedding-ingest loop over a stored IVF(-PQ) index —
     completing the store triad's streaming surface (text:
     :func:`sigstore.streaming_dedup_ingest`; image bits:
     :func:`hamstore.streaming_hamming_ingest`): every micro-batch is
@@ -530,6 +587,32 @@ def streaming_ann_ingest(
     state) and the admitted vectors are encoded against the FROZEN stored
     model and appended, so batch N+1 deduplicates against everything
     batch N admitted. The store is the state.
+
+    **Cold start** (``bootstrap``, r10): when no index exists at ``path``
+    (params or postings missing — the params-only state a crash mid-write
+    leaves behind re-enters here and is idempotent, every bootstrap write
+    is mode=overwrite), the FIRST micro-batch is its own quantizer
+    sample: :func:`write_ivf_index` fits on it, every row of that batch
+    is admitted (it has nothing to collide with), and admission runs
+    normally from the next batch. ``bootstrap`` carries the
+    :func:`write_ivf_index` kwargs (``pq``, ``n_centroids``, ...);
+    ``None`` keeps the pre-r10 contract — a missing store raises, for
+    callers who want a deliberate build step. Compat rule: the model is
+    whatever the first batch taught it — the quantizer is NEVER re-fit on
+    later batches (the FAISS add contract: codebook drift invalidates
+    stored codes), so if the stream's distribution drifts the cells skew
+    (watch :func:`ivf_index_stats`'s imbalance) and the remedy is an
+    offline rebuild, not an in-loop re-fit.
+
+    **PQ stores** (``rerank_path``, r10): admission against a PQ index
+    reranks candidates' exact cosine from ORIGINAL vectors the postings
+    don't hold. The loop assembles the rerank corpus per batch as
+    ``rerank_path`` (the corpus the index was built from; optional) ∪ the
+    loop's own admitted sink (``output_path/ingest_batch=*`` — REQUIRED
+    for PQ: the sink is where every admitted original lives, so batch
+    N+1 can verify against batch N without a second copy inside the
+    store). The PQ postings stay the only probed artifact — the 32×
+    compression is intact; rerank joins originals for candidate ids only.
 
     ``compact_every``: run :func:`ivf_index_compact` after every Nth
     batch. Each append writes ≥1 file per touched cell, so probe wall
@@ -545,11 +628,74 @@ def streaming_ann_ingest(
     (re-append is a no-op), and the admitted sink writes
     ``output_path/ingest_batch=<id>`` with mode=overwrite. Returns the
     started StreamingQuery; ``trigger`` defaults to availableNow."""
+    from magiceye_spark.fsops import fs_exists
+
+    if bootstrap is not None and bootstrap.get("pq") and output_path is None:
+        raise ValueError(
+            "PQ ingest loop needs output_path: the admitted sink is the "
+            "rerank source for every batch after the first"
+        )
+
+    def _store_ready() -> bool:
+        return fs_exists(spark, os.path.join(path, "params")) and fs_exists(
+            spark, os.path.join(path, "postings")
+        )
+
+    def _rerank_frame(idx: IvfIndex, batch_id: int) -> DataFrame | None:
+        if not idx.pq:
+            return None
+        if output_path is None:
+            raise ValueError(
+                "PQ ingest loop needs output_path (the admitted-originals "
+                "sink doubles as the rerank source)"
+            )
+        id_col, vec_col = idx.params["id_col"], idx.params["vec_col"]
+        parts = []
+        if rerank_path is not None:
+            parts.append(spark.read.parquet(rerank_path).select(id_col, vec_col))
+        if fs_exists(spark, output_path):
+            # the CURRENT batch's dir is excluded: its ids are not stored
+            # yet (rerank covers stored candidates only), and a crashed
+            # prior attempt's partial files must not be read inputs of the
+            # very job that overwrites them
+            parts.append(
+                spark.read.option("basePath", output_path)
+                .parquet(output_path)
+                .where(F.col("ingest_batch") != batch_id)
+                .select(id_col, vec_col)
+            )
+        if not parts:
+            raise ValueError(
+                "PQ ingest loop: no rerank source exists yet — pass "
+                "rerank_path for a pre-built store, or bootstrap from empty "
+                "so the sink seeds it"
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.dropDuplicates([id_col])
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not _store_ready():
+            if bootstrap is None:
+                raise FileNotFoundError(
+                    f"no IVF index at {path}; pass bootstrap= to let the "
+                    "first micro-batch fit the quantizer"
+                )
+            # sink BEFORE index: a crash between the two replays into the
+            # bootstrap branch again (store not ready) and overwrites both;
+            # the reverse order would replay into the NORMAL path with the
+            # whole batch already stored, writing an empty sink dir and
+            # stranding batch 0's originals out of the PQ rerank source
+            if output_path is not None:
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(output_path, f"ingest_batch={batch_id}")
+                )
+            write_ivf_index(batch_df, path, **bootstrap)
+            return
         idx = read_ivf_index(spark, path)
         admitted = delta_ann_admit_indexed(
-            idx, batch_df, threshold, n_probe
+            idx, batch_df, threshold, n_probe, rerank=_rerank_frame(idx, batch_id)
         ).persist()  # two consumers: the sink write + the postings append
         try:
             if output_path is not None:

@@ -1500,6 +1500,43 @@ def ann_admit_indexed_exact_q(spark, sf_dir):
     ).select("vec_id")
 
 
+@register("pq_ann_admit_indexed_exact", _SQL_ANN_ADMIT_EXACT)
+def pq_ann_admit_indexed_exact_q(spark, sf_dir):
+    """The SAME exhaustive-mode admission as `ann_admit_indexed_exact`
+    but against a persisted IVF-PQ index (r10): candidates are scoped by
+    the compact PQ postings (codes only — ~32× smaller, the artifact a
+    100 TB deployment actually keeps hot), and exact cosine is RERANKED
+    from the original-vector corpus the index was built from
+    (``rerank=``, annindex.delta_ann_pairs_from_index). Exhaustive
+    probing makes the candidate set exact, the rerank makes the verified
+    cosines exact, so the result must hash-match the identical
+    recursive-CTE oracle — proving PQ admission ≡ flat admission ≡ the
+    batch-closure ground truth."""
+    from magiceye_spark.llmops import annindex
+
+    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
+
+    def plant(cond, offset):
+        return emb.where(cond).select(
+            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+        )
+
+    batch = (
+        emb.where(F.col("vec_id") >= 350)
+        .unionByName(plant(F.col("vec_id") < 10, 10_000_000))
+        .unionByName(plant(F.col("vec_id") == 400, 20_000_000))
+        .unionByName(plant(F.col("vec_id") == 400, 21_000_000))
+    )
+    stored = emb.where(F.col("vec_id") < 350)
+    idx = annindex.write_ivf_index(
+        stored, _ann_index_path(sf_dir) + "_pqadmit",
+        pq=True, n_centroids=8,
+    )
+    return annindex.delta_ann_admit_indexed(
+        idx, batch, threshold=0.95, n_probe=8, rerank=stored
+    ).select("vec_id")
+
+
 @register("chunk_documents", textstats.sql_chunk_documents(chunk_chars=512, overlap=64))
 def chunk_q(spark, sf_dir):
     return textstats.chunk_documents(_docs(spark, sf_dir), chunk_chars=512, overlap=64)

@@ -431,15 +431,10 @@ def test_cli_ingest_minhash_drain_and_idempotent_redrain(spark, tmp_path, capsys
     ).signatures.count() == n_store
 
 
-def test_cli_ingest_ivf_requires_bootstrap(spark, tmp_path, capsys):
+def test_cli_ingest_ivf_bootstrap_from_seed(spark, tmp_path, capsys):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     src = tmp_path / "esrc"
     emb.where(emb.vec_id >= 300).coalesce(1).write.parquet(str(src))
-    rc = cli.main([
-        "ingest", str(src), str(tmp_path / "ivf"), "--store", "ivf",
-        "--checkpoint", str(tmp_path / "ck"),
-    ])
-    assert rc == 2  # no store, no --bootstrap-from
     seed = tmp_path / "seed"
     emb.where(emb.vec_id < 300).write.parquet(str(seed))
     rc = cli.main([
@@ -452,3 +447,37 @@ def test_cli_ingest_ivf_requires_bootstrap(spark, tmp_path, capsys):
 
     idx = annindex.read_ivf_index(spark, str(tmp_path / "ivf"))
     assert idx.postings.count() >= 300
+
+
+def test_cli_ingest_ivf_drains_from_empty(spark, tmp_path, capsys):
+    """r10 cold-start: no store, no --bootstrap-from — the loop fits the
+    quantizer on the first micro-batch and keeps draining; twins of
+    batch-0 vectors arriving in batch 1 are deduped away."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    src = tmp_path / "esrc"
+    b0 = emb.where(emb.vec_id < 300)
+    b1 = emb.where(emb.vec_id >= 300).unionByName(
+        b0.limit(10).select((b0.vec_id + 1_000_000).alias("vec_id"), "embedding")
+    )
+    b0.coalesce(1).write.mode("append").parquet(str(src))
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    out = tmp_path / "admitted"
+    rc = cli.main([
+        "ingest", str(src), str(tmp_path / "ivf"), "--store", "ivf",
+        "--checkpoint", str(tmp_path / "ck"), "--out", str(out),
+        "--max-files-per-trigger", "1",
+    ])
+    assert rc == 0
+    assert "store now holds" in capsys.readouterr().out
+    from magiceye_spark.llmops import annindex
+
+    idx = annindex.read_ivf_index(spark, str(tmp_path / "ivf"))
+    sink_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(str(out)).select("vec_id").collect()
+    }
+    assert set(range(300)) <= sink_ids
+    assert all(1_000_000 + i not in sink_ids for i in range(10))
+    assert idx.postings.count() == len(sink_ids)

@@ -157,3 +157,217 @@ def test_unionfind_fast_path_used_and_capped(spark):
     # what matters is there is NO shuffle and NO join in the plan.
     assert "Exchange" not in plan and "Join" not in plan
     assert "LocalTableScan" in plan or "ExistingRDD" in plan
+
+
+# --------------------------- PQ-store admission via external-corpus rerank
+
+def _embs(spark, sf_dir):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_pq_admission_requires_rerank(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.llmops import annindex
+
+    emb = _embs(spark, sf_dir)
+    idx = annindex.write_ivf_index(
+        emb.where(F.col("vec_id") < 200), str(tmp_path / "pq"),
+        pq=True, n_centroids=8,
+    )
+    with pytest.raises(ValueError, match="rerank"):
+        annindex.delta_ann_admit_indexed(
+            idx, emb.where(F.col("vec_id") >= 200), threshold=0.95
+        ).collect()
+
+
+def test_pq_admission_equals_flat_path(spark, sf_dir, tmp_path):
+    """PQ-with-rerank admission == flat admission bit-for-bit, at BOTH
+    exhaustive (n_probe = n_centroids) and banded (n_probe = 2) probing:
+    _pq_fit derives its coarse quantizer from the same _ivf_centroids
+    fit, so both indexes probe the same cells, and the rerank join
+    recovers the exact vectors the flat postings hold — candidate sets
+    and verified cosines are identical by construction."""
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.llmops import annindex
+
+    emb = _embs(spark, sf_dir)
+    stored = emb.where(F.col("vec_id") < 300)
+    batch = emb.where(F.col("vec_id") >= 300).unionByName(
+        emb.where(F.col("vec_id") < 5).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    flat = annindex.write_ivf_index(stored, str(tmp_path / "flat"), n_centroids=8)
+    pq = annindex.write_ivf_index(
+        stored, str(tmp_path / "pq"), pq=True, n_centroids=8
+    )
+    for n_probe in (8, 2):
+        a = sorted(
+            r["vec_id"]
+            for r in annindex.delta_ann_admit_indexed(
+                flat, batch, threshold=0.95, n_probe=n_probe
+            ).collect()
+        )
+        b = sorted(
+            r["vec_id"]
+            for r in annindex.delta_ann_admit_indexed(
+                pq, batch, threshold=0.95, n_probe=n_probe, rerank=stored
+            ).collect()
+        )
+        assert a == b and a  # identical and non-trivial
+
+
+def test_pq_admission_missing_rerank_row_raises(spark, sf_dir, tmp_path):
+    """A stored candidate absent from the rerank corpus must FAIL the job
+    (raise_error inside the plan), not silently drop the edge — a
+    dropped edge admits a duplicate."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.llmops import annindex
+
+    emb = _embs(spark, sf_dir)
+    stored = emb.where(F.col("vec_id") < 300)
+    idx = annindex.write_ivf_index(
+        stored, str(tmp_path / "pq"), pq=True, n_centroids=8
+    )
+    holey = stored.where(F.col("vec_id") != 0)  # stored id 0 unrerankable
+    batch = emb.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    with pytest.raises(Py4JJavaError, match="rerank corpus missing"):
+        annindex.delta_ann_admit_indexed(
+            idx, batch, threshold=0.95, n_probe=8, rerank=holey
+        ).collect()
+
+
+# ------------------------------------ IVF ingest cold-start (bootstrap)
+
+def test_streaming_ann_ingest_cold_start_flat(spark, sf_dir, tmp_path):
+    """No index at path + bootstrap= → batch 0 fits the quantizer and is
+    admitted wholesale; batches 1+ admit normally (twins of batch-0 rows
+    rejected). Store rows = batch0 + Σ admitted."""
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.llmops import annindex
+    from magiceye_spark.streaming import drain
+
+    emb = _embs(spark, sf_dir)
+    src = str(tmp_path / "src")
+    b0 = emb.where(F.col("vec_id") < 300)
+    b1 = emb.where(F.col("vec_id") >= 300).unionByName(
+        emb.where(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    b0.coalesce(1).write.mode("append").parquet(src)
+    b1.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store, out = str(tmp_path / "ivf"), str(tmp_path / "admitted")
+    q = annindex.streaming_ann_ingest(
+        spark, store, stream, str(tmp_path / "ckpt"),
+        threshold=0.95, n_probe=8, output_path=out,
+        bootstrap={"n_centroids": 8},
+    )
+    drain(q, 300)
+    idx = annindex.read_ivf_index(spark, store)
+    assert not idx.pq and int(idx.params["n_centroids"]) == 8
+    sink_ids = {
+        r["vec_id"] for r in spark.read.parquet(out).select("vec_id").collect()
+    }
+    assert set(range(300)) <= sink_ids          # batch 0 admitted wholesale
+    assert all(1_000_000 + i not in sink_ids for i in range(10))  # dups rejected
+    assert idx.postings.count() == len(sink_ids)
+
+
+def test_streaming_ann_ingest_cold_start_requires_bootstrap(spark, sf_dir, tmp_path):
+    from magiceye_spark.llmops import annindex
+    from magiceye_spark.streaming import drain
+
+    emb = _embs(spark, sf_dir)
+    src = str(tmp_path / "src")
+    emb.limit(50).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    q = annindex.streaming_ann_ingest(
+        spark, str(tmp_path / "ivf"), stream, str(tmp_path / "ckpt")
+    )
+    with pytest.raises(Exception, match="no IVF index|bootstrap"):
+        drain(q, 120)
+
+
+def test_streaming_ann_ingest_pq_loop(spark, sf_dir, tmp_path):
+    """The CONTINUOUS loop over a PQ store: cold-start fits IVF-PQ on
+    batch 0, later batches rerank exact cosine from the admitted sink
+    (rerank source = output_path accumulation — no originals inside the
+    store). Twins of batch-0 AND batch-1 rows must be rejected in batch
+    2, proving the rerank source grows with the sink."""
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.llmops import annindex
+    from magiceye_spark.streaming import drain
+
+    emb = _embs(spark, sf_dir)
+    src = str(tmp_path / "src")
+    b0 = emb.where(F.col("vec_id") < 200)
+    b1 = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 400))
+    b2 = (
+        emb.where(F.col("vec_id") >= 400)
+        .unionByName(
+            emb.where(F.col("vec_id") < 5).select(     # twins of batch 0
+                (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+            )
+        )
+        .unionByName(
+            emb.where(F.col("vec_id") == 250).select(  # twin of batch 1
+                (F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding"
+            )
+        )
+    )
+    for b in (b0, b1, b2):
+        b.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store, out = str(tmp_path / "pq"), str(tmp_path / "admitted")
+    q = annindex.streaming_ann_ingest(
+        spark, store, stream, str(tmp_path / "ckpt"),
+        threshold=0.95, n_probe=8, output_path=out,
+        bootstrap={"pq": True, "n_centroids": 8},
+    )
+    drain(q, 600)
+    idx = annindex.read_ivf_index(spark, store)
+    assert idx.pq
+    assert "embedding" not in idx.postings.columns  # codes only — no originals
+    sink_ids = {
+        r["vec_id"] for r in spark.read.parquet(out).select("vec_id").collect()
+    }
+    assert all(1_000_000 + i not in sink_ids for i in range(5))
+    assert 2_000_250 not in sink_ids
+    assert {250, 400} <= sink_ids
+    assert idx.postings.count() == len(sink_ids)
+
+
+def test_streaming_ann_ingest_pq_requires_output_path(spark, sf_dir, tmp_path):
+    from magiceye_spark.llmops import annindex
+
+    emb = _embs(spark, sf_dir)
+    src = str(tmp_path / "src")
+    emb.limit(20).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    with pytest.raises(ValueError, match="output_path"):
+        annindex.streaming_ann_ingest(
+            spark, str(tmp_path / "pq"), stream, str(tmp_path / "ckpt"),
+            bootstrap={"pq": True},
+        )
