@@ -61,6 +61,38 @@ _DRIVER_WINDOW = [
     # History: r7 swapped 18 seats (~100/229 oracle-backed had a driver row
     # after it); r8 swapped 17 (118/232 cumulative; both plans preserved in
     # git history of this comment).
+    # r10 rotation: 22 seats swapped — every evictee is driver-attested
+    # (green r9) and keeps pytest oracle coverage; every entrant was
+    # pre-validated green at sf0.01 with the local harness, all with
+    # non-zero rows (evicted → entrant):
+    #   q9_product_profit → q12_shipmode_priority;
+    #     q2_min_cost_supplier → q16_supplier_counts (TPC-H)
+    #   events_psi_stream_twin → events_value_psi_drift (PSI family;
+    #     cusum stream twin keeps the streaming-twin seat)
+    #   events_sessionize → session_concurrency;
+    #     purchase_next_error_asof → events_debounce;
+    #     daily_active_users → user_activity_streaks;
+    #     events_anomalous_days → events_ohlc_daily (event ops/rollups)
+    #   ivf_ann_exact → embedding_random_projection;
+    #     bitext_margin_pairs → embedding_normalize (embedding family)
+    #   gopher_quality_flags → cross_source_perplexity (text quality)
+    #   heavy_hitters_cms → lineitem_bloom_semi (sketch family)
+    #   doc_fingerprint → doc_rolling_fingerprint;
+    #     duplicate_span_coverage → chunk_dedup_stats (fingerprint/chunk)
+    #   corpus_global_ids → corpus_composition;
+    #     decontamination_stopgram → decontaminated_corpus;
+    #     customer_rfm → sequence_packing;
+    #     basket_pair_lift → source_mixing_weights (pipeline curation)
+    #   tfidf_top_terms → repetition_stats (text analysis)
+    #   phash_band_stats → phash_dedup_keep;
+    #     confusable_dup_clusters → media_resize_plan (multimodal/Hamming)
+    #   ann_admit_indexed_exact → pq_ann_admit_indexed_exact (NEW r10:
+    #     the SAME exhaustive-probe admission oracle but against the PQ
+    #     store with external-corpus rerank — strictly more surface)
+    #   events_quota_batch_twin → ann_ingest_loop_exact (NEW r10: the
+    #     continuous ingest LOOP hash-checked end-to-end — two drained
+    #     micro-batches vs a batch-SEQUENTIAL double recursive-CTE
+    #     oracle; the first driver row covering a streaming loop OUTPUT)
     # r9 rotation: 19 seats swapped — every evictee is driver-attested
     # (green r8) and keeps pytest oracle coverage; every entrant was
     # pre-validated green against its DuckDB oracle at sf0.01 with the
@@ -112,57 +144,57 @@ _DRIVER_WINDOW = [
     "source_report_card",
     "l_diversity_customers",
     # relational analytics (TPC-H shapes; the rest stay pytest-guarded)
-    "q9_product_profit",
-    "q2_min_cost_supplier",
+    "q12_shipmode_priority",
+    "q16_supplier_counts",
     "fd_audit_orders",
     "zorder_curve_histogram",
     # rollups / trends / per-day statistics
     "events_daily_lag_corr",
     "events_type_corr_matrix",
-    "events_anomalous_days",
+    "events_ohlc_daily",
     # iterative-graph family: closure + centrality
     "dup_graph_components",
     "dup_pagerank",
-    "heavy_hitters_cms",
-    "duplicate_span_coverage",
+    "lineitem_bloom_semi",
+    "chunk_dedup_stats",
     "events_cusum_stream_twin",
     "events_ks_drift",
     "events_type_spearman_matrix",
     # event-stream operators
-    "events_sessionize",
-    "purchase_next_error_asof",
-    "gopher_quality_flags",
-    "events_psi_stream_twin",
-    "events_quota_batch_twin",
-    "daily_active_users",
-    "confusable_dup_clusters",
+    "session_concurrency",
+    "events_debounce",
+    "cross_source_perplexity",
+    "events_value_psi_drift",
+    "ann_ingest_loop_exact",
+    "user_activity_streaks",
+    "media_resize_plan",
     # JSON property extraction
     "events_props_key_stats",
     # text analysis / retrieval
     "schema_rename_candidates",
-    "tfidf_top_terms",
+    "repetition_stats",
     "unicode_dup_clusters",
     "pii_scan",
-    "doc_fingerprint",
+    "doc_rolling_fingerprint",
     # dedup-ladder representative: the Hamming store's hash-checked
     # admission (containment_near_dups_indexed attested r7/r8, rotated out)
     "phash_admit_indexed_exact",
     # pipeline curation / sampling / budgeting / analytics
-    "corpus_global_ids",
+    "corpus_composition",
     "split_leakage_audit",
     "leakage_safe_split",
-    "decontamination_stopgram",
-    "customer_rfm",
-    "basket_pair_lift",
+    "decontaminated_corpus",
+    "sequence_packing",
+    "source_mixing_weights",
     # similarity search: fit-per-call exact twin + stored-index lifecycle
     # (probe attested r8; the admission row runs write→read→admit→closure)
-    "ivf_ann_exact",
-    "ann_admit_indexed_exact",
+    "embedding_random_projection",
+    "pq_ann_admit_indexed_exact",
     # bitext mining: exact twin + candidate path under the exact oracle
-    "bitext_margin_pairs",
+    "embedding_normalize",
     "bitext_indexed_exact",
     # multimodal / Hamming store (store-path pairs attested r8)
-    "phash_band_stats",
+    "phash_dedup_keep",
 ]
 
 
@@ -1498,6 +1530,144 @@ def ann_admit_indexed_exact_q(spark, sf_dir):
     return annindex.delta_ann_admit_indexed(
         idx, batch, threshold=0.95, n_probe=8
     ).select("vec_id")
+
+
+# batch-SEQUENTIAL oracle for the continuous ingest LOOP: admission of
+# batch 1 against the seed store, then admission of batch 2 against
+# seed ∪ admitted₁ — two chained recursive closures, each the
+# _SQL_ANN_ADMIT_EXACT rule. The cross-batch plant (a copy of a batch-1
+# row arriving in batch 2) is rejected ONLY IF the loop carried batch 1's
+# admissions into the store — the property no single-call admission row
+# can attest.
+def _loop_stage(k: str, prev_store: str, batch: str) -> str:
+    return f"""
+u{k} AS (SELECT * FROM {prev_store} UNION ALL SELECT * FROM {batch}),
+p{k} AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM u{k} a JOIN u{k} b ON a.vec_id < b.vec_id
+  WHERE (a.vec_id IN (SELECT vec_id FROM {batch})
+         OR b.vec_id IN (SELECT vec_id FROM {batch}))
+    AND {_ANN_ADMIT_COS} >= 0.95
+),
+e{k} AS (SELECT pa AS a, pb AS b FROM p{k} UNION SELECT pb, pa FROM p{k}),
+r{k}(node, comp) AS (
+  SELECT DISTINCT a, a FROM e{k}
+  UNION
+  SELECT e.b, r.comp FROM r{k} r JOIN e{k} e ON e.a = r.node
+),
+c{k} AS (SELECT node, MIN(comp) AS comp_id FROM r{k} GROUP BY node),
+l{k} AS (
+  SELECT node, comp_id,
+         (node IN (SELECT vec_id FROM {prev_store})) AS stored
+  FROM c{k}
+),
+v{k} AS (
+  SELECT comp_id,
+         MAX(CASE WHEN stored THEN 1 ELSE 0 END) AS has_existing,
+         MIN(CASE WHEN NOT stored THEN node END) AS min_incoming
+  FROM l{k} GROUP BY comp_id
+),
+rej{k} AS (
+  SELECT l.node FROM l{k} l JOIN v{k} v USING (comp_id)
+  WHERE NOT l.stored
+    AND (v.has_existing = 1 OR l.node <> v.min_incoming)
+),
+a{k} AS (
+  SELECT vec_id, embedding FROM {batch}
+  WHERE vec_id NOT IN (SELECT node FROM rej{k})
+)"""
+
+
+_SQL_ANN_INGEST_LOOP = f"""
+WITH RECURSIVE
+seed AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+b1 AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id >= 200 AND vec_id < 350
+  UNION ALL
+  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id < 5
+),
+b2 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 350
+  UNION ALL
+  SELECT vec_id + 20000000, embedding FROM embeddings WHERE vec_id = 210
+  UNION ALL
+  SELECT vec_id + 21000000, embedding FROM embeddings WHERE vec_id = 400
+  UNION ALL
+  SELECT vec_id + 22000000, embedding FROM embeddings WHERE vec_id = 400
+),
+{_loop_stage("1", "seed", "b1")},
+s1 AS (SELECT * FROM seed UNION ALL SELECT * FROM a1),
+{_loop_stage("2", "s1", "b2")}
+SELECT CAST(vec_id AS BIGINT) AS vec_id FROM a1
+UNION ALL
+SELECT CAST(vec_id AS BIGINT) AS vec_id FROM a2
+"""
+
+
+@register("ann_ingest_loop_exact", _SQL_ANN_INGEST_LOOP)
+def ann_ingest_loop_exact_q(spark, sf_dir):
+    """The continuous embedding-ingest LOOP attested end-to-end (r10,
+    verdict ask #7): two micro-batches drain through
+    annindex.streaming_ann_ingest under EXHAUSTIVE probing (n_probe =
+    n_centroids → exact candidates → exact closure per batch), and the
+    union of the admitted sinks must hash-match a batch-SEQUENTIAL
+    double recursive-CTE oracle. Plants: exact copies of STORED vectors
+    in batch 1 (rejected by the store), a copy of a batch-1 row arriving
+    in batch 2 (rejected only because the loop appended batch 1's
+    admissions — the loop property itself), and a batch-2 twin pair of
+    which only the min id survives. Batch order is forced with distinct
+    file mtimes (the file source processes oldest-first); local-FS
+    specific, like every keyed-tempdir row."""
+    import os
+    import shutil
+    import tempfile
+
+    from magiceye_spark.llmops import annindex
+    from magiceye_spark.streaming import drain
+
+    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
+
+    def plant(cond, offset):
+        return emb.where(cond).select(
+            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+        )
+
+    b1 = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)).unionByName(
+        plant(F.col("vec_id") < 5, 10_000_000)
+    )
+    b2 = (
+        emb.where(F.col("vec_id") >= 350)
+        .unionByName(plant(F.col("vec_id") == 210, 20_000_000))
+        .unionByName(plant(F.col("vec_id") == 400, 21_000_000))
+        .unionByName(plant(F.col("vec_id") == 400, 22_000_000))
+    )
+
+    base = _ann_index_path(sf_dir) + "_loop"
+    shutil.rmtree(base, ignore_errors=True)  # fresh store/checkpoint per run
+    store, src = os.path.join(base, "store"), os.path.join(base, "src")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    annindex.write_ivf_index(emb.where(F.col("vec_id") < 200), store, n_centroids=8)
+    for i, b in enumerate((b1, b2)):
+        b.coalesce(1).write.mode("append").parquet(src)
+        # pin arrival order: the file source takes oldest-mtime first and
+        # sequential writes can land in the same clock tick
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if os.path.getmtime(p) > 1_000_000_000:
+                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = annindex.streaming_ann_ingest(
+        spark, store, stream, ckpt, threshold=0.95, n_probe=8, output_path=out
+    )
+    drain(q, 600)
+    return spark.read.parquet(out).select(
+        F.col("vec_id").cast("bigint").alias("vec_id")
+    )
 
 
 @register("pq_ann_admit_indexed_exact", _SQL_ANN_ADMIT_EXACT)
