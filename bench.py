@@ -97,7 +97,14 @@ FAMILIES = {
 FAMILY_BASELINE = {
     "dedup_exact_corpus": 0.40,
     "jaccard_near_dups": 2.98,
-    "minhash_lsh_ngram_dups": 3.15,  # was 9.14 pre-spread
+    # r10 recommit after the r9 driver gate trip (driver 6.68 s vs 3.15
+    # committed): a 4-run solo re-measure found no plan change — warm runs
+    # 2.55-2.66 s — but the FIRST family run of a session (what the driver
+    # times) pays ~1.8 s of first-touch shingle/codegen cost (4.36 s cold).
+    # Committed = the measured cold-run value, so the 2x gate (8.7 s)
+    # tolerates driver-machine contention without hiding a real 2x warm
+    # regression (which would land >5 s even cold).
+    "minhash_lsh_ngram_dups": 4.36,  # was 3.15 (warm-run); 9.14 pre-spread
     "simhash_near_dups": 4.77,  # was 7.96
     "near_dedup_fused": 4.23,  # was 9.52
     # exact global prefix-filter join; postings spread before the shingle
@@ -149,13 +156,15 @@ FAMILY_BASELINE = {
     "sigstore_delta_admit": 7.60,  # measured 7.10
     # continuous-ingest drains (r9): 3 growing-store foreachBatch batches
     # (~500 docs / ~200 vectors) through each store's streaming loop —
-    # admission + append + engine overhead per batch (measured
-    # 23.9-27.3 / 39.3-43.9 / 19.6 across solo+contended runs; the
-    # hamstore loop pays the dense-SimHash closure per batch, see
-    # BASELINE.md store-sweep notes)
-    "sigstore_ingest_loop": 28.00,
-    "hamstore_ingest_loop": 48.00,
-    "annindex_ingest_loop": 24.00,
+    # admission + append + engine overhead per batch. Recommitted r10
+    # after the driver-side union-find fast path cut the per-batch
+    # closure fixpoint (hamstore 35.7 -> 21.5-29.2 measured, sigstore
+    # 14.2, annindex 16.4); committed = top of the measured spread so
+    # the 2x gate catches a real regression instead of sitting at the
+    # obsolete pre-fast-path level.
+    "sigstore_ingest_loop": 16.00,
+    "hamstore_ingest_loop": 30.00,
+    "annindex_ingest_loop": 18.00,
     "cdc_chunk_near_dups": 1.59,  # was 11.21 (chunking pass now spread)
     # stats family, committed from a clean solo run at sf0.1 (late r6)
     "snm_near_dups": 8.68,  # two-phase global rank + n·window bucket join

@@ -348,3 +348,53 @@ def test_indexed_admission_matches_from_scratch_closure(spark, corpus):
         assert got == expected
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@given(corpus=EMB_CORPUS)
+@_settings
+def test_pq_rerank_admission_equals_flat(spark, corpus):
+    """r10: PQ-store admission with external-corpus rerank must equal
+    flat-store admission for RANDOM tiny corpora and random store/delta
+    splits — the coarse quantizer is the same _ivf_centroids fit, so the
+    probed cells match, and the rerank join recovers exactly the vectors
+    the flat postings hold. Checked at banded probing (n_probe=1 of 2
+    cells), where candidate sets are approximate — the parity must hold
+    there too, not only in exhaustive mode."""
+    from magiceye_spark.llmops import annindex
+
+    if sum(1 for _, inc in corpus if not inc) < 2 or not any(
+        inc for _, inc in corpus
+    ):
+        return
+    rows = [(i, [float(x) for x in v], inc) for i, (v, inc) in enumerate(corpus)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, _inc boolean"
+    )
+    store_df = emb.where(~F.col("_inc")).drop("_inc")
+    delta_df = emb.where(F.col("_inc")).drop("_inc")
+    tmp = tempfile.mkdtemp(prefix="pqprop_")
+    try:
+        flat = annindex.write_ivf_index(
+            store_df, tmp + "/flat", n_centroids=2
+        )
+        pq = annindex.write_ivf_index(
+            store_df, tmp + "/pq", pq=True, n_centroids=2,
+            m_subvectors=2, n_codes=4,
+        )
+        for n_probe in (1, 2):
+            a = sorted(
+                r["vec_id"]
+                for r in annindex.delta_ann_admit_indexed(
+                    flat, delta_df, threshold=0.95, n_probe=n_probe
+                ).collect()
+            )
+            b = sorted(
+                r["vec_id"]
+                for r in annindex.delta_ann_admit_indexed(
+                    pq, delta_df, threshold=0.95, n_probe=n_probe,
+                    rerank=store_df,
+                ).collect()
+            )
+            assert a == b
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -222,6 +222,22 @@ def main() -> None:
         walls.setdefault("ivf_pq_index_topk", {})[label] = round(
             time.perf_counter() - t0, 2
         )
+        # ---- PQ-store ADMISSION with external-corpus rerank (r10): fixed
+        # 500-vector delta vs growing PQ store. Candidate scoping reads the
+        # compact code postings (partition-pruned); the rerank join against
+        # the original corpus touches candidate ids only — expect the same
+        # near-flat shape as the flat store's admission, plus the rerank
+        # join's probed-slice term.
+        ann_delta = emb.select(
+            (F.col("vec_id") + 900_000_000).alias("vec_id"), "embedding"
+        ).limit(500)
+        t0 = time.perf_counter()
+        annindex.delta_ann_admit_indexed(
+            pq, ann_delta, threshold=0.95, n_probe=8, rerank=store_emb
+        ).write.format("noop").mode("overwrite").save()
+        walls.setdefault("pq_admit_rerank", {})[label] = round(
+            time.perf_counter() - t0, 2
+        )
         meta.setdefault("ann_store_rows", {})[label] = store_emb.count()
         spark.catalog.clearCache()
 
