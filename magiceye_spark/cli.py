@@ -703,16 +703,40 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     else:  # ivf
         from magiceye_spark.llmops import annindex
 
+        if args.pq and not args.out:
+            print(
+                "ingest: --pq needs --out (the admitted sink is the "
+                "exact-cosine rerank source for every later batch)",
+                file=sys.stderr,
+            )
+            return 2
+        if exists:
+            stored_pq = bool(
+                spark.read.parquet(
+                    _os.path.join(args.store_path, "params")
+                ).first()["pq"]
+            )
+            if stored_pq != args.pq:
+                print(
+                    f"ingest: store at {args.store_path} is "
+                    f"{'pq' if stored_pq else 'flat'} but the flags say "
+                    f"{'--pq' if args.pq else 'flat'} — refusing to mix",
+                    file=sys.stderr,
+                )
+                return 2
         if not exists and args.bootstrap_from:
-            annindex.write_ivf_index(seed, args.store_path)
+            annindex.write_ivf_index(seed, args.store_path, pq=args.pq)
         # with no pre-built store and no seed, the loop's cold-start fits
         # the quantizer on the first micro-batch (annindex.streaming_ann_
-        # ingest bootstrap contract) — an empty drain just never fires it
+        # ingest bootstrap contract) — an empty drain just never fires it.
+        # A PQ store's stored ORIGINALS live in --bootstrap-from (seeded
+        # rows) and the --out sink (ingested rows); both feed the rerank.
         q = annindex.streaming_ann_ingest(
             spark, args.store_path, stream, args.checkpoint,
             threshold=args.threshold, output_path=args.out,
             compact_every=args.compact_every, trigger=trigger,
-            bootstrap={},
+            bootstrap={"pq": True} if args.pq else {},
+            rerank_path=args.bootstrap_from,
         )
         read_n = lambda: annindex.read_ivf_index(  # noqa: E731
             spark, args.store_path
@@ -903,7 +927,14 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--out", help="write admitted rows per batch here")
     p_ing.add_argument("--bootstrap-from",
                        help="seed corpus parquet for a missing store "
-                       "(required for --store ivf)")
+                       "(optional for --store ivf since the r10 "
+                       "cold-start; without it the first micro-batch "
+                       "fits the quantizer)")
+    p_ing.add_argument("--pq", action="store_true",
+                       help="ivf only: bootstrap a product-quantized "
+                       "store (codes-only postings; admission reranks "
+                       "exact cosine from --bootstrap-from and the "
+                       "--out sink, both of which it requires)")
     p_ing.add_argument("--threshold", type=float, default=0.95,
                        help="ivf cosine admission threshold")
     p_ing.add_argument("--compact-every", type=int,

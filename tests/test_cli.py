@@ -481,3 +481,49 @@ def test_cli_ingest_ivf_drains_from_empty(spark, tmp_path, capsys):
     assert set(range(300)) <= sink_ids
     assert all(1_000_000 + i not in sink_ids for i in range(10))
     assert idx.postings.count() == len(sink_ids)
+
+
+def test_cli_ingest_ivf_pq_from_empty_and_flag_mismatch(spark, tmp_path, capsys):
+    """r10 --pq: cold-start a product-quantized store from the stream,
+    rerank from the --out sink; a follow-up run with the wrong flag
+    refuses loudly instead of mixing code/vector postings."""
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    src = tmp_path / "esrc"
+    b0 = emb.where(emb.vec_id < 300)
+    b1 = emb.where(emb.vec_id >= 300).unionByName(
+        b0.limit(5).select((b0.vec_id + 1_000_000).alias("vec_id"), "embedding")
+    )
+    b0.coalesce(1).write.mode("append").parquet(str(src))
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    store, out = tmp_path / "pq", tmp_path / "admitted"
+    # --pq without --out refuses up front
+    rc = cli.main([
+        "ingest", str(src), str(store), "--store", "ivf", "--pq",
+        "--checkpoint", str(tmp_path / "ck0"),
+    ])
+    assert rc == 2
+    rc = cli.main([
+        "ingest", str(src), str(store), "--store", "ivf", "--pq",
+        "--checkpoint", str(tmp_path / "ck"), "--out", str(out),
+        "--max-files-per-trigger", "1",
+    ])
+    assert rc == 0
+    from magiceye_spark.llmops import annindex
+
+    idx = annindex.read_ivf_index(spark, str(store))
+    assert idx.pq and "embedding" not in idx.postings.columns
+    sink_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(str(out)).select("vec_id").collect()
+    }
+    assert all(1_000_000 + i not in sink_ids for i in range(5))
+    assert idx.postings.count() == len(sink_ids)
+    # wrong flag on the existing store: refuse, store untouched
+    rc = cli.main([
+        "ingest", str(src), str(store), "--store", "ivf",
+        "--checkpoint", str(tmp_path / "ck2"),
+    ])
+    assert rc == 2
+    assert "refusing to mix" in capsys.readouterr().err
