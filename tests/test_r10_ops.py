@@ -1,6 +1,10 @@
 """Round-10 operator tests: the fs_swap_dirs _MANIFEST completeness proof
 (upgrade over the _SUCCESS heuristic), the drain() loud-timeout helper,
-and the cmd_ingest scheme-aware store-existence check."""
+the cmd_ingest scheme-aware store-existence check, the driver-side
+union-find fast path, PQ-store admission via external-corpus rerank
+(parity with the flat path, the missing-rerank-row in-plan raise), and
+the IVF ingest cold-start (flat + PQ loops bootstrapping from the first
+micro-batch)."""
 
 import os
 

@@ -224,16 +224,23 @@ def main() -> None:
         )
         # ---- PQ-store ADMISSION with external-corpus rerank (r10): fixed
         # 500-vector delta vs growing PQ store. Candidate scoping reads the
-        # compact code postings (partition-pruned); the rerank join against
-        # the original corpus touches candidate ids only — expect the same
-        # near-flat shape as the flat store's admission, plus the rerank
-        # join's probed-slice term.
+        # compact code postings (partition-pruned); the rerank joins the
+        # ORIGINAL-vector corpus — which in production is a parquet table
+        # in the lake, so materialize the synth frame first (passing the
+        # 100-replica synthesis LINEAGE as rerank would re-execute the
+        # whole array-roll transform inside the admission job and measure
+        # the synthesizer, not the operator; first measured that way:
+        # 4.6/7.9/38.5 s — the 38.5 was synth recompute)
+        corpus_path = os.path.join(ROOT, f"corpus{factor}")
+        if not os.path.exists(corpus_path):
+            store_emb.write.parquet(corpus_path)
+        rerank_corpus = spark.read.parquet(corpus_path)
         ann_delta = emb.select(
             (F.col("vec_id") + 900_000_000).alias("vec_id"), "embedding"
         ).limit(500)
         t0 = time.perf_counter()
         annindex.delta_ann_admit_indexed(
-            pq, ann_delta, threshold=0.95, n_probe=8, rerank=store_emb
+            pq, ann_delta, threshold=0.95, n_probe=8, rerank=rerank_corpus
         ).write.format("noop").mode("overwrite").save()
         walls.setdefault("pq_admit_rerank", {})[label] = round(
             time.perf_counter() - t0, 2
