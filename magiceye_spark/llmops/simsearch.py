@@ -1588,7 +1588,19 @@ def random_projection(
             6,
         ).alias(f"p{k}")
 
-    return emb.select("vec_id", *[proj(k) for k in range(out_dim)]).orderBy("vec_id")
+    # spread before projecting: the sign matrix costs out_dim × dim md5
+    # evaluations per row (512 at 8×64) and a single-file scan would run
+    # the whole sketch in one task (r10 stage audit: 100% single-task,
+    # 2.2 s serialized at sf0.1) — the r6 explicit-spread discipline for
+    # CPU-dense projections over byte-light scans. Map-only above the
+    # exchange; at lake scale the scan is many-splits anyway and the
+    # repartition keys the output for downstream joins on vec_id.
+    spread = emb.repartition(
+        emb.sparkSession.sparkContext.defaultParallelism, "vec_id"
+    )
+    return spread.select(
+        "vec_id", *[proj(k) for k in range(out_dim)]
+    ).orderBy("vec_id")
 
 
 def sql_random_projection(out_dim: int = 8, seed: str = "jl-v1") -> str:
