@@ -5,9 +5,9 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
+from magiceye_spark.streaming import drain
 from magiceye_spark.streaming import drift as drift_mod
 from magiceye_spark.streaming.drift import (
-from magiceye_spark.streaming import drain
     STREAM_COLUMNS_SCHEMA,
     column_drift,
     drift_rate_rollup,
