@@ -110,7 +110,11 @@ FAMILY_BASELINE = {
     # exact global prefix-filter join; postings spread before the shingle
     # transform (5.9 s single-task shingling otherwise)
     "allpairs_jaccard_join": 3.30,
-    "containment_near_dups": 9.33,
+    # r10: same cold-run convention as minhash_lsh_ngram_dups — the twin
+    # leads its family and pays first-touch shingle codegen (15.0/11.1/9.7
+    # across 3 solo runs); committed = cold top so one contended driver
+    # cold run stays inside the gate
+    "containment_near_dups": 15.04,  # was 9.33 (warm-run)
     "containment_near_dups_indexed": 4.07,  # was 22.92
     "duplicate_spans": 1.87,  # was 2.74
     "span_cleaned_corpus": 2.28,
