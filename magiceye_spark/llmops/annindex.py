@@ -83,6 +83,40 @@ def _postings_flat(
     )
 
 
+def recommend_ivf_params(n_vectors: int, dim: int | None = None) -> dict:
+    """The deployment knob the r10 store sweep measured: admission and
+    probe cost are linear in the probed slice (n_probe/n_centroids of the
+    store), so a FIXED cell count means per-cell occupancy — and with it
+    every probe — grows linearly with the corpus. Sizing
+    ``n_centroids ∝ √n`` keeps per-cell occupancy at ~√n, the standard
+    IVF regime (FAISS guidelines put it between √n and 16·√n; we take the
+    nearest power of two to √n, clamped to [4, 65536]) —
+    at 2k vectors that is 32-64 cells (the repo default's regime), at
+    200M it is ~16k cells, not 32.
+
+    Probe-time sizing stays the caller's: the repo's measured default
+    scan fraction is 1/4 — ``n_probe = n_centroids // 4`` (BASELINE.md
+    cell-count sweep: recall 0.66 at 8/32); trade recall for wall by
+    moving it. With ``dim``, also picks ``m_subvectors`` for PQ: the
+    largest power of two ≤ dim/4 that divides dim (≥4-wide subvectors
+    keep per-subspace codebooks meaningful), capped at 16.
+
+    Returns kwargs accepted verbatim by :func:`write_ivf_index` /
+    ``streaming_ann_ingest(bootstrap=...)`` (which is why ``n_probe`` is
+    NOT in the dict — it is not a build parameter)."""
+    import math
+
+    root = max(2.0, math.sqrt(max(1, n_vectors)))
+    n_centroids = min(65536, max(4, 2 ** round(math.log2(root))))
+    out = {"n_centroids": n_centroids}
+    if dim is not None:
+        m = 1
+        while m * 2 <= min(16, dim // 4) and dim % (m * 2) == 0:
+            m *= 2
+        out["m_subvectors"] = m
+    return out
+
+
 def write_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -691,7 +725,14 @@ def streaming_ann_ingest(
                 batch_df.write.mode("overwrite").parquet(
                     os.path.join(output_path, f"ingest_batch={batch_id}")
                 )
-            write_ivf_index(batch_df, path, **bootstrap)
+            bs = dict(bootstrap)
+            if "n_centroids" not in bs:
+                # size the quantizer to the batch that trains it
+                # (recommend_ivf_params: n_centroids ∝ √n) — the fixed
+                # default of 32 cells is wrong in both directions for a
+                # 10-row smoke batch and a 1M-row production batch
+                bs.update(recommend_ivf_params(batch_df.count()))
+            write_ivf_index(batch_df, path, **bs)
             return
         idx = read_ivf_index(spark, path)
         admitted = delta_ann_admit_indexed(

@@ -375,3 +375,36 @@ def test_streaming_ann_ingest_pq_requires_output_path(spark, sf_dir, tmp_path):
             spark, str(tmp_path / "pq"), stream, str(tmp_path / "ckpt"),
             bootstrap={"pq": True},
         )
+
+
+def test_recommend_ivf_params_and_autosized_cold_start(spark, sf_dir, tmp_path):
+    """n_centroids ∝ √n (nearest power of two, clamped), m_subvectors
+    divides dim; a cold-start bootstrap without n_centroids sizes the
+    quantizer to the first batch instead of the fixed default."""
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.llmops import annindex
+    from magiceye_spark.streaming import drain
+
+    r = annindex.recommend_ivf_params
+    assert r(10) == {"n_centroids": 4}           # clamp floor
+    assert r(2_000)["n_centroids"] in (32, 64)   # the repo default's regime
+    assert r(200_000_000)["n_centroids"] == 16384
+    assert r(10**12)["n_centroids"] == 65536     # clamp ceiling
+    p = r(1_000_000, dim=96)
+    assert p["n_centroids"] == 1024
+    assert p["m_subvectors"] == 16 and 96 % p["m_subvectors"] == 0
+    assert r(100, dim=20)["m_subvectors"] == 4   # dim/4=5 → 4 divides 20
+
+    emb = _embs(spark, sf_dir)
+    src = str(tmp_path / "src")
+    emb.where(F.col("vec_id") < 300).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    store = str(tmp_path / "ivf")
+    q = annindex.streaming_ann_ingest(
+        spark, store, stream, str(tmp_path / "ckpt"), bootstrap={}
+    )
+    drain(q, 300)
+    idx = annindex.read_ivf_index(spark, store)
+    assert int(idx.params["n_centroids"]) == 16  # √300 ≈ 17.3 → 2^4
+    assert idx.postings.count() == 300
