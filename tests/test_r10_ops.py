@@ -408,3 +408,37 @@ def test_recommend_ivf_params_and_autosized_cold_start(spark, sf_dir, tmp_path):
     idx = annindex.read_ivf_index(spark, store)
     assert int(idx.params["n_centroids"]) == 16  # √300 ≈ 17.3 → 2^4
     assert idx.postings.count() == 300
+
+
+def test_cold_start_replay_overwrites_stale_sink(spark, sf_dir, tmp_path):
+    """Crash-window replay of the bootstrap branch: a partial sink dir
+    left by an interrupted first attempt (sink is written BEFORE the
+    index, so the store is still absent) must be overwritten wholesale —
+    afterwards the sink holds exactly batch 0 and the store matches it."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from magiceye_spark.llmops import annindex
+    from magiceye_spark.streaming import drain
+
+    emb = _embs(spark, sf_dir)
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    b0 = emb.where(F.col("vec_id") < 100)
+    b0.coalesce(1).write.parquet(src)
+    # the stale partial sink: wrong rows under the batch-0 dir
+    emb.where(F.col("vec_id") >= 490).select(
+        (F.col("vec_id") + 777_000).alias("vec_id"), "embedding"
+    ).write.parquet(_os.path.join(out, "ingest_batch=0"))
+    stream = spark.readStream.schema(emb.schema).parquet(src)
+    store = str(tmp_path / "ivf")
+    q = annindex.streaming_ann_ingest(
+        spark, store, stream, str(tmp_path / "ckpt"),
+        output_path=out, bootstrap={"n_centroids": 4},
+    )
+    drain(q, 300)
+    sink_ids = {
+        r["vec_id"] for r in spark.read.parquet(out).select("vec_id").collect()
+    }
+    assert sink_ids == set(range(100))  # stale rows gone, batch 0 exact
+    assert annindex.read_ivf_index(spark, store).postings.count() == 100
