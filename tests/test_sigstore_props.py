@@ -398,3 +398,121 @@ def test_pq_rerank_admission_equals_flat(spark, corpus):
             assert a == b
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+EMB_CORPUS3 = st.lists(
+    st.tuples(VEC, st.integers(min_value=0, max_value=2)),  # (vec, arrival)
+    min_size=5,
+    max_size=12,
+)
+
+_loop_settings = settings(
+    max_examples=4,  # each example drains a real 2-batch stream
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+
+
+@given(corpus=EMB_CORPUS3)
+@_loop_settings
+def test_ann_ingest_loop_matches_sequential_python_reference(spark, corpus, tmp_path_factory):
+    """r10: the CONTINUOUS ingest loop vs an independent python
+    union-find applied BATCH-SEQUENTIALLY (store ∪ b1 → admit → store
+    grows → store' ∪ b2 → admit) under random corpora and random 3-way
+    arrival splits, exhaustive probing. This pins the loop property the
+    driver row checks on one fixed corpus — rejected batch-1 members
+    must NOT block batch-2 admissions, admitted ones must — for
+    adversarial splits."""
+    import math
+    import os
+
+    from magiceye_spark.llmops import annindex
+    from magiceye_spark.streaming import drain
+
+    store_ids = [i for i, (_, g) in enumerate(corpus) if g == 0]
+    b1_ids = [i for i, (_, g) in enumerate(corpus) if g == 1]
+    b2_ids = [i for i, (_, g) in enumerate(corpus) if g == 2]
+    if len(store_ids) < 2 or not b1_ids or not b2_ids:
+        return
+    rows = [(i, [float(x) for x in v], g) for i, (v, g) in enumerate(corpus)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, _g int"
+    )
+    tmp = str(tmp_path_factory.mktemp("annloop"))
+    src, store, out = (os.path.join(tmp, d) for d in ("src", "store", "out"))
+    annindex.write_ivf_index(
+        emb.where(F.col("_g") == 0).drop("_g"), store, n_centroids=2
+    )
+    for k, g in enumerate((1, 2)):
+        emb.where(F.col("_g") == g).drop("_g").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if os.path.getmtime(p) > 1_000_000_000:
+                os.utime(p, (1_000_000_000 + k, 1_000_000_000 + k))
+    stream = (
+        spark.readStream.schema(emb.drop("_g").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = annindex.streaming_ann_ingest(
+        spark, store, stream, os.path.join(tmp, "ck"),
+        threshold=0.95, n_probe=2, output_path=out,
+    )
+    drain(q, 300)
+    got = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(out).select("vec_id").collect()
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(x * x for x in b))
+            ),
+            6,
+        )
+
+    vecs = {i: [float(x) for x in v] for i, (v, _) in enumerate(corpus)}
+
+    def admit(stored, batch):
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        nodes = stored | batch
+        for a in nodes:
+            for b in nodes:
+                if a < b and cos(vecs[a], vecs[b]) >= 0.95:
+                    parent[find(a)] = find(b)
+        comps: dict = {}
+        for x in list(parent):
+            comps.setdefault(find(x), set()).add(x)
+        rejected = set()
+        for members in comps.values():
+            inc = members & batch
+            if members & stored:
+                rejected |= inc
+            elif inc:
+                rejected |= inc - {min(inc)}
+        return batch - rejected
+
+    stored = set(store_ids)
+    expected = []
+    for batch in (set(b1_ids), set(b2_ids)):
+        admitted = admit(stored, batch)
+        expected += sorted(admitted)
+        stored |= admitted
+    assert got == sorted(expected)
