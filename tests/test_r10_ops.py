@@ -230,8 +230,9 @@ def test_pq_admission_equals_flat_path(spark, sf_dir, tmp_path):
 def test_pq_admission_missing_rerank_row_raises(spark, sf_dir, tmp_path):
     """A stored candidate absent from the rerank corpus must FAIL the job
     (raise_error inside the plan), not silently drop the edge — a
-    dropped edge admits a duplicate."""
-    from py4j.protocol import Py4JJavaError
+    dropped edge admits a duplicate. The error surfaces as
+    SparkRuntimeException (USER_RAISED_EXCEPTION) or a raw Py4JJavaError
+    depending on the capture path, so match on the message only."""
     from pyspark.sql import functions as F
 
     from magiceye_spark.llmops import annindex
@@ -245,7 +246,7 @@ def test_pq_admission_missing_rerank_row_raises(spark, sf_dir, tmp_path):
     batch = emb.where(F.col("vec_id") < 5).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
     )
-    with pytest.raises(Py4JJavaError, match="rerank corpus missing"):
+    with pytest.raises(Exception, match="rerank corpus missing"):
         annindex.delta_ann_admit_indexed(
             idx, batch, threshold=0.95, n_probe=8, rerank=holey
         ).collect()
