@@ -81,6 +81,38 @@ FROM embeddings
 """
 
 
+def normalize_digest(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector SCALAR digest of the normalized embedding — the
+    driver-hashable face of :func:`normalize_embeddings`. The driver's
+    correctness gate canonicalizes results with pandas, which cannot hash
+    Array cells (r10's `embedding_normalize` seat erred on exactly that),
+    so the normalization op is attested through two scalars per vector
+    computed FROM the rounded normalized array: the component sum and the
+    post-normalization L2 norm (≈1 for non-zero vectors — the property
+    normalization exists to establish). Both engines sum the SAME
+    round-6 components, so agreement is decided by the normalize step
+    itself, not by summation-order noise at machine epsilon."""
+    unit = normalize_embeddings(corpus, id_col, vec_col)
+    v = F.col(vec_col)
+    return unit.select(
+        id_col,
+        F.round(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("unit_sum"),
+        F.round(F.sqrt(dot(v, v)), 6).alias("unit_norm"),
+    )
+
+
+SQL_NORMALIZE_DIGEST = f"""
+SELECT vec_id,
+       ROUND(list_sum(embedding), 6) AS unit_sum,
+       ROUND(SQRT(list_dot_product(embedding, embedding)), 6) AS unit_norm
+FROM ({SQL_NORMALIZE})
+"""
+
+
 def embedding_norm_stats(
     corpus: DataFrame, vec_col: str = "embedding"
 ) -> DataFrame:

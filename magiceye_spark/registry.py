@@ -191,7 +191,10 @@ _DRIVER_WINDOW = [
     "embedding_random_projection",
     "pq_ann_admit_indexed_exact",
     # bitext mining: exact twin + candidate path under the exact oracle
-    "embedding_normalize",
+    # (r11: embedding_normalize's Array-typed output burned its r10 driver
+    # seat on the harness canonicalizer — the scalar digest row replaces it;
+    # the array row keeps pytest oracle coverage)
+    "embedding_normalize_digest",
     "bitext_indexed_exact",
     # multimodal / Hamming store (store-path pairs attested r8)
     "phash_dedup_keep",
@@ -1720,6 +1723,16 @@ def vocab_q(spark, sf_dir):
 @register("embedding_normalize", simsearch.SQL_NORMALIZE)
 def normalize_q(spark, sf_dir):
     return simsearch.normalize_embeddings(_embs(spark, sf_dir))
+
+
+@register("embedding_normalize_digest", simsearch.SQL_NORMALIZE_DIGEST)
+def normalize_digest_q(spark, sf_dir):
+    """Driver-hashable attestation of normalize_embeddings (r11): scalar
+    digests (component sum + unit norm) of the round-6 normalized array —
+    the seat the r10 verdict asked for after the Array-typed
+    `embedding_normalize` output burned its driver row on the harness
+    canonicalizer."""
+    return simsearch.normalize_digest(_embs(spark, sf_dir))
 
 
 @register("embedding_norm_stats", simsearch.SQL_NORM_STATS)

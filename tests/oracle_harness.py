@@ -55,6 +55,23 @@ def compare(spark, sf_dir: str, names=None) -> bool:
             print(f"{name:32s} SPARK ERROR: {type(e).__name__}: {str(e)[:160]}")
             ok = False
             continue
+        # Window-seat lint: the DRIVER's canonicalizer sorts the result with
+        # pandas before hashing and crashes on Array/Map/Struct cells
+        # ("unhashable type: 'list'" — r10's only red row). This harness
+        # stringifies cells (_canon), so without this schema check it
+        # structurally cannot catch the class; seats must be scalar-typed.
+        if name in registry._DRIVER_WINDOW and name in oracles:  # noqa: SLF001
+            complexed = [
+                f.name for f in sdf.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complexed:
+                print(
+                    f"{name:32s} WINDOW LINT: driver-unhashable "
+                    f"Array/Map/Struct output columns {complexed}"
+                )
+                ok = False
+                continue
         if name not in oracles:
             print(f"{name:32s} rows-only: {len(srows)} rows (no oracle)")
             continue

@@ -25,9 +25,23 @@ def main() -> None:
     from magiceye_spark import registry
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Only fully-green rows count as attested: an erred or mismatched driver
+    # row proves the seat RAN, not that it's correct (r10's
+    # embedding_normalize row erred in the driver's canonicalizer and was
+    # counted — the r10 verdict's What's-wrong #2).
     attested: set[str] = set()
+    erred: set[str] = set()
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        attested |= set(json.load(open(f)).keys())
+        for name, row in json.load(open(f)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                attested.add(name)
+            else:
+                erred.add(name)
+    erred -= attested
 
     oracle_backed = sorted(registry.oracles())
     window = list(registry._DRIVER_WINDOW)
@@ -40,6 +54,11 @@ def main() -> None:
                 "oracle_backed": len(oracle_backed),
                 "driver_attested": len(done),
                 "pytest_only": len(pending),
+                # rows-only seats (no oracle) legitimately have None matches;
+                # only oracle-backed seats can be "seated but never green"
+                "never_green_but_seated_before": sorted(
+                    erred & set(oracle_backed)
+                ),
                 "current_window_first_time": sorted(
                     set(window) - attested
                 ),
