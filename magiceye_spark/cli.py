@@ -647,6 +647,13 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     from magiceye_spark import fsops
     from magiceye_spark.session import get_spark
 
+    if args.pq and args.store != "ivf":
+        print(
+            f"ingest: --pq applies to --store ivf only (got --store "
+            f"{args.store}) — refusing to silently ignore it",
+            file=sys.stderr,
+        )
+        return 2
     spark = get_spark("magiceye-ingest")
     spark.sparkContext.setLogLevel("ERROR")
     static = spark.read.parquet(args.src)
@@ -703,13 +710,6 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     else:  # ivf
         from magiceye_spark.llmops import annindex
 
-        if args.pq and not args.out:
-            print(
-                "ingest: --pq needs --out (the admitted sink is the "
-                "exact-cosine rerank source for every later batch)",
-                file=sys.stderr,
-            )
-            return 2
         if exists:
             stored_pq = bool(
                 spark.read.parquet(
@@ -725,12 +725,19 @@ def cmd_ingest(args: argparse.Namespace) -> int:
                 )
                 return 2
         if not exists and args.bootstrap_from:
-            annindex.write_ivf_index(seed, args.store_path, pq=args.pq)
+            # size the quantizer to the seed that trains it — the same
+            # recommend_ivf_params(√n) rule the in-loop cold-start applies;
+            # the fixed 32-cell default is wrong at any serious seed size
+            annindex.write_ivf_index(
+                seed, args.store_path, pq=args.pq,
+                **annindex.recommend_ivf_params(seed.count()),
+            )
         # with no pre-built store and no seed, the loop's cold-start fits
         # the quantizer on the first micro-batch (annindex.streaming_ann_
         # ingest bootstrap contract) — an empty drain just never fires it.
-        # A PQ store's stored ORIGINALS live in --bootstrap-from (seeded
-        # rows) and the --out sink (ingested rows); both feed the rerank.
+        # A PQ store keeps its ORIGINALS itself (the cell-partitioned
+        # rerank table, r11) — --bootstrap-from/--out only feed the rerank
+        # for pre-r11 stores that lack it.
         q = annindex.streaming_ann_ingest(
             spark, args.store_path, stream, args.checkpoint,
             threshold=args.threshold, output_path=args.out,
@@ -931,10 +938,10 @@ def main(argv: list[str] | None = None) -> int:
                        "cold-start; without it the first micro-batch "
                        "fits the quantizer)")
     p_ing.add_argument("--pq", action="store_true",
-                       help="ivf only: bootstrap a product-quantized "
-                       "store (codes-only postings; admission reranks "
-                       "exact cosine from --bootstrap-from and the "
-                       "--out sink, both of which it requires)")
+                       help="ivf only (exit 2 otherwise): bootstrap a "
+                       "product-quantized store — codes-only postings "
+                       "are probed; admission reranks exact cosine from "
+                       "the store's own cell-partitioned rerank table")
     p_ing.add_argument("--threshold", type=float, default=0.95,
                        help="ivf cosine admission threshold")
     p_ing.add_argument("--compact-every", type=int,

@@ -1535,22 +1535,32 @@ def ann_admit_indexed_exact_q(spark, sf_dir):
     ).select("vec_id")
 
 
-# batch-SEQUENTIAL oracle for the continuous ingest LOOP: admission of
+# batch-SEQUENTIAL oracle stage for a continuous ingest LOOP: admission of
 # batch 1 against the seed store, then admission of batch 2 against
-# seed ∪ admitted₁ — two chained recursive closures, each the
+# seed ∪ admitted₁ — chained recursive closures, each the
 # _SQL_ANN_ADMIT_EXACT rule. The cross-batch plant (a copy of a batch-1
 # row arriving in batch 2) is rejected ONLY IF the loop carried batch 1's
 # admissions into the store — the property no single-call admission row
-# can attest.
-def _loop_stage(k: str, prev_store: str, batch: str) -> str:
+# can attest. Shared by all three stores' loop oracles: only the id
+# column, the payload column, and the near-dup predicate (a./b. aliased)
+# differ per modality.
+def _loop_stage(
+    k: str,
+    prev_store: str,
+    batch: str,
+    id_col: str = "vec_id",
+    payload: str = "embedding",
+    pred: str | None = None,
+) -> str:
+    pred = pred if pred is not None else f"{_ANN_ADMIT_COS} >= 0.95"
     return f"""
 u{k} AS (SELECT * FROM {prev_store} UNION ALL SELECT * FROM {batch}),
 p{k} AS (
-  SELECT a.vec_id AS pa, b.vec_id AS pb
-  FROM u{k} a JOIN u{k} b ON a.vec_id < b.vec_id
-  WHERE (a.vec_id IN (SELECT vec_id FROM {batch})
-         OR b.vec_id IN (SELECT vec_id FROM {batch}))
-    AND {_ANN_ADMIT_COS} >= 0.95
+  SELECT a.{id_col} AS pa, b.{id_col} AS pb
+  FROM u{k} a JOIN u{k} b ON a.{id_col} < b.{id_col}
+  WHERE (a.{id_col} IN (SELECT {id_col} FROM {batch})
+         OR b.{id_col} IN (SELECT {id_col} FROM {batch}))
+    AND {pred}
 ),
 e{k} AS (SELECT pa AS a, pb AS b FROM p{k} UNION SELECT pb, pa FROM p{k}),
 r{k}(node, comp) AS (
@@ -1561,7 +1571,7 @@ r{k}(node, comp) AS (
 c{k} AS (SELECT node, MIN(comp) AS comp_id FROM r{k} GROUP BY node),
 l{k} AS (
   SELECT node, comp_id,
-         (node IN (SELECT vec_id FROM {prev_store})) AS stored
+         (node IN (SELECT {id_col} FROM {prev_store})) AS stored
   FROM c{k}
 ),
 v{k} AS (
@@ -1576,8 +1586,8 @@ rej{k} AS (
     AND (v.has_existing = 1 OR l.node <> v.min_incoming)
 ),
 a{k} AS (
-  SELECT vec_id, embedding FROM {batch}
-  WHERE vec_id NOT IN (SELECT node FROM rej{k})
+  SELECT {id_col}, {payload} FROM {batch}
+  WHERE {id_col} NOT IN (SELECT node FROM rej{k})
 )"""
 
 
@@ -1648,28 +1658,222 @@ def ann_ingest_loop_exact_q(spark, sf_dir):
 
     base = _ann_index_path(sf_dir) + "_loop"
     shutil.rmtree(base, ignore_errors=True)  # fresh store/checkpoint per run
-    store, src = os.path.join(base, "store"), os.path.join(base, "src")
+    store = os.path.join(base, "store")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
     annindex.write_ivf_index(emb.where(F.col("vec_id") < 200), store, n_centroids=8)
-    for i, b in enumerate((b1, b2)):
-        b.coalesce(1).write.mode("append").parquet(src)
-        # pin arrival order: the file source takes oldest-mtime first and
-        # sequential writes can land in the same clock tick
-        for f in os.listdir(src):
-            p = os.path.join(src, f)
-            if os.path.getmtime(p) > 1_000_000_000:
-                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
-    stream = (
-        spark.readStream.schema(b1.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
+    stream = _loop_batches_to_stream(spark, base, (b1, b2))
     q = annindex.streaming_ann_ingest(
         spark, store, stream, ckpt, threshold=0.95, n_probe=8, output_path=out
     )
     drain(q, 600)
     return spark.read.parquet(out).select(
         F.col("vec_id").cast("bigint").alias("vec_id")
+    )
+
+
+def _loop_batches_to_stream(spark, base: str, batches) -> "DataFrame":
+    """Write micro-batches as separate files with PINNED mtimes (the file
+    source takes oldest-first; sequential writes can land in one clock
+    tick) and return the file-source stream — the keyed-tempdir pattern
+    shared by all three ingest-loop driver rows."""
+    import os
+    import shutil
+
+    src = os.path.join(base, "src")
+    shutil.rmtree(src, ignore_errors=True)
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.mode("append").parquet(src)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if os.path.getmtime(p) > 1_000_000_000:
+                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+    return (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+
+# MinHash-loop oracle: word-3-gram shingle sets (the same construction the
+# containment twin validates against dedup._shingle_hashes) and exact
+# set Jaccard >= 0.7 (the store default). The Spark loop verifies Jaccard
+# over xxhash64-HASHED shingles and generates candidates by LSH banding —
+# both deterministic; at this corpus the banded candidates cover every
+# >=0.7 pair and the 31-bit hashes are collision-free on the compared
+# sets (pre-validated at the driver's own sf0.01), so the hash check is
+# exact HERE while the banding stays an approximation in general (why the
+# one-shot MinHash admission rows are rows-only: their statement is about
+# any corpus; this row's statement is the LOOP carrying state across
+# batches, checked on the driver's corpus).
+_SIG_TOKS = "regexp_split_to_array(TRIM(LOWER(text)), '\\s+')"
+_SIG_JACC = (
+    "LENGTH(list_intersect(a.sh, b.sh)) / "
+    "CAST(LENGTH(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.7"
+)
+_SQL_SIG_INGEST_LOOP = f"""
+WITH RECURSIVE
+tok AS (SELECT doc_id, {_SIG_TOKS} AS toks FROM documents),
+shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(LENGTH(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM tok
+),
+seed AS (SELECT doc_id, sh FROM shingled WHERE doc_id < 200),
+b1 AS (
+  SELECT doc_id, sh FROM shingled WHERE doc_id >= 200 AND doc_id < 350
+  UNION ALL
+  SELECT doc_id + 10000000, sh FROM shingled WHERE doc_id < 5
+),
+b2 AS (
+  SELECT doc_id, sh FROM shingled WHERE doc_id >= 350
+  UNION ALL
+  SELECT doc_id + 20000000, sh FROM shingled WHERE doc_id = 210
+  UNION ALL
+  SELECT doc_id + 21000000, sh FROM shingled WHERE doc_id = 400
+  UNION ALL
+  SELECT doc_id + 22000000, sh FROM shingled WHERE doc_id = 400
+),
+{_loop_stage("1", "seed", "b1", id_col="doc_id", payload="sh", pred=_SIG_JACC)},
+s1 AS (SELECT * FROM seed UNION ALL SELECT * FROM a1),
+{_loop_stage("2", "s1", "b2", id_col="doc_id", payload="sh", pred=_SIG_JACC)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM a1
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM a2
+"""
+
+
+@register("sig_ingest_loop_exact", _SQL_SIG_INGEST_LOOP)
+def sig_ingest_loop_exact_q(spark, sf_dir):
+    """The continuous MinHash-ingest LOOP hash-checked end-to-end (r11,
+    verdict ask #5 — the technique ann_ingest_loop_exact proved, applied
+    to the text store): two micro-batches drain through
+    sigstore.streaming_dedup_ingest and the union of the admitted sinks
+    must match a batch-SEQUENTIAL double recursive-CTE oracle over exact
+    shingle-set Jaccard. Plants: exact copies of STORED docs in batch 1
+    (rejected by the store), a copy of a batch-1 doc arriving in batch 2
+    (rejected only because the loop appended batch 1's signatures — the
+    loop property), and a batch-2 twin pair of which only the min id
+    survives."""
+    import os
+    import shutil
+
+    from magiceye_spark.llmops import sigstore
+    from magiceye_spark.streaming import drain
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def plant(cond, offset):
+        return docs.where(cond).select(
+            (F.col("doc_id") + offset).alias("doc_id"), "text"
+        )
+
+    b1 = docs.where(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 350)
+    ).unionByName(plant(F.col("doc_id") < 5, 10_000_000))
+    b2 = (
+        docs.where(F.col("doc_id") >= 350)
+        .unionByName(plant(F.col("doc_id") == 210, 20_000_000))
+        .unionByName(plant(F.col("doc_id") == 400, 21_000_000))
+        .unionByName(plant(F.col("doc_id") == 400, 22_000_000))
+    )
+    base = _ann_index_path(sf_dir) + "_sigloop"
+    shutil.rmtree(base, ignore_errors=True)  # fresh store/checkpoint per run
+    store, out = os.path.join(base, "store"), os.path.join(base, "out")
+    sigstore.write_minhash_index(docs.where(F.col("doc_id") < 200), store)
+    stream = _loop_batches_to_stream(spark, base, (b1, b2))
+    q = sigstore.streaming_dedup_ingest(
+        spark, store, stream, os.path.join(base, "ckpt"), output_path=out
+    )
+    drain(q, 600)
+    return spark.read.parquet(out).select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+
+
+# Hamming-loop oracle: the SAME dHash string the phash twins derive in SQL
+# (multimodal._SQL_PHASH_CTES) and hamming <= 3 — the 4×16-bit pigeonhole
+# banding is LOSSLESS at that threshold, so unlike the MinHash loop this
+# oracle carries no candidate-coverage caveat at any corpus.
+_HAM_PRED = "hamming(a.h, b.h) <= 3"
+_SQL_HAM_INGEST_LOOP = multimodal._SQL_PHASH_CTES.replace(  # noqa: SLF001
+    "WITH padded", "WITH RECURSIVE padded", 1
+) + f""",
+seed AS (SELECT media_id AS doc_id, h FROM hs WHERE media_id < 350),
+b1 AS (
+  SELECT media_id AS doc_id, h FROM hs WHERE media_id >= 350 AND media_id < 430
+  UNION ALL
+  SELECT media_id + 10000000, h FROM hs WHERE media_id < 5
+),
+b2 AS (
+  SELECT media_id AS doc_id, h FROM hs WHERE media_id >= 430
+  UNION ALL
+  SELECT media_id + 20000000, h FROM hs WHERE media_id = 360
+  UNION ALL
+  SELECT media_id + 21000000, h FROM hs WHERE media_id = 470
+  UNION ALL
+  SELECT media_id + 22000000, h FROM hs WHERE media_id = 470
+),
+{_loop_stage("1", "seed", "b1", id_col="doc_id", payload="h", pred=_HAM_PRED)},
+s1 AS (SELECT * FROM seed UNION ALL SELECT * FROM a1),
+{_loop_stage("2", "s1", "b2", id_col="doc_id", payload="h", pred=_HAM_PRED)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM a1
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM a2
+"""
+
+
+@register("ham_ingest_loop_exact", _SQL_HAM_INGEST_LOOP)
+def ham_ingest_loop_exact_q(spark, sf_dir):
+    """The continuous Hamming-ingest LOOP hash-checked end-to-end (r11,
+    verdict ask #5): two micro-batches of PRE-SIGNED dHash frames drain
+    through hamstore.streaming_hamming_ingest (sign_fn=identity — the
+    signing pass itself is attested by the phash rows; this row attests
+    the admission/append loop carrying state across batches) vs the
+    batch-SEQUENTIAL recursive-CTE oracle at the production banding,
+    which is lossless for hamming <= 3. Plants mirror the sibling loop
+    rows: stored twins in batch 1, a batch-1 twin in batch 2 (the loop
+    property), and an intra-batch-2 twin pair."""
+    import os
+    import shutil
+
+    from magiceye_spark.llmops import hamstore
+    from magiceye_spark.streaming import drain
+
+    sig_cols = ["doc_id", "bits", "band0", "band1", "band2", "band3"]
+    sigs = multimodal.phash_signatures(
+        multimodal.synth_media(spark, sf_dir)
+    ).select(*sig_cols)
+
+    def plant(cond, offset):
+        return sigs.where(cond).select(
+            (F.col("doc_id") + offset).alias("doc_id"), *sig_cols[1:]
+        )
+
+    b1 = sigs.where(
+        (F.col("doc_id") >= 350) & (F.col("doc_id") < 430)
+    ).unionByName(plant(F.col("doc_id") < 5, 10_000_000))
+    b2 = (
+        sigs.where(F.col("doc_id") >= 430)
+        .unionByName(plant(F.col("doc_id") == 360, 20_000_000))
+        .unionByName(plant(F.col("doc_id") == 470, 21_000_000))
+        .unionByName(plant(F.col("doc_id") == 470, 22_000_000))
+    )
+    base = _ann_index_path(sf_dir) + "_hamloop"
+    shutil.rmtree(base, ignore_errors=True)  # fresh store/checkpoint per run
+    store, out = os.path.join(base, "store"), os.path.join(base, "out")
+    hamstore.write_hamming_index(
+        sigs.where(F.col("doc_id") < 350), store, kind="phash"
+    )
+    stream = _loop_batches_to_stream(spark, base, (b1, b2))
+    q = hamstore.streaming_hamming_ingest(
+        spark, store, stream, os.path.join(base, "ckpt"), kind="phash",
+        sign_fn=lambda df: df, output_path=out,
+    )
+    drain(q, 600)
+    return spark.read.parquet(out).select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
     )
 
 
@@ -1708,6 +1912,115 @@ def pq_ann_admit_indexed_exact_q(spark, sf_dir):
     return annindex.delta_ann_admit_indexed(
         idx, batch, threshold=0.95, n_probe=8, rerank=stored
     ).select("vec_id")
+
+
+@register("pq_ann_admit_store_exact", _SQL_ANN_ADMIT_EXACT)
+def pq_ann_admit_store_exact_q(spark, sf_dir):
+    """The r11 PQ-admission production path under the SAME exhaustive
+    oracle as `pq_ann_admit_indexed_exact`, with rerank=None: exact
+    cosine is verified from the store's OWN cell-partitioned originals
+    table, whose scan the plan prunes to the probed cells exactly like
+    the code postings (the r10 verdict's one scale flag, closed — the
+    pre-r11 path assembled and deduplicated the full external corpus per
+    batch). Identical verdicts to the external-rerank row prove the
+    pruned table covers every stored candidate."""
+    from magiceye_spark.llmops import annindex
+
+    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
+
+    def plant(cond, offset):
+        return emb.where(cond).select(
+            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+        )
+
+    batch = (
+        emb.where(F.col("vec_id") >= 350)
+        .unionByName(plant(F.col("vec_id") < 10, 10_000_000))
+        .unionByName(plant(F.col("vec_id") == 400, 20_000_000))
+        .unionByName(plant(F.col("vec_id") == 400, 21_000_000))
+    )
+    idx = annindex.write_ivf_index(
+        emb.where(F.col("vec_id") < 350),
+        _ann_index_path(sf_dir) + "_pqadmit_store",
+        pq=True, n_centroids=8,
+    )
+    return annindex.delta_ann_admit_indexed(
+        idx, batch, threshold=0.95, n_probe=8
+    ).select("vec_id")
+
+
+_SQL_ANN_COLD_START_LOOP = f"""
+WITH RECURSIVE
+seed AS (SELECT vec_id, embedding FROM embeddings WHERE 1 = 0),
+b1 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+  UNION ALL
+  SELECT vec_id + 5000000, embedding FROM embeddings WHERE vec_id = 7
+),
+b2 AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 300
+  UNION ALL
+  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id < 5
+  UNION ALL
+  SELECT vec_id + 21000000, embedding FROM embeddings WHERE vec_id = 400
+  UNION ALL
+  SELECT vec_id + 22000000, embedding FROM embeddings WHERE vec_id = 400
+),
+{_loop_stage("1", "seed", "b1")},
+s1 AS (SELECT * FROM seed UNION ALL SELECT * FROM a1),
+{_loop_stage("2", "s1", "b2")}
+SELECT CAST(vec_id AS BIGINT) AS vec_id FROM a1
+UNION ALL
+SELECT CAST(vec_id AS BIGINT) AS vec_id FROM a2
+"""
+
+
+@register("ann_cold_start_loop_exact", _SQL_ANN_COLD_START_LOOP)
+def ann_cold_start_loop_exact_q(spark, sf_dir):
+    """The r11 COLD-START semantics hash-checked end-to-end: the loop
+    starts with NO store (bootstrap fits the quantizer on batch 0) and
+    the oracle's initial store is EMPTY — so batch 0's verdicts are the
+    normal admission rule against nothing (intra-batch twin keeps its
+    min id; r10's wholesale-admission contract would keep both and
+    hash-mismatch here). Batch 1 plants twins of batch-0 rows, rejected
+    only because the bootstrap appended batch 0's admissions — the
+    cold-start loop property. Exhaustive probing as in the sibling loop
+    rows."""
+    import os
+    import shutil
+
+    from magiceye_spark.llmops import annindex
+    from magiceye_spark.streaming import drain
+
+    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
+
+    def plant(cond, offset):
+        return emb.where(cond).select(
+            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+        )
+
+    b1 = emb.where(F.col("vec_id") < 300).unionByName(
+        plant(F.col("vec_id") == 7, 5_000_000)
+    )
+    b2 = (
+        emb.where(F.col("vec_id") >= 300)
+        .unionByName(plant(F.col("vec_id") < 5, 10_000_000))
+        .unionByName(plant(F.col("vec_id") == 400, 21_000_000))
+        .unionByName(plant(F.col("vec_id") == 400, 22_000_000))
+    )
+    base = _ann_index_path(sf_dir) + "_coldloop"
+    shutil.rmtree(base, ignore_errors=True)  # fresh store/checkpoint per run
+    store, out = os.path.join(base, "store"), os.path.join(base, "out")
+    stream = _loop_batches_to_stream(spark, base, (b1, b2))
+    q = annindex.streaming_ann_ingest(
+        spark, store, stream, os.path.join(base, "ckpt"),
+        threshold=0.95, n_probe=8, output_path=out,
+        bootstrap={"n_centroids": 8},
+    )
+    drain(q, 600)
+    return spark.read.parquet(out).select(
+        F.col("vec_id").cast("bigint").alias("vec_id")
+    )
 
 
 @register("chunk_documents", textstats.sql_chunk_documents(chunk_chars=512, overlap=64))

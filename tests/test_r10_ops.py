@@ -174,15 +174,23 @@ def _embs(spark, sf_dir):
 
 
 def test_pq_admission_requires_rerank(spark, sf_dir, tmp_path):
+    """A PRE-r11 PQ store (no rerank table) still refuses rerank-less
+    admission — silently verifying against ADC distances would admit
+    duplicates. r11 stores default to their own rerank table instead
+    (tests/test_r11_ops.py)."""
+    import shutil
+
     from pyspark.sql import functions as F
 
     from magiceye_spark.llmops import annindex
 
     emb = _embs(spark, sf_dir)
-    idx = annindex.write_ivf_index(
+    annindex.write_ivf_index(
         emb.where(F.col("vec_id") < 200), str(tmp_path / "pq"),
         pq=True, n_centroids=8,
     )
+    shutil.rmtree(str(tmp_path / "pq" / "rerank"))  # pre-r11 store shape
+    idx = annindex.read_ivf_index(spark, str(tmp_path / "pq"))
     with pytest.raises(ValueError, match="rerank"):
         annindex.delta_ann_admit_indexed(
             idx, emb.where(F.col("vec_id") >= 200), threshold=0.95
@@ -255,9 +263,11 @@ def test_pq_admission_missing_rerank_row_raises(spark, sf_dir, tmp_path):
 # ------------------------------------ IVF ingest cold-start (bootstrap)
 
 def test_streaming_ann_ingest_cold_start_flat(spark, sf_dir, tmp_path):
-    """No index at path + bootstrap= → batch 0 fits the quantizer and is
-    admitted wholesale; batches 1+ admit normally (twins of batch-0 rows
-    rejected). Store rows = batch0 + Σ admitted."""
+    """No index at path + bootstrap= → batch 0 fits the quantizer on the
+    WHOLE batch and is admitted through the NORMAL rule against the empty
+    store (r11 triad parity: an intra-batch twin pair keeps only its
+    min-id member — r10 admitted batch 0 wholesale); batches 1+ admit
+    normally (twins of batch-0 rows rejected). Store rows = Σ admitted."""
     from pyspark.sql import functions as F
 
     from magiceye_spark.llmops import annindex
@@ -265,7 +275,12 @@ def test_streaming_ann_ingest_cold_start_flat(spark, sf_dir, tmp_path):
 
     emb = _embs(spark, sf_dir)
     src = str(tmp_path / "src")
-    b0 = emb.where(F.col("vec_id") < 300)
+    b0 = emb.where(F.col("vec_id") < 300).unionByName(
+        # intra-batch twin INSIDE the first drop: only vec_id 7 survives
+        emb.where(F.col("vec_id") == 7).select(
+            (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+        )
+    )
     b1 = emb.where(F.col("vec_id") >= 300).unionByName(
         emb.where(F.col("vec_id") < 10).select(
             (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
@@ -290,7 +305,8 @@ def test_streaming_ann_ingest_cold_start_flat(spark, sf_dir, tmp_path):
     sink_ids = {
         r["vec_id"] for r in spark.read.parquet(out).select("vec_id").collect()
     }
-    assert set(range(300)) <= sink_ids          # batch 0 admitted wholesale
+    assert set(range(300)) <= sink_ids   # batch-0 originals all admitted
+    assert 5_000_007 not in sink_ids     # intra-batch-0 twin: min id kept
     assert all(1_000_000 + i not in sink_ids for i in range(10))  # dups rejected
     assert idx.postings.count() == len(sink_ids)
 
@@ -312,10 +328,11 @@ def test_streaming_ann_ingest_cold_start_requires_bootstrap(spark, sf_dir, tmp_p
 
 def test_streaming_ann_ingest_pq_loop(spark, sf_dir, tmp_path):
     """The CONTINUOUS loop over a PQ store: cold-start fits IVF-PQ on
-    batch 0, later batches rerank exact cosine from the admitted sink
-    (rerank source = output_path accumulation — no originals inside the
-    store). Twins of batch-0 AND batch-1 rows must be rejected in batch
-    2, proving the rerank source grows with the sink."""
+    batch 0, later batches rerank exact cosine from the store's own
+    cell-partitioned originals table (r11; the probed artifact stays the
+    codes-only postings). Twins of batch-0 AND batch-1 rows must be
+    rejected in batch 2, proving the rerank source grows with the
+    admitted set."""
     from pyspark.sql import functions as F
 
     from magiceye_spark.llmops import annindex
@@ -364,18 +381,46 @@ def test_streaming_ann_ingest_pq_loop(spark, sf_dir, tmp_path):
     assert idx.postings.count() == len(sink_ids)
 
 
-def test_streaming_ann_ingest_pq_requires_output_path(spark, sf_dir, tmp_path):
+def test_streaming_ann_ingest_pq_self_contained_without_output_path(
+    spark, sf_dir, tmp_path
+):
+    """r11: a PQ store keeps its own cell-partitioned originals (rerank
+    table), so the loop no longer requires output_path — admission of
+    batch 1 verifies exact cosine from the store itself. A twin of a
+    batch-0 row must still be rejected with no sink configured at all."""
+    from pyspark.sql import functions as F
+
     from magiceye_spark.llmops import annindex
+    from magiceye_spark.streaming import drain
 
     emb = _embs(spark, sf_dir)
     src = str(tmp_path / "src")
-    emb.limit(20).coalesce(1).write.parquet(src)
-    stream = spark.readStream.schema(emb.schema).parquet(src)
-    with pytest.raises(ValueError, match="output_path"):
-        annindex.streaming_ann_ingest(
-            spark, str(tmp_path / "pq"), stream, str(tmp_path / "ckpt"),
-            bootstrap={"pq": True},
+    b0 = emb.where(F.col("vec_id") < 200)
+    b1 = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 300)).unionByName(
+        emb.where(F.col("vec_id") == 20).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
         )
+    )
+    for b in (b0, b1):
+        b.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    store = str(tmp_path / "pq")
+    q = annindex.streaming_ann_ingest(
+        spark, store, stream, str(tmp_path / "ckpt"),
+        threshold=0.95, n_probe=8,
+        bootstrap={"pq": True, "n_centroids": 8},
+    )
+    drain(q, 600)
+    idx = annindex.read_ivf_index(spark, store)
+    assert idx.pq and idx.rerank is not None
+    ids = {r["vec_id"] for r in idx.postings.select("vec_id").collect()}
+    assert 1_000_020 not in ids and {20, 250} <= ids
+    # originals table tracks the postings row-for-row
+    assert idx.rerank.count() == idx.postings.count()
 
 
 def test_recommend_ivf_params_and_autosized_cold_start(spark, sf_dir, tmp_path):

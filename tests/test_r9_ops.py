@@ -218,20 +218,34 @@ def test_streaming_ann_ingest_invariants(spark, sf_dir, tmp_path):
     ) == 0
 
 
-def test_delta_ann_admit_rejects_pq_store(spark, sf_dir, tmp_path):
-    import pytest as _pytest
-
+def test_delta_ann_admit_pq_store_verifies_exactly(spark, sf_dir, tmp_path):
+    """Historically (r9) a PQ store REFUSED rerank-less admission; since
+    r11 the store carries its own originals, so the default succeeds —
+    but it must still verify EXACT cosine, never ADC estimates: admission
+    against the PQ store equals admission against its flat twin. (The
+    refusal contract survives for pre-r11 stores —
+    test_r10_ops.test_pq_admission_requires_rerank.)"""
     from magiceye_spark.llmops import annindex
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
-    idx = annindex.write_ivf_index(
-        emb.where(F.col("vec_id") < 100), str(tmp_path / "pq"), pq=True,
-        n_centroids=8,
+    stored, batch = emb.where(F.col("vec_id") < 100), emb.where(
+        F.col("vec_id") >= 100
     )
-    with _pytest.raises(ValueError, match="PQ index"):
-        annindex.delta_ann_admit_indexed(idx, emb.where(F.col("vec_id") >= 100))
+    pq = annindex.write_ivf_index(
+        stored, str(tmp_path / "pq"), pq=True, n_centroids=8
+    )
+    flat = annindex.write_ivf_index(stored, str(tmp_path / "flat"), n_centroids=8)
+    a = sorted(
+        r["vec_id"]
+        for r in annindex.delta_ann_admit_indexed(pq, batch).collect()
+    )
+    b = sorted(
+        r["vec_id"]
+        for r in annindex.delta_ann_admit_indexed(flat, batch).collect()
+    )
+    assert a == b and a
 
 
 def test_streaming_ingest_compact_every(spark, sf_dir, tmp_path):

@@ -516,3 +516,103 @@ def test_ann_ingest_loop_matches_sequential_python_reference(spark, corpus, tmp_
         expected += sorted(admitted)
         stored |= admitted
     assert got == sorted(expected)
+
+
+@given(corpus=EMB_CORPUS3)
+@_loop_settings
+def test_ann_ingest_cold_start_matches_sequential_python_reference(
+    spark, corpus, tmp_path_factory
+):
+    """r11: the COLD-START loop (no pre-built store) vs the same python
+    union-find reference with an EMPTY initial store — batch 0 must run
+    through the normal admission rule (intra-batch min-id survivor per
+    near-dup component), not be admitted wholesale, matching the
+    sigstore/hamstore bootstrap-from-empty semantics. All three arrival
+    groups stream as micro-batches; exhaustive probing
+    (n_probe = n_centroids = 2)."""
+    import math
+    import os
+
+    from magiceye_spark.llmops import annindex
+    from magiceye_spark.streaming import drain
+
+    groups = [[i for i, (_, g) in enumerate(corpus) if g == k] for k in (0, 1, 2)]
+    if len(groups[0]) < 2 or not groups[1] or not groups[2]:
+        return
+    rows = [(i, [float(x) for x in v], g) for i, (v, g) in enumerate(corpus)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, _g int"
+    )
+    tmp = str(tmp_path_factory.mktemp("anncold"))
+    src, store, out = (os.path.join(tmp, d) for d in ("src", "store", "out"))
+    for k in (0, 1, 2):
+        emb.where(F.col("_g") == k).drop("_g").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        for f in os.listdir(src):
+            p = os.path.join(src, f)
+            if os.path.getmtime(p) > 1_000_000_000:
+                os.utime(p, (1_000_000_000 + k, 1_000_000_000 + k))
+    stream = (
+        spark.readStream.schema(emb.drop("_g").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = annindex.streaming_ann_ingest(
+        spark, store, stream, os.path.join(tmp, "ck"),
+        threshold=0.95, n_probe=2, output_path=out,
+        bootstrap={"n_centroids": 2},
+    )
+    drain(q, 400)
+    got = sorted(
+        r["vec_id"]
+        for r in spark.read.parquet(out).select("vec_id").collect()
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(x * x for x in b))
+            ),
+            6,
+        )
+
+    vecs = {i: [float(x) for x in v] for i, (v, _) in enumerate(corpus)}
+
+    def admit(stored, batch):
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        nodes = stored | batch
+        for a in nodes:
+            for b in nodes:
+                if a < b and cos(vecs[a], vecs[b]) >= 0.95:
+                    parent[find(a)] = find(b)
+        comps: dict = {}
+        for x in list(parent):
+            comps.setdefault(find(x), set()).add(x)
+        rejected = set()
+        for members in comps.values():
+            inc = members & batch
+            if members & stored:
+                rejected |= inc
+            elif inc:
+                rejected |= inc - {min(inc)}
+        return batch - rejected
+
+    stored: set = set()  # EMPTY store — batch 0 dedups against itself only
+    expected = []
+    for ids in groups:
+        admitted = admit(stored, set(ids))
+        expected += sorted(admitted)
+        stored |= admitted
+    assert got == sorted(expected)
