@@ -169,6 +169,9 @@ FAMILY_BASELINE = {
     "sigstore_ingest_loop": 16.00,
     "hamstore_ingest_loop": 30.00,
     "annindex_ingest_loop": 18.00,
+    # r11: PQ loop over the store-side cell-partitioned rerank table
+    # (committed from first local measurement; cold-run convention)
+    "annindex_pq_ingest_loop": 24.00,
     "cdc_chunk_near_dups": 1.59,  # was 11.21 (chunking pass now spread)
     # stats family, committed from a clean solo run at sf0.1 (late r6)
     "snm_near_dups": 8.68,  # two-phase global rank + n·window bucket join
@@ -192,6 +195,7 @@ EXTRA_SEATS = {
     "sigstore_ingest_loop",    # _bench_ingest_loops: 3-batch streaming drains
     "hamstore_ingest_loop",
     "annindex_ingest_loop",
+    "annindex_pq_ingest_loop",
 }
 
 
@@ -299,6 +303,29 @@ def _bench_ingest_loops(spark, sf_dir: str, out: dict[str, float]) -> None:
     )
     drain(q, 600)
     out["annindex_ingest_loop"] = round(_t.perf_counter() - t0, 3)
+
+    # PQ variant (r11): the loop whose per-batch rerank assembly was the
+    # r10 verdict's one scale flag — now reading the store's own
+    # cell-partitioned originals, pruned to the probed cells. Seeded
+    # store (cold-start is a correctness row, not a steady-state cost);
+    # same 3 growing-store batches as the flat seat, so the two walls
+    # isolate the rerank stage's cost.
+    annindex.write_ivf_index(
+        emb.where(F.col("vec_id") < e_seed_hi), f"{root}/ivfpq",
+        pq=True, n_centroids=32,
+    )
+    t0 = _t.perf_counter()
+    q = annindex.streaming_ann_ingest(
+        spark,
+        f"{root}/ivfpq",
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(esrc),
+        f"{root}/ckpt_ivfpq",
+        output_path=f"{root}/pq_out",
+    )
+    drain(q, 600)
+    out["annindex_pq_ingest_loop"] = round(_t.perf_counter() - t0, 3)
 
 
 def _bench_ann_indexed(spark, sf_dir: str, out: dict[str, float]) -> None:

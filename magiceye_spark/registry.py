@@ -61,6 +61,52 @@ _DRIVER_WINDOW = [
     # History: r7 swapped 18 seats (~100/229 oracle-backed had a driver row
     # after it); r8 swapped 17 (118/232 cumulative; both plans preserved in
     # git history of this comment).
+    # r11 rotation: 32 seats swapped — every evictee is driver-attested
+    # (green r10) and keeps pytest oracle coverage; every entrant was
+    # pre-validated green at sf0.01 with the local harness, all with
+    # non-zero rows and scalar-typed outputs (the new harness lint rejects
+    # Array/Map/Struct seats — r10's only red row class). Swaps
+    # (evicted → entrant):
+    #   corpus_version_diff → corpus_hash_split3;
+    #     phrase_search → bigram_continuations;
+    #     profile_drift_lineitem → events_key_skew;
+    #     fk_integrity_audit → q11_stock_value;
+    #     source_report_card → supplier_scorecard;
+    #     l_diversity_customers → customer_spend_gini;
+    #     q12_shipmode_priority → q20_excess_stock;
+    #     q16_supplier_counts → nation_trade_matrix;
+    #     fd_audit_orders → pk_candidates_lineitem (FD/PK family);
+    #     events_daily_lag_corr → events_winsorized_stats;
+    #     events_type_corr_matrix → event_transition_matrix;
+    #     events_ohlc_daily → quarterly_revenue_yoy;
+    #     dup_pagerank → user_value_ewma;
+    #     lineitem_bloom_semi → parts_abc_classes;
+    #     chunk_dedup_stats → token_budget_plan;
+    #     events_ks_drift → language_id_confusion;
+    #     events_type_spearman_matrix → session_type_cooccurrence;
+    #     session_concurrency → top_users_per_type;
+    #     cross_source_perplexity → vocab_zipf_slope;
+    #     user_activity_streaks → orders_new_vs_returning;
+    #     media_resize_plan → media_frame_plan;
+    #     repetition_stats → source_hapax_rate;
+    #     doc_rolling_fingerprint → datadiff_changed_partitions;
+    #     corpus_composition → corpus_length_buckets;
+    #     leakage_safe_split → cohort_retention_triangle;
+    #     decontaminated_corpus → boilerplate_ngrams;
+    #     source_mixing_weights → embedding_norm_stats;
+    #     embedding_random_projection → embedding_outlier_scores
+    #   ann_ingest_loop_exact → ann_cold_start_loop_exact (NEW r11: the
+    #     same loop oracle technique but bootstrapping from NO store —
+    #     hash-checks the r11 cold-start batch-0 admission parity)
+    #   sequence_packing → sig_ingest_loop_exact;
+    #     phash_admit_indexed_exact → ham_ingest_loop_exact (NEW r11:
+    #     the other two continuous loops hash-checked end-to-end,
+    #     verdict ask #5 — batch-sequential recursive-CTE oracles over
+    #     shingle Jaccard / dHash hamming)
+    #   phash_dedup_keep → pq_ann_admit_store_exact (NEW r11: admission
+    #     reranked from the store's OWN pruned originals table — the
+    #     production path after the r10 scale-flag fix)
+    #   (embedding_normalize → embedding_normalize_digest recorded below)
     # r10 rotation: 22 seats swapped — every evictee is driver-attested
     # (green r9) and keeps pytest oracle coverage; every entrant was
     # pre-validated green at sf0.01 with the local harness, all with
@@ -132,72 +178,74 @@ _DRIVER_WINDOW = [
     # reference surface: schema diff (S/D/R ops)
     "schema_diff_full",
     "schema_diff_report",
-    # row-level data diff / history / corpus versioning
+    # row-level data diff / history / partition pruning
     "datadiff_lineitem",
     "datadiff_incremental_pruned",
-    "corpus_version_diff",
-    "phrase_search",
-    # profiling / data quality / reconciliation
-    "profile_drift_lineitem",
+    "datadiff_changed_partitions",
+    "schema_rename_candidates",
+    # profiling / data quality / keys
     "dq_lineitem",
-    "fk_integrity_audit",
-    "source_report_card",
-    "l_diversity_customers",
+    "pk_candidates_lineitem",
+    "customer_spend_gini",
     # relational analytics (TPC-H shapes; the rest stay pytest-guarded)
-    "q12_shipmode_priority",
-    "q16_supplier_counts",
-    "fd_audit_orders",
+    "q11_stock_value",
+    "q20_excess_stock",
+    "nation_trade_matrix",
+    "parts_abc_classes",
+    "supplier_scorecard",
+    "orders_new_vs_returning",
+    "quarterly_revenue_yoy",
     "zorder_curve_histogram",
-    # rollups / trends / per-day statistics
-    "events_daily_lag_corr",
-    "events_type_corr_matrix",
-    "events_ohlc_daily",
-    # iterative-graph family: closure + centrality
+    # rollups / trends / per-day / distribution statistics
+    "events_key_skew",
+    "events_winsorized_stats",
+    "event_transition_matrix",
+    "user_value_ewma",
+    "session_type_cooccurrence",
+    "top_users_per_type",
+    "cohort_retention_triangle",
+    # iterative-graph family
     "dup_graph_components",
-    "dup_pagerank",
-    "lineitem_bloom_semi",
-    "chunk_dedup_stats",
+    # streaming twins / drift
     "events_cusum_stream_twin",
-    "events_ks_drift",
-    "events_type_spearman_matrix",
-    # event-stream operators
-    "session_concurrency",
-    "events_debounce",
-    "cross_source_perplexity",
     "events_value_psi_drift",
-    "ann_ingest_loop_exact",
-    "user_activity_streaks",
-    "media_resize_plan",
+    # event-stream operators
+    "events_debounce",
     # JSON property extraction
     "events_props_key_stats",
-    # text analysis / retrieval
-    "schema_rename_candidates",
-    "repetition_stats",
+    # text analysis / retrieval / corpus stats
+    "bigram_continuations",
+    "language_id_confusion",
+    "vocab_zipf_slope",
+    "source_hapax_rate",
+    "boilerplate_ngrams",
     "unicode_dup_clusters",
     "pii_scan",
-    "doc_rolling_fingerprint",
-    # dedup-ladder representative: the Hamming store's hash-checked
-    # admission (containment_near_dups_indexed attested r7/r8, rotated out)
-    "phash_admit_indexed_exact",
-    # pipeline curation / sampling / budgeting / analytics
-    "corpus_composition",
+    # pipeline curation / sampling / budgeting
+    "corpus_hash_split3",
+    "corpus_length_buckets",
+    "token_budget_plan",
     "split_leakage_audit",
-    "leakage_safe_split",
-    "decontaminated_corpus",
-    "sequence_packing",
-    "source_mixing_weights",
-    # similarity search: fit-per-call exact twin + stored-index lifecycle
-    # (probe attested r8; the admission row runs write→read→admit→closure)
-    "embedding_random_projection",
+    # multimodal plumbing
+    "media_frame_plan",
+    # persistent-store triad: ALL THREE continuous ingest loops
+    # hash-checked end-to-end (r11), plus the cold-start loop and both
+    # PQ admission shapes (external rerank carried from r10; the r11
+    # store-side pruned-rerank production path as new surface)
+    "sig_ingest_loop_exact",
+    "ham_ingest_loop_exact",
+    "ann_cold_start_loop_exact",
     "pq_ann_admit_indexed_exact",
-    # bitext mining: exact twin + candidate path under the exact oracle
+    "pq_ann_admit_store_exact",
+    # embedding family: scalar stats + outliers + the normalize digest
     # (r11: embedding_normalize's Array-typed output burned its r10 driver
     # seat on the harness canonicalizer — the scalar digest row replaces it;
     # the array row keeps pytest oracle coverage)
+    "embedding_norm_stats",
+    "embedding_outlier_scores",
     "embedding_normalize_digest",
+    # bitext mining: candidate path under the exact oracle
     "bitext_indexed_exact",
-    # multimodal / Hamming store (store-path pairs attested r8)
-    "phash_dedup_keep",
 ]
 
 
