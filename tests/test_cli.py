@@ -498,9 +498,10 @@ def test_cli_ingest_ivf_pq_from_empty_and_flag_mismatch(spark, tmp_path, capsys)
     b0.coalesce(1).write.mode("append").parquet(str(src))
     b1.coalesce(1).write.mode("append").parquet(str(src))
     store, out = tmp_path / "pq", tmp_path / "admitted"
-    # --pq without --out refuses up front
+    # --pq on a non-ivf store refuses up front (r11: previously silently
+    # ignored — a user asking for a PQ store got a non-PQ ingest, exit 0)
     rc = cli.main([
-        "ingest", str(src), str(store), "--store", "ivf", "--pq",
+        "ingest", str(src), str(store), "--store", "minhash", "--pq",
         "--checkpoint", str(tmp_path / "ck0"),
     ])
     assert rc == 2
