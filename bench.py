@@ -169,9 +169,12 @@ FAMILY_BASELINE = {
     "sigstore_ingest_loop": 16.00,
     "hamstore_ingest_loop": 30.00,
     "annindex_ingest_loop": 18.00,
-    # r11: PQ loop over the store-side cell-partitioned rerank table
-    # (committed from first local measurement; cold-run convention)
-    "annindex_pq_ingest_loop": 24.00,
+    # r11: PQ loop over the store-side cell-partitioned rerank table —
+    # admission + PQ encode + TWO lockstep appends (codes + originals)
+    # per batch, so ~2× the flat loop's wall at the same batch sizes.
+    # Committed at the measured cold first run (33.44 s), cold-run
+    # convention like the other loop seats.
+    "annindex_pq_ingest_loop": 33.44,
     "cdc_chunk_near_dups": 1.59,  # was 11.21 (chunking pass now spread)
     # stats family, committed from a clean solo run at sf0.1 (late r6)
     "snm_near_dups": 8.68,  # two-phase global rank + n·window bucket join
