@@ -724,6 +724,23 @@ def cmd_ingest(args: argparse.Namespace) -> int:
                     file=sys.stderr,
                 )
                 return 2
+            if args.pq and not fsops.fs_exists(
+                spark, _os.path.join(args.store_path, "rerank")
+            ) and not args.bootstrap_from:
+                # pre-r11 PQ store: its originals live OUTSIDE the store
+                # (the corpus it was seeded from), so resuming without
+                # that corpus would raise_error mid-stream the moment a
+                # seed-era candidate needs exact-cosine verification —
+                # refuse up front instead (the r10 advice's resume trap)
+                print(
+                    f"ingest: PQ store at {args.store_path} predates the "
+                    "in-store rerank table and needs its original seed "
+                    "corpus — pass --bootstrap-from <seed parquet> to "
+                    "resume (r11+ stores carry their originals and "
+                    "resume without it)",
+                    file=sys.stderr,
+                )
+                return 2
         if not exists and args.bootstrap_from:
             # size the quantizer to the seed that trains it — the same
             # recommend_ivf_params(√n) rule the in-loop cold-start applies;

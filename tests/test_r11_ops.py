@@ -242,3 +242,35 @@ def test_pq_loop_replay_after_add_before_commit(spark, sf_dir, tmp_path):
         r["vec_id"] for r in spark.read.parquet(out).select("vec_id").collect()
     )
     assert sink_ids == clean_post
+
+
+def test_cli_resume_pre_r11_pq_store_requires_seed(spark, sf_dir, tmp_path, capsys):
+    """Resuming a PRE-r11 PQ store (originals outside the store) without
+    --bootstrap-from refuses up front with exit 2 — the r10 advice's
+    resume trap, where admission raise_error'd mid-stream instead. With
+    the seed passed, the same resume drains clean."""
+    from magiceye_spark import cli
+
+    emb = _embs(spark, sf_dir)
+    seed_dir = str(tmp_path / "seed")
+    emb.where(F.col("vec_id") < 200).write.parquet(seed_dir)
+    store = str(tmp_path / "pq")
+    annindex.write_ivf_index(
+        spark.read.parquet(seed_dir), store, pq=True, n_centroids=8
+    )
+    shutil.rmtree(os.path.join(store, "rerank"))  # pre-r11 store shape
+    src = str(tmp_path / "src")
+    emb.where(F.col("vec_id") >= 200).coalesce(1).write.parquet(src)
+    rc = cli.main([
+        "ingest", src, store, "--store", "ivf", "--pq",
+        "--checkpoint", str(tmp_path / "ck0"),
+    ])
+    assert rc == 2
+    assert "--bootstrap-from" in capsys.readouterr().err
+    rc = cli.main([
+        "ingest", src, store, "--store", "ivf", "--pq",
+        "--checkpoint", str(tmp_path / "ck1"), "--out", str(tmp_path / "out"),
+        "--bootstrap-from", seed_dir,
+    ])
+    assert rc == 0
+    assert annindex.read_ivf_index(spark, store).postings.count() > 200
