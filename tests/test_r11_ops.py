@@ -274,3 +274,38 @@ def test_cli_resume_pre_r11_pq_store_requires_seed(spark, sf_dir, tmp_path, caps
     ])
     assert rc == 0
     assert annindex.read_ivf_index(spark, store).postings.count() > 200
+
+
+def test_sig_loop_banding_covers_true_pairs(spark, sf_dir):
+    """The precondition that makes sig_ingest_loop_exact's hash check
+    meaningful on this corpus: the production LSH banding (32 hashes, 8
+    bands) finds EVERY true >=0.7 shingle-Jaccard pair among the
+    documents — so the loop row's banded candidate generation is exact
+    HERE (the oracle's all-pairs closure sees nothing the loop misses).
+    The caveat stays real for arbitrary corpora; this pins it checked,
+    not assumed, for the corpus the driver hashes."""
+    from magiceye_spark.llmops import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sigs = dedup.minhash_signatures(docs, 32, 3).persist()
+    try:
+        banded = dedup._lsh_pairs_from_sigs(sigs, 32, 8, 0.7).select(
+            "doc_a", "doc_b"
+        )
+        a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+        b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+        raw = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+            F.array_union("sh_a", "sh_b")
+        )
+        truth = (
+            a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .where(raw >= 0.7)
+            .select("doc_a", "doc_b")
+        )
+        missing = truth.join(banded, ["doc_a", "doc_b"], "left_anti")
+        assert missing.count() == 0
+        assert truth.count() > 0  # non-vacuous: the corpus has true pairs
+    finally:
+        sigs.unpersist()
