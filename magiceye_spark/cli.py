@@ -726,18 +726,23 @@ def cmd_ingest(args: argparse.Namespace) -> int:
                 return 2
             if args.pq and not fsops.fs_exists(
                 spark, _os.path.join(args.store_path, "rerank")
-            ) and not args.bootstrap_from:
-                # pre-r11 PQ store: its originals live OUTSIDE the store
-                # (the corpus it was seeded from), so resuming without
-                # that corpus would raise_error mid-stream the moment a
-                # seed-era candidate needs exact-cosine verification —
-                # refuse up front instead (the r10 advice's resume trap)
+            ) and not (args.bootstrap_from or args.out):
+                # pre-r11 PQ store: its originals live OUTSIDE the store —
+                # in the corpus it was seeded from AND/OR the admitted
+                # sink of prior ingests (a cold-bootstrapped legacy store
+                # has ONLY the sink). Resuming without both would
+                # raise_error mid-stream the moment a pre-resume candidate
+                # needs exact-cosine verification — refuse up front
+                # instead (the r10 advice's resume trap). --out alone is
+                # enough for cold-bootstrapped legacy stores; seeded ones
+                # need --bootstrap-from for the seed-era rows.
                 print(
                     f"ingest: PQ store at {args.store_path} predates the "
-                    "in-store rerank table and needs its original seed "
-                    "corpus — pass --bootstrap-from <seed parquet> to "
-                    "resume (r11+ stores carry their originals and "
-                    "resume without it)",
+                    "in-store rerank table and needs its originals — pass "
+                    "--bootstrap-from <seed parquet> (the seed corpus) "
+                    "and/or --out <prior admitted sink> to resume (r11+ "
+                    "stores carry their originals and resume without "
+                    "either)",
                     file=sys.stderr,
                 )
                 return 2

@@ -249,18 +249,27 @@ def write_ivf_index(
         spark.sparkContext.defaultParallelism, id_col
     )
     if pq:
-        post = _pq_encode(
-            spread, cents, books, m_subvectors, id_col, vec_col, id_alias="vec_id"
-        )
+        # two consumers of the same scan+argmin (codes write, rerank
+        # write) — persist so the source isn't re-scanned and the
+        # CPU-dense centroid assignment isn't re-run per write
+        # (ivf_index_add persists `flat` for the same two-consumer shape)
+        spread.persist()
+        try:
+            _pq_encode(
+                spread, cents, books, m_subvectors, id_col, vec_col,
+                id_alias="vec_id",
+            ).write.mode("overwrite").partitionBy("cell").parquet(
+                os.path.join(path, "postings")
+            )
+            _postings_flat(spread, cents, id_col, vec_col).write.mode(
+                "overwrite"
+            ).partitionBy("cell").parquet(os.path.join(path, "rerank"))
+        finally:
+            spread.unpersist()
     else:
-        post = _postings_flat(spread, cents, id_col, vec_col)
-    post.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "postings")
-    )
-    if pq:
         _postings_flat(spread, cents, id_col, vec_col).write.mode(
             "overwrite"
-        ).partitionBy("cell").parquet(os.path.join(path, "rerank"))
+        ).partitionBy("cell").parquet(os.path.join(path, "postings"))
     return read_ivf_index(spark, path)
 
 
@@ -332,6 +341,17 @@ def ivf_index_add(
     from pyspark.sql import Observation
 
     idx = read_ivf_index(spark, path)
+    if idx.pq and not dedupe_ids:
+        # the rerank-originals append below is anti-joined on id (one
+        # original per vec_id, by definition), so letting the postings
+        # keep duplicate-id rows would silently break the documented
+        # lockstep invariant rerank.count() == postings.count() — and a
+        # duplicated id has no single "the original" for exact rerank.
+        raise ValueError(
+            "dedupe_ids=False is not supported for PQ stores: the "
+            "in-store rerank table is one-row-per-id and must stay "
+            "row-for-row with the postings"
+        )
     id_col, vec_col = idx.params["id_col"], idx.params["vec_col"]
     spread = new_vectors.select(id_col, vec_col).repartition(
         spark.sparkContext.defaultParallelism, id_col
@@ -549,6 +569,7 @@ def delta_ann_pairs_from_index(
     n_probe: int = 8,
     salts: int = 4,
     rerank: DataFrame | None = None,
+    _rerank_cell_aligned: bool = False,
 ) -> DataFrame:
     """Cosine near-dup pairs TOUCHING the batch (batch×stored and
     batch×batch) against a stored index — the one-sided
@@ -581,11 +602,17 @@ def delta_ann_pairs_from_index(
     (vec_id, cell) — candidate SCOPING stays the index's job, the
     ~32×-smaller PQ store is what gets probed — and the rerank join
     recovers embeddings for just the probed cells' ids. When the rerank
-    frame carries a ``cell`` column (the store table does), its scan is
-    statically pruned to the probed cells with the same literal
-    ``isin(cells)`` the postings get — per-batch rerank work is then
-    proportional to the probed slice, not the corpus (the r10 verdict's
-    one scale flag). A stored candidate missing from ``rerank`` raises
+    frame's ``cell`` column is the INDEX's cell assignment — the store's
+    own table (the ``None`` default), or a caller passing
+    ``_rerank_cell_aligned=True`` (the ingest loop's store ∪ batch
+    union, whose batch side is assigned with the index's centroids) —
+    its scan is statically pruned to the probed cells with the same
+    literal ``isin(cells)`` the postings get, so per-batch rerank work
+    is proportional to the probed slice, not the corpus (the r10
+    verdict's one scale flag). An EXTERNAL frame that merely happens to
+    carry a ``cell`` column is NOT pruned by it (the column is dropped:
+    unrelated values would silently over-prune stored ids).
+    A stored candidate missing from ``rerank`` raises
     inside the plan (a silently dropped edge would admit a duplicate).
     Because :func:`simsearch._pq_fit` derives its coarse quantizer from
     the same :func:`simsearch._ivf_centroids` fit, a PQ index probes the
@@ -600,6 +627,7 @@ def delta_ann_pairs_from_index(
 
     if index.pq and rerank is None:
         rerank = index.rerank
+        _rerank_cell_aligned = True  # the store's own table, by definition
     if index.pq and rerank is None:
         raise ValueError(
             "PQ index: delta admission verifies exact cosine against stored "
@@ -621,11 +649,20 @@ def delta_ann_pairs_from_index(
         # The when/otherwise keeps the raise_error expression REFERENCED
         # (a bare assert_true column would be pruned away by Catalyst).
         rr = rerank
-        if "cell" in rr.columns:
-            # a cell-partitioned rerank source (the store's own table) is
-            # statically pruned to the probed cells — same literal
-            # predicate, same directory-level pruning as the postings
+        if _rerank_cell_aligned and "cell" in rr.columns:
+            # a rerank source whose `cell` column is DECLARED to be the
+            # index's cell assignment (the store's own table, or the
+            # ingest loop's store ∪ batch union where the batch side is
+            # assigned with the index's centroids) is statically pruned
+            # to the probed cells — same literal predicate, same
+            # directory-level pruning as the postings.
             rr = rr.where(F.col("cell").isin(cells))
+        elif "cell" in rr.columns:
+            # an EXTERNAL corpus that happens to carry an unrelated
+            # `cell` column must not be pruned by it (it would silently
+            # drop stored ids and surface as a bogus missing-vec_id
+            # raise_error downstream, not a contract violation)
+            rr = rr.drop("cell")
         stored = (
             index.postings.where(F.col("cell").isin(cells))
             .select("vec_id", "cell")
@@ -717,6 +754,7 @@ def delta_ann_admit_indexed(
     n_probe: int = 8,
     salts: int = 4,
     rerank: DataFrame | None = None,
+    _rerank_cell_aligned: bool = False,
 ) -> DataFrame:
     """Delta-ingest admission against the stored index, closure
     semantics identical to the MinHash and Hamming stores: an incoming
@@ -733,7 +771,8 @@ def delta_ann_admit_indexed(
 
     id_col = index.params["id_col"]
     pairs = delta_ann_pairs_from_index(
-        index, new_vectors, threshold, n_probe, salts, rerank=rerank
+        index, new_vectors, threshold, n_probe, salts, rerank=rerank,
+        _rerank_cell_aligned=_rerank_cell_aligned,
     )
     rejected = indexed_admission_rejects(
         pairs.select("doc_a", "doc_b"),
@@ -832,8 +871,11 @@ def streaming_ann_ingest(
         return batch_df.select(idx_params["id_col"], idx_params["vec_col"])
 
     def _rerank_frame(idx: IvfIndex, batch_df: DataFrame, batch_id: int):
+        """Returns (frame, cell_aligned): cell_aligned declares the
+        frame's `cell` column as the index's own assignment, enabling
+        the probed-cell static prune in the pair generator."""
         if not idx.pq:
-            return None
+            return None, False
         id_col, vec_col = idx.params["id_col"], idx.params["vec_col"]
         if idx.rerank is not None:
             # store-side cell-partitioned originals: the pair generator
@@ -850,7 +892,8 @@ def streaming_ann_ingest(
                 F.col("embedding").alias(vec_col),
                 "cell",
             )
-            return idx.rerank.unionByName(batch_part)
+            # aligned: both sides' `cell` comes from the index's centroids
+            return idx.rerank.unionByName(batch_part), True
         # pre-r11 PQ store (no rerank table): corpus-wide assembly from the
         # external seed corpus ∪ the admitted sink ∪ the batch — kept for
         # back-compat; new stores never take this branch
@@ -878,7 +921,7 @@ def streaming_ann_ingest(
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out
+        return out, False
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         if not _store_ready():
@@ -946,9 +989,10 @@ def streaming_ann_ingest(
                 admitted.unpersist()
             return
         idx = read_ivf_index(spark, path)
+        rr, rr_aligned = _rerank_frame(idx, batch_df, batch_id)
         admitted = delta_ann_admit_indexed(
             idx, batch_df, threshold, n_probe,
-            rerank=_rerank_frame(idx, batch_df, batch_id),
+            rerank=rr, _rerank_cell_aligned=rr_aligned,
         ).persist()  # two consumers: the sink write + the postings append
         try:
             if output_path is not None:

@@ -1002,9 +1002,39 @@ def rolling_fp_q(spark, sf_dir):
     return textstats.rolling_fingerprint(_docs(spark, sf_dir))
 
 
-@register("exact_dup_clusters", dedup.SQL_EXACT_CLUSTERS)
+# the synthetic corpus ships no exact dups at sf0.01 (0-row oracle parity
+# is vacuous — r11 verdict ask #3), so both engines union in deterministic
+# canonicalization-foldable clones of docs 0-4: an upper-cased twin and a
+# whitespace-doubled twin per doc — the operator must fold each onto its
+# source cluster (keeper = the original doc_id)
+_EXACT_DUP_PLANT_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 40000000, UPPER(text) FROM documents WHERE doc_id < 5
+UNION ALL
+SELECT doc_id + 41000000, regexp_replace(text, ' ', '  ', 'g')
+FROM documents WHERE doc_id < 5
+"""
+
+
+@register(
+    "exact_dup_clusters",
+    dedup.SQL_EXACT_CLUSTERS.replace(
+        "FROM documents", f"FROM ({_EXACT_DUP_PLANT_SQL}) documents", 1
+    ),
+)
 def exact_dups_q(spark, sf_dir):
-    return dedup.exact_duplicate_clusters(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 40000000).alias("doc_id"),
+        F.upper("text").alias("text"),
+    ).unionByName(
+        docs.where(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 41000000).alias("doc_id"),
+            F.regexp_replace("text", " ", "  ").alias("text"),
+        )
+    )
+    return dedup.exact_duplicate_clusters(docs.unionByName(planted))
 
 
 _UNICODE_PLANT_SQL = """
@@ -1107,11 +1137,49 @@ def confusable_dups_q(spark, sf_dir):
     return dedup.confusable_dup_clusters(docs.unionByName(planted))
 
 
-@register("unicode_anomaly_scan", dedup.SQL_UNICODE_ANOMALY_SCAN)
+# the synthetic corpus ships no invisible characters (0-row oracle parity
+# is vacuous — r11 verdict ask #3), so both engines union in deterministic
+# anomalous clones: two zero-width chars spliced into docs 0-4 and three
+# fullwidth chars prefixed to docs 0-4 — the scan must count exactly those
+_UNICODE_ANOMALY_PLANT_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 30000000,
+       substr(text, 1, 3) || chr(8203) || chr(8204) || substr(text, 4)
+FROM documents WHERE doc_id < 5
+UNION ALL
+SELECT doc_id + 31000000, chr(65313) || chr(65314) || chr(12288) || text
+FROM documents WHERE doc_id < 5
+"""
+
+
+@register(
+    "unicode_anomaly_scan",
+    dedup.SQL_UNICODE_ANOMALY_SCAN.replace(
+        "FROM documents", f"FROM ({_UNICODE_ANOMALY_PLANT_SQL}) documents", 1
+    ),
+)
 def unicode_anomaly_q(spark, sf_dir):
     """Invisible-character audit (zero-width + fullwidth counts per doc)
-    — the detection side of dedup-evasion canonicalization."""
-    return dedup.unicode_anomaly_scan(_docs(spark, sf_dir))
+    — the detection side of dedup-evasion canonicalization. Planted
+    anomalies (the synthcat-perturbation precedent): zero-width-spliced
+    and fullwidth-prefixed clones of docs 0-4 keep the parity check
+    non-vacuous on a clean corpus."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 30000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 3),
+            F.lit("​‌"),
+            F.expr("substring(text, 4)"),
+        ).alias("text"),
+    ).unionByName(
+        docs.where(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 31000000).alias("doc_id"),
+            F.concat(F.lit("ＡＢ　"), F.col("text")).alias("text"),
+        )
+    )
+    return dedup.unicode_anomaly_scan(docs.unionByName(planted))
 
 
 @register("bag_dup_clusters", dedup.SQL_BAG_CLUSTERS)
@@ -1729,12 +1797,19 @@ def _loop_batches_to_stream(spark, base: str, batches) -> "DataFrame":
 
     src = os.path.join(base, "src")
     shutil.rmtree(src, ignore_errors=True)
+    stamped: set[str] = set()
     for i, b in enumerate(batches):
         b.coalesce(1).write.mode("append").parquet(src)
+        # stamp only files written THIS iteration — re-stamping an
+        # already-pinned earlier batch to the current timestamp would
+        # silently reorder arrivals under maxFilesPerTrigger=1 (the
+        # `mtime > 1e9` guard alone re-pins batch k>=1 once 3+ batches
+        # exist, since their pinned mtimes 1e9+k are themselves > 1e9)
         for f in os.listdir(src):
             p = os.path.join(src, f)
-            if os.path.getmtime(p) > 1_000_000_000:
+            if p not in stamped:
                 os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
+                stamped.add(p)
     return (
         spark.readStream.schema(batches[0].schema)
         .option("maxFilesPerTrigger", "1")
@@ -2076,6 +2151,55 @@ def ann_cold_start_loop_exact_q(spark, sf_dir):
         spark, store, stream, os.path.join(base, "ckpt"),
         threshold=0.95, n_probe=8, output_path=out,
         bootstrap={"n_centroids": 8},
+    )
+    drain(q, 600)
+    return spark.read.parquet(out).select(
+        F.col("vec_id").cast("bigint").alias("vec_id")
+    )
+
+
+@register("ann_ingest_loop_compacting_exact", _SQL_ANN_INGEST_LOOP)
+def ann_ingest_loop_compacting_exact_q(spark, sf_dir):
+    """ann_ingest_loop_exact with compact_every=1 (r12, verdict ask #4):
+    ivf_index_compact fires MID-STREAM — after batch 1's append, before
+    batch 2 drains — so batch 2's admission probes the REWRITTEN
+    (coalesced, rename-aside-swapped) postings. The oracle is the
+    identical batch-sequential recursive-CTE text as the non-compacting
+    row: store maintenance must be result-invisible, and any verdict it
+    changed would hash-mismatch here. Same plants, same exhaustive
+    probing; the store path is distinct so the two rows never share
+    state."""
+    import os
+    import shutil
+
+    from magiceye_spark.llmops import annindex
+    from magiceye_spark.streaming import drain
+
+    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
+
+    def plant(cond, offset):
+        return emb.where(cond).select(
+            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
+        )
+
+    b1 = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)).unionByName(
+        plant(F.col("vec_id") < 5, 10_000_000)
+    )
+    b2 = (
+        emb.where(F.col("vec_id") >= 350)
+        .unionByName(plant(F.col("vec_id") == 210, 20_000_000))
+        .unionByName(plant(F.col("vec_id") == 400, 21_000_000))
+        .unionByName(plant(F.col("vec_id") == 400, 22_000_000))
+    )
+    base = _ann_index_path(sf_dir) + "_compactloop"
+    shutil.rmtree(base, ignore_errors=True)  # fresh store/checkpoint per run
+    store = os.path.join(base, "store")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    annindex.write_ivf_index(emb.where(F.col("vec_id") < 200), store, n_centroids=8)
+    stream = _loop_batches_to_stream(spark, base, (b1, b2))
+    q = annindex.streaming_ann_ingest(
+        spark, store, stream, ckpt, threshold=0.95, n_probe=8,
+        output_path=out, compact_every=1,
     )
     drain(q, 600)
     return spark.read.parquet(out).select(
