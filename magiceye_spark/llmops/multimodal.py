@@ -469,9 +469,7 @@ ORDER BY 1
 #: holds a stored doc or that are not their all-incoming component's
 #: minimum. Store = media_id < 350, batch = the rest (the registry
 #: query's split).
-SQL_PHASH_ADMIT_EXACT = _SQL_PHASH_CTES.replace(
-    "WITH padded", "WITH RECURSIVE padded", 1
-) + """,
+_SQL_PHASH_ADMIT_BODY = """,
 pairs AS (
   SELECT a.media_id AS pa, b.media_id AS pb
   FROM hs a JOIN hs b ON a.media_id < b.media_id
@@ -496,7 +494,38 @@ rejected AS (
   SELECT l.node FROM labeled l JOIN verdicts v USING (comp_id)
   WHERE NOT l.stored AND (v.has_existing = 1 OR l.node <> v.min_incoming)
 )
+"""
+
+SQL_PHASH_ADMIT_EXACT = _SQL_PHASH_CTES.replace(
+    "WITH padded", "WITH RECURSIVE padded", 1
+) + _SQL_PHASH_ADMIT_BODY + """
 SELECT CAST(h.media_id AS BIGINT) AS doc_id
+FROM hs h LEFT JOIN rejected r ON h.media_id = r.node
+WHERE h.media_id >= 350 AND r.node IS NULL
+"""
+
+
+def _sql_band_fold(col: str, band: int) -> str:
+    """16-bit band fold of the dHash bit string — the same integer
+    Spark's fold produces (acc*2+bit in bit-index order == Σ bit_j <<
+    (16-j)); the scalar-expression form of SQL_PHASH_BAND_STATS' fold."""
+    return " + ".join(
+        f"(CAST(substr({col}, {band * 16 + j}, 1) AS BIGINT) << {16 - j})"
+        for j in range(1, 17)
+    )
+
+
+#: the delta-admission oracle extended with the admitted docs' band
+#: values (r12): attests the full signature frame the store appends —
+#: doc_id AND the four pigeonhole band keys — not just the verdict set.
+SQL_PHASH_DELTA_ADMIT_EXACT = _SQL_PHASH_CTES.replace(
+    "WITH padded", "WITH RECURSIVE padded", 1
+).replace("hs AS (", "hs AS MATERIALIZED (", 1) + _SQL_PHASH_ADMIT_BODY + f"""
+SELECT CAST(h.media_id AS BIGINT) AS doc_id,
+       {_sql_band_fold('h.h', 0)} AS band0,
+       {_sql_band_fold('h.h', 1)} AS band1,
+       {_sql_band_fold('h.h', 2)} AS band2,
+       {_sql_band_fold('h.h', 3)} AS band3
 FROM hs h LEFT JOIN rejected r ON h.media_id = r.node
 WHERE h.media_id >= 350 AND r.node IS NULL
 """

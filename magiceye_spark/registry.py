@@ -173,79 +173,84 @@ _DRIVER_WINDOW = [
     #     phash_admit_indexed_exact (NEW r9: the Hamming store's admission
     #     under the SAME recursive-CTE oracle — exact at the production
     #     banding, since ≤3-bit pigeonhole banding is lossless)
-    # (exact_dup_clusters validated green but returns 0 rows at sf0.01 —
-    # skipped as a seat: a 0-row attestation pins schema only.)
-    # reference surface: schema diff (S/D/R ops)
-    "schema_diff_full",
-    "schema_diff_report",
-    # row-level data diff / history / partition pruning
-    "datadiff_lineitem",
-    "datadiff_incremental_pruned",
-    "datadiff_changed_partitions",
-    "schema_rename_candidates",
-    # profiling / data quality / keys
-    "dq_lineitem",
-    "pk_candidates_lineitem",
-    "customer_spend_gini",
-    # relational analytics (TPC-H shapes; the rest stay pytest-guarded)
-    "q11_stock_value",
-    "q20_excess_stock",
-    "nation_trade_matrix",
-    "parts_abc_classes",
-    "supplier_scorecard",
-    "orders_new_vs_returning",
-    "quarterly_revenue_yoy",
-    "zorder_curve_histogram",
-    # rollups / trends / per-day / distribution statistics
-    "events_key_skew",
-    "events_winsorized_stats",
-    "event_transition_matrix",
-    "user_value_ewma",
-    "session_type_cooccurrence",
-    "top_users_per_type",
-    "cohort_retention_triangle",
-    # iterative-graph family
-    "dup_graph_components",
-    # streaming twins / drift
-    "events_cusum_stream_twin",
-    "events_value_psi_drift",
-    # event-stream operators
-    "events_debounce",
-    # JSON property extraction
-    "events_props_key_stats",
-    # text analysis / retrieval / corpus stats
-    "bigram_continuations",
-    "language_id_confusion",
-    "vocab_zipf_slope",
-    "source_hapax_rate",
-    "boilerplate_ngrams",
-    "unicode_dup_clusters",
-    "pii_scan",
-    # pipeline curation / sampling / budgeting
-    "corpus_hash_split3",
-    "corpus_length_buckets",
-    "token_budget_plan",
-    "split_leakage_audit",
-    # multimodal plumbing
-    "media_frame_plan",
-    # persistent-store triad: ALL THREE continuous ingest loops
-    # hash-checked end-to-end (r11), plus the cold-start loop and both
-    # PQ admission shapes (external rerank carried from r10; the r11
-    # store-side pruned-rerank production path as new surface)
-    "sig_ingest_loop_exact",
-    "ham_ingest_loop_exact",
-    "ann_cold_start_loop_exact",
-    "pq_ann_admit_indexed_exact",
-    "pq_ann_admit_store_exact",
-    # embedding family: scalar stats + outliers + the normalize digest
-    # (r11: embedding_normalize's Array-typed output burned its r10 driver
-    # seat on the harness canonicalizer — the scalar digest row replaces it;
-    # the array row keeps pytest oracle coverage)
-    "embedding_norm_stats",
-    "embedding_outlier_scores",
-    "embedding_normalize_digest",
-    # bitext mining: candidate path under the exact oracle
-    "bitext_indexed_exact",
+    # (exact_dup_clusters' 0-row gap closed r12 with planted clones; it
+    # is seatable — and seated — below.)
+    # r12 rotation: ALL 50 seats are first-time entrants — every r11 seat
+    # is driver-attested (50/50 green r11) and evicted to pytest oracle
+    # coverage; every entrant was pre-validated green at sf0.01 (this
+    # round's full 271-query sweep + individual runs for the five new
+    # rows), all scalar-typed with non-zero rows. Entrants: the 45
+    # never-attested backlog rows below (verdict ask #1: seat >=30) plus
+    # five NEW oracle rows (asks #2-#4): ann_ingest_loop_compacting_exact
+    # (mid-stream ivf_index_compact proven result-invisible against the
+    # identical loop oracle), ivf_index_stats_exact (pinned-centroid
+    # fixture store, stats hash-checked), sig_admit_indexed_exact
+    # (MinHash-store single-call admission vs exact-Jaccard closure),
+    # events_sketch_error_bounded (HLL rollup estimate pinned within 5%
+    # of exact per group), phash_delta_admit_indexed (converted from
+    # rows-only: banded frame incl. band0..3 now hash-checked).
+    # Deferred to r13 (green sweep, large compare outputs):
+    # media_audio_windows, hard_negatives_topk, contrastive_negatives,
+    # events_latest_per_user_day, span_cleaned_corpus
+    # (+ embedding_normalize, permanently unseatable: Array output).
+    # relational analytics / TPC-H-adjacent shapes
+    "attributed_daily_revenue",
+    "brand_rank_movers",
+    "brand_supplier_hhi",
+    "cohort_ltv_curve",
+    "lineitem_iqr_profile",
+    "order_size_histogram",
+    "parts_pareto_frontier",
+    "purchase_latency_stats",
+    "repurchase_interval_stats",
+    "zorder_curve3_histogram",
+    # event-stream rollups / trends / anomaly statistics
+    "daily_forecast_backtest",
+    "error_rate_control_chart",
+    "events_daily_cusum",
+    "events_daily_percentile_trend",
+    "events_dow_hour_matrix",
+    "events_hourly_value_profile",
+    "events_robust_outliers",
+    "events_seasonal_anomalies",
+    "events_type_mix_drift",
+    "events_type_value_assoc",
+    "user_behavior_similarity",
+    "user_interarrival_stats",
+    "top_users_per_type_scalable",
+    # schema / catalog drift
+    "schema_drift_timeline",
+    # dedup family (planted-fixture rows made non-vacuous in r12)
+    "exact_dup_clusters",
+    "unicode_anomaly_scan",
+    "bag_dup_clusters",
+    "containment_near_dups",
+    "snm_vs_allpairs_agreement",
+    # text analysis / corpus stats
+    "bigram_logprob_quality",
+    "source_charset_profile",
+    "source_distinctive_terms",
+    "source_flag_rate_ci",
+    "source_similarity_matrix",
+    "token_pmi_pairs",
+    "vocab_coverage_curve",
+    "chunk_documents",
+    # pipeline curation / quality / sampling
+    "corpus_resampled_mix",
+    "corpus_stratified_quota",
+    "cross_source_overlap",
+    "nb_crossval_accuracy",
+    "quality_filtered_corpus",
+    "quality_score_calibration",
+    # embedding / label structure
+    "label_centroid_similarity",
+    "label_compactness",
+    # NEW r12 oracle rows (verdict asks #2-#4)
+    "ann_ingest_loop_compacting_exact",
+    "ivf_index_stats_exact",
+    "sig_admit_indexed_exact",
+    "events_sketch_error_bounded",
+    "phash_delta_admit_indexed",
 ]
 
 
@@ -670,6 +675,49 @@ def rollup_cascade_q(spark, sf_dir):
 @register("events_sketch_rollup", None)  # HLL estimates: tolerance in tests
 def sketch_rollup_q(spark, sf_dir):
     return analytics.events_sketch_rollup(spark, sf_dir)
+
+
+# hash-checked attestation of the HLL rollup cascade (r12, verdict ask
+# #2): per (day, type) emit the EXACT distinct (both engines compute it)
+# plus within_bound = |sketch-union estimate − exact| ≤ 5% — the oracle
+# asserts TRUE for every group, so a drifted sketch union (wrong merge,
+# wrong estimate, re-aggregated COUNT DISTINCT overcount) flips row
+# hashes. The 5% bound is deliberate headroom over HLL lgK=12's ~1.6%
+# standard error; at driver SFs most groups sit in the sketch's exact
+# sparse mode. The estimate itself stays rows-only in
+# events_sketch_rollup (its value is approximate by contract).
+_SQL_SKETCH_ERROR_BOUNDED = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register("events_sketch_error_bounded", _SQL_SKETCH_ERROR_BOUNDED)
+def sketch_error_bounded_q(spark, sf_dir):
+    approx = analytics.events_sketch_rollup(spark, sf_dir)
+    exact = (
+        analytics._events(spark, sf_dir)  # noqa: SLF001
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.col("event_type"),
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    return (
+        exact.join(approx, ["day", "event_type"])
+        .select(
+            F.col("day").cast("date").alias("day"),
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_bound"),
+        )
+        .orderBy("day", "event_type")
+    )
 
 
 @register("top_users_by_events", analytics.SQL_TOP_USERS)
@@ -1543,6 +1591,68 @@ def ivf_index_stats_q(spark, sf_dir):
     return annindex.ivf_index_stats(idx)
 
 
+# hash-checked sibling of ivf_index_stats (r12, verdict ask #2): the
+# rows-only row's centroids come from the k-means fit (not SQL-expressible);
+# THIS row pins the centroids to the embeddings of vec_id 0-3, so the cell
+# assignment (argmax cosine, ties to the higher cell — _best_cells' reversed
+# array_sort order) and therefore every stat is exactly computable in DuckDB.
+# dot products are strictly left-to-right double sums in both engines
+# (simsearch.dot's bit-identical discipline), so the argmax agrees.
+_SQL_IVF_STATS_EXACT = """
+WITH cents AS (
+  SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < 4
+),
+assign AS (
+  SELECT e.vec_id, c.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
+             / (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * SQRT(list_dot_product(c.cvec, c.cvec))) DESC,
+             c.cell DESC
+         ) AS rk
+  FROM embeddings e CROSS JOIN cents c
+),
+per_cell AS (SELECT cell, COUNT(*) AS n FROM assign WHERE rk = 1 GROUP BY cell)
+SELECT CAST(COUNT(*) AS INT) AS n_cells_used,
+       4 AS n_cells_total,
+       CAST(SUM(n) AS BIGINT) AS n_vectors,
+       CAST(MIN(n) AS BIGINT) AS min_postings,
+       CAST(MAX(n) AS BIGINT) AS max_postings,
+       ROUND(AVG(n), 2) AS avg_postings,
+       ROUND(CAST(MAX(n) AS DOUBLE) / AVG(n), 4) AS imbalance
+FROM per_cell
+"""
+
+
+@register("ivf_index_stats_exact", _SQL_IVF_STATS_EXACT)
+def ivf_index_stats_exact_q(spark, sf_dir):
+    """ivf_index_stats over a FIXTURE store whose quantizer is pinned to
+    member vectors (vec_id 0-3 as the 4 centroids, via write_ivf_index's
+    _fitted hook) — the stats of the resulting store are deterministic
+    and oracle-checkable end-to-end: build → persist → read back →
+    groupBy over the partitioned postings scan, hash-matched against
+    DuckDB recomputing the argmax assignment from the same centroids."""
+    from magiceye_spark.llmops import annindex
+
+    corpus = _embs(spark, sf_dir)
+    cents = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in corpus.where(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    dim = len(next(iter(cents.values())))
+    idx = annindex.write_ivf_index(
+        corpus, _ann_index_path(sf_dir) + "_statsx", n_centroids=4,
+        _fitted=(dim, cents, None),
+    )
+    return annindex.ivf_index_stats(idx)
+
+
 @register("ivf_ann_exact", simsearch.sql_cosine_topk(_QUERY_VEC_IDS, k=10))
 def ivf_ann_exact_q(spark, sf_dir):
     """IVF in exhaustive mode (n_probe = n_centroids): every cell is probed,
@@ -1917,6 +2027,70 @@ def sig_ingest_loop_exact_q(spark, sf_dir):
     )
     drain(q, 600)
     return spark.read.parquet(out).select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+
+
+# single-call MinHash-store admission under the exact-Jaccard closure
+# oracle (r12, verdict ask #2: the hash-checked sibling of the rows-only
+# delta_admit_indexed). Same exactness argument as sig_ingest_loop_exact:
+# banded candidates cover every >=0.7 pair at this corpus and the 31-bit
+# shingle hashes are collision-free on the compared sets (pre-validated
+# at sf0.001 and the driver's sf0.01), so the check is exact HERE while
+# LSH banding stays an approximation in general (why delta_admit_indexed
+# itself remains rows-only: its statement is about any corpus).
+_SQL_SIG_ADMIT_EXACT = f"""
+WITH RECURSIVE
+tok AS MATERIALIZED (SELECT doc_id, {_SIG_TOKS} AS toks FROM documents),
+shingled AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(LENGTH(toks) - 3, 0) + 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM tok
+),
+seed AS MATERIALIZED (SELECT doc_id, sh FROM shingled WHERE doc_id < 350),
+b1 AS MATERIALIZED (
+  SELECT doc_id, sh FROM shingled WHERE doc_id >= 350
+  UNION ALL
+  SELECT doc_id + 10000000, sh FROM shingled WHERE doc_id < 5
+  UNION ALL
+  SELECT doc_id + 21000000, sh FROM shingled WHERE doc_id = 400
+  UNION ALL
+  SELECT doc_id + 22000000, sh FROM shingled WHERE doc_id = 400
+),
+{_loop_stage("1", "seed", "b1", id_col="doc_id", payload="sh", pred=_SIG_JACC)}
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM a1
+"""
+
+
+@register("sig_admit_indexed_exact", _SQL_SIG_ADMIT_EXACT)
+def sig_admit_indexed_exact_q(spark, sf_dir):
+    """Hash-checked single-call admission against the persisted MinHash
+    store: docs 0-349 signed and stored once; the 350+ batch (plus
+    plants: exact copies of stored docs — rejected by the store — and an
+    intra-batch twin pair of which only the min id survives) is admitted
+    by the one-sided band join + closure, and the admitted set must
+    match the exact shingle-Jaccard recursive-CTE oracle."""
+    from magiceye_spark.llmops import sigstore
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+
+    def plant(cond, offset):
+        return docs.where(cond).select(
+            (F.col("doc_id") + offset).alias("doc_id"), "text"
+        )
+
+    batch = (
+        docs.where(F.col("doc_id") >= 350)
+        .unionByName(plant(F.col("doc_id") < 5, 10_000_000))
+        .unionByName(plant(F.col("doc_id") == 400, 21_000_000))
+        .unionByName(plant(F.col("doc_id") == 400, 22_000_000))
+    )
+    idx = sigstore.write_minhash_index(
+        docs.where(F.col("doc_id") < 350), _ann_index_path(sf_dir) + "_sigadmx"
+    )
+    return sigstore.delta_dedup_admit_indexed(idx, batch).select(
         F.col("doc_id").cast("bigint").alias("doc_id")
     )
 
@@ -2322,15 +2496,16 @@ def phash_admit_indexed_exact_q(spark, sf_dir):
     ).select("doc_id")
 
 
-@register("phash_delta_admit_indexed", None)  # one-sided delta admission
-# against the stored Hamming index: closure admission is recursive (the
-# graph oracle's CTE covers the doc family, not the media path) — parity
-# vs the from-scratch closure is pinned exactly in tests/test_r8_ops.py
+@register("phash_delta_admit_indexed", multimodal.SQL_PHASH_DELTA_ADMIT_EXACT)
 def phash_delta_admit_indexed_q(spark, sf_dir):
     """Delta-ingest image admission against a persisted dHash store: items
     0-349 signed and stored once; the 350+ batch is signed (only the batch
     pays the decode) and admitted via the one-sided delta band join +
-    closure — the per-batch production shape of phash_dedup_keep."""
+    closure — the per-batch production shape of phash_dedup_keep.
+    Oracle-backed since r12 (was rows-only — verdict ask #2): the ≤3-bit
+    pigeonhole banding is lossless, so the verdicts AND the admitted
+    docs' four band keys are hash-checkable against the recursive-CTE
+    oracle (the banded frame the store actually appends)."""
     from magiceye_spark.llmops import hamstore
 
     sigs = multimodal.phash_signatures(multimodal.synth_media(spark, sf_dir))
@@ -2341,7 +2516,10 @@ def phash_delta_admit_indexed_q(spark, sf_dir):
     )
     return hamstore.delta_hamming_admit_indexed(
         idx, sigs.where(F.col("doc_id") >= 350)
-    ).select("doc_id", "band0", "band1", "band2", "band3")
+    ).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "band0", "band1", "band2", "band3",
+    )
 
 
 @register("phash_dedup_keep", multimodal.SQL_PHASH_DEDUP_KEEP)
