@@ -939,6 +939,88 @@ def approx_pct_q(spark, sf_dir):
     return sketches.approx_value_distribution_events(spark, sf_dir)
 
 
+# hash-checked bound twins of the two sketch rows above (r12, verdict ask
+# #2 pattern: the estimate stays rows-only by contract, the BOUND is a
+# deterministic fact both engines can verify — oracle asserts TRUE per
+# group, so a drifted sketch flips row hashes).
+_SQL_APPROX_USERS_BOUNDED = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("events_approx_users_bounded", _SQL_APPROX_USERS_BOUNDED)
+def approx_users_bounded_q(spark, sf_dir):
+    """HLL++ distinct-user estimate pinned within 3·rsd (15% at the
+    rsd=0.05 default) of the exact distinct per event type."""
+    approx = sketches.approx_user_counts_events(spark, sf_dir)
+    exact = (
+        analytics._events(spark, sf_dir)  # noqa: SLF001
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+    )
+    return (
+        exact.join(approx, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.15 * F.col("exact_users")
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_APPROX_PCT_BOUNDED = """
+SELECT event_type,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS exact_p50,
+       ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 4) AS exact_p95,
+       TRUE AS within_bound
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("events_approx_percentiles_bounded", _SQL_APPROX_PCT_BOUNDED)
+def approx_pct_bounded_q(spark, sf_dir):
+    """GK percentile_approx pinned inside the exact-value band at rank
+    ±0.01 per event type (10× headroom over the sketch's 1/accuracy =
+    0.001 rank guarantee: the approx value is a real data element whose
+    rank error is bounded, so it must lie between the exact interpolated
+    percentiles at 0.49/0.51 resp. 0.94/0.96). Exact percentiles are
+    bit-identical to DuckDB percentile_cont (the repo's interpolated-
+    percentile discipline)."""
+    approx = sketches.approx_value_distribution_events(spark, sf_dir)
+    exact = (
+        analytics._events(spark, sf_dir)  # noqa: SLF001
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("exact_p95"),
+            F.expr("percentile(value, 0.49)").alias("_lo50"),
+            F.expr("percentile(value, 0.51)").alias("_hi50"),
+            F.expr("percentile(value, 0.94)").alias("_lo95"),
+            F.expr("percentile(value, 0.96)").alias("_hi95"),
+        )
+    )
+    return (
+        exact.join(approx, "event_type")
+        .select(
+            "event_type",
+            "exact_p50",
+            "exact_p95",
+            (
+                F.col("p50_approx").between(F.col("_lo50"), F.col("_hi50"))
+                & F.col("p95_approx").between(F.col("_lo95"), F.col("_hi95"))
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # directional data diff: reference semantics — target-only rows ignored
 # (src/action/run/background.rs:48-51)
 SQL_DATADIFF_DIRECTIONAL = SQL_PERTURBED_LINEITEM + f"""
@@ -3235,6 +3317,62 @@ def approx_source_overlap_q(spark, sf_dir):
     return dedup.approx_source_overlap(io.read_table(spark, sf_dir, "documents"))
 
 
+# hash-checked bound twin (r12): exact shared-content matrix over ALL
+# unordered source pairs (zero-overlap pairs included) + the pytest
+# tolerance (|est − exact| ≤ max(2, 5%·exact)) asserted in-plan — the
+# oracle's TRUE column flips row hashes if the HLL inclusion-exclusion
+# drifts. HLL is a pure function of the data, so the bound is a
+# deterministic fact at any given SF (pre-validated at sf0.001/sf0.01).
+_SQL_APPROX_OVERLAP_BOUNDED = """
+WITH sh AS MATERIALIZED (
+  SELECT DISTINCT source,
+         md5(array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))), ' ')) AS h
+  FROM documents),
+srcs AS (SELECT DISTINCT source FROM documents),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM srcs a JOIN srcs b ON a.source < b.source),
+ov AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT p.source_a, p.source_b,
+       CAST(COALESCE(ov.n, 0) AS BIGINT) AS exact_shared_texts,
+       TRUE AS within_bound
+FROM pairs p LEFT JOIN ov USING (source_a, source_b)
+ORDER BY 1, 2
+"""
+
+
+@register("approx_source_overlap_bounded", _SQL_APPROX_OVERLAP_BOUNDED)
+def approx_source_overlap_bounded_q(spark, sf_dir):
+    docs = io.read_table(spark, sf_dir, "documents")
+    exact = dedup.cross_source_overlap(docs)
+    approx = dedup.approx_source_overlap(docs)
+    return (
+        approx.join(exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("n_shared_texts"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_shared_texts"),
+            (
+                F.abs(
+                    F.col("approx_shared_texts")
+                    - F.coalesce(F.col("n_shared_texts"), F.lit(0))
+                )
+                <= F.greatest(
+                    F.lit(2.0),
+                    0.05 * F.coalesce(F.col("n_shared_texts"), F.lit(0)),
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 @register("source_report_card", textstats.sql_source_report_card())
 def source_report_card_q(spark, sf_dir):
     """Per-source corpus audit dashboard: volume, length profile, language
@@ -3341,6 +3479,34 @@ def join_size_estimate_q(spark, sf_dir):
     )
     li = io.read_table(spark, sf_dir, "lineitem").select("l_orderkey")
     return sketches.estimate_join_size(li, orders, ["l_orderkey"])
+
+
+# hash-checked bound twin (r12): the pytest 5% tolerance vs the exact
+# join cardinality asserted in-plan — exact count in both engines, the
+# estimate's error bound as the TRUE column.
+_SQL_JOIN_SIZE_BOUNDED = """
+SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows, TRUE AS within_bound
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@register("join_size_estimate_bounded", _SQL_JOIN_SIZE_BOUNDED)
+def join_size_estimate_bounded_q(spark, sf_dir):
+    orders = io.read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    li = io.read_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    est = sketches.estimate_join_size(li, orders, ["l_orderkey"])
+    exact = li.join(orders, "l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_join_rows")
+    )
+    return exact.crossJoin(est).select(
+        "exact_join_rows",
+        (
+            F.abs(F.col("est_join_rows") - F.col("exact_join_rows"))
+            <= 0.05 * F.col("exact_join_rows")
+        ).alias("within_bound"),
+    )
 
 
 @register("source_similarity_matrix", textstats.SQL_SOURCE_SIMILARITY)
