@@ -625,3 +625,76 @@ def test_ann_ingest_cold_start_matches_sequential_python_reference(
         expected += sorted(admitted)
         stored |= admitted
     assert got == sorted(expected)
+
+
+@given(corpus=EMB_CORPUS3)
+@_loop_settings
+def test_ann_ingest_compaction_is_result_invisible(spark, corpus, tmp_path_factory):
+    """r12: drain the SAME random corpus and arrival split through two
+    loops — compact_every=1 (ivf_index_compact fires after every batch,
+    including mid-stream between the two drained batches) vs no
+    compaction — and require identical admitted sets AND identical final
+    postings. Store maintenance must never change admission verdicts or
+    lose/duplicate rows; the driver row
+    (ann_ingest_loop_compacting_exact) checks this on one fixed corpus,
+    this property checks it for adversarial splits."""
+    import os
+
+    from magiceye_spark.llmops import annindex
+    from magiceye_spark.streaming import drain
+
+    store_ids = [i for i, (_, g) in enumerate(corpus) if g == 0]
+    b1_ids = [i for i, (_, g) in enumerate(corpus) if g == 1]
+    b2_ids = [i for i, (_, g) in enumerate(corpus) if g == 2]
+    if len(store_ids) < 2 or not b1_ids or not b2_ids:
+        return
+    rows = [(i, [float(x) for x in v], g) for i, (v, g) in enumerate(corpus)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, _g int"
+    )
+    tmp = str(tmp_path_factory.mktemp("anncompact"))
+
+    def drain_loop(tag, compact_every):
+        src = os.path.join(tmp, f"src_{tag}")
+        store = os.path.join(tmp, f"store_{tag}")
+        out = os.path.join(tmp, f"out_{tag}")
+        annindex.write_ivf_index(
+            emb.where(F.col("_g") == 0).drop("_g"), store, n_centroids=2
+        )
+        stamped = set()
+        for k, g in enumerate((1, 2)):
+            emb.where(F.col("_g") == g).drop("_g").coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            for f in os.listdir(src):
+                p = os.path.join(src, f)
+                if p not in stamped:
+                    os.utime(p, (1_000_000_000 + k, 1_000_000_000 + k))
+                    stamped.add(p)
+        stream = (
+            spark.readStream.schema(emb.drop("_g").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = annindex.streaming_ann_ingest(
+            spark, store, stream, os.path.join(tmp, f"ck_{tag}"),
+            threshold=0.95, n_probe=2, output_path=out,
+            compact_every=compact_every,
+        )
+        drain(q, 300)
+        admitted = sorted(
+            r["vec_id"]
+            for r in spark.read.parquet(out).select("vec_id").collect()
+        )
+        postings = sorted(
+            r["vec_id"]
+            for r in annindex.read_ivf_index(spark, store)
+            .postings.select("vec_id")
+            .collect()
+        )
+        return admitted, postings
+
+    a_adm, a_post = drain_loop("compact", 1)
+    b_adm, b_post = drain_loop("plain", None)
+    assert a_adm == b_adm
+    assert a_post == b_post
