@@ -224,11 +224,17 @@ def write_ivf_index(
         dim, pq=pq, n_centroids=n_centroids, m_subvectors=m_subvectors,
         n_codes=n_codes, id_col=id_col, vec_col=vec_col,
     )
-    spark.createDataFrame([params]).coalesce(1).write.mode("overwrite").parquet(
+    # model tables via io.local_frame (Arrow LocalRelation): the plain
+    # createDataFrame path pays a ~6 s Python-worker launch PER WRITE
+    from magiceye_spark.io import local_frame
+
+    local_frame(spark, [params]).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "params")
     )
-    spark.createDataFrame(
-        [(c, v) for c, v in sorted(cents.items())], "cell int, centroid array<double>"
+    local_frame(
+        spark,
+        [(c, v) for c, v in sorted(cents.items())],
+        "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     if pq:
         rows = [
@@ -236,8 +242,8 @@ def write_ivf_index(
             for mi, book in enumerate(books)
             for ci, vec in enumerate(book)
         ]
-        spark.createDataFrame(
-            rows, "m int, code int, vec array<double>"
+        local_frame(
+            spark, rows, "m int, code int, vec array<double>"
         ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
 
     # encode + write postings, partitioned by cell for probe-time pruning.

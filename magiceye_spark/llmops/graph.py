@@ -150,9 +150,12 @@ def connected_components(
         rows = sym.collect()
         sym.unpersist()
         out = _unionfind_components(((r[0], r[1]) for r in rows), comp_col)
-        return spark.createDataFrame(
-            out, schema=f"node long, {comp_col} long"
-        )
+        # Arrow LocalRelation: the plain createDataFrame path would ship
+        # up to 200k label rows back through parallelize + a Python
+        # worker per consuming job (io.local_frame docstring)
+        from magiceye_spark.io import local_frame
+
+        return local_frame(spark, out, f"node long, {comp_col} long")
     par_eff = max(2, min(par, n_sym // 4000 + 1))
     if par_eff < par // 2:
         narrow = sym.repartition(par_eff, "u").persist()

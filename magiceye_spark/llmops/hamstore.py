@@ -85,7 +85,11 @@ def write_hamming_index(
         "kind": kind,
         "max_hamming": _check_max_hamming(max_hamming),
     }
-    spark.createDataFrame([params]).coalesce(1).write.mode("overwrite").parquet(
+    from magiceye_spark.io import local_frame
+
+    # Arrow LocalRelation, not plain createDataFrame (a ~6 s Python-worker
+    # launch per tiny write otherwise — io.local_frame docstring)
+    local_frame(spark, [params]).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "params")
     )
     sigs.select(

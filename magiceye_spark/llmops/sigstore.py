@@ -80,7 +80,11 @@ def write_minhash_index(
         "shingle_n": shingle_n,
         "threshold": float(threshold),
     }
-    spark.createDataFrame([params]).coalesce(1).write.mode("overwrite").parquet(
+    from magiceye_spark.io import local_frame
+
+    # Arrow LocalRelation, not plain createDataFrame (a ~6 s Python-worker
+    # launch per tiny write otherwise — io.local_frame docstring)
+    local_frame(spark, [params]).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "params")
     )
     minhash_signatures(docs, num_hashes, shingle_n, text_col).write.mode(
