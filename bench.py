@@ -139,7 +139,9 @@ FAMILY_BASELINE = {
     "phash_near_dups": 5.72,  # was 7.52
     # stored-Hamming-index variant: fresh signing + store write + pairs
     # from stored bits (r8; the build seat — probes are amortized)
-    "phash_indexed_pairs": 9.50,  # measured 8.53
+    # r12 recommit post-local_frame (the seat's two store builds each
+    # paid a ~6 s plain-createDataFrame params write): measured 3.54
+    "phash_indexed_pairs": 4.50,  # was 9.50
     # r7 protocol change: graph family measured through ONE shared pair
     # relation and ONE shared closure (see _bench_graph_shared) — r6 spent
     # 36.4 s computing the same pair stage three times and the fixpoint
@@ -157,7 +159,7 @@ FAMILY_BASELINE = {
     "bitext_margin_pairs_indexed": 7.00,  # measured 6.47
     # per-batch indexed admission (one-sided delta band join + closure);
     # ~flat in store size at fixed batch — store-growth sweep in BASELINE.md
-    "sigstore_delta_admit": 7.60,  # measured 7.10
+    "sigstore_delta_admit": 6.50,  # r12 recommit (local_frame): measured 5.65
     # continuous-ingest drains (r9): 3 growing-store foreachBatch batches
     # (~500 docs / ~200 vectors) through each store's streaming loop —
     # admission + append + engine overhead per batch. Recommitted r10
@@ -166,21 +168,30 @@ FAMILY_BASELINE = {
     # 14.2, annindex 16.4); committed = top of the measured spread so
     # the 2x gate catches a real regression instead of sitting at the
     # obsolete pre-fast-path level.
-    "sigstore_ingest_loop": 16.00,
-    "hamstore_ingest_loop": 30.00,
-    "annindex_ingest_loop": 18.00,
+    # Recommitted r12 after io.local_frame (store model tables through
+    # Arrow LocalRelation instead of parallelize+Python-worker — ~6 s of
+    # fixed cost removed per store build/bootstrap): measured clean
+    # first-pass 13.6 / 17.4 / 18.5; committed with ~15% headroom per
+    # the cold-run convention.
+    "sigstore_ingest_loop": 15.00,
+    "hamstore_ingest_loop": 20.00,
+    "annindex_ingest_loop": 20.00,
     # r11: PQ loop over the store-side cell-partitioned rerank table —
     # admission + PQ encode + TWO lockstep appends (codes + originals)
     # per batch, so ~2× the flat loop's wall at the same batch sizes.
-    # Committed at the measured cold first run (33.44 s), cold-run
-    # convention like the other loop seats.
-    "annindex_pq_ingest_loop": 33.44,
+    # r12 recommit post-local_frame: measured 28.24 clean first-pass
+    # (was 33.44), committed with headroom.
+    "annindex_pq_ingest_loop": 30.00,
     "cdc_chunk_near_dups": 1.59,  # was 11.21 (chunking pass now spread)
     # stats family, committed from a clean solo run at sf0.1 (late r6)
     "snm_near_dups": 8.68,  # two-phase global rank + n·window bucket join
     "snm_vs_allpairs_agreement": 6.63,  # embeds the all-pairs twin (audit)
     "nb_source_confusion": 5.08,
-    "nb_crossval_accuracy": 5.39,  # two fold-plans in one DAG
+    # r12 recommit: explicit user-count barriers on the per-fold (doc,
+    # term) and scoring aggregations (AQE byte-coalescing serialized the
+    # CPU-dense collect_list scoring at bench sizes — stage audit
+    # 66.9% -> 16.9% single-task); measured 2.41 clean first-pass
+    "nb_crossval_accuracy": 3.00,  # was 5.39
     "embedding_covariance": 2.90,  # n·d²/2 pair rows; explode spread (was 5.79 serialized)
     "embedding_outlier_scores": 1.60,  # explode spread: tiny wall cost, scan no longer serialized
     "embedding_pca_project": 4.60,  # two bounded driver fits + projection (was 7.29)

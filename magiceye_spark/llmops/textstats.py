@@ -1908,11 +1908,25 @@ def nb_crossval_accuracy(
             F.col("source").alias("actual"),
             F.explode(_tokens(F.col(text_col))).alias("term"),
         )
-        dt = toks_ev.groupBy("doc_id", "actual", "term").agg(
+        # explicit user-count barrier: AQE byte-coalesces the (doc, term)
+        # groupBy reads to ONE partition at bench byte sizes, serializing
+        # the CPU-dense sort_array/collect_list scoring downstream (r12
+        # stage audit: 8 × ~3.5 s single-task stages). User-specified
+        # repartition counts are exempt from AQE coalescing; at lake
+        # scale the shuffle exceeds the advisory size and this barrier
+        # costs nothing new (dt already shuffles on these keys).
+        dt = toks_ev.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        ).groupBy("doc_id", "actual", "term").agg(
             F.count(F.lit(1)).alias("c_td")
         )
         seen = (
             dt.join(st, "term")
+            .repartition(
+                docs.sparkSession.sparkContext.defaultParallelism,
+                "doc_id",
+                "s",
+            )
             .groupBy("doc_id", "s")
             .agg(
                 F.aggregate(

@@ -3729,9 +3729,14 @@ _IQR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
 def lineitem_iqr_profile_q(spark, sf_dir):
     """Tukey-fence outlier screen across lineitem's numeric columns in
     ONE melted pass: exact quartiles per column, fences broadcast back,
-    outliers counted — the unit-mix-up/sensor-spike detector."""
+    outliers counted — the unit-mix-up/sensor-spike detector.
+    parallelize=True: the 4-way melt explode is CPU-dense on the
+    under-split local lineitem scan (r12 stage audit: 2.7 s serialized
+    across 3 splits); the exact-percentile FINAL merge stays one task
+    per column by aggregation semantics — bounded by len(_IQR_COLS)
+    groups, the documented exemption class."""
     return dq.iqr_outlier_profile(
-        io.read_table(spark, sf_dir, "lineitem"), _IQR_COLS
+        io.read_table(spark, sf_dir, "lineitem", parallelize=True), _IQR_COLS
     )
 
 
