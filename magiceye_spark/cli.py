@@ -726,26 +726,57 @@ def cmd_ingest(args: argparse.Namespace) -> int:
                 return 2
             if args.pq and not fsops.fs_exists(
                 spark, _os.path.join(args.store_path, "rerank")
-            ) and not (args.bootstrap_from or args.out):
+            ):
                 # pre-r11 PQ store: its originals live OUTSIDE the store —
                 # in the corpus it was seeded from AND/OR the admitted
                 # sink of prior ingests (a cold-bootstrapped legacy store
-                # has ONLY the sink). Resuming without both would
-                # raise_error mid-stream the moment a pre-resume candidate
-                # needs exact-cosine verification — refuse up front
-                # instead (the r10 advice's resume trap). --out alone is
-                # enough for cold-bootstrapped legacy stores; seeded ones
-                # need --bootstrap-from for the seed-era rows.
-                print(
-                    f"ingest: PQ store at {args.store_path} predates the "
-                    "in-store rerank table and needs its originals — pass "
-                    "--bootstrap-from <seed parquet> (the seed corpus) "
-                    "and/or --out <prior admitted sink> to resume (r11+ "
-                    "stores carry their originals and resume without "
-                    "either)",
-                    file=sys.stderr,
+                # has ONLY the sink). Resuming with a gap would
+                # raise_error mid-stream the moment an uncovered stored
+                # candidate needs exact-cosine verification (the r10
+                # advice's resume trap) — so verify COVERAGE up front:
+                # every stored vec_id must appear in seed ∪ existing
+                # sink. One pruned id-column scan + anti-join, paid once
+                # per resume; flag presence alone is not proof (a seeded
+                # legacy store resumed with only --out, or a missing
+                # sink dir, would pass a flag check and still crash).
+                sources = []
+                if args.bootstrap_from:
+                    sources.append(
+                        spark.read.parquet(args.bootstrap_from).select("vec_id")
+                    )
+                if args.out and fsops.fs_exists(spark, args.out):
+                    try:
+                        sources.append(
+                            spark.read.option("basePath", args.out)
+                            .parquet(args.out)
+                            .select("vec_id")
+                        )
+                    except Exception:  # noqa: BLE001
+                        pass  # empty/unreadable sink covers nothing
+                stored_ids = spark.read.parquet(
+                    _os.path.join(args.store_path, "postings")
+                ).select("vec_id")
+                covered = sources[0] if sources else None
+                for s in sources[1:]:
+                    covered = covered.unionByName(s)
+                missing = (
+                    stored_ids.count()
+                    if covered is None
+                    else stored_ids.join(covered, "vec_id", "left_anti").count()
                 )
-                return 2
+                if missing:
+                    print(
+                        f"ingest: PQ store at {args.store_path} predates "
+                        "the in-store rerank table and "
+                        f"{missing} stored vector(s) have no original in "
+                        "the given sources — pass --bootstrap-from <seed "
+                        "parquet> (the corpus the store was seeded from) "
+                        "and/or --out <the PRIOR admitted sink> so every "
+                        "stored id is covered (r11+ stores carry their "
+                        "originals and resume without either)",
+                        file=sys.stderr,
+                    )
+                    return 2
         if not exists and args.bootstrap_from:
             # size the quantizer to the seed that trains it — the same
             # recommend_ivf_params(√n) rule the in-loop cold-start applies;

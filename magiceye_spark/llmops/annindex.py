@@ -336,9 +336,12 @@ def ivf_index_add(
     ``dedupe_ids``: anti-join the delta against stored vec_ids so a
     re-ingested batch is a no-op instead of silently inflating posting
     counts (and every probe that scans the touched cells). Costs one
-    pruned id-column scan of the postings per ingest; callers whose ids
-    are new by construction can pass False and own the uniqueness
-    obligation.
+    pruned id-column scan of the postings per ingest; for FLAT stores,
+    callers whose ids are new by construction can pass False and own
+    the uniqueness obligation. PQ stores REJECT False (ValueError): the
+    rerank-originals append is anti-joined on id (one original per
+    vec_id by definition), so un-deduped postings would break the
+    documented lockstep invariant rerank.count() == postings.count().
 
     Because encoding is a pure function of the stored model, add-then-probe
     equals rebuild-then-probe whenever the rebuild would fit the same model

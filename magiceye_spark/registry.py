@@ -1012,9 +1012,17 @@ def approx_pct_bounded_q(spark, sf_dir):
             "event_type",
             "exact_p50",
             "exact_p95",
+            # the approx columns are pre-rounded at 4 decimals, so widen
+            # the band edges by the half-ulp of that rounding (5e-5) —
+            # otherwise an in-band raw estimate within 5e-5 of an edge
+            # could round OUTSIDE it and flip the row
             (
-                F.col("p50_approx").between(F.col("_lo50"), F.col("_hi50"))
-                & F.col("p95_approx").between(F.col("_lo95"), F.col("_hi95"))
+                F.col("p50_approx").between(
+                    F.col("_lo50") - 0.00005, F.col("_hi50") + 0.00005
+                )
+                & F.col("p95_approx").between(
+                    F.col("_lo95") - 0.00005, F.col("_hi95") + 0.00005
+                )
             ).alias("within_bound"),
         )
         .orderBy("event_type")

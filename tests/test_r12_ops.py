@@ -140,7 +140,15 @@ def test_cli_legacy_pq_resume_guard_accepts_out(spark, sf_dir, tmp_path):
     ]
     # no --out, no --bootstrap-from: refuse up front
     assert cli.main(base) == 2
-    # --out alone: guard passes and the drain admits the batch
+    # a PARTIALLY covering sink must also refuse (the guard verifies
+    # stored-id COVERAGE, not flag presence — a seeded legacy store
+    # resumed with only its sink would otherwise raise_error mid-stream)
+    partial = str(tmp_path / "partial_out")
+    emb.where(F.col("vec_id") < 100).write.mode("overwrite").parquet(
+        os.path.join(partial, "ingest_batch=999")
+    )
+    assert cli.main(base + ["--out", partial]) == 2
+    # --out covering every stored id: guard passes, the drain admits
     assert cli.main(base + ["--out", out]) == 0
     admitted = spark.read.option("basePath", out).parquet(out)
     assert admitted.where(F.col("vec_id") >= 200).count() > 0

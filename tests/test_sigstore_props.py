@@ -655,29 +655,23 @@ def test_ann_ingest_compaction_is_result_invisible(spark, corpus, tmp_path_facto
     tmp = str(tmp_path_factory.mktemp("anncompact"))
 
     def drain_loop(tag, compact_every):
-        src = os.path.join(tmp, f"src_{tag}")
-        store = os.path.join(tmp, f"store_{tag}")
-        out = os.path.join(tmp, f"out_{tag}")
+        from magiceye_spark.registry import _loop_batches_to_stream
+
+        base = os.path.join(tmp, tag)
+        store = os.path.join(base, "store")
+        out = os.path.join(base, "out")
         annindex.write_ivf_index(
             emb.where(F.col("_g") == 0).drop("_g"), store, n_centroids=2
         )
-        stamped = set()
-        for k, g in enumerate((1, 2)):
-            emb.where(F.col("_g") == g).drop("_g").coalesce(1).write.mode(
-                "append"
-            ).parquet(src)
-            for f in os.listdir(src):
-                p = os.path.join(src, f)
-                if p not in stamped:
-                    os.utime(p, (1_000_000_000 + k, 1_000_000_000 + k))
-                    stamped.add(p)
-        stream = (
-            spark.readStream.schema(emb.drop("_g").schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src)
+        # the SHARED pinned-mtime batch writer (registry helper) — not a
+        # local copy of the idiom, so mtime-pinning fixes apply here too
+        stream = _loop_batches_to_stream(
+            spark,
+            base,
+            tuple(emb.where(F.col("_g") == g).drop("_g") for g in (1, 2)),
         )
         q = annindex.streaming_ann_ingest(
-            spark, store, stream, os.path.join(tmp, f"ck_{tag}"),
+            spark, store, stream, os.path.join(base, "ck"),
             threshold=0.95, n_probe=2, output_path=out,
             compact_every=compact_every,
         )
