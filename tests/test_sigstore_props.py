@@ -442,26 +442,15 @@ def test_ann_ingest_loop_matches_sequential_python_reference(spark, corpus, tmp_
         rows, "vec_id long, embedding array<float>, _g int"
     )
     tmp = str(tmp_path_factory.mktemp("annloop"))
-    src, store, out = (os.path.join(tmp, d) for d in ("src", "store", "out"))
+    store, out = (os.path.join(tmp, d) for d in ("store", "out"))
     annindex.write_ivf_index(
         emb.where(F.col("_g") == 0).drop("_g"), store, n_centroids=2
     )
-    stamped = set()
-    for k, g in enumerate((1, 2)):
-        emb.where(F.col("_g") == g).drop("_g").coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        # stamp only files written this iteration (re-stamping pinned
-        # earlier batches would reorder arrivals with 3+ batches)
-        for f in os.listdir(src):
-            p = os.path.join(src, f)
-            if p not in stamped:
-                os.utime(p, (1_000_000_000 + k, 1_000_000_000 + k))
-                stamped.add(p)
-    stream = (
-        spark.readStream.schema(emb.drop("_g").schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
+    # the SHARED pinned-mtime batch writer (registry helper)
+    from magiceye_spark.registry import _loop_batches_to_stream
+
+    stream = _loop_batches_to_stream(
+        spark, tmp, tuple(emb.where(F.col("_g") == g).drop("_g") for g in (1, 2))
     )
     q = annindex.streaming_ann_ingest(
         spark, store, stream, os.path.join(tmp, "ck"),
@@ -548,24 +537,16 @@ def test_ann_ingest_cold_start_matches_sequential_python_reference(
         rows, "vec_id long, embedding array<float>, _g int"
     )
     tmp = str(tmp_path_factory.mktemp("anncold"))
-    src, store, out = (os.path.join(tmp, d) for d in ("src", "store", "out"))
-    stamped = set()
-    for k in (0, 1, 2):
-        emb.where(F.col("_g") == k).drop("_g").coalesce(1).write.mode(
-            "append"
-        ).parquet(src)
-        # stamp only files written this iteration — the old `mtime > 1e9`
-        # guard re-stamped batch 1 to batch 2's timestamp here (3 batches),
-        # making arrival order a tie under maxFilesPerTrigger=1
-        for f in os.listdir(src):
-            p = os.path.join(src, f)
-            if p not in stamped:
-                os.utime(p, (1_000_000_000 + k, 1_000_000_000 + k))
-                stamped.add(p)
-    stream = (
-        spark.readStream.schema(emb.drop("_g").schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
+    store, out = (os.path.join(tmp, d) for d in ("store", "out"))
+    # the SHARED pinned-mtime batch writer (registry helper) — the old
+    # inline `mtime > 1e9` copy re-stamped batch 1 to batch 2's
+    # timestamp at 3 batches, making arrival order a tie
+    from magiceye_spark.registry import _loop_batches_to_stream
+
+    stream = _loop_batches_to_stream(
+        spark,
+        tmp,
+        tuple(emb.where(F.col("_g") == g).drop("_g") for g in (0, 1, 2)),
     )
     q = annindex.streaming_ann_ingest(
         spark, store, stream, os.path.join(tmp, "ck"),
