@@ -644,6 +644,9 @@ def cmd_ingest(args: argparse.Namespace) -> int:
     after that (the FAISS add contract)."""
     import os as _os
 
+    from pyspark.sql import functions as F
+    from pyspark.errors import AnalysisException
+
     from magiceye_spark import fsops
     from magiceye_spark.session import get_spark
 
@@ -744,15 +747,64 @@ def cmd_ingest(args: argparse.Namespace) -> int:
                     sources.append(
                         spark.read.parquet(args.bootstrap_from).select("vec_id")
                     )
+                # A prior sink covers a stored id ONLY through partitions
+                # whose ingest_batch can never be an in-flight batch id of
+                # THIS run: the rerank assembly excludes the current
+                # batch's partition (crash-replay hygiene) and each drained
+                # batch OVERWRITES its partition — so on a fresh checkpoint
+                # (batch ids restart at 0) the prior run's colliding
+                # partitions are first unreadable, then destroyed (r12
+                # advice). availableNow replays at most
+                # ceil(n_src_files / maxFilesPerTrigger) batch ids; a
+                # resumed checkpoint continues past them (collision-free);
+                # --follow on a fresh checkpoint grows without bound, so
+                # no prior partition is safe.
                 if args.out and fsops.fs_exists(spark, args.out):
-                    try:
-                        sources.append(
-                            spark.read.option("basePath", args.out)
-                            .parquet(args.out)
-                            .select("vec_id")
+                    if not fsops.fs_exists(spark, args.checkpoint):
+                        if args.follow:
+                            replay_bound = None  # unbounded batch ids
+                        else:
+                            n_files = max(1, len(static.inputFiles()))
+                            replay_bound = -(-n_files // max(
+                                1, args.max_files_per_trigger
+                            ))
+                    else:
+                        replay_bound = 0
+                    if replay_bound is None:
+                        print(
+                            f"ingest: checkpoint {args.checkpoint} is fresh "
+                            f"and --follow is set — prior sink {args.out} "
+                            "partitions will eventually collide with "
+                            "replayed batch ids (excluded from rerank "
+                            "assembly, then overwritten), so the sink "
+                            "counts for NO rerank coverage; reuse the "
+                            "prior run's checkpoint to resume",
+                            file=sys.stderr,
                         )
-                    except Exception:  # noqa: BLE001
-                        pass  # empty/unreadable sink covers nothing
+                    else:
+                        try:
+                            sink_ids = (
+                                spark.read.option("basePath", args.out)
+                                .parquet(args.out)
+                            )
+                            if replay_bound:
+                                print(
+                                    f"ingest: fresh checkpoint — sink "
+                                    f"partitions ingest_batch < "
+                                    f"{replay_bound} collide with batch "
+                                    "ids this drain will replay and are "
+                                    "NOT counted as rerank coverage "
+                                    "(colliding partitions get "
+                                    "overwritten); reuse the prior "
+                                    "checkpoint to keep them",
+                                    file=sys.stderr,
+                                )
+                                sink_ids = sink_ids.where(
+                                    F.col("ingest_batch") >= replay_bound
+                                )
+                            sources.append(sink_ids.select("vec_id"))
+                        except AnalysisException:
+                            pass  # empty/unreadable sink covers nothing
                 stored_ids = spark.read.parquet(
                     _os.path.join(args.store_path, "postings")
                 ).select("vec_id")
@@ -771,7 +823,10 @@ def cmd_ingest(args: argparse.Namespace) -> int:
                         f"{missing} stored vector(s) have no original in "
                         "the given sources — pass --bootstrap-from <seed "
                         "parquet> (the corpus the store was seeded from) "
-                        "and/or --out <the PRIOR admitted sink> so every "
+                        "and/or --out <the PRIOR admitted sink> WITH the "
+                        "prior run's --checkpoint (a fresh checkpoint "
+                        "replays batch ids from 0, which excludes and "
+                        "overwrites colliding sink partitions) so every "
                         "stored id is covered (r11+ stores carry their "
                         "originals and resume without either)",
                         file=sys.stderr,

@@ -17,9 +17,12 @@ their true (small) size.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+_log = logging.getLogger(__name__)
 
 #: below this total size a table is dimension-like: never worth a shuffle
 _MIN_BYTES = 4 * 1024 * 1024
@@ -87,7 +90,15 @@ def local_frame(spark: SparkSession, rows, schema=None) -> DataFrame:
             if schema is not None
             else spark.createDataFrame(pdf)
         )
-    except Exception:  # noqa: BLE001 — conversion gap, not a data error
+    except (ImportError, ValueError, TypeError, KeyError, OverflowError) as e:
+        # Expected conversion gaps only (r12 advice: a blanket except hid
+        # Arrow regressions as an unexplained ~6 s/action perf cliff). Any
+        # OTHER exception class now propagates; the fallback itself is
+        # logged so a silent revert to the parallelize path is observable.
+        _log.warning(
+            "local_frame: pandas/Arrow path failed (%s: %s); falling back "
+            "to the slow parallelize path", type(e).__name__, e
+        )
         return spark.createDataFrame(rows, schema)
 
 

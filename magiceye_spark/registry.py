@@ -193,64 +193,83 @@ _DRIVER_WINDOW = [
     # media_audio_windows, hard_negatives_topk, contrastive_negatives,
     # events_latest_per_user_day, span_cleaned_corpus
     # (+ embedding_normalize, permanently unseatable: Array output).
-    # relational analytics / TPC-H-adjacent shapes
-    "attributed_daily_revenue",
-    "brand_rank_movers",
-    "brand_supplier_hhi",
-    "cohort_ltv_curve",
-    "lineitem_iqr_profile",
-    "order_size_histogram",
-    "parts_pareto_frontier",
-    "purchase_latency_stats",
-    "repurchase_interval_stats",
-    "zorder_curve3_histogram",
-    # event-stream rollups / trends / anomaly statistics
-    "daily_forecast_backtest",
-    "error_rate_control_chart",
-    "events_daily_cusum",
-    "events_daily_percentile_trend",
-    "events_dow_hour_matrix",
-    "events_hourly_value_profile",
-    "events_robust_outliers",
-    "events_seasonal_anomalies",
-    "events_type_mix_drift",
-    "events_type_value_assoc",
-    "user_behavior_similarity",
-    "user_interarrival_stats",
-    "top_users_per_type_scalable",
-    # schema / catalog drift
-    "schema_drift_timeline",
-    # dedup family (planted-fixture rows made non-vacuous in r12)
-    "exact_dup_clusters",
-    "unicode_anomaly_scan",
-    "bag_dup_clusters",
-    "containment_near_dups",
-    "snm_vs_allpairs_agreement",
-    # text analysis / corpus stats
-    "bigram_logprob_quality",
-    "source_charset_profile",
-    "source_distinctive_terms",
-    "source_flag_rate_ci",
-    "source_similarity_matrix",
-    "token_pmi_pairs",
-    "vocab_coverage_curve",
-    "chunk_documents",
-    # pipeline curation / quality / sampling
-    "corpus_resampled_mix",
-    "corpus_stratified_quota",
-    "cross_source_overlap",
-    "nb_crossval_accuracy",
-    "quality_filtered_corpus",
-    "quality_score_calibration",
-    # embedding / label structure
-    "label_centroid_similarity",
-    "label_compactness",
-    # NEW r12 oracle rows (verdict asks #2-#4)
-    "ann_ingest_loop_compacting_exact",
-    "ivf_index_stats_exact",
-    "sig_admit_indexed_exact",
-    "events_sketch_error_bounded",
-    "phash_delta_admit_indexed",
+    # r13 rotation: the never-attested backlog CLOSES and oldest-first
+    # re-attestation begins (r12 verdict asks #1-#2). All 50 r12 seats
+    # are green r12 and evict to pytest oracle coverage. Entrants:
+    #   (a) the 9 last never-attested seatable rows — the five deferred
+    #       from r12 plus the four sketch-bound twins registered after
+    #       the r12 window froze (approx_source_overlap_bounded's
+    #       tolerance floor now scales with the HLL 3-sigma noise, so
+    #       the seat is not SF-fragile — r12 advice);
+    #   (b) the 41 STALEST attested rows, oldest-first by last driver
+    #       record, alphabetical within a round (the auditable rule
+    #       `tools/attestation_status.py --stale` prints): all of
+    #       r2 (11) + r3 (4) + r4 (1) + r5 (12) + the first 13 of r6.
+    #       Their plans have since been through the barrier /
+    #       two-phase-window / local_frame waves with only pytest
+    #       sf0.001 coverage — these are exactly the rows whose driver
+    #       evidence is stalest.
+    # embedding_normalize resolved: demoted to rows-only (Array output
+    # is driver-unhashable by structure; the array-value oracle check
+    # moved to tests/test_r13_ops.py and the scalar digest sibling
+    # carries the driver row), so attestation_status can reach
+    # driver_attested == oracle_backed.
+    # (a) never-attested backlog — final 9
+    "approx_source_overlap_bounded",
+    "contrastive_negatives",
+    "events_approx_percentiles_bounded",
+    "events_approx_users_bounded",
+    "events_latest_per_user_day",
+    "hard_negatives_topk",
+    "join_size_estimate_bounded",
+    "media_audio_windows",
+    "span_cleaned_corpus",
+    # (b) stale re-attestation, oldest-first: last attested r2
+    "datadiff_lineitem_hashmode",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_bracket_revenue",
+    "q22_idle_balances",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    # last attested r3
+    "datadiff_dataset_summary",
+    "datadiff_fingerprint",
+    "datadiff_lineitem_rowset",
+    "datadiff_lineitem_summary",
+    # last attested r4
+    "user_running_stats",
+    # last attested r5
+    "clicks_before_purchase",
+    "cohort_retention",
+    "datadiff_lineitem_directional",
+    "events_pivot_by_type",
+    "events_props_rollup",
+    "events_rollup_cascade",
+    "events_value_histogram",
+    "nation_coverage_setops",
+    "orders_customer_rollup",
+    "orders_rollup_hierarchy",
+    "q21_sole_late_supplier",
+    "quality_score",
+    # last attested r6 (first 13 alphabetically; the rest queue for r14)
+    "corpus_hash_split",
+    "cosine_topk",
+    "datadiff_incremental",
+    "dedup_exact_corpus",
+    "embedding_covariance",
+    "embedding_near_dups",
+    "events_hourly_rollup",
+    "jaccard_near_dups",
+    "media_catalog",
+    "profile_lineitem",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
 ]
 
 
@@ -2481,8 +2500,15 @@ def vocab_q(spark, sf_dir):
     return textstats.vocab_topk(_docs(spark, sf_dir), k=100)
 
 
-@register("embedding_normalize", simsearch.SQL_NORMALIZE)
+@register("embedding_normalize", None)
 def normalize_q(spark, sf_dir):
+    """Rows-only BY STRUCTURE, not by semantics (r12 verdict What's-wrong
+    #2): the output is Array-typed, which the driver's canonicalizer
+    cannot hash — the row burned its only seat in r10 and can never earn
+    a driver row. The full array-vs-oracle value check lives in
+    tests/test_r13_ops.py::test_embedding_normalize_matches_oracle (same
+    SQL, arrays stringified), and the scalar digest sibling
+    `embedding_normalize_digest` carries the driver-attestable oracle."""
     return simsearch.normalize_embeddings(_embs(spark, sf_dir))
 
 
@@ -3326,11 +3352,12 @@ def approx_source_overlap_q(spark, sf_dir):
 
 
 # hash-checked bound twin (r12): exact shared-content matrix over ALL
-# unordered source pairs (zero-overlap pairs included) + the pytest
-# tolerance (|est − exact| ≤ max(2, 5%·exact)) asserted in-plan — the
-# oracle's TRUE column flips row hashes if the HLL inclusion-exclusion
-# drifts. HLL is a pure function of the data, so the bound is a
-# deterministic fact at any given SF (pre-validated at sf0.001/sf0.01).
+# unordered source pairs (zero-overlap pairs included) + the tolerance
+# (|est − exact| ≤ max(2, 5%·exact, 3σ of the sketch noise)) asserted
+# in-plan — the oracle's TRUE column flips row hashes if the HLL
+# inclusion-exclusion drifts. HLL is a pure function of the data, so the
+# bound is a deterministic fact at any given SF; the 3σ term scales with
+# per-source cardinality, so the row is not SF-fragile (r12 advice).
 _SQL_APPROX_OVERLAP_BOUNDED = """
 WITH sh AS MATERIALIZED (
   SELECT DISTINCT source,
@@ -3358,6 +3385,18 @@ def approx_source_overlap_bounded_q(spark, sf_dir):
     docs = io.read_table(spark, sf_dir, "documents")
     exact = dedup.cross_source_overlap(docs)
     approx = dedup.approx_source_overlap(docs)
+    # Inclusion-exclusion error scales with the PER-SOURCE cardinalities,
+    # not the overlap size (r12 review advice): a zero-overlap pair of two
+    # large sources can legitimately miss an absolute floor of 2. Bound at
+    # 3 sigma of the combined estimator noise — each HLL estimate carries
+    # rsd ~ 1.04/sqrt(2^lg_k) (~0.8% at lg_k=14), and est(A)+est(B)-est(AUB)
+    # sums three independent-ish errors, so sigma ~ rsd*sqrt(a^2+b^2+u^2).
+    rsd = 1.04 / (2.0 ** 7)  # lg_k=14 -> sqrt(2^14) = 2^7
+    sigma = rsd * F.sqrt(
+        F.col("approx_a") ** 2
+        + F.col("approx_b") ** 2
+        + F.col("approx_union") ** 2
+    )
     return (
         approx.join(exact, ["source_a", "source_b"], "left")
         .select(
@@ -3374,6 +3413,7 @@ def approx_source_overlap_bounded_q(spark, sf_dir):
                 <= F.greatest(
                     F.lit(2.0),
                     0.05 * F.coalesce(F.col("n_shared_texts"), F.lit(0)),
+                    3.0 * sigma,
                 )
             ).alias("within_bound"),
         )

@@ -8,7 +8,12 @@ The driver window is 50 seats per round; the rotation plan
 and never-attested queries in each round until every family member has a
 driver row. This tool is the README's source for the split.
 
-Usage: python tools/attestation_status.py [--list]
+Usage: python tools/attestation_status.py [--list] [--stale [N]]
+  --list   names of never-driver-attested oracle-backed queries
+  --stale  oldest-first (last_attested_round, name) for every attested
+           row — the r13+ rotation source: with the never-attested
+           backlog gone, window capacity recycles the stalest rows
+           first (optionally only the first N)
 """
 
 from __future__ import annotations
@@ -31,7 +36,9 @@ def main() -> None:
     # counted — the r10 verdict's What's-wrong #2).
     attested: set[str] = set()
     erred: set[str] = set()
+    last_round: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
         for name, row in json.load(open(f)).items():
             if (
                 row.get("rows_match")
@@ -39,6 +46,7 @@ def main() -> None:
                 and row.get("hash_match")
             ):
                 attested.add(name)
+                last_round[name] = max(last_round.get(name, 0), rnd)
             else:
                 erred.add(name)
     erred -= attested
@@ -73,6 +81,20 @@ def main() -> None:
         print("\nnever driver-attested (pytest-only oracle coverage):")
         for n in pending:
             print(" ", n)
+    if "--stale" in sys.argv:
+        i = sys.argv.index("--stale")
+        limit = (
+            int(sys.argv[i + 1])
+            if i + 1 < len(sys.argv) and sys.argv[i + 1].isdigit()
+            else None
+        )
+        # oldest-first, alphabetical within a round — the auditable
+        # rotation rule: each round's free window capacity re-seats
+        # exactly this prefix
+        ordered = sorted(last_round.items(), key=lambda kv: (kv[1], kv[0]))
+        print("\nlast driver-attested round (oldest first):")
+        for n, r in ordered[: limit or len(ordered)]:
+            print(f"  r{r:<3d} {n}")
 
 
 if __name__ == "__main__":

@@ -146,10 +146,29 @@ def main() -> None:
     meta: dict[str, dict[str, int]] = {}
     for factor in factors:
         label = f"store×{factor}"
+        # Materialize the synthesized store inputs to parquet and read
+        # back BEFORE any timed section: the synth frames are lineage,
+        # and timing a build against lineage measures the synthesizer,
+        # not the operator (the r11 rerank lesson, same file below).
+        docs_path = os.path.join(ROOT, f"docs{factor}")
+        if not os.path.exists(docs_path):
+            synth_docs(spark, factor).write.parquet(docs_path)
+        store_docs = spark.read.parquet(docs_path)
+        corpus_path = os.path.join(ROOT, f"corpus{factor}")
+        if not os.path.exists(corpus_path):
+            synth_embs(spark, factor).write.parquet(corpus_path)
+        store_emb = spark.read.parquet(corpus_path)
+
         # ---- sigstore: fixed delta vs growing store
+        # build wall (r12 verdict ask #3: the r11 sweep predated
+        # local_frame, which changed every store BUILD path — measure
+        # builds, not just admission/probe)
         sp = os.path.join(ROOT, f"sig{factor}")
-        store_docs = synth_docs(spark, factor)
+        t0 = time.perf_counter()
         idx = sigstore.write_minhash_index(store_docs, sp)
+        walls.setdefault("sigstore_build", {})[label] = round(
+            time.perf_counter() - t0, 2
+        )
         n_store = idx.signatures.count()
         t0 = time.perf_counter()
         sigstore.delta_dedup_admit_indexed(idx, delta).write.format(
@@ -167,7 +186,11 @@ def main() -> None:
 
         hp = os.path.join(ROOT, f"ham{factor}")
         store_sigs = dedup_ops.simhash_signatures(store_docs)
+        t0 = time.perf_counter()
         hidx = hamstore.write_hamming_index(store_sigs, hp, kind="simhash")
+        walls.setdefault("hamstore_build", {})[label] = round(
+            time.perf_counter() - t0, 2
+        )
         delta_sigs = dedup_ops.simhash_signatures(delta)
         t0 = time.perf_counter()
         hamstore.delta_hamming_admit_indexed(hidx, delta_sigs).write.format(
@@ -181,9 +204,12 @@ def main() -> None:
         # ---- ANN stores: fixed query batch vs growing postings
         from magiceye_spark.fsops import fs_count_files
 
-        store_emb = synth_embs(spark, factor)
         fp = os.path.join(ROOT, f"ivf{factor}")
+        t0 = time.perf_counter()
         flat = annindex.write_ivf_index(store_emb, fp, n_centroids=32)
+        walls.setdefault("ivf_build_flat", {})[label] = round(
+            time.perf_counter() - t0, 2
+        )
         # file-count diagnostic (r8 verdict: probe wall grew 1.59x at 100x
         # where the claim is ~flat): write_ivf_index spreads the encode over
         # defaultParallelism tasks before partitionBy(cell), so each cell
@@ -214,7 +240,11 @@ def main() -> None:
             time.perf_counter() - t0, 2
         )
         pp = os.path.join(ROOT, f"pq{factor}")
+        t0 = time.perf_counter()
         pq = annindex.write_ivf_index(store_emb, pp, pq=True, n_centroids=32)
+        walls.setdefault("ivf_build_pq", {})[label] = round(
+            time.perf_counter() - t0, 2
+        )
         t0 = time.perf_counter()
         annindex.ivf_pq_index_topk(
             pq, queries, store_emb, k=10, n_probe=8
@@ -231,10 +261,7 @@ def main() -> None:
         # whole array-roll transform inside the admission job and measure
         # the synthesizer, not the operator; first measured that way:
         # 4.6/7.9/38.5 s — the 38.5 was synth recompute)
-        corpus_path = os.path.join(ROOT, f"corpus{factor}")
-        if not os.path.exists(corpus_path):
-            store_emb.write.parquet(corpus_path)
-        rerank_corpus = spark.read.parquet(corpus_path)
+        rerank_corpus = store_emb  # already a materialized-parquet read
         ann_delta = emb.select(
             (F.col("vec_id") + 900_000_000).alias("vec_id"), "embedding"
         ).limit(500)
