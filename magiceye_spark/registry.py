@@ -13,26 +13,6 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from magiceye_spark import analytics, dq, events_ops, io, partsupp, profile, sketches, synthcat
-from magiceye_spark.llmops import dedup, graph, multimodal, pipeline, retrieval, simsearch, textstats
-from magiceye_spark.datadiff import (
-    build_scd2,
-    scd2_point_in_time,
-    diff_data,
-    diff_data_hash,
-    diff_data_summary,
-    diff_rows_set,
-)
-from magiceye_spark.diff.core import (
-    diff_columns,
-    diff_foreign_keys,
-    diff_indexes,
-    diff_schemas,
-    diff_tables,
-)
-from magiceye_spark.report import render_findings
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -294,4156 +274,27 @@ def oracles() -> dict[str, str]:
     }
 
 
-def _snapshots(spark, sf_dir):
-    return synthcat.base_snapshot(spark, sf_dir), synthcat.target_snapshot(spark, sf_dir)
 
 
-# ---------------------------------------------------------- schema diff D1-D17
-
-@register("schema_missing_tables", synthcat.with_ctes(synthcat.SQL_MISSING_TABLES))
-def schema_missing_tables(spark, sf_dir):
-    return diff_tables(*_snapshots(spark, sf_dir))
-
-
-@register("schema_column_diffs", synthcat.with_ctes(synthcat.SQL_COLUMN_DIFFS))
-def schema_column_diffs(spark, sf_dir):
-    return diff_columns(*_snapshots(spark, sf_dir))
-
-
-@register("schema_index_diffs", synthcat.with_ctes(synthcat.SQL_INDEX_DIFFS))
-def schema_index_diffs(spark, sf_dir):
-    return diff_indexes(*_snapshots(spark, sf_dir))
-
-
-@register("schema_fk_diffs", synthcat.with_ctes(synthcat.SQL_FK_DIFFS))
-def schema_fk_diffs(spark, sf_dir):
-    return diff_foreign_keys(*_snapshots(spark, sf_dir))
-
-
-@register("schema_diff_full", synthcat.oracle_sql_full())
-def schema_diff_full(spark, sf_dir):
-    return diff_schemas(*_snapshots(spark, sf_dir))
-
-
-def _report_oracle() -> str:
-    """English rendering of every finding as SQL CASE over the full diff."""
-    from magiceye_spark.report import _KIND_LABEL, _PHRASES  # noqa: SLF001
-
-    label = "CASE object_kind " + " ".join(
-        f"WHEN '{k}' THEN '{v}'" for k, v in _KIND_LABEL.items()
-    ) + " END"
-    phrase = "CASE \"check\" " + " ".join(
-        f"WHEN '{k}' THEN '{v[0]}'" for k, v in _PHRASES.items()
-    ) + " END"
-    qual = "CASE WHEN object_kind = 'table' THEN object_name ELSE table_name || '.' || object_name END"
-    msg = (
-        f"CASE WHEN \"check\" = 'missing' THEN {label} || ': ' || {qual} || {phrase} "
-        f"ELSE {label} || ': ' || {qual} || {phrase} || ' => ' || base_value || ' != ' || target_value END"
-    )
-    return f"SELECT table_name, {msg} AS report FROM ({synthcat.oracle_sql_full()})"
-
-
-@register("schema_diff_report", _report_oracle())
-def schema_diff_report(spark, sf_dir):
-    findings = diff_schemas(*_snapshots(spark, sf_dir))
-    return render_findings(findings, "english").select("table_name", "report")
-
-
-# ------------------------------------------------------------- data diff M4
-
-_K = "(l_orderkey * 10 + l_linenumber)"
-
-SQL_PERTURBED_LINEITEM = f"""
-WITH target AS (
-  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
-         CASE WHEN {_K} % 83 = 0 THEN l_quantity + 5 ELSE l_quantity END AS l_quantity,
-         l_extendedprice, l_discount, l_tax,
-         CASE WHEN {_K} % 79 = 0 THEN 'X' ELSE l_returnflag END AS l_returnflag,
-         l_linestatus, l_shipdate
-  FROM lineitem WHERE {_K} % 89 <> 0
-  UNION ALL
-  SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber + 1000,
-         l_quantity, l_extendedprice, l_discount, l_tax,
-         l_returnflag, l_linestatus, l_shipdate
-  FROM lineitem WHERE {_K} % 101 = 0
-)
-"""
-
-_CHANGED_LIST = ", ".join(
-    f"CASE WHEN b.{c} IS DISTINCT FROM t.{c} THEN '{c}' END"
-    for c in [
-        "l_discount", "l_extendedprice", "l_linestatus", "l_partkey",
-        "l_quantity", "l_returnflag", "l_shipdate", "l_suppkey", "l_tax",
-    ]
+# ---------------------------------------------------------------------------
+# Family query modules (split r13). Imported for their @register side
+# effects, in the original single-file order, so registration order — and
+# therefore the driver's post-window ordering — is preserved. Each module
+# does `from magiceye_spark.registry import register`, which is safe here:
+# register is defined above this import block.
+from magiceye_spark.queries import (  # noqa: E402,F401
+    schema_rows as _schema_rows,
+    datadiff_rows as _datadiff_rows,
+    analytics_rows as _analytics_rows,
+    events_rows as _events_rows,
+    llmops_rows as _llmops_rows,
+    extra_rows as _extra_rows,
+    late_rows as _late_rows,
 )
 
-SQL_DATADIFF = SQL_PERTURBED_LINEITEM + f"""
-SELECT l_orderkey, l_linenumber, diff_status,
-       CASE WHEN diff_status = 'changed' THEN changed_columns ELSE '' END AS changed_columns
-FROM (
-  SELECT COALESCE(b.l_orderkey, t.l_orderkey) AS l_orderkey,
-         COALESCE(b.l_linenumber, t.l_linenumber) AS l_linenumber,
-         CASE WHEN t.l_linenumber IS NULL THEN 'removed'
-              WHEN b.l_linenumber IS NULL THEN 'added'
-              WHEN CONCAT_WS(',', {_CHANGED_LIST}) <> '' THEN 'changed'
-         END AS diff_status,
-         CONCAT_WS(',', {_CHANGED_LIST}) AS changed_columns
-  FROM lineitem b
-  FULL OUTER JOIN target t
-    ON b.l_orderkey = t.l_orderkey AND b.l_linenumber = t.l_linenumber
-)
-WHERE diff_status IS NOT NULL
-"""
-
-SQL_DATADIFF_SUMMARY = (
-    "SELECT diff_status, COUNT(*) AS n FROM (" + SQL_DATADIFF + ") GROUP BY 1 ORDER BY 1"
-)
-
-
-def _perturbed_lineitem(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
-    l = io.read_table(spark, sf_dir, "lineitem")
-    k = F.col("l_orderkey") * 10 + F.col("l_linenumber")
-    mutated = l.where(k % 89 != 0).withColumns(
-        {
-            "l_quantity": F.when(k % 83 == 0, F.col("l_quantity") + 5).otherwise(
-                F.col("l_quantity")
-            ),
-            "l_returnflag": F.when(k % 79 == 0, F.lit("X")).otherwise(
-                F.col("l_returnflag")
-            ),
-        }
-    )
-    added = l.where(k % 101 == 0).withColumn(
-        "l_linenumber", F.col("l_linenumber") + F.lit(1000)
-    )
-    return l, mutated.unionByName(added)
-
-
-@register("datadiff_lineitem", SQL_DATADIFF)
-def datadiff_lineitem(spark, sf_dir):
-    base, target = _perturbed_lineitem(spark, sf_dir)
-    return diff_data(base, target, keys=["l_orderkey", "l_linenumber"])
-
-
-@register("datadiff_lineitem_summary", SQL_DATADIFF_SUMMARY)
-def datadiff_lineitem_summary(spark, sf_dir):
-    base, target = _perturbed_lineitem(spark, sf_dir)
-    return diff_data_summary(base, target, keys=["l_orderkey", "l_linenumber"])
-
-
-# hash fast-path emits the same (keys, status) rows with no column
-# attribution — oracle is the full diff with changed_columns blanked.
-SQL_DATADIFF_HASHMODE = SQL_PERTURBED_LINEITEM + f"""
-SELECT l_orderkey, l_linenumber, diff_status, '' AS changed_columns
-FROM (
-  SELECT COALESCE(b.l_orderkey, t.l_orderkey) AS l_orderkey,
-         COALESCE(b.l_linenumber, t.l_linenumber) AS l_linenumber,
-         CASE WHEN t.l_linenumber IS NULL THEN 'removed'
-              WHEN b.l_linenumber IS NULL THEN 'added'
-              WHEN CONCAT_WS(',', {_CHANGED_LIST}) <> '' THEN 'changed'
-         END AS diff_status
-  FROM lineitem b
-  FULL OUTER JOIN target t
-    ON b.l_orderkey = t.l_orderkey AND b.l_linenumber = t.l_linenumber
-)
-WHERE diff_status IS NOT NULL
-"""
-
-
-@register("datadiff_lineitem_hashmode", SQL_DATADIFF_HASHMODE)
-def datadiff_lineitem_hashmode(spark, sf_dir):
-    base, target = _perturbed_lineitem(spark, sf_dir)
-    return diff_data_hash(base, target, keys=["l_orderkey", "l_linenumber"])
-
-
-SQL_DATASET_DIFF = SQL_PERTURBED_LINEITEM + f"""
-SELECT 'lineitem' AS table_name, diff_status, COUNT(*) AS n FROM (
-  SELECT CASE WHEN t.l_linenumber IS NULL THEN 'removed'
-              WHEN b.l_linenumber IS NULL THEN 'added'
-              WHEN CONCAT_WS(',', {_CHANGED_LIST}) <> '' THEN 'changed'
-         END AS diff_status
-  FROM lineitem b
-  FULL OUTER JOIN target t
-    ON b.l_orderkey = t.l_orderkey AND b.l_linenumber = t.l_linenumber
-)
-WHERE diff_status IS NOT NULL
-GROUP BY diff_status
-ORDER BY table_name, diff_status
-"""
-
-
-@register("datadiff_dataset_summary", SQL_DATASET_DIFF)
-def dataset_diff_q(spark, sf_dir):
-    """Two-table dataset diff: orders vs itself (clean → no rows) plus the
-    perturbed lineitem pair — the whole-database row-diff entry point."""
-    from magiceye_spark.datadiff import diff_dataset
-
-    base, target = _perturbed_lineitem(spark, sf_dir)
-    orders = io.read_table(spark, sf_dir, "orders")
-    return diff_dataset(
-        {"lineitem": (base, target), "orders": (orders, orders)},
-        keys={"lineitem": ["l_orderkey", "l_linenumber"], "orders": ["o_orderkey"]},
-    )
-
-
-SQL_ROWSET_DIFF = SQL_PERTURBED_LINEITEM + """
-SELECT *, 'removed' AS diff_status FROM (SELECT * FROM lineitem EXCEPT ALL SELECT * FROM target)
-UNION ALL
-SELECT *, 'added' AS diff_status FROM (SELECT * FROM target EXCEPT ALL SELECT * FROM lineitem)
-"""
-
-
-@register("datadiff_lineitem_rowset", SQL_ROWSET_DIFF)
-def datadiff_lineitem_rowset(spark, sf_dir):
-    base, target = _perturbed_lineitem(spark, sf_dir)
-    return diff_rows_set(base, target)
-
-
-SQL_DQ_LINEITEM = """
-SELECT * FROM (
-  SELECT 'not_null' AS "check", 'l_quantity' AS "column",
-         COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS violations,
-         COUNT(*) AS total,
-         COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) = 0 AS pass
-  FROM lineitem
-  UNION ALL
-  SELECT 'range', 'l_discount',
-         COUNT(CASE WHEN l_discount NOT BETWEEN 0 AND 0.1 THEN 1 END),
-         COUNT(*),
-         COUNT(CASE WHEN l_discount NOT BETWEEN 0 AND 0.1 THEN 1 END) = 0
-  FROM lineitem
-  UNION ALL
-  SELECT 'accepted_values', 'l_linestatus',
-         COUNT(CASE WHEN l_linestatus NOT IN ('O', 'F') THEN 1 END),
-         COUNT(*),
-         COUNT(CASE WHEN l_linestatus NOT IN ('O', 'F') THEN 1 END) = 0
-  FROM lineitem
-  UNION ALL
-  SELECT 'unique', 'l_orderkey,l_linenumber',
-         CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT),
-         CAST(SUM(n) AS BIGINT),
-         COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) = 0
-  FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
-  UNION ALL
-  SELECT 'referential', 'l_orderkey',
-         (SELECT COUNT(*) FROM lineitem l
-          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
-         COUNT(*),
-         (SELECT COUNT(*) FROM lineitem l
-          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0
-  FROM lineitem
-)
-ORDER BY "check", "column"
-"""
-
-
-_PROFILE_COLS = ["l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"]
-_PROFILE_NUMERIC = {"l_orderkey", "l_quantity"}
-
-
-@register(
-    "profile_lineitem",
-    profile.sql_profile_table("lineitem", _PROFILE_COLS, _PROFILE_NUMERIC),
-)
-def profile_lineitem_q(spark, sf_dir):
-    """Per-column profile of lineitem (null rate, distinct, min/max, avg)
-    — one aggregation pass, pivoted to a row per column."""
-    return profile.profile_table(
-        io.read_table(spark, sf_dir, "lineitem"), _PROFILE_COLS
-    )
-
-
-SQL_PROFILE_DRIFT = SQL_PERTURBED_LINEITEM + ", " + profile.sql_profile_drift(
-    "lineitem", "target", _PROFILE_COLS, _PROFILE_NUMERIC
-)
-
-
-@register("profile_drift_lineitem", SQL_PROFILE_DRIFT)
-def profile_drift_q(spark, sf_dir):
-    """Columns whose profile moved between lineitem and its perturbed twin
-    — the catalog-sized pre-check that tells you WHICH columns to row-diff
-    (two aggregation passes + a per-column-row join, no row-level work)."""
-    base, target = _perturbed_lineitem(spark, sf_dir)
-    bp = profile.profile_table(base, _PROFILE_COLS)
-    tp = profile.profile_table(target, _PROFILE_COLS)
-    return profile.profile_drift(bp, tp)
-
-
-@register("dq_lineitem", SQL_DQ_LINEITEM)
-def dq_q(spark, sf_dir):
-    """Data-quality audit of lineitem: nullability, value range, accepted
-    values, PK uniqueness, FK integrity — one declarative rule set."""
-    from magiceye_spark.dq import Rules, check_quality
-
-    l = io.read_table(spark, sf_dir, "lineitem")
-    o = io.read_table(spark, sf_dir, "orders")
-    rules = Rules(
-        not_null=["l_quantity"],
-        unique=[["l_orderkey", "l_linenumber"]],
-        ranges={"l_discount": (0.0, 0.1)},
-        accepted={"l_linestatus": ["O", "F"]},
-        references={"l_orderkey": (o, "o_orderkey")},
-    )
-    return check_quality(l, rules)
-
-
-# ------------------------------------------------------------- analytics
-
-@register("q1_pricing_summary", analytics.SQL_Q1)
-def q1(spark, sf_dir):
-    return analytics.q1_pricing_summary(spark, sf_dir)
-
-
-@register("q3_shipping_priority", analytics.SQL_Q3)
-def q3(spark, sf_dir):
-    return analytics.q3_shipping_priority(spark, sf_dir)
-
-
-@register("q5_local_supplier_volume", analytics.SQL_Q5)
-def q5(spark, sf_dir):
-    return analytics.q5_local_supplier_volume(spark, sf_dir)
-
-
-@register("q6_forecast_revenue", analytics.SQL_Q6)
-def q6(spark, sf_dir):
-    return analytics.q6_forecast_revenue(spark, sf_dir)
-
-
-@register("q4_order_priority", analytics.SQL_Q4)
-def q4(spark, sf_dir):
-    return analytics.q4_order_priority(spark, sf_dir)
-
-
-@register("q7_nation_volume", analytics.SQL_Q7)
-def q7(spark, sf_dir):
-    return analytics.q7_nation_volume(spark, sf_dir)
-
-
-@register("q8_market_share", analytics.SQL_Q8)
-def q8(spark, sf_dir):
-    return analytics.q8_market_share(spark, sf_dir)
-
-
-@register("q10_returned_items", analytics.SQL_Q10)
-def q10(spark, sf_dir):
-    return analytics.q10_returned_items(spark, sf_dir)
-
-
-@register("q12_shipmode_priority", analytics.sql_q12())
-def q12(spark, sf_dir):
-    """TPC-H Q12 over DERIVED ship attributes (analytics.derived_shipping):
-    the testdata lacks shipmode/commitdate/receiptdate, so they're pure
-    integer-arithmetic functions of (orderkey, linenumber, shipdate), with
-    the identical derivation as the oracle CTE — the derived-partsupp
-    precedent. Completes the expressible TPC-H set at 22/22."""
-    return analytics.q12_shipmode_priority(spark, sf_dir)
-
-
-@register("q13_order_count_distribution", analytics.SQL_Q13)
-def q13(spark, sf_dir):
-    return analytics.q13_order_count_distribution(spark, sf_dir)
-
-
-@register("q14_promo_revenue", analytics.SQL_Q14)
-def q14(spark, sf_dir):
-    return analytics.q14_promo_revenue(spark, sf_dir)
-
-
-@register("q15_top_supplier", analytics.SQL_Q15)
-def q15(spark, sf_dir):
-    return analytics.q15_top_supplier(spark, sf_dir)
-
-
-@register("q17_small_quantity_revenue", analytics.SQL_Q17)
-def q17(spark, sf_dir):
-    return analytics.q17_small_quantity_revenue(spark, sf_dir)
-
-
-@register("q18_large_volume_customers", analytics.SQL_Q18)
-def q18(spark, sf_dir):
-    return analytics.q18_large_volume_customers(spark, sf_dir)
-
-
-@register("q19_bracket_revenue", analytics.SQL_Q19)
-def q19(spark, sf_dir):
-    return analytics.q19_bracket_revenue(spark, sf_dir)
-
-
-@register("q21_sole_late_supplier", analytics.SQL_Q21)
-def q21(spark, sf_dir):
-    return analytics.q21_sole_late_supplier(spark, sf_dir)
-
-
-@register("q22_idle_balances", analytics.SQL_Q22)
-def q22(spark, sf_dir):
-    return analytics.q22_idle_balances(spark, sf_dir)
-
-
-@register("events_hourly_rollup", analytics.SQL_EVENTS_HOURLY)
-def events_hourly(spark, sf_dir):
-    return analytics.events_hourly_rollup(spark, sf_dir)
-
-
-@register("events_rollup_cascade", analytics.SQL_ROLLUP_CASCADE)
-def rollup_cascade_q(spark, sf_dir):
-    """Daily totals derived from hourly PARTIALS (lossless re-aggregation;
-    oracle aggregates raw directly — results must be bit-identical)."""
-    return analytics.events_rollup_cascade(spark, sf_dir)
-
-
-@register("events_sketch_rollup", None)  # HLL estimates: tolerance in tests
-def sketch_rollup_q(spark, sf_dir):
-    return analytics.events_sketch_rollup(spark, sf_dir)
-
-
-# hash-checked attestation of the HLL rollup cascade (r12, verdict ask
-# #2): per (day, type) emit the EXACT distinct (both engines compute it)
-# plus within_bound = |sketch-union estimate − exact| ≤ 5% — the oracle
-# asserts TRUE for every group, so a drifted sketch union (wrong merge,
-# wrong estimate, re-aggregated COUNT DISTINCT overcount) flips row
-# hashes. The 5% bound is deliberate headroom over HLL lgK=12's ~1.6%
-# standard error; at driver SFs most groups sit in the sketch's exact
-# sparse mode. The estimate itself stays rows-only in
-# events_sketch_rollup (its value is approximate by contract).
-_SQL_SKETCH_ERROR_BOUNDED = """
-SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-       TRUE AS within_bound
-FROM events GROUP BY 1, 2 ORDER BY 1, 2
-"""
-
-
-@register("events_sketch_error_bounded", _SQL_SKETCH_ERROR_BOUNDED)
-def sketch_error_bounded_q(spark, sf_dir):
-    approx = analytics.events_sketch_rollup(spark, sf_dir)
-    exact = (
-        analytics._events(spark, sf_dir)  # noqa: SLF001
-        .groupBy(
-            F.date_trunc("day", F.col("ts")).alias("day"),
-            F.col("event_type"),
-        )
-        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
-    )
-    return (
-        exact.join(approx, ["day", "event_type"])
-        .select(
-            F.col("day").cast("date").alias("day"),
-            "event_type",
-            "exact_users",
-            (
-                F.abs(F.col("approx_users") - F.col("exact_users"))
-                <= 0.05 * F.col("exact_users")
-            ).alias("within_bound"),
-        )
-        .orderBy("day", "event_type")
-    )
-
-
-@register("top_users_by_events", analytics.SQL_TOP_USERS)
-def top_users(spark, sf_dir):
-    return analytics.top_users_by_events(spark, sf_dir)
-
-
-@register("orders_customer_rollup", analytics.SQL_ORDERS_ROLLUP)
-def orders_rollup(spark, sf_dir):
-    return analytics.orders_customer_rollup(spark, sf_dir)
-
-
-@register("nation_coverage_setops", analytics.SQL_NATION_COVERAGE)
-def setops_q(spark, sf_dir):
-    return analytics.nation_coverage_setops(spark, sf_dir)
-
-
-@register("orders_rollup_hierarchy", analytics.SQL_ROLLUP_HIERARCHY)
-def rollup_hierarchy_q(spark, sf_dir):
-    return analytics.orders_rollup_hierarchy(spark, sf_dir)
-
-
-@register("events_pivot_by_type", analytics.SQL_EVENTS_PIVOT)
-def pivot_q(spark, sf_dir):
-    return analytics.events_pivot_by_type(spark, sf_dir)
-
-
-# ----------------------------------------------------------- event pipeline
-
-@register("events_sessionize", events_ops.sql_sessionize(gap_minutes=30))
-def sessionize_q(spark, sf_dir):
-    return events_ops.sessionize_events(spark, sf_dir, gap_minutes=30)
-
-
-@register("purchase_last_click_asof", events_ops.SQL_PURCHASE_LAST_CLICK)
-def asof_q(spark, sf_dir):
-    return events_ops.purchase_attribution(spark, sf_dir)
-
-
-@register("events_props_key_stats", events_ops.SQL_PROPS_KEY_STATS)
-def props_key_stats_q(spark, sf_dir):
-    """Semi-structured profiler: JSON keys in props, row fraction, and
-    distinct-value counts — the report run before promoting a blob column
-    to typed columns. JVM from_json map explode, one aggregation."""
-    return events_ops.props_key_stats(events_ops._events(spark, sf_dir))
-
-
-@register("purchase_next_error_asof", events_ops.sql_purchase_next_error(tolerance_hours=1))
-def asof_forward_q(spark, sf_dir):
-    """Forward as-of with tolerance (pandas merge_asof parity at Spark
-    scale): first error at-or-after each purchase, nulled past 1 h. Same
-    union + last(ignorenulls) single-shuffle formulation as the backward
-    as-of — forward only flips the window sort; DuckDB native forward
-    ASOF JOIN is the oracle."""
-    return events_ops.purchases_with_next_error(events_ops._events(spark, sf_dir))
-
-
-@register(
-    "events_value_psi_drift",
-    profile.sql_psi_histogram_drift(
-        "ts < TIMESTAMP '2024-01-16'", "ts >= TIMESTAMP '2024-01-16'", "value"
-    ),
-)
-def psi_drift_q(spark, sf_dir):
-    """Population Stability Index of the events.value distribution,
-    first half of the month vs the rest — the distribution-level drift
-    monitor summary stats can't see. Two histogram scans, KB result."""
-    ev = events_ops._events(spark, sf_dir)
-    cut = F.lit("2024-01-16").cast("timestamp")
-    return profile.psi_histogram_drift(
-        ev.where(F.col("ts") < cut), ev.where(F.col("ts") >= cut), "value"
-    )
-
-
-@register("events_props_rollup", events_ops.SQL_PROPS_ROLLUP)
-def props_q(spark, sf_dir):
-    return events_ops.props_rollup_events(spark, sf_dir)
-
-
-@register("clicks_before_purchase", events_ops.SQL_CLICKS_BEFORE_PURCHASE)
-def range_join_q(spark, sf_dir):
-    return events_ops.clicks_before_purchase_events(spark, sf_dir)
-
-
-@register("user_running_stats", events_ops.SQL_RUNNING_STATS)
-def running_stats_q(spark, sf_dir):
-    return events_ops.user_running_stats(events_ops._events(spark, sf_dir))
-
-
-@register("conversion_funnel", events_ops.sql_conversion_funnel())
-def funnel_q(spark, sf_dir):
-    return events_ops.conversion_funnel(events_ops._events(spark, sf_dir))
-
-
-@register("cohort_retention", events_ops.sql_cohort_retention(max_days=7))
-def retention_q(spark, sf_dir):
-    return events_ops.cohort_retention(events_ops._events(spark, sf_dir), max_days=7)
-
-
-@register("embedding_random_projection", simsearch.sql_random_projection())
-def embedding_random_projection_q(spark, sf_dir):
-    """Deterministic JL +/-1 sketch of the embedding table — map-only
-    width reduction for downstream LSH/IVF; md5 sign matrix and strict
-    left-to-right folds make both engines bit-identical."""
-    return simsearch.random_projection(simsearch._emb(spark, sf_dir))
-
-
-@register("cross_source_perplexity", textstats.sql_cross_source_perplexity())
-def cross_source_perplexity_q(spark, sf_dir):
-    """Domain-mismatch matrix: every source's docs scored under every
-    source's add-alpha bigram LM; diagonal-dominance is the pinned
-    invariant."""
-    return textstats.cross_source_perplexity(_docs(spark, sf_dir))
-
-
-_SQL_BLOOM_SEMI = """
-SELECT l_returnflag,
-       COUNT(*) AS n_rows,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-FROM lineitem
-WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
-GROUP BY l_returnflag
-ORDER BY l_returnflag
-"""
-
-
-@register("lineitem_bloom_semi", _SQL_BLOOM_SEMI)
-def lineitem_bloom_semi_q(spark, sf_dir):
-    """Runtime-filter pattern: lineitem pre-filtered by a deterministic
-    8 KB broadcast Bloom bit-array over the selective part subset, exact
-    semi-join over the survivors — identical rows to the plain semi-join
-    (false positives verified away, false negatives impossible)."""
-    from magiceye_spark.skew import bloom_prefilter_semi_join
-
-    l = analytics._t(spark, sf_dir, "lineitem")
-    p = analytics._t(spark, sf_dir, "part").where(F.col("p_size") == 1).select("p_partkey")
-    kept = bloom_prefilter_semi_join(l, p, "l_partkey", "p_partkey")
-    return (
-        kept.groupBy("l_returnflag")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
-        )
-        .orderBy("l_returnflag")
-    )
-
-
-@register("events_debounce", events_ops.sql_debounce_events())
-def events_debounce_q(spark, sf_dir):
-    """Burst collapse: first event of every same-(user,type) run with
-    gaps <= 60 s — duplicate clicks / retry storms to one row, with the
-    absorbed count."""
-    return events_ops.debounce_events(events_ops._events(spark, sf_dir))
-
-
-@register("session_concurrency", events_ops.sql_session_concurrency())
-def session_concurrency_q(spark, sf_dir):
-    """Binned interval-overlap self-join: per session, how many other
-    users' sessions overlap it — exact, dedup-free (pair kept only in the
-    first shared bucket), vs the oracle's naive theta join."""
-    return events_ops.session_concurrency(events_ops._events(spark, sf_dir))
-
-
-@register("phrase_search", retrieval.sql_phrase_search())
-def phrase_search_q(spark, sf_dir):
-    """Exact phrase query over a positional inverted index (postings
-    pruned to the query terms before any shuffle) vs the oracle's
-    walk-every-position scan."""
-    return retrieval.phrase_search(_docs(spark, sf_dir))
-
-
-@register("heavy_hitters_cms", sketches.sql_cms_heavy_hitters())
-def heavy_hitters_cms_q(spark, sf_dir):
-    """Explicit count-min sketch heavy hitters — md5-derived row hashes so
-    the DuckDB oracle reproduces every estimate (and its collision
-    overcount) exactly."""
-    return sketches.cms_heavy_hitters(events_ops._events(spark, sf_dir))
-
-
-@register("events_hll_users", sketches.sql_hll_distinct_users())
-def hll_users_q(spark, sf_dir):
-    """Explicit HyperLogLog distinct-users per event type — md5 buckets +
-    integer-exact register sums, so DuckDB reproduces every register and
-    estimate bit-for-bit (the oracle-backed twin of the opaque
-    approx_count_distinct path)."""
-    return sketches.hll_distinct_users(events_ops._events(spark, sf_dir))
-
-
-@register("events_value_distribution", sketches.SQL_VALUE_DISTRIBUTION)
-def value_dist_q(spark, sf_dir):
-    return sketches.value_distribution_events(spark, sf_dir)
-
-
-@register("events_value_histogram", sketches.sql_value_histogram(bin_width=25.0))
-def histogram_q(spark, sf_dir):
-    return sketches.value_histogram_events(spark, sf_dir)
-
-
-@register("events_daily_trend_ols", sketches.SQL_DAILY_TREND_OLS)
-def daily_trend_ols_q(spark, sf_dir):
-    """Per event type: OLS slope/intercept/r2 of daily total value over
-    the day index — exact decimal moments so the closed-form fit is
-    bit-identical on any engine or partitioning."""
-    return sketches.daily_trend_ols_events(spark, sf_dir)
-
-
-@register("events_value_k_corr", sketches.SQL_VALUE_K_CORR)
-def corr_q(spark, sf_dir):
-    return sketches.value_k_correlation_events(spark, sf_dir)
-
-
-@register("events_approx_users", None)  # HLL sketch: rows-only, tolerance in tests
-def approx_users_q(spark, sf_dir):
-    return sketches.approx_user_counts_events(spark, sf_dir)
-
-
-@register("events_approx_percentiles", None)  # GK sketch: rows-only, tolerance in tests
-def approx_pct_q(spark, sf_dir):
-    return sketches.approx_value_distribution_events(spark, sf_dir)
-
-
-# hash-checked bound twins of the two sketch rows above (r12, verdict ask
-# #2 pattern: the estimate stays rows-only by contract, the BOUND is a
-# deterministic fact both engines can verify — oracle asserts TRUE per
-# group, so a drifted sketch flips row hashes).
-_SQL_APPROX_USERS_BOUNDED = """
-SELECT event_type,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
-       TRUE AS within_bound
-FROM events GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("events_approx_users_bounded", _SQL_APPROX_USERS_BOUNDED)
-def approx_users_bounded_q(spark, sf_dir):
-    """HLL++ distinct-user estimate pinned within 3·rsd (15% at the
-    rsd=0.05 default) of the exact distinct per event type."""
-    approx = sketches.approx_user_counts_events(spark, sf_dir)
-    exact = (
-        analytics._events(spark, sf_dir)  # noqa: SLF001
-        .groupBy("event_type")
-        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
-    )
-    return (
-        exact.join(approx, "event_type")
-        .select(
-            "event_type",
-            "exact_users",
-            (
-                F.abs(F.col("approx_users") - F.col("exact_users"))
-                <= 0.15 * F.col("exact_users")
-            ).alias("within_bound"),
-        )
-        .orderBy("event_type")
-    )
-
-
-_SQL_APPROX_PCT_BOUNDED = """
-SELECT event_type,
-       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4) AS exact_p50,
-       ROUND(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 4) AS exact_p95,
-       TRUE AS within_bound
-FROM events GROUP BY 1 ORDER BY 1
-"""
-
-
-@register("events_approx_percentiles_bounded", _SQL_APPROX_PCT_BOUNDED)
-def approx_pct_bounded_q(spark, sf_dir):
-    """GK percentile_approx pinned inside the exact-value band at rank
-    ±0.01 per event type (10× headroom over the sketch's 1/accuracy =
-    0.001 rank guarantee: the approx value is a real data element whose
-    rank error is bounded, so it must lie between the exact interpolated
-    percentiles at 0.49/0.51 resp. 0.94/0.96). Exact percentiles are
-    bit-identical to DuckDB percentile_cont (the repo's interpolated-
-    percentile discipline)."""
-    approx = sketches.approx_value_distribution_events(spark, sf_dir)
-    exact = (
-        analytics._events(spark, sf_dir)  # noqa: SLF001
-        .groupBy("event_type")
-        .agg(
-            F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
-            F.round(F.expr("percentile(value, 0.95)"), 4).alias("exact_p95"),
-            F.expr("percentile(value, 0.49)").alias("_lo50"),
-            F.expr("percentile(value, 0.51)").alias("_hi50"),
-            F.expr("percentile(value, 0.94)").alias("_lo95"),
-            F.expr("percentile(value, 0.96)").alias("_hi95"),
-        )
-    )
-    return (
-        exact.join(approx, "event_type")
-        .select(
-            "event_type",
-            "exact_p50",
-            "exact_p95",
-            # the approx columns are pre-rounded at 4 decimals, so widen
-            # the band edges by the half-ulp of that rounding (5e-5) —
-            # otherwise an in-band raw estimate within 5e-5 of an edge
-            # could round OUTSIDE it and flip the row
-            (
-                F.col("p50_approx").between(
-                    F.col("_lo50") - 0.00005, F.col("_hi50") + 0.00005
-                )
-                & F.col("p95_approx").between(
-                    F.col("_lo95") - 0.00005, F.col("_hi95") + 0.00005
-                )
-            ).alias("within_bound"),
-        )
-        .orderBy("event_type")
-    )
-
-
-# directional data diff: reference semantics — target-only rows ignored
-# (src/action/run/background.rs:48-51)
-SQL_DATADIFF_DIRECTIONAL = SQL_PERTURBED_LINEITEM + f"""
-SELECT l_orderkey, l_linenumber, diff_status,
-       CASE WHEN diff_status = 'changed' THEN changed_columns ELSE '' END AS changed_columns
-FROM (
-  SELECT b.l_orderkey, b.l_linenumber,
-         CASE WHEN t.l_linenumber IS NULL THEN 'removed'
-              WHEN CONCAT_WS(',', {{changed}}) <> '' THEN 'changed'
-         END AS diff_status,
-         CONCAT_WS(',', {{changed}}) AS changed_columns
-  FROM lineitem b
-  LEFT JOIN target t
-    ON b.l_orderkey = t.l_orderkey AND b.l_linenumber = t.l_linenumber
-)
-WHERE diff_status IS NOT NULL
-""".replace("{changed}", _CHANGED_LIST)
-
-
-@register("datadiff_lineitem_directional", SQL_DATADIFF_DIRECTIONAL)
-def datadiff_directional(spark, sf_dir):
-    base, target = _perturbed_lineitem(spark, sf_dir)
-    return diff_data(base, target, keys=["l_orderkey", "l_linenumber"], how="left")
-
-
-_LINEITEM_COLS_SORTED = [
-    "l_discount", "l_extendedprice", "l_linenumber", "l_linestatus",
-    "l_orderkey", "l_partkey", "l_quantity", "l_returnflag", "l_shipdate",
-    "l_suppkey", "l_tax",
-]
-
-_FP_EXPR = (
-    "CAST(SUM(CAST(CAST(CONCAT('0x', SUBSTR(md5(CONCAT_WS(CHR(31), "
-    + ", ".join(f"COALESCE(CAST({c} AS VARCHAR), '<NULL>')" for c in _LINEITEM_COLS_SORTED)
-    + ")), 1, 8)) AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR)"
-)
-
-SQL_FINGERPRINT = SQL_PERTURBED_LINEITEM + f"""
-SELECT side, fingerprint, n_rows FROM (
-  SELECT 'base' AS side, {_FP_EXPR} AS fingerprint, COUNT(*) AS n_rows FROM lineitem
-  UNION ALL
-  SELECT 'target', {_FP_EXPR}, COUNT(*) FROM target
-)
-ORDER BY side
-"""
-
-
-@register("datadiff_fingerprint", SQL_FINGERPRINT)
-def datadiff_fingerprint(spark, sf_dir):
-    """Order-insensitive table checksums for both diff sides — the O(scan)
-    'did anything change?' pre-check that short-circuits a full 100 TB diff
-    when fingerprints and row counts agree."""
-    from magiceye_spark.datadiff import fingerprint_compare
-
-    base, target = _perturbed_lineitem(spark, sf_dir)
-    return fingerprint_compare(base, target)
-
-
-# ------------------------------------------------------------- LLM ops M5
-
-def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-
-def _docs_par(spark, sf_dir):
-    """documents with an under-split-scan repartition: for queries whose
-    corpus-sized work (token explode + partial agg) runs BEFORE the first
-    shuffle - a single-file local scan serializes it (stage audit: the NB
-    fold plans spent 11.7 s of 13.8 in one task). No-op on a real lake."""
-    return io.read_table(spark, sf_dir, "documents", parallelize=True)
-
-
-def _embs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-
-
-@register("text_stats", textstats.SQL_TEXT_STATS)
-def text_stats_q(spark, sf_dir):
-    return textstats.text_stats(_docs(spark, sf_dir))
-
-
-@register("quality_score", textstats.SQL_QUALITY)
-def quality_q(spark, sf_dir):
-    return textstats.quality_score(_docs(spark, sf_dir))
-
-
-@register("language_id", textstats.sql_language_id())
-def language_q(spark, sf_dir):
-    return textstats.language_id(_docs(spark, sf_dir))
-
-
-@register("doc_fingerprint", textstats.SQL_FINGERPRINT)
-def fingerprint_q(spark, sf_dir):
-    return textstats.doc_fingerprint(_docs(spark, sf_dir))
-
-
-@register("tfidf_top_terms", textstats.sql_tfidf_top_terms(k=3))
-def tfidf_q(spark, sf_dir):
-    return textstats.tfidf_top_terms(_docs(spark, sf_dir), k=3)
-
-
-@register("pii_scan", textstats.SQL_PII_SCAN)
-def pii_q(spark, sf_dir):
-    return textstats.pii_scan(_docs(spark, sf_dir))
-
-
-@register("doc_rolling_fingerprint", textstats.SQL_ROLLING_FP)
-def rolling_fp_q(spark, sf_dir):
-    return textstats.rolling_fingerprint(_docs(spark, sf_dir))
-
-
-# the synthetic corpus ships no exact dups at sf0.01 (0-row oracle parity
-# is vacuous — r11 verdict ask #3), so both engines union in deterministic
-# canonicalization-foldable clones of docs 0-4: an upper-cased twin and a
-# whitespace-doubled twin per doc — the operator must fold each onto its
-# source cluster (keeper = the original doc_id)
-_EXACT_DUP_PLANT_SQL = """
-SELECT doc_id, text FROM documents
-UNION ALL
-SELECT doc_id + 40000000, UPPER(text) FROM documents WHERE doc_id < 5
-UNION ALL
-SELECT doc_id + 41000000, regexp_replace(text, ' ', '  ', 'g')
-FROM documents WHERE doc_id < 5
-"""
-
-
-@register(
-    "exact_dup_clusters",
-    dedup.SQL_EXACT_CLUSTERS.replace(
-        "FROM documents", f"FROM ({_EXACT_DUP_PLANT_SQL}) documents", 1
-    ),
-)
-def exact_dups_q(spark, sf_dir):
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    planted = docs.where(F.col("doc_id") < 5).select(
-        (F.col("doc_id") + 40000000).alias("doc_id"),
-        F.upper("text").alias("text"),
-    ).unionByName(
-        docs.where(F.col("doc_id") < 5).select(
-            (F.col("doc_id") + 41000000).alias("doc_id"),
-            F.regexp_replace("text", " ", "  ").alias("text"),
-        )
-    )
-    return dedup.exact_duplicate_clusters(docs.unionByName(planted))
-
-
-_UNICODE_PLANT_SQL = """
-SELECT doc_id, text FROM documents
-UNION ALL
-SELECT doc_id + 10000000,
-       substr(text, 1, 1) || chr(8203) || substr(text, 2)
-FROM documents WHERE doc_id < 5
-"""
-
-
-@register(
-    "unicode_dup_clusters", dedup.sql_unicode_dup_clusters(_UNICODE_PLANT_SQL)
-)
-def unicode_dups_q(spark, sf_dir):
-    """Homoglyph-resistant exact dedup: clusters under zero-width strip +
-    width fold + canonical (NFC-class) equivalence. Spark groups by the
-    ICU UNICODE collation (pure JVM — no NFC expression exists, collation
-    equality IS canonical equivalence); the oracle groups by DuckDB
-    nfc_normalize bytes — two engines reaching the same equivalence
-    classes by different keys. The corpus ships no unicode-variant dups,
-    so — the synthcat-perturbation precedent — both engines union in five
-    deterministic zero-width-spliced clones of docs 0-4: the operator must
-    cluster each clone with its source (byte-level md5 dedup misses all
-    five; the raw-vs-canonical contrast is pinned in test_r7_ops)."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    planted = docs.where(F.col("doc_id") < 5).select(
-        (F.col("doc_id") + 10000000).alias("doc_id"),
-        F.concat(
-            F.substring("text", 1, 1),
-            F.lit("​"),
-            F.expr("substring(text, 2)"),
-        ).alias("text"),
-    )
-    return dedup.unicode_dup_clusters(docs.unionByName(planted))
-
-
-@register("sigstore_band_stats", None)  # buckets are xxhash64 over stored
-# signature slices (no DuckDB twin); occupancy/accounting invariants and a
-# planted-template max_bucket pin live in tests/test_r9_ops.py
-def sigstore_band_stats_q(spark, sf_dir):
-    """MinHash-store health: per-band bucket occupancy — the number that
-    sizes the hot-bucket salt guard, completing the triad's diagnostic
-    symmetry (hamstore.band_bucket_stats / annindex.ivf_index_stats)."""
-    from magiceye_spark.llmops import sigstore
-
-    idx = sigstore.write_minhash_index(
-        _docs(spark, sf_dir), _ann_index_path(sf_dir) + "_sigstats"
-    )
-    return sigstore.band_bucket_stats(idx)
-
-
-@register("delta_admit_indexed", None)  # xxhash64 MinHash store: rows-only;
-# stored==fresh pair equality and admission parity vs the from-scratch
-# closure are pinned exactly in tests/test_r7_ops.py
-def delta_admit_indexed_q(spark, sf_dir):
-    """Delta-ingest admission against a PERSISTED MinHash signature store
-    (the dedup twin of the stored ANN index): docs 0-349 are signed and
-    stored once; the 350+ batch is admitted by re-deriving band buckets
-    from stored signatures — only the batch is shingled. Closure
-    semantics identical to delta_dedup_admit."""
-    from magiceye_spark.llmops import sigstore
-
-    docs = _docs(spark, sf_dir)
-    idx = sigstore.write_minhash_index(
-        docs.where(F.col("doc_id") < 350), _ann_index_path(sf_dir) + "_sig"
-    )
-    # the function returns the caller's full schema; keep the driver row's
-    # lean metadata projection (text elided)
-    return sigstore.delta_dedup_admit_indexed(
-        idx, docs.where(F.col("doc_id") >= 350)
-    ).select("doc_id", "lang", "source", "n_chars")
-
-
-_CONFUSABLE_PLANT_SQL = """
-SELECT doc_id, text FROM documents
-UNION ALL
-SELECT doc_id + 20000000, translate(text, 'aeop', 'аеор')
-FROM documents WHERE doc_id < 5
-"""
-
-
-@register(
-    "confusable_dup_clusters",
-    dedup.sql_confusable_dup_clusters(_CONFUSABLE_PLANT_SQL),
-)
-def confusable_dups_q(spark, sf_dir):
-    """Cross-script homoglyph dedup (UTS-#39 skeleton fold): the layer
-    canonical equivalence cannot reach — Cyrillic а and Latin a are
-    unrelated abstract characters, so NFC/collation keeps them distinct;
-    mapping to the Latin twin and hashing catches the spam/dedup-evasion
-    class. Both engines union in five Cyrillic-substituted clones of docs
-    0-4 (same planted-perturbation precedent as unicode_dup_clusters);
-    each must cluster with its source."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    planted = docs.where(F.col("doc_id") < 5).select(
-        (F.col("doc_id") + 20000000).alias("doc_id"),
-        F.translate("text", "aeop", "аеор").alias("text"),
-    )
-    return dedup.confusable_dup_clusters(docs.unionByName(planted))
-
-
-# the synthetic corpus ships no invisible characters (0-row oracle parity
-# is vacuous — r11 verdict ask #3), so both engines union in deterministic
-# anomalous clones: two zero-width chars spliced into docs 0-4 and three
-# fullwidth chars prefixed to docs 0-4 — the scan must count exactly those
-_UNICODE_ANOMALY_PLANT_SQL = """
-SELECT doc_id, text FROM documents
-UNION ALL
-SELECT doc_id + 30000000,
-       substr(text, 1, 3) || chr(8203) || chr(8204) || substr(text, 4)
-FROM documents WHERE doc_id < 5
-UNION ALL
-SELECT doc_id + 31000000, chr(65313) || chr(65314) || chr(12288) || text
-FROM documents WHERE doc_id < 5
-"""
-
-
-@register(
-    "unicode_anomaly_scan",
-    dedup.SQL_UNICODE_ANOMALY_SCAN.replace(
-        "FROM documents", f"FROM ({_UNICODE_ANOMALY_PLANT_SQL}) documents", 1
-    ),
-)
-def unicode_anomaly_q(spark, sf_dir):
-    """Invisible-character audit (zero-width + fullwidth counts per doc)
-    — the detection side of dedup-evasion canonicalization. Planted
-    anomalies (the synthcat-perturbation precedent): zero-width-spliced
-    and fullwidth-prefixed clones of docs 0-4 keep the parity check
-    non-vacuous on a clean corpus."""
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-    planted = docs.where(F.col("doc_id") < 5).select(
-        (F.col("doc_id") + 30000000).alias("doc_id"),
-        F.concat(
-            F.substring("text", 1, 3),
-            F.lit("​‌"),
-            F.expr("substring(text, 4)"),
-        ).alias("text"),
-    ).unionByName(
-        docs.where(F.col("doc_id") < 5).select(
-            (F.col("doc_id") + 31000000).alias("doc_id"),
-            F.concat(F.lit("ＡＢ　"), F.col("text")).alias("text"),
-        )
-    )
-    return dedup.unicode_anomaly_scan(docs.unionByName(planted))
-
-
-@register("bag_dup_clusters", dedup.SQL_BAG_CLUSTERS)
-def bag_dups_q(spark, sf_dir):
-    return dedup.bag_duplicate_clusters(_docs(spark, sf_dir))
-
-
-SQL_DEDUP_EXACT = r"""
-SELECT doc_id, text, lang, source, n_chars FROM (
-  SELECT *, ROW_NUMBER() OVER (
-    PARTITION BY md5(regexp_replace(TRIM(LOWER(text)), '\s+', ' ', 'g'))
-    ORDER BY doc_id) AS rn
-  FROM documents
-) WHERE rn = 1
-"""
-
-
-@register("dedup_exact_corpus", SQL_DEDUP_EXACT)
-def dedup_exact_q(spark, sf_dir):
-    return dedup.dedup_exact(_docs(spark, sf_dir))
-
-
-@register("jaccard_near_dups", dedup.sql_jaccard_near_dups(threshold=0.8))
-def jaccard_q(spark, sf_dir):
-    return dedup.jaccard_near_dups(_docs(spark, sf_dir), threshold=0.8)
-
-
-@register("allpairs_jaccard_join", dedup.sql_allpairs_jaccard_join())
-def allpairs_jaccard_q(spark, sf_dir):
-    """Exact GLOBAL Jaccard join via AllPairs prefix filtering — the
-    lossless scale path of the dedup ladder (vs the blocked twin and the
-    probabilistic MinHash path)."""
-    return dedup.allpairs_jaccard_join(_docs(spark, sf_dir))
-
-
-@register("minhash_lsh_near_dups", None)  # xxhash64-based: rows-only check
-def minhash_q(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), num_hashes=32, bands=8, threshold=0.8, shingle_n=1
-    )
-
-
-@register("minhash_lsh_ngram_dups", None)  # xxhash64-based: rows-only check
-def minhash_ngram_q(spark, sf_dir):
-    """3-gram shingled variant — the pretraining-dedup standard (word
-    n-grams catch local edits that whole-token sets miss)."""
-    return dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), num_hashes=32, bands=8, threshold=0.7, shingle_n=3
-    )
-
-
-SQL_QUALITY_FILTERED = f"""
-SELECT doc_id, text, lang, source, n_chars
-FROM documents
-WHERE doc_id IN (SELECT doc_id FROM ({textstats.SQL_QUALITY}) WHERE quality_score >= 0.5)
-"""
-
-
-@register("chunk_dedup_stats", pipeline.sql_chunk_dedup_stats(chunk_chars=512, overlap=64))
-def chunk_dedup_q(spark, sf_dir):
-    return pipeline.chunk_dedup_stats(_docs(spark, sf_dir))
-
-
-@register("corpus_composition", pipeline.SQL_CORPUS_COMPOSITION)
-def composition_q(spark, sf_dir):
-    return pipeline.corpus_composition(_docs(spark, sf_dir))
-
-
-@register("quality_filtered_corpus", SQL_QUALITY_FILTERED)
-def quality_filter_q(spark, sf_dir):
-    return pipeline.filter_quality(_docs(spark, sf_dir), min_score=0.5)
-
-
-@register("corpus_stratified_sample", None)  # seeded RNG differs per engine: rows-only
-def stratified_q(spark, sf_dir):
-    fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 1.0}
-    return pipeline.stratified_sample(_docs(spark, sf_dir), fractions)
-
-
-@register("corpus_hash_split", pipeline.sql_hash_split(train_pct=90))
-def hash_split_q(spark, sf_dir):
-    return pipeline.hash_split(_docs(spark, sf_dir), train_pct=90)
-
-
-_SPLIT3 = {"train": 0.9, "val": 0.05, "test": 0.05}
-
-
-@register("corpus_hash_split3", pipeline.sql_hash_split_multi(_SPLIT3))
-def hash_split3_q(spark, sf_dir):
-    """N-way deterministic split (train/val/test from one md5 bucket):
-    same engine/layout-independent bucket as corpus_hash_split, cut at
-    cumulative integer-percent boundaries."""
-    return pipeline.hash_split_multi(_docs(spark, sf_dir), _SPLIT3)
-
-
-@register("split_leakage_audit", pipeline.sql_split_leakage(train_pct=90, threshold=0.8))
-def split_leakage_q(spark, sf_dir):
-    """Near-dup pairs that straddle the train/eval hash-split boundary —
-    paraphrase-level benchmark leakage the n-gram decontamination check
-    misses. Pair generator here is the exact Jaccard oracle twin
-    (dedup.jaccard_near_dups); at corpus scale feed minhash_lsh_pairs into
-    pipeline.leakage_pairs — the audit join itself adds no shuffle beyond
-    the pair table's own."""
-    return pipeline.split_leakage_audit(_docs(spark, sf_dir), train_pct=90, threshold=0.8)
-
-
-@register("top_users_per_type_scalable", events_ops.sql_top_users_per_type(k=3))
-def top_users_per_type_scalable_q(spark, sf_dir):
-    """Salted two-phase grouped top-k: same output and same oracle SQL as
-    top_users_per_type, but no per-type rank window — the single-task
-    per-type sort that dies when one type has 10^9 users is replaced by
-    n_salts parallel local top-ks plus a KB-sized merge."""
-    return events_ops.top_users_per_type_scalable(
-        events_ops._events(spark, sf_dir), k=3
-    )
-
-
-@register("sequence_packing", pipeline.sql_sequence_packing(budget=512, n_shards=32))
-def sequence_packing_q(spark, sf_dir):
-    """Concat-and-chunk token packing into 512-token training sequences,
-    sharded 32 ways so the prefix sum parallelizes."""
-    return pipeline.sequence_packing(_docs(spark, sf_dir), budget=512, n_shards=32)
-
-
-#: target mixture for the mixing-weights query: upweight even sources,
-#: drop src9 — arbitrary but fixed so the oracle is deterministic.
-_TARGET_MIX = {f"src{i}": (0.075 if i % 2 == 0 else 0.03) for i in range(20) if i != 9}
-
-
-@register("source_mixing_weights", pipeline.sql_source_mixing_weights(_TARGET_MIX))
-def mixing_weights_q(spark, sf_dir):
-    """Per-source sampling weights toward a prescribed training mixture
-    (weight = target share / natural share; absent sources weight 0)."""
-    return pipeline.source_mixing_weights(_docs(spark, sf_dir), _TARGET_MIX)
-
-
-@register("daily_active_users", events_ops.sql_active_users(window_days=7))
-def dau_q(spark, sf_dir):
-    """DAU + rolling 7-day active users — the engagement curve; rolling
-    COUNT DISTINCT via fan-out of the distinct (day, user) set."""
-    return events_ops.active_users(events_ops._events(spark, sf_dir), window_days=7)
-
-
-@register("top_users_per_type", events_ops.sql_top_users_per_type(k=3))
-def top_users_per_type_q(spark, sf_dir):
-    """Grouped top-k: top 3 users by summed value within each event type."""
-    return events_ops.top_users_per_type(events_ops._events(spark, sf_dir), k=3)
-
-
-SQL_KEY_SKEW = """
-SELECT event_type, n_rows, share, rank FROM (
-  SELECT event_type, n_rows,
-         ROUND(n_rows / CAST((SELECT COUNT(*) FROM events) AS DOUBLE), 6) AS share,
-         ROW_NUMBER() OVER (ORDER BY n_rows DESC, event_type ASC) AS rank
-  FROM (SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type)
-)
-WHERE rank <= 10
-ORDER BY rank
-"""
-
-
-@register("events_key_skew", SQL_KEY_SKEW)
-def key_skew_q(spark, sf_dir):
-    """Shuffle-key skew diagnostics on the events stream's event_type —
-    the pre-flight check before keying a join/agg on a hot column."""
-    from magiceye_spark.skew import key_skew_stats
-
-    return key_skew_stats(events_ops._events(spark, sf_dir), ["event_type"])
-
-
-@register("repetition_stats", textstats.sql_repetition_stats())
-def repetition_q(spark, sf_dir):
-    """Gopher-style intra-document repetition filters: duplicate bigram/
-    trigram fraction + most-frequent-token share."""
-    return textstats.repetition_stats(_docs(spark, sf_dir))
-
-
-#: deterministic eval-set selector for the decontamination queries: every
-#: 50th doc plays the held-out benchmark.
-_EVAL_MOD = 50
-
-
-def _train_eval(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    return (
-        d.where(F.col("doc_id") % _EVAL_MOD != 0),
-        d.where(F.col("doc_id") % _EVAL_MOD == 0),
-    )
-
-
-@register(
-    "decontamination_overlap",
-    pipeline.sql_decontamination_overlap(ngram_n=4, eval_mod=_EVAL_MOD),
-)
-def decontamination_q(spark, sf_dir):
-    """Benchmark decontamination: (train doc, eval doc) pairs sharing any
-    word 4-gram, with the shared-ngram count (4: the corpus sentences
-    are short templated spans; real pipelines use 8-13)."""
-    train, ev = _train_eval(spark, sf_dir)
-    return pipeline.decontamination_overlap(train, ev, ngram_n=4)
-
-
-@register(
-    "decontamination_stopgram",
-    pipeline.sql_decontamination_overlap(
-        ngram_n=2, eval_mod=_EVAL_MOD, max_ngram_df=25
-    ),
-)
-def decontamination_stopgram_q(spark, sf_dir):
-    """Stopgram-cut decontamination: 2-gram overlap with grams whose
-    corpus-wide document frequency exceeds 25 dropped before the join —
-    the boilerplate-skew guard. On this corpus the cut removes ~70% of
-    distinct 2-grams (the templated spans), so the pair join sees only
-    discriminative grams."""
-    train, ev = _train_eval(spark, sf_dir)
-    return pipeline.decontamination_overlap(
-        train, ev, ngram_n=2, max_ngram_df=25
-    )
-
-
-SQL_DECONTAMINATED = f"""
-SELECT doc_id, text, lang, source, n_chars
-FROM documents d
-WHERE d.doc_id % {_EVAL_MOD} <> 0
-  AND NOT EXISTS (
-    SELECT 1 FROM ({pipeline.sql_decontamination_overlap(ngram_n=4, eval_mod=_EVAL_MOD)}) o
-    WHERE o.doc_id = d.doc_id
-  )
-"""
-
-
-@register("decontaminated_corpus", SQL_DECONTAMINATED)
-def decontaminated_q(spark, sf_dir):
-    """The post-decontamination training corpus (anti-join on overlaps)."""
-    train, ev = _train_eval(spark, sf_dir)
-    return pipeline.decontaminate(train, ev, ngram_n=4)
-
-
-@register("curation_funnel", None)  # composite funnel: rows-only check
-def curation_funnel_q(spark, sf_dir):
-    return pipeline.curation_funnel_stats(spark, sf_dir)
-
-
-@register("near_dedup_corpus", None)  # iterative clustering: rows-only check
-def near_dedup_q(spark, sf_dir):
-    """End-to-end near-dedup: 3-gram MinHash pairs → connected-component
-    clusters → keep smallest doc_id per cluster."""
-    docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(
-        docs, num_hashes=32, bands=8, threshold=0.7, shingle_n=3
-    )
-    return dedup.dedup_near(docs, pairs)
-
-
-@register("near_dedup_fused", None)  # iterative clustering: rows-only check
-def near_dedup_fused_q(spark, sf_dir):
-    """Scale-path near-dedup: LSH-bucket connected components with O(n)
-    representative verification — no candidate-pair materialization, so the
-    cost stays linear on high-duplication corpora where the pair join is
-    O(cluster²) (BASELINE.md: 112 s → see bench note)."""
-    return dedup.dedup_near_fused(
-        _docs(spark, sf_dir), num_hashes=32, bands=8, threshold=0.7, shingle_n=3
-    )
-
-
-@register("simhash_near_dups", None)  # xxhash64-based: rows-only check
-def simhash_q(spark, sf_dir):
-    return dedup.simhash_near_dups(_docs(spark, sf_dir), max_hamming=3)
-
-
-_QUERY_VEC_IDS = list(range(8))
-
-
-@register("cosine_topk", simsearch.sql_cosine_topk(_QUERY_VEC_IDS, k=10))
-def cosine_topk_q(spark, sf_dir):
-    corpus = _embs(spark, sf_dir)
-    queries_df = corpus.where(F.col("vec_id").isin(_QUERY_VEC_IDS))
-    return simsearch.cosine_topk(corpus, queries_df, k=10)
-
-
-@register("lsh_ann_topk", None)  # approximate: recall asserted in tests
-def lsh_topk_q(spark, sf_dir):
-    corpus = _embs(spark, sf_dir)
-    queries_df = corpus.where(F.col("vec_id").isin(_QUERY_VEC_IDS))
-    return simsearch.lsh_topk(corpus, queries_df, k=10)
-
-
-@register("ivf_ann_topk", None)  # approximate: recall asserted in tests
-def ivf_topk_q(spark, sf_dir):
-    corpus = _embs(spark, sf_dir)
-    queries_df = corpus.where(F.col("vec_id").isin(_QUERY_VEC_IDS))
-    return simsearch.ivf_topk(corpus, queries_df, k=10)
-
-
-@register("ivf_pq_ann_topk", None)  # approximate: recall asserted in tests
-def ivf_pq_topk_q(spark, sf_dir):
-    """IVF-PQ: codes-only ADC candidate scan (32× smaller index than raw
-    float32 vectors) + exact rerank — the memory-bound-corpus ANN path."""
-    corpus = _embs(spark, sf_dir)
-    queries_df = corpus.where(F.col("vec_id").isin(_QUERY_VEC_IDS))
-    return simsearch.ivf_pq_topk(corpus, queries_df, k=10)
-
-
-def _ann_index_path(sf_dir: str, pq: bool = False) -> str:
-    """Deterministic per-sf temp location for the stored ANN index — same
-    keyed-tempdir pattern as datadiff_incremental_pruned. The index is
-    REBUILT (mode overwrite) on every call so the query stays
-    self-contained for the correctness driver; bench.py separately times
-    the amortized probe-only path."""
-    import hashlib
-    import os
-    import tempfile
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    kind = "pq_" if pq else ""
-    return os.path.join(tempfile.gettempdir(), f"magiceye_ivfidx_{kind}{tag}")
-
-
-@register("ivf_indexed_exact", simsearch.sql_cosine_topk(_QUERY_VEC_IDS, k=10))
-def ivf_indexed_exact_q(spark, sf_dir):
-    """The FULL stored-index lifecycle under an exact oracle: fit → encode
-    → write parquet (cell-partitioned postings) → read back → probe with
-    n_probe = n_centroids. Probing every cell makes the result brute-force
-    cosine top-k exactly, so any slip anywhere in the persistence chain —
-    a float that doesn't round-trip, a dropped posting, a partition-pruning
-    bug eating a cell — breaks the hash match. Complements ivf_ann_exact
-    (same contract, fit-per-call path)."""
-    from magiceye_spark.llmops import annindex
-
-    corpus = _embs(spark, sf_dir)
-    idx = annindex.write_ivf_index(
-        corpus, _ann_index_path(sf_dir), n_centroids=16, kmeans_iters=2
-    )
-    queries_df = corpus.where(F.col("vec_id").isin(_QUERY_VEC_IDS))
-    return annindex.ivf_index_topk(idx, queries_df, k=10, n_probe=16)
-
-
-@register("semdedup_prune", None)  # kmeans driver fit: rows-only; k=1
-# equality to the exact global-pair closure and the planted-twin
-# high-threshold contract are pinned in tests/test_r7_ops.py
-def semdedup_q(spark, sf_dir):
-    """SemDeDup (arXiv 2303.09540): k-means-scoped semantic dedup —
-    within-cluster exact cosine pairs + transitive closure + keep-min.
-    The paper's cost model for embedding dedup at corpus scale (O(Σ|c|²)
-    instead of O(n²))."""
-    return simsearch.semdedup_prune(_embs(spark, sf_dir), k=4, threshold=0.45)
-
-
-@register("ivf_index_stats", None)  # centroid-dependent: rows-only; the
-# sum/bounds invariants are pinned in tests/test_r7_ops.py
-def ivf_index_stats_q(spark, sf_dir):
-    """Stored-index health row (FAISS imbalance_factor diagnostic):
-    posting-count spread across Voronoi cells — the pre-flight check
-    before trusting probe latency on a stored index."""
-    from magiceye_spark.llmops import annindex
-
-    corpus = _embs(spark, sf_dir)
-    idx = annindex.write_ivf_index(
-        corpus, _ann_index_path(sf_dir), n_centroids=16, kmeans_iters=2
-    )
-    return annindex.ivf_index_stats(idx)
-
-
-# hash-checked sibling of ivf_index_stats (r12, verdict ask #2): the
-# rows-only row's centroids come from the k-means fit (not SQL-expressible);
-# THIS row pins the centroids to the embeddings of vec_id 0-3, so the cell
-# assignment (argmax cosine, ties to the higher cell — _best_cells' reversed
-# array_sort order) and therefore every stat is exactly computable in DuckDB.
-# dot products are strictly left-to-right double sums in both engines
-# (simsearch.dot's bit-identical discipline), so the argmax agrees.
-_SQL_IVF_STATS_EXACT = """
-WITH cents AS (
-  SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cvec
-  FROM embeddings WHERE vec_id < 4
-),
-assign AS (
-  SELECT e.vec_id, c.cell,
-         ROW_NUMBER() OVER (
-           PARTITION BY e.vec_id
-           ORDER BY
-             list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec)
-             / (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-                                      CAST(e.embedding AS DOUBLE[])))
-                * SQRT(list_dot_product(c.cvec, c.cvec))) DESC,
-             c.cell DESC
-         ) AS rk
-  FROM embeddings e CROSS JOIN cents c
-),
-per_cell AS (SELECT cell, COUNT(*) AS n FROM assign WHERE rk = 1 GROUP BY cell)
-SELECT CAST(COUNT(*) AS INT) AS n_cells_used,
-       4 AS n_cells_total,
-       CAST(SUM(n) AS BIGINT) AS n_vectors,
-       CAST(MIN(n) AS BIGINT) AS min_postings,
-       CAST(MAX(n) AS BIGINT) AS max_postings,
-       ROUND(AVG(n), 2) AS avg_postings,
-       ROUND(CAST(MAX(n) AS DOUBLE) / AVG(n), 4) AS imbalance
-FROM per_cell
-"""
-
-
-@register("ivf_index_stats_exact", _SQL_IVF_STATS_EXACT)
-def ivf_index_stats_exact_q(spark, sf_dir):
-    """ivf_index_stats over a FIXTURE store whose quantizer is pinned to
-    member vectors (vec_id 0-3 as the 4 centroids, via write_ivf_index's
-    _fitted hook) — the stats of the resulting store are deterministic
-    and oracle-checkable end-to-end: build → persist → read back →
-    groupBy over the partitioned postings scan, hash-matched against
-    DuckDB recomputing the argmax assignment from the same centroids."""
-    from magiceye_spark.llmops import annindex
-
-    corpus = _embs(spark, sf_dir)
-    cents = {
-        int(r["vec_id"]): [float(x) for x in r["embedding"]]
-        for r in corpus.where(F.col("vec_id") < 4)
-        .select("vec_id", "embedding")
-        .collect()
-    }
-    dim = len(next(iter(cents.values())))
-    idx = annindex.write_ivf_index(
-        corpus, _ann_index_path(sf_dir) + "_statsx", n_centroids=4,
-        _fitted=(dim, cents, None),
-    )
-    return annindex.ivf_index_stats(idx)
-
-
-@register("ivf_ann_exact", simsearch.sql_cosine_topk(_QUERY_VEC_IDS, k=10))
-def ivf_ann_exact_q(spark, sf_dir):
-    """IVF in exhaustive mode (n_probe = n_centroids): every cell is probed,
-    so the full IVF machinery — quantizer fit, map-side cell assignment,
-    banded probe join, windowed rerank — must reproduce brute-force cosine
-    top-k EXACTLY, independent of centroid quality. The deterministic,
-    oracle-checkable driver row for the ANN family; recall of the
-    approximate modes stays pinned in pytest."""
-    corpus = _embs(spark, sf_dir)
-    queries_df = corpus.where(F.col("vec_id").isin(_QUERY_VEC_IDS))
-    return simsearch.ivf_topk(
-        corpus, queries_df, k=10, n_centroids=16, n_probe=16, kmeans_iters=2
-    )
-
-
-_ANN_ADMIT_COS = (
-    "ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
-    " / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
-    " * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"
-)
-
-# exact-mode oracle for the stored-IVF delta admission: delta-touching
-# cosine edges (planted exact copies provide the dup structure — the
-# corpus's own pairs top out at ~0.51) → recursive min-label closure →
-# the triad's admission rule, all in SQL
-_SQL_ANN_ADMIT_EXACT = f"""
-WITH RECURSIVE
-batch AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 350
-  UNION ALL
-  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id < 10
-  UNION ALL
-  SELECT vec_id + 20000000, embedding FROM embeddings WHERE vec_id = 400
-  UNION ALL
-  SELECT vec_id + 21000000, embedding FROM embeddings WHERE vec_id = 400
-),
-allv AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 350
-  UNION ALL SELECT vec_id, embedding FROM batch
-),
-pairs AS (
-  SELECT a.vec_id AS pa, b.vec_id AS pb
-  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
-  WHERE (a.vec_id IN (SELECT vec_id FROM batch)
-         OR b.vec_id IN (SELECT vec_id FROM batch))
-    AND {_ANN_ADMIT_COS} >= 0.95
-),
-edges AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
-reach(node, comp) AS (
-  SELECT DISTINCT a, a FROM edges
-  UNION
-  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node
-),
-comps AS (SELECT node, MIN(comp) AS comp_id FROM reach GROUP BY node),
-labeled AS (SELECT node, comp_id, (node < 350) AS stored FROM comps),
-verdicts AS (
-  SELECT comp_id,
-         MAX(CASE WHEN stored THEN 1 ELSE 0 END) AS has_existing,
-         MIN(CASE WHEN NOT stored THEN node END) AS min_incoming
-  FROM labeled GROUP BY comp_id
-),
-rejected AS (
-  SELECT l.node FROM labeled l JOIN verdicts v USING (comp_id)
-  WHERE NOT l.stored AND (v.has_existing = 1 OR l.node <> v.min_incoming)
-)
-SELECT CAST(b.vec_id AS BIGINT) AS vec_id
-FROM batch b LEFT JOIN rejected r ON b.vec_id = r.node
-WHERE r.node IS NULL
-"""
-
-
-@register("ann_admit_indexed_exact", _SQL_ANN_ADMIT_EXACT)
-def ann_admit_indexed_exact_q(spark, sf_dir):
-    """Exhaustive-mode (n_probe = n_centroids) delta admission against a
-    persisted FLAT IVF index (r9 — the embedding member of the store
-    triad): candidate generation is exact under exhaustive probing, so
-    the closure admission must equal the recursive-CTE oracle verdict for
-    verdict. Planted exact copies of STORED vectors must be rejected
-    (has-existing through a cosine-1.0 edge) and a planted same-batch
-    twin pair keeps only its minimum id. The first hash-checked ADMISSION
-    driver row — the MinHash/Hamming admission rows stay rows-only
-    because their banded candidate generators are themselves the
-    approximation; exhaustive probing removes it here."""
-    from magiceye_spark.llmops import annindex
-
-    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
-
-    def plant(cond, offset):
-        return emb.where(cond).select(
-            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
-        )
-
-    batch = (
-        emb.where(F.col("vec_id") >= 350)
-        .unionByName(plant(F.col("vec_id") < 10, 10_000_000))
-        .unionByName(plant(F.col("vec_id") == 400, 20_000_000))
-        .unionByName(plant(F.col("vec_id") == 400, 21_000_000))
-    )
-    idx = annindex.write_ivf_index(
-        emb.where(F.col("vec_id") < 350),
-        _ann_index_path(sf_dir) + "_admit",
-        n_centroids=8,
-    )
-    return annindex.delta_ann_admit_indexed(
-        idx, batch, threshold=0.95, n_probe=8
-    ).select("vec_id")
-
-
-# batch-SEQUENTIAL oracle stage for a continuous ingest LOOP: admission of
-# batch 1 against the seed store, then admission of batch 2 against
-# seed ∪ admitted₁ — chained recursive closures, each the
-# _SQL_ANN_ADMIT_EXACT rule. The cross-batch plant (a copy of a batch-1
-# row arriving in batch 2) is rejected ONLY IF the loop carried batch 1's
-# admissions into the store — the property no single-call admission row
-# can attest. Shared by all three stores' loop oracles: only the id
-# column, the payload column, and the near-dup predicate (a./b. aliased)
-# differ per modality.
-def _loop_stage(
-    k: str,
-    prev_store: str,
-    batch: str,
-    id_col: str = "vec_id",
-    payload: str = "embedding",
-    pred: str | None = None,
-) -> str:
-    pred = pred if pred is not None else f"{_ANN_ADMIT_COS} >= 0.95"
-    return f"""
-u{k} AS (SELECT * FROM {prev_store} UNION ALL SELECT * FROM {batch}),
-p{k} AS (
-  SELECT a.{id_col} AS pa, b.{id_col} AS pb
-  FROM u{k} a JOIN u{k} b ON a.{id_col} < b.{id_col}
-  WHERE (a.{id_col} IN (SELECT {id_col} FROM {batch})
-         OR b.{id_col} IN (SELECT {id_col} FROM {batch}))
-    AND {pred}
-),
-e{k} AS (SELECT pa AS a, pb AS b FROM p{k} UNION SELECT pb, pa FROM p{k}),
-r{k}(node, comp) AS (
-  SELECT DISTINCT a, a FROM e{k}
-  UNION
-  SELECT e.b, r.comp FROM r{k} r JOIN e{k} e ON e.a = r.node
-),
-c{k} AS (SELECT node, MIN(comp) AS comp_id FROM r{k} GROUP BY node),
-l{k} AS (
-  SELECT node, comp_id,
-         (node IN (SELECT {id_col} FROM {prev_store})) AS stored
-  FROM c{k}
-),
-v{k} AS (
-  SELECT comp_id,
-         MAX(CASE WHEN stored THEN 1 ELSE 0 END) AS has_existing,
-         MIN(CASE WHEN NOT stored THEN node END) AS min_incoming
-  FROM l{k} GROUP BY comp_id
-),
-rej{k} AS (
-  SELECT l.node FROM l{k} l JOIN v{k} v USING (comp_id)
-  WHERE NOT l.stored
-    AND (v.has_existing = 1 OR l.node <> v.min_incoming)
-),
-a{k} AS (
-  SELECT {id_col}, {payload} FROM {batch}
-  WHERE {id_col} NOT IN (SELECT node FROM rej{k})
-)"""
-
-
-_SQL_ANN_INGEST_LOOP = f"""
-WITH RECURSIVE
-seed AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
-b1 AS (
-  SELECT vec_id, embedding FROM embeddings
-  WHERE vec_id >= 200 AND vec_id < 350
-  UNION ALL
-  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id < 5
-),
-b2 AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 350
-  UNION ALL
-  SELECT vec_id + 20000000, embedding FROM embeddings WHERE vec_id = 210
-  UNION ALL
-  SELECT vec_id + 21000000, embedding FROM embeddings WHERE vec_id = 400
-  UNION ALL
-  SELECT vec_id + 22000000, embedding FROM embeddings WHERE vec_id = 400
-),
-{_loop_stage("1", "seed", "b1")},
-s1 AS (SELECT * FROM seed UNION ALL SELECT * FROM a1),
-{_loop_stage("2", "s1", "b2")}
-SELECT CAST(vec_id AS BIGINT) AS vec_id FROM a1
-UNION ALL
-SELECT CAST(vec_id AS BIGINT) AS vec_id FROM a2
-"""
-
-
-@register("ann_ingest_loop_exact", _SQL_ANN_INGEST_LOOP)
-def ann_ingest_loop_exact_q(spark, sf_dir):
-    """The continuous embedding-ingest LOOP attested end-to-end (r10,
-    verdict ask #7): two micro-batches drain through
-    annindex.streaming_ann_ingest under EXHAUSTIVE probing (n_probe =
-    n_centroids → exact candidates → exact closure per batch), and the
-    union of the admitted sinks must hash-match a batch-SEQUENTIAL
-    double recursive-CTE oracle. Plants: exact copies of STORED vectors
-    in batch 1 (rejected by the store), a copy of a batch-1 row arriving
-    in batch 2 (rejected only because the loop appended batch 1's
-    admissions — the loop property itself), and a batch-2 twin pair of
-    which only the min id survives. Batch order is forced with distinct
-    file mtimes (the file source processes oldest-first); local-FS
-    specific, like every keyed-tempdir row."""
-    import os
-    import shutil
-    import tempfile
-
-    from magiceye_spark.llmops import annindex
-    from magiceye_spark.streaming import drain
-
-    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
-
-    def plant(cond, offset):
-        return emb.where(cond).select(
-            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
-        )
-
-    b1 = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)).unionByName(
-        plant(F.col("vec_id") < 5, 10_000_000)
-    )
-    b2 = (
-        emb.where(F.col("vec_id") >= 350)
-        .unionByName(plant(F.col("vec_id") == 210, 20_000_000))
-        .unionByName(plant(F.col("vec_id") == 400, 21_000_000))
-        .unionByName(plant(F.col("vec_id") == 400, 22_000_000))
-    )
-
-    base = _ann_index_path(sf_dir) + "_loop"
-    shutil.rmtree(base, ignore_errors=True)  # fresh store/checkpoint per run
-    store = os.path.join(base, "store")
-    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
-    annindex.write_ivf_index(emb.where(F.col("vec_id") < 200), store, n_centroids=8)
-    stream = _loop_batches_to_stream(spark, base, (b1, b2))
-    q = annindex.streaming_ann_ingest(
-        spark, store, stream, ckpt, threshold=0.95, n_probe=8, output_path=out
-    )
-    drain(q, 600)
-    return spark.read.parquet(out).select(
-        F.col("vec_id").cast("bigint").alias("vec_id")
-    )
-
-
-def _loop_batches_to_stream(spark, base: str, batches) -> "DataFrame":
-    """Write micro-batches as separate files with PINNED mtimes (the file
-    source takes oldest-first; sequential writes can land in one clock
-    tick) and return the file-source stream — the keyed-tempdir pattern
-    shared by all three ingest-loop driver rows."""
-    import os
-    import shutil
-
-    src = os.path.join(base, "src")
-    shutil.rmtree(src, ignore_errors=True)
-    stamped: set[str] = set()
-    for i, b in enumerate(batches):
-        b.coalesce(1).write.mode("append").parquet(src)
-        # stamp only files written THIS iteration — re-stamping an
-        # already-pinned earlier batch to the current timestamp would
-        # silently reorder arrivals under maxFilesPerTrigger=1 (the
-        # `mtime > 1e9` guard alone re-pins batch k>=1 once 3+ batches
-        # exist, since their pinned mtimes 1e9+k are themselves > 1e9)
-        for f in os.listdir(src):
-            p = os.path.join(src, f)
-            if p not in stamped:
-                os.utime(p, (1_000_000_000 + i, 1_000_000_000 + i))
-                stamped.add(p)
-    return (
-        spark.readStream.schema(batches[0].schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-
-
-# MinHash-loop oracle: word-3-gram shingle sets (the same construction the
-# containment twin validates against dedup._shingle_hashes) and exact
-# set Jaccard >= 0.7 (the store default). The Spark loop verifies Jaccard
-# over xxhash64-HASHED shingles and generates candidates by LSH banding —
-# both deterministic; at this corpus the banded candidates cover every
-# >=0.7 pair and the 31-bit hashes are collision-free on the compared
-# sets (pre-validated at the driver's own sf0.01), so the hash check is
-# exact HERE while the banding stays an approximation in general (why the
-# one-shot MinHash admission rows are rows-only: their statement is about
-# any corpus; this row's statement is the LOOP carrying state across
-# batches, checked on the driver's corpus).
-_SIG_TOKS = "regexp_split_to_array(TRIM(LOWER(text)), '\\s+')"
-# size filter first: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so pairs whose
-# sizes differ by more than 0.7 cannot reach the threshold — a sound,
-# cheap integer pre-predicate before the O(|A|+|B|) set ops (measured
-# 167 -> 44 s on the all-pairs stages at sf0.01, identical rows)
-_SIG_JACC = (
-    "LENGTH(a.sh) * 10 >= LENGTH(b.sh) * 7 "
-    "AND LENGTH(b.sh) * 10 >= LENGTH(a.sh) * 7 "
-    "AND LENGTH(list_intersect(a.sh, b.sh)) / "
-    "CAST(LENGTH(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.7"
-)
-_SQL_SIG_INGEST_LOOP = f"""
-WITH RECURSIVE
-tok AS MATERIALIZED (SELECT doc_id, {_SIG_TOKS} AS toks FROM documents),
-shingled AS MATERIALIZED (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, GREATEST(LENGTH(toks) - 3, 0) + 2),
-           i -> array_to_string(toks[i:i+2], ' '))) AS sh
-  FROM tok
-),
-seed AS MATERIALIZED (SELECT doc_id, sh FROM shingled WHERE doc_id < 200),
-b1 AS MATERIALIZED (
-  SELECT doc_id, sh FROM shingled WHERE doc_id >= 200 AND doc_id < 350
-  UNION ALL
-  SELECT doc_id + 10000000, sh FROM shingled WHERE doc_id < 5
-),
-b2 AS MATERIALIZED (
-  SELECT doc_id, sh FROM shingled WHERE doc_id >= 350
-  UNION ALL
-  SELECT doc_id + 20000000, sh FROM shingled WHERE doc_id = 210
-  UNION ALL
-  SELECT doc_id + 21000000, sh FROM shingled WHERE doc_id = 400
-  UNION ALL
-  SELECT doc_id + 22000000, sh FROM shingled WHERE doc_id = 400
-),
-{_loop_stage("1", "seed", "b1", id_col="doc_id", payload="sh", pred=_SIG_JACC)},
-s1 AS (SELECT * FROM seed UNION ALL SELECT * FROM a1),
-{_loop_stage("2", "s1", "b2", id_col="doc_id", payload="sh", pred=_SIG_JACC)}
-SELECT CAST(doc_id AS BIGINT) AS doc_id FROM a1
-UNION ALL
-SELECT CAST(doc_id AS BIGINT) AS doc_id FROM a2
-"""
-
-
-@register("sig_ingest_loop_exact", _SQL_SIG_INGEST_LOOP)
-def sig_ingest_loop_exact_q(spark, sf_dir):
-    """The continuous MinHash-ingest LOOP hash-checked end-to-end (r11,
-    verdict ask #5 — the technique ann_ingest_loop_exact proved, applied
-    to the text store): two micro-batches drain through
-    sigstore.streaming_dedup_ingest and the union of the admitted sinks
-    must match a batch-SEQUENTIAL double recursive-CTE oracle over exact
-    shingle-set Jaccard. Plants: exact copies of STORED docs in batch 1
-    (rejected by the store), a copy of a batch-1 doc arriving in batch 2
-    (rejected only because the loop appended batch 1's signatures — the
-    loop property), and a batch-2 twin pair of which only the min id
-    survives."""
-    import os
-    import shutil
-
-    from magiceye_spark.llmops import sigstore
-    from magiceye_spark.streaming import drain
-
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-
-    def plant(cond, offset):
-        return docs.where(cond).select(
-            (F.col("doc_id") + offset).alias("doc_id"), "text"
-        )
-
-    b1 = docs.where(
-        (F.col("doc_id") >= 200) & (F.col("doc_id") < 350)
-    ).unionByName(plant(F.col("doc_id") < 5, 10_000_000))
-    b2 = (
-        docs.where(F.col("doc_id") >= 350)
-        .unionByName(plant(F.col("doc_id") == 210, 20_000_000))
-        .unionByName(plant(F.col("doc_id") == 400, 21_000_000))
-        .unionByName(plant(F.col("doc_id") == 400, 22_000_000))
-    )
-    base = _ann_index_path(sf_dir) + "_sigloop"
-    shutil.rmtree(base, ignore_errors=True)  # fresh store/checkpoint per run
-    store, out = os.path.join(base, "store"), os.path.join(base, "out")
-    sigstore.write_minhash_index(docs.where(F.col("doc_id") < 200), store)
-    stream = _loop_batches_to_stream(spark, base, (b1, b2))
-    q = sigstore.streaming_dedup_ingest(
-        spark, store, stream, os.path.join(base, "ckpt"), output_path=out
-    )
-    drain(q, 600)
-    return spark.read.parquet(out).select(
-        F.col("doc_id").cast("bigint").alias("doc_id")
-    )
-
-
-# single-call MinHash-store admission under the exact-Jaccard closure
-# oracle (r12, verdict ask #2: the hash-checked sibling of the rows-only
-# delta_admit_indexed). Same exactness argument as sig_ingest_loop_exact:
-# banded candidates cover every >=0.7 pair at this corpus and the 31-bit
-# shingle hashes are collision-free on the compared sets (pre-validated
-# at sf0.001 and the driver's sf0.01), so the check is exact HERE while
-# LSH banding stays an approximation in general (why delta_admit_indexed
-# itself remains rows-only: its statement is about any corpus).
-_SQL_SIG_ADMIT_EXACT = f"""
-WITH RECURSIVE
-tok AS MATERIALIZED (SELECT doc_id, {_SIG_TOKS} AS toks FROM documents),
-shingled AS MATERIALIZED (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, GREATEST(LENGTH(toks) - 3, 0) + 2),
-           i -> array_to_string(toks[i:i+2], ' '))) AS sh
-  FROM tok
-),
-seed AS MATERIALIZED (SELECT doc_id, sh FROM shingled WHERE doc_id < 350),
-b1 AS MATERIALIZED (
-  SELECT doc_id, sh FROM shingled WHERE doc_id >= 350
-  UNION ALL
-  SELECT doc_id + 10000000, sh FROM shingled WHERE doc_id < 5
-  UNION ALL
-  SELECT doc_id + 21000000, sh FROM shingled WHERE doc_id = 400
-  UNION ALL
-  SELECT doc_id + 22000000, sh FROM shingled WHERE doc_id = 400
-),
-{_loop_stage("1", "seed", "b1", id_col="doc_id", payload="sh", pred=_SIG_JACC)}
-SELECT CAST(doc_id AS BIGINT) AS doc_id FROM a1
-"""
-
-
-@register("sig_admit_indexed_exact", _SQL_SIG_ADMIT_EXACT)
-def sig_admit_indexed_exact_q(spark, sf_dir):
-    """Hash-checked single-call admission against the persisted MinHash
-    store: docs 0-349 signed and stored once; the 350+ batch (plus
-    plants: exact copies of stored docs — rejected by the store — and an
-    intra-batch twin pair of which only the min id survives) is admitted
-    by the one-sided band join + closure, and the admitted set must
-    match the exact shingle-Jaccard recursive-CTE oracle."""
-    from magiceye_spark.llmops import sigstore
-
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
-
-    def plant(cond, offset):
-        return docs.where(cond).select(
-            (F.col("doc_id") + offset).alias("doc_id"), "text"
-        )
-
-    batch = (
-        docs.where(F.col("doc_id") >= 350)
-        .unionByName(plant(F.col("doc_id") < 5, 10_000_000))
-        .unionByName(plant(F.col("doc_id") == 400, 21_000_000))
-        .unionByName(plant(F.col("doc_id") == 400, 22_000_000))
-    )
-    idx = sigstore.write_minhash_index(
-        docs.where(F.col("doc_id") < 350), _ann_index_path(sf_dir) + "_sigadmx"
-    )
-    return sigstore.delta_dedup_admit_indexed(idx, batch).select(
-        F.col("doc_id").cast("bigint").alias("doc_id")
-    )
-
-
-# Hamming-loop oracle: the SAME dHash string the phash twins derive in SQL
-# (multimodal._SQL_PHASH_CTES) and hamming <= 3 — the 4×16-bit pigeonhole
-# banding is LOSSLESS at that threshold, so unlike the MinHash loop this
-# oracle carries no candidate-coverage caveat at any corpus.
-_HAM_PRED = "hamming(a.h, b.h) <= 3"
-# MATERIALIZED hints on the multiply-referenced CTEs: without them DuckDB
-# inlines hs (the whole dHash derivation) into every reference inside the
-# recursive query — measured 566 s -> 0.7 s at sf0.01 for a hint-only,
-# result-identical change. Same treatment on the sig loop's shingle CTEs.
-_SQL_HAM_INGEST_LOOP = multimodal._SQL_PHASH_CTES.replace(  # noqa: SLF001
-    "WITH padded", "WITH RECURSIVE padded", 1
-).replace(
-    "hs AS (", "hs AS MATERIALIZED (", 1
-) + f""",
-seed AS MATERIALIZED (SELECT media_id AS doc_id, h FROM hs WHERE media_id < 350),
-b1 AS MATERIALIZED (
-  SELECT media_id AS doc_id, h FROM hs WHERE media_id >= 350 AND media_id < 430
-  UNION ALL
-  SELECT media_id + 10000000, h FROM hs WHERE media_id < 5
-),
-b2 AS MATERIALIZED (
-  SELECT media_id AS doc_id, h FROM hs WHERE media_id >= 430
-  UNION ALL
-  SELECT media_id + 20000000, h FROM hs WHERE media_id = 360
-  UNION ALL
-  SELECT media_id + 21000000, h FROM hs WHERE media_id = 470
-  UNION ALL
-  SELECT media_id + 22000000, h FROM hs WHERE media_id = 470
-),
-{_loop_stage("1", "seed", "b1", id_col="doc_id", payload="h", pred=_HAM_PRED)},
-s1 AS (SELECT * FROM seed UNION ALL SELECT * FROM a1),
-{_loop_stage("2", "s1", "b2", id_col="doc_id", payload="h", pred=_HAM_PRED)}
-SELECT CAST(doc_id AS BIGINT) AS doc_id FROM a1
-UNION ALL
-SELECT CAST(doc_id AS BIGINT) AS doc_id FROM a2
-"""
-
-
-@register("ham_ingest_loop_exact", _SQL_HAM_INGEST_LOOP)
-def ham_ingest_loop_exact_q(spark, sf_dir):
-    """The continuous Hamming-ingest LOOP hash-checked end-to-end (r11,
-    verdict ask #5): two micro-batches of PRE-SIGNED dHash frames drain
-    through hamstore.streaming_hamming_ingest (sign_fn=identity — the
-    signing pass itself is attested by the phash rows; this row attests
-    the admission/append loop carrying state across batches) vs the
-    batch-SEQUENTIAL recursive-CTE oracle at the production banding,
-    which is lossless for hamming <= 3. Plants mirror the sibling loop
-    rows: stored twins in batch 1, a batch-1 twin in batch 2 (the loop
-    property), and an intra-batch-2 twin pair."""
-    import os
-    import shutil
-
-    from magiceye_spark.llmops import hamstore
-    from magiceye_spark.streaming import drain
-
-    sig_cols = ["doc_id", "bits", "band0", "band1", "band2", "band3"]
-    sigs = multimodal.phash_signatures(
-        multimodal.synth_media(spark, sf_dir)
-    ).select(*sig_cols)
-
-    def plant(cond, offset):
-        return sigs.where(cond).select(
-            (F.col("doc_id") + offset).alias("doc_id"), *sig_cols[1:]
-        )
-
-    b1 = sigs.where(
-        (F.col("doc_id") >= 350) & (F.col("doc_id") < 430)
-    ).unionByName(plant(F.col("doc_id") < 5, 10_000_000))
-    b2 = (
-        sigs.where(F.col("doc_id") >= 430)
-        .unionByName(plant(F.col("doc_id") == 360, 20_000_000))
-        .unionByName(plant(F.col("doc_id") == 470, 21_000_000))
-        .unionByName(plant(F.col("doc_id") == 470, 22_000_000))
-    )
-    base = _ann_index_path(sf_dir) + "_hamloop"
-    shutil.rmtree(base, ignore_errors=True)  # fresh store/checkpoint per run
-    store, out = os.path.join(base, "store"), os.path.join(base, "out")
-    hamstore.write_hamming_index(
-        sigs.where(F.col("doc_id") < 350), store, kind="phash"
-    )
-    stream = _loop_batches_to_stream(spark, base, (b1, b2))
-    q = hamstore.streaming_hamming_ingest(
-        spark, store, stream, os.path.join(base, "ckpt"), kind="phash",
-        sign_fn=lambda df: df, output_path=out,
-    )
-    drain(q, 600)
-    return spark.read.parquet(out).select(
-        F.col("doc_id").cast("bigint").alias("doc_id")
-    )
-
-
-@register("pq_ann_admit_indexed_exact", _SQL_ANN_ADMIT_EXACT)
-def pq_ann_admit_indexed_exact_q(spark, sf_dir):
-    """The SAME exhaustive-mode admission as `ann_admit_indexed_exact`
-    but against a persisted IVF-PQ index (r10): candidates are scoped by
-    the compact PQ postings (codes only — ~32× smaller, the artifact a
-    100 TB deployment actually keeps hot), and exact cosine is RERANKED
-    from the original-vector corpus the index was built from
-    (``rerank=``, annindex.delta_ann_pairs_from_index). Exhaustive
-    probing makes the candidate set exact, the rerank makes the verified
-    cosines exact, so the result must hash-match the identical
-    recursive-CTE oracle — proving PQ admission ≡ flat admission ≡ the
-    batch-closure ground truth."""
-    from magiceye_spark.llmops import annindex
-
-    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
-
-    def plant(cond, offset):
-        return emb.where(cond).select(
-            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
-        )
-
-    batch = (
-        emb.where(F.col("vec_id") >= 350)
-        .unionByName(plant(F.col("vec_id") < 10, 10_000_000))
-        .unionByName(plant(F.col("vec_id") == 400, 20_000_000))
-        .unionByName(plant(F.col("vec_id") == 400, 21_000_000))
-    )
-    stored = emb.where(F.col("vec_id") < 350)
-    idx = annindex.write_ivf_index(
-        stored, _ann_index_path(sf_dir) + "_pqadmit",
-        pq=True, n_centroids=8,
-    )
-    return annindex.delta_ann_admit_indexed(
-        idx, batch, threshold=0.95, n_probe=8, rerank=stored
-    ).select("vec_id")
-
-
-@register("pq_ann_admit_store_exact", _SQL_ANN_ADMIT_EXACT)
-def pq_ann_admit_store_exact_q(spark, sf_dir):
-    """The r11 PQ-admission production path under the SAME exhaustive
-    oracle as `pq_ann_admit_indexed_exact`, with rerank=None: exact
-    cosine is verified from the store's OWN cell-partitioned originals
-    table, whose scan the plan prunes to the probed cells exactly like
-    the code postings (the r10 verdict's one scale flag, closed — the
-    pre-r11 path assembled and deduplicated the full external corpus per
-    batch). Identical verdicts to the external-rerank row prove the
-    pruned table covers every stored candidate."""
-    from magiceye_spark.llmops import annindex
-
-    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
-
-    def plant(cond, offset):
-        return emb.where(cond).select(
-            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
-        )
-
-    batch = (
-        emb.where(F.col("vec_id") >= 350)
-        .unionByName(plant(F.col("vec_id") < 10, 10_000_000))
-        .unionByName(plant(F.col("vec_id") == 400, 20_000_000))
-        .unionByName(plant(F.col("vec_id") == 400, 21_000_000))
-    )
-    idx = annindex.write_ivf_index(
-        emb.where(F.col("vec_id") < 350),
-        _ann_index_path(sf_dir) + "_pqadmit_store",
-        pq=True, n_centroids=8,
-    )
-    return annindex.delta_ann_admit_indexed(
-        idx, batch, threshold=0.95, n_probe=8
-    ).select("vec_id")
-
-
-_SQL_ANN_COLD_START_LOOP = f"""
-WITH RECURSIVE
-seed AS (SELECT vec_id, embedding FROM embeddings WHERE 1 = 0),
-b1 AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
-  UNION ALL
-  SELECT vec_id + 5000000, embedding FROM embeddings WHERE vec_id = 7
-),
-b2 AS (
-  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 300
-  UNION ALL
-  SELECT vec_id + 10000000, embedding FROM embeddings WHERE vec_id < 5
-  UNION ALL
-  SELECT vec_id + 21000000, embedding FROM embeddings WHERE vec_id = 400
-  UNION ALL
-  SELECT vec_id + 22000000, embedding FROM embeddings WHERE vec_id = 400
-),
-{_loop_stage("1", "seed", "b1")},
-s1 AS (SELECT * FROM seed UNION ALL SELECT * FROM a1),
-{_loop_stage("2", "s1", "b2")}
-SELECT CAST(vec_id AS BIGINT) AS vec_id FROM a1
-UNION ALL
-SELECT CAST(vec_id AS BIGINT) AS vec_id FROM a2
-"""
-
-
-@register("ann_cold_start_loop_exact", _SQL_ANN_COLD_START_LOOP)
-def ann_cold_start_loop_exact_q(spark, sf_dir):
-    """The r11 COLD-START semantics hash-checked end-to-end: the loop
-    starts with NO store (bootstrap fits the quantizer on batch 0) and
-    the oracle's initial store is EMPTY — so batch 0's verdicts are the
-    normal admission rule against nothing (intra-batch twin keeps its
-    min id; r10's wholesale-admission contract would keep both and
-    hash-mismatch here). Batch 1 plants twins of batch-0 rows, rejected
-    only because the bootstrap appended batch 0's admissions — the
-    cold-start loop property. Exhaustive probing as in the sibling loop
-    rows."""
-    import os
-    import shutil
-
-    from magiceye_spark.llmops import annindex
-    from magiceye_spark.streaming import drain
-
-    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
-
-    def plant(cond, offset):
-        return emb.where(cond).select(
-            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
-        )
-
-    b1 = emb.where(F.col("vec_id") < 300).unionByName(
-        plant(F.col("vec_id") == 7, 5_000_000)
-    )
-    b2 = (
-        emb.where(F.col("vec_id") >= 300)
-        .unionByName(plant(F.col("vec_id") < 5, 10_000_000))
-        .unionByName(plant(F.col("vec_id") == 400, 21_000_000))
-        .unionByName(plant(F.col("vec_id") == 400, 22_000_000))
-    )
-    base = _ann_index_path(sf_dir) + "_coldloop"
-    shutil.rmtree(base, ignore_errors=True)  # fresh store/checkpoint per run
-    store, out = os.path.join(base, "store"), os.path.join(base, "out")
-    stream = _loop_batches_to_stream(spark, base, (b1, b2))
-    q = annindex.streaming_ann_ingest(
-        spark, store, stream, os.path.join(base, "ckpt"),
-        threshold=0.95, n_probe=8, output_path=out,
-        bootstrap={"n_centroids": 8},
-    )
-    drain(q, 600)
-    return spark.read.parquet(out).select(
-        F.col("vec_id").cast("bigint").alias("vec_id")
-    )
-
-
-@register("ann_ingest_loop_compacting_exact", _SQL_ANN_INGEST_LOOP)
-def ann_ingest_loop_compacting_exact_q(spark, sf_dir):
-    """ann_ingest_loop_exact with compact_every=1 (r12, verdict ask #4):
-    ivf_index_compact fires MID-STREAM — after batch 1's append, before
-    batch 2 drains — so batch 2's admission probes the REWRITTEN
-    (coalesced, rename-aside-swapped) postings. The oracle is the
-    identical batch-sequential recursive-CTE text as the non-compacting
-    row: store maintenance must be result-invisible, and any verdict it
-    changed would hash-mismatch here. Same plants, same exhaustive
-    probing; the store path is distinct so the two rows never share
-    state."""
-    import os
-    import shutil
-
-    from magiceye_spark.llmops import annindex
-    from magiceye_spark.streaming import drain
-
-    emb = _embs(spark, sf_dir).select("vec_id", "embedding")
-
-    def plant(cond, offset):
-        return emb.where(cond).select(
-            (F.col("vec_id") + offset).alias("vec_id"), "embedding"
-        )
-
-    b1 = emb.where((F.col("vec_id") >= 200) & (F.col("vec_id") < 350)).unionByName(
-        plant(F.col("vec_id") < 5, 10_000_000)
-    )
-    b2 = (
-        emb.where(F.col("vec_id") >= 350)
-        .unionByName(plant(F.col("vec_id") == 210, 20_000_000))
-        .unionByName(plant(F.col("vec_id") == 400, 21_000_000))
-        .unionByName(plant(F.col("vec_id") == 400, 22_000_000))
-    )
-    base = _ann_index_path(sf_dir) + "_compactloop"
-    shutil.rmtree(base, ignore_errors=True)  # fresh store/checkpoint per run
-    store = os.path.join(base, "store")
-    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
-    annindex.write_ivf_index(emb.where(F.col("vec_id") < 200), store, n_centroids=8)
-    stream = _loop_batches_to_stream(spark, base, (b1, b2))
-    q = annindex.streaming_ann_ingest(
-        spark, store, stream, ckpt, threshold=0.95, n_probe=8,
-        output_path=out, compact_every=1,
-    )
-    drain(q, 600)
-    return spark.read.parquet(out).select(
-        F.col("vec_id").cast("bigint").alias("vec_id")
-    )
-
-
-@register("chunk_documents", textstats.sql_chunk_documents(chunk_chars=512, overlap=64))
-def chunk_q(spark, sf_dir):
-    return textstats.chunk_documents(_docs(spark, sf_dir), chunk_chars=512, overlap=64)
-
-
-@register("vocab_topk", textstats.sql_vocab_topk(k=100))
-def vocab_q(spark, sf_dir):
-    return textstats.vocab_topk(_docs(spark, sf_dir), k=100)
-
-
-@register("embedding_normalize", None)
-def normalize_q(spark, sf_dir):
-    """Rows-only BY STRUCTURE, not by semantics (r12 verdict What's-wrong
-    #2): the output is Array-typed, which the driver's canonicalizer
-    cannot hash — the row burned its only seat in r10 and can never earn
-    a driver row. The full array-vs-oracle value check lives in
-    tests/test_r13_ops.py::test_embedding_normalize_matches_oracle (same
-    SQL, arrays stringified), and the scalar digest sibling
-    `embedding_normalize_digest` carries the driver-attestable oracle."""
-    return simsearch.normalize_embeddings(_embs(spark, sf_dir))
-
-
-@register("embedding_normalize_digest", simsearch.SQL_NORMALIZE_DIGEST)
-def normalize_digest_q(spark, sf_dir):
-    """Driver-hashable attestation of normalize_embeddings (r11): scalar
-    digests (component sum + unit norm) of the round-6 normalized array —
-    the seat the r10 verdict asked for after the Array-typed
-    `embedding_normalize` output burned its driver row on the harness
-    canonicalizer."""
-    return simsearch.normalize_digest(_embs(spark, sf_dir))
-
-
-@register("embedding_norm_stats", simsearch.SQL_NORM_STATS)
-def norm_stats_q(spark, sf_dir):
-    return simsearch.embedding_norm_stats(_embs(spark, sf_dir))
-
-
-@register("embedding_near_dups", simsearch.sql_embedding_near_dups(threshold=0.45))
-def emb_near_dups_q(spark, sf_dir):
-    return simsearch.embedding_near_dup_pairs(_embs(spark, sf_dir), threshold=0.45)
-
-
-@register("embedding_near_dups_lsh", None)  # banded scale path: recall in tests
-def emb_near_dups_lsh_q(spark, sf_dir):
-    return simsearch.embedding_near_dup_pairs_lsh(_embs(spark, sf_dir), threshold=0.45)
-
-
-@register("embedding_dedup_fused", None)  # iterative clustering: rows-only check
-def emb_dedup_fused_q(spark, sf_dir):
-    """SemDeDup-style semantic dedup: hyperplane-LSH bucket components +
-    O(n) representative-cosine verification — no pair materialization."""
-    return simsearch.embedding_dedup_fused(_embs(spark, sf_dir), threshold=0.95)
-
-
-@register("media_catalog", multimodal.SQL_MEDIA_CATALOG)
-def media_catalog_q(spark, sf_dir):
-    return multimodal.media_catalog(multimodal.synth_media(spark, sf_dir))
-
-
-@register("phash_near_dups", multimodal.SQL_PHASH_NEAR_DUPS)
-def phash_near_dups_q(spark, sf_dir):
-    """Perceptual-hash (dHash) image near-dup over the media payload column;
-    candidates from the shared SimHash 4×16-bit pigeonhole banding, exact
-    Hamming verify ≤3 — banding lossless, so the DuckDB twin is all-pairs
-    over the same signatures."""
-    return multimodal.phash_near_dups(multimodal.synth_media(spark, sf_dir))
-
-
-@register("phash_indexed_pairs", multimodal.SQL_PHASH_NEAR_DUPS)
-def phash_indexed_pairs_q(spark, sf_dir):
-    """Near-dup pairs from a PERSISTED Hamming signature store (the third
-    store in the build-once lifecycle triad): dHash signatures are written
-    once, pairs are computed from the STORED bits — signatures are pure
-    functions of content and int arrays round-trip parquet exactly, so
-    this must hash-match the same DuckDB oracle as the fresh-path
-    phash_near_dups row. Any slip in the store round-trip breaks it."""
-    from magiceye_spark.llmops import hamstore
-
-    sigs = multimodal.phash_signatures(multimodal.synth_media(spark, sf_dir))
-    idx = hamstore.write_hamming_index(
-        sigs, _ann_index_path(sf_dir) + "_ham", kind="phash"
-    )
-    return hamstore.hamming_pairs_from_index(idx)
-
-
-@register("phash_band_stats", multimodal.SQL_PHASH_BAND_STATS)
-def phash_band_stats_q(spark, sf_dir):
-    """Hamming-store health: per-band bucket occupancy (the number that
-    sizes the hot-bucket salt guard — the analogue of the IVF imbalance
-    diagnostic). The oracle folds the same 16-bit band integers from the
-    signature bit string, so a band-fold drift anywhere breaks the hash."""
-    from magiceye_spark.llmops import hamstore
-
-    sigs = multimodal.phash_signatures(multimodal.synth_media(spark, sf_dir))
-    idx = hamstore.write_hamming_index(
-        sigs, _ann_index_path(sf_dir) + "_ham", kind="phash"
-    )
-    return hamstore.band_bucket_stats(idx)
-
-
-@register("phash_admit_indexed_exact", multimodal.SQL_PHASH_ADMIT_EXACT)
-def phash_admit_indexed_exact_q(spark, sf_dir):
-    """Hash-checked Hamming-store delta admission (r9): the pigeonhole
-    banding is LOSSLESS at max_hamming ≤ 3, so — unlike the LSH-banded
-    MinHash family — the indexed path's delta-touching pair set is exact
-    and the closure verdicts can run against a recursive-CTE oracle with
-    no approximation caveat. Second hash-checked admission row next to
-    ann_admit_indexed_exact (that one needs exhaustive probing; this one
-    is exact at the production banding)."""
-    from magiceye_spark.llmops import hamstore
-
-    sigs = multimodal.phash_signatures(multimodal.synth_media(spark, sf_dir))
-    idx = hamstore.write_hamming_index(
-        sigs.where(F.col("doc_id") < 350),
-        _ann_index_path(sf_dir) + "_ham_admitx",
-        kind="phash",
-    )
-    return hamstore.delta_hamming_admit_indexed(
-        idx, sigs.where(F.col("doc_id") >= 350)
-    ).select("doc_id")
-
-
-@register("phash_delta_admit_indexed", multimodal.SQL_PHASH_DELTA_ADMIT_EXACT)
-def phash_delta_admit_indexed_q(spark, sf_dir):
-    """Delta-ingest image admission against a persisted dHash store: items
-    0-349 signed and stored once; the 350+ batch is signed (only the batch
-    pays the decode) and admitted via the one-sided delta band join +
-    closure — the per-batch production shape of phash_dedup_keep.
-    Oracle-backed since r12 (was rows-only — verdict ask #2): the ≤3-bit
-    pigeonhole banding is lossless, so the verdicts AND the admitted
-    docs' four band keys are hash-checkable against the recursive-CTE
-    oracle (the banded frame the store actually appends)."""
-    from magiceye_spark.llmops import hamstore
-
-    sigs = multimodal.phash_signatures(multimodal.synth_media(spark, sf_dir))
-    idx = hamstore.write_hamming_index(
-        sigs.where(F.col("doc_id") < 350),
-        _ann_index_path(sf_dir) + "_ham_delta",
-        kind="phash",
-    )
-    return hamstore.delta_hamming_admit_indexed(
-        idx, sigs.where(F.col("doc_id") >= 350)
-    ).select(
-        F.col("doc_id").cast("bigint").alias("doc_id"),
-        "band0", "band1", "band2", "band3",
-    )
-
-
-@register("phash_dedup_keep", multimodal.SQL_PHASH_DEDUP_KEEP)
-def phash_dedup_keep_q(spark, sf_dir):
-    """The streaming near-dup admission gate's batch twin applied to the
-    media corpus: drop every doc that perceptually collides (any shared
-    dHash band, Hamming <= 3) with an earlier (lower-id) doc, return the
-    catalog view of the keepers — streaming reject-set equality is pinned
-    in tests/test_streaming.py."""
-    from magiceye_spark.streaming.stateful import near_dup_rejects_batch
-
-    media = multimodal.synth_media(spark, sf_dir)
-    rejects = near_dup_rejects_batch(multimodal.phash_signatures(media), 3)
-    return (
-        multimodal.media_catalog(media)
-        .join(
-            rejects.select("doc_id"),
-            F.col("media_id") == F.col("doc_id"),
-            "left_anti",
-        )
-        .select(F.col("media_id").alias("doc_id"), "kind", "n_bytes")
-        .orderBy("doc_id")
-    )
-
-
-@register("media_features", None)  # mapInPandas payload kernel: rows-only
-def media_features_q(spark, sf_dir):
-    return multimodal.extract_features(multimodal.synth_media(spark, sf_dir))
-
-
-@register("media_similarity_topk", None)  # Pandas kernel feeds JVM vector ops
-def media_similarity_q(spark, sf_dir):
-    """Composition: mapInPandas feature extraction → exact cosine top-5 —
-    the 'find similar media' query, proving the Arrow kernel output plugs
-    straight into the JVM similarity operators."""
-    feats = multimodal.extract_features(multimodal.synth_media(spark, sf_dir)).select(
-        F.col("media_id").alias("vec_id"), F.col("features").alias("embedding")
-    )
-    queries_df = feats.where(F.col("vec_id") < 4)
-    return simsearch.cosine_topk(feats, queries_df, k=5)
-
-
-@register("media_resize_plan", multimodal.SQL_RESIZE_PLAN)
-def media_resize_q(spark, sf_dir):
-    return multimodal.resize_images(multimodal.synth_media(spark, sf_dir))
-
-
-@register("media_frame_plan", multimodal.SQL_FRAME_PLAN)
-def media_frames_q(spark, sf_dir):
-    return multimodal.sample_frames(multimodal.synth_media(spark, sf_dir))
-
-
-@register("media_audio_windows", multimodal.SQL_AUDIO_PLAN)
-def media_audio_q(spark, sf_dir):
-    return multimodal.chunk_audio(multimodal.synth_media(spark, sf_dir))
-
-
-# ------------------------------------------------- round-3 additions
-# (register past the pinned _DRIVER_WINDOW: driver evidence comes from the
-# window's family representatives; these get pytest oracle parity.)
-
-
-@register("gopher_quality_flags", textstats.SQL_GOPHER_FLAGS)
-def gopher_flags_q(spark, sf_dir):
-    """Gopher/MassiveText hard REJECT rules as per-document boolean flags
-    (word count, mean word length, symbol ratio, stopword presence)."""
-    return textstats.gopher_quality_flags(_docs(spark, sf_dir))
-
-
-@register("corpus_length_buckets", textstats.sql_length_buckets(budget=512))
-def length_buckets_q(spark, sf_dir):
-    """Token-length histogram by power-of-two bucket with per-bucket packing
-    efficiency at a 512-token budget — the sequence-packing pre-flight."""
-    return textstats.length_buckets(_docs(spark, sf_dir), budget=512)
-
-
-@register("cross_source_overlap", dedup.SQL_CROSS_SOURCE_OVERLAP)
-def cross_source_q(spark, sf_dir):
-    """Inter-source contamination matrix: canonical texts shared by each
-    source pair."""
-    return dedup.cross_source_overlap(_docs(spark, sf_dir))
-
-
-@register("boilerplate_ngrams", dedup.sql_boilerplate_ngrams(n=2, min_doc_frac=0.02))
-def boilerplate_q(spark, sf_dir):
-    """Corpus-wide boilerplate 2-grams: document frequency >= 2% of docs."""
-    return dedup.boilerplate_ngrams(_docs(spark, sf_dir), n=2, min_doc_frac=0.02)
-
-
-@register("embedding_kmeans", None)  # float argmax ties are engine-specific: rows-only
-def embedding_kmeans_q(spark, sf_dir):
-    """Spherical k-means assignment for every vector (driver-side fit on the
-    bounded IVF sample, map-only assignment). Balance/coherence pinned in
-    tests."""
-    return simsearch.embedding_kmeans(_embs(spark, sf_dir), k=8)
-
-
-@register("embedding_cluster_sizes", None)  # derived from the same assignment
-def embedding_cluster_sizes_q(spark, sf_dir):
-    """Cluster cardinality + mean assignment cosine for the k-means above."""
-    return simsearch.embedding_cluster_sizes(_embs(spark, sf_dir), k=8)
-
-
-SQL_FK_AUDIT = """
-SELECT 'customer.c_nationkey->nation' AS relation,
-       COUNT(*) AS n_child_rows,
-       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey) THEN 1 END) AS n_orphans,
-       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey) THEN 1 END) = 0 AS pass
-FROM customer c
-UNION ALL
-SELECT 'lineitem.l_orderkey->orders', COUNT(*),
-       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) THEN 1 END),
-       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) THEN 1 END) = 0
-FROM lineitem l
-UNION ALL
-SELECT 'lineitem.l_partkey->part', COUNT(*),
-       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey) THEN 1 END),
-       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey) THEN 1 END) = 0
-FROM lineitem l
-UNION ALL
-SELECT 'lineitem.l_suppkey->supplier', COUNT(*),
-       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey) THEN 1 END),
-       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey) THEN 1 END) = 0
-FROM lineitem l
-UNION ALL
-SELECT 'nation.n_regionkey->region', COUNT(*),
-       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey) THEN 1 END),
-       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey) THEN 1 END) = 0
-FROM nation n
-UNION ALL
-SELECT 'orders.o_custkey->customer', COUNT(*),
-       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) THEN 1 END),
-       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) THEN 1 END) = 0
-FROM orders o
-UNION ALL
-SELECT 'supplier.s_nationkey->nation', COUNT(*),
-       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey) THEN 1 END),
-       COUNT(CASE WHEN NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey) THEN 1 END) = 0
-FROM supplier s
-ORDER BY relation
-"""
-
-
-@register("fk_integrity_audit", SQL_FK_AUDIT)
-def fk_audit_q(spark, sf_dir):
-    """Whole-star-schema FK conformance: relations grouped by child, so each
-    child table is scanned once feeding its broadcast existence checks, all
-    orphan counts from one aggregate per child (the cross-table complement
-    to dq_lineitem's single-table rules). Parents are the declared PKs —
-    unique, so the dedup shuffle per parent is skipped."""
-    from magiceye_spark.dq import referential_audit
-
-    t = lambda n: io.read_table(spark, sf_dir, n)
-    return referential_audit(
-        assume_unique_parents=True,
-        relations=[
-            ("customer.c_nationkey->nation", t("customer"), "c_nationkey", t("nation"), "n_nationkey"),
-            ("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"),
-            ("lineitem.l_partkey->part", t("lineitem"), "l_partkey", t("part"), "p_partkey"),
-            ("lineitem.l_suppkey->supplier", t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"),
-            ("nation.n_regionkey->region", t("nation"), "n_regionkey", t("region"), "r_regionkey"),
-            ("orders.o_custkey->customer", t("orders"), "o_custkey", t("customer"), "c_custkey"),
-            ("supplier.s_nationkey->nation", t("supplier"), "s_nationkey", t("nation"), "n_nationkey"),
-        ],
-    )
-
-
-_PART_MONTH_SQL = "CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)"
-
-# The testdata's (l_orderkey, l_linenumber) is NOT unique; a full-outer join
-# on duplicate keys emits per-key cross-product artifacts whose membership
-# depends on which copies survive a filter — ill-defined for an incremental
-# diff. The incremental queries therefore diff a DEDUPLICATED snapshot (one
-# deterministic row per key), same rule on both engines.
-# Order by ALL nine non-key columns so the surviving row is a total order on
-# both engines — 5 columns left duplicate-key rows that tie on those but
-# differ in l_discount/l_tax/l_returnflag/l_linestatus engine-nondeterministic.
-_UNIQ_ORDER = (
-    "l_partkey, l_suppkey, l_extendedprice, l_quantity, l_shipdate, "
-    "l_discount, l_tax, l_returnflag, l_linestatus"
-)
-SQL_UNIQUE_LINEITEM = f"""
-WITH lineitem_u AS (
-  SELECT * EXCLUDE (rn) FROM (
-    SELECT *, ROW_NUMBER() OVER (
-      PARTITION BY l_orderkey, l_linenumber ORDER BY {_UNIQ_ORDER}) AS rn
-    FROM lineitem)
-  WHERE rn = 1),
-"""
-SQL_PERTURBED_UNIQUE = SQL_UNIQUE_LINEITEM + SQL_PERTURBED_LINEITEM.replace(
-    "WITH target AS (", "target AS ("
-).replace("FROM lineitem ", "FROM lineitem_u ").replace(
-    "FROM lineitem\n", "FROM lineitem_u\n"
-)
-
-SQL_CHANGED_PARTITIONS = SQL_PERTURBED_UNIQUE + f"""
-, bf AS (
-  SELECT {_PART_MONTH_SQL} AS "partition", {_FP_EXPR} AS fp, COUNT(*) AS n
-  FROM lineitem_u GROUP BY 1),
-tf AS (
-  SELECT {_PART_MONTH_SQL} AS "partition", {_FP_EXPR} AS fp, COUNT(*) AS n
-  FROM target GROUP BY 1)
-SELECT COALESCE(bf."partition", tf."partition") AS "partition",
-       CASE WHEN tf."partition" IS NULL THEN 'base_only'
-            WHEN bf."partition" IS NULL THEN 'target_only'
-            WHEN bf.fp IS DISTINCT FROM tf.fp OR bf.n IS DISTINCT FROM tf.n
-            THEN 'changed' END AS status
-FROM bf FULL OUTER JOIN tf ON bf."partition" = tf."partition"
-WHERE (CASE WHEN tf."partition" IS NULL THEN 'base_only'
-            WHEN bf."partition" IS NULL THEN 'target_only'
-            WHEN bf.fp IS DISTINCT FROM tf.fp OR bf.n IS DISTINCT FROM tf.n
-            THEN 'changed' END) IS NOT NULL
-ORDER BY "partition"
-"""
-
-_DATADIFF_KEYS = ["l_orderkey", "l_linenumber"]
-_DATADIFF_COLS = [
-    "l_discount", "l_extendedprice", "l_linestatus", "l_partkey",
-    "l_quantity", "l_returnflag", "l_shipdate", "l_suppkey", "l_tax",
-]
-
-
-def _perturbed_with_month(spark, sf_dir):
-    """Deduplicated (one deterministic row per PK) perturbed pair with the
-    ingest-month partition column added to both sides."""
-    from pyspark.sql.window import Window
-
-    l = io.read_table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
-        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity",
-        "l_shipdate", "l_discount", "l_tax", "l_returnflag", "l_linestatus"
-    )
-    lu = l.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
-    k = F.col("l_orderkey") * 10 + F.col("l_linenumber")
-    mutated = lu.where(k % 89 != 0).withColumns(
-        {
-            "l_quantity": F.when(k % 83 == 0, F.col("l_quantity") + 5).otherwise(
-                F.col("l_quantity")
-            ),
-            "l_returnflag": F.when(k % 79 == 0, F.lit("X")).otherwise(
-                F.col("l_returnflag")
-            ),
-        }
-    )
-    added = lu.where(k % 101 == 0).withColumn(
-        "l_linenumber", F.col("l_linenumber") + F.lit(1000)
-    )
-    month = F.date_trunc("month", F.col("l_shipdate"))
-    return (
-        lu.withColumn("part_month", month),
-        mutated.unionByName(added).withColumn("part_month", month),
-    )
-
-
-@register("datadiff_changed_partitions", SQL_CHANGED_PARTITIONS)
-def changed_partitions_q(spark, sf_dir):
-    """Partition-level fingerprint compare: which ingest months differ
-    between the snapshots. KB-sized output regardless of table size — the
-    incremental-diff planner (compare fingerprints, row-diff only what
-    moved)."""
-    from magiceye_spark.datadiff import changed_partitions
-
-    base, target = _perturbed_with_month(spark, sf_dir)
-    return changed_partitions(
-        base, target, "part_month", cols=_LINEITEM_COLS_SORTED
-    )
-
-
-# full-diff SQL over the deduplicated pair (same SELECT as SQL_DATADIFF,
-# base side reads lineitem_u)
-_SQL_DATADIFF_BODY = SQL_DATADIFF[len(SQL_PERTURBED_LINEITEM):]
-SQL_DATADIFF_ON_UNIQUE = SQL_PERTURBED_UNIQUE + _SQL_DATADIFF_BODY.replace(
-    "FROM lineitem b", "FROM lineitem_u b"
-)
-
-
-@register("datadiff_incremental", SQL_DATADIFF_ON_UNIQUE)
-def datadiff_incremental_q(spark, sf_dir):
-    """Row diff restricted to changed partitions. The oracle is the FULL
-    diff's SQL on purpose: an unchanged partition contributes no diff rows,
-    so the incremental result must be bit-identical to the full diff —
-    partition pruning is a pure optimization, and this query proves it."""
-    from magiceye_spark.datadiff import diff_data_incremental
-
-    base, target = _perturbed_with_month(spark, sf_dir)
-    return diff_data_incremental(
-        base, target, _DATADIFF_KEYS, "part_month", compare_cols=_DATADIFF_COLS
-    )
-
-
-_TARGET_MIX_R3 = {"src0": 0.2, "src1": 0.2, "src2": 0.1, "src3": 0.1}
-
-
-@register("corpus_resampled_mix", pipeline.sql_resample_to_mix(_TARGET_MIX_R3))
-def resample_mix_q(spark, sf_dir):
-    """Deterministic hash-thresholded subsample reshaping the corpus toward
-    a target source mixture (sources not in the target are dropped;
-    up-weighted sources kept whole)."""
-    return pipeline.resample_to_mix(_docs(spark, sf_dir), _TARGET_MIX_R3)
-
-
-@register(
-    "edit_distance_near_dups",
-    dedup.sql_edit_distance_near_dups(max_dist=30, prefix_len=80),
-)
-def edit_distance_q(spark, sf_dir):
-    """Character-level near-dup pairs: same first-word block, split into
-    prefix-length buckets with adjacent-bucket probing (lossless) and salted
-    above a size cap (skew guard), 80-char prefix Levenshtein <= 30 — the
-    edit-noise complement to the token-set Jaccard/MinHash family."""
-    return dedup.edit_distance_near_dups(
-        _docs(spark, sf_dir), max_dist=30, prefix_len=80
-    )
-
-
-@register("bpe_vocab_merges", None)  # iterative driver fit: rows-only check
-def bpe_vocab_merges_q(spark, sf_dir):
-    """BPE vocabulary induction (Sennrich): one corpus pass to the
-    distinct word-frequency table, incremental inverted-index merge loop
-    driver-side (bounded by word TYPES — the IVF k-means fit precedent);
-    pinned merge-for-merge against a quadratic textbook reference in
-    tests/test_r6_ops.py."""
-    return textstats.bpe_train(_docs(spark, sf_dir), num_merges=64)
-
-
-@register("bpe_compression_by_source", None)  # depends on the learned merges
-def bpe_compression_q(spark, sf_dir):
-    """Chars-per-symbol compression of the learned BPE table per source —
-    the objective tokenizer training optimizes; merge application is a
-    JVM regexp chain over the distinct-word table, occurrence-weighted."""
-    docs = _docs(spark, sf_dir)
-    return textstats.bpe_segment_stats(docs, textstats.bpe_train(docs, num_merges=64))
-
-
-@register("events_ohlc_daily", events_ops.SQL_OHLC_DAILY)
-def ohlc_q(spark, sf_dir):
-    """OHLC bars per (day, event_type) in one aggregation shuffle (min_by/
-    max_by over the composite event order — no window pass)."""
-    return events_ops.ohlc_daily(events_ops._events(spark, sf_dir))
-
-
-@register("events_latest_per_user_day", events_ops.SQL_LATEST_PER_USER_DAY)
-def latest_q(spark, sf_dir):
-    """CDC-style 'last record wins' compaction to a (user, day) snapshot."""
-    return events_ops.latest_per_user_day(events_ops._events(spark, sf_dir))
-
-
-@register("events_anomalous_days", analytics.sql_events_anomalous_days(z_cut=1.5))
-def anomalous_days_q(spark, sf_dir):
-    """Volume-anomaly screen: days beyond 1.5 sample-stddevs of their
-    event_type's daily mean, z computed from exact integer moments."""
-    return analytics.events_anomalous_days(spark, sf_dir, z_cut=1.5)
-
-
-@register("purchase_latency_stats", events_ops.SQL_PURCHASE_LATENCY)
-def purchase_latency_q(spark, sf_dir):
-    """Click->purchase latency distribution per day, built on the as-of
-    join's purchase-count-sized output."""
-    return events_ops.purchase_latency_stats(events_ops._events(spark, sf_dir))
-
-
-@register("datadiff_incremental_pruned", SQL_DATADIFF_ON_UNIQUE)
-def datadiff_incremental_pruned_q(spark, sf_dir):
-    """TRULY incremental diff: both snapshots live as month-partitioned
-    parquet with per-partition fingerprint tables persisted at publish time
-    (datadiff.write_fingerprints). The diff compares the two KB-sized stored
-    fingerprint tables — neither snapshot is scanned to decide what changed —
-    then reads ONLY changed partitions via a literal partition filter
-    (PartitionFilters in the scan, pinned in tests/test_r4_ops.py). The
-    oracle is the FULL diff's SQL on purpose: pruning must be invisible in
-    the result."""
-    import hashlib
-    import os
-    import tempfile
-
-    from magiceye_spark.datadiff import (
-        diff_data_incremental,
-        read_fingerprints,
-        write_fingerprints,
-    )
-
-    base, target = _perturbed_with_month(spark, sf_dir)
-    # DATE partition values round-trip hive directory names unambiguously
-    base = base.withColumn("part_month", F.to_date("part_month"))
-    target = target.withColumn("part_month", F.to_date("part_month"))
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"magiceye_incr_{tag}")
-    fp_cols = sorted(set(_DATADIFF_KEYS) | set(_DATADIFF_COLS))
-    io.write_partitioned(base, f"{root}/base", ["part_month"])
-    write_fingerprints(base, "part_month", f"{root}/base_fp", cols=fp_cols)
-    io.write_partitioned(target, f"{root}/target", ["part_month"])
-    write_fingerprints(target, "part_month", f"{root}/target_fp", cols=fp_cols)
-    b = spark.read.parquet(f"{root}/base")
-    t = spark.read.parquet(f"{root}/target")
-    return diff_data_incremental(
-        b, t, _DATADIFF_KEYS, "part_month", compare_cols=_DATADIFF_COLS,
-        base_fingerprints=read_fingerprints(spark, f"{root}/base_fp"),
-        target_fingerprints=read_fingerprints(spark, f"{root}/target_fp"),
-    )
-
-
-@register("schema_drift_timeline", synthcat.oracle_sql_timeline())
-def schema_drift_timeline_q(spark, sf_dir):
-    """Catalog drift across a 3-version snapshot history (base -> perturbed
-    -> reverted): diff_timeline tags each adjacent pair's findings with
-    (from_version, to_version). The revert leg runs the diff in the reverse
-    direction, pinning the matcher's directional asymmetry
-    (background.rs:51) under the timeline wrapper."""
-    from magiceye_spark.diff.core import diff_timeline
-
-    b = synthcat.base_snapshot(spark, sf_dir)
-    t = synthcat.target_snapshot(spark, sf_dir)
-    b2 = synthcat.base_snapshot(spark, sf_dir)
-    return diff_timeline([("v1", b), ("v2", t), ("v3", b2)])
-
-
-# driver testdata has 25 docs per source at sf0.01 — quotas below that
-# exercise the actual rank cutoff, src2's sits above it (cap path)
-_QUOTAS_R4 = {"src0": 15, "src1": 10, "src2": 40}
-
-
-@register(
-    "corpus_stratified_quota",
-    pipeline.sql_stratified_quota_sample(_QUOTAS_R4),
-)
-def stratified_quota_q(spark, sf_dir):
-    """EXACT per-source sample counts via salted-md5 rank within each
-    stratum — the exact-count complement to the probabilistic
-    corpus_resampled_mix (same winners on any engine/layout; growing a
-    stratum only displaces rows at the rank boundary)."""
-    return pipeline.stratified_quota_sample(_docs(spark, sf_dir), _QUOTAS_R4)
-
-
-@register("parts_pareto_frontier", analytics.sql_parts_pareto_frontier())
-def parts_pareto_frontier_q(spark, sf_dir):
-    """Pareto frontier / skyline over (minimize p_retailprice, maximize
-    p_size): sort-based — per-price group max + exclusive two-phase
-    running max over price order — O(n log n) shuffle-bounded where the
-    oracle's NOT EXISTS is O(n²); equal (price, size) points co-survive."""
-    return analytics.parts_pareto_frontier(spark, sf_dir)
-
-
-@register("corpus_pps_sample", pipeline.sql_pps_weighted_sample(k=50))
-def corpus_pps_sample_q(spark, sf_dir):
-    """Probability-proportional-to-size sample of 50 docs (sequential
-    Poisson: rank by md5-coin / n_chars, keep the k smallest) — review
-    sampling biased toward the token mass. Division-only key math so both
-    engines agree bit-for-bit at the k-boundary (no ln/exp/pow);
-    selection is a TakeOrdered top-k, never a global sort."""
-    return pipeline.pps_weighted_sample(_docs(spark, sf_dir), k=50)
-
-
-@register("events_robust_outliers", analytics.sql_events_robust_outliers(k=3.5))
-def robust_outliers_q(spark, sf_dir):
-    """Median/MAD outlier fence per event_type — the heavy-tail-safe
-    complement to the mean/stddev z-screen; exact order-statistic medians
-    keep both engines bit-identical (no float summation anywhere)."""
-    return analytics.events_robust_outliers(spark, sf_dir, k=3.5)
-
-
-# ---------------------------------------------- partsupp-derived TPC-H shapes
-# (partsupp is DERIVED deterministically from part × supplier count — the
-# same precedent as the synthetic catalogs; derivation mirrored in the CTE)
-
-@register("q9_product_profit", partsupp.SQL_Q9)
-def q9_q(spark, sf_dir):
-    """TPC-H Q9 shape over the derived partsupp: profit by (nation, order
-    year) — the composite-key lineitem⋈partsupp join Q9 exists to test."""
-    return partsupp.q9_product_profit(spark, sf_dir)
-
-
-@register("q11_stock_value", partsupp.sql_q11())
-def q11_q(spark, sf_dir):
-    """TPC-H Q11 shape: parts above a fraction-of-total stock value
-    threshold (scalar subquery); integer-cents arithmetic, engine-exact."""
-    return partsupp.q11_stock_value(spark, sf_dir)
-
-
-@register("q16_supplier_counts", partsupp.SQL_Q16)
-def q16_q(spark, sf_dir):
-    """TPC-H Q16 shape: distinct supplier counts per (brand, type, size)
-    with part and supplier exclusions."""
-    return partsupp.q16_supplier_counts(spark, sf_dir)
-
-
-@register("q2_min_cost_supplier", partsupp.sql_q2())
-def q2_q(spark, sf_dir):
-    """TPC-H Q2 shape: region suppliers offering the per-part minimum
-    derived supply cost (correlated min as a min-aggregate join)."""
-    return partsupp.q2_min_cost_supplier(spark, sf_dir)
-
-
-@register("q20_excess_stock", partsupp.sql_q20())
-def q20_q(spark, sf_dir):
-    """TPC-H Q20 shape: suppliers holding >half the year's shipped quantity
-    of 'red' parts (nested semi-joins)."""
-    return partsupp.q20_excess_stock(spark, sf_dir)
-
-
-from magiceye_spark import layout as _layout  # noqa: E402
-
-
-@register("zorder_curve_histogram", _layout.sql_zorder_histogram(bits=8, top_bits=6))
-def zorder_histogram_q(spark, sf_dir):
-    """Row counts per top-6-bit Z-curve prefix of lineitem
-    (l_partkey × l_shipdate): the balance diagnostic a layout-rewrite job
-    (layout.zorder_write — Delta OPTIMIZE ZORDER BY's shape on plain
-    parquet) reads before sizing output files. Bucketize is pure bit
-    shifts, interleave is shift/or chains — engine-exact, oracle-checked."""
-    return _layout.zorder_histogram(spark, sf_dir, bits=8, top_bits=6)
-
-
-@register(
-    "zorder_curve3_histogram",
-    _layout.sql_zorder_histogram_k(
-        [
-            "l_partkey",
-            "l_suppkey",
-            "CAST(l_shipdate AS DATE) - DATE '1970-01-01'",
-        ],
-        bits=6,
-        top_bits=6,
-    ),
-)
-def zorder3_histogram_q(spark, sf_dir):
-    """3-column Morton curve (partkey × suppkey × ship-day) prefix
-    histogram — the interleave generalizes to any column count (bit j of
-    column c at position j·k+c); oracle computes the identical integer
-    math."""
-    return _layout.zorder_histogram_k(
-        spark, sf_dir, ["l_partkey", "l_suppkey", "l_shipdate"], bits=6, top_bits=6
-    )
-
-
-# shared by scd2_history and scd2_point_in_time: 3 derived snapshot
-# versions of orders (<500), run-segmented into SCD2 intervals
-_SCD2_CTES = """v1 AS (
-  SELECT o_orderkey AS id, ROUND(o_totalprice, 2) AS val
-  FROM orders WHERE o_orderkey < 500
-),
-v2 AS (SELECT id, CASE WHEN id % 7 = 0 THEN ROUND(val + 1, 2) ELSE val END AS val FROM v1),
-v3 AS (SELECT id, CASE WHEN id % 3 = 0 THEN ROUND(val + 2, 2) ELSE val END AS val
-       FROM v2 WHERE id % 5 <> 0),
-tagged AS (
-  SELECT id, val, 1 AS v FROM v1
-  UNION ALL SELECT id, val, 2 FROM v2
-  UNION ALL SELECT id, val, 3 FROM v3
-),
-marked AS (
-  SELECT id, val, v,
-         CASE WHEN LAG(v) OVER w IS NULL OR LAG(v) OVER w <> v - 1
-                OR val IS DISTINCT FROM LAG(val) OVER w THEN 1 ELSE 0 END AS s
-  FROM tagged WINDOW w AS (PARTITION BY id ORDER BY v)
-),
-seg AS (
-  SELECT *, SUM(s) OVER (PARTITION BY id ORDER BY v
-                         ROWS UNBOUNDED PRECEDING) AS seg_id
-  FROM marked
-),
-hist AS (
-  SELECT id, MIN_BY(val, v) AS val,
-         CAST(MIN(v) AS BIGINT) AS valid_from,
-         CAST(CASE WHEN MAX(v) = 3 THEN NULL ELSE MAX(v) + 1 END AS BIGINT) AS valid_to,
-         MAX(v) = 3 AS is_current
-  FROM seg GROUP BY id, seg_id
-)"""
-
-SQL_SCD2_HISTORY = (
-    "WITH "
-    + _SCD2_CTES
-    + """
-SELECT id, val, valid_from, valid_to, is_current
-FROM hist ORDER BY id, valid_from
-"""
-)
-
-SQL_SCD2_PIT = (
-    "WITH "
-    + _SCD2_CTES
-    + """,
-facts AS (
-  SELECT l_orderkey, l_linenumber, l_linenumber % 3 + 1 AS as_of_v
-  FROM lineitem WHERE l_orderkey < 500
-)
-SELECT f.l_orderkey, f.l_linenumber, CAST(f.as_of_v AS INTEGER) AS as_of_v,
-       h.val, h.valid_from, h.valid_to, h.is_current
-FROM facts f LEFT JOIN hist h
-  ON f.l_orderkey = h.id
- AND h.valid_from <= f.as_of_v
- AND (h.valid_to IS NULL OR f.as_of_v < h.valid_to)
-"""
-)
-
-
-@register("scd2_history", SQL_SCD2_HISTORY)
-def scd2_history_q(spark, sf_dir):
-    """SCD2 history built from 3 derived snapshot versions of orders
-    (v2 bumps every 7th key, v3 deletes every 5th and bumps every 3rd) —
-    change/delete/current semantics over datadiff.build_scd2's
-    two-shuffle union+window+group plan; oracle is the identical window
-    SQL (IS DISTINCT FROM lags, run-id segmentation)."""
-    o = io.read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
-    v1 = o.select(
-        F.col("o_orderkey").alias("id"), F.round("o_totalprice", 2).alias("val")
-    )
-    v2 = v1.select(
-        "id",
-        F.when(F.col("id") % 7 == 0, F.round(F.col("val") + 1, 2))
-        .otherwise(F.col("val")).alias("val"),
-    )
-    v3 = v2.where(F.col("id") % 5 != 0).select(
-        "id",
-        F.when(F.col("id") % 3 == 0, F.round(F.col("val") + 2, 2))
-        .otherwise(F.col("val")).alias("val"),
-    )
-    return build_scd2([(1, v1), (2, v2), (3, v3)], ["id"])
-
-
-@register("scd2_point_in_time", SQL_SCD2_PIT)
-def scd2_point_in_time_q(spark, sf_dir):
-    """Point-in-time join: every lineitem (of orders <500) picks the
-    order's SCD2 attributes as of ITS OWN version (l_linenumber%3+1) —
-    the per-fact time-travel lookup scd2_snapshot_at can't express.
-    Equi-join on the key with interval containment as a residual filter
-    (never a nested-loop join); facts hitting a deleted interval (v3
-    deletes every 5th key) surface NULL payload under the left join."""
-    o = io.read_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
-    v1 = o.select(
-        F.col("o_orderkey").alias("id"), F.round("o_totalprice", 2).alias("val")
-    )
-    v2 = v1.select(
-        "id",
-        F.when(F.col("id") % 7 == 0, F.round(F.col("val") + 1, 2))
-        .otherwise(F.col("val")).alias("val"),
-    )
-    v3 = v2.where(F.col("id") % 5 != 0).select(
-        "id",
-        F.when(F.col("id") % 3 == 0, F.round(F.col("val") + 2, 2))
-        .otherwise(F.col("val")).alias("val"),
-    )
-    hist = build_scd2([(1, v1), (2, v2), (3, v3)], ["id"])
-    facts = (
-        io.read_table(spark, sf_dir, "lineitem")
-        .where(F.col("l_orderkey") < 500)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            (F.col("l_linenumber") % 3 + 1).cast("int").alias("as_of_v"),
-        )
-    )
-    return scd2_point_in_time(
-        facts, hist, keys=["id"], as_of_col="as_of_v", fact_keys=["l_orderkey"]
-    )
-
-
-@register("hybrid_rrf_topk", retrieval.sql_hybrid_rrf_topk())
-def hybrid_rrf_topk_q(spark, sf_dir):
-    """Hybrid sparse+dense retrieval: reciprocal-rank fusion of the BM25
-    top-100 (query terms) with the cosine top-100 (query doc 0's
-    embedding) — the RAG-stack keyword+vector pattern; rank-derived
-    scores make the fusion engine-exact."""
-    return retrieval.hybrid_rrf_topk(
-        io.read_table(spark, sf_dir, "documents"), simsearch._emb(spark, sf_dir)
-    )
-
-
-@register("bm25_topk", retrieval.sql_bm25_topk())
-def bm25_topk_q(spark, sf_dir):
-    """Okapi BM25 top-20 retrieval for a 3-term query over documents —
-    targeted corpus carving (eval-set construction, domain up-sampling).
-    Map-side array-filter term frequencies (no token explode), |terms|-row
-    broadcast df table, 1-row broadcast corpus stats, TakeOrdered top-k;
-    ties broken on doc_id over the rounded score so the cutoff is
-    engine-deterministic."""
-    return retrieval.bm25_topk(io.read_table(spark, sf_dir, "documents"))
-
-
-@register("duplicate_spans", retrieval.sql_duplicate_spans())
-def duplicate_spans_q(spark, sf_dir):
-    """Maximal duplicated 8-gram token spans per document (substring-level
-    dedup, Lee et al. arXiv:2107.06499). Gram counting + hit join key on
-    md5(gram) (compact fixed-width shuffle keys; the oracle has the same
-    md5); island merge is one doc_id window over hit positions only."""
-    return retrieval.duplicate_spans(io.read_table(spark, sf_dir, "documents"))
-
-
-@register("duplicate_span_coverage", retrieval.sql_duplicate_span_coverage())
-def duplicate_span_coverage_q(spark, sf_dir):
-    """Per-document duplicated-token coverage (fraction of tokens inside a
-    corpus-duplicated 8-gram span) — the curation metric a span-cleaning
-    pass filters on. Left join back to all docs: zero-coverage docs report
-    0.0 rather than disappearing."""
-    return retrieval.duplicate_span_coverage(io.read_table(spark, sf_dir, "documents"))
-
-
-@register("span_cleaned_corpus", retrieval.sql_span_cleaned_corpus())
-def span_cleaned_corpus_q(spark, sf_dir):
-    """REMOVE step of substring-level dedup: each document rebuilt with
-    its duplicated 8-gram spans dropped (Lee et al. arXiv:2107.06499).
-    Spans collapse to one small struct-array per doc; the token drop is a
-    map-side indexed higher-order filter — no token explode, no range
-    join; clean docs pass through via the left-join null guard."""
-    return retrieval.span_cleaned_corpus(io.read_table(spark, sf_dir, "documents"))
-
-
-@register("approx_source_overlap", None)
-def approx_source_overlap_q(spark, sf_dir):
-    """Sketch-tier cross-source contamination matrix: per-source HLL
-    sketches (ONE corpus shuffle of KB mergeable states) + pairwise
-    hll_union inclusion-exclusion on the k-row sketch table. Rows-only for
-    the driver (DuckDB's HLL is a different sketch); the tolerance pin vs
-    the exact matrix lives in pytest."""
-    return dedup.approx_source_overlap(io.read_table(spark, sf_dir, "documents"))
-
-
-# hash-checked bound twin (r12): exact shared-content matrix over ALL
-# unordered source pairs (zero-overlap pairs included) + the tolerance
-# (|est − exact| ≤ max(2, 5%·exact, 3σ of the sketch noise)) asserted
-# in-plan — the oracle's TRUE column flips row hashes if the HLL
-# inclusion-exclusion drifts. HLL is a pure function of the data, so the
-# bound is a deterministic fact at any given SF; the 3σ term scales with
-# per-source cardinality, so the row is not SF-fragile (r12 advice).
-_SQL_APPROX_OVERLAP_BOUNDED = """
-WITH sh AS MATERIALIZED (
-  SELECT DISTINCT source,
-         md5(array_to_string(list_sort(list_distinct(
-             regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))), ' ')) AS h
-  FROM documents),
-srcs AS (SELECT DISTINCT source FROM documents),
-pairs AS (
-  SELECT a.source AS source_a, b.source AS source_b
-  FROM srcs a JOIN srcs b ON a.source < b.source),
-ov AS (
-  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n
-  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
-  GROUP BY 1, 2)
-SELECT p.source_a, p.source_b,
-       CAST(COALESCE(ov.n, 0) AS BIGINT) AS exact_shared_texts,
-       TRUE AS within_bound
-FROM pairs p LEFT JOIN ov USING (source_a, source_b)
-ORDER BY 1, 2
-"""
-
-
-@register("approx_source_overlap_bounded", _SQL_APPROX_OVERLAP_BOUNDED)
-def approx_source_overlap_bounded_q(spark, sf_dir):
-    docs = io.read_table(spark, sf_dir, "documents")
-    exact = dedup.cross_source_overlap(docs)
-    approx = dedup.approx_source_overlap(docs)
-    # Inclusion-exclusion error scales with the PER-SOURCE cardinalities,
-    # not the overlap size (r12 review advice): a zero-overlap pair of two
-    # large sources can legitimately miss an absolute floor of 2. Bound at
-    # 3 sigma of the combined estimator noise — each HLL estimate carries
-    # rsd ~ 1.04/sqrt(2^lg_k) (~0.8% at lg_k=14), and est(A)+est(B)-est(AUB)
-    # sums three independent-ish errors, so sigma ~ rsd*sqrt(a^2+b^2+u^2).
-    rsd = 1.04 / (2.0 ** 7)  # lg_k=14 -> sqrt(2^14) = 2^7
-    sigma = rsd * F.sqrt(
-        F.col("approx_a") ** 2
-        + F.col("approx_b") ** 2
-        + F.col("approx_union") ** 2
-    )
-    return (
-        approx.join(exact, ["source_a", "source_b"], "left")
-        .select(
-            "source_a",
-            "source_b",
-            F.coalesce(F.col("n_shared_texts"), F.lit(0))
-            .cast("bigint")
-            .alias("exact_shared_texts"),
-            (
-                F.abs(
-                    F.col("approx_shared_texts")
-                    - F.coalesce(F.col("n_shared_texts"), F.lit(0))
-                )
-                <= F.greatest(
-                    F.lit(2.0),
-                    0.05 * F.coalesce(F.col("n_shared_texts"), F.lit(0)),
-                    3.0 * sigma,
-                )
-            ).alias("within_bound"),
-        )
-        .orderBy("source_a", "source_b")
-    )
-
-
-@register("source_report_card", textstats.sql_source_report_card())
-def source_report_card_q(spark, sf_dir):
-    """Per-source corpus audit dashboard: volume, length profile, language
-    share, duplicate exposure, token entropy (information-density proxy).
-    Row-local array expressions + one bag-hash window + one source-keyed
-    agg; the entropy fold runs over the SORTED distinct token list so both
-    engines sum in the same IEEE order."""
-    return textstats.source_report_card(io.read_table(spark, sf_dir, "documents"))
-
-
-@register("containment_near_dups", dedup.sql_containment_near_dups())
-def containment_near_dups_q(spark, sf_dir):
-    """Asymmetric shingle containment (|A∩B|/|A| over 3-gram shingles):
-    directional subset-copy pairs symmetric Jaccard misses. Per-lang
-    all-pairs — the oracle-checkable small-scale twin; the scale path is
-    the shingle inverted index with df-pruning (decontamination plan)."""
-    return dedup.containment_near_dups(io.read_table(spark, sf_dir, "documents"))
-
-
-@register("containment_near_dups_indexed", dedup.sql_containment_near_dups_indexed())
-def containment_near_dups_indexed_q(spark, sf_dir):
-    """Inverted-index containment (the scale path): distinct (doc,
-    shingle) postings equi-joined on the shingle — candidate generation
-    and exact |A∩B| counting in one grouped join, no all-pairs block.
-    Corpus-frequent shingles are cut before the join (broadcast anti-join
-    at df>100, the stopgram move) so no posting list can explode the
-    join; the oracle applies the identical cut."""
-    return dedup.containment_near_dups_indexed(io.read_table(spark, sf_dir, "documents"))
-
-
-SQL_GLOBAL_IDS = """
-SELECT doc_id,
-       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
-FROM documents
-ORDER BY doc_id
-"""
-
-
-@register("corpus_global_ids", SQL_GLOBAL_IDS)
-def corpus_global_ids_q(spark, sf_dir):
-    """Contiguous global IDs in doc_id order WITHOUT the single-task
-    global sort: range partition (parallel) + within-partition rank +
-    broadcast per-partition offsets. Provably identical to the naive
-    ROW_NUMBER over a unique total order — which is exactly what the
-    oracle runs."""
-    docs = io.read_table(spark, sf_dir, "documents")
-    return (
-        io.assign_global_ids(docs, ["doc_id"])
-        .select("doc_id", "global_id")
-        .orderBy("doc_id")
-    )
-
-
-@register("contrastive_negatives", pipeline.sql_negative_samples())
-def contrastive_negatives_q(spark, sf_dir):
-    """Deterministic hash-ring negative sampling over embeddings: each
-    anchor draws 4 ring-offset partners on the global-ID ring (two-phase
-    rank, no single-task sort), label collisions dropped. Reproducible
-    across runs/engines/layouts — auditable training-data lineage, unlike
-    RNG sampling."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return pipeline.negative_samples(emb)
-
-
-@register("hard_negatives_topk", simsearch.sql_hard_negatives())
-def hard_negatives_q(spark, sf_dir):
-    """Hard-negative mining: per anchor, the 4 most-similar DIFFERENT-label
-    embeddings (the pairs that teach a metric model most). Exact all-pairs
-    twin of the ANN-backed scale path (probe IVF cells, label filter at
-    rerank); easy-negative complement is contrastive_negatives."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return simsearch.hard_negatives(emb)
-
-
-@register("bigram_logprob_quality", textstats.sql_bigram_logprob())
-def bigram_logprob_q(spark, sf_dir):
-    """CCNet-style perplexity-proxy filter without an external LM: mean
-    add-α bigram log-likelihood of each doc under the corpus's own bigram
-    model. One exploded bigram stream feeds both count tables; scoring is
-    a bigram-keyed join + per-doc mean. Very negative = transitions
-    unlike the corpus (gibberish, wrong-language, shredded text)."""
-    return textstats.bigram_logprob(textstats._docs(spark, sf_dir))
-
-
-@register("winnow_overlap_pairs", dedup.sql_winnow_overlap_pairs())
-def winnow_overlap_pairs_q(spark, sf_dir):
-    """Winnowing copy detection (Schleimer et al. SIGMOD'03 / MOSS): doc
-    pairs sharing >=3 window-minimum gram fingerprints. Any shared
-    n+window-1 token run is guaranteed a shared fingerprint at
-    ~2/(window+1) the posting density of full shingle indexing — the
-    cheap copy-detection index. Hashes are md5 hex strings so both
-    engines select identical minima."""
-    return dedup.winnow_overlap_pairs(io.read_table(spark, sf_dir, "documents"))
-
-
-@register("join_size_estimate", None)
-def join_size_estimate_q(spark, sf_dir):
-    """Pre-flight join cardinality estimate from per-side HLL key sketches
-    (one scan per side, KB of state) — the decision input before
-    committing a multi-TB shuffle. Rows-only (sketch estimates); 5%
-    tolerance vs the exact join pinned in pytest."""
-    orders = io.read_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("l_orderkey")
-    )
-    li = io.read_table(spark, sf_dir, "lineitem").select("l_orderkey")
-    return sketches.estimate_join_size(li, orders, ["l_orderkey"])
-
-
-# hash-checked bound twin (r12): the pytest 5% tolerance vs the exact
-# join cardinality asserted in-plan — exact count in both engines, the
-# estimate's error bound as the TRUE column.
-_SQL_JOIN_SIZE_BOUNDED = """
-SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows, TRUE AS within_bound
-FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-"""
-
-
-@register("join_size_estimate_bounded", _SQL_JOIN_SIZE_BOUNDED)
-def join_size_estimate_bounded_q(spark, sf_dir):
-    orders = io.read_table(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("l_orderkey")
-    )
-    li = io.read_table(spark, sf_dir, "lineitem").select("l_orderkey")
-    est = sketches.estimate_join_size(li, orders, ["l_orderkey"])
-    exact = li.join(orders, "l_orderkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_join_rows")
-    )
-    return exact.crossJoin(est).select(
-        "exact_join_rows",
-        (
-            F.abs(F.col("est_join_rows") - F.col("exact_join_rows"))
-            <= 0.05 * F.col("exact_join_rows")
-        ).alias("within_bound"),
-    )
-
-
-@register("source_similarity_matrix", textstats.SQL_SOURCE_SIMILARITY)
-def source_similarity_matrix_q(spark, sf_dir):
-    """Pairwise cosine between sources' unigram count vectors — outlier
-    sources (low everywhere) and mirrors (near 1.0) before mixing.
-    Sparse: token-keyed self-join of the catalog-sized count table +
-    broadcast norms; integer dot products, float only at the ratio."""
-    return textstats.source_similarity_matrix(textstats._docs(spark, sf_dir))
-
-
-@register(
-    "k_anonymity_customers",
-    dq.sql_k_anonymity("customer", ["c_nationkey", "c_mktsegment"], k=5),
-)
-def k_anonymity_q(spark, sf_dir):
-    """k-anonymity gate on customer quasi-identifiers (nation, market
-    segment): groups smaller than k=5 re-identify their members — the
-    governance check before sharing or training on user-adjacent tables.
-    One quasi-column groupBy (the only corpus-sized shuffle) + a
-    catalog-sized rollup."""
-    from magiceye_spark.dq import k_anonymity_audit
-
-    cust = io.read_table(spark, sf_dir, "customer")
-    return k_anonymity_audit(cust, ["c_nationkey", "c_mktsegment"], k=5)
-
-
-@register("user_value_ewma", events_ops.sql_user_value_ewma())
-def user_value_ewma_q(spark, sf_dir):
-    """Per-user exponentially-weighted moving average of event values in
-    closed form (pandas ewm(adjust=False) semantics): per-row pow weights
-    over row_number and group size — one user-keyed shuffle, no
-    recursion, no UDF. The canonical time-decayed feature."""
-    return events_ops.user_value_ewma(events_ops._events(spark, sf_dir))
-
-
-@register(
-    "l_diversity_customers",
-    dq.sql_l_diversity("customer", ["c_nationkey"], "c_mktsegment", l=3),
-)
-def l_diversity_q(spark, sf_dir):
-    """l-diversity gate: nations where fewer than 3 market segments are
-    represented leak the segment attribute even under k-anonymity. One
-    quasi groupBy with a distinct-count, catalog rollup."""
-    from magiceye_spark.dq import l_diversity_audit
-
-    cust = io.read_table(spark, sf_dir, "customer")
-    return l_diversity_audit(cust, ["c_nationkey"], "c_mktsegment", l=3)
-
-
-@register("events_winsorized_stats", sketches.sql_winsorized_value_stats())
-def events_winsorized_q(spark, sf_dir):
-    """Heavy-tail-robust moments per event type: values clipped at the
-    exact interpolated [p05, p95] before mean/std — the summary extreme
-    values can't move (complement to the median/MAD fence). Percentile
-    bounds broadcast back onto one grouped pass."""
-    return sketches.winsorized_value_stats(events_ops._events(spark, sf_dir))
-
-
-@register("event_transition_matrix", events_ops.sql_event_transition_matrix())
-def event_transition_matrix_q(spark, sf_dir):
-    """First-order Markov transitions between event types per user stream
-    with row-normalized probabilities — which steps actually follow
-    which. One user-keyed lag window + one pair aggregation."""
-    return events_ops.event_transition_matrix(events_ops._events(spark, sf_dir))
-
-
-@register("user_interarrival_stats", events_ops.sql_user_interarrival_stats())
-def user_interarrival_stats_q(spark, sf_dir):
-    """Per-user inter-arrival statistics (mean/std/CV of gaps in seconds)
-    — the burstiness screen for bots and schedulers. Integer microsecond
-    gap diffs; doubles only at the final ratios."""
-    return events_ops.user_interarrival_stats(events_ops._events(spark, sf_dir))
-
-
-@register("events_dow_hour_matrix", events_ops.sql_dow_hour_matrix())
-def events_dow_hour_matrix_q(spark, sf_dir):
-    """Traffic heatmap by (day-of-week, hour) with share of total — the
-    load profile behind capacity planning and anomaly baselines."""
-    return events_ops.dow_hour_matrix(events_ops._events(spark, sf_dir))
-
-
-@register("customer_rfm", analytics.sql_customer_rfm())
-def customer_rfm_q(spark, sf_dir):
-    """RFM segmentation: recency/frequency/monetary quartile codes per
-    customer (NTILE with custkey tie-breaks so both engines cut
-    identically). One orders agg + three catalog-sized window passes."""
-    return analytics.customer_rfm(spark, sf_dir)
-
-
-@register("parts_abc_classes", analytics.sql_parts_abc_classes())
-def parts_abc_q(spark, sf_dir):
-    """Pareto/ABC inventory classes by cumulative revenue share (A to
-    80%, B to 95%, C tail). Exact decimal running sums; ONE double
-    division at the boundary so the cut is engine-identical."""
-    return analytics.parts_abc_classes(spark, sf_dir)
-
-
-@register("basket_pair_lift", analytics.sql_basket_pair_lift())
-def basket_pair_lift_q(spark, sf_dir):
-    """Market-basket pair lift: co-purchased part pairs with support and
-    lift. ONE order-grouped collect_set with row-local pair explosion —
-    no lineitem self-join; per-part order counts broadcast back."""
-    return analytics.basket_pair_lift(spark, sf_dir)
-
-
-@register("customer_spend_gini", analytics.sql_customer_spend_gini())
-def customer_spend_gini_q(spark, sf_dir):
-    """Gini coefficient of customer spend (revenue concentration): exact
-    decimal totals, one window over the customer rollup, decimal×integer
-    weighted sum — floating point only at the final ratio."""
-    return analytics.customer_spend_gini(spark, sf_dir)
-
-
-@register("orders_new_vs_returning", analytics.sql_orders_new_vs_returning())
-def orders_new_vs_returning_q(spark, sf_dir):
-    """Monthly growth-vs-retention split: orders in the customer's
-    first-ever month are NEW, the rest RETURNING. One customer-keyed
-    window + a conditional monthly rollup."""
-    return analytics.orders_new_vs_returning(spark, sf_dir)
-
-
-@register("vocab_zipf_slope", textstats.sql_vocab_zipf_slope())
-def vocab_zipf_slope_q(spark, sf_dir):
-    """Zipf rank-frequency slope of the corpus vocabulary (natural text
-    ~ -1; shallower = templated vocab, steeper = degenerate repetition).
-    Exact term counts; OLS on ln(rank)/ln(freq) over at most top-N
-    catalog-sized rows."""
-    return textstats.vocab_zipf_slope(textstats._docs(spark, sf_dir))
-
-
-@register("daily_forecast_backtest", analytics.sql_daily_forecast_backtest())
-def daily_forecast_backtest_q(spark, sf_dir):
-    """Seasonal-naive backtest: predict each day's count with the
-    same-weekday-last-week value (lag 7) and score MAE/MAPE/bias per
-    event type — the baseline any forecaster must beat, via the
-    lag-as-prediction backtest shape."""
-    return analytics.daily_forecast_backtest(spark, sf_dir)
-
-
-@register("supplier_scorecard", analytics.sql_supplier_scorecard())
-def supplier_scorecard_q(spark, sf_dir):
-    """Vendor review table: per-supplier revenue, line/part counts,
-    average discount, and return rate, joined broadcast with the
-    supplier dimension."""
-    return analytics.supplier_scorecard(spark, sf_dir)
-
-
-@register("attributed_daily_revenue", events_ops.sql_attributed_daily_revenue())
-def attributed_daily_revenue_q(spark, sf_dir):
-    """Position-based (40/20/40) multi-touch attribution: clicks credited
-    against the user's next purchase, weighted first/last/interior, and
-    rolled up to attributed value per click day — forward as-of via one
-    user-keyed window, path ranking via one (user, purchase) window."""
-    return events_ops.attributed_daily_revenue(events_ops._events(spark, sf_dir))
-
-
-@register("label_compactness", simsearch.sql_label_compactness())
-def label_compactness_q(spark, sf_dir):
-    """Embedding-quality audit: mean member-to-own-centroid cosine per
-    label (low = incoherent label / weak encoder). Fully relational on
-    the (row, dim) grain; centroid coordinates rounded to 6 on both
-    engines so every downstream dot is bit-identical."""
-    return simsearch.label_compactness(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    )
-
-
-@register("label_centroid_similarity", simsearch.sql_label_centroid_similarity())
-def label_centroid_similarity_q(spark, sf_dir):
-    """Inter-class confusion map: pairwise cosine between label centroids
-    — the labels retrieval/classification will mix up. Pairwise stage on
-    the k×d centroid table only."""
-    return simsearch.label_centroid_similarity(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    )
-
-
-@register(
-    "session_type_cooccurrence", events_ops.sql_session_type_cooccurrence()
-)
-def session_type_cooccurrence_q(spark, sf_dir):
-    """Behavior pairs co-occurring within sessions with session share —
-    collect_set + row-local pair explosion on session grain, no
-    self-join (the oracle's self-join is the small-scale twin)."""
-    return events_ops.session_type_cooccurrence(events_ops._events(spark, sf_dir))
-
-
-_MIX_WEIGHTS = {f"src{i}": (0.1 if i < 5 else 0.05) for i in range(10)}
-
-
-@register(
-    "token_budget_plan",
-    pipeline.sql_token_budget_plan(_MIX_WEIGHTS, 10_000_000),
-)
-def token_budget_plan_q(spark, sf_dir):
-    """Mixture accounting: per-source token contribution and implied
-    EPOCHS over natural supply at a 10M-token budget (epochs > 1 = the
-    repetition red flag LLaMA-style mixture tables track)."""
-    return pipeline.token_budget_plan(
-        io.read_table(spark, sf_dir, "documents"), _MIX_WEIGHTS, 10_000_000
-    )
-
-
-@register("corpus_version_diff", pipeline.sql_corpus_version_diff())
-def corpus_version_diff_q(spark, sf_dir):
-    """Corpus versioning audit over two derived versions (old drops every
-    7th doc; new drops every 5th and edits every 3rd): per-source
-    added/removed/changed/unchanged counts from ONE full-outer join on
-    doc_id comparing canonical md5s — the datadiff shape on documents."""
-    docs = io.read_table(spark, sf_dir, "documents")
-    old, new = pipeline._corpus_versions(docs)
-    return pipeline.corpus_version_diff(old, new)
-
-
-_IQR_COLS = ["l_discount", "l_extendedprice", "l_quantity", "l_tax"]
-
-
-@register("lineitem_iqr_profile", dq.sql_iqr_outlier_profile("lineitem", _IQR_COLS))
-def lineitem_iqr_profile_q(spark, sf_dir):
-    """Tukey-fence outlier screen across lineitem's numeric columns in
-    ONE melted pass: exact quartiles per column, fences broadcast back,
-    outliers counted — the unit-mix-up/sensor-spike detector.
-    parallelize=True: the 4-way melt explode is CPU-dense on the
-    under-split local lineitem scan (r12 stage audit: 2.7 s serialized
-    across 3 splits); the exact-percentile FINAL merge stays one task
-    per column by aggregation semantics — bounded by len(_IQR_COLS)
-    groups, the documented exemption class."""
-    return dq.iqr_outlier_profile(
-        io.read_table(spark, sf_dir, "lineitem", parallelize=True), _IQR_COLS
-    )
-
-
-@register("events_daily_percentile_trend", analytics.SQL_DAILY_PERCENTILE_TREND)
-def events_daily_percentile_trend_q(spark, sf_dir):
-    """Daily p50/p95 value trend per event type — SLO-chart data from
-    exact interpolated percentiles at (type, day) grain."""
-    return analytics.events_daily_percentile_trend(spark, sf_dir)
-
-
-@register("order_size_histogram", analytics.SQL_ORDER_SIZE_HISTOGRAM)
-def order_size_histogram_q(spark, sf_dir):
-    """Lines-per-order histogram with share — the basket-size
-    distribution; two cheap aggregations."""
-    return analytics.order_size_histogram(spark, sf_dir)
-
-
-@register("token_pmi_pairs", textstats.sql_token_pmi_pairs())
-def token_pmi_pairs_q(spark, sf_dir):
-    """Collocation mining: top-50 token pairs by document-level PMI —
-    the multi-word expressions a tokenizer/phrase index should fuse.
-    Doc-distinct pair explosion (no self-join), exact integer counts,
-    float only at the log; ranked over the unrounded PMI with pair
-    tie-breaks."""
-    return textstats.token_pmi_pairs(textstats._docs(spark, sf_dir))
-
-
-@register("bigram_continuations", textstats.sql_bigram_continuations())
-def bigram_continuations_q(spark, sf_dir):
-    """LM-as-table: per word, the top-3 next words with conditional
-    probability — the autocomplete table and the inspectable form of
-    the bigram model behind the perplexity filter."""
-    return textstats.bigram_continuations(textstats._docs(spark, sf_dir))
-
-
-@register("order_total_reconciliation", dq.sql_order_total_reconciliation())
-def order_total_reconciliation_q(spark, sf_dir):
-    """Header-vs-detail reconciliation: recompute order totals from lines
-    with exact decimals and profile the discrepancy against the stored
-    header — the books-balance audit (the synthetic headers do NOT
-    reconcile, which is what the audit reports)."""
-    return dq.order_total_reconciliation(
-        io.read_table(spark, sf_dir, "orders"),
-        io.read_table(spark, sf_dir, "lineitem"),
-    )
-
-
-@register("quarterly_revenue_yoy", analytics.SQL_QUARTERLY_REVENUE_YOY)
-def quarterly_revenue_yoy_q(spark, sf_dir):
-    """Quarterly revenue with YoY growth — exact-decimal quarter sums,
-    lag-4 window, one double division per row."""
-    return analytics.quarterly_revenue_yoy(spark, sf_dir)
-
-
-@register("error_rate_control_chart", analytics.SQL_ERROR_RATE_CONTROL_CHART)
-def error_rate_control_chart_q(spark, sf_dir):
-    """SPC p-chart: hourly error share vs binomial 3-sigma limits around
-    the overall rate — sample-size-aware alerting, one hourly agg plus a
-    broadcast scalar."""
-    return analytics.error_rate_control_chart(spark, sf_dir)
-
-
-@register("cohort_ltv_curve", analytics.sql_cohort_ltv_curve())
-def cohort_ltv_curve_q(spark, sf_dir):
-    """Cohort LTV curves: cumulative revenue per customer by months
-    since acquisition — first-order window, (cohort, age) agg, one
-    cumulative window; exact decimals until the per-customer division."""
-    return analytics.cohort_ltv_curve(spark, sf_dir)
-
-
-@register("source_charset_profile", textstats.SQL_SOURCE_CHARSET_PROFILE)
-def source_charset_profile_q(spark, sf_dir):
-    """Per-source character-class shares (letters/digits/spaces/CJK/
-    other) — the encoding and mojibake screen before tokenizer
-    commitment. Row-local regexp counts, one source rollup."""
-    return textstats.source_charset_profile(textstats._docs(spark, sf_dir))
-
-
-@register(
-    "benford_totalprice_screen", dq.sql_benford_screen("orders", "o_totalprice")
-)
-def benford_screen_q(spark, sf_dir):
-    """Benford first-digit screen on order totals: observed vs expected
-    digit shares with chi-square contributions — the fabrication/
-    artifact screen auditors run on financial columns."""
-    return dq.benford_screen(io.read_table(spark, sf_dir, "orders"), "o_totalprice")
-
-
-@register("cohort_retention_triangle", analytics.sql_cohort_retention_triangle())
-def cohort_retention_triangle_q(spark, sf_dir):
-    """Retention triangle: per acquisition-month cohort, the share of
-    customers active again at each month age — presence companion to the
-    LTV curve; one first-order window + one distinct rollup."""
-    return analytics.cohort_retention_triangle(spark, sf_dir)
-
-
-@register("source_hapax_rate", textstats.SQL_SOURCE_HAPAX_RATE)
-def source_hapax_rate_q(spark, sf_dir):
-    """Vocabulary health per source: hapax rate + type-token ratio (low =
-    template/synthetic text; extreme = OCR/tokenizer breakage)."""
-    return textstats.source_hapax_rate(textstats._docs(spark, sf_dir))
-
-
-@register("repurchase_interval_stats", analytics.SQL_REPURCHASE_INTERVAL_STATS)
-def repurchase_interval_stats_q(spark, sf_dir):
-    """Reorder-cycle numbers in one row: one-time-customer share and
-    p25/p50/p90 days between consecutive orders — one customer-keyed lag
-    window, exact interpolated percentiles on integer day gaps."""
-    return analytics.repurchase_interval_stats(spark, sf_dir)
-
-
-@register("events_hourly_value_profile", analytics.SQL_HOURLY_VALUE_PROFILE)
-def events_hourly_value_profile_q(spark, sf_dir):
-    """Daypart value profile: count and exact-decimal sum by hour of day
-    per event type — one aggregation (the mean is deliberately omitted:
-    short-decimal quotients round differently across engines)."""
-    return analytics.hourly_value_profile(spark, sf_dir)
-
-
-@register("user_activity_streaks", events_ops.SQL_USER_ACTIVITY_STREAKS)
-def user_activity_streaks_q(spark, sf_dir):
-    """Longest consecutive-day streak per user via the (day − rank)
-    anchor — gaps-and-islands without a lag pass; one distinct + one
-    window + two rollups."""
-    return events_ops.user_activity_streaks(events_ops._events(spark, sf_dir))
-
-
-@register("brand_rank_movers", analytics.sql_brand_rank_movers())
-def brand_rank_movers_q(spark, sf_dir):
-    """Winners/losers: per-brand revenue rank before vs after a cutoff
-    era with the rank delta — broadcast dimension join, one (brand, era)
-    agg, per-era rank windows with brand tie-breaks."""
-    return analytics.brand_rank_movers(spark, sf_dir)
-
-
-@register("nation_trade_matrix", analytics.SQL_NATION_TRADE_MATRIX)
-def nation_trade_matrix_q(spark, sf_dir):
-    """Supplier-nation × customer-nation revenue matrix (TPC-H Q7
-    generalized to all pairs): fact-fact key join + four broadcast
-    dimensions; exact-decimal revenue."""
-    return analytics.nation_trade_matrix(spark, sf_dir)
-
-
-@register("brand_supplier_hhi", analytics.SQL_BRAND_SUPPLIER_HHI)
-def brand_supplier_hhi_q(spark, sf_dir):
-    """Supply-concentration HHI per brand (1.0 = single-sourced) with
-    the top supplier's share — the single-point-of-failure review; one
-    broadcast dimension join + one windowed share rollup."""
-    return analytics.brand_supplier_hhi(spark, sf_dir)
-
-
-def _stateful_sql_quota() -> str:
-    from magiceye_spark.streaming.stateful import sql_quota_admit_batch
-
-    return sql_quota_admit_batch(cap=5)
-
-
-def _psi_stream_sql() -> str:
-    from magiceye_spark.streaming.drift import sql_value_psi_stream_twin
-
-    return sql_value_psi_stream_twin(
-        "ts < TIMESTAMP '2024-01-16'", "ts >= TIMESTAMP '2024-01-16'", "value"
-    )
-
-
-@register("events_psi_stream_twin", _psi_stream_sql())
-def events_psi_stream_twin_q(spark, sf_dir):
-    """Batch twin of the streaming frozen-baseline PSI monitor
-    (streaming/drift.py value_psi_drift — the EXACT per-micro-batch
-    expression, stream == batch pinned in tests/test_streaming.py):
-    the baseline histogram is fitted once on the first half of the month
-    (fit_psi_baseline — bounded deploy-time driver materialization, two
-    scalars + 10 rows), the rest of the month scores as one batch.
-    Covers the stateless-aggregation streaming style the way
-    events_quota_batch_twin covers the stateful one."""
-    from magiceye_spark.streaming.drift import fit_psi_baseline, value_psi_drift
-
-    ev = events_ops._events(spark, sf_dir)
-    cut = F.lit("2024-01-16").cast("timestamp")
-    baseline_bins, mn, mx = fit_psi_baseline(ev.where(F.col("ts") < cut), "value")
-    return value_psi_drift(ev.where(F.col("ts") >= cut), baseline_bins, "value", mn, mx)
-
-
-@register("dup_graph_components", graph.sql_dup_components())
-def dup_graph_components_q(spark, sf_dir):
-    """Transitive closure of the Jaccard near-dup pair relation:
-    (doc_id, comp_id) with comp_id = min doc_id of the cluster (the
-    keep-one keeper). Spark side is iterative min-label propagation with
-    pointer jumping (O(log diameter) rounds, lineage truncated per round
-    via localCheckpoint); oracle is a DuckDB recursive CTE over the same
-    pair SQL — an iterative algorithm with an exact SQL oracle."""
-    return graph.dup_graph_components(_docs(spark, sf_dir))
-
-
-@register("dup_cluster_stats", graph.sql_dup_cluster_stats())
-def dup_cluster_stats_q(spark, sf_dir):
-    """Per-cluster rollup of the closure: member count, max doc_id, docs
-    removed under keep-lowest policy."""
-    return graph.dup_cluster_stats(_docs(spark, sf_dir))
-
-
-@register("leakage_safe_split", graph.sql_leakage_safe_split())
-def leakage_safe_split_q(spark, sf_dir):
-    """Train/eval split at near-dup-CLUSTER granularity: the md5 split
-    coin is tossed on the transitive closure's comp_id (own id for
-    singletons), so no near-dup chain ever straddles the boundary —
-    prevention, where split_leakage_audit only detects."""
-    return graph.leakage_safe_split(_docs(spark, sf_dir))
-
-
-_WATERFILL_W = {"src0": 60, "src1": 10, "src2": 10, "src3": 10, "src4": 10}
-
-
-@register(
-    "token_budget_waterfill",
-    pipeline.sql_token_budget_waterfill(_WATERFILL_W, 30_000, max_epochs=4),
-)
-def token_budget_waterfill_q(spark, sf_dir):
-    """Cap-aware budget allocation: waterfilling with a 4-epoch
-    repetition cap — over-weighted sources pin at their cap and the
-    excess redistributes to the rest (the capped set is chosen by exact
-    integer cross-multiplication on both engines). Resolves what
-    token_budget_plan merely flags."""
-    return pipeline.token_budget_waterfill(
-        _docs(spark, sf_dir), _WATERFILL_W, 30_000, max_epochs=4
-    )
-
-
-@register("cdc_chunk_near_dups", dedup.sql_cdc_chunk_near_dups())
-def cdc_chunk_near_dups_q(spark, sf_dir):
-    """Shift-robust block-level near-dup pairs via content-defined
-    chunking (the rsync/LBFS storage-dedup primitive): rolling-hash
-    boundaries re-synchronize after an edit, so fixed-frame misalignment
-    can't zero out the overlap; Jaccard over chunk-hash sets through the
-    inverted-index equi-join."""
-    return dedup.cdc_chunk_near_dups(_docs(spark, sf_dir))
-
-
-@register("bitext_margin_pairs", simsearch.sql_bitext_margin_pairs())
-def bitext_margin_pairs_q(spark, sf_dir):
-    """Margin-based cross-lingual parallel-pair mining (ratio margin,
-    arXiv:1811.01136): best non-src-lang match per English doc whose
-    cosine stands out against both sides' k-NN neighborhood density.
-    Exact all-pairs twin; at corpus scale the same margin runs over
-    LSH/IVF candidates."""
-    return simsearch.bitext_margin_pairs(
-        _docs(spark, sf_dir), simsearch._emb(spark, sf_dir)
-    )
-
-
-@register("bitext_indexed_exact", simsearch.sql_bitext_margin_pairs())
-def bitext_indexed_exact_q(spark, sf_dir):
-    """The candidate-based bitext path under the EXACT oracle: probing
-    every cell (n_probe = n_centroids) makes both directions' IVF k-NN
-    the exact top-k, so the neighborhood means — and, on this corpus, the
-    per-source argmax — match the all-pairs twin bit-for-bit. Any slip in
-    the candidate plumbing (a lost salt meeting, a cell misassignment, a
-    tie-break drift) breaks the hash match. Complements the rows-only
-    approximate row (the ivf_ann_exact / ivf_indexed_exact precedent)."""
-    return simsearch.bitext_margin_pairs_indexed(
-        _docs(spark, sf_dir), simsearch._emb(spark, sf_dir),
-        n_centroids=16, n_probe=16,
-    )
-
-
-@register("bitext_margin_pairs_indexed", None)  # IVF-approximate candidate
-# mining: no hash oracle can check an approximation — recall vs the exact
-# twin is pinned in tests/test_r8_ops.py; the exhaustive-probe config has
-# the hash-checked bitext_indexed_exact row above
-def bitext_margin_pairs_indexed_q(spark, sf_dir):
-    """Candidate-based margin mining at production settings: forward +
-    backward IVF k-NN candidates from one shared quantizer, margin over
-    candidate edges only — per-query cost ~n_probe/n_centroids of the
-    other side instead of the twin's O(|A|·|B|)."""
-    return simsearch.bitext_margin_pairs_indexed(
-        _docs(spark, sf_dir), simsearch._emb(spark, sf_dir)
-    )
-
-
-@register("dedup_keep_per_cluster", graph.sql_dedup_keep_per_cluster())
-def dedup_keep_per_cluster_q(spark, sf_dir):
-    """The corpus after transitive-closure dedup: docs with no near-dup
-    pair plus the minimum-id member of every cluster — strictly stronger
-    than pairwise keep-lowest, which over-keeps chain middles."""
-    return graph.dedup_keep_per_cluster(_docs(spark, sf_dir))
-
-
-@register("delta_dedup_admit", graph.sql_delta_dedup_admit())
-def delta_dedup_admit_q(spark, sf_dir):
-    """Batch delta-ingest admission: incoming docs (md5-coin 30% of the
-    corpus) admitted iff their transitive near-dup cluster holds no
-    existing doc and they are its minimum-id incoming member — catches
-    incoming→incoming→existing chains that per-pair checks miss."""
-    # the function returns the caller's full schema; the oracle's contract
-    # is the lean metadata projection
-    return graph.delta_dedup_admit(_docs(spark, sf_dir)).select(
-        "doc_id", "lang", "source", "n_chars"
-    )
-
-
-@register("dup_pagerank", graph.sql_dup_pagerank())
-def dup_pagerank_q(spark, sf_dir):
-    """PageRank centrality over the near-dup graph (5 power iterations,
-    d=0.85): ranks the most central variant of each duplicate-template
-    family — the principled keeper choice vs keep-lowest-id. Iterative
-    float fixpoint with an EXACT oracle: per-node contribution sums are
-    folded in sorted neighbor order on both engines (Spark sorted-list
-    fold == DuckDB SUM(x ORDER BY v)), so 5 iterations of double math
-    hash-match bit-for-bit."""
-    return graph.dup_pagerank(_docs(spark, sf_dir))
-
-
-@register("dup_graph_triangles", graph.sql_dup_triangles())
-def dup_graph_triangles_q(spark, sf_dir):
-    """Per-node triangle count + local clustering coefficient over the
-    near-dup graph: separates clique-like template families (collapse to
-    one keeper freely) from hub/chain clusters glued by a shared fragment.
-    Spark side enumerates wedges under the degree-ordered orientation
-    (fan-out bounded by arboricity, not max degree); the oracle counts the
-    same triangle set from the naive a<b<c closure."""
-    return graph.dup_graph_triangles(_docs(spark, sf_dir))
-
-
-@register("events_quota_batch_twin", _stateful_sql_quota())
-def events_quota_batch_twin_q(spark, sf_dir):
-    """Batch twin of the streaming per-(user, day) admission gate
-    (streaming/stateful.py quota_admit): the EXACT shared expression —
-    row_number over (user_id, day) in (ts, event_id) order, capped — as
-    a deterministic oracle row for the streaming family (its stream ==
-    batch equality is pinned in tests/test_streaming.py)."""
-    from magiceye_spark.streaming.stateful import quota_admit_batch
-
-    return quota_admit_batch(events_ops._events(spark, sf_dir), cap=5)
-
-
-@register("events_daily_trend_robust", sketches.SQL_DAILY_TREND_ROBUST)
-def daily_trend_robust_q(spark, sf_dir):
-    """Mann-Kendall trend test + Theil-Sen slope per event type over the
-    exact daily rollup — the rank-based robust twin of
-    events_daily_trend_ols (spike-immune). Pairwise stage is
-    calendar-bounded (days², never raw rows)."""
-    return sketches.daily_trend_robust_events(spark, sf_dir)
-
-
-@register("events_daily_cusum", sketches.SQL_DAILY_CUSUM)
-def daily_cusum_q(spark, sf_dir):
-    """CUSUM changepoint per event type: the day whose cumulative
-    deviation from the series mean is largest, with before/after means —
-    'when did this metric move'. Exact decimal cumsum in a per-type
-    ordered window."""
-    return sketches.daily_cusum_changepoint_events(spark, sf_dir)
-
-
-@register("events_type_corr_matrix", sketches.SQL_DAILY_TYPE_CORR)
-def daily_type_corr_q(spark, sf_dir):
-    """Pairwise Pearson correlation between event types' exact daily
-    totals — which metrics co-move. Closed-form r from decimal moments;
-    T(T-1)/2 output rows."""
-    return sketches.daily_type_correlation_events(spark, sf_dir)
-
-
-@register(
-    "t_closeness_customers",
-    dq.sql_t_closeness("customer", ["c_nationkey", "c_mktsegment"], "c_acctbal"),
-)
-def t_closeness_q(spark, sf_dir):
-    """t-closeness gate completing the privacy-audit family (k-anonymity,
-    l-diversity): quasi-identifier groups whose account-balance
-    distribution sits further than t=0.2 ordered-EMD from the global
-    distribution leak the attribute. Ordered EMD over a broadcast bin
-    lattice; one corpus-sized (quasi, bin) groupBy."""
-    cust = io.read_table(spark, sf_dir, "customer")
-    return dq.t_closeness_audit(cust, ["c_nationkey", "c_mktsegment"], "c_acctbal")
-
-
-@register(
-    "snm_near_dups",
-    dedup.sql_sorted_neighborhood(window=5, threshold=0.5, key_len=32),
-)
-def snm_near_dups_q(spark, sf_dir):
-    """Sorted-neighborhood (SNM) near-dup pass: canonical-prefix sort key
-    via the two-phase global rank, each doc compared to its 5 successors,
-    exact word-set Jaccard >= 0.5 verify — the record-linkage blocking
-    family, complementing the hash-bucketed ones at a guaranteed
-    n*window candidate budget."""
-    return dedup.sorted_neighborhood_near_dups(
-        _docs(spark, sf_dir), window=5, threshold=0.5, key_len=32
-    )
-
-
-@register(
-    "source_distinctive_terms",
-    textstats.sql_source_distinctive_terms(k=10, a0=100.0, min_df=5),
-)
-def source_distinctive_terms_q(spark, sf_dir):
-    """Top-10 distinctive terms per source by log-odds-ratio with an
-    informative Dirichlet prior (Monroe et al. 2008) — 'what words
-    characterize this subcorpus vs the rest', shrunk against rare-term
-    noise. Rank key is the rounded z so a 1-ulp ln() wobble can't
-    reorder the cut."""
-    return textstats.source_distinctive_terms(
-        _docs(spark, sf_dir), k=10, a0=100.0, min_df=5
-    )
-
-
-@register("events_type_value_assoc", sketches.sql_type_value_association())
-def type_value_assoc_q(spark, sf_dir):
-    """Chi-square + mutual-information decomposition of the
-    (event_type x value-bin) contingency: which type's value distribution
-    departs from the corpus. Zero-observed lattice cells included;
-    per-type ordered-window accumulation keeps double sums
-    engine-identical."""
-    return sketches.type_value_association_events(spark, sf_dir)
-
-
-@register("events_seasonal_decomp", sketches.SQL_SEASONAL_DECOMP)
-def seasonal_decomp_q(spark, sf_dir):
-    """Classical additive decomposition per event type: centered 7-day MA
-    trend, day-of-week seasonal index, residual — separates weekly rhythm
-    from drift. Seasonal numerator 7y - sum7 stays exact decimal so the
-    fit is order-free."""
-    return sketches.seasonal_decomposition_events(spark, sf_dir)
-
-
-@register("embedding_covariance", simsearch.SQL_EMBEDDING_COVARIANCE)
-def embedding_covariance_q(spark, sf_dir):
-    """Exact upper-triangle covariance matrix of the embedding dims
-    (PCA/whitening input): rounded-decimal moments, map-side partial agg
-    reduces the d-explode self-join shuffle to d^2/2 keys."""
-    return simsearch.embedding_covariance(simsearch._emb(spark, sf_dir, parallelize=True))
-
-
-@register("embedding_pca_project", None)
-def embedding_pca_q(spark, sf_dir):
-    """Top-8 principal-component scores per embedding: distributed exact
-    covariance -> driver-side eigh on the bounded d x d matrix (IVF-fit
-    precedent) -> map-side JVM projection. Eigendecomposition is not
-    SQL-expressible (rows-only driver check); numpy parity pinned in
-    tests/test_r6b_ops.py."""
-    return simsearch.embedding_pca_project(simsearch._emb(spark, sf_dir, parallelize=True))
-
-
-@register("nb_source_confusion", textstats.SQL_NB_SOURCE_CONFUSION)
-def nb_source_confusion_q(spark, sf_dir):
-    """Multinomial Naive Bayes source classifier trained declaratively on
-    the corpus (add-1 smoothing, log-priors) + its resubstitution
-    confusion matrix — the separability screen behind fastText-style
-    domain/quality classifiers. Sparse seen-pair join; term-sorted fold
-    keeps the log-likelihood sums engine-identical."""
-    return textstats.nb_source_confusion(_docs_par(spark, sf_dir))
-
-
-@register(
-    "source_flag_rate_ci",
-    textstats.sql_source_flag_rate_ci(max_chars=400, z=1.96),
-)
-def source_flag_rate_ci_q(spark, sf_dir):
-    """Per-source short-document rate with Wilson score bounds — rate
-    screens with honest uncertainty (cut on the upper bound, not the
-    point estimate). Map-only flag + catalog rollup."""
-    return textstats.source_flag_rate_ci(_docs(spark, sf_dir), max_chars=400, z=1.96)
-
-
-@register(
-    "embedding_outlier_scores", simsearch.sql_embedding_outlier_scores(k=20)
-)
-def embedding_outlier_scores_q(spark, sf_dir):
-    """Top-20 embedding outliers by diagonal Mahalanobis z^2 over exact
-    per-dim moments — the pre-index screen for corrupt/wrong-model
-    vectors. Index-ordered fold; TakeOrdered top-k, no global sort."""
-    return simsearch.embedding_outlier_scores(simsearch._emb(spark, sf_dir, parallelize=True), k=20)
-
-
-@register("vocab_coverage_curve", textstats.sql_vocab_coverage_curve(k=100))
-def vocab_coverage_curve_q(spark, sf_dir):
-    """Cumulative token-coverage of the top-100 vocabulary (how few words
-    cover 90%?) — global rank AND running sum in ONE two-phase window
-    pass; exact integer cumsum, one double division."""
-    return textstats.vocab_coverage_curve(_docs(spark, sf_dir), k=100)
-
-
-@register("nb_crossval_accuracy", textstats.sql_nb_crossval_accuracy())
-def nb_crossval_accuracy_q(spark, sf_dir):
-    """2-fold cross-validated NB source-classifier accuracy via the
-    engine-exact md5 fold coin — the honest generalization number next
-    to the resubstitution confusion matrix; per-fold smoothing constants
-    recomputed train-side only."""
-    return textstats.nb_crossval_accuracy(_docs_par(spark, sf_dir))
-
-
-@register("events_ks_drift", sketches.sql_ks_half_month_drift())
-def events_ks_drift_q(spark, sf_dir):
-    """Two-sample Kolmogorov-Smirnov drift per event type (first vs
-    second half of the window): bin-free nonparametric complement to the
-    PSI monitor, with the alpha=0.05 rejection threshold. Integer ECDFs
-    over one (type, value) rollup; argmax ties to the smallest value."""
-    return sketches.ks_half_month_drift_events(spark, sf_dir)
-
-
-@register("events_type_spearman_matrix", sketches.SQL_DAILY_TYPE_SPEARMAN)
-def daily_type_spearman_q(spark, sf_dir):
-    """Pairwise Spearman rank correlation between event types' daily
-    totals — the robust companion to the Pearson matrix. Exact
-    average-rank ties carried as 2*rank integers; closed-form rho."""
-    return sketches.daily_type_spearman_events(spark, sf_dir)
-
-
-@register(
-    "snm_vs_allpairs_agreement",
-    dedup.sql_snm_vs_allpairs_agreement(threshold=0.5, window=5, length_tol=60, key_len=32),
-)
-def snm_agreement_q(spark, sf_dir):
-    """Blocking-strategy audit: SNM recall against the blocked all-pairs
-    Jaccard twin at the same verify threshold, plus pairs SNM finds
-    outside the reference's (lang, length) blocks. The measurement run
-    before trusting a cheaper candidate generator at scale."""
-    return dedup.snm_vs_allpairs_agreement(_docs(spark, sf_dir))
-
-
-@register("schema_rename_candidates", synthcat.SQL_RENAME_CANDIDATES)
-def schema_rename_candidates_q(spark, sf_dir):
-    """Column-RENAME detection over the synthetic catalog pair - the
-    finding class the reference's drop+add model can't express: dropped
-    and added columns in the same table with identical type+comment,
-    ranked by name edit distance (one proposal per dropped column)."""
-    from magiceye_spark.diff.core import rename_candidates
-
-    return rename_candidates(
-        synthcat.base_snapshot(spark, sf_dir),
-        synthcat.renamed_snapshot(spark, sf_dir),
-    )
-
-
-_FD_DEPS = [
-    (["o_orderkey"], "o_custkey"),
-    (["o_orderkey"], "o_orderstatus"),
-    (["o_custkey"], "o_orderpriority"),
-    (["o_orderdate"], "o_orderstatus"),
-]
-
-
-@register(
-    "fd_audit_orders", dq.sql_functional_dependency_audit("orders", _FD_DEPS)
-)
-def fd_audit_orders_q(spark, sf_dir):
-    """Functional-dependency audit on orders: PK-implied dependencies must
-    hold, behavioral ones (customer -> priority, date -> status) must
-    report their violation counts - the normalization/drift screen. One
-    minimal groupBy per declared dependency."""
-    return dq.functional_dependency_audit(
-        io.read_table(spark, sf_dir, "orders"), _FD_DEPS
-    )
-
-
-_PK_CANDIDATES = [
-    ["l_orderkey"],
-    ["l_orderkey", "l_linenumber"],
-    ["l_partkey", "l_suppkey"],
-]
-
-
-@register(
-    "pk_candidates_lineitem", dq.sql_pk_candidate_audit("lineitem", _PK_CANDIDATES)
-)
-def pk_candidates_lineitem_q(spark, sf_dir):
-    """Primary-key discovery on lineitem: (l_orderkey, l_linenumber) must
-    be the only true key; the others report duplicate/null row counts -
-    the step before declaring a datadiff merge key or bucketing column."""
-    return dq.pk_candidate_audit(
-        io.read_table(spark, sf_dir, "lineitem"), _PK_CANDIDATES
-    )
-
-
-@register("events_daily_lag_corr", sketches.SQL_DAILY_LAG_CORR)
-def daily_lag_corr_q(spark, sf_dir):
-    """ACF-style lag correlation per event type (k=1..7 over exact daily
-    totals): weekly rhythm shows as a k=7 spike, momentum as decay from
-    k=1. One persisted rollup, lag-banded equi-join."""
-    return sketches.daily_lag_correlation_events(spark, sf_dir)
-
-
-@register("events_segmented_trend", sketches.SQL_SEGMENTED_TREND)
-def segmented_trend_q(spark, sf_dir):
-    """Broken-stick trend per event type: OLS slope before vs after the
-    CUSUM changepoint with the slope change - 'flat then rising since
-    Jan 21' instead of one misleading global slope."""
-    return sketches.segmented_trend_events(spark, sf_dir)
-
-
-def _cusum_twin_sql() -> str:
-    from magiceye_spark.streaming.stateful import sql_cusum_alarm_batch
-
-    return sql_cusum_alarm_batch(split_day=15, k_sigma=0.5, h_sigma=4.0)
-
-
-@register("events_cusum_stream_twin", _cusum_twin_sql())
-def events_cusum_stream_twin_q(spark, sf_dir):
-    """Batch twin of the streaming one-sided CUSUM drift alarm
-    (streaming/stateful.cusum_alarm_stream): frozen per-type baseline
-    from exact first-half moments, then S = P - min(0, running min P)
-    as two per-type ordered windows - the same arithmetic the stateful
-    fold runs, as a deterministic oracle row (stream == batch pinned in
-    test_streaming). Third streaming expression style: sequential
-    recurrence state (quota = counter, PSI = stateless, CUSUM =
-    recurrence-made-mergeable)."""
-    from magiceye_spark.streaming.stateful import cusum_alarm_batch, fit_cusum_baseline
-
-    ev = events_ops._events(spark, sf_dir)
-    baseline = fit_cusum_baseline(ev, split_day=15)
-    return cusum_alarm_batch(ev, baseline, k_sigma=0.5, h_sigma=4.0)
-
-
-@register("language_id_confusion", textstats.sql_language_id_confusion())
-def language_id_confusion_q(spark, sf_dir):
-    """Confusion matrix of declared lang vs the stopword/n-gram language
-    ID - the label-QA screen run before lang-filtered training cuts."""
-    return textstats.language_id_confusion(_docs(spark, sf_dir))
-
-
-@register(
-    "events_seasonal_anomalies", sketches.sql_seasonal_residual_anomalies(z_cut=1.5)
-)
-def seasonal_anomalies_q(spark, sf_dir):
-    """Anomalous days per type AFTER removing trend + weekly seasonality:
-    z-score of the decomposition residual, |z| > 1.5 (cut chosen so the
-    near-normal synthetic residuals actually surface rows for the value
-    check) - the alarm that doesn't fire every Saturday. Residual
-    moments accumulate in per-type ordered windows (engine-identical
-    doubles)."""
-    return sketches.seasonal_residual_anomalies_events(spark, sf_dir)
-
-
-@register(
-    "quality_score_calibration",
-    textstats.sql_quality_score_calibration(max_chars=400, n_bins=10),
-)
-def quality_score_calibration_q(spark, sf_dir):
-    """Calibration of the composite quality score: short-doc rate per
-    score decile - a cut at score s is only defensible if this curve is
-    monotone through s. Two-phase global rank; exact decimal score sums."""
-    return textstats.quality_score_calibration(_docs(spark, sf_dir))
-
-
-@register("events_type_mix_drift", sketches.sql_type_mix_drift())
-def events_type_mix_drift_q(spark, sf_dir):
-    """Categorical mix drift (chi2 + G-test on the type x half
-    contingency): did the SHARE of each event type change between the
-    window halves - completes the drift triad with PSI (numeric binned)
-    and KS (numeric nonparametric). Type-sorted fold keeps the double
-    sums engine-identical."""
-    return sketches.type_mix_drift_events(spark, sf_dir)
-
-
-@register(
-    "user_behavior_similarity", events_ops.sql_user_behavior_similarity(n_probes=8, k=10)
-)
-def user_behavior_similarity_q(spark, sf_dir):
-    """Audience lookalikes: top-10 behaviorally-similar users per probe
-    (cosine over exact event-type count vectors, broadcast probes, one
-    corpus scan) - the collaborative-filtering shape on the events
-    stream."""
-    return events_ops.user_behavior_similarity(events_ops._events(spark, sf_dir))
+# Back-compat re-exports (external callers predate the split):
+# __spark_entry__ drives schema_diff_full as the flagship; tests import
+# the two loop/perturbation helpers directly from registry.
+from magiceye_spark.queries.schema_rows import schema_diff_full  # noqa: E402,F401
+from magiceye_spark.queries.datadiff_rows import _perturbed_lineitem  # noqa: E402,F401
+from magiceye_spark.queries.llmops_rows import _loop_batches_to_stream  # noqa: E402,F401
