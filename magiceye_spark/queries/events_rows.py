@@ -271,9 +271,16 @@ def approx_pct_bounded_q(spark, sf_dir):
     percentiles at 0.49/0.51 resp. 0.94/0.96). Exact percentiles are
     bit-identical to DuckDB percentile_cont (the repo's interpolated-
     percentile discipline)."""
-    approx = sketches.approx_value_distribution_events(spark, sf_dir)
+    # parallelize=True: the per-group exact-percentile + GK sketch aggs
+    # run BEFORE the first shuffle, so an under-split scan would
+    # serialize them once events is multi-MB (engages above
+    # io._MIN_BYTES; no-op on a real multi-file lake). At bench scale
+    # the one-file scan stays single-task by design — the audit's ~1.5 s
+    # here is the documented tiny-table/JIT class.
+    ev = analytics._events(spark, sf_dir, parallelize=True)  # noqa: SLF001
+    approx = sketches.approx_value_distribution(ev)
     exact = (
-        analytics._events(spark, sf_dir)  # noqa: SLF001
+        ev
         .groupBy("event_type")
         .agg(
             F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),

@@ -313,7 +313,14 @@ ORDER BY 1, 2
 
 @register("approx_source_overlap_bounded", _SQL_APPROX_OVERLAP_BOUNDED)
 def approx_source_overlap_bounded_q(spark, sf_dir):
-    docs = io.read_table(spark, sf_dir, "documents")
+    # parallelize=True: the md5-canonicalize + sketch partial aggs run
+    # BEFORE the first shuffle, so an under-split scan would serialize
+    # them once the corpus is multi-MB (engages above io._MIN_BYTES;
+    # no-op on a real multi-file lake). At bench scale the one-file scan
+    # stays single-task by design — the r13 stage audit's 3-5 s on this
+    # seat is per-query-shape JIT + tiny-table fixed costs, not data
+    # work (measured: repartition(32) moves the warm wall <0.3 s).
+    docs = io.read_table(spark, sf_dir, "documents", parallelize=True)
     exact = dedup.cross_source_overlap(docs)
     approx = dedup.approx_source_overlap(docs)
     # Inclusion-exclusion error scales with the PER-SOURCE cardinalities,

@@ -88,6 +88,27 @@ def test_cli_legacy_pq_resume_guard_follow_fresh_ckpt_ignores_sink(
     ]) == 2
 
 
+def test_driver_window_structural_invariants():
+    """The seat rules the rotation depends on, pinned without a session:
+    exactly 50 seats, no duplicates, every seat registered, every seat
+    oracle-backed (a rows-only seat would burn a driver row — the
+    embedding_normalize lesson), and the registry facade re-exports the
+    split modules' back-compat names."""
+    from magiceye_spark import registry
+
+    w = registry._DRIVER_WINDOW
+    assert len(w) == 50
+    assert len(set(w)) == 50
+    missing = set(w) - set(registry.queries())
+    assert not missing, f"window names not registered: {sorted(missing)}"
+    rows_only = [n for n in w if n not in registry.oracles()]
+    assert not rows_only, f"rows-only seats burn driver rows: {rows_only}"
+    assert list(registry.queries())[:50] == w
+    for name in ("schema_diff_full", "_perturbed_lineitem",
+                 "_loop_batches_to_stream"):
+        assert callable(getattr(registry, name))
+
+
 def test_embedding_normalize_matches_oracle(spark, sf_dir):
     """Array-level value check for normalize_embeddings vs the DuckDB
     oracle. The registry row is rows-only by STRUCTURE (Array output is
