@@ -53,7 +53,12 @@ FAMILIES = {
     "span_dedup": ["duplicate_spans", "span_cleaned_corpus"],
     "retrieval": ["bm25_topk", "winnow_overlap_pairs"],
     "edit_distance": ["edit_distance_near_dups"],
-    "ann": ["cosine_topk", "ivf_ann_topk", "ivf_pq_ann_topk"],
+    "ann": [
+        "cosine_topk",
+        "ivf_ann_topk",
+        "ivf_pq_ann_topk",
+        "hard_negatives_topk_indexed",
+    ],
     "multimodal": ["media_catalog", "phash_near_dups", "phash_indexed_pairs"],
     # graph family: measured through ONE shared, persisted pair relation
     # (near_dup_pairs_shared seat) — the production pipeline shape, where
@@ -132,6 +137,10 @@ FAMILY_BASELINE = {
     # same noise-headroom convention as the sub-second graph seats
     "ivf_ann_topk": 3.70,  # was 10.41 pre-rewrite
     "ivf_pq_ann_topk": 7.30,  # was 14.05
+    # NEW r13: IVF-probed hard-negative mining (whole corpus as anchors,
+    # cell-co-partitioned join, sqrt-n cell sizing); committed from the
+    # first-pass cold value on a machine-slow session (9.68 measured)
+    "hard_negatives_topk_indexed": 12.00,
     # stored-index probe-only seats (index built untimed; the 100 TB shape)
     "ivf_indexed_probe": 2.50,  # measured 1.91-2.01
     "ivf_pq_indexed_probe": 5.00,  # measured 4.61-4.95

@@ -1123,6 +1123,91 @@ def hard_negatives(
     )
 
 
+def hard_negatives_indexed(
+    corpus: DataFrame,
+    k: int = 4,
+    n_centroids: int | None = None,
+    n_probe: int | None = None,
+    kmeans_iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-probed hard-negative mining — the SCALE path the all-pairs
+    twin (:func:`hard_negatives`) documents: per anchor, score only the
+    candidates in the anchor's ``n_probe`` nearest Voronoi cells (label
+    filter applied at rerank), instead of the whole corpus.
+
+    Shape, and why it is NOT :func:`_ivf_probe`: there the query batch is
+    small and broadcast; here every corpus vector is an anchor, so
+    broadcasting the probe side would ship the corpus to every task. Both
+    sides are instead shuffled on ``cell`` (the anchor side carries
+    n_probe exploded probe rows per vector), so each cell's members meet
+    exactly the anchors probing that cell — candidate volume per anchor
+    is ~n·n_probe/n_centroids, and with the ``recommend_ivf_params``
+    n_centroids ∝ √n sizing that is ~n_probe·√n scored pairs per anchor
+    versus the twin's n. Same quantizer as :func:`ivf_topk`
+    (deterministic bounded-sample spherical k-means), so the mined set is
+    a pure function of the corpus. Output shape matches the twin
+    (anchor_id, negative_id, cosine_sim, rank); rank is within the MINED
+    candidate set. Recall vs the exact twin is pinned in pytest (rows-only
+    for the driver: the k-means assignment is not SQL-expressible).
+
+    Default sizing is ``recommend_ivf_params`` (n_centroids ∝ √n, probe
+    fraction 1/4), which makes per-anchor candidate volume ~n_probe·√n —
+    total mining cost n^1.5 rather than the twin's n²; pass explicit
+    values to trade recall for wall."""
+    if n_centroids is None:
+        from magiceye_spark.llmops.annindex import recommend_ivf_params
+
+        n_centroids = recommend_ivf_params(corpus.count())["n_centroids"]
+    if n_probe is None:
+        n_probe = max(1, n_centroids // 4)
+    cents = _ivf_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    # candidate side: one row per vector, keyed by its own cell
+    c = corpus.repartition(par, id_col).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col(label_col).alias("c_label"),
+        _best_cells(F.col(vec_col), cents, 1)[0]["cell"].alias("cell"),
+    )
+    # anchor side: n_probe rows per vector, keyed by each probed cell
+    a = corpus.repartition(par, id_col).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(vec_col).alias("a_vec"),
+        F.col(label_col).alias("a_label"),
+        F.explode(
+            F.transform(
+                _best_cells(F.col(vec_col), cents, n_probe),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(a, "cell")
+        .where(
+            (F.col("a_label") != F.col("c_label"))
+            & (F.col("anchor_id") != F.col("negative_id"))
+        )
+        .select(
+            "anchor_id",
+            "negative_id",
+            F.round(cosine(F.col("a_vec"), F.col("c_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("anchor_id", "rank")
+    )
+
+
 def sql_hard_negatives(k: int = 4) -> str:
     dot = "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))"
     na = "SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"

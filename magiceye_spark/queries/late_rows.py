@@ -433,6 +433,19 @@ def hard_negatives_q(spark, sf_dir):
     return simsearch.hard_negatives(emb)
 
 
+@register("hard_negatives_topk_indexed", None)  # k-means path: recall in tests
+def hard_negatives_indexed_q(spark, sf_dir):
+    """The SCALE path for hard-negative mining (NEW r13): score only the
+    candidates in each anchor's probed IVF cells, label filter at rerank —
+    ~n_probe/n_centroids of the corpus per anchor instead of all of it,
+    cell-co-partitioned shuffle join (no corpus broadcast). Rows-only for
+    the driver (the bounded-sample k-means assignment is deterministic but
+    not SQL-expressible); per-anchor recall vs the exact all-pairs twin is
+    pinned in tests/test_r13_ops.py."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return simsearch.hard_negatives_indexed(emb)
+
+
 @register("bigram_logprob_quality", textstats.sql_bigram_logprob())
 def bigram_logprob_q(spark, sf_dir):
     """CCNet-style perplexity-proxy filter without an external LM: mean

@@ -144,6 +144,61 @@ def test_embedding_normalize_matches_oracle(spark, sf_dir):
     )
 
 
+def test_hard_negatives_indexed_recall_vs_exact_twin(spark, sf_dir):
+    """The IVF-probed mining path must recover most of the exact all-pairs
+    twin's (anchor, negative) pairs. Measured 0.67-0.68 at the 32-cell
+    regime on both sf0.001/sf0.01 (the documented 8/32 IVF recall curve);
+    pinned at >=0.6 with the same auto-sizing the registry row uses. Both
+    paths are deterministic for a fixed corpus, so this is a regression
+    pin, not a statistical bound."""
+    from magiceye_spark.llmops import simsearch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["anchor_id"], r["negative_id"])
+        for r in simsearch.hard_negatives(emb).collect()
+    }
+    mined = {
+        (r["anchor_id"], r["negative_id"])
+        for r in simsearch.hard_negatives_indexed(emb).collect()
+    }
+    assert exact, "twin produced no pairs — vacuous"
+    assert len(exact & mined) / len(exact) >= 0.6
+    # every anchor still gets k negatives (probed cells always contain
+    # candidates of another label on this corpus)
+    from collections import Counter
+
+    per_anchor = Counter(a for a, _ in mined)
+    assert min(per_anchor.values()) >= 1
+
+
+def test_hard_negatives_indexed_planted_geometry(spark):
+    """Exactness when the true hardest negative shares the anchor's cell:
+    two tight clusters far apart, labels split within each cluster — the
+    top different-label neighbor is intra-cluster, so even a 1-probe scan
+    of the anchor's own cell must find exactly the all-pairs answer."""
+    from magiceye_spark.llmops import simsearch
+
+    rows = []
+    # cluster A around (1, 0, ...), cluster B around (0, 1, ...)
+    for i in range(8):
+        rows.append((i, [1.0, 0.001 * i, 0.0, 0.0], "a" if i % 2 else "b"))
+    for i in range(8, 16):
+        rows.append((i, [0.0, 1.0, 0.001 * i, 0.0], "a" if i % 2 else "b"))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    exact = {
+        (r["anchor_id"], r["rank"], r["negative_id"])
+        for r in simsearch.hard_negatives(emb, k=2).collect()
+    }
+    mined = {
+        (r["anchor_id"], r["rank"], r["negative_id"])
+        for r in simsearch.hard_negatives_indexed(
+            emb, k=2, n_centroids=2, n_probe=1, kmeans_iters=8
+        ).collect()
+    }
+    assert mined == exact
+
+
 def test_local_frame_fallback_is_logged_and_narrow(spark, caplog):
     """local_frame's pandas/Arrow fallback must be observable (a silent
     revert costs ~6 s per consuming action) and must not swallow
