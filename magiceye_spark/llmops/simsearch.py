@@ -1144,25 +1144,28 @@ def hard_negatives_indexed(
     sides are instead shuffled on ``cell`` (the anchor side carries
     n_probe exploded probe rows per vector), so each cell's members meet
     exactly the anchors probing that cell — candidate volume per anchor
-    is ~n·n_probe/n_centroids, and with the ``recommend_ivf_params``
-    n_centroids ∝ √n sizing that is ~n_probe·√n scored pairs per anchor
-    versus the twin's n. Same quantizer as :func:`ivf_topk`
+    is ~n·n_probe/n_centroids. Same quantizer as :func:`ivf_topk`
     (deterministic bounded-sample spherical k-means), so the mined set is
     a pure function of the corpus. Output shape matches the twin
     (anchor_id, negative_id, cosine_sim, rank); rank is within the MINED
     candidate set. Recall vs the exact twin is pinned in pytest (rows-only
     for the driver: the k-means assignment is not SQL-expressible).
 
-    Default sizing is ``recommend_ivf_params`` (n_centroids ∝ √n, probe
-    fraction 1/4), which makes per-anchor candidate volume ~n_probe·√n —
-    total mining cost n^1.5 rather than the twin's n²; pass explicit
-    values to trade recall for wall."""
+    Default sizing: n_centroids from ``recommend_ivf_params`` (∝ √n) with
+    a FIXED n_probe=8 — per-anchor candidate volume is then ~8·√n and
+    total mining cost ~8·n^1.5 versus the twin's n². (The retrieval
+    seats' probe-FRACTION convention, n_probe = n_centroids/4, would keep
+    the fraction constant and cost n²/4 — a constant-factor win only;
+    for all-anchors mining the fixed-probe regime is the one that scales,
+    at the standard IVF recall-vs-wall trade as cells refine. At the
+    2k-vector testdata both sizings coincide: 32 cells / 8 probes, the
+    measured 0.67-recall regime.)"""
     if n_centroids is None:
         from magiceye_spark.llmops.annindex import recommend_ivf_params
 
         n_centroids = recommend_ivf_params(corpus.count())["n_centroids"]
     if n_probe is None:
-        n_probe = max(1, n_centroids // 4)
+        n_probe = min(8, n_centroids)
     cents = _ivf_centroids(corpus, n_centroids, kmeans_iters, id_col, vec_col)
     par = corpus.sparkSession.sparkContext.defaultParallelism
     # candidate side: one row per vector, keyed by its own cell
