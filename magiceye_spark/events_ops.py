@@ -855,7 +855,17 @@ def user_value_ewma(events: DataFrame, alpha: float = 0.3) -> DataFrame:
         .agg(
             F.max("_n").cast("long").alias("n_events"),
             F.round(F.max_by("value", F.col("_rn")), 4).alias("last_value"),
-            F.round(F.sum(F.col("_w") * F.col("value")), 4).alias("ewma"),
+            # DECIMAL sum (order-free): a user whose weighted terms are
+            # short exact decimals (e.g. 0.7^3 * a 2-dp value = 5 dp
+            # ending in 5) can land the TRUE sum on a 4-dp half-boundary,
+            # where double association order decides the rounding — the
+            # same latent class as attributed_daily_revenue's r13 flake
+            F.round(
+                F.sum((F.col("_w") * F.col("value")).cast("decimal(28,10)")),
+                4,
+            )
+            .cast("double")
+            .alias("ewma"),
         )
         .orderBy("user_id")
     )
@@ -871,8 +881,9 @@ WITH e AS (
 SELECT user_id,
        CAST(MAX(n) AS BIGINT) AS n_events,
        ROUND(MAX_BY(value, rn), 4) AS last_value,
-       ROUND(SUM(CASE WHEN rn = 1 THEN POW({1 - alpha}, n - 1)
-                      ELSE {alpha} * POW({1 - alpha}, n - rn) END * value), 4) AS ewma
+       CAST(ROUND(SUM(CAST(CASE WHEN rn = 1 THEN POW({1 - alpha}, n - 1)
+                      ELSE {alpha} * POW({1 - alpha}, n - rn) END * value
+                      AS DECIMAL(28,10))), 4) AS DOUBLE) AS ewma
 FROM e
 GROUP BY user_id
 ORDER BY user_id
@@ -1015,8 +1026,14 @@ def attributed_daily_revenue(events: DataFrame) -> DataFrame:
     Plan: one user-keyed window assigns each click its next purchase
     (first purchase at-or-after the click — the forward as-of), one
     (user, purchase) window ranks the path, and the rollup groups by
-    click day. Weighted-value sums are doubles; the 1e-9 association
-    error is far inside the cent rounding."""
+    click day. The per-click weighted term is a double (identical IEEE
+    ops in both engines), but the DAY SUM runs in DECIMAL(28,8): double
+    summation order varies with partial-agg scheduling, and a day whose
+    true sum sits on a half-cent boundary (sf0.01 day 2024-01-28:
+    1433.945) then rounds differently run-to-run — the r13 full-sweep
+    flake. Decimal addition is exact and associative (order-free), both
+    engines round DECIMAL half-away-from-zero identically, and the final
+    cast back to double maps the same 2-dp decimal to the same bits."""
     purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
     purchase_id = F.when(F.col("event_type") == "purchase", F.col("event_id"))
     purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
@@ -1057,9 +1074,16 @@ def attributed_daily_revenue(events: DataFrame) -> DataFrame:
         ranked.groupBy(F.to_date("ts").alias("click_day"))
         .agg(
             F.count(F.lit(1)).alias("n_clicks"),
-            F.round(F.sum(weight * F.col("next_purchase_value")), 2).alias(
-                "attributed_value"
-            ),
+            F.round(
+                F.sum(
+                    (weight * F.col("next_purchase_value")).cast(
+                        "decimal(28,8)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("attributed_value"),
         )
         .orderBy("click_day")
     )
@@ -1090,9 +1114,9 @@ ranked AS (
   FROM clicks)
 SELECT CAST(ts AS DATE) AS click_day,
        COUNT(*) AS n_clicks,
-       ROUND(SUM(CASE WHEN k = 1 THEN 1.0
+       CAST(ROUND(SUM(CAST(CASE WHEN k = 1 THEN 1.0
                       WHEN pos = 1 OR pos = k THEN 0.4 + CASE WHEN k = 2 THEN 0.1 ELSE 0.0 END
-                      ELSE 0.2 / (k - 2) END * next_purchase_value), 2) AS attributed_value
+                      ELSE 0.2 / (k - 2) END * next_purchase_value AS DECIMAL(28,8))), 2) AS DOUBLE) AS attributed_value
 FROM ranked
 GROUP BY 1
 ORDER BY 1
