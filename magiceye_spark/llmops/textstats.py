@@ -98,29 +98,50 @@ FROM documents
 """
 
 
+# The weighted score sum runs in DECIMAL (exact, order-free), not DOUBLE:
+# three of the four terms are exact short decimals (length term = n·0.002;
+# the stopword/punct terms scale 4-dp-rounded ratios by 5·0.3 / 10·0.2), so
+# true scores land EXACTLY on 4-dp halves for real docs (sf0.1 doc 1000:
+# 0.032+0.09375+0.2+0.1625 = 0.48825) — where the double sum sits 1 ulp off
+# the half and Spark's BigDecimal HALF_UP vs DuckDB's ×10⁴-then-round
+# disagree (measured: 0.4882 vs 0.4883). The one non-terminating term
+# (uniq/n) enters via a DECIMAL(16,12) cast of a single IEEE division that
+# is bit-identical in both engines. Same class and fix as the weighted-
+# money sums (PLANS.md "Exact decimal halves are a CLASS"). The [0,1] caps
+# are CASE, not LEAST: DuckDB's LEAST over DECIMALs (even same-typed ones)
+# promotes to DOUBLE, silently undoing the exact arithmetic; CASE with
+# same-typed branches preserves the decimal in both engines.
+_CAP1 = "CASE WHEN {x} < 1 THEN {x} ELSE CAST(1 AS {t}) END"
+_T2 = _CAP1.format(x="(CAST(stopword_ratio AS DECIMAL(14,4)) * 5)", t="DECIMAL(18,4)")
+_T3 = _CAP1.format(x="(CAST(punct_ratio AS DECIMAL(14,4)) * 10)", t="DECIMAL(18,4)")
+_T4 = _CAP1.format(
+    x="CAST(n_uniq_tokens / CAST(GREATEST(n_tokens, 1) AS DOUBLE)"
+    " AS DECIMAL(16,12))",
+    t="DECIMAL(16,12)",
+)
+_QUALITY_SCORE_DEC = f"""(
+  CAST(LEAST(n_tokens, 200) AS DECIMAL(10,0)) * 0.002
+  + ({_T2}) * 0.3
+  + (1.0 - ({_T3})) * 0.2
+  + ({_T4}) * 0.2
+)"""
+
+
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite quality score in [0,1]: length saturation + stopword
     presence + punctuation sanity — the standard cheap pre-filter shape for
     pretraining corpora (cf. C4/Gopher rules), deterministic and
-    SQL-expressible."""
+    SQL-expressible. The weighted sum is decimal-exact (see
+    _QUALITY_SCORE_DEC) so the 4-dp rounding is engine-identical even when
+    the true score sits on a rounding half."""
     stats = text_stats(docs, text_col)
-    score = (
-        F.least(F.col("n_tokens") / F.lit(200.0), F.lit(1.0)) * 0.4
-        + F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0)) * 0.3
-        + (1 - F.least(F.col("punct_ratio") * F.lit(10.0), F.lit(1.0))) * 0.2
-        + F.least(F.col("n_uniq_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)), F.lit(1.0)) * 0.2
-    )
-    return stats.select("doc_id", _r4(score).alias("quality_score"))
+    score = F.expr(f"CAST(ROUND({_QUALITY_SCORE_DEC}, 4) AS DOUBLE)")
+    return stats.select("doc_id", score.alias("quality_score"))
 
 
 SQL_QUALITY = f"""
 SELECT doc_id,
-       ROUND(
-         LEAST(n_tokens / 200.0, 1.0) * 0.4
-         + LEAST(stopword_ratio * 5.0, 1.0) * 0.3
-         + (1 - LEAST(punct_ratio * 10.0, 1.0)) * 0.2
-         + LEAST(n_uniq_tokens / CAST(GREATEST(n_tokens, 1) AS DOUBLE), 1.0) * 0.2
-       , 4) AS quality_score
+       CAST(ROUND({_QUALITY_SCORE_DEC}, 4) AS DOUBLE) AS quality_score
 FROM ({SQL_TEXT_STATS})
 """
 
