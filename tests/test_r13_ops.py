@@ -213,3 +213,30 @@ def test_local_frame_fallback_is_logged_and_narrow(spark, caplog):
             # the contract under test is the log line, not a rescue
             pass
     assert any("falling back" in r.message for r in caplog.records)
+
+
+def test_quality_score_half_boundary_engine_identical(spark):
+    """Row-local decimal-half regression (caught by the r13 sf0.1 window
+    run): a doc whose weighted quality terms are all exact short decimals
+    can put the TRUE score exactly on a 4-dp half, where double arithmetic
+    rounds differently per engine. Plant the sf0.1 offender shape —
+    16 tokens, 13 unique, exactly one en-stopword, zero punctuation —
+    whose terms are 0.032 + 0.09375 + 0.2 + 0.1625 = 0.48825: both the
+    Spark query and the DuckDB oracle must round it to 0.4883 (decimal
+    half-away-from-zero), not whichever side of the half the double fell."""
+    import duckdb
+
+    from magiceye_spark.llmops import textstats
+
+    # 16 whitespace tokens: 1 stopword ("the"), 12 other distinct, 3 repeats
+    # of one of them -> n_uniq = 13, no punctuation characters
+    words = ["the"] + [f"w{i}" for i in range(12)] + ["w0", "w0", "w0"]
+    text = " ".join(words)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = textstats.quality_score(docs).collect()[0]
+    assert got["quality_score"] == 0.4883
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS SELECT 1 AS doc_id, '" + text + "' AS text")
+    oracle = con.sql(textstats.SQL_QUALITY).fetchone()
+    assert oracle[1] == 0.4883
