@@ -1825,7 +1825,12 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str, max_months: int = 12) -> 
     cumulative revenue per customer over months since acquisition — the
     payback-period table. One first-order window, one (cohort, age)
     aggregation, one cumulative window over the catalog-sized rollup;
-    exact decimals until the per-customer division."""
+    exact decimals END TO END: the per-customer quotient is rounded to
+    cents via exact BIGINT half-up arithmetic (floor((2X + 10⁴n)/(2·10⁴n))
+    over X = cum·10⁶), because cum/size is the mean shape whose true
+    value can land exactly on a half-cent (sf0.1 cohort 1997-07-01 age 11:
+    15246010.92/24 = 635250.455), where a double quotient is 1 ulp off the
+    half and the engines' ROUNDs disagree."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
     first_month = F.date_trunc("month", F.min("o_orderdate").over(w)).cast("date")
@@ -1854,8 +1859,13 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str, max_months: int = 12) -> 
             "age_months",
             "cohort_size",
             _money(F.col("rev_dec")).alias("revenue"),
-            F.round(
-                F.col("cum_dec").cast("double") / F.col("cohort_size"), 2
+            (
+                F.expr(
+                    "(2 * CAST(cum_dec * 1000000 AS BIGINT)"
+                    " + 10000 * cohort_size)"
+                    " DIV (20000 * cohort_size)"
+                ).cast("double")
+                / 100
             ).alias("cum_ltv_per_customer"),
         )
         .orderBy("cohort", "age_months")
@@ -1882,7 +1892,13 @@ cum AS (
   FROM by_age)
 SELECT c.cohort, c.age_months, s.cohort_size,
        ROUND(CAST(c.rev_dec AS DOUBLE), 2) AS revenue,
-       ROUND(CAST(c.cum_dec AS DOUBLE) / s.cohort_size, 2) AS cum_ltv_per_customer
+       -- exact BIGINT half-up cents: cum/size can land exactly on a
+       -- half-cent (see cohort_ltv_curve docstring); // is DuckDB's
+       -- integer floor division (Spark side uses DIV)
+       CAST((2 * CAST(c.cum_dec * 1000000 AS BIGINT)
+             + 10000 * s.cohort_size)
+            // (20000 * s.cohort_size) AS DOUBLE) / 100
+         AS cum_ltv_per_customer
 FROM cum c JOIN sizes s ON s.cohort = c.cohort
 ORDER BY c.cohort, c.age_months
 """
