@@ -45,10 +45,17 @@ from pyspark.sql import functions as F
 #: (union-find over the collected edge list) instead of as a distributed
 #: fixpoint. Per-batch admission graphs (~16k edges) were paying ~5 s of
 #: O(log diameter) pointer-jump ROUNDS — each round a Spark job — for data
-#: that fits in one task; at the cap the collect is ≤200k × 16 B ≈ 3 MB,
-#: strictly bounded. Corpus-scale graphs above the cap keep the exact
-#: distributed plan (the 10×-edges flatness pin is unaffected).
-SMALL_GRAPH_EDGE_CAP = 200_000
+#: that fits in one task. r13 (optimization round) re-measured the
+#: crossover at the sf0.1 corpus graph (272,690 pairs → 545k directed
+#: edges): driver union-find 0.36 s + 1.4 s bounded collect vs 10.7 s of
+#: distributed rounds — the fixpoint's per-round fixed cost keeps the
+#: true crossover far above the old 200k cap, so the cap is now 2M
+#: directed edges (collect ≤1M pair rows × 16 B ≈ 16 MB, still strictly
+#: bounded and far under driver memory / maxResultSize). Corpus-scale
+#: graphs above the cap keep the exact distributed plan (the 10×-edges
+#: flatness pin is unaffected; labels are parity-pinned between the two
+#: paths in tests/test_r10_ops.py).
+SMALL_GRAPH_EDGE_CAP = 2_000_000
 
 
 def _unionfind_components(edge_rows, comp_col: str):
@@ -116,54 +123,51 @@ def connected_components(
     """
     spark = edges.sparkSession
     par = spark.sparkContext.defaultParallelism
-    fwd = edges.select(
+    # Materialize the RAW directed edge list once (one cache, one count):
+    # the small-graph test and the driver-side collect both run over it
+    # directly, so the pre-r13 union+distinct+repartition shuffles — two
+    # extra exchanges paid by EVERY per-batch admission closure before its
+    # first byte of useful work — exist only on the distributed path, where
+    # they are amortized over the fixpoint rounds. Union-find is
+    # orientation- and multiplicity-agnostic, so collecting the raw pairs
+    # (instead of the symmetrized distinct edges) yields identical labels.
+    und = edges.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    )
-    rev = edges.select(
-        F.col(dst).cast("long").alias("u"), F.col(src).cast("long").alias("v")
-    )
-    # symmetrize + dedup parallel edges (keeps join fan-out minimal),
-    # partition by join key once, reuse every round
-    sym = fwd.union(rev).distinct().repartition(par, "u").persist()
-    # Size the ROUNDS to the graph: each round is joins + a checkpoint
-    # over `par` partitions, and for the delta-admission graphs the
-    # stores feed in (thousands of edges per batch) full session width is
-    # pure scheduling overhead — measured 1.2 s/round at 32 partitions on
-    # a 16k-edge admission graph where the data fits in one task. One
-    # partition per ~4k directed edges, capped at session parallelism.
-    # The sizing count doubles as the cache materialization round 1 would
-    # have paid; the narrow re-layout runs ONLY when it shrinks the width
-    # meaningfully, so corpus-scale graphs keep the exact full-width plan
-    # (the 10x-edges flatness pin is unaffected) while per-batch graphs
-    # stop paying 32-task fixed costs O(log diameter) times per admission.
-    n_sym = sym.count()
-    if n_sym <= small_graph_cap:
-        # Small-graph fast path (r10): the distributed fixpoint costs
-        # O(log diameter) Spark JOBS of fixed scheduling latency — ~5 s
-        # on a 16k-edge per-batch admission graph whose closure is a
-        # ~0.1 s driver computation. The collect is BOUNDED by the cap
-        # (≤200k rows × 2 longs ≈ 3 MB — this is the one deliberate
-        # driver materialization in the graph family, cap-guarded and
-        # label-parity-pinned against the distributed path in
-        # tests/test_r10_ops.py); anything bigger takes the distributed
-        # loop below, so 100 TB corpora never hit this branch.
-        rows = sym.collect()
-        sym.unpersist()
+    ).persist()
+    n_und = und.count()
+    if 2 * n_und <= small_graph_cap:
+        # Small-graph fast path (r10; restructured + re-capped r13): the
+        # distributed fixpoint costs O(log diameter) Spark JOBS of fixed
+        # scheduling latency — measured 10.7 s at 545k directed edges
+        # where the driver union-find closure is 0.36 s. The collect is
+        # BOUNDED by the cap (≤1M rows × 2 longs ≈ 16 MB — this is the
+        # one deliberate driver materialization in the graph family,
+        # cap-guarded and label-parity-pinned against the distributed
+        # path in tests/test_r10_ops.py); anything bigger takes the
+        # distributed loop below, so 100 TB corpora never hit this branch.
+        rows = und.collect()
+        und.unpersist()
         out = _unionfind_components(((r[0], r[1]) for r in rows), comp_col)
         # Arrow LocalRelation: the plain createDataFrame path would ship
-        # up to 200k label rows back through parallelize + a Python
-        # worker per consuming job (io.local_frame docstring)
+        # the label rows back through parallelize + a Python worker per
+        # consuming job (io.local_frame docstring)
         from magiceye_spark.io import local_frame
 
         return local_frame(spark, out, f"node long, {comp_col} long")
-    par_eff = max(2, min(par, n_sym // 4000 + 1))
-    if par_eff < par // 2:
-        narrow = sym.repartition(par_eff, "u").persist()
-        narrow.count()  # materialize from the cached wide layout
-        sym.unpersist()
-        sym = narrow
-    else:
-        par_eff = par
+    fwd = und.select("u", "v")
+    rev = und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # Size the ROUNDS to the graph: each round is joins + a checkpoint,
+    # and near-cap graphs at full session width pay pure scheduling
+    # overhead per round. One partition per ~4k directed edges (sized
+    # from the 2·n_und upper bound of the symmetrized count — sizing
+    # only, labels unaffected), capped at session parallelism.
+    par_eff = max(2, min(par, 2 * n_und // 4000 + 1))
+    # symmetrize + dedup parallel edges (keeps join fan-out minimal),
+    # partition by join key once (from the cached raw edges), reuse every
+    # round; materialized here so `und` can be released before the rounds
+    sym = fwd.union(rev).distinct().repartition(par_eff, "u").persist()
+    sym.count()
+    und.unpersist()
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()

@@ -150,7 +150,10 @@ def test_unionfind_fast_path_used_and_capped(spark):
         connected_components,
     )
 
-    assert SMALL_GRAPH_EDGE_CAP == 200_000  # the documented bound
+    # the documented bound (r13: re-capped from 200k after measuring the
+    # union-find/distributed crossover at 545k directed edges — see
+    # graph.py; the collect stays bounded at ≤1M rows ≈ 16 MB)
+    assert SMALL_GRAPH_EDGE_CAP == 2_000_000
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(50)], "src long, dst long"
     )
