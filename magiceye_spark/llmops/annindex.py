@@ -256,22 +256,24 @@ def write_ivf_index(
     )
     if pq:
         # two consumers of the same scan+argmin (codes write, rerank
-        # write) — persist so the source isn't re-scanned and the
-        # CPU-dense centroid assignment isn't re-run per write
-        # (ivf_index_add persists `flat` for the same two-consumer shape)
-        spread.persist()
+        # write) — persist the CELL-ASSIGNED frame so the source isn't
+        # re-scanned AND the CPU-dense n_centroids·dim argmax runs ONCE
+        # per row instead of once per write (pre-r13 this persisted the
+        # raw spread, so the codes pass and the rerank pass each re-ran
+        # the assignment — a second full corpus pass at lake scale)
+        flat = _postings_flat(spread, cents, id_col, vec_col).persist()
         try:
             _pq_encode(
-                spread, cents, books, m_subvectors, id_col, vec_col,
-                id_alias="vec_id",
+                flat, cents, books, m_subvectors, "vec_id", "embedding",
+                id_alias="vec_id", cell_col="cell",
             ).write.mode("overwrite").partitionBy("cell").parquet(
                 os.path.join(path, "postings")
             )
-            _postings_flat(spread, cents, id_col, vec_col).write.mode(
-                "overwrite"
-            ).partitionBy("cell").parquet(os.path.join(path, "rerank"))
+            flat.write.mode("overwrite").partitionBy("cell").parquet(
+                os.path.join(path, "rerank")
+            )
         finally:
-            spread.unpersist()
+            flat.unpersist()
     else:
         _postings_flat(spread, cents, id_col, vec_col).write.mode(
             "overwrite"
@@ -347,9 +349,22 @@ def ivf_index_add(
     equals rebuild-then-probe whenever the rebuild would fit the same model
     — e.g. when the original corpus already contained the fit sample
     (pinned in tests/test_r7_ops.py)."""
+    idx = read_ivf_index(spark, path)
+    return _append_vectors(idx, path, new_vectors, dedupe_ids=dedupe_ids)
+
+
+def _append_vectors(
+    idx: IvfIndex, path: str, new_vectors: DataFrame, dedupe_ids: bool = True
+) -> int:
+    """Encode + append a delta against an ALREADY-READ index — the
+    mutation core of :func:`ivf_index_add`, split out so the streaming
+    loop (which reads the index once per batch for admission) does not
+    re-read params + re-collect centroids/codebooks per append. Same
+    semantics as the public add (same PQ guard, anti-joins, lockstep
+    rerank append, Observation-riding count)."""
     from pyspark.sql import Observation
 
-    idx = read_ivf_index(spark, path)
+    spark = new_vectors.sparkSession
     if idx.pq and not dedupe_ids:
         # the rerank-originals append below is anti-joined on id (one
         # original per vec_id, by definition), so letting the postings
@@ -376,7 +391,7 @@ def ivf_index_add(
         flat = flat.persist()
         delta = _pq_encode(
             flat, idx.centroids, idx.codebooks, int(idx.params["m_subvectors"]),
-            "vec_id", "embedding", id_alias="vec_id",
+            "vec_id", "embedding", id_alias="vec_id", cell_col="cell",
         )
     else:
         delta = flat
@@ -652,7 +667,25 @@ def delta_ann_pairs_from_index(
     # (the sibling stores' delta-barrier discipline)
     batch = new_vectors.select(id_col, vec_col).repartition(par, id_col)
     batch_assigned = _postings_flat(batch, index.centroids, id_col, vec_col)
-    cells = _probe_cells(batch, index, n_probe)
+    # ONE probe-side frame serves both the cells literal (distinct-collect
+    # below — the same bounded driver step _probe_cells ran over its own
+    # copy of the assignment expression) and the candidate join's probe
+    # rows: the n_centroids×dim literal matrix is embedded/analyzed once
+    # per batch on this side instead of twice (measured ~0.5 s of driver
+    # plan-analysis per embedding at 32×64).
+    probes_nosalt = batch.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.transform(
+                _best_cells(F.col(vec_col), index.centroids, n_probe),
+                lambda s: s["cell"],
+            )
+        ).alias("cell"),
+    )
+    cells = sorted(
+        int(r["cell"]) for r in probes_nosalt.select("cell").distinct().collect()
+    )
     if index.pq:
         # cell scoping from the compact PQ postings; vectors from rerank.
         # The when/otherwise keeps the raise_error expression REFERENCED
@@ -703,18 +736,8 @@ def delta_ann_pairs_from_index(
         stored = index.postings.where(F.col("cell").isin(cells)).select(
             "vec_id", "embedding", "cell"
         )
-    probes = (
-        batch.select(
-            F.col(id_col).alias("q_id"),
-            F.col(vec_col).alias("q_vec"),
-            F.explode(
-                F.transform(
-                    _best_cells(F.col(vec_col), index.centroids, n_probe),
-                    lambda s: s["cell"],
-                )
-            ).alias("cell"),
-        )
-        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    probes = probes_nosalt.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )
 
     # The stored and batch union sides are joined SEPARATELY and unioned at
@@ -1008,7 +1031,10 @@ def streaming_ann_ingest(
                 admitted.write.mode("overwrite").parquet(
                     os.path.join(output_path, f"ingest_batch={batch_id}")
                 )
-            ivf_index_add(spark, path, admitted)
+            # idx was read at the top of this batch; append through the
+            # mutation core instead of re-reading params + re-collecting
+            # the centroid/codebook model tables per micro-batch
+            _append_vectors(idx, path, admitted)
         finally:
             admitted.unpersist()
         if compact_every and (batch_id + 1) % compact_every == 0:

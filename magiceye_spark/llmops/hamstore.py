@@ -136,9 +136,21 @@ def hamming_index_add(
     image signatures into a text store is shape-silent — frames are
     identical — and would corrupt every later pair/admission result, so
     the tag check must not be skippable by omission."""
+    idx = read_hamming_index(spark, path, kind=kind)
+    return _append_signatures(idx, path, new_sigs, dedupe_ids=dedupe_ids)
+
+
+def _append_signatures(
+    idx: HammingIndex, path: str, new_sigs: DataFrame, dedupe_ids: bool = True
+) -> int:
+    """Append a signed frame to an ALREADY-READ index — the mutation core
+    of :func:`hamming_index_add`, split out so the streaming loop (which
+    reads the index once per batch for admission) does not re-read the
+    params table per append. The kind check happened at the caller's
+    ``read_hamming_index``; semantics otherwise identical to the public
+    add (same idempotence anti-join, same Observation-riding count)."""
     from pyspark.sql import Observation
 
-    idx = read_hamming_index(spark, path, kind=kind)
     delta = new_sigs.select(
         "doc_id", "bits", "band0", "band1", "band2", "band3"
     )
@@ -312,7 +324,10 @@ def streaming_hamming_ingest(
                     ).write.mode("overwrite").parquet(
                         os.path.join(output_path, f"ingest_batch={batch_id}")
                     )
-                hamming_index_add(spark, path, admitted, kind=kind)
+                # idx was read (and kind-checked) at the top of this batch;
+                # append through the mutation core instead of re-reading
+                # the params table per micro-batch
+                _append_signatures(idx, path, admitted)
             finally:
                 admitted.unpersist()
         finally:

@@ -122,8 +122,6 @@ def minhash_index_add(
     contract) can pass False to skip that scan — they then OWN the
     uniqueness obligation. Returned count rides the write job via
     ``Observation`` — one pass over the delta, no pre-append count action."""
-    from pyspark.sql import Observation
-
     idx = read_minhash_index(spark, path)
     delta = minhash_signatures(
         new_docs,
@@ -131,6 +129,24 @@ def minhash_index_add(
         int(idx.params["shingle_n"]),
         text_col,
     )
+    return _append_signatures(idx, path, delta, dedupe_ids=dedupe_ids)
+
+
+def _append_signatures(
+    idx: MinhashIndex, path: str, sig_rows: DataFrame, dedupe_ids: bool = True
+) -> int:
+    """Append an ALREADY-SIGNED frame to an ALREADY-READ index — the
+    store-mutation core of :func:`minhash_index_add`, split out so the
+    streaming loop (which has both in hand per batch: it signed the batch
+    for admission and read the index to admit against) does not re-read
+    the params table and re-run the shingle+MinHash pass over the
+    admitted docs a second time per micro-batch. Semantics identical to
+    the public add: same idempotence anti-join, same Observation-riding
+    count (signatures are a seed-fixed pure function of text, so the
+    appended rows are byte-identical either way — pinned in tests)."""
+    from pyspark.sql import Observation
+
+    delta = sig_rows.select("doc_id", "shingles", "sig")
     if dedupe_ids:
         delta = delta.join(
             idx.signatures.select("doc_id"), "doc_id", "left_anti"
@@ -218,6 +234,7 @@ def delta_pairs_from_index(
     new_docs: DataFrame,
     threshold: float | None = None,
     text_col: str = "text",
+    _sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs TOUCHING the delta: delta×stored and delta×delta —
     the edges admission needs (stored×stored edges cannot change a delta
@@ -229,23 +246,34 @@ def delta_pairs_from_index(
     from its signatures.
 
     Output (doc_a, doc_b, jaccard) with doc_a < doc_b, like every pair
-    generator."""
+    generator.
+
+    ``_sigs`` (internal, streaming loop): the batch's ALREADY-SIGNED
+    (and persisted) signature frame — skips the signing pass and its
+    barrier below, since a persisted frame is its own materialization
+    barrier for the three consuming branches."""
     p = index.params
     num_hashes, bands = int(p["num_hashes"]), int(p["bands"])
     thr = float(threshold if threshold is not None else p["threshold"])
-    # Explicit-count repartition barrier on the DELTA signatures: the frame
-    # fans into three plan branches (the union's bucket-size agg, the
-    # union join side, the delta join side), and without a barrier each
-    # branch re-runs the shingling+MinHash expressions over the batch text
-    # — the per-batch fixed cost the r8 store sweep measured. Behind the
-    # exchange the three subtrees share ONE ReusedExchange, so the batch
-    # is shingled once per ingest (the _salted_band_sides barrier
-    # discipline); the STORED side deliberately stays barrier-free — its
-    # banding is xxhash64 over stored slices, where two column-pruned
-    # scans beat shuffling bands×|store| rows per batch.
-    delta_sigs = minhash_signatures(
-        new_docs, num_hashes, int(p["shingle_n"]), text_col
-    ).repartition(new_docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
+    if _sigs is not None:
+        delta_sigs = _sigs.select("doc_id", "shingles", "sig")
+    else:
+        # Explicit-count repartition barrier on the DELTA signatures: the
+        # frame fans into three plan branches (the union's bucket-size agg,
+        # the union join side, the delta join side), and without a barrier
+        # each branch re-runs the shingling+MinHash expressions over the
+        # batch text — the per-batch fixed cost the r8 store sweep
+        # measured. Behind the exchange the three subtrees share ONE
+        # ReusedExchange, so the batch is shingled once per ingest (the
+        # _salted_band_sides barrier discipline); the STORED side
+        # deliberately stays barrier-free — its banding is xxhash64 over
+        # stored slices, where two column-pruned scans beat shuffling
+        # bands×|store| rows per batch.
+        delta_sigs = minhash_signatures(
+            new_docs, num_hashes, int(p["shingle_n"]), text_col
+        ).repartition(
+            new_docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
     # ONE-SIDED salted band join: delta side vs the full union (stored +
     # delta, so delta×delta collisions are found too). Every candidate has
     # a delta member by construction — no stored×stored pair is ever
@@ -315,17 +343,38 @@ def streaming_dedup_ingest(
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         idx = read_minhash_index(spark, path)
-        admitted = delta_dedup_admit_indexed(
-            idx, batch_df, threshold, text_col
-        ).persist()  # two consumers: the sink write + the signature append
+        # sign the batch ONCE per micro-batch and persist: admission's
+        # pair generator and the store append both consume these rows
+        # (pre-r13 the append re-ran the shingle+MinHash pass over the
+        # admitted docs AND re-read the params table — two of the loop's
+        # three per-batch passes over batch text for one result, since
+        # signatures are a seed-fixed pure function of text)
+        sigs = minhash_signatures(
+            batch_df,
+            int(idx.params["num_hashes"]),
+            int(idx.params["shingle_n"]),
+            text_col,
+        ).persist()
         try:
-            if output_path is not None:
-                admitted.write.mode("overwrite").parquet(
-                    os.path.join(output_path, f"ingest_batch={batch_id}")
+            admitted = delta_dedup_admit_indexed(
+                idx, batch_df, threshold, text_col, _sigs=sigs
+            ).persist()  # two consumers: the sink write + the id semi-join
+            try:
+                if output_path is not None:
+                    admitted.write.mode("overwrite").parquet(
+                        os.path.join(output_path, f"ingest_batch={batch_id}")
+                    )
+                _append_signatures(
+                    idx,
+                    path,
+                    sigs.join(
+                        admitted.select("doc_id"), "doc_id", "left_semi"
+                    ),
                 )
-            minhash_index_add(spark, path, admitted, text_col)
+            finally:
+                admitted.unpersist()
         finally:
-            admitted.unpersist()
+            sigs.unpersist()
         if compact_every and (batch_id + 1) % compact_every == 0:
             minhash_index_compact(spark, path)
 
@@ -342,6 +391,7 @@ def delta_dedup_admit_indexed(
     new_docs: DataFrame,
     threshold: float | None = None,
     text_col: str = "text",
+    _sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Delta-ingest admission against the STORE: an incoming doc is
     admitted iff its near-dup component over the union graph contains no
@@ -357,7 +407,7 @@ def delta_dedup_admit_indexed(
     over delta-touching edges only."""
     from magiceye_spark.llmops.graph import indexed_admission_rejects
 
-    pairs = delta_pairs_from_index(index, new_docs, threshold, text_col)
+    pairs = delta_pairs_from_index(index, new_docs, threshold, text_col, _sigs)
     rejected = indexed_admission_rejects(
         pairs, index.signatures.select("doc_id")
     )

@@ -591,19 +591,33 @@ def _pq_encode(
     id_col: str,
     vec_col: str,
     id_alias: str = "neighbor_id",
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Encode vectors against a fitted model: (id, cell, codes[m]) — the
     compact index table. Pure JVM expressions (argmin over codebook
     literals); shared by the fit-per-call search, the index writer, and
     the incremental index-add path so all three produce identical codes
-    for identical vectors."""
+    for identical vectors.
+
+    ``cell_col``: name of an EXISTING column already holding this model's
+    coarse-cell assignment (i.e. the :func:`_postings_flat` output over
+    the same centroids) — reusing it removes a second full
+    n_centroids·dim argmax pass over the input, which the PQ store paths
+    otherwise pay twice per row (once for the codes, once for the
+    cell-partitioned rerank originals). Values are identical by
+    construction: same deterministic argmax over the same literals."""
     dim = len(next(iter(cents.values())))
     sub_d = dim // m_subvectors
     cent_lit, books_lit = _pq_model_literals(cents, books)
     nv = _pq_normalized(F.col(vec_col))
+    cell = (
+        F.col(cell_col).cast("int")
+        if cell_col is not None
+        else _best_cells(F.col(vec_col), cents, 1)[0]["cell"]
+    )
     enc = df.select(
         F.col(id_col).alias(id_alias),
-        _best_cells(F.col(vec_col), cents, 1)[0]["cell"].alias("cell"),
+        cell.alias("cell"),
         nv.alias("_nv"),
     ).withColumn(
         "_res", F.zip_with("_nv", F.get(cent_lit, F.col("cell")), lambda a, b: a - b)
