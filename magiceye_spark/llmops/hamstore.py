@@ -248,7 +248,7 @@ def delta_pairs_from_hamming_index(
     union_banded = _banded_from_bits(index.signatures.unionByName(delta))
     delta_banded = _banded_from_bits(delta)
     cands = _salted_band_cands_one_sided(
-        delta_banded, union_banded, 2000, "bits", "bits_a", "bits_b"
+        delta_banded, union_banded, 2000, "hb", "hb_a", "hb_b"
     )
     return _verify_hamming(cands, mh)
 
