@@ -758,7 +758,9 @@ def delta_ann_pairs_from_index(
             F.pmod(F.xxhash64("vec_id"), F.lit(salts)).cast("int").alias("salt"),
         )
 
-    cos = F.round(cosine(F.col("q_vec"), F.col("u_vec")), 6)
+    cos = F.round(
+        cosine(F.col("q_vec"), F.col("u_vec"), int(index.params["dim"])), 6
+    )
 
     def edges(u_side: DataFrame) -> DataFrame:
         return (
