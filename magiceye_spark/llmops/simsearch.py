@@ -400,7 +400,12 @@ def _ivf_probe(
     whether just computed or read back from parquet. One code path means
     probe-from-stored is structurally identical to probe-from-fit — the
     equivalence the index tests pin."""
-    dim = len(next(iter(cents.values())))
+    # NOTE (r13): the unrolled-by-dim cosine was A/B'd here and kept OUT —
+    # this probe's candidate volume (broadcast query batch × probed cells)
+    # is too small to amortize the unrolled tree's per-plan codegen cost
+    # (~+1.3 s cold, ~+0.2 s warm at sf0.1); the high-volume sites
+    # (delta admission, bitext knn, hard-negative mining, PQ rerank) keep
+    # the unrolled form.
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -414,7 +419,7 @@ def _ivf_probe(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec"), dim), 6).alias("cosine_sim"),
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
