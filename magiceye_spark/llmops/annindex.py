@@ -561,7 +561,21 @@ def ivf_pq_index_topk(
         raise ValueError("flat index: use ivf_index_topk")
     rerank = rerank if rerank is not None else 10 * k
     id_col, vec_col = index.params["id_col"], index.params["vec_col"]
-    cells = _probe_cells(queries, index, n_probe)
+    # ONE bounded driver pass over the query batch yields BOTH the
+    # probed-cells literal (postings/rerank partition pruning) and the
+    # ADC query side as a LocalRelation (see _local_pq_query_side);
+    # oversized batches fall back to the separate cells collect + the
+    # in-plan query-side construction.
+    from magiceye_spark.llmops.simsearch import _local_pq_query_side
+
+    q_local = _local_pq_query_side(
+        queries, index.centroids, index.codebooks,
+        int(index.params["m_subvectors"]), n_probe, id_col, vec_col,
+    )
+    if q_local is not None:
+        q_frame, cells = q_local
+    else:
+        q_frame, cells = None, _probe_cells(queries, index, n_probe)
     if corpus is None:
         if index.rerank is None:
             raise ValueError(
@@ -577,6 +591,7 @@ def ivf_pq_index_topk(
     return _pq_search(
         enc, corpus, queries, index.centroids, index.codebooks,
         int(index.params["m_subvectors"]), k, n_probe, rerank, id_col, vec_col,
+        _q_local=q_frame,
     )
 
 

@@ -656,6 +656,97 @@ def _pq_encode(
     return enc.select(id_alias, "cell", codes.alias("codes"))
 
 
+#: query batches at or below this size get their probe cells and ADC
+#: lookup tables computed DRIVER-side (the FAISS shape: LUTs are per-query
+#: model math, not data-parallel work) and shipped as a LocalRelation —
+#: removing the centroid/codebook literal trees, their per-plan analysis
+#: and codegen, and the interpreted per-row LUT folds from the query side
+#: entirely. Strictly bounded: bigger batches keep the in-plan path.
+_LOCAL_QUERY_CAP = 1024
+
+
+def _local_pq_query_side(
+    queries: DataFrame,
+    cents: dict[int, list[float]],
+    books: list[list[list[float]]],
+    m_subvectors: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Driver-side replica of the _pq_search query side for BOUNDED query
+    batches: per query, the probe-cell top-n and the m×n_codes ADC LUT,
+    computed with plain Python floats in EXACTLY the fold order of the
+    in-plan expressions (0.0-seeded left-to-right sums, dot/(norm·norm)
+    cosine, (score, cell) struct ordering) — Python floats ARE IEEE
+    doubles, so the values are bit-identical (pinned in tests). Returns
+    the exploded (query_id, _lut, cell, _cell_dot) frame as an Arrow
+    LocalRelation, or None when the batch exceeds the cap / a score is
+    non-finite (zero vectors: NaN ordering differs between engines — the
+    in-plan path keeps those exactly as before)."""
+    import math
+
+    rows = queries.select(id_col, vec_col).limit(_LOCAL_QUERY_CAP + 1).collect()
+    if len(rows) > _LOCAL_QUERY_CAP:
+        return None
+    cmat = [cents[i] for i in sorted(cents)]
+    dim = len(cmat[0])
+    sub_d = dim // m_subvectors
+    cnorms = []
+    for c in cmat:
+        s = 0.0
+        for v in c:
+            s += float(v) * float(v)
+        cnorms.append(math.sqrt(s))
+    out = []
+    for r in rows:
+        qid, vec = r[0], [float(v) for v in r[1]]
+        if len(vec) != dim:
+            return None
+        s = 0.0
+        for v in vec:
+            s += v * v
+        nrm = math.sqrt(s)
+        pairs = []
+        for ci, c in enumerate(cmat):
+            d = 0.0
+            for j in range(dim):
+                d += vec[j] * float(c[j])
+            score = d / (nrm * cnorms[ci])
+            # non-finite: NaN ordering differs between Python and Spark's
+            # double ordering; exact ±0.0: Spark sorts -0.0 < 0.0, Python
+            # ties them — both vanishingly rare for real cosines, handled
+            # by falling back to the in-plan path rather than risking a
+            # different probe order
+            if not math.isfinite(score) or score == 0.0:
+                return None
+            pairs.append((score, ci))
+        pairs.sort()
+        top = list(reversed(pairs))[:n_probe]
+        nq = [v / nrm for v in vec]
+        lut = []
+        for mi in range(m_subvectors):
+            row_l = []
+            for code_row in books[mi]:
+                s = 0.0
+                for j in range(sub_d):
+                    s += nq[mi * sub_d + j] * float(code_row[j])
+                row_l.append(s)
+            lut.append(row_l)
+        for score, cell in top:
+            out.append((qid, lut, int(cell), float(score)))
+    from magiceye_spark.io import local_frame
+
+    id_type = queries.schema[id_col].dataType.simpleString()
+    frame = local_frame(
+        queries.sparkSession,
+        out,
+        f"query_id {id_type}, _lut array<array<double>>, "
+        "cell int, _cell_dot double",
+    )
+    return frame, sorted({int(c) for _, _, c, _ in out})
+
+
 def _pq_search(
     enc: DataFrame,
     corpus: DataFrame,
@@ -668,41 +759,55 @@ def _pq_search(
     rerank: int,
     id_col: str,
     vec_col: str,
+    _q_local: DataFrame | None = None,
 ) -> DataFrame:
     """ADC candidate scan over a code table + exact rerank — shared by
     :func:`ivf_pq_topk` (codes just encoded) and the stored-index path
     (codes read back from parquet). ``corpus`` supplies full vectors for
-    the rerank join only; the candidate scan touches codes alone."""
+    the rerank join only; the candidate scan touches codes alone.
+    ``_q_local``: a query-side frame already built by
+    :func:`_local_pq_query_side` (the stored-index path computes it first
+    to prune the postings scan by the same cells)."""
     dim = len(next(iter(cents.values())))
     sub_d = dim // m_subvectors
-    _, books_lit = _pq_model_literals(cents, books)
 
-    # ---- query side: probe cells + per-subspace LUTs (broadcast-sized)
-    nq = _pq_normalized(F.col(vec_col))
-    probes = _best_cells(F.col(vec_col), cents, n_probe)
-    lut = F.transform(
-        F.sequence(F.lit(0), F.lit(m_subvectors - 1)),
-        lambda mi: F.transform(
-            F.get(books_lit, mi),
-            lambda row: F.aggregate(
-                F.zip_with(
-                    F.slice(nq, mi * sub_d + 1, sub_d), row, lambda a, b: a * b
+    # ---- query side: probe cells + per-subspace LUTs (broadcast-sized).
+    # Bounded batches ship as a driver-computed LocalRelation (bit-exact
+    # replica — see _local_pq_query_side); larger ones keep the in-plan
+    # literal/HOF construction below.
+    q = _q_local
+    if q is None:
+        local = _local_pq_query_side(
+            queries, cents, books, m_subvectors, n_probe, id_col, vec_col
+        )
+        q = local[0] if local is not None else None
+    if q is None:
+        _, books_lit = _pq_model_literals(cents, books)
+        nq = _pq_normalized(F.col(vec_col))
+        probes = _best_cells(F.col(vec_col), cents, n_probe)
+        lut = F.transform(
+            F.sequence(F.lit(0), F.lit(m_subvectors - 1)),
+            lambda mi: F.transform(
+                F.get(books_lit, mi),
+                lambda row: F.aggregate(
+                    F.zip_with(
+                        F.slice(nq, mi * sub_d + 1, sub_d), row, lambda a, b: a * b
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
                 ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
             ),
-        ),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        lut.alias("_lut"),
-        F.explode(probes).alias("_p"),
-    ).select(
-        "query_id",
-        "_lut",
-        F.col("_p")["cell"].alias("cell"),
-        F.col("_p")["score"].alias("_cell_dot"),
-    )
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            lut.alias("_lut"),
+            F.explode(probes).alias("_p"),
+        ).select(
+            "query_id",
+            "_lut",
+            F.col("_p")["cell"].alias("cell"),
+            F.col("_p")["score"].alias("_cell_dot"),
+        )
 
     # ---- ADC scan over codes only; keep `rerank` finalists per query
     adc = F.col("_cell_dot") + sum(
