@@ -524,7 +524,18 @@ def ivf_index_topk(
     if index.pq:
         raise ValueError("PQ index: use ivf_pq_index_topk (rerank needs vectors)")
     id_col, vec_col = index.params["id_col"], index.params["vec_col"]
-    cells = _probe_cells(queries, index, n_probe)
+    # ONE bounded driver pass yields both the probed-cells pruning literal
+    # and the probe frame as a LocalRelation (see _local_probe_rows);
+    # oversized batches fall back to the separate collect + in-plan probes
+    from magiceye_spark.llmops.simsearch import _local_probe_rows
+
+    q_local = _local_probe_rows(
+        queries, index.centroids, n_probe, id_col, vec_col
+    )
+    if q_local is not None:
+        q_frame, cells = q_local
+    else:
+        q_frame, cells = None, _probe_cells(queries, index, n_probe)
     assigned = index.postings.where(F.col("cell").isin(cells)).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_vec"),
@@ -538,6 +549,7 @@ def ivf_index_topk(
         n_probe,
         id_col,
         vec_col,
+        _q_local=q_frame,
     )
 
 

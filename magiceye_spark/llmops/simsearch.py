@@ -385,6 +385,63 @@ def _best_cells(vec: Column, cents: dict[int, list[float]], n: int) -> Column:
     return F.slice(F.reverse(F.array_sort(pairs)), 1, n)
 
 
+def _local_probe_rows(
+    queries: DataFrame,
+    cents: dict[int, list[float]],
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Flat-probe sibling of :func:`_local_pq_query_side`: for BOUNDED
+    query batches, the exploded (query_id, q_vec, cell) probe frame as an
+    Arrow LocalRelation plus the distinct probed-cell list, computed
+    driver-side in exactly the in-plan fold orders (same guards: None
+    when over the cap / non-finite / exact-zero scores)."""
+    import math
+
+    rows = queries.select(id_col, vec_col).limit(_LOCAL_QUERY_CAP + 1).collect()
+    if len(rows) > _LOCAL_QUERY_CAP:
+        return None
+    cmat = [cents[i] for i in sorted(cents)]
+    dim = len(cmat[0])
+    cnorms = []
+    for c in cmat:
+        s = 0.0
+        for v in c:
+            s += float(v) * float(v)
+        cnorms.append(math.sqrt(s))
+    out = []
+    for r in rows:
+        qid, vec = r[0], [float(v) for v in r[1]]
+        if len(vec) != dim:
+            return None
+        s = 0.0
+        for v in vec:
+            s += v * v
+        nrm = math.sqrt(s)
+        pairs = []
+        for ci, c in enumerate(cmat):
+            d = 0.0
+            for j in range(dim):
+                d += vec[j] * float(c[j])
+            score = d / (nrm * cnorms[ci])
+            if not math.isfinite(score) or score == 0.0:
+                return None
+            pairs.append((score, ci))
+        pairs.sort()
+        for _, cell in list(reversed(pairs))[:n_probe]:
+            out.append((qid, vec, int(cell)))
+    from magiceye_spark.io import local_frame
+
+    id_type = queries.schema[id_col].dataType.simpleString()
+    frame = local_frame(
+        queries.sparkSession,
+        out,
+        f"query_id {id_type}, q_vec array<double>, cell int",
+    )
+    return frame, sorted({c for _, _, c in out})
+
+
 def _ivf_probe(
     assigned: DataFrame,
     queries: DataFrame,
@@ -393,26 +450,36 @@ def _ivf_probe(
     n_probe: int,
     id_col: str,
     vec_col: str,
+    _q_local: DataFrame | None = None,
 ) -> DataFrame:
     """Probe phase shared by the fit-per-call path (:func:`ivf_topk`) and
     the stored-index path (:func:`magiceye_spark.llmops.annindex.ivf_index_topk`):
     ``assigned`` is the cell-assigned corpus (neighbor_id, c_vec, cell),
     whether just computed or read back from parquet. One code path means
     probe-from-stored is structurally identical to probe-from-fit — the
-    equivalence the index tests pin."""
+    equivalence the index tests pin. ``_q_local``: a probe frame already
+    built by :func:`_local_probe_rows` (bounded query batches)."""
     # NOTE (r13): the unrolled-by-dim cosine was A/B'd here and kept OUT —
     # this probe's candidate volume (broadcast query batch × probed cells)
     # is too small to amortize the unrolled tree's per-plan codegen cost
     # (~+1.3 s cold, ~+0.2 s warm at sf0.1); the high-volume sites
     # (delta admission, bitext knn, hard-negative mining, PQ rerank) keep
     # the unrolled form.
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(
-            F.transform(_best_cells(F.col(vec_col), cents, n_probe), lambda s: s["cell"])
-        ).alias("cell"),
-    )
+    q = _q_local
+    if q is None:
+        local = _local_probe_rows(queries, cents, n_probe, id_col, vec_col)
+        q = local[0] if local is not None else None
+    if q is None:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                F.transform(
+                    _best_cells(F.col(vec_col), cents, n_probe),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+        )
     scored = (
         assigned.join(F.broadcast(q), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -273,3 +273,28 @@ def test_pq_local_query_side_matches_in_plan(spark, tmp_path):
     finally:
         simsearch._LOCAL_QUERY_CAP = cap
     assert fast == slow and len(fast) > 0
+
+
+def test_flat_local_probe_rows_match_in_plan(spark, tmp_path):
+    """Flat-probe sibling of the PQ local-query-side parity pin."""
+    from magiceye_spark.llmops import annindex, simsearch
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = annindex.write_ivf_index(emb, str(tmp_path / "flatidx"), n_centroids=8)
+    q = emb.where(F.col("vec_id") < 6)
+    fast = sorted(
+        tuple(r)
+        for r in annindex.ivf_index_topk(idx, q, k=5, n_probe=3).collect()
+    )
+    cap = simsearch._LOCAL_QUERY_CAP
+    simsearch._LOCAL_QUERY_CAP = 0
+    try:
+        slow = sorted(
+            tuple(r)
+            for r in annindex.ivf_index_topk(idx, q, k=5, n_probe=3).collect()
+        )
+    finally:
+        simsearch._LOCAL_QUERY_CAP = cap
+    assert fast == slow and len(fast) > 0
