@@ -691,28 +691,47 @@ def delta_ann_pairs_from_index(
     spark = new_vectors.sparkSession
     par = spark.sparkContext.defaultParallelism
     # barrier the batch before fanning it into the union side + probe side
-    # (the sibling stores' delta-barrier discipline)
-    batch = new_vectors.select(id_col, vec_col).repartition(par, id_col)
-    batch_assigned = _postings_flat(batch, index.centroids, id_col, vec_col)
-    # ONE probe-side frame serves both the cells literal (distinct-collect
-    # below — the same bounded driver step _probe_cells ran over its own
-    # copy of the assignment expression) and the candidate join's probe
-    # rows: the n_centroids×dim literal matrix is embedded/analyzed once
-    # per batch on this side instead of twice (measured ~0.5 s of driver
-    # plan-analysis per embedding at 32×64).
-    probes_nosalt = batch.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(
-            F.transform(
-                _best_cells(F.col(vec_col), index.centroids, n_probe),
-                lambda s: s["cell"],
-            )
-        ).alias("cell"),
+    # Bounded ingest batches: ONE driver pass yields the assigned side,
+    # the probe side, and the probed-cells literal as LocalRelations
+    # (simsearch._local_batch_sides — exact-IEEE replica of the in-plan
+    # expressions), replacing two centroid-literal embeddings (~0.5 s of
+    # driver plan-analysis each at 32×64), the repartition barrier, and
+    # the probe-cells distinct-collect job per micro-batch. Oversized
+    # batches keep the in-plan construction below.
+    from magiceye_spark.llmops.simsearch import _local_batch_sides
+
+    local = _local_batch_sides(
+        new_vectors.select(id_col, vec_col), index.centroids, n_probe,
+        id_col, vec_col,
     )
-    cells = sorted(
-        int(r["cell"]) for r in probes_nosalt.select("cell").distinct().collect()
-    )
+    if local is not None:
+        batch_assigned, probes_nosalt, cells = local
+        batch = batch_assigned.select(
+            F.col("vec_id").alias(id_col), F.col("embedding").alias(vec_col)
+        )
+    else:
+        # barrier the batch before fanning it into the union side + probe
+        # side (the sibling stores' delta-barrier discipline)
+        batch = new_vectors.select(id_col, vec_col).repartition(par, id_col)
+        batch_assigned = _postings_flat(batch, index.centroids, id_col, vec_col)
+        # ONE probe-side frame serves both the cells literal (distinct-
+        # collect below — the same bounded driver step _probe_cells ran
+        # over its own copy of the assignment expression) and the
+        # candidate join's probe rows.
+        probes_nosalt = batch.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.explode(
+                F.transform(
+                    _best_cells(F.col(vec_col), index.centroids, n_probe),
+                    lambda s: s["cell"],
+                )
+            ).alias("cell"),
+        )
+        cells = sorted(
+            int(r["cell"])
+            for r in probes_nosalt.select("cell").distinct().collect()
+        )
     if index.pq:
         # cell scoping from the compact PQ postings; vectors from rerank.
         # The when/otherwise keeps the raise_error expression REFERENCED

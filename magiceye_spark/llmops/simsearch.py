@@ -814,6 +814,72 @@ def _local_pq_query_side(
     return frame, sorted({int(c) for _, _, c, _ in out})
 
 
+def _local_batch_sides(
+    batch: DataFrame,
+    cents: dict[int, list[float]],
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Delta-admission sibling of :func:`_local_probe_rows`: for a BOUNDED
+    ingest batch, ONE driver pass yields the cell-ASSIGNED side
+    (vec_id, embedding, cell — the union/edge side), the exploded probe
+    side (q_id, q_vec, cell), and the distinct probed-cell list, all as
+    Arrow LocalRelations — replacing two centroid-literal embeddings, the
+    repartition barrier, and the probe-cells distinct-collect job per
+    micro-batch. Same exact-IEEE fold orders and the same fallback guards
+    (None when over the cap / non-finite / exact-zero scores)."""
+    import math
+
+    rows = batch.select(id_col, vec_col).limit(_LOCAL_QUERY_CAP + 1).collect()
+    if len(rows) > _LOCAL_QUERY_CAP:
+        return None
+    cmat = [cents[i] for i in sorted(cents)]
+    dim = len(cmat[0])
+    cnorms = []
+    for c in cmat:
+        s = 0.0
+        for v in c:
+            s += float(v) * float(v)
+        cnorms.append(math.sqrt(s))
+    assigned, probes = [], []
+    for r in rows:
+        rid, vec = r[0], [float(v) for v in r[1]]
+        if len(vec) != dim:
+            return None
+        s = 0.0
+        for v in vec:
+            s += v * v
+        nrm = math.sqrt(s)
+        pairs = []
+        for ci, c in enumerate(cmat):
+            d = 0.0
+            for j in range(dim):
+                d += vec[j] * float(c[j])
+            score = d / (nrm * cnorms[ci])
+            if not math.isfinite(score) or score == 0.0:
+                return None
+            pairs.append((score, ci))
+        pairs.sort()
+        top = list(reversed(pairs))
+        assigned.append((rid, vec, int(top[0][1])))
+        for _, cell in top[:n_probe]:
+            probes.append((rid, vec, int(cell)))
+    from magiceye_spark.io import local_frame
+
+    spark = batch.sparkSession
+    id_type = batch.schema[id_col].dataType.simpleString()
+    a_frame = local_frame(
+        spark, assigned,
+        f"vec_id {id_type}, embedding array<double>, cell int",
+    )
+    p_frame = local_frame(
+        spark, probes,
+        f"q_id {id_type}, q_vec array<double>, cell int",
+    )
+    return a_frame, p_frame, sorted({c for _, _, c in probes})
+
+
 def _pq_search(
     enc: DataFrame,
     corpus: DataFrame,
