@@ -804,9 +804,13 @@ def delta_ann_pairs_from_index(
             F.pmod(F.xxhash64("vec_id"), F.lit(salts)).cast("int").alias("salt"),
         )
 
-    cos = F.round(
-        cosine(F.col("q_vec"), F.col("u_vec"), int(index.params["dim"])), 6
-    )
+    # NOTE (r14): fold cosine, not the width-unrolled tree — this plan is
+    # re-analyzed per micro-batch in the ingest loops and the pairs subtree
+    # feeds the closure + two admitted-frame actions, so the unrolled
+    # tree's per-plan analysis/codegen cost is paid several times per
+    # batch (the r13 annindex_ingest_loop regression's fixed-cost class;
+    # same A/B verdict as every other site this round).
+    cos = F.round(cosine(F.col("q_vec"), F.col("u_vec")), 6)
 
     def edges(u_side: DataFrame) -> DataFrame:
         return (

@@ -964,7 +964,11 @@ def _pq_search(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec"), dim), 6).alias("cosine_sim"),
+            # NOTE (r14): fold cosine — the rerank candidate list is tiny
+            # (k·rerank rows), so the width-unrolled tree's per-plan cost
+            # dominates: A/B fold 0.76 s vs unroll 1.10 s on the stored-PQ
+            # probe seat (alternating min-of-3 at sf0.1).
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -1468,14 +1472,14 @@ def hard_negatives_indexed(
         .select(
             "anchor_id",
             "negative_id",
-            F.round(
-                cosine(
-                    F.col("a_vec"),
-                    F.col("c_vec"),
-                    len(next(iter(cents.values()))),
-                ),
-                6,
-            ).alias("cosine_sim"),
+            # NOTE (r14): fold cosine, not the width-unrolled tree — A/B'd
+            # like _ivf_probe (alternating min-of-3 at sf0.1): fold 2.58 s
+            # vs unroll 3.81 s. The candidate volume never amortizes the
+            # unrolled tree's per-plan analysis/codegen cost at any site
+            # measured this round; results are bit-identical either way.
+            F.round(cosine(F.col("a_vec"), F.col("c_vec")), 6).alias(
+                "cosine_sim"
+            ),
         )
     )
     w = Window.partitionBy("anchor_id").orderBy(
@@ -1857,14 +1861,16 @@ def bitext_margin_pairs_indexed(
             .select(
                 q_id,
                 c_id,
-                F.round(
-                    cosine(
-                        F.col("q_vec"),
-                        F.col("c_vec"),
-                        len(next(iter(cents.values()))),
-                    ),
-                    6,
-                ).alias("cosine_sim"),
+                # NOTE (r14): fold cosine, not the width-unrolled tree.
+                # This seat regressed 4.9 → 12.2 s at r13 driver ground
+                # truth with the unroll (the cands subtree — holding BOTH
+                # knn cosines — appears 3× in the logical plan, so the
+                # ~600-node unrolled trees are analyzed 6× per action).
+                # Alternating min-of-3 A/B at sf0.1: fold 3.98 s vs
+                # unroll 6.09 s. Bit-identical results (same IEEE order).
+                F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
+                    "cosine_sim"
+                ),
             )
             .withColumn("r", F.row_number().over(w))
             .where(F.col("r") <= k)
