@@ -281,6 +281,32 @@ def write_ivf_index(
     return read_ivf_index(spark, path)
 
 
+def _open_scans(
+    spark: SparkSession, path: str, params: dict
+) -> tuple[DataFrame, DataFrame | None]:
+    """Fresh lazy scans of the GROWING tables (postings + PQ rerank) — the
+    part of :func:`read_ivf_index` that must re-run per ingest batch so
+    appends/compactions are visible; the model tables above it are
+    immutable (the quantizer is never re-fit) and collect once."""
+    postings = spark.read.parquet(os.path.join(path, "postings")).withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    rerank = None
+    if params["pq"]:
+        from magiceye_spark.fsops import fs_exists
+
+        rr_dir = os.path.join(path, "rerank")
+        if fs_exists(spark, rr_dir):  # pre-r11 PQ stores have no rerank table
+            # presented under the caller's column names (id_col, vec_col)
+            # + cell, so it plugs into every rerank= consumer unchanged
+            rerank = spark.read.parquet(rr_dir).select(
+                F.col("vec_id").alias(params["id_col"]),
+                F.col("embedding").alias(params["vec_col"]),
+                F.col("cell").cast("int").alias("cell"),
+            )
+    return postings, rerank
+
+
 def read_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
     """Load an index written by :func:`write_ivf_index`: the model tables
     (KB-sized) are collected to the driver; postings stay a lazy
@@ -300,22 +326,7 @@ def read_ivf_index(spark: SparkSession, path: str) -> IvfIndex:
         books = [[None] * n_codes for _ in range(m)]
         for r in brows:
             books[int(r["m"])][int(r["code"])] = [float(v) for v in r["vec"]]
-    postings = spark.read.parquet(os.path.join(path, "postings")).withColumn(
-        "cell", F.col("cell").cast("int")
-    )
-    rerank = None
-    if params["pq"]:
-        from magiceye_spark.fsops import fs_exists
-
-        rr_dir = os.path.join(path, "rerank")
-        if fs_exists(spark, rr_dir):  # pre-r11 PQ stores have no rerank table
-            # presented under the caller's column names (id_col, vec_col)
-            # + cell, so it plugs into every rerank= consumer unchanged
-            rerank = spark.read.parquet(rr_dir).select(
-                F.col("vec_id").alias(params["id_col"]),
-                F.col("embedding").alias(params["vec_col"]),
-                F.col("cell").cast("int").alias("cell"),
-            )
+    postings, rerank = _open_scans(spark, path, params)
     return IvfIndex(
         params=params, centroids=cents, codebooks=books,
         postings=postings, rerank=rerank,
@@ -377,12 +388,37 @@ def _append_vectors(
             "row-for-row with the postings"
         )
     id_col, vec_col = idx.params["id_col"], idx.params["vec_col"]
-    spread = new_vectors.select(id_col, vec_col).repartition(
-        spark.sparkContext.defaultParallelism, id_col
+    # Bounded deltas (every ingest micro-batch): assign cells DRIVER-side
+    # and ship the assigned rows as a LocalRelation — the in-plan
+    # centroid-literal argmax costs ~0.5 s of plan analysis per action at
+    # 32×64, paid per micro-batch by the appends. Exact-IEEE replica of
+    # the in-plan expression (same fold order — the parity
+    # _local_batch_sides/_postings_flat tests pin it); oversized deltas
+    # and degenerate scores keep the in-plan path below.
+    from magiceye_spark.llmops.simsearch import _local_batch_sides
+
+    local = (
+        _local_batch_sides(
+            new_vectors.select(id_col, vec_col), idx.centroids, 1,
+            id_col, vec_col,
+        )
+        # the LocalRelation declares array<double> — only substitutable
+        # when the source column IS that type (it always is for stores
+        # this module writes; a caller-supplied float corpus keeps the
+        # type-preserving in-plan path so the parquet append can't drift)
+        if new_vectors.schema[vec_col].dataType.simpleString()
+        == "array<double>"
+        else None
     )
+    if local is not None:
+        flat = local[0]  # (vec_id, embedding, cell) LocalRelation
+    else:
+        spread = new_vectors.select(id_col, vec_col).repartition(
+            spark.sparkContext.defaultParallelism, id_col
+        )
+        flat = _postings_flat(spread, idx.centroids, id_col, vec_col)
     # dedupe BEFORE encoding: rejected re-ingests shouldn't pay the PQ
     # argmin, and the same survivor frame feeds both PQ writes below
-    flat = _postings_flat(spread, idx.centroids, id_col, vec_col)
     if dedupe_ids:
         flat = flat.join(idx.postings.select("vec_id"), "vec_id", "left_anti")
     if idx.pq:
@@ -706,9 +742,6 @@ def delta_ann_pairs_from_index(
     )
     if local is not None:
         batch_assigned, probes_nosalt, cells = local
-        batch = batch_assigned.select(
-            F.col("vec_id").alias(id_col), F.col("embedding").alias(vec_col)
-        )
     else:
         # barrier the batch before fanning it into the union side + probe
         # side (the sibling stores' delta-barrier discipline)
@@ -946,6 +979,8 @@ def streaming_ann_ingest(
     started StreamingQuery; ``trigger`` defaults to availableNow."""
     from magiceye_spark.fsops import fs_exists
 
+    _model: dict = {}  # params/centroids/codebooks, collected once per loop
+
     def _store_ready() -> bool:
         return fs_exists(spark, os.path.join(path, "params")) and fs_exists(
             spark, os.path.join(path, "postings")
@@ -1072,7 +1107,21 @@ def streaming_ann_ingest(
             finally:
                 admitted.unpersist()
             return
-        idx = read_ivf_index(spark, path)
+        # model tables (params/centroids/codebooks) are IMMUTABLE for the
+        # life of the store (the FAISS add contract — never re-fit), so
+        # collect them ONCE per loop; only the growing scans re-open per
+        # batch (appends and mid-stream compaction must stay visible)
+        if not _model:
+            idx0 = read_ivf_index(spark, path)
+            _model.update(
+                params=idx0.params,
+                centroids=idx0.centroids,
+                codebooks=idx0.codebooks,
+            )
+            idx = idx0
+        else:
+            postings, rr_scan = _open_scans(spark, path, _model["params"])
+            idx = IvfIndex(postings=postings, rerank=rr_scan, **_model)
         rr, rr_aligned = _rerank_frame(idx, batch_df, batch_id)
         admitted = delta_ann_admit_indexed(
             idx, batch_df, threshold, n_probe,

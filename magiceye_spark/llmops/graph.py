@@ -58,6 +58,16 @@ from pyspark.sql import functions as F
 SMALL_GRAPH_EDGE_CAP = 2_000_000
 
 
+def _edge_tuples(und: DataFrame) -> list[tuple[int, int]]:
+    """The bounded small-graph edge collect as plain (int, int) tuples via
+    ONE Arrow batch — ``collect()`` materializes a pyspark Row object per
+    edge, which at the 1M-pair cap costs hundreds of MB of Python heap
+    (and GC churn) for two longs of payload; the Arrow path lands the two
+    columns as int lists (~tens of MB at cap) in one driver transfer."""
+    tbl = und.toArrow()
+    return list(zip(tbl.column(0).to_pylist(), tbl.column(1).to_pylist()))
+
+
 def _unionfind_components(edge_rows, comp_col: str):
     """Driver-side exact closure for small graphs: union-find with path
     compression + union by size over the collected symmetric edge list,
@@ -140,14 +150,17 @@ def connected_components(
         # distributed fixpoint costs O(log diameter) Spark JOBS of fixed
         # scheduling latency — measured 10.7 s at 545k directed edges
         # where the driver union-find closure is 0.36 s. The collect is
-        # BOUNDED by the cap (≤1M rows × 2 longs ≈ 16 MB — this is the
-        # one deliberate driver materialization in the graph family,
-        # cap-guarded and label-parity-pinned against the distributed
-        # path in tests/test_r10_ops.py); anything bigger takes the
-        # distributed loop below, so 100 TB corpora never hit this branch.
-        rows = und.collect()
+        # BOUNDED by the cap and arrives as ONE Arrow batch of two long
+        # columns (~16 MB of payload at the 1M-pair cap; raw non-distinct
+        # edges, so duplicate-heavy lists collect every copy — still
+        # cap-bounded. This is the one deliberate driver materialization
+        # in the graph family, cap-guarded and label-parity-pinned against
+        # the distributed path in tests/test_r10_ops.py); anything bigger
+        # takes the distributed loop below, so 100 TB corpora never hit
+        # this branch.
+        edge_rows = _edge_tuples(und)
         und.unpersist()
-        out = _unionfind_components(((r[0], r[1]) for r in rows), comp_col)
+        out = _unionfind_components(edge_rows, comp_col)
         # Arrow LocalRelation: the plain createDataFrame path would ship
         # the label rows back through parallelize + a Python worker per
         # consuming job (io.local_frame docstring)
@@ -714,10 +727,72 @@ def indexed_admission_rejects(pairs: DataFrame, stored_ids: DataFrame) -> DataFr
     incoming doc is rejected iff its component over the pair graph
     contains a stored doc, or it is not the minimum-id incoming member of
     its all-incoming component. Docs absent from ``pairs`` are singletons
-    and are never rejected (the caller's anti-join admits them)."""
-    comps = connected_components(
-        pairs.select("doc_a", "doc_b"), src="doc_a", dst="doc_b"
-    ).select(F.col("node").alias("doc_id"), "comp_id")
+    and are never rejected (the caller's anti-join admits them).
+
+    Small-graph fast path (r14): per-batch admission graphs are tiny
+    (delta-touching edges only), yet the label/verdict joins below cost
+    4-6 shuffle stages of pure scheduling latency per micro-batch — the
+    fixed cost the r13 c8 bench surfaced on every ingest-loop seat.
+    When the edge list fits the closure's driver cap, the WHOLE verdict
+    runs driver-side: collect the edges once (the same bounded collect
+    the closure fast path already pays), union-find in Python, resolve
+    stored-membership of the graph's nodes with ONE semi-join job, and
+    return the rejected ids as a LocalRelation. Same rule, same math,
+    byte-identical output (the rule is integer set logic — no floats);
+    corpus-scale graphs keep the distributed plan unchanged."""
+    spark = pairs.sparkSession
+    und = pairs.select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+    ).persist()
+    n_und = und.count()
+    if 2 * n_und <= SMALL_GRAPH_EDGE_CAP:
+        from magiceye_spark.io import local_frame
+
+        edge_rows = _edge_tuples(und)
+        und.unpersist()
+        labels = _unionfind_components(edge_rows, "comp_id")
+        if not labels:  # no edges → no components → nothing rejected
+            return local_frame(spark, [], "doc_id long")
+        # stored-membership of the graph's nodes: one bounded semi-join
+        # job (node count ≤ 2·edges ≤ the cap; the scan of stored ids is
+        # the same column the distributed path's labeled-join reads)
+        nodes_f = local_frame(
+            spark, [(int(n),) for n, _ in labels], "doc_id long"
+        )
+        stored = {
+            r[0]
+            for r in stored_ids.select(
+                F.col("doc_id").cast("long").alias("doc_id")
+            )
+            .join(nodes_f, "doc_id", "left_semi")
+            .collect()
+        }
+        has_existing: set = set()
+        min_incoming: dict = {}
+        for node, comp in labels:
+            if node in stored:
+                has_existing.add(comp)
+            else:
+                m = min_incoming.get(comp)
+                if m is None or node < m:
+                    min_incoming[comp] = node
+        rejected = [
+            (node,)
+            for node, comp in labels
+            if node not in stored
+            and (comp in has_existing or node != min_incoming[comp])
+        ]
+        return local_frame(spark, sorted(rejected), "doc_id long")
+    try:
+        # corpus-scale graph: the distributed closure + verdict joins.
+        # connected_components' own select/persist lands on top of the
+        # already-persisted edge frame, so its count reads the cache.
+        comps = connected_components(
+            und, src="doc_a", dst="doc_b"
+        ).select(F.col("node").alias("doc_id"), "comp_id")
+    finally:
+        und.unpersist()
     labeled = comps.join(
         stored_ids.select("doc_id").withColumn("_stored", F.lit(1)),
         "doc_id",

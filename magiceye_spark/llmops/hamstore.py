@@ -306,9 +306,18 @@ def streaming_hamming_ingest(
     from magiceye_spark.llmops.dedup import simhash_signatures
 
     sign = sign_fn if sign_fn is not None else simhash_signatures
+    _params: dict = {}  # immutable params row, collected once per loop
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        idx = read_hamming_index(spark, path, kind=kind)
+        # params (version/kind/max_hamming) are immutable for the life of
+        # the store — collect + kind-check once per loop; only the growing
+        # signatures scan re-opens per batch (appends/compaction visible)
+        if not _params:
+            _params.update(read_hamming_index(spark, path, kind=kind).params)
+        idx = HammingIndex(
+            params=_params,
+            signatures=spark.read.parquet(os.path.join(path, "signatures")),
+        )
         # persist the SIGNED batch, not the raw one: every downstream
         # consumer (admission plan, sink semi-join, store append) reads
         # signatures, and the signing is the expensive per-batch pass

@@ -341,8 +341,18 @@ def streaming_dedup_ingest(
     continuous loop over a growing source. Returns the started
     StreamingQuery."""
 
+    _params: dict = {}  # immutable params row, collected once per loop
+
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        idx = read_minhash_index(spark, path)
+        # params (hash family/bands/threshold) are immutable for the life
+        # of the store — collect once per loop; only the growing
+        # signatures scan re-opens per batch (appends/compaction visible)
+        if not _params:
+            _params.update(read_minhash_index(spark, path).params)
+        idx = MinhashIndex(
+            params=_params,
+            signatures=spark.read.parquet(os.path.join(path, "signatures")),
+        )
         # sign the batch ONCE per micro-batch and persist: admission's
         # pair generator and the store append both consume these rows
         # (pre-r13 the append re-ran the shingle+MinHash pass over the

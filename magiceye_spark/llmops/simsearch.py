@@ -385,6 +385,15 @@ def _best_cells(vec: Column, cents: dict[int, list[float]], n: int) -> Column:
     return F.slice(F.reverse(F.array_sort(pairs)), 1, n)
 
 
+#: sentinel distinguishing "caller never attempted the local query side"
+#: (probe helpers should try it themselves) from "caller attempted and it
+#: returned None" (over cap / degenerate scores — retrying would run a
+#: SECOND bounded collect job per call, and on a non-deterministic query
+#: frame could succeed with probe cells not covered by the caller's
+#: already-collected pruning literal, silently dropping candidates).
+_LOCAL_UNATTEMPTED = object()
+
+
 def _local_probe_rows(
     queries: DataFrame,
     cents: dict[int, list[float]],
@@ -424,7 +433,13 @@ def _local_probe_rows(
             d = 0.0
             for j in range(dim):
                 d += vec[j] * float(c[j])
-            score = d / (nrm * cnorms[ci])
+            den = nrm * cnorms[ci]
+            if den == 0.0:
+                # zero-norm query or centroid: Python float division
+                # RAISES where Spark's double division yields NaN/Inf —
+                # fall back to the in-plan path as the docstring promises
+                return None
+            score = d / den
             if not math.isfinite(score) or score == 0.0:
                 return None
             pairs.append((score, ci))
@@ -450,7 +465,7 @@ def _ivf_probe(
     n_probe: int,
     id_col: str,
     vec_col: str,
-    _q_local: DataFrame | None = None,
+    _q_local=_LOCAL_UNATTEMPTED,
 ) -> DataFrame:
     """Probe phase shared by the fit-per-call path (:func:`ivf_topk`) and
     the stored-index path (:func:`magiceye_spark.llmops.annindex.ivf_index_topk`):
@@ -458,15 +473,17 @@ def _ivf_probe(
     whether just computed or read back from parquet. One code path means
     probe-from-stored is structurally identical to probe-from-fit — the
     equivalence the index tests pin. ``_q_local``: a probe frame already
-    built by :func:`_local_probe_rows` (bounded query batches)."""
+    built by :func:`_local_probe_rows` (bounded query batches); ``None``
+    means the caller ATTEMPTED the local side and it declined — keep the
+    in-plan path, do not retry (see ``_LOCAL_UNATTEMPTED``)."""
     # NOTE (r13): the unrolled-by-dim cosine was A/B'd here and kept OUT —
     # this probe's candidate volume (broadcast query batch × probed cells)
     # is too small to amortize the unrolled tree's per-plan codegen cost
     # (~+1.3 s cold, ~+0.2 s warm at sf0.1); the high-volume sites
     # (delta admission, bitext knn, hard-negative mining, PQ rerank) keep
     # the unrolled form.
-    q = _q_local
-    if q is None:
+    q = None if _q_local is _LOCAL_UNATTEMPTED else _q_local
+    if _q_local is _LOCAL_UNATTEMPTED:
         local = _local_probe_rows(queries, cents, n_probe, id_col, vec_col)
         q = local[0] if local is not None else None
     if q is None:
@@ -779,7 +796,13 @@ def _local_pq_query_side(
             d = 0.0
             for j in range(dim):
                 d += vec[j] * float(c[j])
-            score = d / (nrm * cnorms[ci])
+            den = nrm * cnorms[ci]
+            if den == 0.0:
+                # zero-norm query or centroid: Python float division
+                # RAISES where Spark's double division yields NaN/Inf —
+                # fall back to the in-plan path as the docstring promises
+                return None
+            score = d / den
             # non-finite: NaN ordering differs between Python and Spark's
             # double ordering; exact ±0.0: Spark sorts -0.0 < 0.0, Python
             # ties them — both vanishingly rare for real cosines, handled
@@ -856,7 +879,13 @@ def _local_batch_sides(
             d = 0.0
             for j in range(dim):
                 d += vec[j] * float(c[j])
-            score = d / (nrm * cnorms[ci])
+            den = nrm * cnorms[ci]
+            if den == 0.0:
+                # zero-norm query or centroid: Python float division
+                # RAISES where Spark's double division yields NaN/Inf —
+                # fall back to the in-plan path as the docstring promises
+                return None
+            score = d / den
             if not math.isfinite(score) or score == 0.0:
                 return None
             pairs.append((score, ci))
@@ -892,7 +921,7 @@ def _pq_search(
     rerank: int,
     id_col: str,
     vec_col: str,
-    _q_local: DataFrame | None = None,
+    _q_local=_LOCAL_UNATTEMPTED,
 ) -> DataFrame:
     """ADC candidate scan over a code table + exact rerank — shared by
     :func:`ivf_pq_topk` (codes just encoded) and the stored-index path
@@ -908,8 +937,8 @@ def _pq_search(
     # Bounded batches ship as a driver-computed LocalRelation (bit-exact
     # replica — see _local_pq_query_side); larger ones keep the in-plan
     # literal/HOF construction below.
-    q = _q_local
-    if q is None:
+    q = None if _q_local is _LOCAL_UNATTEMPTED else _q_local
+    if _q_local is _LOCAL_UNATTEMPTED:
         local = _local_pq_query_side(
             queries, cents, books, m_subvectors, n_probe, id_col, vec_col
         )
