@@ -1004,13 +1004,32 @@ def streaming_ann_ingest(
             # of raise_error-ing forever; duplicate (id, vec) rows are
             # harmless (identical candidate rows collapse in the
             # edge-level dropDuplicates), so no corpus-wide dedup runs.
-            batch_part = _postings_flat(
-                _batch_kv(idx.params, batch_df), idx.centroids, id_col, vec_col
-            ).select(
-                F.col("vec_id").alias(id_col),
-                F.col("embedding").alias(vec_col),
-                "cell",
+            # Bounded batches assign cells driver-side (exact-IEEE
+            # replica) — the in-plan centroid-literal argmax otherwise
+            # costs ~0.5 s of plan analysis per micro-batch action.
+            from magiceye_spark.llmops.simsearch import _local_batch_sides
+
+            kv = _batch_kv(idx.params, batch_df)
+            local = (
+                _local_batch_sides(kv, idx.centroids, 1, id_col, vec_col)
+                if kv.schema[vec_col].dataType.simpleString()
+                == "array<double>"
+                else None
             )
+            if local is not None:
+                batch_part = local[0].select(
+                    F.col("vec_id").alias(id_col),
+                    F.col("embedding").alias(vec_col),
+                    "cell",
+                )
+            else:
+                batch_part = _postings_flat(
+                    kv, idx.centroids, id_col, vec_col
+                ).select(
+                    F.col("vec_id").alias(id_col),
+                    F.col("embedding").alias(vec_col),
+                    "cell",
+                )
             # aligned: both sides' `cell` comes from the index's centroids
             return idx.rerank.unionByName(batch_part), True
         # pre-r11 PQ store (no rerank table): corpus-wide assembly from the
